@@ -1,0 +1,86 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The per-query number is wall-clock seconds for plan + execution with a
+terminal count-style action (driver does not collect result rows).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: the flagship relational queries + one of each north-star
+# operator family, exercising scan/filter pushdown, big joins, window
+# functions, and the LSH/text paths.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q18",
+]
+# Extended set appended when the operators land (kept in registry order).
+EXTRA_PREFIXES = (
+    "dedup_exact",
+    "dedup_minhash",
+    "knn_brute_force",
+    "text_quality",
+    "events_tumbling",
+    "win_ranking",
+)
+
+
+def main() -> None:
+    from walden_spark.registry import load_all
+    from walden_spark.session import get_spark
+
+    registry = load_all()
+    names = [n for n in HEADLINE if n in registry]
+    for pref in EXTRA_PREFIXES:
+        names += [n for n in sorted(registry) if n.startswith(pref) and n not in names]
+
+    spark = get_spark(app_name="walden_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+
+    # warm the JVM/codegen path once (not counted)
+    registry[names[0]].fn(spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = registry[name].fn(spark, SF_DIR)
+        # force full execution without driver-side collection of data
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,613 @@
+"""TPC-H query suite adapted to the driver fixture schema (SURVEY.md §5.2).
+
+The reference deploys Trino's `tpch` generator catalog as its intended
+benchmark workload (reference: tf/variables.tf:245-248) but ships no
+query text; these are the public TPC-H queries adapted to the reduced
+fixture columns (FIXTURES.md §2 — no partsupp, no comments/addresses,
+timestamps instead of dates). Queries needing partsupp/commitdate are
+either adapted (q4, q9, q22) or dropped (q2/q11/q16/q20/q21).
+
+Scale notes (100TB posture):
+* nation/region are broadcast explicitly; customer/supplier/part are
+  below the autoBroadcastJoinThreshold at bench scale and broadcast by
+  Catalyst/AQE on their own.
+* lineitem⋈orders is the only big-big join: shuffle-hash/sort-merge on
+  the join key, with AQE skew handling enabled in the session.
+* All aggregates are partial-aggregated map-side by Tungsten (hash agg),
+  so the shuffle carries group keys, not rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+from walden_spark.queries.helpers import (
+    CHARGE_SQL,
+    RATE,
+    REV_SQL,
+    davg,
+    dsum,
+    money,
+    rate,
+    revenue,
+    sql_money,
+)
+
+_TS = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+
+
+@query(
+    "tpch_q1",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       CAST(SUM({sql_money('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+       CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+       CAST(SUM({sql_money('l_extendedprice')}) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+    category="tpch",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: 2-key group, 8 aggregates, full scan."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= _TS("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum(money("l_extendedprice")).alias("sum_base_price"),
+            dsum(revenue()).alias("sum_disc_price"),
+            dsum(revenue() * (F.lit(1).cast(RATE) + rate("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(money("l_extendedprice")).alias("avg_price"),
+            davg(rate("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "tpch_q3",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+""",
+    category="tpch",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority top-10: 3-way join + agg + total-ordered limit."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders.filter(F.col("o_orderdate") < _TS("1998-03-15")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t.lineitem.filter(F.col("l_shipdate") > _TS("1998-03-15")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"), "o_orderpriority")
+        .agg(dsum(revenue()).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q4_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="tpch",
+)
+def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (adapted: ship>order+90d replaces
+    commit<receipt) — EXISTS → left-semi join."""
+    t = Tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1996-04-01"))
+    )
+    late = t.lineitem
+    semi = orders.join(
+        late,
+        (late.l_orderkey == orders.o_orderkey)
+        & (late.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")).orderBy("o_orderpriority")
+
+
+@query(
+    "tpch_q5",
+    oracle=f"""
+SELECT n_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    category="tpch",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-supplier volume: 6-way join; nation/region broadcast."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1997-01-01"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(t.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.supplier, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+@query(
+    "tpch_q6",
+    oracle=f"""
+SELECT CAST(SUM({sql_money('l_extendedprice')} * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+""",
+    category="tpch",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting-revenue change: pure scan+filter+agg (pushdown check)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01"))
+            & (F.col("l_shipdate") < _TS("1997-01-01"))
+            & (F.col("l_discount").between(0.03, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(money("l_extendedprice") * rate("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q7",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+         {REV_SQL} AS volume
+  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN customer ON c_custkey = o_custkey
+       JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+    category="tpch",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations; disjunctive join predicate."""
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = t.nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    df = (
+        t.supplier.join(
+            t.lineitem.filter(F.col("l_shipdate").between(_TS("1996-01-01"), _TS("1997-12-31"))),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        df.groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(dsum(revenue()).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "tpch_q8",
+    oracle=f"""
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         {REV_SQL} AS volume,
+         n2.n_name AS nation
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       JOIN region ON n1.n_regionkey = r_regionkey
+       JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+    category="tpch",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share within a region (conditional agg ratio)."""
+    t = Tables(spark, sf_dir)
+    n1 = t.nation.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = t.nation.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    df = (
+        t.part.filter(F.col("p_type") == "STANDARD")
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t.orders.filter(F.col("o_orderdate").between(_TS("1996-01-01"), _TS("1997-12-31"))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "AMERICA")), F.col("n1_region") == F.col("r_regionkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), revenue().alias("volume"), "nation")
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        df.groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(zero)).cast("double")
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "tpch_q9_profit",
+    oracle=f"""
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+         {REV_SQL} AS amount
+  FROM part JOIN lineitem ON p_partkey = l_partkey
+       JOIN supplier ON s_suppkey = l_suppkey
+       JOIN orders ON o_orderkey = l_orderkey
+       JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+    category="tpch",
+)
+def tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (adapted: no partsupp → revenue as profit)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.part.filter(F.col("p_name").like("%widget%"))
+        .join(t.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(t.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum(revenue()).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q10",
+    oracle=f"""
+SELECT c_custkey, c_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    category="tpch",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item reporting: top-20 customers by lost revenue."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1996-04-01"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(t.lineitem.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    category="tpch",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution: outer join + double aggregation."""
+    t = Tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query(
+    "tpch_q14",
+    oracle=f"""
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {REV_SQL}
+                             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             / CAST(SUM({REV_SQL}) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    category="tpch",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect: conditional-aggregate percentage."""
+    t = Tables(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(12,2)")
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _TS("1996-09-01")) & (F.col("l_shipdate") < _TS("1996-10-01"))
+        )
+        .join(t.part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", revenue()).otherwise(zero)).cast("double")
+                / F.sum(revenue()).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+WITH revenue0 AS (
+  SELECT l_suppkey AS supplier_no, CAST(SUM({REV_SQL}) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+ORDER BY s_suppkey
+""",
+    category="tpch",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (view + scalar subquery → window max)."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= _TS("1996-01-01")) & (F.col("l_shipdate") < _TS("1996-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(revenue()).alias("total_revenue"))
+    )
+    from pyspark.sql import Window
+
+    top = rev.withColumn("mx", F.max("total_revenue").over(Window.partitionBy())).filter(
+        F.col("total_revenue") == F.col("mx")
+    )
+    return (
+        t.supplier.join(top, F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17",
+    oracle=f"""
+SELECT CAST(SUM({sql_money('l_extendedprice')}) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (SELECT 0.2 * (CAST(SUM(l2.l_quantity) AS DOUBLE) / COUNT(l2.l_quantity))
+                    FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+""",
+    category="tpch",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue: correlated scalar subquery → pre-agg join."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    per_part = li.groupBy(F.col("l_partkey").alias("pp_key")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity").cast("double") / F.count("l_quantity"))).alias("qty_threshold")
+    )
+    return (
+        li.join(t.part.filter(F.col("p_brand") == "Brand#3"), F.col("p_partkey") == F.col("l_partkey"))
+        .join(per_part, F.col("pp_key") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((dsum(money("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"))
+    )
+
+
+@query(
+    "tpch_q18",
+    oracle=f"""
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, SUM(l_quantity) AS sum_qty
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE), o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+""",
+    category="tpch",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: HAVING on grouped fact + IN-subquery semi join."""
+    t = Tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(big.withColumnRenamed("l_orderkey", "big_key"), F.col("o_orderkey") == F.col("big_key"), "left_semi")
+        .join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q19",
+    oracle=f"""
+SELECT CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+    category="tpch",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue: disjunction of conjunctive range predicates."""
+    t = Tables(spark, sf_dir)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return (
+        t.lineitem.join(t.part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(dsum(revenue()).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q22",
+    oracle="""
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(c_acctbal)
+                   FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+    category="tpch",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (adapted: nationkey for phone prefix);
+    scalar subquery + anti join."""
+    t = Tables(spark, sf_dir)
+    avg_bal_df = t.customer.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(money("c_acctbal")).alias("avg_bal")
+    )
+    rich = t.customer.join(F.broadcast(avg_bal_df)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    no_orders = rich.join(t.orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+    return (
+        no_orders.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"), dsum(money("c_acctbal")).alias("totacctbal"))
+        .orderBy("c_nationkey")
+    )

@@ -1,0 +1,121 @@
+"""SparkSession factory (SURVEY.md §7.1 M0).
+
+Mirrors the reference deployment's storage/session wiring — MinIO S3
+endpoint + path-style access (reference: tf/nessie-values.yaml:14-22),
+warehouse-dir-on-bucket (tf/nessie-values.yaml:8-13) — as Spark conf,
+and bakes in the scale posture from SURVEY.md §4: AQE on (runtime join
+re-plan, skew-join splitting, partition coalescing), ANSI mode for
+Trino-like strict semantics, Arrow for the Python boundary.
+
+Design-for-100TB notes
+----------------------
+* ``shuffle_partitions`` defaults to the local core count; on a real
+  cluster set it to 2-3x total executor cores (or rely on AQE's
+  coalescing with a high initial value).
+* ``spark.sql.files.maxPartitionBytes`` stays at the 128MB default —
+  matched to the 128MB Parquet target file size we write (see
+  catalog.write_table), so one scan task ~ one row-group run.
+* AQE skew-join is enabled so a hot join key is split at runtime;
+  operators that aggregate on potentially-skewed keys additionally
+  expose explicit salting (operators/dedup.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "walden_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    s3_endpoint: str | None = None,
+    s3_access_key: str | None = None,
+    s3_secret_key: str | None = None,
+    warehouse_dir: str | None = None,
+    extra_conf: Mapping[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession.
+
+    S3A options reproduce the reference's MinIO client settings
+    (endpoint, path-style access, static credentials); on AWS-native
+    deployments simply omit them and the default credential chain
+    applies.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.ansi.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", os.environ.get("WALDEN_SPARK_UI", "false"))
+        # ns-precision parquet timestamps (events.ts) read as µs
+        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+    )
+    if s3_endpoint:
+        # reference: tf/nessie-values.yaml:14-22 (MinIO endpoint,
+        # path-style access, secret-based credentials)
+        b = (
+            b.config("spark.hadoop.fs.s3a.endpoint", s3_endpoint)
+            .config("spark.hadoop.fs.s3a.path.style.access", "true")
+            .config("spark.hadoop.fs.s3a.connection.ssl.enabled", "false")
+        )
+    if s3_access_key:
+        b = b.config("spark.hadoop.fs.s3a.access.key", s3_access_key)
+    if s3_secret_key:
+        b = b.config("spark.hadoop.fs.s3a.secret.key", s3_secret_key)
+    if warehouse_dir:
+        # reference: Nessie default warehouse s3://demobucket/
+        b = b.config("spark.sql.warehouse.dir", warehouse_dir)
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class WaldenSession:
+    """Thin engine facade — parity with the reference's client surface.
+
+    The reference exposes: a SQL CLI (trino-cli wrapper,
+    docker/devserver/Dockerfile:24-26), a Python DBAPI client, and a
+    SQLAlchemy URI for BI. Here: ``sql()`` is the Python API, and the
+    Spark Thrift JDBC server (plans/serving.py) covers BI clients.
+    """
+
+    def __init__(self, spark: SparkSession | None = None, **kwargs):
+        self.spark = spark or get_spark(**kwargs)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    def explain_cost(self, query: str) -> str:
+        """Pre-execution cost estimate (reference: Superset
+        cost_estimate_enabled, tf/superset/superset.tf:61)."""
+        return self.spark.sql(query)._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("cost")
+        )
+
+    def stop(self):
+        self.spark.stop()

@@ -1,0 +1,69 @@
+"""Fixture table loading + temp-view registration.
+
+The driver fixtures (TESTDATA.md) are one Parquet file per table under
+``/root/testdata/sf{N}/``. Tables: region nation customer supplier part
+orders lineitem events documents embeddings.
+
+Notes:
+* ``events.ts`` is parquet timestamp[ns]; Spark reads it as TimestampNTZ
+  at µs precision — we normalize to TimestampType (session TZ = UTC).
+* Loaders are plain ``spark.read.parquet`` — columnar scan with filter
+  pushdown and column pruning handled by Catalyst; no caching here so
+  each query's ``.explain`` shows the true scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimensions that should always be broadcast in joins at any SF:
+# region/nation are fixed-size (5/25 rows at every scale factor).
+BROADCAST_DIMS = {"region", "nation"}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # parquet ns → Spark µs; make it a session-TZ timestamp so
+        # window functions and watermarks behave like the rest.
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
+    """Register each fixture table as a temp view (for SQL-form queries)."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+class Tables:
+    """Lazy accessor: ``t = Tables(spark, sf_dir); t.lineitem``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if name not in TABLE_NAMES:
+            raise AttributeError(f"unknown fixture table {name!r}")
+        if name not in self._cache:
+            self._cache[name] = load_table(self._spark, self._sf_dir, name)
+        return self._cache[name]
