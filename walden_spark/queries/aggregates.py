@@ -1,1 +1,403 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Aggregation surface — SURVEY.md §2.4.
+
+Tungsten hash aggregation with map-side partial agg covers every row of
+the §2.4 table; these queries pin the semantics against DuckDB.
+Determinism: see queries/helpers.py (decimal money math); statistical
+moments are computed from exact decimal sums via an explicit formula so
+both engines evaluate identical IEEE arithmetic (built-in stddev/corr
+use order-dependent streaming merges and can differ in final ulps — the
+built-ins are exercised in `agg_stats_builtin` as a rows-only check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables, register_views
+from walden_spark.queries.helpers import davg, dsum, money
+
+
+@query(
+    "agg_basic",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(o_totalprice) AS avg_price,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+GROUP BY o_orderpriority, o_orderstatus
+""",
+    category="aggregate",
+)
+def agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/SUM/AVG/MIN/MAX over a 2-key group."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(money("o_totalprice")).alias("total"),
+        davg(money("o_totalprice")).alias("avg_price"),
+        F.min("o_totalprice").cast("double").alias("min_price"),
+        F.max("o_totalprice").cast("double").alias("max_price"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(DISTINCT l_suppkey + 100000 * l_partkey) AS n_pairs
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one agg (Catalyst expand rewrite)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.countDistinct(F.col("l_suppkey") + 100000 * F.col("l_partkey")).alias("n_pairs"),
+    )
+
+
+@query("agg_approx_distinct", oracle=None, category="aggregate")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — sketch internals are
+    engine-specific, so rows-only (Trino's approx_distinct likewise
+    differs run-to-run across engines)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    oracle="""
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS median_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty,
+       quantile_disc(l_quantity, 0.5) AS median_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous + discrete). Spark `percentile`
+    matches DuckDB quantile_cont's linear interpolation; percentile_disc
+    handled via expr."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("median_disc"),
+    )
+
+
+@query("agg_percentile_approx", oracle=None, category="aggregate")
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (t-digest-style sketch) — algorithm-specific,
+    rows-only."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price")
+    )
+
+
+@query(
+    "agg_stats_formula",
+    oracle="""
+SELECT l_linestatus,
+       round((sxx - sx * sx / n) / (n - 1), 6) AS var_samp_qty,
+       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_samp_qty,
+       round((sxx - sx * sx / n) / n, 6) AS var_pop_qty,
+       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
+       round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+FROM (
+  SELECT l_linestatus,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+         CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_linestatus
+) sums
+""",
+    category="aggregate",
+)
+def agg_stats_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance/stddev/covar/corr, sample+pop)
+    computed from exact sums — bit-identical across engines."""
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    qty_int = F.col("l_quantity")  # integer-valued double: exact sums
+    ep = money("l_extendedprice")
+    sums = li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qty_int).cast("double").alias("sx"),
+        F.sum(qty_int * qty_int).cast("double").alias("sxx"),
+        F.sum(ep).cast("double").alias("sy"),
+        F.sum(ep * ep).cast("double").alias("syy"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)") * ep).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    # final round(6): FMA contraction differences between engines can
+    # flip the very last ulp of the composed expression
+    return sums.select(
+        "l_linestatus",
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_samp_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_samp_qty"),
+        F.round((sxx - sx * sx / n) / n, 6).alias("var_pop_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp"),
+        F.round((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@query("agg_stats_builtin", oracle=None, category="aggregate")
+def agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in moment aggregates (stddev/variance/skewness/kurtosis/
+    corr/covar) — streaming-merge order makes final ulps engine-specific,
+    so rows-only; exact semantics pinned by agg_stats_formula."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_linestatus").agg(
+        F.stddev_samp("l_quantity").alias("sd"),
+        F.var_pop("l_quantity").alias("vp"),
+        F.skewness("l_quantity").alias("sk"),
+        F.kurtosis("l_quantity").alias("ku"),
+        F.corr("l_quantity", "l_extendedprice").alias("co"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+SELECT c_mktsegment,
+       list_sort(list(c_nationkey)) AS nation_keys,
+       list_sort(list(DISTINCT c_nationkey)) AS distinct_keys,
+       string_agg(nk, ',' ORDER BY nk) AS joined
+FROM (SELECT c_mktsegment, c_nationkey, CAST(c_nationkey AS VARCHAR) AS nk
+      FROM customer WHERE c_custkey < 100)
+GROUP BY c_mktsegment
+""",
+    category="aggregate",
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array_agg / listagg → collect_list + array_sort (Trino's
+    array_agg is also order-nondeterministic without ORDER BY, SURVEY
+    §2.4) and sorted string_agg."""
+    t = Tables(spark, sf_dir)
+    src = t.customer.filter(F.col("c_custkey") < 100).select(
+        "c_mktsegment", "c_nationkey", F.col("c_nationkey").cast("string").alias("nk")
+    )
+    return src.groupBy("c_mktsegment").agg(
+        F.array_sort(F.collect_list("c_nationkey")).alias("nation_keys"),
+        F.array_sort(F.collect_set("c_nationkey")).alias("distinct_keys"),
+        F.concat_ws(",", F.array_sort(F.collect_list("nk"))).alias("joined"),
+    )
+
+
+@query(
+    "agg_map_entries",
+    oracle="""
+SELECT COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o
+FROM orders
+""",
+    category="aggregate",
+)
+def agg_map_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_agg → map_from_entries(collect_list(struct(k,v))), probed via
+    element_at (map values compare engine-specifically; scalars don't)."""
+    t = Tables(spark, sf_dir)
+    counts = t.orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    m = counts.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("o_orderstatus").alias("k"), F.col("n").alias("v"))))
+        ).alias("status_counts")
+    )
+    return m.select(
+        F.element_at(F.col("status_counts"), "F").alias("n_f"),
+        F.element_at(F.col("status_counts"), "O").alias("n_o"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    oracle="""
+SELECT o_orderpriority,
+       min_by(o_orderkey, o_orderkey) AS first_key,
+       max_by(o_orderkey, o_orderkey) AS last_key,
+       min_by(o_orderstatus, o_orderkey) AS first_status,
+       max_by(CAST(o_totalprice AS DOUBLE), o_orderkey) AS last_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+    category="aggregate",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax) keyed on a unique column."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_orderkey").alias("first_key"),
+        F.max_by("o_orderkey", "o_orderkey").alias("last_key"),
+        F.min_by("o_orderstatus", "o_orderkey").alias("first_status"),
+        F.max_by(F.col("o_totalprice").cast("double"), F.col("o_orderkey")).alias("last_price"),
+    )
+
+
+@query(
+    "agg_filter_clause",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+       COUNT(*) AS n_all
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER (WHERE ...) clause on aggregates."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) FILTER (WHERE l_quantity > 25) AS n_big,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS disc_price,
+               COUNT(*) AS n_all
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    category="aggregate",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping() indicator columns."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n, SUM(l_quantity) AS qty,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag, CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    category="aggregate",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all grouping combinations (df.cube)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    category="aggregate",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — hierarchical subtotals (df.rollup)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.rollup("l_returnflag", "l_linestatus").agg(F.sum("l_quantity").alias("qty"))
+
+
+@query(
+    "agg_bool_bit",
+    oracle="""
+SELECT o_orderpriority,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_orderstatus = 'P') AS any_pending,
+       bit_and(o_orderkey) AS key_and,
+       bit_or(o_orderkey) AS key_or,
+       bit_xor(o_orderkey) AS key_xor
+FROM orders
+GROUP BY o_orderpriority
+""",
+    category="aggregate",
+)
+def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or + bitwise aggregates."""
+    t = Tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderstatus") == "P").alias("any_pending"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or("o_orderkey").alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+SELECT l_partkey, SUM(l_quantity) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+HAVING SUM(l_quantity) > 400 AND COUNT(*) > 5
+""",
+    category="aggregate",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — post-aggregation filter."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.lineitem.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("total_qty"), F.count(F.lit(1)).alias("cnt"))
+        .filter((F.col("total_qty") > 400) & (F.col("cnt") > 5))
+        .select("l_partkey", "total_qty")
+    )
+
+
+@query(
+    "agg_pivot",
+    oracle="""
+SELECT l_returnflag,
+       SUM(l_quantity) FILTER (WHERE l_linestatus = 'O') AS O,
+       SUM(l_quantity) FILTER (WHERE l_linestatus = 'F') AS F
+FROM lineitem
+GROUP BY l_returnflag
+""",
+    category="aggregate",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT — groupBy().pivot() with an explicit value list (no extra
+    distinct-values job at scale)."""
+    t = Tables(spark, sf_dir)
+    return t.lineitem.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")

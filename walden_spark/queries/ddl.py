@@ -1,1 +1,98 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Catalog/DDL lifecycle — SURVEY.md §2.1, the reference's own smoke
+test (tf/test-hive.sh:19-24) expressed as a driver-checkable query.
+
+The full lifecycle (CREATE SCHEMA with location → CREATE TABLE →
+INSERT → SELECT → DROP) runs inside the query builder against a temp
+warehouse; the returned DataFrame is the SELECT-back, so the oracle is
+simply the VALUES relation the reference inserts.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+
+
+@query(
+    "ddl_lifecycle",
+    oracle="""
+SELECT k AS key, v AS val
+FROM (VALUES ('this', CAST(1 AS BIGINT)), ('is', 2), ('a', 3), ('test', 4)) AS t(k, v)
+ORDER BY val
+""",
+    category="ddl",
+)
+def ddl_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE SCHEMA (location) → CREATE TABLE → INSERT VALUES → SELECT
+    → DROP: the reference's dim_foo fixture end to end
+    (reference: tf/test-hive.sh:19-27, README.md:96-162)."""
+    loc = tempfile.mkdtemp(prefix="walden_ddl_")
+    spark.sql("DROP DATABASE IF EXISTS walden_direct CASCADE")
+    spark.sql(f"CREATE DATABASE walden_direct LOCATION '{loc}'")
+    spark.sql(
+        "CREATE TABLE walden_direct.dim_foo (key STRING, val BIGINT) USING parquet"
+    )
+    spark.sql(
+        "INSERT INTO walden_direct.dim_foo VALUES ('this',1),('is',2),('a',3),('test',4)"
+    )
+    out = spark.table("walden_direct.dim_foo").orderBy("val")
+    rows = out.collect()  # materialize before dropping the backing files
+    spark.sql("DROP TABLE walden_direct.dim_foo")
+    spark.sql("DROP DATABASE walden_direct CASCADE")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_ctas_view",
+    oracle="""
+SELECT r_name, n_per_region FROM (
+  SELECT r_name, COUNT(*) AS n_per_region
+  FROM region JOIN nation ON n_regionkey = r_regionkey
+  GROUP BY r_name
+) ORDER BY r_name
+""",
+    category="ddl",
+)
+def ddl_ctas_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + CREATE VIEW AS SELECT (Superset allow_ctas/allow_cvas,
+    reference: tf/superset/superset.tf:55-56) — materialize an agg as a
+    table, stack a view on it, query the view."""
+    t = Tables(spark, sf_dir)
+    t.region.createOrReplaceTempView("ddl_region")
+    t.nation.createOrReplaceTempView("ddl_nation")
+    spark.sql("DROP TABLE IF EXISTS walden_ctas_nations")
+    spark.sql(
+        """
+        CREATE TABLE walden_ctas_nations USING parquet AS
+        SELECT r_name, COUNT(*) AS n_per_region
+        FROM ddl_region JOIN ddl_nation ON n_regionkey = r_regionkey
+        GROUP BY r_name
+        """
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW walden_ctas_v AS SELECT * FROM walden_ctas_nations"
+    )
+    out = spark.sql("SELECT r_name, n_per_region FROM walden_ctas_v ORDER BY r_name")
+    rows = out.collect()
+    spark.sql("DROP TABLE walden_ctas_nations")
+    return spark.createDataFrame(rows, out.schema)
+
+
+@query("ddl_introspection", oracle=None, category="ddl")
+def ddl_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW SCHEMAS / SHOW TABLES / DESCRIBE — information_schema-style
+    introspection (reference: README.md:110-117,412-413). Output shape
+    is engine-specific → rows-only."""
+    t = Tables(spark, sf_dir)
+    t.nation.createOrReplaceTempView("introspect_nation")
+    dbs = spark.sql("SHOW DATABASES").selectExpr("namespace AS name", "'database' AS kind")
+    tabs = spark.sql("SHOW TABLES").selectExpr("tableName AS name", "'table' AS kind")
+    cols = spark.sql("DESCRIBE TABLE introspect_nation").selectExpr(
+        "col_name AS name", "'column' AS kind"
+    )
+    return dbs.unionByName(tabs).unionByName(cols)

@@ -1,1 +1,184 @@
-"""(placeholder — filled in as coverage widens)"""
+"""Window functions — SURVEY.md §2.5.
+
+All four Trino window classes (ranking, value, aggregates-over-window,
+frames) plus the GROUPS-frame emulation noted as a deviation in SURVEY
+§2.5. Windows shuffle once on the partition key; rank-based ranking
+functions over unique order keys are deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables, register_views
+from walden_spark.queries.helpers import money
+
+
+@query(
+    "win_ranking",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       row_number() OVER w AS rn,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       ntile(4) OVER w AS quartile,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist
+FROM orders
+WHERE o_custkey < 300
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    category="window",
+)
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank / ntile / percent_rank / cume_dist."""
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return t.orders.filter(F.col("o_custkey") < 300).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@query(
+    "win_value_functions",
+    oracle="""
+SELECT event_id, user_id,
+       lag(value) OVER w AS prev_value,
+       lead(value, 2) OVER w AS next2_value,
+       first_value(value) OVER w AS first_val,
+       last_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+       nth_value(value, 3) OVER w AS third_val,
+       lag(big_val IGNORE NULLS) OVER w AS prev_big
+FROM (SELECT event_id, user_id, value,
+             CASE WHEN value > 50 THEN value END AS big_val
+      FROM events WHERE user_id < 20)
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+""",
+    category="window",
+)
+def win_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value / nth_value (+IGNORE NULLS)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               lag(value) OVER w AS prev_value,
+               lead(value, 2) OVER w AS next2_value,
+               first_value(value) OVER w AS first_val,
+               last_value(value) OVER (PARTITION BY user_id ORDER BY event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+               nth_value(value, 3) OVER w AS third_val,
+               lag(big_val) IGNORE NULLS OVER w AS prev_big
+        FROM (SELECT event_id, user_id, value,
+                     CASE WHEN value > 50 THEN value END AS big_val
+              FROM events WHERE user_id < 20)
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """
+    )
+
+
+@query(
+    "win_agg_frames",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window3_total,
+       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines,
+       SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS range_qty
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+    category="window",
+)
+def win_agg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over ROWS / RANGE frames (running + sliding totals)."""
+    t = Tables(spark, sf_dir)
+    by_line = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return t.lineitem.filter(F.col("l_orderkey") < 2000).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(money("l_extendedprice"))
+        .over(by_line.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double")
+        .alias("running_total"),
+        F.sum(money("l_extendedprice"))
+        .over(by_line.rowsBetween(-1, 1))
+        .cast("double")
+        .alias("window3_total"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_orderkey")).alias("n_lines"),
+        F.sum("l_quantity")
+        .over(
+            Window.partitionBy("l_orderkey")
+            .orderBy("l_linenumber")
+            .rangeBetween(-1, Window.currentRow)
+        )
+        .alias("range_qty"),
+    )
+
+
+@query(
+    "win_range_interval",
+    oracle="""
+SELECT event_id, user_id,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+FROM events
+WHERE user_id < 10
+""",
+    category="window",
+)
+def win_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame with a time-interval bound over event time."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour
+        FROM events
+        WHERE user_id < 10
+        """
+    )
+
+
+@query(
+    "win_groups_frame",
+    oracle="""
+SELECT o_orderkey, odate,
+       COUNT(*) OVER (ORDER BY grp RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) AS n_same_and_prev_day
+FROM (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+         dense_rank() OVER (ORDER BY CAST(o_orderdate AS DATE)) AS grp
+  FROM orders WHERE o_custkey < 50
+)
+""",
+    category="window",
+)
+def win_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS frame — in neither Spark nor DuckDB (SURVEY §2.5
+    deviation); both sides use the dense_rank + RANGE-on-rank
+    emulation, computed independently."""
+    t = Tables(spark, sf_dir)
+    src = t.orders.filter(F.col("o_custkey") < 50).select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("odate")
+    )
+    ranked = src.withColumn("grp", F.dense_rank().over(Window.orderBy("odate")))
+    w = Window.orderBy("grp").rangeBetween(-1, 0)
+    return ranked.select(
+        "o_orderkey", "odate", F.count(F.lit(1)).over(w).alias("n_same_and_prev_day")
+    )

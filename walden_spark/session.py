@@ -64,8 +64,6 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("WALDEN_SPARK_UI", "false"))
-        # ns-precision parquet timestamps (events.ts) read as µs
-        .config("spark.sql.legacy.parquet.nanosAsLong", "false")
     )
     if s3_endpoint:
         # reference: tf/nessie-values.yaml:14-22 (MinIO endpoint,

@@ -36,13 +36,20 @@ BROADCAST_DIMS = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # parquet ns → Spark µs; make it a session-TZ timestamp so
-        # window functions and watermarks behave like the rest.
-        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark has no ns
+        # precision. Read the raw int64 (legacy conf, runtime-settable
+        # so it works under any caller-provided session) and truncate
+        # ns → µs, matching DuckDB's datetime truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return df
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def register_views(spark: SparkSession, sf_dir: str, names=None) -> None:
