@@ -1,1 +1,362 @@
-"""(placeholder)"""
+"""Deduplication operators over `documents` (north star, SURVEY §7.1 M4).
+
+Five dedup families, each with the scale-path formulation:
+
+* exact        — hash-groupBy on content digest (one shuffle on digest)
+* n-gram Jaccard — inverted-index join on shingles (the classic
+                 similarity-join plan: no cross join; skew on frequent
+                 shingles is the known hazard → frequent-shingle filter)
+* MinHash+LSH  — per-row signatures with array higher-order functions
+                 (zero-shuffle map), banding, bucket self-join on
+                 (band, bucket), exact-Jaccard verification of
+                 candidates only
+* SimHash      — 24-bit fingerprints; band-join on 8-bit chunks
+                 (pigeonhole: hamming ≤ 2 ⇒ one of 3 bands equal), so
+                 detection is exact without a cross join
+* embedding cosine — threshold pairs (brute pairs here; the LSH-bucketed
+                 scale path is operators/similarity.py)
+
+Determinism: hashing is md5-string-based (lexicographic MIN for MinHash)
+or a 24-bit polynomial character fold (SimHash) — both reproducible in
+any engine, so even the LSH pipelines are DuckDB-oracle-checked
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+
+# ---- MinHash parameters (mirrored in oracle SQL) ----
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = 4  # N_HASHES / N_BANDS
+JACCARD_THRESHOLD = 0.8
+
+
+def _shingles(col):
+    """Distinct word-3-gram shingles of a text column (array<string>)."""
+    w = F.split(col, " ")
+    n = F.size(w)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws("_", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
+        )
+    )
+
+
+_SHINGLES_SQL = """
+list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2] for i in range(1, len(w) - 1)])
+"""
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT keep_id, n_copies FROM (
+  SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+  )
+  GROUP BY md5(text)
+)
+""",
+    category="dedup",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content digest, keep min doc_id.
+
+    Input is re-duplicated (every 5th doc re-inserted under a new id)
+    so the operator provably collapses copies. Scale: single shuffle on
+    the 128-bit digest — uniform keys, no skew, no sort.
+    """
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    dup = base.unionAll(
+        base.filter(F.col("doc_id") % 5 == 0).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return (
+        dup.groupBy(F.md5("text").alias("digest"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM docs),
+ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh)
+SELECT a_id, b_id, round(jac, 6) AS jaccard
+FROM (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         COUNT(*) / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jac
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+WHERE jac >= 0.5
+""",
+    category="dedup",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 via inverted-index
+    join (shingle equality), the scalable similarity-join plan: the
+    join fans out only where shingles collide, and common-shingle skew
+    can be capped by dropping shingles above a document-frequency bound
+    (not needed at fixture scale)."""
+    t = Tables(spark, sf_dir)
+    sh = t.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "s")
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "s")
+    pairs = (
+        a.join(b, ["s"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.count(F.lit(1))
+                / (F.first("na") + F.first("nb") - F.count(F.lit(1)))
+            ).alias("jac")
+        )
+        .filter(F.col("jac") >= 0.5)
+    )
+    return pairs.select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+
+
+# MinHash signature: sig[i] = lexicographic MIN over shingles of
+# md5(i || '|' || shingle). Engine-portable (md5 strings) and computed
+# per-row with array HOFs — a pure map, no shuffle.
+def _minhash_sig(shingles_col):
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles_col, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+
+
+_MINHASH_SIG_SQL = f"""
+[list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || '|' || s)))
+ for i in range(0, {N_HASHES})]
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM docs),
+sig AS (SELECT doc_id, shingles, {_MINHASH_SIG_SQL} AS sig FROM sh),
+bands AS (
+  SELECT doc_id, shingles, b AS band,
+         md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], ',')) AS bucket
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT a_id, b_id,
+         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jac
+  FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
+)
+SELECT a_id, b_id, round(jac, 6) AS jaccard
+FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+""",
+    category="dedup",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection (shingle → 32-hash signature →
+    8 bands × 4 rows → bucket self-join → exact-Jaccard verify ≥ 0.8).
+
+    Scale shape: signatures are per-row array math (no shuffle); the
+    only shuffle is the (band, bucket) self-join, which touches just
+    colliding docs — the 100TB-safe plan. Detection probability at
+    j=0.8 is 1-(1-0.8^4)^8 ≈ 0.985; the md5-based hashing makes the
+    outcome deterministic, so the DuckDB oracle reproduces it exactly.
+    """
+    t = Tables(spark, sf_dir)
+    sh = t.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sig = sh.select("doc_id", "shingles", _minhash_sig(F.col("shingles")).alias("sig"))
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+        F.col("sig").alias("sig"),
+    ).select(
+        "doc_id",
+        "shingles",
+        "band",
+        F.md5(
+            F.concat_ws(",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND))
+        ).alias("bucket"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"), "band", "bucket"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"), "band", "bucket"
+    )
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / (F.size("sa") + F.size("sb") - inter)
+    return (
+        cand.withColumn("jac", jac)
+        .filter(F.col("jac") >= JACCARD_THRESHOLD)
+        .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# SimHash: 24-bit fingerprint from a polynomial character fold —
+# h(word) = fold(chars, acc*31 + ascii(c)) mod 2^24, identical in both
+# engines (explicit left fold with 0 seed).
+_WORD_HASH_SQL = (
+    "list_reduce(list_prepend(0, list_transform(string_split(word, ''), c -> ascii(c))),"
+    " (acc, c) -> (acc * 31 + c) % 16777216)"
+)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, word, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+hashed AS (SELECT doc_id, cnt, {_WORD_HASH_SQL} AS h FROM words),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h // power(2, j)::BIGINT) % 2 = 1 THEN cnt ELSE -cnt END) AS bal
+  FROM hashed, (SELECT unnest(range(0, 24)) AS j)
+  GROUP BY doc_id, j
+),
+fp AS (
+  SELECT doc_id,
+         SUM(CASE WHEN bal > 0 THEN power(2, j)::BIGINT ELSE 0 END) AS fingerprint
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(bit_count(xor(a.fingerprint, b.fingerprint)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fingerprint, b.fingerprint)) <= 2
+""",
+    category="dedup",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (24-bit fingerprint, hamming ≤ 2) found by
+    band-join: split the fingerprint into 3 bytes; hamming ≤ 2 implies
+    at least one byte matches (pigeonhole), so an equi-join on
+    (band, byte) finds every qualifying pair with no cross join. The
+    brute-force DuckDB oracle confirms completeness.
+    """
+    t = Tables(spark, sf_dir)
+    words = (
+        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    codes = F.transform(F.split("word", ""), lambda c: F.ascii(c))
+    h = F.aggregate(codes, F.lit(0).cast("int"), lambda acc, c: (acc * 31 + c) % 16777216)
+    hashed = words.select("doc_id", "cnt", h.alias("h"))
+    bits = (
+        hashed.select("doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("j"))
+        .groupBy("doc_id", "j")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, j) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            ).alias("bal")
+        )
+    )
+    fp = bits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("bal") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)).alias(
+            "fingerprint"
+        )
+    )
+    # band-join on 8-bit chunks
+    banded = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("band"),
+    ).withColumn("chunk", F.expr("shiftright(fingerprint, band * 8) & 255"))
+    a = banded.select(F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("fa"), "band", "chunk")
+    b = banded.select(F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("fb"), "band", "chunk")
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= 2)
+        .select("a_id", "b_id", "hamming")
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT a_id, b_id, round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+         / sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+         / sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+WHERE cos_sim >= 0.45
+""",
+    category="dedup",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.45 over all pairs.
+
+    Correctness baseline with an O(n²) plan (fine at fixture scale,
+    and AQE splits the self-join); the sub-quadratic scale path is the
+    hyperplane-LSH bucketing in operators/similarity.py.
+    """
+    t = Tables(spark, sf_dir)
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    e = t.embeddings.select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
+    cos = (
+        dot(F.col("ea"), F.col("eb"))
+        / F.sqrt(dot(F.col("ea"), F.col("ea")))
+        / F.sqrt(dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.45)
+        .select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1,1 +1,154 @@
-"""(placeholder)"""
+"""Multimodal column conventions (north star, SURVEY §7.1 M4).
+
+Convention: media payloads are opaque BINARY columns + a typed metadata
+struct (modality, byte size, content digest). Decode / feature-extract
+runs as Arrow-batched Pandas UDFs over ``mapInPandas`` — the real
+Spark-side plumbing (schema, batch iteration, binary handling) with the
+codec itself STUBBED: the container ships no image/audio libraries, so
+``_decode_stub`` derives deterministic fake dimensions from the bytes
+(clearly marked; swap in PIL/ffmpeg by replacing that one function).
+
+The fixture has no binary table, so payloads are synthesized from
+documents.text (utf-8 bytes) — the plumbing is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+
+DECODE_SCHEMA = (
+    "doc_id BIGINT, modality STRING, n_bytes BIGINT, width INT, height INT, "
+    "n_frames INT, feat_mean DOUBLE"
+)
+
+
+def with_media_columns(df: DataFrame) -> DataFrame:
+    """Attach the multimodal convention columns: payload BINARY +
+    metadata STRUCT(modality, n_bytes, sha)."""
+    payload = F.col("text").cast("binary")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    meta = F.struct(
+        modality.alias("modality"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha"),
+    )
+    return df.select("doc_id", payload.alias("payload"), meta.alias("media_meta"))
+
+
+def _decode_stub(payload: bytes, modality: str) -> tuple[int, int, int, float]:
+    """STUB codec — deterministic fake decode.
+
+    Real deployments replace this with PIL / soundfile / pyav; the
+    surrounding mapInPandas plumbing (Arrow batches, binary columns,
+    output schema) is production-shaped and unchanged by that swap.
+    """
+    n = len(payload)
+    width = 32 + (n % 600)
+    height = 32 + ((n * 7) % 400)
+    n_frames = 1 if modality == "image" else 1 + (n % 120)
+    # fake feature: mean byte value (deterministic, exact in double)
+    feat_mean = (sum(payload) / n) if n else 0.0
+    return width, height, n_frames, feat_mean
+
+
+def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: per Arrow batch, decode payloads → features."""
+    for pdf in batches:
+        decoded = [
+            _decode_stub(payload, meta["modality"])
+            for payload, meta in zip(pdf["payload"], pdf["media_meta"])
+        ]
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "modality": [m["modality"] for m in pdf["media_meta"]],
+                "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
+                "width": [d[0] for d in decoded],
+                "height": [d[1] for d in decoded],
+                "n_frames": [d[2] for d in decoded],
+                "feat_mean": [d[3] for d in decoded],
+            }
+        )
+        yield out
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+""",
+    category="multimodal",
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata struct (flattened projection for
+    the oracle — struct internals are engine-specific)."""
+    t = Tables(spark, sf_dir)
+    media = with_media_columns(t.documents)
+    return media.select(
+        "doc_id",
+        F.col("media_meta.modality").alias("modality"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.sha").alias("sha"),
+    )
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(32 + (n % 600) AS INT) AS width,
+       CAST(32 + ((n * 7) % 400) AS INT) AS height,
+       CAST(CASE WHEN (doc_id % 3) = 0 THEN 1 ELSE 1 + (n % 120) END AS INT) AS n_frames,
+       byte_sum / n AS feat_mean
+FROM (
+  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+         CAST(list_reduce(list_prepend(0, list_transform(string_split(text, ''), c -> ascii(c))),
+                          (a, b) -> a + b) AS DOUBLE) AS byte_sum
+  FROM documents
+)
+""",
+    category="multimodal",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas (stubbed
+    codec, real plumbing). The fake decode is deterministic, so even
+    the Pandas-UDF path is oracle-checked: DuckDB recomputes the same
+    features from byte length + byte sum (text is ASCII, so ascii(c)
+    == byte value)."""
+    t = Tables(spark, sf_dir)
+    media = with_media_columns(t.documents)
+    return media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+
+
+@query("multimodal_frame_sample", oracle=None, category="multimodal")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video payloads: explode decoded frame indexes
+    (every 30th frame) — the downstream shape of a video pipeline;
+    rows-only (depends on the stubbed decode)."""
+    t = Tables(spark, sf_dir)
+    media = with_media_columns(t.documents)
+    decoded = media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+    return (
+        decoded.filter(F.col("modality") == "video")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(30))).alias("frame_idx"),
+        )
+    )

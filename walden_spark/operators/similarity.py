@@ -1,1 +1,210 @@
-"""(placeholder)"""
+"""Similarity search over `embeddings` (north star, SURVEY §7.1 M4).
+
+Two tiers:
+* brute-force cosine top-k — the exact baseline (O(Q·N), fine when the
+  query set is small or as a per-bucket kernel);
+* hyperplane-LSH bucketed ANN — the scale path: deterministic random
+  hyperplanes → sign bits → bucket key; candidates only within the
+  probe's bucket, so the join is equi on bucket instead of a cross
+  join. An IVF variant (coarse quantizer from seed vectors) covers the
+  cluster-probe family.
+
+The hyperplane weights are a fixed integer formula (no RNG), so the
+whole ANN pipeline is reproducible in DuckDB and oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+
+N_PLANES = 6
+DIM = 64
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the probe vectors
+
+
+def _dot(x, y):
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (x, y) -> x + y)"
+)
+
+_COS_SQL = (
+    f"{_DOT_SQL.format(a='{a}', b='{b}')}"
+    f" / sqrt({_DOT_SQL.format(a='{a}', b='{a}')})"
+    f" / sqrt({_DOT_SQL.format(a='{b}', b='{b}')})"
+)
+
+
+def _cos(x, y):
+    return _dot(x, y) / F.sqrt(_dot(x, x)) / F.sqrt(_dot(y, y))
+
+
+@query(
+    "knn_brute_force",
+    oracle=f"""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
+     c AS (SELECT vec_id, embedding FROM embeddings)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_sim,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY {_COS_SQL.format(a='q.embedding', b='c.embedding')} DESC, c.vec_id) AS rn
+  FROM q JOIN c ON q.vec_id <> c.vec_id
+)
+WHERE rn <= {TOP_K}
+""",
+    category="similarity",
+)
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for a probe set (brute force): the
+    probe side is broadcast, so the scan of the corpus is a single map
+    pass with a per-group TopK — no corpus shuffle."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", _cos(F.col("qe"), F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+# Deterministic hyperplane weights: w[p][j] = ((1 + p*131 + j*17) % 997) / 997 - 0.5
+_PLANES_SQL = (
+    f"[[((1 + p * 131 + j * 17) % 997) / 997.0 - 0.5 for j in range(0, {DIM})]"
+    f" for p in range(0, {N_PLANES})]"
+)
+
+
+def _bucket_expr(emb_col: str) -> F.Column:
+    """LSH bucket id: Σ_p (dot(emb, plane_p) > 0 ? 2^p : 0)."""
+    plane_weights = F.transform(
+        F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
+        lambda p: F.transform(
+            F.sequence(F.lit(0), F.lit(DIM - 1)),
+            lambda j: ((F.lit(1) + p * 131 + j * 17) % 997) / 997.0 - 0.5,
+        ),
+    )
+    bits = F.transform(
+        plane_weights,
+        lambda w, p: F.when(
+            _dot(F.col(emb_col), w) > 0, F.pow(F.lit(2.0), p.cast("double")).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+
+
+_BUCKET_SQL = f"""
+list_reduce(list_prepend(CAST(0 AS BIGINT),
+  [CASE WHEN {_DOT_SQL.format(a='embedding', b=f'planes[p + 1]')} > 0
+        THEN CAST(power(2, p) AS BIGINT) ELSE 0 END
+   for p in range(0, {N_PLANES})]), (a, b) -> a + b)
+"""
+
+
+@query(
+    "knn_lsh_bucketed",
+    oracle=f"""
+WITH planes_t AS (SELECT {_PLANES_SQL} AS planes),
+e AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+  FROM embeddings, planes_t
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < {N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim
+FROM (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a='qe', b='ce')} AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS_SQL.format(a='qe', b='ce')} DESC, neighbor_id) AS rn
+  FROM q JOIN c USING (bucket)
+  WHERE query_id <> neighbor_id
+)
+WHERE rn <= {TOP_K}
+""",
+    category="similarity",
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH: 6 deterministic planes → 64
+    buckets → candidates share the probe's bucket → exact cosine top-k
+    within candidates only.
+
+    Scale shape: bucket assignment is a zero-shuffle map; the candidate
+    join is equi on bucket (hash join), reducing compared pairs by
+    ~2^planes vs brute force. Recall is tunable with multi-probe /
+    more tables; determinism makes the oracle reproduce results
+    exactly.
+    """
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding").withColumn("bucket", _bucket_expr("embedding"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
+    pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn("cos_sim", _cos(F.col("qe"), F.col("ce")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+@query(
+    "ann_ivf_probe",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 7),
+assigned AS (
+  SELECT vec_id, cid, cos_sim FROM (
+    SELECT e.vec_id, cent.cid,
+           {_COS_SQL.format(a='e.embedding', b='cent.ce')} AS cos_sim,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.embedding', b='cent.ce')} DESC, cent.cid) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+)
+SELECT cid, COUNT(*) AS n_members, round(MIN(cos_sim), 6) AS min_cos
+FROM assigned
+GROUP BY cid
+""",
+    category="similarity",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: fixed seed centroids (every 100th
+    vector), assign each vector to its nearest centroid (broadcast
+    centroids — map-only), report cluster sizes + worst member
+    similarity. The probe stage of an IVF ANN index, built without
+    iterative k-means so it stays deterministic."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    pairs = e.crossJoin(F.broadcast(cent)).withColumn("cos_sim", _cos(F.col("embedding"), F.col("ce")))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "cid")
+    assigned = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.min("cos_sim"), 6).alias("min_cos"),
+    )

@@ -1,1 +1,207 @@
-"""(placeholder)"""
+"""Text-analysis operators over `documents` (north star, SURVEY §7.1 M4).
+
+Language-ID, quality scoring, token counting, fingerprinting — all
+expressed with JVM-side higher-order array functions (no Python UDFs in
+the hot path), so they stay inside whole-stage codegen and scale as
+pure map work: zero shuffles except the final aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+
+# Tiny per-language stopword marker lists for the n-gram/stopword
+# language-ID heuristic. Deterministic and mirrored in the oracle SQL.
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "los", "que", "de"],
+    "zh": ["de5", "shi4", "le5", "zai4", "wo3"],
+}
+
+_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+
+def _words(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+@query(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_types,
+       length(text) AS n_chars_computed,
+       n_chars,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS type_token_ratio
+FROM documents
+""",
+    category="text",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, regex tokens (BPE-ish
+    pre-tokenizer proxy), distinct types, type/token ratio."""
+    t = Tables(spark, sf_dir)
+    w = _words()
+    return t.documents.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("long").alias("n_re_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_types"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+        "n_chars",
+        F.round(F.size(F.array_distinct(w)).cast("double") / F.size(w), 6).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(0.4 * least(n_words / 100.0, 1.0)
+             + 0.3 * least(stopword_ratio * 5, 1.0)
+             + 0.3 * least(mean_word_len / 8.0, 1.0), 6) AS quality
+FROM (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS mean_word_len,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> list_contains({_STOPWORDS!r}, w))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stopword_ratio
+  FROM documents
+)
+""",
+    category="text",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, stopword ratio, mean word length →
+    weighted [0,1] score (heuistic quality filter for training data)."""
+    t = Tables(spark, sf_dir)
+    w = _words()
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    mean_word_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    stopword_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double") / n_words
+    )
+    quality = F.round(
+        0.4 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stopword_ratio * 5, F.lit(1.0))
+        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0)),
+        6,
+    )
+    return t.documents.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = _LANG_MARKERS[lang]
+    return (
+        f"CAST(len(list_filter(string_split(text, ' '), w -> list_contains({markers!r}, w))) AS DOUBLE)"
+        " / len(string_split(text, ' '))"
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+SELECT lang AS labeled_lang, predicted, COUNT(*) AS n
+FROM (
+  SELECT lang,
+         CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+              WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+              WHEN s_es >= s_zh THEN 'es'
+              ELSE 'zh' END AS predicted
+  FROM (
+    SELECT lang,
+           {_lang_score_sql('en')} AS s_en,
+           {_lang_score_sql('de')} AS s_de,
+           {_lang_score_sql('fr')} AS s_fr,
+           {_lang_score_sql('es')} AS s_es,
+           {_lang_score_sql('zh')} AS s_zh
+    FROM documents
+  )
+)
+GROUP BY lang, predicted
+""",
+    category="text",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language identification via stopword-marker scoring (n-gram
+    heuristic family): argmax over per-language marker-hit ratios,
+    confusion-matrix output against the labeled lang column."""
+    t = Tables(spark, sf_dir)
+    w = _words()
+    n = F.size(w)
+
+    def score(lang: str):
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(w, lambda x: F.array_contains(markers, x))).cast("double") / n
+
+    scored = t.documents.select(
+        "lang",
+        score("en").alias("s_en"),
+        score("de").alias("s_de"),
+        score("fr").alias("s_fr"),
+        score("es").alias("s_es"),
+        score("zh").alias("s_zh"),
+    )
+    predicted = (
+        F.when(
+            (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_zh")),
+            "en",
+        )
+        .when(
+            (F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") >= F.col("s_es")) & (F.col("s_de") >= F.col("s_zh")),
+            "de",
+        )
+        .when((F.col("s_fr") >= F.col("s_es")) & (F.col("s_fr") >= F.col("s_zh")), "fr")
+        .when(F.col("s_es") >= F.col("s_zh"), "es")
+        .otherwise("zh")
+    )
+    return (
+        scored.select(F.col("lang").alias("labeled_lang"), predicted.alias("predicted"))
+        .groupBy("labeled_lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fingerprint,
+       md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS prefix_hash
+FROM documents
+""",
+    category="text",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: bag-of-words fingerprint (md5 of sorted
+    distinct tokens — robust to word order) + head fingerprint (first 8
+    tokens — the rolling-hash prefix idiom)."""
+    t = Tables(spark, sf_dir)
+    w = _words()
+    return t.documents.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w)))).alias("fingerprint"),
+        F.md5(F.concat_ws(" ", F.slice(w, 1, 8))).alias("prefix_hash"),
+    )

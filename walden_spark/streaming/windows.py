@@ -1,1 +1,146 @@
-"""(placeholder)"""
+"""Structured Streaming extension (SURVEY §2.9/§7.1 M5 — beyond the
+reference, which is batch-only).
+
+Each query drives the events fixture through a real streaming pipeline:
+``readStream`` (file source) → event-time windowing/watermark/dedup →
+memory sink, run to completion with ``processAllAvailable`` so results
+are deterministic and (for window aggs) identical to the batch
+formulation — which is exactly what the DuckDB oracles assert.
+
+Scale notes: in production the file source becomes Kafka/queue, the
+memory sink becomes foreachBatch→Parquet; watermarks bound state so
+window state is O(active windows), and streaming dedup state is bounded
+by the watermark horizon (dropDuplicatesWithinWatermark).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+
+_counter = itertools.count()
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture (ns timestamps → µs)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # file source wants a dir
+        .parquet(sf_dir)
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+    """Execute a streaming query to completion against a memory sink and
+    return the materialized result."""
+    name = f"walden_stream_{next(_counter)}"
+    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = agg.sparkSession
+    return spark.table(name)
+
+
+@query(
+    "streaming_tumbling",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h window aggregation as a streaming query with a
+    10-minute watermark — completes to the exact batch answer."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    )
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+)
+SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start, COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+""",
+    category="streaming",
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (30-min gap) streaming sessionization — merged
+    event-time intervals; oracle is the batch lag/cumsum formulation,
+    which produces identical sessions on a closed input."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        "n_events",
+    )
+
+
+@query(
+    "streaming_dedup_watermark",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup: the stream is unioned with itself (every row
+    duplicated) and deduplicated by event_id within the watermark —
+    state is bounded by the watermark horizon. Emitted rows = one per
+    distinct event_id."""
+    a = _read_events_stream(spark, sf_dir)
+    b = _read_events_stream(spark, sf_dir)
+    dup = a.unionByName(b)
+    dedup = (
+        dup.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    out = _run_to_memory(dedup, "append")
+    return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
