@@ -1,0 +1,130 @@
+"""Smoke-parity test: the reference's own end-to-end test, ported 1:1.
+
+Reference: tf/test-hive.sh:1-30 + README.md:96-162 —
+  mc rb/mb (bucket reset) → CREATE SCHEMA WITH (location=...) →
+  CREATE TABLE dim_foo(key VARCHAR, val BIGINT) → INSERT 4 rows →
+  SELECT back → mc ls -r (data files visible) → DROP leaves it clean.
+
+This is the only behavior the reference itself demonstrates (SURVEY.md
+§5.1/§7.2); everything else is proven via the oracle harness.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from walden_spark.catalog import Catalog
+from walden_spark.storage import drop_bucket, ensure_bucket, list_objects
+
+SCHEMA = "walden_smoke"
+TABLE = f"{SCHEMA}.dim_foo"
+
+
+@pytest.fixture()
+def bucket(tmp_path):
+    url = str(tmp_path / "direct")
+    drop_bucket(url)      # mc rb --force   (test-hive.sh:9-10)
+    ensure_bucket(url)    # mc mb           (test-hive.sh:11-12)
+    yield url
+    drop_bucket(url)
+
+
+@pytest.fixture()
+def cat(spark):
+    c = Catalog(spark)
+    c.drop_schema(SCHEMA)
+    yield c
+    c.drop_schema(SCHEMA)
+
+
+def test_hive_sh_lifecycle(spark, cat, bucket):
+    # CREATE SCHEMA ... WITH (location=...)       (test-hive.sh:21)
+    cat.create_schema(SCHEMA, location=bucket)
+    assert SCHEMA in [r[0] for r in cat.show_schemas().collect()]
+
+    # CREATE TABLE dim_foo (key VARCHAR, val BIGINT)   (test-hive.sh:22)
+    cat.create_table(TABLE, "key STRING, val BIGINT")
+    assert "dim_foo" in [t.tableName for t in cat.show_tables(SCHEMA).collect()]
+    desc = {r.col_name: r.data_type for r in cat.describe(TABLE).collect() if r.col_name}
+    assert desc["key"] == "string" and desc["val"] == "bigint"
+
+    # INSERT INTO dim_foo VALUES ...               (test-hive.sh:23)
+    cat.insert_values(TABLE, "('this', 1), ('is', 2), ('a', 3), ('test', 4)")
+
+    # SELECT key, val FROM dim_foo                 (test-hive.sh:24)
+    rows = spark.table(TABLE).orderBy("val").collect()
+    assert [(r.key, r.val) for r in rows] == [("this", 1), ("is", 2), ("a", 3), ("test", 4)]
+
+    # mc ls -r: parquet data file(s) under the schema location
+    # (test-hive.sh:27, README.md:140-143)
+    files = [f for f in list_objects(bucket) if f.endswith(".parquet") or ".parquet" in f]
+    assert files, "expected parquet data files under the schema location"
+    assert all(f.startswith("dim_foo/") for f in files)
+
+    # DROP TABLE / DROP SCHEMA leave storage clean (README.md:153-161)
+    cat.drop_table(TABLE)
+    cat.drop_schema(SCHEMA)
+    assert not [f for f in list_objects(bucket) if "dim_foo" in f]
+
+
+def test_ctas_and_views(spark, cat, bucket):
+    cat.create_schema(SCHEMA, location=bucket)
+    spark.createDataFrame([(i, i % 3) for i in range(30)], "id long, grp long") \
+        .createOrReplaceTempView("smoke_src")
+    cat.ctas(f"{SCHEMA}.agg", "SELECT grp, COUNT(*) AS n FROM smoke_src GROUP BY grp")
+    cat.create_view("smoke_v", f"SELECT * FROM {SCHEMA}.agg WHERE n > 0")
+    assert spark.table("smoke_v").count() == 3
+    cat.insert_select(f"{SCHEMA}.agg", "SELECT CAST(99 AS LONG), CAST(1 AS LONG)")
+    assert spark.table(f"{SCHEMA}.agg").count() == 4
+
+
+def test_delete_update_merge_cow(spark, cat, bucket):
+    """Row-level DML emulation on plain Parquet (SURVEY §2.1 UPDATE/
+    DELETE/MERGE; reference gets these from Iceberg, tf/main.tf:93-98)."""
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.accounts"
+    cat.create_table(t, "id BIGINT, bal DOUBLE, status STRING")
+    cat.insert_values(t, "(1, 10.0, 'ok'), (2, -5.0, 'ok'), (3, 7.5, 'hold'), (4, NULL, 'ok')")
+
+    cat.delete_where(t, F.col("bal") < 0)
+    assert sorted(r.id for r in spark.table(t).collect()) == [1, 3, 4]  # NULL bal kept
+
+    cat.update_where(t, {"status": F.lit("frozen")}, F.col("status") == "hold")
+    assert {r.id: r.status for r in spark.table(t).collect()}[3] == "frozen"
+
+    src = spark.createDataFrame(
+        [(1, 100.0, "ok"), (9, 1.0, "new")], "id long, bal double, status string"
+    )
+    cat.merge_into(t, src, on=["id"])
+    got = {r.id: (r.bal, r.status) for r in spark.table(t).collect()}
+    assert got[1] == (100.0, "ok")       # matched → updated
+    assert got[9] == (1.0, "new")        # not matched → inserted
+    assert 3 in got and 4 in got         # untouched rows survive
+
+
+def test_partition_scoped_rewrite(spark, cat, bucket):
+    """Partition-pruned copy-on-write: only the predicated partition is
+    rewritten (the 100TB path — dynamic partition overwrite)."""
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.events_p"
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 50 else "d2", float(i)) for i in range(100)],
+        "id long, day string, v double",
+    )
+    cat.write_table(df, t, partition_by=["day"])
+    before_d2 = {f for f in list_objects(bucket) if "day=d2" in f and f.endswith(".parquet")}
+
+    cat.delete_where(t, F.col("id") < 10, partition_pred=F.col("day") == "d1")
+    after_d2 = {f for f in list_objects(bucket) if "day=d2" in f and f.endswith(".parquet")}
+    assert spark.table(t).count() == 90
+    assert before_d2 == after_d2, "untouched partition must not be rewritten"
+
+
+def test_information_schema_columns(spark, cat, bucket):
+    cat.create_schema(SCHEMA, location=bucket)
+    cat.create_table(f"{SCHEMA}.info_t", "a INT, b STRING")
+    cols = cat.information_schema_columns().filter(
+        (F.col("table_schema") == SCHEMA) & (F.col("table_name") == "info_t")
+    ).orderBy("ordinal_position").collect()
+    assert [(c.column_name, c.data_type) for c in cols] == [("a", "int"), ("b", "string")]
