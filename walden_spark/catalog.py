@@ -228,7 +228,7 @@ class Catalog:
         rows = []
         for db in [d.name for d in spark.catalog.listDatabases()]:
             for t in spark.catalog.listTables(db):
-                if t.tableType == "VIEW" and t.database is None:
+                if t.database is None:  # temp views surface in every db listing
                     continue
                 for i, c in enumerate(spark.catalog.listColumns(f"{db}.{t.name}")):
                     rows.append((db, t.name, c.name, i + 1, c.dataType, c.nullable))
