@@ -1,0 +1,82 @@
+"""Source/sink coverage queries (SURVEY.md §2.1).
+
+Each roundtrip writes a fixture table to the format under test and
+reads it back with an explicit schema; the oracle is simply the
+original table — hash-match proves the sink+source pair is lossless.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.sources import files
+from walden_spark.tables import Tables
+
+_NATION_DDL = "n_nationkey int, n_name string, n_regionkey int"
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+
+@query("source_csv_roundtrip", oracle=_NATION_ORACLE, category="scan")
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV source with explicit schema (Superset upload path,
+    reference: tf/superset/superset.tf:61)."""
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_csv_") + "/nation"
+    files.write_csv(t.nation, path)
+    return files.read_csv(spark, path, schema=_NATION_DDL).orderBy("n_nationkey")
+
+
+@query("source_json_roundtrip", oracle=_NATION_ORACLE, category="scan")
+def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source with explicit schema (Trino JSON flows,
+    SURVEY §2.8 JSON family)."""
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_json_") + "/nation"
+    files.write_json(t.nation, path)
+    return files.read_json(spark, path, schema=_NATION_DDL).orderBy("n_nationkey")
+
+
+@query("source_partitioned_parquet", oracle="""
+SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+""", category="scan")
+def source_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned Parquet write + partition-pruned scan: the agg
+    reads back only via the partition layout (partition pruning is the
+    100TB table layout; .explain shows PartitionFilters on reads with a
+    segment predicate)."""
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_part_") + "/customer"
+    files.write_parquet(t.customer, path, partition_by=["c_mktsegment"])
+    back = files.read_parquet(spark, path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("c_acctbal").cast("decimal(12,2)")).cast("double").alias("bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query("source_datagen_tpch", oracle=None, category="scan")
+def source_datagen_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator catalog sanity (reference: tpch connector,
+    tf/variables.tf:245-248): generate sf0.001 in-memory, return per-
+    table row counts. Deterministic given (sf, seed) but engine-specific
+    → rows-only check."""
+    from walden_spark.sources.datagen import TpchGen
+
+    gen = TpchGen(spark, sf=0.001, seed=42)
+    dfs = [
+        gen.table(name).agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(name).alias("tbl"), "n_rows")
+        for name in gen.TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.orderBy("tbl")

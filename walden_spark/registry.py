@@ -66,6 +66,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.queries.scalar_functions  # noqa: F401
     import walden_spark.queries.events  # noqa: F401
     import walden_spark.queries.ddl  # noqa: F401
+    import walden_spark.queries.sources  # noqa: F401
     import walden_spark.operators.dedup  # noqa: F401
     import walden_spark.operators.similarity  # noqa: F401
     import walden_spark.operators.text  # noqa: F401
