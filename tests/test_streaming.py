@@ -1,0 +1,83 @@
+"""Streaming behavior tests that need controlled micro-batches:
+watermark late-data policy and the foreachBatch Parquet sink.
+(Result-correctness of the streaming queries themselves is covered by
+the oracle harness — tests/test_oracle.py::streaming_*.)"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import functions as F
+
+from walden_spark.streaming.sinks import parquet_sink
+
+SCHEMA = "id long, ts timestamp, v double"
+
+
+def _write_batch(spark, path, rows, mtime):
+    from datetime import datetime
+
+    rows = [(i, datetime.fromisoformat(ts), v) for i, ts, v in rows]
+    df = spark.createDataFrame(rows, SCHEMA).coalesce(1)
+    df.write.mode("overwrite").parquet(path)
+    for f in os.listdir(path):
+        os.utime(os.path.join(path, f), (mtime, mtime))
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Append-mode window agg: a row arriving behind the watermark is
+    dropped; its window's emitted count excludes it (the late-data
+    policy the watermark contract defines)."""
+    src = str(tmp_path / "src")
+    t0 = time.time() - 100
+    # batch 1: two 10:00-window rows + one 12:00 row that pushes the
+    # watermark (12:00 - 30min) far past the 10:00 window
+    _write_batch(
+        spark,
+        f"{src}/b1",
+        [(1, "2024-01-01 10:00:10", 1.0), (2, "2024-01-01 10:00:20", 1.0),
+         (3, "2024-01-01 12:00:00", 1.0)],
+        t0,
+    )
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    agg = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory").queryName("late_test").start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1 done → watermark = 11:30
+        # batch 2, strictly after: a LATE 10:00-window row (behind
+        # watermark) — must be dropped, not re-open the window
+        _write_batch(spark, f"{src}/b2", [(4, "2024-01-01 10:00:30", 1.0)], t0 + 10)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["window"].start.strftime("%H:%M"): r["n"]
+        for r in spark.table("late_test").collect()
+    }
+    # 10:00 window finalized with 2 rows; the late row 4 was dropped.
+    assert got.get("10:00") == 2
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path, sf_dir):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts is ns
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .select("event_id", "event_type")
+    )
+    q = parquet_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert written.count() == n_src
+    assert "batch_id" in written.columns

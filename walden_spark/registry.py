@@ -72,5 +72,6 @@ def load_all() -> dict[str, Query]:
     import walden_spark.operators.text  # noqa: F401
     import walden_spark.operators.multimodal  # noqa: F401
     import walden_spark.streaming.windows  # noqa: F401
+    import walden_spark.streaming.stateful  # noqa: F401
 
     return REGISTRY

@@ -144,3 +144,68 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(dedup, "append")
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "streaming_sliding",
+    oracle="""
+WITH slides AS (SELECT unnest(range(0, 4)) AS k),
+     quantized AS (
+  SELECT date_trunc('minute', ts)
+         - (CAST(extract(minute FROM ts) AS INT) % 15) * INTERVAL 1 MINUTE AS qts
+  FROM events
+)
+SELECT strftime(qts - k * INTERVAL 15 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n
+FROM quantized CROSS JOIN slides
+GROUP BY 1
+""",
+    category="streaming",
+)
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/15min window counts: each event lands in 4 overlapping
+    windows. Oracle replicates window assignment by quantizing ts-offset
+    to 15-minute grid (equivalent formulation on a closed input)."""
+    ev = _read_events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+    )
+
+
+@query(
+    "streaming_static_join",
+    oracle="""
+SELECT event_type,
+       SUM(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END) AS enriched,
+       COUNT(*) AS total
+FROM events e LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0) u
+     ON e.user_id = u.user_id
+GROUP BY event_type
+""",
+    category="streaming",
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich a stream against a broadcast static
+    dimension (the production shape for dimension lookup — static side
+    is re-read per micro-batch, streamed side never shuffles)."""
+    ev = _read_events_stream(spark, sf_dir)
+    static_dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") % 2 == 0)
+        .select("user_id").distinct()
+        .withColumn("is_known", F.lit(1))
+    )
+    joined = ev.join(F.broadcast(static_dim), "user_id", "left")
+    agg = joined.groupBy("event_type").agg(
+        F.sum(F.when(F.col("is_known").isNotNull(), 1).otherwise(0)).alias("enriched"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select("event_type", "enriched", "total")
