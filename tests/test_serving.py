@@ -1,0 +1,36 @@
+"""M6 serving veneer tests: system_runtime view, EXPLAIN COST, shell
+one-shot execution (trino-cli --execute parity)."""
+
+from __future__ import annotations
+
+from walden_spark.plans.serving import explain_cost, system_runtime, thrift_server_command
+
+
+def test_system_runtime(spark):
+    df = system_runtime(spark)
+    rows = df.collect()
+    assert len(rows) >= 1  # local mode: the driver executor
+    assert rows[0].max_mem_bytes > 0
+    assert set(df.columns) == {
+        "executor", "max_mem_bytes", "free_mem_bytes", "active_jobs", "active_stages"
+    }
+
+
+def test_explain_cost(spark):
+    txt = explain_cost(spark, "SELECT 1 AS x")
+    assert "Optimized Logical Plan" in txt and "Statistics" in txt
+
+
+def test_thrift_command_shape():
+    cmd = thrift_server_command(port=12345, conf={"spark.ui.enabled": "false"})
+    assert "start-thriftserver.sh" in cmd[0]
+    assert "hive.server2.thrift.port=12345" in cmd
+    assert "spark.ui.enabled=false" in cmd
+
+
+def test_sqlshell_execute(spark, sf_dir, capsys):
+    from walden_spark import sqlshell
+
+    rc = sqlshell.main(["--sf-dir", sf_dir, "-e", "SELECT COUNT(*) AS n FROM nation"])
+    assert rc == 0
+    assert "25" in capsys.readouterr().out
