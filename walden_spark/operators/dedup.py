@@ -16,10 +16,19 @@ Five dedup families, each with the scale-path formulation:
 * embedding cosine — threshold pairs (brute pairs here; the LSH-bucketed
                  scale path is operators/similarity.py)
 
-Determinism: hashing is md5-string-based (lexicographic MIN for MinHash)
-or a 24-bit polynomial character fold (SimHash) — both reproducible in
-any engine, so even the LSH pipelines are DuckDB-oracle-checked
-bit-for-bit.
+Determinism: hashing is md5-derived 31-bit integers through a fixed
+affine family (MinHash) or a 24-bit polynomial character fold (SimHash)
+— both reproducible in any engine, so even the LSH pipelines are
+DuckDB-oracle-checked bit-for-bit.
+
+Local-parallelism note (applies to every operator here): the fixture is
+one small parquet file, so task count would follow the single input
+split and pin the CPU-heavy map stages to one core; each pipeline
+therefore repartitions right after the scan. On a real layout (many
+splits) that repartition is a cheap rebalance. Similarly, fan-out joins
+(LSH buckets, shingle inverted index, simhash bands) pin their shuffle
+partitioning explicitly because AQE sizes partitions from the small
+join *inputs*, not the multiplied output.
 """
 
 from __future__ import annotations
@@ -112,13 +121,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     can be capped by dropping shingles above a document-frequency bound
     (not needed at fixture scale)."""
     t = Tables(spark, sf_dir)
-    sh = t.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    # Pin the inverted-index join's partitioning: AQE sizes by the tiny
+    # inputs and would run the fanned-out shingle join in one task.
+    ex = ex.repartition(spark.sparkContext.defaultParallelism, "s")
     a = ex.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"), "s")
     b = ex.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"), "s")
     pairs = (
         a.join(b, ["s"])
         .filter(F.col("a_id") < F.col("b_id"))
+        # Lossless size pruning: J = |∩|/|∪| ≤ min(na,nb)/max(na,nb),
+        # so J ≥ 0.5 needs the sizes within 2x — drop the rest before
+        # the pair-count shuffle (same trick as positional filtering in
+        # prefix-filter similarity joins).
+        .filter((F.col("na") <= 2 * F.col("nb")) & (F.col("nb") <= 2 * F.col("na")))
         .groupBy("a_id", "b_id")
         .agg(
             (
@@ -131,22 +149,46 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
 
 
-# MinHash signature: sig[i] = lexicographic MIN over shingles of
-# md5(i || '|' || shingle). Engine-portable (md5 strings) and computed
-# per-row with array HOFs — a pure map, no shuffle.
-def _minhash_sig(shingles_col):
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles_col, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s)))
-        ),
-    )
+# MinHash signature, two-stage for speed at scale:
+#   1. each shingle is md5-hashed ONCE and folded to a 31-bit int
+#      (portable: Spark conv(substring(md5,1,15),16,10) == DuckDB
+#      ('0x'||substr(md5,1,15))::BIGINT — verified bit-identical);
+#   2. the N_HASHES minhash values come from an affine universal family
+#      h_i(x) = (a_i*x + b_i) mod P over that one int — pure integer
+#      codegen, ~32x fewer md5 calls than hashing per (i, shingle).
+# Constants are seeded-fixed and inlined into BOTH engines' SQL, so the
+# pipeline stays deterministic and oracle-checkable.
+import random as _random
+
+_P = 2147483647  # 2^31 - 1 (Mersenne prime): a*h + b < 2^62, no ANSI overflow
+_AFFINE = [
+    (r.randrange(1, _P), r.randrange(0, _P))
+    for r in [_random.Random(42)]
+    for _ in range(N_HASHES)
+]
 
 
-_MINHASH_SIG_SQL = f"""
-[list_min(list_transform(shingles, s -> md5(CAST(i AS VARCHAR) || '|' || s)))
- for i in range(0, {N_HASHES})]
-"""
+def _md5int(col):
+    """Portable 31-bit integer hash of a string via md5."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % F.lit(_P)
+
+
+def _affine_min(hs, a: int, b: int):
+    return F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_P)))
+
+
+def _minhash_sig(hs_col):
+    """Signature from a *materialized* hashed-shingle column. hs must be
+    its own projection: inlining the md5 transform here would clone it
+    into all N_HASHES branches (no CSE inside higher-order funcs) and
+    re-hash every shingle 32x."""
+    return F.array(*[_affine_min(hs_col, a, b) for a, b in _AFFINE])
+
+
+_HS_SQL = f"list_transform(shingles, s -> ('0x' || substr(md5(s),1,15))::BIGINT % {_P})"
+_MINHASH_SIG_SQL = "list_value(" + ", ".join(
+    f"list_min(list_transform(hs, h -> ({a}*h + {b}) % {_P}))" for a, b in _AFFINE
+) + ")"
 
 
 @query(
@@ -154,10 +196,11 @@ _MINHASH_SIG_SQL = f"""
     oracle=f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM docs),
-sig AS (SELECT doc_id, shingles, {_MINHASH_SIG_SQL} AS sig FROM sh),
+hashed AS (SELECT doc_id, {_HS_SQL} AS hs FROM sh),
+sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM hashed),
 bands AS (
-  SELECT doc_id, shingles, b AS band,
-         md5(array_to_string(sig[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], ',')) AS bucket
+  SELECT doc_id, b AS band,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], ',') AS bucket
   FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b)
 ),
 cand AS (
@@ -187,37 +230,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     outcome deterministic, so the DuckDB oracle reproduces it exactly.
     """
     t = Tables(spark, sf_dir)
-    sh = t.documents.select("doc_id", _shingles(F.col("text")).alias("shingles"))
-    sig = sh.select("doc_id", "shingles", _minhash_sig(F.col("shingles")).alias("sig"))
+    # Parallelism note: shingling+hashing is the CPU-heavy map stage.
+    # Task count follows input splits — a single small parquet file
+    # would pin the whole stage to one core, so rebalance first (at
+    # real scale many splits make this a no-op cost-wise).
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    hashed = sh.select("doc_id", F.transform("shingles", _md5int).alias("hs"))
+    sig = hashed.select("doc_id", _minhash_sig(F.col("hs")).alias("sig"))
+    # Bands carry ONLY (doc_id, band, bucket): the LSH shuffle moves
+    # ids + 4-number bucket keys, never the shingle arrays.
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
-        F.col("sig").alias("sig"),
+        "sig",
     ).select(
         "doc_id",
-        "shingles",
         "band",
-        F.md5(
-            F.concat_ws(",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND))
-        ).alias("bucket"),
-    )
-    left = bands.select(
-        F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa"), "band", "bucket"
-    )
-    right = bands.select(
-        F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb"), "band", "bucket"
+        F.concat_ws(",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND)).alias("bucket"),
     )
     cand = (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "sa", "sb")
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    # Verify only the (few) candidates: re-join shingles by id.
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")), "a_id"
+    ).join(sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")), "b_id")
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
     jac = inter / (F.size("sa") + F.size("sb") - inter)
     return (
-        cand.withColumn("jac", jac)
+        pairs.withColumn("jac", jac)
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
         .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
     )
@@ -267,43 +313,58 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force DuckDB oracle confirms completeness.
     """
     t = Tables(spark, sf_dir)
-    words = (
-        t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .groupBy("doc_id", "word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     codes = F.transform(F.split("word", ""), lambda c: F.ascii(c))
     h = F.aggregate(codes, F.lit(0).cast("int"), lambda acc, c: (acc * 31 + c) % 16777216)
-    hashed = words.select("doc_id", "cnt", h.alias("h"))
-    bits = (
-        hashed.select("doc_id", "cnt", "h", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("j"))
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(
-                F.when(F.expr("shiftright(h, j) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
-            ).alias("bal")
-        )
+    # Hash BEFORE the groupBy: the interpreted char-fold runs map-side
+    # across all scan partitions, not on the (AQE-coalesced) post-
+    # shuffle side. Grouping by the hash is equivalent to grouping by
+    # the word — downstream only ever uses h, and colliding words just
+    # merge their counts earlier.
+    hashed = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .select("doc_id", h.alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    fp = bits.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("bal") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)).alias(
-            "fingerprint"
-        )
+    # All 24 bit-balances as parallel conditional aggregates in ONE
+    # groupBy — fully codegen'd, partial-aggregated map-side, and no
+    # 24x row explode (which would run on the AQE-coalesced post-
+    # shuffle partition and serialize the whole stage).
+    bit_aggs = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+        ).alias(f"b{j}")
+        for j in range(24)
+    ]
+    bal = hashed.groupBy("doc_id").agg(*bit_aggs)
+    fingerprint = sum(
+        (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(24)),
+        start=F.lit(0),
     )
-    # band-join on 8-bit chunks
+    fp = bal.select("doc_id", fingerprint.cast("bigint").alias("fingerprint"))
+    # Band-join on 8-bit chunks. Two plan notes for the fan-out:
+    # * explicit repartition on the join key — AQE sizes partitions by
+    #   join *input* (tiny) and would coalesce to one task, serializing
+    #   the ~10^6-pair join output;
+    # * hamming filter BEFORE dropDuplicates — the xor+bit_count is
+    #   codegen'd and collapses the fan-out to the few real pairs, so
+    #   the distinct shuffle moves almost nothing.
     banded = fp.select(
         "doc_id",
         "fingerprint",
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("band"),
     ).withColumn("chunk", F.expr("shiftright(fingerprint, band * 8) & 255"))
+    banded = banded.repartition(spark.sparkContext.defaultParallelism, "band", "chunk")
     a = banded.select(F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("fa"), "band", "chunk")
     b = banded.select(F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("fb"), "band", "chunk")
     hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
     return (
         a.join(b, ["band", "chunk"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 2)
+        .dropDuplicates(["a_id", "b_id"])
         .select("a_id", "b_id", "hamming")
     )
 
@@ -337,26 +398,39 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     and AQE splits the self-join); the sub-quadratic scale path is the
     hyperplane-LSH bucketing in operators/similarity.py.
     """
+    import numpy as np
+    import pandas as pd
+
     t = Tables(spark, sf_dir)
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     e = t.embeddings.select("vec_id", "embedding")
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb"))
-    pairs = a.join(b, F.col("a_id") < F.col("b_id"))
-    cos = (
-        dot(F.col("ea"), F.col("eb"))
-        / F.sqrt(dot(F.col("ea"), F.col("ea")))
-        / F.sqrt(dot(F.col("eb"), F.col("eb")))
-    )
-    return (
-        pairs.withColumn("cos_sim", cos)
-        .filter(F.col("cos_sim") >= 0.45)
-        .select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
+
+    # Broadcast one side as a dense float64 matrix (brute-force baseline
+    # premise: one side fits in executor memory, like F.broadcast for a
+    # small dim table). Each Arrow batch of the other side then does ONE
+    # numpy matmul — vectorized Pandas-UDF path, ~3 orders faster than
+    # per-pair higher-order-function folds (HOFs are interpreted, not
+    # codegen'd). At 100TB neither side broadcasts: use the hyperplane-
+    # LSH bucketed path in operators/similarity.py instead.
+    pdf_all = e.toPandas()
+    b_ids_all = pdf_all["vec_id"].to_numpy()
+    B = np.stack(pdf_all["embedding"].to_numpy()).astype(np.float64)
+    nb = np.sqrt((B * B).sum(axis=1))
+    bc = spark.sparkContext.broadcast((b_ids_all, B, nb))
+
+    def block(batches):
+        b_ids, Bm, nbv = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf["vec_id"].to_numpy()
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            na = np.sqrt((A * A).sum(axis=1))
+            S = (A @ Bm.T) / na[:, None] / nbv[None, :]
+            ai, bi = np.nonzero((S >= 0.45) & (a_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {"a_id": a_ids[ai], "b_id": b_ids[bi], "cos_sim": np.round(S[ai, bi], 6)}
+            )
+
+    return e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        block, schema="a_id long, b_id long, cos_sim double"
     )
