@@ -1,0 +1,73 @@
+"""Physical-plan quality gates (SURVEY §4): the optimizations the
+reference gets from Trino's CBO must stay present in our Catalyst
+plans. These assert on .explain output so a regression in pushdown,
+pruning, or join strategy fails CI, not just the benchmark."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from walden_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def _plan(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir, registry):
+    plan = _plan(spark, registry["tpch_q6"].fn(spark, sf_dir))
+    # date + discount + quantity predicates reach the parquet scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "ReadSchema: struct<l_quantity:double,l_extendedprice:double," in plan
+    # pruned to exactly the 4 referenced columns
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir, registry):
+    plan = _plan(spark, registry["tpch_q3"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "customer/orders sides should broadcast"
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan  # filter pushed, not post-scan
+
+
+def test_q1_partial_aggregation(spark, sf_dir, registry):
+    plan = _plan(spark, registry["tpch_q1"].fn(spark, sf_dir))
+    # map-side partial agg before the exchange (Tungsten partial→final)
+    assert "HashAggregate" in plan
+    assert plan.index("HashAggregate") < plan.index("Exchange") or plan.count("HashAggregate") >= 2
+
+
+def test_minhash_no_cartesian(spark, sf_dir, registry):
+    plan = _plan(spark, registry["dedup_minhash_lsh"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "LSH self-join must stay an equi-join on (band, bucket)"
+    )
+
+
+def test_partition_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, "d1" if i % 2 else "d2", float(i)) for i in range(100)],
+        "id long, day string, v double",
+    )
+    path = str(tmp_path / "part")
+    df.write.partitionBy("day").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("day") == "d1").select("id")
+    plan = _plan(spark, back)
+    assert "PartitionFilters: [isnotnull(day" in plan
+    assert "PushedFilters: [IsNotNull(day" not in plan  # partition-level, not row-level
+
+
+def test_events_scan_prunes_props(spark, sf_dir, registry):
+    """events queries that don't touch props must not read it (it's the
+    wide column of the table)."""
+    plan = _plan(spark, registry["events_tumbling"].fn(spark, sf_dir))
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "props" not in read_schema
