@@ -1,0 +1,121 @@
+"""Property-based differential tests (SURVEY §5.2.5): random small
+frames through Spark and DuckDB must agree on the algebra most prone to
+null-semantics drift — set ops, NOT IN, filter/join commutation, and
+agg-vs-window consistency. Cheap, and catches dialect divergence the
+fixed corpus can't.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# small frames: ints in a narrow range (forces collisions) + NULLs
+cell = st.one_of(st.none(), st.integers(min_value=-3, max_value=3))
+frame = st.lists(
+    st.tuples(cell, cell), min_size=0, max_size=12
+)
+
+SETTINGS = settings(
+    max_examples=8,  # each example runs several Spark jobs — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+
+def _spark_df(spark, rows):
+    return spark.createDataFrame([tuple(r) for r in rows] or [], "a int, b int")
+
+
+def _canon(rows):
+    return sorted(
+        [tuple(-99 if v is None else v for v in r) for r in rows]
+    )
+
+
+def _duck(sql, **frames):
+    con = duckdb.connect()
+    for name, rows in frames.items():
+        pdf = pd.DataFrame(rows, columns=["a", "b"], dtype="Int64")
+        con.register(name, pdf)
+    out = con.execute(sql).fetchall()
+    con.close()
+    return [tuple(None if pd.isna(v) else int(v) for v in r) for r in out]
+
+
+@SETTINGS
+@given(x=frame, y=frame)
+def test_setop_algebra_matches_duckdb(spark, x, y):
+    dx, dy = _spark_df(spark, x), _spark_df(spark, y)
+    for op, sql in [
+        (lambda: dx.unionAll(dy), "SELECT * FROM x UNION ALL SELECT * FROM y"),
+        (lambda: dx.unionAll(dy).distinct(), "SELECT * FROM x UNION SELECT * FROM y"),
+        (lambda: dx.intersect(dy), "SELECT * FROM x INTERSECT SELECT * FROM y"),
+        (lambda: dx.intersectAll(dy), "SELECT * FROM x INTERSECT ALL SELECT * FROM y"),
+        (lambda: dx.subtract(dy), "SELECT * FROM x EXCEPT SELECT * FROM y"),
+        (lambda: dx.exceptAll(dy), "SELECT * FROM x EXCEPT ALL SELECT * FROM y"),
+    ]:
+        got = _canon([tuple(r) for r in op().collect()])
+        want = _canon(_duck(sql, x=x, y=y))
+        assert got == want, sql
+
+
+@SETTINGS
+@given(x=frame, y=frame)
+def test_not_in_null_semantics(spark, x, y):
+    """NOT IN against a subquery with NULLs — the classic 3VL trap."""
+    dx, dy = _spark_df(spark, x), _spark_df(spark, y)
+    dx.createOrReplaceTempView("px")
+    dy.createOrReplaceTempView("py")
+    got = _canon(
+        [tuple(r) for r in spark.sql(
+            "SELECT a, b FROM px WHERE a NOT IN (SELECT a FROM py)"
+        ).collect()]
+    )
+    want = _canon(_duck("SELECT a, b FROM x WHERE a NOT IN (SELECT a FROM y)", x=x, y=y))
+    assert got == want
+
+
+@SETTINGS
+@given(x=frame, y=frame)
+def test_filter_join_commutation(spark, x, y):
+    """filter-then-join ≡ join-then-filter (Catalyst pushdown must not
+    change results), checked against DuckDB as the third opinion."""
+    dx, dy = _spark_df(spark, x), _spark_df(spark, y)
+    pre = dx.filter(F.col("b") > 0).join(dy, "a").select("a", dx["b"], dy["b"])
+    post = dx.join(dy, "a").filter(dx["b"] > 0).select("a", dx["b"], dy["b"])
+    got_pre = _canon([tuple(r) for r in pre.collect()])
+    got_post = _canon([tuple(r) for r in post.collect()])
+    assert got_pre == got_post
+    want = _canon(
+        _duck(
+            "SELECT x.a, x.b, y.b FROM x JOIN y ON x.a = y.a WHERE x.b > 0",
+            x=x, y=y,
+        )
+    )
+    assert got_pre == want
+
+
+@SETTINGS
+@given(x=frame)
+def test_agg_vs_window_consistency(spark, x):
+    """SUM per group via groupBy equals SUM OVER (PARTITION BY) taken
+    distinct — and both match DuckDB."""
+    dx = _spark_df(spark, x)
+    by_group = _canon(
+        [tuple(r) for r in dx.groupBy("a").agg(F.sum("b").cast("int").alias("s")).collect()]
+    )
+    from pyspark.sql import Window
+
+    by_window = _canon(
+        [tuple(r) for r in dx.select(
+            "a", F.sum("b").over(Window.partitionBy("a")).cast("int").alias("s")
+        ).distinct().collect()]
+    )
+    assert by_group == by_window
+    want = _canon(_duck("SELECT a, CAST(SUM(b) AS INT) FROM x GROUP BY a", x=x))
+    assert by_group == want
