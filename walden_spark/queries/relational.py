@@ -473,3 +473,25 @@ def sample_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     too)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
+@query(
+    "sort_nulls_ordering",
+    oracle="""
+SELECT c_custkey, seg
+FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer
+      WHERE c_custkey < 200)
+ORDER BY seg ASC NULLS FIRST, c_custkey DESC
+""",
+    category="sort",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY ... NULLS FIRST/LAST with a DESC tiebreak (Trino default
+    null placement differs from Spark's — explicit placement is the
+    portable idiom; SURVEY §2.6)."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.customer.filter(F.col("c_custkey") < 200)
+        .select("c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"))
+        .orderBy(F.col("seg").asc_nulls_first(), F.col("c_custkey").desc())
+    )
