@@ -37,8 +37,12 @@ HEADLINE = [
 EXTRA_PREFIXES = (
     "dedup_exact",
     "dedup_minhash",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "knn_brute_force",
+    "knn_lsh_bucketed",
     "text_quality",
+    "udf_pandas_scalar",
     "events_tumbling",
     "win_ranking",
 )
