@@ -39,14 +39,14 @@ module "minio" {
 }
 
 module "engine" {
-  source          = "./modules/engine"
-  namespace       = kubernetes_namespace.walden.metadata[0].name
-  image           = var.engine_image
-  executor_cores  = var.engine_executor_cores
-  memory          = var.engine_memory
-  s3_endpoint     = module.minio.endpoint
-  s3_access_key   = var.minio_root_user
-  s3_secret_key   = var.minio_root_password
+  source           = "./modules/engine"
+  namespace        = kubernetes_namespace.walden.metadata[0].name
+  image            = var.engine_image
+  executor_cores   = var.engine_executor_cores
+  memory           = var.engine_memory
+  s3_endpoint      = module.minio.endpoint
+  s3_access_key    = var.minio_root_user
+  s3_secret_key    = var.minio_root_password
   warehouse_bucket = var.warehouse_bucket
-  extra_conf      = var.engine_extra_conf
+  extra_conf       = var.engine_extra_conf
 }
