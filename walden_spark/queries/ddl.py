@@ -96,3 +96,54 @@ def ddl_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name AS name", "'column' AS kind"
     )
     return dbs.unionByName(tabs).unionByName(cols)
+
+
+@query(
+    "ddl_dml_cow",
+    oracle="""
+WITH base AS (
+  SELECT * FROM (VALUES (1, 10.0, 'ok'), (2, -5.0, 'ok'), (3, 7.5, 'hold'), (4, 8.0, 'ok'))
+       AS t(id, bal, status)
+),
+after_delete AS (SELECT * FROM base WHERE NOT (bal < 0)),
+after_update AS (
+  SELECT id, bal, CASE WHEN status = 'hold' THEN 'frozen' ELSE status END AS status
+  FROM after_delete
+),
+merged AS (
+  SELECT COALESCE(t.id, s.id) AS id,
+         COALESCE(s.bal, t.bal) AS bal,
+         COALESCE(s.status, t.status) AS status
+  FROM after_update t
+  FULL OUTER JOIN (VALUES (1, 100.0, 'ok'), (9, 1.0, 'new')) AS s(id, bal, status)
+    ON t.id = s.id
+)
+SELECT id, bal, status FROM merged ORDER BY id
+""",
+    category="ddl",
+)
+def ddl_dml_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE / DELETE / MERGE via copy-on-write rewrite on plain
+    Parquet (SURVEY §2.1 — the reference gets row-level DML from
+    Trino-on-Iceberg, tf/main.tf:93-98 + superset allow_dml; we emulate
+    with staged rewrite, walden_spark/catalog.py). The oracle replays
+    the same DML algebraically."""
+    import tempfile as _tf
+
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    loc = _tf.mkdtemp(prefix="walden_dml_")
+    spark.sql("DROP DATABASE IF EXISTS walden_dml CASCADE")
+    cat.create_schema("walden_dml", location=loc)
+    t = "walden_dml.accounts"
+    cat.create_table(t, "id BIGINT, bal DOUBLE, status STRING")
+    cat.insert_values(t, "(1, 10.0, 'ok'), (2, -5.0, 'ok'), (3, 7.5, 'hold'), (4, 8.0, 'ok')")
+    cat.delete_where(t, F.col("bal") < 0)
+    cat.update_where(t, {"status": F.lit("frozen")}, F.col("status") == "hold")
+    src = spark.createDataFrame([(1, 100.0, "ok"), (9, 1.0, "new")], "id long, bal double, status string")
+    cat.merge_into(t, src, on=["id"])
+    out = spark.table(t).orderBy("id")
+    rows = out.collect()
+    cat.drop_schema("walden_dml")
+    return spark.createDataFrame(rows, out.schema)
