@@ -71,3 +71,11 @@ def test_events_scan_prunes_props(spark, sf_dir, registry):
     plan = _plan(spark, registry["events_tumbling"].fn(spark, sf_dir))
     read_schema = plan.split("ReadSchema")[1].splitlines()[0]
     assert "props" not in read_schema
+
+
+def test_range_join_binned_is_hash_join(spark, sf_dir, registry):
+    """The binned range join must plan as an equi (hash/sort-merge)
+    join on __bin — not BroadcastNestedLoopJoin/CartesianProduct."""
+    plan = _plan(spark, registry["range_join_binned"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
