@@ -73,13 +73,22 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe side is broadcast, so the scan of the corpus is a single map
     pass with a per-group TopK — no corpus shuffle."""
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding")
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    # Precompute each row's norm once (pure CSE — bit-identical to the
+    # inline form, 3x fewer interpreted array folds per pair), and
+    # spread the corpus scan across cores (single-file fixture).
+    e = t.embeddings.repartition(spark.sparkContext.defaultParallelism).select(
+        "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
+    )
     pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos_sim", _cos(F.col("qe"), F.col("ce")))
+    scored = pairs.withColumn(
+        "cos_sim", _dot(F.col("qe"), F.col("ce")) / F.col("qn") / F.col("cn")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -156,13 +165,27 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly.
     """
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding").withColumn("bucket", _bucket_expr("embedding"))
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    e = (
+        t.embeddings.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .withColumn("bucket", _bucket_expr("embedding"))
     )
-    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"), "bucket",
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
     pairs = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn("cos_sim", _cos(F.col("qe"), F.col("ce")))
+    scored = pairs.withColumn(
+        "cos_sim", _dot(F.col("qe"), F.col("ce")) / F.col("qn") / F.col("cn")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
