@@ -49,9 +49,16 @@ def get_spark(
     """
     master = master or f"local[{DEFAULT_CPUS}]"
     shuffle_partitions = shuffle_partitions or DEFAULT_CPUS
+    # pip-installed pyspark defaults spark.driver.memory to 1g; in local
+    # mode the driver heap IS the executor heap, so broadcasts + agg
+    # hash maps at bench scale (sf>=1) hit "not enough memory to build
+    # and broadcast" long before the machine is full. Must be set at
+    # JVM launch — no-op via getOrCreate on a live session.
+    driver_memory = os.environ.get("WALDEN_DRIVER_MEMORY", "8g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", driver_memory)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
