@@ -79,3 +79,43 @@ def test_range_join_binned_is_hash_join(spark, sf_dir, registry):
     plan = _plan(spark, registry["range_join_binned"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    """Tables co-bucketed on the join key must join with no shuffle
+    Exchange on either side (the 100TB fact-fact join plan)."""
+    from walden_spark.catalog import write_bucketed_table
+    from walden_spark.tables import Tables
+
+    import shutil
+
+    t = Tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    # the in-memory catalog forgets tables across sessions but their
+    # warehouse directories persist — clear them so saveAsTable works
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for d in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{d}", ignore_errors=True)
+    write_bucketed_table(t.orders, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed_table(t.lineitem, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # big-big scenario: neither side broadcastable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_orders")
+            .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = _plan(spark, joined)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE b_orders")
+        spark.sql("DROP TABLE b_lineitem")
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Bucketed: true" in plan
+    join_section = plan.split("HashAggregate")[0]
+    assert "Exchange hashpartitioning(o_orderkey" not in join_section
+    assert "Exchange hashpartitioning(l_orderkey" not in join_section

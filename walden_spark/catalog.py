@@ -237,3 +237,28 @@ class Catalog:
             "table_schema string, table_name string, column_name string, "
             "ordinal_position int, data_type string, is_nullable boolean",
         )
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Save as a bucketed (+optionally sorted) managed table.
+
+    Bucketing is the lakehouse co-location primitive: two tables
+    bucketed by the same key into the same bucket count join WITHOUT a
+    shuffle exchange on either side (asserted in
+    tests/test_plans.py::test_bucketed_join_no_exchange) — at 100TB the
+    fact-to-fact join this enables is the difference between a full
+    re-shuffle of both tables and a local zip of bucket files. The
+    reference's Iceberg layer exposes the same capability via bucket
+    partition transforms (tf/main.tf:93-98).
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)
