@@ -21,6 +21,14 @@ affine family (MinHash) or a 24-bit polynomial character fold (SimHash)
 — both reproducible in any engine, so even the LSH pipelines are
 DuckDB-oracle-checked bit-for-bit.
 
+Literature (public): MinHash resemblance — Broder, "On the resemblance
+and containment of documents" (SEQUENCES 1997); LSH banding — Gionis/
+Indyk/Motwani, "Similarity search in high dimensions via hashing"
+(VLDB 1999) and Leskovec/Rajaraman/Ullman, *Mining of Massive
+Datasets* ch. 3; SimHash — Charikar, "Similarity estimation techniques
+from rounding algorithms" (STOC 2002), dedup application Manku/Jain/
+Das Sarma, "Detecting near-duplicates for web crawling" (WWW 2007).
+
 Local-parallelism note (applies to every operator here): the fixture is
 one small parquet file, so task count would follow the single input
 split and pin the CPU-heavy map stages to one core; each pipeline

@@ -11,6 +11,11 @@ Two tiers:
 
 The hyperplane weights are a fixed integer formula (no RNG), so the
 whole ANN pipeline is reproducible in DuckDB and oracle-checked.
+
+Literature (public): random-hyperplane LSH — Charikar (STOC 2002);
+IVF coarse quantization — Jégou/Douze/Schmid, "Product quantization
+for nearest neighbor search" (TPAMI 2011, the IVF part without PQ);
+general LSH — Indyk/Motwani (STOC 1998).
 """
 
 from __future__ import annotations
