@@ -152,3 +152,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(30))).alias("frame_idx"),
         )
     )
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, width INT, height INT, out_w INT, out_h INT"
+_TARGET = 224
+
+
+def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: aspect-preserving fit into TARGETxTARGET.
+    Pure integer math ((dim * TARGET) // max_side) so the stubbed
+    transform stays engine-reproducible; a real deployment swaps the
+    body for PIL.Image.resize and keeps the batch shape."""
+    for pdf in batches:
+        mx = pdf[["width", "height"]].max(axis=1)
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "out_w": (pdf["width"] * _TARGET // mx).astype("int32"),
+                "out_h": (pdf["height"] * _TARGET // mx).astype("int32"),
+            }
+        )
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+SELECT doc_id, width, height,
+       CAST(width * {_TARGET} // greatest(width, height) AS INT) AS out_w,
+       CAST(height * {_TARGET} // greatest(width, height) AS INT) AS out_h
+FROM (
+  SELECT doc_id,
+         CAST(32 + (n % 600) AS INT) AS width,
+         CAST(32 + ((n * 7) % 400) AS INT) AS height
+  FROM (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+)
+WHERE (doc_id % 3) + 1 = 1
+""",
+    category="multimodal",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize planning (aspect-preserving fit to 224) over decoded
+    image payloads — second mapInPandas stage chained after decode, the
+    shape of a real preprocessing pipeline (decode → resize →
+    feature-extract), each stage an Arrow-batched map."""
+    t = Tables(spark, sf_dir)
+    media = with_media_columns(t.documents)
+    decoded = media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+    images = decoded.filter(F.col("modality") == "image").select("doc_id", "width", "height")
+    return images.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
