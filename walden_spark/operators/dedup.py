@@ -111,7 +111,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM docs),
 ex AS (SELECT doc_id, unnest(shingles) AS s, len(shingles) AS n FROM sh)
-SELECT a_id, b_id, round(jac, 6) AS jaccard
+SELECT a_id, b_id, floor(jac * 1000000.0) / 1000000.0 AS jaccard
 FROM (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          COUNT(*) / (any_value(a.n) + any_value(b.n) - COUNT(*)) AS jac
@@ -154,7 +154,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jac") >= 0.5)
     )
-    return pairs.select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+    return pairs.select("a_id", "b_id", (F.floor(F.col("jac") * 1000000.0) / 1000000.0).alias("jaccard"))
 
 
 # MinHash signature, two-stage for speed at scale:
@@ -222,7 +222,7 @@ verified AS (
               - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jac
   FROM cand JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id
 )
-SELECT a_id, b_id, round(jac, 6) AS jaccard
+SELECT a_id, b_id, floor(jac * 1000000.0) / 1000000.0 AS jaccard
 FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 """,
     category="dedup",
@@ -273,7 +273,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("jac", jac)
         .filter(F.col("jac") >= JACCARD_THRESHOLD)
-        .select("a_id", "b_id", F.round("jac", 6).alias("jaccard"))
+        .select("a_id", "b_id", (F.floor(F.col("jac") * 1000000.0) / 1000000.0).alias("jaccard"))
     )
 
 
@@ -387,7 +387,7 @@ _DOT_SQL = (
     "dedup_embedding_cosine",
     oracle=f"""
 WITH e AS (SELECT vec_id, embedding FROM embeddings)
-SELECT a_id, b_id, round(cos_sim, 6) AS cos_sim
+SELECT a_id, b_id, floor(cos_sim * 1000000.0) / 1000000.0 AS cos_sim
 FROM (
   SELECT a.vec_id AS a_id, b.vec_id AS b_id,
          {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
@@ -436,7 +436,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             S = (A @ Bm.T) / na[:, None] / nbv[None, :]
             ai, bi = np.nonzero((S >= 0.45) & (a_ids[:, None] < b_ids[None, :]))
             yield pd.DataFrame(
-                {"a_id": a_ids[ai], "b_id": b_ids[bi], "cos_sim": np.round(S[ai, bi], 6)}
+                {"a_id": a_ids[ai], "b_id": b_ids[bi], "cos_sim": np.floor(S[ai, bi] * 1e6) / 1e6}
             )
 
     return e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(

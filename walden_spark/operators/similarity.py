@@ -61,7 +61,7 @@ def _cos(x, y):
     oracle=f"""
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {N_QUERIES}),
      c AS (SELECT vec_id, embedding FROM embeddings)
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, CAST(rn AS INT) AS rn
+SELECT query_id, neighbor_id, floor(cos_sim * 1000000.0) / 1000000.0 AS cos_sim, CAST(rn AS INT) AS rn
 FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          {_COS_SQL.format(a='q.embedding', b='c.embedding')} AS cos_sim,
@@ -98,7 +98,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"), F.col("rn").cast("int").alias("rn"))
+        .select("query_id", "neighbor_id", (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"), F.col("rn").cast("int").alias("rn"))
     )
 
 
@@ -145,7 +145,7 @@ e AS (
 ),
 q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < {N_QUERIES}),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e)
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim
+SELECT query_id, neighbor_id, floor(cos_sim * 1000000.0) / 1000000.0 AS cos_sim
 FROM (
   SELECT query_id, neighbor_id,
          {_COS_SQL.format(a='qe', b='ce')} AS cos_sim,
@@ -195,7 +195,7 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("query_id", "neighbor_id", (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"))
     )
 
 
@@ -212,7 +212,7 @@ assigned AS (
     FROM embeddings e CROSS JOIN cent
   ) WHERE rn = 1
 )
-SELECT cid, COUNT(*) AS n_members, round(MIN(cos_sim), 6) AS min_cos
+SELECT cid, COUNT(*) AS n_members, floor(MIN(cos_sim) * 1000000.0) / 1000000.0 AS min_cos
 FROM assigned
 GROUP BY cid
 """,
@@ -234,5 +234,5 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.min("cos_sim"), 6).alias("min_cos"),
+        (F.floor(F.min("cos_sim") * 1000000.0) / 1000000.0).alias("min_cos"),
     )

@@ -31,6 +31,12 @@ def _words(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def _q6(col):
+    """Quantize to 6 decimals via floor — rounding-rule-free, so it is
+    bit-portable across engines (see text_quality_score comment)."""
+    return F.floor(col * 1000000.0) / 1000000.0
+
+
 @query(
     "text_token_counts",
     oracle="""
@@ -40,8 +46,8 @@ SELECT doc_id,
        len(list_distinct(string_split(text, ' '))) AS n_types,
        length(text) AS n_chars_computed,
        n_chars,
-       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-             / len(string_split(text, ' ')), 6) AS type_token_ratio
+       floor(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) * 1000000.0) / 1000000.0 AS type_token_ratio
 FROM documents
 """,
     category="text",
@@ -58,18 +64,18 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(w)).cast("long").alias("n_types"),
         F.length("text").cast("long").alias("n_chars_computed"),
         "n_chars",
-        F.round(F.size(F.array_distinct(w)).cast("double") / F.size(w), 6).alias("type_token_ratio"),
+        (F.floor(F.size(F.array_distinct(w)).cast("double") / F.size(w) * 1000000.0) / 1000000.0).alias("type_token_ratio"),
     )
 
 
 @query(
     "text_quality_score",
     oracle=f"""
-SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
-       round(stopword_ratio, 6) AS stopword_ratio,
-       round(0.4 * least(n_words / 100.0, 1.0)
+SELECT doc_id, n_words, floor(mean_word_len * 1000000.0) / 1000000.0 AS mean_word_len,
+       floor(stopword_ratio * 1000000.0) / 1000000.0 AS stopword_ratio,
+       floor((0.4 * least(n_words / 100.0, 1.0)
              + 0.3 * least(stopword_ratio * 5, 1.0)
-             + 0.3 * least(mean_word_len / 8.0, 1.0), 6) AS quality
+             + 0.3 * least(mean_word_len / 8.0, 1.0)) * 1000000.0) / 1000000.0 AS quality
 FROM (
   SELECT doc_id,
          len(string_split(text, ' ')) AS n_words,
@@ -93,17 +99,20 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword_ratio = (
         F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double") / n_words
     )
-    quality = F.round(
+    # floor-quantize instead of round: both engines compute the same
+    # IEEE double, and floor of the same double is always identical,
+    # while round-half rules differ (Spark HALF_UP vs DuckDB half-even)
+    # exactly on .5e-6 boundaries, which real scores do hit.
+    quality = _q6(
         0.4 * F.least(n_words / 100.0, F.lit(1.0))
         + 0.3 * F.least(stopword_ratio * 5, F.lit(1.0))
-        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0)),
-        6,
+        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0))
     )
     return t.documents.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        _q6(mean_word_len).alias("mean_word_len"),
+        _q6(stopword_ratio).alias("stopword_ratio"),
         quality.alias("quality"),
     )
 
