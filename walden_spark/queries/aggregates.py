@@ -117,11 +117,11 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_stats_formula",
     oracle="""
 SELECT l_linestatus,
-       round((sxx - sx * sx / n) / (n - 1), 6) AS var_samp_qty,
-       round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_samp_qty,
-       round((sxx - sx * sx / n) / n, 6) AS var_pop_qty,
-       round((sxy - sx * sy / n) / (n - 1), 6) AS covar_samp,
-       round((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS corr_qty_price
+       floor(((sxx - sx * sx / n) / (n - 1)) * 1000000.0) / 1000000.0 AS var_samp_qty,
+       floor((sqrt((sxx - sx * sx / n) / (n - 1))) * 1000000.0) / 1000000.0 AS stddev_samp_qty,
+       floor(((sxx - sx * sx / n) / n) * 1000000.0) / 1000000.0 AS var_pop_qty,
+       floor(((sxy - sx * sy / n) / (n - 1)) * 1000000.0) / 1000000.0 AS covar_samp,
+       floor(((sxy - sx * sy / n) / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))) * 1000000.0) / 1000000.0 AS corr_qty_price
 FROM (
   SELECT l_linestatus,
          CAST(COUNT(*) AS DOUBLE) AS n,
@@ -155,11 +155,11 @@ def agg_stats_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flip the very last ulp of the composed expression
     return sums.select(
         "l_linestatus",
-        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_samp_qty"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("stddev_samp_qty"),
-        F.round((sxx - sx * sx / n) / n, 6).alias("var_pop_qty"),
-        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_samp"),
-        F.round((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6).alias(
+        (F.floor((sxx - sx * sx / n) / (n - 1) * 1000000.0) / 1000000.0).alias("var_samp_qty"),
+        (F.floor(F.sqrt((sxx - sx * sx / n) / (n - 1)) * 1000000.0) / 1000000.0).alias("stddev_samp_qty"),
+        (F.floor((sxx - sx * sx / n) / n * 1000000.0) / 1000000.0).alias("var_pop_qty"),
+        (F.floor((sxy - sx * sy / n) / (n - 1) * 1000000.0) / 1000000.0).alias("covar_samp"),
+        (F.floor((sxy - sx * sy / n) / F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)) * 1000000.0) / 1000000.0).alias(
             "corr_qty_price"
         ),
     )

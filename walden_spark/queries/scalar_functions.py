@@ -5,7 +5,7 @@ over fixture rows. Trino↔Spark name drift is resolved per SURVEY §2.8
 (strpos→instr/locate, split_part→element_at(split), random→rand, …);
 Spark↔DuckDB drift is resolved in the oracle text.
 
-Transcendental functions (sin/exp/ln) go through round(…, 9): libm vs
+Transcendental functions (sin/exp/ln) go through floor-quantization at 1e-9: libm vs
 Java Math can differ in the final ulp; everything else is exact.
 """
 
@@ -134,16 +134,16 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT vec_id,
        abs(x) AS ax, ceil(x) AS cx, floor(x) AS fx, round(x, 2) AS rx,
-       round(power(abs(x), 2.0), 9) AS p2,
-       round(exp(x / 100), 9) AS ex,
-       round(ln(abs(x) + 1), 9) AS lnx,
-       round(log10(abs(x) + 1), 9) AS log10x,
-       round(sqrt(abs(x)), 9) AS sqx,
+       floor(power(abs(x), 2.0) * 1000000000.0) / 1000000000.0 AS p2,
+       floor(exp(x / 100) * 1000000000.0) / 1000000000.0 AS ex,
+       floor(ln(abs(x) + 1) * 1000000000.0) / 1000000000.0 AS lnx,
+       floor(log10(abs(x) + 1) * 1000000000.0) / 1000000000.0 AS log10x,
+       floor(sqrt(abs(x)) * 1000000000.0) / 1000000000.0 AS sqx,
        CAST(vec_id % 7 AS BIGINT) AS m7,
        sign(x - 50) AS sgn,
-       round(sin(x / 10), 9) AS sx,
+       floor(sin(x / 10) * 1000000000.0) / 1000000000.0 AS sx,
        greatest(x, 50.0) AS gr, least(x, 50.0) AS le,
-       round(pi(), 9) AS pi_val
+       floor(pi() * 1000000000.0) / 1000000000.0 AS pi_val
 FROM (SELECT vec_id, CAST(vec_id AS DOUBLE) + 0.25 AS x FROM embeddings WHERE vec_id < 200)
 """,
     category="function",
@@ -162,17 +162,17 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(x).alias("cx"),
         F.floor(x).alias("fx"),
         F.round(x, 2).alias("rx"),
-        F.round(F.pow(F.abs(x), 2.0), 9).alias("p2"),
-        F.round(F.exp(x / 100), 9).alias("ex"),
-        F.round(F.log(F.abs(x) + 1), 9).alias("lnx"),
-        F.round(F.log10(F.abs(x) + 1), 9).alias("log10x"),
-        F.round(F.sqrt(F.abs(x)), 9).alias("sqx"),
+        (F.floor(F.pow(F.abs(x), 2.0) * 1e9) / 1e9).alias("p2"),
+        (F.floor(F.exp(x / 100) * 1e9) / 1e9).alias("ex"),
+        (F.floor(F.log(F.abs(x) + 1) * 1e9) / 1e9).alias("lnx"),
+        (F.floor(F.log10(F.abs(x) + 1) * 1e9) / 1e9).alias("log10x"),
+        (F.floor(F.sqrt(F.abs(x)) * 1e9) / 1e9).alias("sqx"),
         (F.col("vec_id") % 7).cast("long").alias("m7"),
         F.signum(x - 50).alias("sgn"),
-        F.round(F.sin(x / 10), 9).alias("sx"),
+        (F.floor(F.sin(x / 10) * 1e9) / 1e9).alias("sx"),
         F.greatest(x, F.lit(50.0)).alias("gr"),
         F.least(x, F.lit(50.0)).alias("le"),
-        F.round(F.lit(3.141592653589793), 9).alias("pi_val"),
+        (F.floor(F.lit(3.141592653589793) * 1e9) / 1e9).alias("pi_val"),
     )
 
 
