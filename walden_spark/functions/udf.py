@@ -176,3 +176,53 @@ def udf_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, w.pos
         """
     )
+
+
+@query(
+    "udf_cogroup_pandas",
+    oracle="""
+SELECT c_custkey, c_nationkey,
+       COUNT(o_orderkey) AS n_orders,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(14,2))), 0) AS DOUBLE) AS total_spend
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+WHERE c_custkey < 300
+GROUP BY c_custkey, c_nationkey
+ORDER BY c_custkey
+""",
+    category="function",
+)
+def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup(...).applyInPandas — the two-sided grouped-map surface:
+    each (customer-group, orders-group) pair lands in one pandas call.
+    Cent-integer accumulation keeps the totals exact, so even this
+    Python path hash-matches the relational oracle."""
+    t = Tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_custkey") < 300).select("c_custkey", "c_nationkey")
+    orders = t.orders.filter(F.col("o_custkey") < 300).select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def merge(c_pdf: pd.DataFrame, o_pdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(c_pdf):  # orders for a customer outside the filter
+            return pd.DataFrame(
+                columns=["c_custkey", "c_nationkey", "n_orders", "total_spend"]
+            )
+        cents = int(o_pdf["o_totalprice"].mul(100).round().astype("int64").sum()) if len(o_pdf) else 0
+        return pd.DataFrame(
+            {
+                "c_custkey": [c_pdf["c_custkey"].iloc[0]],
+                "c_nationkey": [c_pdf["c_nationkey"].iloc[0]],
+                "n_orders": [len(o_pdf)],
+                "total_spend": [cents / 100.0],
+            }
+        )
+
+    out = (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            merge,
+            schema="c_custkey long, c_nationkey int, n_orders long, total_spend double",
+        )
+    )
+    return out.orderBy("c_custkey")
