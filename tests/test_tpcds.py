@@ -1,0 +1,58 @@
+"""TPC-DS differential tests: materialize the generated catalog once,
+point Spark and DuckDB at the SAME parquet files, and hash-compare
+each query (the driver can't — its oracle views cover only the 10
+fixture tables, so the registry entries are rows-only there)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from walden_spark.queries.tpcds import SF, TPCDS_ORACLES
+from walden_spark.registry import load_all
+from walden_spark.sources.tpcds import TpcdsGen
+from tests.oracle_utils import compare_results
+
+
+@pytest.fixture(scope="module")
+def tpcds_env(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("tpcds"))
+    gen = TpcdsGen(spark, sf=SF, seed=42)
+    gen.write(out)
+    con = duckdb.connect()
+    for name in gen.TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+    # Spark side reads the SAME files (not a re-generation) so both
+    # engines see identical bits
+    for name in gen.TABLES:
+        spark.read.parquet(f"{out}/{name}").createOrReplaceTempView(f"tpcds_{name}")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(TPCDS_ORACLES))
+def test_tpcds_differential(spark, tpcds_env, name):
+    reg = load_all()
+    sdf = reg[name].fn(spark, "")  # generator queries ignore sf_dir
+    duck = tpcds_env.execute(TPCDS_ORACLES[name])
+    ok, msg = compare_results(sdf, duck)
+    assert ok, f"{name}: {msg}"
+
+
+def test_tpcds_datagen_deterministic(spark):
+    g1 = TpcdsGen(spark, sf=0.001, seed=42).store_sales().orderBy("ss_ticket_number").limit(50).collect()
+    g2 = TpcdsGen(spark, sf=0.001, seed=42).store_sales().orderBy("ss_ticket_number").limit(50).collect()
+    assert g1 == g2
+
+
+def test_tpcds_returns_join_back(spark):
+    """Every return references a real ticket and never returns more
+    than was bought."""
+    from pyspark.sql import functions as F
+
+    g = TpcdsGen(spark, sf=0.001, seed=42)
+    joined = g.store_returns().join(
+        g.store_sales(), F.col("ss_ticket_number") == F.col("sr_ticket_number"), "left"
+    )
+    assert joined.filter(F.col("ss_ticket_number").isNull()).count() == 0
+    assert joined.filter(F.col("sr_return_quantity") > F.col("ss_quantity")).count() == 0

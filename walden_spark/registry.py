@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.queries.events  # noqa: F401
     import walden_spark.queries.ddl  # noqa: F401
     import walden_spark.queries.sources  # noqa: F401
+    import walden_spark.queries.tpcds  # noqa: F401
     import walden_spark.functions.udf  # noqa: F401
     import walden_spark.operators.dedup  # noqa: F401
     import walden_spark.operators.rangejoin  # noqa: F401
