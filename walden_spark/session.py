@@ -16,8 +16,8 @@ Design-for-100TB notes
   matched to the 128MB Parquet target file size we write (see
   catalog.write_table), so one scan task ~ one row-group run.
 * AQE skew-join is enabled so a hot join key is split at runtime;
-  operators that aggregate on potentially-skewed keys additionally
-  expose explicit salting (operators/dedup.py).
+  skewed *aggregations* get the two-phase salting helper
+  (operators/skew.py::salted_agg).
 """
 
 from __future__ import annotations

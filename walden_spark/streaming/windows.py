@@ -209,3 +209,48 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(agg, "complete")
     return out.select("event_type", "enriched", "total")
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS signup_event, b.event_id AS purchase_event
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+    category="streaming",
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition:
+    signup → purchase by the same user within 1 hour. Both sides carry
+    watermarks and the time-interval condition bounds the join state
+    (rows age out once the watermark passes their window) — the
+    canonical funnel-analysis shape. On the closed fixture it equals
+    the batch interval self-join the oracle runs."""
+    a = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "signup")
+        .select(F.col("user_id").alias("a_user"), F.col("event_id").alias("signup_event"),
+                F.col("ts").alias("a_ts"))
+        .withWatermark("a_ts", "1 hour")
+    )
+    b = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"), F.col("event_id").alias("purchase_event"),
+                F.col("ts").alias("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+    )
+    joined = a.join(
+        b,
+        (F.col("a_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = _run_to_memory(
+        joined.select(F.col("a_user").alias("user_id"), "signup_event", "purchase_event"),
+        "append",
+    )
+    return out
