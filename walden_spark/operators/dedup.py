@@ -199,9 +199,9 @@ _MINHASH_SIG_SQL = "list_value(" + ", ".join(
 ) + ")"
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
+# Full MinHash+LSH pipeline as oracle SQL — used by dedup_minhash_lsh
+# and (as a nested subquery) by the connected-components clustering.
+_MINHASH_PAIRS_ORACLE = f"""
 WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM docs),
 hashed AS (SELECT doc_id, {_HS_SQL} AS hs FROM sh),
@@ -224,9 +224,10 @@ verified AS (
 )
 SELECT a_id, b_id, floor(jac * 1000000.0) / 1000000.0 AS jaccard
 FROM verified WHERE jac >= {JACCARD_THRESHOLD}
-""",
-    category="dedup",
-)
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE, category="dedup")
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection (shingle → 32-hash signature →
     8 bands × 4 rows → bucket self-join → exact-Jaccard verify ≥ 0.8).
@@ -442,3 +443,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
         block, schema="a_id long, b_id long, cos_sim double"
     )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ({_MINHASH_PAIRS_ORACLE})),
+edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+          UNION SELECT b_id, a_id FROM pairs),
+nodes AS (SELECT DISTINCT u FROM edges),
+reach(u, v) AS (
+  SELECT u, u FROM nodes
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u ORDER BY doc_id
+""",
+    category="dedup",
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph via iterative min-label propagation — each doc ends with
+    its component's minimum doc_id, i.e. the canonical survivor for
+    keep-one-per-cluster dedup.
+
+    This is the iterative-algorithm template (SURVEY §2.10 beyond-SQL):
+    a driver loop of joins, converging in O(graph diameter) rounds,
+    with localCheckpoint() truncating the plan between rounds so
+    lineage doesn't grow with iterations. The per-round shuffle is on
+    the edge key — at 100TB this is the standard large-scale CC plan
+    (label propagation, cf. Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014). The DuckDB oracle replays it as
+    a recursive transitive-closure CTE — feasible because near-dup
+    components are tiny even when the corpus is huge.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("a_id", "b_id")
+    edges = (
+        pairs.union(pairs.select(F.col("b_id").alias("a_id"), F.col("a_id").alias("b_id")))
+        .toDF("u", "v")
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    while True:
+        neigh = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select("u", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")).orderBy("doc_id")

@@ -214,3 +214,37 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(w)))).alias("fingerprint"),
         F.md5(F.concat_ws(" ", F.slice(w, 1, 8))).alias("prefix_hash"),
     )
+
+
+@query(
+    "text_pii_scan",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS n_emails,
+       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS n_phones,
+       len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn_like,
+       (len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+'))
+        + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))
+        + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))) > 0 AS has_pii
+FROM documents
+""",
+    category="text",
+)
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan (emails / phone-shaped / SSN-shaped) — the
+    filter stage every training-data pipeline runs before release.
+    Patterns restricted to the regex subset where Java (Spark) and RE2
+    (DuckDB) agree: char classes, bounded repeats, literals — no
+    backrefs/lookarounds (SURVEY §7.4 dialect risk)."""
+    t = Tables(spark, sf_dir)
+    email = r"[a-z0-9._]+@[a-z0-9.]+"
+    phone = r"[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+    ssn = r"[0-9]{3}-[0-9]{2}-[0-9]{4}"
+    n = lambda p: F.size(F.regexp_extract_all("text", F.lit(p), 0))  # noqa: E731
+    return t.documents.select(
+        "doc_id",
+        n(email).cast("long").alias("n_emails"),
+        n(phone).cast("long").alias("n_phones"),
+        n(ssn).cast("long").alias("n_ssn_like"),
+        ((n(email) + n(phone) + n(ssn)) > 0).alias("has_pii"),
+    )
