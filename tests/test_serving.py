@@ -34,3 +34,23 @@ def test_sqlshell_execute(spark, sf_dir, capsys):
     rc = sqlshell.main(["--sf-dir", sf_dir, "-e", "SELECT COUNT(*) AS n FROM nation"])
     assert rc == 0
     assert "25" in capsys.readouterr().out
+
+
+def test_thrift_in_session_binds(spark):
+    """In-process Thrift JDBC server (BI entry point) starts and
+    listens — the hive:// replacement for trino://trino:80/hive."""
+    import socket
+    import time
+
+    from walden_spark.plans.serving import start_thrift_in_session
+
+    start_thrift_in_session(spark, port=10124)
+    last = None
+    for _ in range(30):
+        try:
+            with socket.create_connection(("127.0.0.1", 10124), timeout=2):
+                return
+        except OSError as e:
+            last = e
+            time.sleep(1)
+    raise AssertionError(f"thrift port never opened: {last}")
