@@ -236,3 +236,79 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.floor(F.min("cos_sim") * 1000000.0) / 1000000.0).alias("min_cos"),
     )
+
+
+@query(
+    "knn_lsh_multiprobe",
+    oracle=f"""
+WITH planes_t AS (SELECT {_PLANES_SQL} AS planes),
+e AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket
+  FROM embeddings, planes_t
+),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM e WHERE vec_id < {N_QUERIES}),
+qp AS (
+  SELECT query_id, qe,
+         unnest([bucket] || [xor(bucket, CAST(power(2, p) AS BIGINT)) for p in range(0, {N_PLANES})]) AS probe
+  FROM q
+),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM e)
+SELECT query_id, neighbor_id, floor(cos_sim * 1000000.0) / 1000000.0 AS cos_sim
+FROM (
+  SELECT query_id, neighbor_id,
+         {_COS_SQL.format(a='qe', b='ce')} AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY {_COS_SQL.format(a='qe', b='ce')} DESC, neighbor_id) AS rn
+  FROM qp JOIN c ON probe = c.bucket
+  WHERE query_id <> neighbor_id
+)
+WHERE rn <= {TOP_K}
+""",
+    category="similarity",
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: probe the query's own bucket plus every
+    hamming-1 neighbor bucket (7 probes over 6 planes) — the standard
+    recall lever that avoids building more hash tables (Lv et al.,
+    "Multi-probe LSH", VLDB 2007). A candidate lives in exactly one
+    bucket and probes are distinct, so no pair-dedup step is needed;
+    the probe explode multiplies only the tiny query side."""
+    t = Tables(spark, sf_dir)
+    e = (
+        t.embeddings.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            "embedding",
+            F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+        )
+        .withColumn("bucket", _bucket_expr("embedding"))
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    )
+    q = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+            F.col("nrm").alias("qn"), F.explode(probes).alias("probe"),
+        )
+    )
+    c = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"), "bucket",
+    )
+    pairs = q.join(c, F.col("probe") == F.col("bucket")).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = pairs.withColumn(
+        "cos_sim", _dot(F.col("qe"), F.col("ce")) / F.col("qn") / F.col("cn")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"),
+        )
+    )
