@@ -129,19 +129,27 @@ ORDER BY o_orderpriority
 )
 def tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-priority checking (adapted: ship>order+90d replaces
-    commit<receipt) — EXISTS → left-semi join."""
+    commit<receipt). EXISTS(line later than o_orderdate+90d) ⟺
+    MAX(l_shipdate) per order > threshold, so instead of semi-joining
+    the full fact (shuffles every lineitem row) we pre-aggregate
+    max(l_shipdate) per orderkey — the map-side combiner shrinks the
+    shuffle ~4x (lines/order), and the filtered orders side joins the
+    compact aggregate (AQE broadcasts it when the date window is small,
+    shuffles when it isn't — no forced hint, safe at any scale)."""
     t = Tables(spark, sf_dir)
     orders = t.orders.filter(
         (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1996-04-01"))
     )
-    late = t.lineitem
-    semi = orders.join(
-        late,
-        (late.l_orderkey == orders.o_orderkey)
-        & (late.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")),
-        "left_semi",
+    max_ship = t.lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.max("l_shipdate").alias("max_ship")
     )
-    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count")).orderBy("o_orderpriority")
+    return (
+        orders.join(max_ship, F.col("k") == F.col("o_orderkey"))
+        .filter(F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
 
 
 @query(
