@@ -899,8 +899,14 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
         .select("l_orderkey", "l_suppkey")
     )
+    # Only orders that appear in l1 can qualify — restrict the
+    # distinct-supplier count to those before touching the full fact
+    # (the semi join is runtime-sized by AQE; the follow-on distinct
+    # then runs over the late orders' lines only, not all of lineitem).
+    l1_keys = l1.select(F.col("l_orderkey").alias("k_orderkey")).distinct()
     multi_supp = (
-        t.lineitem.select("l_orderkey", "l_suppkey").distinct()
+        t.lineitem.join(l1_keys, F.col("k_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey").distinct()
         .groupBy(F.col("l_orderkey").alias("m_orderkey"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
         .filter(F.col("n_supp") > 1)
