@@ -70,3 +70,29 @@ def test_datagen_write_idempotent(spark, tmp_path):
     gen.write(str(tmp_path), tables=["region", "nation"])
     gen.write(str(tmp_path), tables=["region", "nation"])  # overwrite, no error
     assert spark.read.parquet(str(tmp_path / "nation")).count() == 25
+
+
+def test_python_datasource_partition_planning(spark):
+    """Spark 4 Python DataSource API: custom connector with real split
+    planning — rows generated executor-side, one task per split."""
+    from walden_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("walden_seq")
+        .option("n", 10_000).option("partitions", 6).option("seed", 42)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+    assert df.count() == 10_000
+    # deterministic content: same options → same data
+    again = (
+        spark.read.format("walden_seq")
+        .option("n", 10_000).option("partitions", 3).option("seed", 42)
+        .load()
+    )
+    a = df.agg(F.sum("id"), F.sum("bucket"), F.sum("value")).collect()[0]
+    b = again.agg(F.sum("id"), F.sum("bucket"), F.sum("value")).collect()[0]
+    assert tuple(a) == tuple(b)  # partition count must not change the data
+    # predicate/limit still work through the python reader
+    assert df.filter(F.col("bucket") == 7).count() > 0
