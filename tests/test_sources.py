@@ -91,8 +91,12 @@ def test_python_datasource_partition_planning(spark):
         .option("n", 10_000).option("partitions", 3).option("seed", 42)
         .load()
     )
-    a = df.agg(F.sum("id"), F.sum("bucket"), F.sum("value")).collect()[0]
-    b = again.agg(F.sum("id"), F.sum("bucket"), F.sum("value")).collect()[0]
-    assert tuple(a) == tuple(b)  # partition count must not change the data
+    # exact (int/decimal) aggregates: partition count must not change data
+    exact = lambda d: tuple(  # noqa: E731
+        d.agg(
+            F.sum("id"), F.sum("bucket"), F.sum(F.col("value").cast("decimal(12,2)"))
+        ).collect()[0]
+    )
+    assert exact(df) == exact(again)
     # predicate/limit still work through the python reader
     assert df.filter(F.col("bucket") == 7).count() > 0
