@@ -128,3 +128,45 @@ def test_information_schema_columns(spark, cat, bucket):
         (F.col("table_schema") == SCHEMA) & (F.col("table_name") == "info_t")
     ).orderBy("ordinal_position").collect()
     assert [(c.column_name, c.data_type) for c in cols] == [("a", "int"), ("b", "string")]
+
+
+def test_analyze_feeds_explain_cost(spark, cat, bucket, sf_dir):
+    from walden_spark.catalog import analyze_table
+    from walden_spark.plans.serving import explain_cost
+    from walden_spark.tables import Tables
+
+    cat.create_schema(SCHEMA, location=bucket)
+    spark.conf.set("spark.sql.cbo.enabled", "true")  # session may predate the factory default
+    t = Tables(spark, sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {SCHEMA}.stats_nation")
+    t.nation.write.saveAsTable(f"{SCHEMA}.stats_nation")
+    analyze_table(spark, f"{SCHEMA}.stats_nation", columns=["n_nationkey"])
+    txt = explain_cost(spark, f"SELECT * FROM {SCHEMA}.stats_nation WHERE n_nationkey < 5")
+    assert "rowCount=" in txt  # CBO stats present, not just sizeInBytes
+
+
+def test_compact_table(spark, cat, bucket):
+    import glob
+
+    from walden_spark.catalog import compact_table
+
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.fragmented"
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v")
+    df.repartition(40).write.saveAsTable(t)  # simulate small-file ingest
+    before = len(glob.glob(f"{bucket}/fragmented/*.parquet"))
+    assert before >= 40
+    compact_table(spark, t, target_file_bytes=128 * 1024 * 1024, sort_by=["id"])
+    after = len(glob.glob(f"{bucket}/fragmented/*.parquet"))
+    assert after < before and after <= 4
+    assert spark.table(t).count() == 10_000
+    # sorted layout: row-group min/max are usable for skipping
+    import pyarrow.parquet as pq
+
+    f = glob.glob(f"{bucket}/fragmented/*.parquet")[0]
+    md = pq.ParquetFile(f).metadata
+    col_idx = [md.schema.column(i).name for i in range(md.num_columns)].index("id")
+    rgs = [md.row_group(i).column(col_idx).statistics for i in range(md.num_row_groups)]
+    assert all(s.min <= s.max for s in rgs)
+    mins = [s.min for s in rgs]
+    assert mins == sorted(mins), "sort_by layout should order row groups"

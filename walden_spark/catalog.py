@@ -262,3 +262,45 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def analyze_table(spark: SparkSession, name: str, columns: Sequence[str] | None = None) -> None:
+    """ANALYZE TABLE — populate CBO statistics (row counts, sizes, and
+    per-column NDV/min/max) so EXPLAIN COST and join reordering have
+    real numbers (SURVEY §4: the reference's Trino CBO equivalent).
+    """
+    spark.sql(f"ANALYZE TABLE {_q(name)} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {_q(name)} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+
+
+def compact_table(
+    spark: SparkSession,
+    name: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    sort_by: Sequence[str] | None = None,
+) -> int:
+    """Compact a managed Parquet table's small files (the Iceberg
+    `rewrite_data_files` maintenance analog — streaming ingest and
+    per-partition DML both fragment tables over time).
+
+    Rewrites to ceil(bytes/target) files via the same staging path the
+    DML layer uses; optional ``sort_by`` lays rows out for row-group
+    min/max skipping on those columns (Z-order-lite: effective for one
+    leading dimension, which is the common time-series case).
+    Returns the new file count.
+    """
+    import math
+
+    df = spark.table(name)
+    total_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    compacted = df.repartition(n_files)
+    if sort_by:
+        compacted = compacted.sortWithinPartitions(*sort_by)
+    staging = tempfile.mkdtemp(prefix=f"walden_compact_{uuid.uuid4().hex[:8]}_")
+    compacted.write.mode("overwrite").parquet(staging)
+    spark.read.parquet(staging).write.mode("overwrite").insertInto(name, overwrite=True)
+    return n_files
