@@ -248,3 +248,34 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(ssn).cast("long").alias("n_ssn_like"),
         ((n(email) + n(phone) + n(ssn)) > 0).alias("has_pii"),
     )
+
+
+@query(
+    "text_hash_split",
+    oracle=f"""
+SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM (
+  SELECT n_chars,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'val' END AS split
+  FROM documents
+)
+GROUP BY split ORDER BY split
+""",
+    category="text",
+)
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by content-stable hash of the
+    document id — the reproducible-split idiom every training pipeline
+    needs (no rand(): same doc always lands in the same split, across
+    reruns, engines, and partitionings). Uses the same portable
+    md5→int60 bridge as the MinHash pipeline."""
+    t = Tables(spark, sf_dir)
+    raw = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("bigint")
+    split = F.when(raw % 100 < 90, "train").otherwise("val")
+    return (
+        t.documents.select("n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("split")
+    )
