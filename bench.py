@@ -44,6 +44,9 @@ EXTRA_PREFIXES = (
     "text_quality",
     "udf_pandas_scalar",
     "events_tumbling",
+    "events_hypertable_rollup",
+    "range_join_binned",
+    "skew_salted_agg",
     "win_ranking",
 )
 
