@@ -1,1 +1,2 @@
-"""North-star operators (SURVEY.md §7.1 M4)."""
+"""North-star operators: dedup, similarity search, text analysis,
+multimodal plumbing, range joins, rollups, skew-aware aggregation."""

@@ -1,1 +1,2 @@
-"""Source/sink connectors (CSV/JSON/JDBC registry)."""
+"""Sources & sinks: file formats, config-driven registry, generator
+catalogs (TPC-H/TPC-DS), Python DataSource connectors."""

@@ -1,1 +1,2 @@
-"""Structured Streaming extension (M5)."""
+"""Structured Streaming extension: windows, watermarks, stateful
+operators, sinks (SURVEY §7.1 M5 — beyond the batch-only reference)."""
