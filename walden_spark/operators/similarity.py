@@ -75,30 +75,50 @@ WHERE rn <= {TOP_K}
 )
 def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-k cosine neighbors for a probe set (brute force): the
-    probe side is broadcast, so the scan of the corpus is a single map
-    pass with a per-group TopK — no corpus shuffle."""
+    probe matrix is broadcast as dense numpy and the corpus scan is a
+    single Arrow-batched map — each batch does ONE matmul against all
+    probes (C_batch @ Q.T), no corpus shuffle, no per-pair folds. The
+    per-query TopK window then ranks the emitted Q·|corpus| pairs.
+    Float note: the matmul's 1e-16 drift vs the oracle's sequential
+    fold is absorbed by floor-quantization on emitted values and is
+    orders below any realistic rank gap between distinct vectors."""
+    import numpy as np
+    import pandas as pd
+
     t = Tables(spark, sf_dir)
-    # Precompute each row's norm once (pure CSE — bit-identical to the
-    # inline form, 3x fewer interpreted array folds per pair), and
-    # spread the corpus scan across cores (single-file fixture).
-    e = t.embeddings.repartition(spark.sparkContext.defaultParallelism).select(
-        "vec_id", "embedding", F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm")
-    )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), F.col("nrm").alias("qn")
-    )
-    c = e.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), F.col("nrm").alias("cn")
-    )
-    pairs = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-    scored = pairs.withColumn(
-        "cos_sim", _dot(F.col("qe"), F.col("ce")) / F.col("qn") / F.col("cn")
+    e = t.embeddings.select("vec_id", "embedding")
+    q_pdf = e.filter(F.col("vec_id") < N_QUERIES).toPandas()
+    q_ids = q_pdf["vec_id"].to_numpy()
+    Q = np.stack(q_pdf["embedding"].to_numpy()).astype(np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((q_ids, Q, qn))
+
+    def score(batches):
+        q_ids_, Qm, qn_ = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["vec_id"].to_numpy()
+            C = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            S = (C @ Qm.T) / cn[:, None] / qn_[None, :]  # |batch| x |probes|
+            ci, qi = np.nonzero(c_ids[:, None] != q_ids_[None, :])
+            yield pd.DataFrame(
+                {"query_id": q_ids_[qi], "neighbor_id": c_ids[ci], "cos_sim": S[ci, qi]}
+            )
+
+    scored = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos_sim double"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
-        .select("query_id", "neighbor_id", (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"), F.col("rn").cast("int").alias("rn"))
+        .select(
+            "query_id", "neighbor_id",
+            (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"),
+            F.col("rn").cast("int").alias("rn"),
+        )
     )
 
 
