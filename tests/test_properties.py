@@ -119,3 +119,42 @@ def test_agg_vs_window_consistency(spark, x):
     assert by_group == by_window
     want = _canon(_duck("SELECT a, CAST(SUM(b) AS INT) FROM x GROUP BY a", x=x))
     assert by_group == want
+
+
+@SETTINGS
+@given(x=frame, y=frame)
+def test_outer_join_matches_duckdb(spark, x, y):
+    dx, dy = _spark_df(spark, x), _spark_df(spark, y)
+    pre = dx.alias("l").join(dy.alias("r"), dx["a"] == dy["a"], "full_outer").select(
+        F.col("l.a").alias("la"), F.col("l.b").alias("lb"),
+        F.col("r.a").alias("ra"), F.col("r.b").alias("rb"),
+    )
+    got = _canon([tuple(r) for r in pre.collect()])
+    want = _canon(
+        _duck(
+            "SELECT x.a AS la, x.b AS lb, y.a AS ra, y.b AS rb "
+            "FROM x FULL OUTER JOIN y ON x.a = y.a",
+            x=x, y=y,
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(x=frame, y=frame)
+def test_left_join_decomposition(spark, x, y):
+    """LEFT JOIN ≡ INNER JOIN ∪ (ANTI rows null-extended) — the
+    identity Catalyst's outer-join rewrites must preserve."""
+    dx, dy = _spark_df(spark, x), _spark_df(spark, y)
+    left = dx.alias("l").join(dy.alias("r"), dx["a"] == dy["a"], "left").select(
+        F.col("l.a"), F.col("l.b"), F.col("r.b").alias("rb")
+    )
+    inner = dx.alias("l").join(dy.alias("r"), dx["a"] == dy["a"], "inner").select(
+        F.col("l.a"), F.col("l.b"), F.col("r.b").alias("rb")
+    )
+    anti = dx.join(dy, dx["a"] == dy["a"], "left_anti").select(
+        "a", "b", F.lit(None).cast("int").alias("rb")
+    )
+    got_left = _canon([tuple(r) for r in left.collect()])
+    got_dec = _canon([tuple(r) for r in inner.unionByName(anti).collect()])
+    assert got_left == got_dec
