@@ -128,3 +128,70 @@ def tpcds_q1_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("sr_customer_sk", "ss_store_sk", F.col("total_ret").cast("double").alias("total_ret"))
         .orderBy("sr_customer_sk", "ss_store_sk")
     )
+
+
+@_tpcds(
+    "tpcds_cross_channel",
+    """
+WITH ss AS (
+  SELECT i_category, d_year,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS store_rev
+  FROM store_sales JOIN date_dim ON d_date_sk = ss_sold_date_sk
+       JOIN item ON i_item_sk = ss_item_sk
+  GROUP BY i_category, d_year
+),
+ws AS (
+  SELECT i_category, d_year,
+         SUM(CAST(ws_net_paid AS DECIMAL(14,2))) AS web_rev
+  FROM web_sales JOIN date_dim ON d_date_sk = ws_sold_date_sk
+       JOIN item ON i_item_sk = ws_item_sk
+  GROUP BY i_category, d_year
+)
+SELECT COALESCE(ss.i_category, ws.i_category) AS i_category,
+       COALESCE(ss.d_year, ws.d_year) AS d_year,
+       CAST(COALESCE(store_rev, 0) AS DOUBLE) AS store_rev,
+       CAST(COALESCE(web_rev, 0) AS DOUBLE) AS web_rev,
+       CAST(COALESCE(store_rev, 0) AS DOUBLE)
+         / nullif(CAST(COALESCE(web_rev, 0) AS DOUBLE), 0) AS store_to_web
+FROM ss FULL OUTER JOIN ws
+  ON ss.i_category = ws.i_category AND ss.d_year = ws.d_year
+ORDER BY i_category, d_year
+""",
+)
+def tpcds_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-channel revenue comparison (the defining TPC-DS pattern:
+    multiple fact channels conformed on shared dimensions): store vs
+    web revenue per (category, year) with a full-outer channel merge.
+    Each channel aggregates independently (decimal-exact), then the two
+    small aggregates join — the facts themselves never co-shuffle."""
+    g = _gen(spark)
+    dd = F.broadcast(g.date_dim())
+    it = F.broadcast(g.item())
+    ss = (
+        g.store_sales()
+        .join(dd, F.col("d_date_sk") == F.col("ss_sold_date_sk"))
+        .join(it, F.col("i_item_sk") == F.col("ss_item_sk"))
+        .groupBy("i_category", "d_year")
+        .agg(F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).alias("store_rev"))
+    )
+    ws = (
+        g.web_sales()
+        .join(dd, F.col("d_date_sk") == F.col("ws_sold_date_sk"))
+        .join(it, F.col("i_item_sk") == F.col("ws_item_sk"))
+        .groupBy("i_category", "d_year")
+        .agg(F.sum(F.col("ws_net_paid").cast("decimal(14,2)")).alias("web_rev"))
+    )
+    merged = ss.alias("s").join(
+        ws.alias("w"),
+        (F.col("s.i_category") == F.col("w.i_category")) & (F.col("s.d_year") == F.col("w.d_year")),
+        "full_outer",
+    )
+    store_rev = F.coalesce(F.col("store_rev"), F.lit(0)).cast("double")
+    web_rev = F.coalesce(F.col("web_rev"), F.lit(0)).cast("double")
+    return merged.select(
+        F.coalesce(F.col("s.i_category"), F.col("w.i_category")).alias("i_category"),
+        F.coalesce(F.col("s.d_year"), F.col("w.d_year")).alias("d_year"),
+        store_rev.alias("store_rev"),
+        web_rev.alias("web_rev"),
+        (store_rev / F.nullif(web_rev, F.lit(0.0))).alias("store_to_web"),
+    ).orderBy("i_category", "d_year")

@@ -104,6 +104,26 @@ class TpcdsGen:
             _money2(price * qty * (1 - (_h(s + 45, k) % 30) / 100.0)).alias("ss_net_paid"),
         )
 
+    def web_sales(self) -> DataFrame:
+        """Second sales channel (~40% of store volume) — enables the
+        cross-channel query family TPC-DS exists to exercise."""
+        n = max(1, int(1_150_000 * self.sf))
+        nitem = max(1, int(18_000 * self.sf))
+        ncust = max(1, int(100_000 * self.sf))
+        s = self.seed
+        k = F.col("ws_order_number")
+        qty = (_h(s + 53, k) % 100 + 1).cast("int")
+        price = _uniform(s + 54, k, 0.5, 300.0)
+        return self._range(n, "ws_order_number").select(
+            "ws_order_number",
+            (_h(s + 49, k) % N_DAYS).alias("ws_sold_date_sk"),
+            (_h(s + 50, k) % nitem).alias("ws_item_sk"),
+            (_h(s + 51, k) % ncust).alias("ws_customer_sk"),
+            qty.alias("ws_quantity"),
+            _money2(price).alias("ws_list_price"),
+            _money2(price * qty * (1 - (_h(s + 52, k) % 30) / 100.0)).alias("ws_net_paid"),
+        )
+
     def store_returns(self) -> DataFrame:
         """~10% of tickets return (keyed off the sale row, so each
         return joins back to a real ticket)."""
@@ -127,7 +147,9 @@ class TpcdsGen:
             ).alias("sr_return_amt"),
         )
 
-    TABLES = ("date_dim", "item", "store", "customer", "store_sales", "store_returns")
+    TABLES = (
+        "date_dim", "item", "store", "customer", "store_sales", "store_returns", "web_sales"
+    )
 
     def table(self, name: str) -> DataFrame:
         if name not in self.TABLES:
