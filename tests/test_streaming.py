@@ -81,3 +81,26 @@ def test_foreach_batch_parquet_sink(spark, tmp_path, sf_dir):
     n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert written.count() == n_src
     assert "batch_id" in written.columns
+
+
+def test_foreach_batch_checkpoint_recovery(spark, tmp_path):
+    """Restarting a foreachBatch sink from its checkpoint must process
+    only NEW files and never duplicate already-committed batches — the
+    exactly-once table-semantics claim of streaming/sinks.py."""
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = time.time() - 100
+    _write_batch(spark, f"{src}/b1", [(1, "2024-01-01 10:00:00", 1.0),
+                                      (2, "2024-01-01 10:01:00", 1.0)], t0)
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    q = parquet_sink(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 2
+
+    # second run, same checkpoint: one new file appears
+    _write_batch(spark, f"{src}/b2", [(3, "2024-01-01 10:02:00", 1.0)], t0 + 10)
+    stream2 = spark.readStream.schema(SCHEMA).parquet(f"{src}/*")
+    q2 = parquet_sink(stream2, out, ckpt)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 3  # no reprocessing of b1, no loss of b2
+    assert {r.id for r in got.select("id").collect()} == {1, 2, 3}
