@@ -1,0 +1,53 @@
+"""Registry/driver-contract hygiene: invariants the round driver
+depends on, enforced so future additions can't silently break them."""
+
+from __future__ import annotations
+
+import re
+
+from walden_spark.registry import load_all
+
+
+def test_every_query_documented_and_categorized():
+    reg = load_all()
+    for name, q in reg.items():
+        assert q.doc, f"{name} has no docstring"
+        assert q.category, f"{name} has no category"
+        assert re.fullmatch(r"[a-z0-9_]+", name), f"{name} is not a clean identifier"
+
+
+def test_oracle_sql_targets_fixture_views_only():
+    """Driver oracles may only reference the 10 pre-registered fixture
+    views (TPC-DS tables live behind rows-only entries by design)."""
+    fixture_tables = {
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    }
+    tpcds_tables = {"date_dim", "item", "store", "store_sales", "store_returns", "web_sales"}
+    reg = load_all()
+    for name, q in reg.items():
+        if not q.oracle:
+            continue
+        used = set(re.findall(r"\bFROM\s+([a-z_][a-z0-9_]*)", q.oracle, re.IGNORECASE))
+        used |= set(re.findall(r"\bJOIN\s+([a-z_][a-z0-9_]*)", q.oracle, re.IGNORECASE))
+        bad = (used & tpcds_tables) - fixture_tables
+        assert not bad, f"{name} oracle references driver-unavailable tables: {bad}"
+
+
+def test_entry_schema_stable(spark):
+    """The driver smoke-checks entry() for a stable schema — two builds
+    must agree exactly."""
+    import __spark_entry__ as e
+
+    s1 = e.entry(spark).schema
+    s2 = e.entry(spark).schema
+    assert s1 == s2
+
+
+def test_queries_and_oracles_consistent():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and s.strip() for s in osql.values())
