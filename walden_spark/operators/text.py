@@ -279,3 +279,51 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
         .orderBy("split")
     )
+
+
+@query(
+    "text_repetition",
+    oracle="""
+SELECT doc_id,
+       n_grams,
+       n_distinct,
+       floor((1.0 - CAST(n_distinct AS DOUBLE) / nullif(n_grams, 0)) * 1000000.0)
+         / 1000000.0 AS dup_gram_frac,
+       (1.0 - CAST(n_distinct AS DOUBLE) / nullif(n_grams, 0)) > 0.3 AS is_repetitive
+FROM (
+  SELECT doc_id,
+         len(w) - 2 AS n_grams,
+         len(list_distinct([w[i] || '_' || w[i+1] || '_' || w[i+2]
+                            for i in range(1, len(w) - 1)])) AS n_distinct
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+  WHERE len(w) >= 3
+)
+""",
+    category="text",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: duplicate word-3-gram fraction — the
+    Gopher-style quality signal for boilerplate/looping text (Rae et
+    al., "Scaling Language Models: ... Gopher", 2021, §A1.1 repetition
+    filters). A doc with >30% duplicate 3-grams is flagged. Pure map
+    work: per-row array ops, no shuffle at all."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    w = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.concat_ws("_", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    n_grams = (F.size(w) - 2).cast("long")
+    n_distinct = F.size(F.array_distinct(grams)).cast("long")
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / F.nullif(n_grams, F.lit(0))
+    return (
+        t.documents.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select(
+            "doc_id",
+            n_grams.alias("n_grams"),
+            n_distinct.alias("n_distinct"),
+            (F.floor(dup_frac * 1000000.0) / 1000000.0).alias("dup_gram_frac"),
+            (dup_frac > 0.3).alias("is_repetitive"),
+        )
+    )
