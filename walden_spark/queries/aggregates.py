@@ -401,3 +401,37 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-values job at scale)."""
     t = Tables(spark, sf_dir)
     return t.lineitem.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
+
+
+@query("agg_hll_sketch", oracle=None, category="aggregate")
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch surface (Trino's HyperLogLog type, SURVEY §1.2):
+    per-segment DataSketches HLL sketches built with hll_sketch_agg,
+    merged across segments with hll_union_agg — the mergeable-sketch
+    pattern that makes distributed distinct-count pre-aggregation
+    possible (build once per partition/segment, union anywhere,
+    estimate at the end). Sketch bits are engine-specific → rows-only
+    for the driver; tests/test_sketches.py bounds the estimates against
+    exact counts."""
+    t = Tables(spark, sf_dir)
+    per_seg = t.customer.groupBy("c_mktsegment").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_distinct"),
+    )
+    per_seg_est = per_seg.select(
+        "c_mktsegment",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("approx_distinct"),
+        "exact_distinct",
+        F.lit("segment").alias("level"),
+    )
+    total = (
+        per_seg.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("approx_distinct"),
+            F.sum("exact_distinct").alias("exact_distinct"),  # custkeys are disjoint across segments
+        )
+        .select(
+            F.lit("ALL").alias("c_mktsegment"), "approx_distinct", "exact_distinct",
+            F.lit("union").alias("level"),
+        )
+    )
+    return per_seg_est.unionByName(total).orderBy("level", "c_mktsegment")
