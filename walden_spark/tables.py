@@ -36,6 +36,12 @@ BROADCAST_DIMS = {"region", "nation"}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-defense for caller-provided sessions (the driver runs queries
+    # under ITS session): timestamp formatting/windowing of the events
+    # TimestampType column is session-TZ-dependent, and every oracle
+    # assumes UTC wall time. Our own factory sets UTC; pin it here too.
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark has no ns
         # precision. Read the raw int64 (legacy conf, runtime-settable
