@@ -195,3 +195,57 @@ def tpcds_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         web_rev.alias("web_rev"),
         (store_rev / F.nullif(web_rev, F.lit(0.0))).alias("store_to_web"),
     ).orderBy("i_category", "d_year")
+
+
+@_tpcds(
+    "tpcds_q59_growth",
+    """
+WITH m AS (
+  SELECT ss_store_sk, d_year * 12 + d_moy AS mid,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS rev
+  FROM store_sales JOIN date_dim ON d_date_sk = ss_sold_date_sk
+  GROUP BY 1, 2
+)
+SELECT cur.ss_store_sk, cur.mid,
+       CAST(cur.rev AS DOUBLE) AS rev,
+       CAST(prev.rev AS DOUBLE) AS prev_rev,
+       floor(CAST(cur.rev AS DOUBLE) / CAST(prev.rev AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS growth
+FROM m cur JOIN m prev
+  ON cur.ss_store_sk = prev.ss_store_sk AND cur.mid = prev.mid + 1
+ORDER BY cur.ss_store_sk, cur.mid
+""",
+)
+def tpcds_q59_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59 shape: period-over-period revenue comparison per
+    store. The oracle writes it as the classic self-join on
+    (store, period+1); the Spark side uses the idiomatic window lag —
+    ONE shuffle on store instead of re-shuffling the aggregate twice,
+    same rows (month index d_year*12+d_moy keeps the period arithmetic
+    engine-portable — no week()-function dialect drift)."""
+    from pyspark.sql import Window
+
+    g = _gen(spark)
+    m = (
+        g.store_sales()
+        .join(F.broadcast(g.date_dim()), F.col("d_date_sk") == F.col("ss_sold_date_sk"))
+        .groupBy("ss_store_sk", (F.col("d_year") * 12 + F.col("d_moy")).alias("mid"))
+        .agg(F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("ss_store_sk").orderBy("mid")
+    return (
+        m.withColumn("prev_rev", F.lag("rev").over(w))
+        .withColumn("prev_mid", F.lag("mid").over(w))
+        .filter(F.col("mid") == F.col("prev_mid") + 1)
+        .select(
+            "ss_store_sk",
+            "mid",
+            F.col("rev").cast("double").alias("rev"),
+            F.col("prev_rev").cast("double").alias("prev_rev"),
+            (
+                F.floor(F.col("rev").cast("double") / F.col("prev_rev").cast("double") * 1000000.0)
+                / 1000000.0
+            ).alias("growth"),
+        )
+        .orderBy("ss_store_sk", "mid")
+    )
