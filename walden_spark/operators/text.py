@@ -90,7 +90,7 @@ FROM (
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, stopword ratio, mean word length →
-    weighted [0,1] score (heuistic quality filter for training data)."""
+    weighted [0,1] score (heuristic quality filter for training data)."""
     t = Tables(spark, sf_dir)
     w = _words()
     n_words = F.size(w)
