@@ -1,0 +1,56 @@
+"""SQL-text entry parity: the same queries users would type into the
+shell / Thrift endpoint (literal Spark SQL over registered views) must
+equal the DataFrame-built registry results — proving the SQL surface
+is the DataFrame surface (one Catalyst underneath)."""
+
+from __future__ import annotations
+
+from walden_spark.registry import load_all
+from walden_spark.tables import register_views
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sql_text_equals_dataframe_q6(spark, sf_dir):
+    register_views(spark, sf_dir)
+    reg = load_all()
+    df_result = reg["tpch_q6"].fn(spark, sf_dir)
+    sql_result = spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """
+    )
+    assert _rows(df_result) == _rows(sql_result)
+
+
+def test_sql_text_equals_dataframe_q1(spark, sf_dir):
+    register_views(spark, sf_dir)
+    reg = load_all()
+    df_result = reg["tpch_q1"].fn(spark, sf_dir)
+    sql_result = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                        * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(l_quantity) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+    assert _rows(df_result) == _rows(sql_result)

@@ -495,3 +495,38 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg"))
         .orderBy(F.col("seg").asc_nulls_first(), F.col("c_custkey").desc())
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    oracle="""
+SELECT c_custkey,
+       (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+       (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM orders WHERE o_custkey = c_custkey) AS max_spend
+FROM customer
+WHERE c_custkey < 200
+ORDER BY c_custkey
+""",
+    category="join",
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list — run as literal
+    SQL so Catalyst's decorrelation (subquery → left outer aggregate
+    join) is exercised end-to-end rather than hand-rewritten. The plan
+    contains no per-row subquery execution: both scalars decorrelate
+    into one aggregate join."""
+    from walden_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    t.customer.createOrReplaceTempView("sq_customer")
+    t.orders.createOrReplaceTempView("sq_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT COUNT(*) FROM sq_orders WHERE o_custkey = c_custkey) AS n_orders,
+               (SELECT CAST(MAX(o_totalprice) AS DOUBLE) FROM sq_orders WHERE o_custkey = c_custkey) AS max_spend
+        FROM sq_customer
+        WHERE c_custkey < 200
+        ORDER BY c_custkey
+        """
+    )
