@@ -530,3 +530,81 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+WITH RECURSIVE months(mid) AS (
+  SELECT 0
+  UNION ALL
+  SELECT mid + 1 FROM months WHERE mid < 78
+)
+SELECT m.mid,
+       COUNT(o_orderkey) AS n_orders
+FROM months m
+LEFT JOIN orders
+  ON (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12 + EXTRACT(MONTH FROM o_orderdate) - 1 = m.mid
+GROUP BY m.mid
+ORDER BY m.mid
+""",
+    category="join",
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4 recursive CTE): generate a month spine
+    and left-join order counts — the gaps-filling calendar pattern that
+    previously needed sequence()+explode. Same SQL runs in DuckDB."""
+    from walden_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("rc_orders")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(mid) AS (
+          SELECT 0
+          UNION ALL
+          SELECT mid + 1 FROM months WHERE mid < 78
+        )
+        SELECT m.mid, COUNT(o_orderkey) AS n_orders
+        FROM months m
+        LEFT JOIN rc_orders
+          ON (EXTRACT(YEAR FROM o_orderdate) - 1992) * 12 + EXTRACT(MONTH FROM o_orderdate) - 1 = m.mid
+        GROUP BY m.mid
+        ORDER BY m.mid
+        """
+    )
+
+
+@query(
+    "agg_unpivot",
+    oracle="""
+SELECT o_orderstatus, 'n_orders' AS metric, CAST(COUNT(*) AS DOUBLE) AS value
+FROM orders GROUP BY o_orderstatus
+UNION ALL
+SELECT o_orderstatus, 'total_price',
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+FROM orders GROUP BY o_orderstatus
+ORDER BY o_orderstatus, metric
+""",
+    category="aggregate",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (Spark 3.4+): melt wide aggregates into (key, metric,
+    value) rows — the inverse of agg_pivot. Oracle uses the portable
+    UNION ALL formulation (DuckDB's UNPIVOT dialect differs)."""
+    from walden_spark.tables import Tables
+
+    t = Tables(spark, sf_dir)
+    wide = t.orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+    )
+    wide.createOrReplaceTempView("unpivot_wide")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, metric, value
+        FROM unpivot_wide
+        UNPIVOT (value FOR metric IN (n_orders, total_price))
+        ORDER BY o_orderstatus, metric
+        """
+    )
