@@ -66,9 +66,10 @@ WITH base AS (
          COUNT(*) AS n, SUM(CAST(value AS DECIMAL(14,2))) AS total
   FROM events GROUP BY 1, 2
 )
-SELECT level, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s, event_type, n,
+SELECT level, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_s, event_type,
+       CAST(n AS BIGINT) AS n,
        CAST(total AS DOUBLE) AS total,
-       CAST(total AS DOUBLE) / n AS avg_value
+       CAST(total AS DOUBLE) / CAST(n AS BIGINT) AS avg_value
 FROM (
   SELECT '15m' AS level, bucket, event_type, n, total FROM base
   UNION ALL

@@ -253,7 +253,7 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_hash_split",
     oracle=f"""
-SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM (
   SELECT n_chars,
          CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90

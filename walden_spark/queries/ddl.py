@@ -102,7 +102,8 @@ def ddl_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ddl_dml_cow",
     oracle="""
 WITH base AS (
-  SELECT * FROM (VALUES (1, 10.0, 'ok'), (2, -5.0, 'ok'), (3, 7.5, 'hold'), (4, 8.0, 'ok'))
+  SELECT CAST(id AS BIGINT) AS id, CAST(bal AS DOUBLE) AS bal, status
+  FROM (VALUES (1, 10.0, 'ok'), (2, -5.0, 'ok'), (3, 7.5, 'hold'), (4, 8.0, 'ok'))
        AS t(id, bal, status)
 ),
 after_delete AS (SELECT * FROM base WHERE NOT (bal < 0)),
@@ -115,7 +116,8 @@ merged AS (
          COALESCE(s.bal, t.bal) AS bal,
          COALESCE(s.status, t.status) AS status
   FROM after_update t
-  FULL OUTER JOIN (VALUES (1, 100.0, 'ok'), (9, 1.0, 'new')) AS s(id, bal, status)
+  FULL OUTER JOIN (SELECT CAST(id AS BIGINT) AS id, CAST(bal AS DOUBLE) AS bal, status
+                   FROM (VALUES (1, 100.0, 'ok'), (9, 1.0, 'new')) AS v(id, bal, status)) s
     ON t.id = s.id
 )
 SELECT id, bal, status FROM merged ORDER BY id

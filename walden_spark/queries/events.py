@@ -125,7 +125,7 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_agg",
     oracle="""
 SELECT event_type,
-       SUM(CAST(props->>'$.k' AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS k_total,
        COUNT(*) FILTER (WHERE CAST(props->>'$.k' AS BIGINT) > 50) AS n_high
 FROM events
 GROUP BY event_type

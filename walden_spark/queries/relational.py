@@ -23,7 +23,7 @@ SELECT p_partkey,
        CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
        coalesce(nullif(p_type, 'STANDARD'), 'DEFAULT') AS type_or_default,
        CAST(p_size AS BIGINT) AS size_l,
-       CAST(p_retailprice AS DECIMAL(12,2)) * 2 AS double_price,
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 2 AS DOUBLE) AS double_price,
        p_name LIKE '%bolt%' AS is_bolt
 FROM part
 """,
@@ -41,7 +41,7 @@ def proj_case_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("size_class"),
         F.coalesce(F.nullif(F.col("p_type"), F.lit("STANDARD")), F.lit("DEFAULT")).alias("type_or_default"),
         F.col("p_size").cast("bigint").alias("size_l"),
-        (F.col("p_retailprice").cast("decimal(12,2)") * 2).alias("double_price"),
+        (F.col("p_retailprice").cast("decimal(12,2)") * 2).cast("double").alias("double_price"),
         F.col("p_name").like("%bolt%").alias("is_bolt"),
     )
 
@@ -317,7 +317,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_anti_null_aware",
     oracle="""
-SELECT COUNT(*) AS n_not_in, SUM(CAST(p_partkey AS BIGINT)) AS key_sum
+SELECT COUNT(*) AS n_not_in, CAST(SUM(p_partkey) AS BIGINT) AS key_sum
 FROM part
 WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
 """,
@@ -328,7 +328,7 @@ def join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["part", "lineitem"])
     return spark.sql(
         """
-        SELECT COUNT(*) AS n_not_in, SUM(CAST(p_partkey AS BIGINT)) AS key_sum
+        SELECT COUNT(*) AS n_not_in, CAST(SUM(p_partkey) AS BIGINT) AS key_sum
         FROM part
         WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48)
         """

@@ -133,14 +133,14 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
 SELECT vec_id,
-       abs(x) AS ax, ceil(x) AS cx, floor(x) AS fx, round(x, 2) AS rx,
+       abs(x) AS ax, CAST(ceil(x) AS BIGINT) AS cx, CAST(floor(x) AS BIGINT) AS fx, round(x, 2) AS rx,
        floor(power(abs(x), 2.0) * 1000000000.0) / 1000000000.0 AS p2,
        floor(exp(x / 100) * 1000000000.0) / 1000000000.0 AS ex,
        floor(ln(abs(x) + 1) * 1000000000.0) / 1000000000.0 AS lnx,
        floor(log10(abs(x) + 1) * 1000000000.0) / 1000000000.0 AS log10x,
        floor(sqrt(abs(x)) * 1000000000.0) / 1000000000.0 AS sqx,
        CAST(vec_id % 7 AS BIGINT) AS m7,
-       sign(x - 50) AS sgn,
+       CAST(sign(x - 50) AS DOUBLE) AS sgn,
        floor(sin(x / 10) * 1000000000.0) / 1000000000.0 AS sx,
        greatest(x, 50.0) AS gr, least(x, 50.0) AS le,
        floor(pi() * 1000000000.0) / 1000000000.0 AS pi_val
@@ -317,7 +317,7 @@ SELECT event_id,
        CAST(props->>'$.k' AS BIGINT) AS k_val,
        json_extract_string(props, '$.k') AS k_str,
        json_valid(props) AS is_valid,
-       json_array_length('[1,2,3]') AS arr_len
+       CAST(json_array_length('[1,2,3]') AS BIGINT) AS arr_len
 FROM events WHERE event_id < 200
 """,
     category="function",

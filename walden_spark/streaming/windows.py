@@ -183,7 +183,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_static_join",
     oracle="""
 SELECT event_type,
-       SUM(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END) AS enriched,
+       CAST(SUM(CASE WHEN u.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS enriched,
        COUNT(*) AS total
 FROM events e LEFT JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0) u
      ON e.user_id = u.user_id
