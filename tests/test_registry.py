@@ -34,6 +34,28 @@ def test_oracle_sql_targets_fixture_views_only():
         assert not bad, f"{name} oracle references driver-unavailable tables: {bad}"
 
 
+def test_driver_window_spans_every_family():
+    """The driver hash-checks only the first 50 registry entries; that
+    prefix must (a) be exactly the curated DRIVER_WINDOW, (b) cover
+    every category in the registry except tpcds (rows-only by design,
+    its tables aren't driver views), and (c) be fully oracle-backed so
+    every checked row is a hash check, not rows-only."""
+    from walden_spark.registry import DRIVER_WINDOW
+
+    reg = load_all()
+    assert len(DRIVER_WINDOW) == 50
+    first50 = list(reg)[:50]
+    assert first50 == list(DRIVER_WINDOW)
+
+    all_cats = {q.category for q in reg.values()}
+    window_cats = {reg[n].category for n in DRIVER_WINDOW}
+    assert all_cats - window_cats <= {"tpcds"}, (
+        f"families missing from driver window: {all_cats - window_cats}"
+    )
+    no_oracle = [n for n in DRIVER_WINDOW if not reg[n].oracle]
+    assert not no_oracle, f"driver-window queries without oracle: {no_oracle}"
+
+
 def test_entry_schema_stable(spark):
     """The driver smoke-checks entry() for a stable schema — two builds
     must agree exactly."""

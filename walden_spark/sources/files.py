@@ -53,6 +53,16 @@ def read_json(spark: SparkSession, path: str, schema: str | None = None) -> Data
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """ORC source — the reference's actual storage format
+    (tf/main.tf:96 hive.storage-format=ORC); Spark reads it natively
+    with the same vectorized reader + predicate pushdown as Parquet."""
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
 def write_parquet(
     df: DataFrame,
     path: str,
@@ -74,6 +84,18 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+) -> None:
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
 
 
 def csv_upload_to_table(
