@@ -121,6 +121,93 @@ def test_partition_scoped_rewrite(spark, cat, bucket):
     assert before_d2 == after_d2, "untouched partition must not be rewritten"
 
 
+def test_delete_empties_whole_partition(spark, cat, bucket):
+    """ADVICE r01 high #1: deleting every row in a scoped partition must
+    actually remove the partition — dynamic overwrite alone never
+    touches a partition absent from the staged output."""
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.events_all_del"
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 50 else "d2", float(i)) for i in range(100)],
+        "id long, day string, v double",
+    )
+    cat.write_table(df, t, partition_by=["day"])
+
+    cat.delete_where(t, F.col("day") == "d1", partition_pred=F.col("day") == "d1")
+    assert spark.table(t).count() == 50
+    assert spark.table(t).filter(F.col("day") == "d1").count() == 0
+    # d2 untouched
+    assert spark.table(t).filter(F.col("day") == "d2").count() == 50
+
+
+def test_merge_rejects_source_outside_partition_scope(spark, cat, bucket):
+    """ADVICE r01 high #2: a source row keyed into a partition outside
+    partition_pred must raise — not wipe the untouched partition."""
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.events_merge_scope"
+    df = spark.createDataFrame(
+        [(i, "d1" if i < 50 else "d2", float(i)) for i in range(100)],
+        "id long, day string, v double",
+    )
+    cat.write_table(df, t, partition_by=["day"])
+
+    src = spark.createDataFrame([(60, "d2", 999.0)], "id long, day string, v double")
+    with pytest.raises(ValueError, match="outside partition_pred scope"):
+        cat.merge_into(t, src, on=["id"], partition_pred=F.col("day") == "d1")
+    # table untouched after the rejected merge
+    assert spark.table(t).count() == 100
+    assert spark.table(t).filter(F.col("day") == "d2").count() == 50
+
+    # in-scope merge works and leaves d2 alone
+    src_ok = spark.createDataFrame([(1, "d1", 999.0)], "id long, day string, v double")
+    cat.merge_into(t, src_ok, on=["id"], partition_pred=F.col("day") == "d1")
+    assert spark.table(t).count() == 100
+    assert spark.table(t).filter(F.col("id") == 1).collect()[0].v == 999.0
+    assert spark.table(t).filter(F.col("day") == "d2").count() == 50
+
+
+def test_merge_updates_to_null(spark, cat, bucket):
+    """ADVICE r01 low #4: MERGE UPDATE SET must be able to set a column
+    to NULL from the source (coalesce semantics silently kept the old
+    value)."""
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.accounts_null"
+    cat.create_table(t, "id BIGINT, bal DOUBLE, status STRING")
+    cat.insert_values(t, "(1, 10.0, 'ok'), (2, 5.0, 'ok')")
+
+    src = spark.createDataFrame([(1, None, "ok")], "id long, bal double, status string")
+    cat.merge_into(t, src, on=["id"])
+    got = {r.id: r.bal for r in spark.table(t).collect()}
+    assert got[1] is None, "source NULL must overwrite the target value"
+    assert got[2] == 5.0
+
+
+def test_dml_staging_cleaned_up(spark, cat, bucket):
+    """ADVICE r01 medium #3: staging lives under the warehouse (executor-
+    reachable on a cluster) and is removed after the rewrite commits."""
+    import os
+
+    cat.create_schema(SCHEMA, location=bucket)
+    t = f"{SCHEMA}.stage_check"
+    cat.create_table(t, "id BIGINT, v DOUBLE")
+    cat.insert_values(t, "(1, 1.0), (2, 2.0)")
+    cat.delete_where(t, F.col("id") == 1)
+    assert spark.table(t).count() == 1
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    staging_root = os.path.join(wh, "_staging")
+    leftovers = os.listdir(staging_root) if os.path.isdir(staging_root) else []
+    assert not leftovers, f"staging dirs leaked: {leftovers}"
+
+
+def test_quoted_location_ddl(spark, cat, tmp_path):
+    """ADVICE r01 low #5: a location containing a single quote must not
+    break the generated SQL."""
+    loc = str(tmp_path / "odd'name")
+    cat.create_schema(SCHEMA, location=loc)
+    assert SCHEMA in [r[0] for r in cat.show_schemas().collect()]
+
+
 def test_information_schema_columns(spark, cat, bucket):
     cat.create_schema(SCHEMA, location=bucket)
     cat.create_table(f"{SCHEMA}.info_t", "a INT, b STRING")

@@ -24,7 +24,6 @@ Scale posture:
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 from typing import Mapping, Sequence
 
@@ -37,6 +36,29 @@ TARGET_FILE_BYTES = 128 * 1024 * 1024
 def _q(ident: str) -> str:
     """Quote a (possibly dotted) identifier."""
     return ".".join(f"`{p}`" for p in ident.split("."))
+
+
+def _qs(s: str) -> str:
+    """Quote a string literal for embedding in SQL text (escape ')."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _staging_dir(spark: SparkSession) -> str:
+    """A staging path under the warehouse so it is reachable by every
+    executor on a real cluster (driver-local /tmp is not — ADVICE r01).
+    Caller must clean it up via :func:`_rm_path`."""
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    return f"{wh.rstrip('/')}/_staging/{uuid.uuid4().hex}"
+
+
+def _rm_path(spark: SparkSession, path: str) -> None:
+    """Recursively delete a path through the Hadoop FS API — works for
+    file://, s3a://, hdfs:// alike (object-store safe, unlike shutil)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    fs.delete(hpath, True)
 
 
 class Catalog:
@@ -54,7 +76,7 @@ class Catalog:
 
     def create_schema(self, name: str, location: str | None = None, if_not_exists: bool = True) -> None:
         ine = "IF NOT EXISTS " if if_not_exists else ""
-        loc = f" LOCATION '{location}'" if location else ""
+        loc = f" LOCATION {_qs(location)}" if location else ""
         self.spark.sql(f"CREATE DATABASE {ine}{_q(name)}{loc}")
 
     def drop_schema(self, name: str, cascade: bool = True, if_exists: bool = True) -> None:
@@ -81,7 +103,7 @@ class Catalog:
         """``columns`` is DDL text, e.g. ``"key STRING, val BIGINT"``."""
         ine = "IF NOT EXISTS " if if_not_exists else ""
         part = f" PARTITIONED BY ({', '.join(partition_by)})" if partition_by else ""
-        loc = f" LOCATION '{location}'" if location else ""
+        loc = f" LOCATION {_qs(location)}" if location else ""
         self.spark.sql(f"CREATE TABLE {ine}{_q(name)} ({columns}) USING parquet{part}{loc}")
 
     def drop_table(self, name: str, if_exists: bool = True) -> None:
@@ -89,9 +111,11 @@ class Catalog:
         self.spark.sql(f"DROP TABLE {ie}{_q(name)}")
 
     def ctas(self, name: str, select_sql: str) -> None:
+        """``select_sql`` is a trusted-SQL passthrough — not escaped."""
         self.spark.sql(f"CREATE TABLE {_q(name)} USING parquet AS {select_sql}")
 
     def create_view(self, name: str, select_sql: str, temp: bool = True) -> None:
+        """``select_sql`` is a trusted-SQL passthrough — not escaped."""
         kind = "TEMP VIEW" if temp else "VIEW"
         self.spark.sql(f"CREATE OR REPLACE {kind} {_q(name)} AS {select_sql}")
 
@@ -124,36 +148,69 @@ class Catalog:
         w.mode(mode).format("parquet").saveAsTable(name)
 
     def insert_values(self, table: str, rows_sql: str) -> None:
+        """``rows_sql`` is a trusted-SQL passthrough (VALUES tuple list,
+        composed by the caller) — not escaped here."""
         self.spark.sql(f"INSERT INTO {_q(table)} VALUES {rows_sql}")
 
     def insert_select(self, table: str, select_sql: str, overwrite: bool = False) -> None:
+        """``select_sql`` is a trusted-SQL passthrough — not escaped."""
         verb = "INSERT OVERWRITE TABLE" if overwrite else "INSERT INTO"
         self.spark.sql(f"{verb} {_q(table)} {select_sql}")
 
     # ---- row-level DML emulation (copy-on-write) ----
+
+    def _partition_columns(self, table: str) -> list[str]:
+        db_tbl = table if "." in table else table
+        return [c.name for c in self.spark.catalog.listColumns(db_tbl) if c.isPartition]
 
     def _rewrite(self, table: str, transform, partition_pred: Column | None) -> None:
         """Copy-on-write core: materialize transformed rows, then
         overwrite. With a partition predicate + dynamic overwrite mode,
         only touched partitions are replaced (partition-scoped rewrite —
         the 100TB path); otherwise the whole table is rewritten (the
-        reference's Iceberg copy-on-write does the same per-file)."""
+        reference's Iceberg copy-on-write does the same per-file).
+
+        Emptied-partition handling (ADVICE r01 high #1): dynamic
+        overwrite only replaces partitions PRESENT in the staged output,
+        so a scoped partition whose rows were all deleted would silently
+        survive. We snapshot the scoped partition tuples BEFORE the
+        transform and explicitly ALTER TABLE .. DROP PARTITION any that
+        produced no output rows. The snapshot reads partition values
+        only — a metadata-priced scan, not a data scan.
+        """
         spark = self.spark
         src = spark.table(table)
         scope = src.filter(partition_pred) if partition_pred is not None else src
+        part_cols = self._partition_columns(table) if partition_pred is not None else []
+        before_parts: list[dict] = []
+        if part_cols:
+            before_parts = [r.asDict() for r in scope.select(*part_cols).distinct().collect()]
         rewritten = transform(scope)
-        # Stage to a temp location: Spark cannot overwrite a path it is
-        # concurrently reading (self-overwrite), so break the lineage.
-        staging = tempfile.mkdtemp(prefix=f"walden_cow_{uuid.uuid4().hex[:8]}_")
+        # Stage under the warehouse (executor-reachable on a cluster;
+        # driver-local /tmp is not), then break the self-overwrite
+        # lineage by reading the staged copy back. Cleaned up in finally.
+        staging = _staging_dir(spark)
         rewritten.write.mode("overwrite").parquet(staging)
-        staged = spark.read.parquet(staging)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         try:
-            if partition_pred is not None:
-                spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            staged.write.mode("overwrite").insertInto(table, overwrite=True)
+            staged = spark.read.parquet(staging)
+            prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+            try:
+                if partition_pred is not None:
+                    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                staged.write.mode("overwrite").insertInto(table, overwrite=True)
+            finally:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            if before_parts:
+                after = {
+                    tuple(r.asDict()[c] for c in part_cols)
+                    for r in staged.select(*part_cols).distinct().collect()
+                }
+                for p in before_parts:
+                    if tuple(p[c] for c in part_cols) not in after:
+                        spec = ", ".join(f"{_q(c)} = {_qs(str(p[c]))}" for c in part_cols)
+                        spark.sql(f"ALTER TABLE {_q(table)} DROP IF EXISTS PARTITION ({spec})")
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            _rm_path(spark, staging)
 
     def delete_where(self, table: str, condition: Column | str, partition_pred: Column | None = None) -> None:
         cond = F.expr(condition) if isinstance(condition, str) else condition
@@ -188,24 +245,52 @@ class Catalog:
     ) -> None:
         """MERGE emulation: upsert ``source`` into ``target`` on key
         columns. Matched rows take source values for ``update_cols``
-        (default: all non-key columns); unmatched source rows are
-        appended. One shuffle on the key (full outer join)."""
+        (default: all non-key columns) — including NULLs, per SQL
+        MERGE ... UPDATE SET semantics (match indicators, not coalesce:
+        ADVICE r01 low #4); unmatched source rows are appended. One
+        shuffle on the key (full outer join).
+
+        When ``partition_pred`` scopes the rewrite, the SOURCE is
+        filtered by the same predicate and the call raises if any source
+        row falls outside the scoped partitions — otherwise those rows
+        would be misclassified as inserts and dynamic overwrite would
+        replace their whole (untouched) partition with just them
+        (ADVICE r01 high #2).
+        """
         tgt_cols = self.spark.table(target).columns
         update_cols = list(update_cols or [c for c in tgt_cols if c not in on])
 
+        if partition_pred is not None:
+            n_src = source.count()
+            source = source.filter(partition_pred)
+            n_in_scope = source.count()
+            if n_in_scope != n_src:
+                raise ValueError(
+                    f"merge_into: {n_src - n_in_scope} source row(s) fall outside "
+                    "partition_pred scope; merging them would rewrite partitions "
+                    "outside the scope. Widen partition_pred or pre-filter the source."
+                )
+
         def transform(df: DataFrame) -> DataFrame:
-            src = source.select(*tgt_cols)
-            joined = df.alias("t").join(src.alias("s"), on=list(on), how="full_outer")
+            src = source.select(*tgt_cols).withColumn("_s_matched", F.lit(True))
+            tgt = df.withColumn("_t_matched", F.lit(True))
+            joined = tgt.alias("t").join(src.alias("s"), on=list(on), how="full_outer")
+            s_hit = F.col("s._s_matched").isNotNull()
+            t_hit = F.col("t._t_matched").isNotNull()
             out_cols = []
             for c in tgt_cols:
                 if c in on:
                     out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
                 elif c in update_cols:
-                    out_cols.append(F.coalesce(F.col(f"s.{c}"), F.col(f"t.{c}")).alias(c))
+                    # source value wins whenever the source row exists —
+                    # even when that value is NULL (true UPDATE SET)
+                    out_cols.append(F.when(s_hit, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c))
                 else:
-                    out_cols.append(F.col(f"t.{c}").alias(c))
+                    # columns outside update_cols: keep target on match,
+                    # take source on pure insert
+                    out_cols.append(F.when(t_hit, F.col(f"t.{c}")).otherwise(F.col(f"s.{c}")).alias(c))
             if not insert_when_not_matched:
-                joined = joined.filter(F.col(f"t.{on[0]}").isNotNull())
+                joined = joined.filter(t_hit)
             return joined.select(*out_cols)
 
         self._rewrite(target, transform, partition_pred)
@@ -300,7 +385,10 @@ def compact_table(
     compacted = df.repartition(n_files)
     if sort_by:
         compacted = compacted.sortWithinPartitions(*sort_by)
-    staging = tempfile.mkdtemp(prefix=f"walden_compact_{uuid.uuid4().hex[:8]}_")
+    staging = _staging_dir(spark)
     compacted.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").insertInto(name, overwrite=True)
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").insertInto(name, overwrite=True)
+    finally:
+        _rm_path(spark, staging)
     return n_files
