@@ -119,3 +119,24 @@ def test_bucketed_join_no_exchange(spark, sf_dir):
     join_section = plan.split("HashAggregate")[0]
     assert "Exchange hashpartitioning(o_orderkey" not in join_section
     assert "Exchange hashpartitioning(l_orderkey" not in join_section
+
+
+def test_embedding_cosine_multiblock_matches_single(spark, sf_dir, registry):
+    """The block-pair matmul must return identical pairs regardless of
+    block count (multi-block path = the 100TB layout; r01's driver-side
+    broadcast is gone). Also assert the operator never collects the
+    table driver-side: the plan keeps the scan under FlatMapGroupsInPandas."""
+    from walden_spark.operators.dedup import dedup_embedding_cosine
+
+    single = {
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in dedup_embedding_cosine(spark, sf_dir, rows_per_block=1 << 30).collect()
+    }
+    multi = {
+        (r.a_id, r.b_id, r.cos_sim)
+        for r in dedup_embedding_cosine(spark, sf_dir, rows_per_block=64).collect()
+    }
+    assert single == multi and len(single) > 0
+
+    plan = _plan(spark, dedup_embedding_cosine(spark, sf_dir, rows_per_block=64))
+    assert "FlatMapGroupsInPandas" in plan
