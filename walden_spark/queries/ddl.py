@@ -149,3 +149,76 @@ def ddl_dml_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     cat.drop_schema("walden_dml")
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_time_travel",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+v1 AS (SELECT * FROM v0 WHERE NOT (n_regionkey = 0)),
+v2 AS (SELECT n_nationkey,
+              CASE WHEN n_regionkey = 1 THEN lower(n_name) ELSE n_name END AS n_name,
+              n_regionkey
+       FROM v1),
+src AS (SELECT CAST(k AS INTEGER) AS n_nationkey, nm AS n_name, CAST(r AS INTEGER) AS n_regionkey
+        FROM (VALUES (10, 'xx', 9), (990, 'zz', 4)) AS s(k, nm, r)),
+v3 AS (
+  SELECT COALESCE(t.n_nationkey, s.n_nationkey) AS n_nationkey,
+         CASE WHEN s.n_nationkey IS NOT NULL THEN s.n_name ELSE t.n_name END AS n_name,
+         CASE WHEN s.n_nationkey IS NOT NULL THEN s.n_regionkey ELSE t.n_regionkey END AS n_regionkey
+  FROM v2 t FULL OUTER JOIN src s ON t.n_nationkey = s.n_nationkey
+),
+metrics AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum,
+         SUM(CASE WHEN n_name = lower(n_name) THEN 1 ELSE 0 END) AS n_lower FROM v0
+  UNION ALL
+  SELECT 1, COUNT(*), SUM(n_nationkey),
+         SUM(CASE WHEN n_name = lower(n_name) THEN 1 ELSE 0 END) FROM v1
+  UNION ALL
+  SELECT 2, COUNT(*), SUM(n_nationkey),
+         SUM(CASE WHEN n_name = lower(n_name) THEN 1 ELSE 0 END) FROM v2
+  UNION ALL
+  SELECT 3, COUNT(*), SUM(n_nationkey),
+         SUM(CASE WHEN n_name = lower(n_name) THEN 1 ELSE 0 END) FROM v3
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_sum AS BIGINT) AS key_sum, CAST(n_lower AS BIGINT) AS n_lower
+FROM metrics ORDER BY version
+""",
+    category="ddl",
+)
+def ddl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot versioning + time travel (reference capability:
+    Nessie/Iceberg snapshots, tf/nessie-values.yaml:1-7): every DML op
+    commits a NEW retained snapshot; afterwards ALL four versions are
+    still readable and the query reports per-version metrics — the
+    oracle replays the same DML algebra with CTEs."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_tt_") + "/nation_v"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))   # v0
+    vt.delete_where(F.col("n_regionkey") == 0)                          # v1
+    vt.update_where({"n_name": F.lower(F.col("n_name"))}, F.col("n_regionkey") == 1)  # v2
+    src = spark.createDataFrame(
+        [(10, "xx", 9), (990, "zz", 4)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    vt.merge_into(src, on=["n_nationkey"])                              # v3
+
+    frames = []
+    for v in range(4):
+        frames.append(
+            vt.read(version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                F.sum(
+                    F.when(F.col("n_name") == F.lower(F.col("n_name")), 1).otherwise(0)
+                ).cast("bigint").alias("n_lower"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
