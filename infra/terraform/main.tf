@@ -50,3 +50,15 @@ module "engine" {
   warehouse_bucket = var.warehouse_bucket
   extra_conf       = var.engine_extra_conf
 }
+
+# BI tier — superset + redis + postgres pointed at the Thrift endpoint
+# (reference: tf/superset/superset.tf; the sqlalchemy_uri swaps
+# trino://trino:80/hive for hive://walden-engine:10000/default)
+module "superset" {
+  count               = var.enable_superset ? 1 : 0
+  source              = "./modules/superset"
+  namespace           = kubernetes_namespace.walden.metadata[0].name
+  engine_thrift_host  = "walden-engine.${kubernetes_namespace.walden.metadata[0].name}.svc.cluster.local"
+  postgres_password   = var.superset_postgres_password
+  superset_secret_key = var.superset_secret_key
+}

@@ -59,3 +59,21 @@ variable "engine_extra_conf" {
   type        = map(string)
   default     = {}
 }
+
+# BI tier (reference: tf/superset/superset.tf + variables.tf superset_*)
+variable "enable_superset" {
+  type    = bool
+  default = true
+}
+
+variable "superset_postgres_password" {
+  type      = string
+  sensitive = true
+  default   = "superset"
+}
+
+variable "superset_secret_key" {
+  type      = string
+  sensitive = true
+  default   = "change-me-in-prod"
+}

@@ -249,3 +249,262 @@ def tpcds_q59_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ss_store_sk", "mid")
     )
+
+
+@_tpcds(
+    "tpcds_q71_three_channel",
+    """
+WITH all_sales AS (
+  SELECT 'store' AS channel, ss_sold_date_sk AS date_sk, ss_item_sk AS item_sk,
+         CAST(ss_net_paid AS DECIMAL(14,2)) AS paid
+  FROM store_sales
+  UNION ALL
+  SELECT 'web', ws_sold_date_sk, ws_item_sk, CAST(ws_net_paid AS DECIMAL(14,2))
+  FROM web_sales
+  UNION ALL
+  SELECT 'catalog', cs_sold_date_sk, cs_item_sk, CAST(cs_net_paid AS DECIMAL(14,2))
+  FROM catalog_sales
+)
+SELECT channel, i_brand, d_year,
+       CAST(SUM(paid) AS DOUBLE) AS revenue
+FROM all_sales
+JOIN date_dim ON d_date_sk = date_sk
+JOIN item ON i_item_sk = item_sk
+WHERE d_moy = 12 AND i_manufact_id < 20
+GROUP BY channel, i_brand, d_year
+ORDER BY channel, i_brand, d_year
+""",
+)
+def tpcds_q71_three_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q71 shape: December brand revenue across all THREE sales
+    channels via a conformed UNION ALL. Each fact scans once, the
+    channel union is map-side (no shuffle to unify), and the two
+    dimensions broadcast — the fact tables never co-shuffle."""
+    g = _gen(spark)
+    dd = F.broadcast(g.date_dim().filter(F.col("d_moy") == 12))
+    it = F.broadcast(g.item().filter(F.col("i_manufact_id") < 20))
+
+    def channel(df, ch, dk, ik, paid):
+        return df.select(
+            F.lit(ch).alias("channel"),
+            F.col(dk).alias("date_sk"),
+            F.col(ik).alias("item_sk"),
+            F.col(paid).cast("decimal(14,2)").alias("paid"),
+        )
+
+    unioned = (
+        channel(g.store_sales(), "store", "ss_sold_date_sk", "ss_item_sk", "ss_net_paid")
+        .unionByName(channel(g.web_sales(), "web", "ws_sold_date_sk", "ws_item_sk", "ws_net_paid"))
+        .unionByName(channel(g.catalog_sales(), "catalog", "cs_sold_date_sk", "cs_item_sk", "cs_net_paid"))
+    )
+    return (
+        unioned.join(dd, F.col("d_date_sk") == F.col("date_sk"))
+        .join(it, F.col("i_item_sk") == F.col("item_sk"))
+        .groupBy("channel", "i_brand", "d_year")
+        .agg(F.sum("paid").cast("double").alias("revenue"))
+        .orderBy("channel", "i_brand", "d_year")
+    )
+
+
+@_tpcds(
+    "tpcds_q74_loyalty_growth",
+    """
+WITH yr AS (
+  SELECT ss_customer_sk AS cust, d_year,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS store_total
+  FROM store_sales JOIN date_dim ON d_date_sk = ss_sold_date_sk
+  WHERE d_year IN (1999, 2000)
+  GROUP BY 1, 2
+)
+SELECT cur.cust AS customer_sk,
+       CAST(cur.store_total AS DOUBLE) AS cur_total,
+       CAST(prev.store_total AS DOUBLE) AS prev_total,
+       floor(CAST(cur.store_total AS DOUBLE) / CAST(prev.store_total AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS growth
+FROM yr cur JOIN yr prev
+  ON cur.cust = prev.cust AND cur.d_year = 2000 AND prev.d_year = 1999
+WHERE CAST(cur.store_total AS DOUBLE) > 2.0 * CAST(prev.store_total AS DOUBLE)
+ORDER BY customer_sk
+""",
+)
+def tpcds_q74_loyalty_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q74 shape: customers whose year-2000 store spend more
+    than doubled vs 1999. One aggregation produces both years (single
+    fact shuffle on customer), then a self-equi-join on customer pivots
+    the two years side by side — Catalyst reuses the exchange."""
+    g = _gen(spark)
+    yr = (
+        g.store_sales()
+        .join(
+            F.broadcast(g.date_dim().filter(F.col("d_year").isin(1999, 2000))),
+            F.col("d_date_sk") == F.col("ss_sold_date_sk"),
+        )
+        .groupBy(F.col("ss_customer_sk").alias("cust"), "d_year")
+        .agg(F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).alias("store_total"))
+    )
+    cur = yr.filter(F.col("d_year") == 2000).select(
+        "cust", F.col("store_total").cast("double").alias("cur_total")
+    )
+    prev = yr.filter(F.col("d_year") == 1999).select(
+        F.col("cust").alias("p_cust"), F.col("store_total").cast("double").alias("prev_total")
+    )
+    return (
+        cur.join(prev, F.col("cust") == F.col("p_cust"))
+        .filter(F.col("cur_total") > 2.0 * F.col("prev_total"))
+        .select(
+            F.col("cust").alias("customer_sk"),
+            "cur_total",
+            "prev_total",
+            (F.floor(F.col("cur_total") / F.col("prev_total") * 1000000.0) / 1000000.0).alias("growth"),
+        )
+        .orderBy("customer_sk")
+    )
+
+
+@_tpcds(
+    "tpcds_q77_channel_rollup",
+    """
+WITH per_channel AS (
+  SELECT 'store' AS channel, d_qoy,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS rev
+  FROM store_sales JOIN date_dim ON d_date_sk = ss_sold_date_sk
+  WHERE d_year = 2001 GROUP BY 2
+  UNION ALL
+  SELECT 'web', d_qoy, SUM(CAST(ws_net_paid AS DECIMAL(14,2)))
+  FROM web_sales JOIN date_dim ON d_date_sk = ws_sold_date_sk
+  WHERE d_year = 2001 GROUP BY 2
+  UNION ALL
+  SELECT 'catalog', d_qoy, SUM(CAST(cs_net_paid AS DECIMAL(14,2)))
+  FROM catalog_sales JOIN date_dim ON d_date_sk = cs_sold_date_sk
+  WHERE d_year = 2001 GROUP BY 2
+)
+SELECT channel, CAST(d_qoy AS INTEGER) AS d_qoy, CAST(SUM(rev) AS DOUBLE) AS revenue
+FROM per_channel
+GROUP BY ROLLUP (channel, d_qoy)
+ORDER BY channel NULLS FIRST, d_qoy NULLS FIRST
+""",
+)
+def tpcds_q77_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q77 shape: 2001 revenue per (channel, quarter) with
+    ROLLUP subtotals and grand total. Each channel pre-aggregates to 4
+    rows before the rollup, so the multi-level aggregation runs on a
+    12-row input — partials compose, never re-reading a fact."""
+    g = _gen(spark)
+    dd = F.broadcast(g.date_dim().filter(F.col("d_year") == 2001))
+
+    def channel(df, ch, dk, paid):
+        return (
+            df.join(dd, F.col("d_date_sk") == F.col(dk))
+            .groupBy("d_qoy")
+            .agg(F.sum(F.col(paid).cast("decimal(14,2)")).alias("rev"))
+            .select(F.lit(ch).alias("channel"), "d_qoy", "rev")
+        )
+
+    per_channel = (
+        channel(g.store_sales(), "store", "ss_sold_date_sk", "ss_net_paid")
+        .unionByName(channel(g.web_sales(), "web", "ws_sold_date_sk", "ws_net_paid"))
+        .unionByName(channel(g.catalog_sales(), "catalog", "cs_sold_date_sk", "cs_net_paid"))
+    )
+    return (
+        per_channel.rollup("channel", "d_qoy")
+        .agg(F.sum("rev").cast("double").alias("revenue"))
+        .select("channel", F.col("d_qoy").cast("int").alias("d_qoy"), "revenue")
+        .orderBy(F.col("channel").asc_nulls_first(), F.col("d_qoy").asc_nulls_first())
+    )
+
+
+@_tpcds(
+    "tpcds_q33_manufacturer",
+    """
+WITH all_sales AS (
+  SELECT ss_sold_date_sk AS date_sk, ss_item_sk AS item_sk,
+         CAST(ss_net_paid AS DECIMAL(14,2)) AS paid
+  FROM store_sales
+  UNION ALL
+  SELECT ws_sold_date_sk, ws_item_sk, CAST(ws_net_paid AS DECIMAL(14,2)) FROM web_sales
+  UNION ALL
+  SELECT cs_sold_date_sk, cs_item_sk, CAST(cs_net_paid AS DECIMAL(14,2)) FROM catalog_sales
+)
+SELECT i_manufact_id, CAST(SUM(paid) AS DOUBLE) AS total_sales
+FROM all_sales
+JOIN date_dim ON d_date_sk = date_sk
+JOIN item ON i_item_sk = item_sk
+WHERE d_year = 2000 AND d_moy = 1 AND i_category = 'Electronics'
+GROUP BY i_manufact_id
+ORDER BY total_sales DESC, i_manufact_id
+""",
+)
+def tpcds_q33_manufacturer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q33 shape: January-2000 Electronics revenue by
+    manufacturer summed across all three channels."""
+    g = _gen(spark)
+    dd = F.broadcast(g.date_dim().filter((F.col("d_year") == 2000) & (F.col("d_moy") == 1)))
+    it = F.broadcast(g.item().filter(F.col("i_category") == "Electronics"))
+
+    def channel(df, dk, ik, paid):
+        return df.select(
+            F.col(dk).alias("date_sk"),
+            F.col(ik).alias("item_sk"),
+            F.col(paid).cast("decimal(14,2)").alias("paid"),
+        )
+
+    unioned = (
+        channel(g.store_sales(), "ss_sold_date_sk", "ss_item_sk", "ss_net_paid")
+        .unionByName(channel(g.web_sales(), "ws_sold_date_sk", "ws_item_sk", "ws_net_paid"))
+        .unionByName(channel(g.catalog_sales(), "cs_sold_date_sk", "cs_item_sk", "cs_net_paid"))
+    )
+    return (
+        unioned.join(dd, F.col("d_date_sk") == F.col("date_sk"))
+        .join(it, F.col("i_item_sk") == F.col("item_sk"))
+        .groupBy("i_manufact_id")
+        .agg(F.sum("paid").cast("double").alias("total_sales"))
+        .orderBy(F.desc("total_sales"), "i_manufact_id")
+    )
+
+
+@_tpcds(
+    "tpcds_q65_low_revenue_items",
+    """
+WITH sa AS (
+  SELECT ss_store_sk, ss_item_sk,
+         CAST(SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+  FROM store_sales GROUP BY 1, 2
+),
+sb AS (
+  SELECT ss_store_sk AS b_store_sk, AVG(revenue) AS ave
+  FROM sa GROUP BY 1
+)
+SELECT s_store_id, i_item_id,
+       floor(revenue * 100.0) / 100.0 AS revenue
+FROM sa
+JOIN sb ON sa.ss_store_sk = sb.b_store_sk
+JOIN store ON s_store_sk = sa.ss_store_sk
+JOIN item ON i_item_sk = sa.ss_item_sk
+WHERE revenue <= 0.4 * ave
+ORDER BY s_store_id, i_item_id
+""",
+)
+def tpcds_q65_low_revenue_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65 shape: per store, items earning <= 40% of that
+    store's average item revenue. One fact shuffle on (store, item);
+    the per-store average reaggregates the first aggregate (tiny), and
+    both dimensions broadcast."""
+    g = _gen(spark)
+    sa = (
+        g.store_sales()
+        .groupBy("ss_store_sk", "ss_item_sk")
+        .agg(F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).cast("double").alias("revenue"))
+    )
+    sb = sa.groupBy(F.col("ss_store_sk").alias("b_store_sk")).agg(F.avg("revenue").alias("ave"))
+    return (
+        sa.join(F.broadcast(sb), F.col("ss_store_sk") == F.col("b_store_sk"))
+        .filter(F.col("revenue") <= 0.4 * F.col("ave"))
+        .join(F.broadcast(g.store()), F.col("s_store_sk") == F.col("ss_store_sk"))
+        .join(F.broadcast(g.item()), F.col("i_item_sk") == F.col("ss_item_sk"))
+        .select(
+            "s_store_id",
+            "i_item_id",
+            (F.floor(F.col("revenue") * 100.0) / 100.0).alias("revenue"),
+        )
+        .orderBy("s_store_id", "i_item_id")
+    )

@@ -124,6 +124,27 @@ class TpcdsGen:
             _money2(price * qty * (1 - (_h(s + 52, k) % 30) / 100.0)).alias("ws_net_paid"),
         )
 
+    def catalog_sales(self) -> DataFrame:
+        """Third sales channel (~60% of store volume) — completes the
+        store/web/catalog triad the TPC-DS cross-channel families
+        (Q33/Q71/Q77) require."""
+        n = max(1, int(1_440_000 * self.sf))
+        nitem = max(1, int(18_000 * self.sf))
+        ncust = max(1, int(100_000 * self.sf))
+        s = self.seed
+        k = F.col("cs_order_number")
+        qty = (_h(s + 58, k) % 100 + 1).cast("int")
+        price = _uniform(s + 59, k, 0.5, 300.0)
+        return self._range(n, "cs_order_number").select(
+            "cs_order_number",
+            (_h(s + 55, k) % N_DAYS).alias("cs_sold_date_sk"),
+            (_h(s + 56, k) % nitem).alias("cs_item_sk"),
+            (_h(s + 57, k) % ncust).alias("cs_customer_sk"),
+            qty.alias("cs_quantity"),
+            _money2(price).alias("cs_list_price"),
+            _money2(price * qty * (1 - (_h(s + 60, k) % 30) / 100.0)).alias("cs_net_paid"),
+        )
+
     def store_returns(self) -> DataFrame:
         """~10% of tickets return (keyed off the sale row, so each
         return joins back to a real ticket)."""
@@ -148,7 +169,8 @@ class TpcdsGen:
         )
 
     TABLES = (
-        "date_dim", "item", "store", "customer", "store_sales", "store_returns", "web_sales"
+        "date_dim", "item", "store", "customer", "store_sales",
+        "store_returns", "web_sales", "catalog_sales",
     )
 
     def table(self, name: str) -> DataFrame:
