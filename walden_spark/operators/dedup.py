@@ -244,7 +244,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would pin the whole stage to one core, so rebalance first (at
     # real scale many splits make this a no-op cost-wise).
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    # The shingle set is used THREE times (signature path + both sides
+    # of the verify join); without a persist each use recomputes the
+    # split+md5 map — the single most expensive stage. Disk-backed
+    # cache is the production layout for a 3-use intermediate at scale
+    # too (spills, never OOMs); LRU eviction reclaims it afterwards.
+    from pyspark.storagelevel import StorageLevel
+
+    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     hashed = sh.select("doc_id", F.transform("shingles", _md5int).alias("hs"))
     sig = hashed.select("doc_id", _minhash_sig(F.col("hs")).alias("sig"))
     # Bands carry ONLY (doc_id, band, bucket): the LSH shuffle moves
@@ -351,7 +360,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(24)),
         start=F.lit(0),
     )
-    fp = bal.select("doc_id", fingerprint.cast("bigint").alias("fingerprint"))
+    # Persist the fingerprints: both sides of the band self-join read
+    # them, and without a cache each side recomputes the interpreted
+    # char-fold over every word (verified: no ReusedExchange in the
+    # plan). Two longs per doc — trivially cacheable at any scale.
+    from pyspark.storagelevel import StorageLevel
+
+    fp = bal.select("doc_id", fingerprint.cast("bigint").alias("fingerprint")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # Band-join on 8-bit chunks. Two plan notes for the fan-out:
     # * explicit repartition on the join key — AQE sizes partitions by
     #   join *input* (tiny) and would coalesce to one task, serializing
@@ -425,9 +442,18 @@ def dedup_embedding_cosine(
     t = Tables(spark, sf_dir)
     e = t.embeddings.select("vec_id", "embedding")
 
-    # default 8192 x dim float64 ≈ 4MB per block at dim=64
+    # default 8192 x dim float64 ≈ 4MB per block at dim=64. Lower bound
+    # the block count so small inputs still produce enough (i<=j) tiles
+    # to keep every core busy — B blocks give B(B+1)/2 parallel tasks;
+    # B=8 yields 36 tiles, saturating local[32] (tiles, not rows, are
+    # the unit of parallelism here).
     n = e.count()
-    n_blocks = max(1, math.ceil(n / rows_per_block))
+    par_blocks = math.ceil((2 * spark.sparkContext.defaultParallelism) ** 0.5)
+    n_blocks = max(
+        math.ceil(n / rows_per_block),
+        min(par_blocks, math.ceil(n / 64)),  # never shatter tiny inputs
+        1,
+    )
     blocked = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
 
     pairs = spark.createDataFrame(
