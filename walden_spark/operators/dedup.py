@@ -336,26 +336,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = F.aggregate(codes, F.lit(0).cast("int"), lambda acc, c: (acc * 31 + c) % 16777216)
     # Hash BEFORE the groupBy: the interpreted char-fold runs map-side
     # across all scan partitions, not on the (AQE-coalesced) post-
-    # shuffle side. Grouping by the hash is equivalent to grouping by
-    # the word — downstream only ever uses h, and colliding words just
-    # merge their counts earlier.
-    hashed = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
-        .select("doc_id", h.alias("h"))
-        .groupBy("doc_id", "h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    # shuffle side. The bit balance is LINEAR in word occurrences
+    # (sum over distinct words of ±cnt == sum over occurrences of ±1),
+    # so no intermediate per-word count shuffle is needed — one
+    # groupBy(doc_id) computes all 24 balances directly (the oracle
+    # keeps the per-word-count formulation; identical by linearity).
+    occurrences = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select("doc_id", h.alias("h"))
     # All 24 bit-balances as parallel conditional aggregates in ONE
     # groupBy — fully codegen'd, partial-aggregated map-side, and no
     # 24x row explode (which would run on the AQE-coalesced post-
     # shuffle partition and serialize the whole stage).
     bit_aggs = [
         F.sum(
-            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, F.col("cnt")).otherwise(-F.col("cnt"))
+            F.when(F.expr(f"shiftright(h, {j}) & 1") == 1, 1).otherwise(-1)
         ).alias(f"b{j}")
         for j in range(24)
     ]
-    bal = hashed.groupBy("doc_id").agg(*bit_aggs)
+    bal = occurrences.groupBy("doc_id").agg(*bit_aggs)
     fingerprint = sum(
         (F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(24)),
         start=F.lit(0),
