@@ -104,3 +104,24 @@ def test_foreach_batch_checkpoint_recovery(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 3  # no reprocessing of b1, no loss of b2
     assert {r.id for r in got.select("id").collect()} == {1, 2, 3}
+
+
+def test_foreachbatch_upsert_snapshots_per_batch(spark, sf_dir):
+    """Each micro-batch commit is a retained snapshot: 4 time-ranged
+    input files -> 4 versions, earlier versions stay readable, and the
+    running totals are monotone across versions."""
+    from walden_spark.registry import load_all
+    from walden_spark.streaming.sinks import streaming_foreachbatch_upsert
+
+    reg = load_all()
+    out = reg["streaming_foreachbatch_upsert"].fn(spark, sf_dir)
+    final_rows = out.count()
+    vt = streaming_foreachbatch_upsert.last_table
+    hist = vt.history().orderBy("version").collect()
+    assert len(hist) == 4
+    assert [h.operation for h in hist] == [f"batch_{i}" for i in range(4)]
+    n_by_version = [
+        vt.read(version=h.version).agg({"n": "sum"}).collect()[0][0] for h in hist
+    ]
+    assert n_by_version == sorted(n_by_version)  # totals only grow
+    assert vt.read(version=hist[-1].version).count() == final_rows

@@ -127,6 +127,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.operators.multimodal  # noqa: F401
     import walden_spark.streaming.windows  # noqa: F401
     import walden_spark.streaming.stateful  # noqa: F401
+    import walden_spark.streaming.sinks  # noqa: F401
 
     # Reorder: DRIVER_WINDOW prefix first, then the rest in module order.
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]

@@ -39,3 +39,90 @@ def parquet_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+from pyspark.sql import SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from walden_spark.registry import query  # noqa: E402
+
+
+@query(
+    "streaming_foreachbatch_upsert",
+    oracle="""
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM events GROUP BY user_id
+""",
+    category="streaming",
+)
+def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental streaming UPSERT into a snapshot-versioned table:
+    readStream (4 time-ranged micro-batches) → foreachBatch merges each
+    batch's per-user partial aggregate into a VersionedTable — the
+    production sink shape (stream → continuously-maintained serving
+    table with snapshot history; the reference's Iceberg streaming
+    ingest analog). Partials compose in DECIMAL so the final state
+    equals the batch aggregation the oracle runs; each micro-batch
+    commit is a retained snapshot (asserted in tests/test_streaming.py).
+    """
+    import tempfile
+
+    from walden_spark.timetravel import VersionedTable
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
+        "user_id", "ts", "value"
+    )
+
+    # stage 4 contiguous time ranges so the file source replays them in
+    # order (mirrors streaming_stateful_timeout_sessions)
+    stage = tempfile.mkdtemp(prefix="walden_upsert_stream_")
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev_us
+        if bounds[i] is not None:
+            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
+        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_upsert_vt_") + "/totals")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("decimal(18,2)").alias("total_dec"),
+        )
+        try:
+            cur = vt.read()
+        except FileNotFoundError:
+            vt.write(part, operation=f"batch_{batch_id}")
+            return
+        merged = (
+            cur.unionByName(part)
+            .groupBy("user_id")
+            .agg(F.sum("n").alias("n"), F.sum("total_dec").cast("decimal(18,2)").alias("total_dec"))
+        )
+        vt.write(merged, operation=f"batch_{batch_id}")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    out = vt.read().select(
+        "user_id",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("total_dec").cast("double").alias("total"),
+    )
+    # stash for the history assertion in tests
+    streaming_foreachbatch_upsert.last_table = vt  # type: ignore[attr-defined]
+    return out
