@@ -158,3 +158,36 @@ def test_left_join_decomposition(spark, x, y):
     got_left = _canon([tuple(r) for r in left.collect()])
     got_dec = _canon([tuple(r) for r in inner.unionByName(anti).collect()])
     assert got_left == got_dec
+
+
+def test_minhash_hot_bucket_cap_is_subset(spark, sf_dir):
+    """The skew cap can only REMOVE pairs, and with a generous cap on
+    real data removes nothing; capping at 1 removes everything (every
+    pair needs a shared bucket of size >= 2)."""
+    from walden_spark.operators.dedup import dedup_minhash_lsh
+
+    full = {
+        (r.a_id, r.b_id) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in dedup_minhash_lsh(spark, sf_dir, max_bucket_size=10_000).collect()
+    }
+    assert capped == full and len(full) > 0
+    killed = dedup_minhash_lsh(spark, sf_dir, max_bucket_size=1).count()
+    assert killed == 0
+
+
+def test_ngram_shingle_df_cap_is_subset(spark, sf_dir):
+    """Dropping high-document-frequency shingles from the inverted
+    index lowers counted intersections, so capped output pairs (and
+    their jaccard scores) are a subset/lower bound of the exact ones."""
+    from walden_spark.operators.dedup import dedup_ngram_jaccard
+
+    full = {(r.a_id, r.b_id): r.jaccard for r in dedup_ngram_jaccard(spark, sf_dir).collect()}
+    capped = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in dedup_ngram_jaccard(spark, sf_dir, max_shingle_df=3).collect()
+    }
+    assert set(capped) <= set(full)
+    assert all(capped[k] <= full[k] for k in capped)

@@ -122,16 +122,32 @@ WHERE jac >= 0.5
 """,
     category="dedup",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, max_shingle_df: int | None = None
+) -> DataFrame:
     """Near-dup pairs by word-3-gram Jaccard ≥ 0.5 via inverted-index
     join (shingle equality), the scalable similarity-join plan: the
-    join fans out only where shingles collide, and common-shingle skew
-    can be capped by dropping shingles above a document-frequency bound
-    (not needed at fixture scale)."""
+    join fans out only where shingles collide.
+
+    ``max_shingle_df`` is the common-shingle skew cap: shingles
+    appearing in more than that many documents are dropped from the
+    INDEX before the self-join (a df-cap shingle generates df² candidate
+    pairs — one stop-word 3-gram in 10% of a 100TB corpus would melt a
+    single reducer). Capping can only LOWER a pair's counted
+    intersection, never admit a false pair (jac is a lower bound), and
+    near-dup pairs share many rare shingles, so recall loss is
+    negligible — but it is still approximate, so the default (None)
+    keeps the registered query oracle-exact and the cap is exercised by
+    tests/test_properties.py instead."""
     t = Tables(spark, sf_dir)
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
     sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
+    if max_shingle_df is not None:
+        df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+        ex = ex.join(
+            df_counts.filter(F.col("df") <= max_shingle_df).select("s"), "s", "left_semi"
+        )
     # Pin the inverted-index join's partitioning: AQE sizes by the tiny
     # inputs and would run the fanned-out shingle join in one task.
     ex = ex.repartition(spark.sparkContext.defaultParallelism, "s")
@@ -228,7 +244,9 @@ FROM verified WHERE jac >= {JACCARD_THRESHOLD}
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_PAIRS_ORACLE, category="dedup")
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int | None = None
+) -> DataFrame:
     """MinHash + LSH near-dup detection (shingle → 32-hash signature →
     8 bands × 4 rows → bucket self-join → exact-Jaccard verify ≥ 0.8).
 
@@ -237,7 +255,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding docs — the 100TB-safe plan. Detection probability at
     j=0.8 is 1-(1-0.8^4)^8 ≈ 0.985; the md5-based hashing makes the
     outcome deterministic, so the DuckDB oracle reproduces it exactly.
-    """
+
+    ``max_bucket_size`` is the hot-bucket cap: a bucket holding k docs
+    emits k(k-1)/2 candidates, so one degenerate bucket (e.g. millions
+    of empty documents sharing a signature) quadratically floods the
+    verify stage. Buckets above the cap are dropped before the
+    self-join — each doc still has 7 other bands to collide on, so only
+    pathological pairs (near-dups whose EVERY band lands hot) are lost.
+    Default None keeps the registered query oracle-exact; the cap path
+    is exercised by tests/test_properties.py."""
     t = Tables(spark, sf_dir)
     # Parallelism note: shingling+hashing is the CPU-heavy map stage.
     # Task count follows input splits — a single small parquet file
@@ -267,6 +293,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band",
         F.concat_ws(",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND)).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("k"))
+        bands = bands.join(
+            sizes.filter(F.col("k") <= max_bucket_size).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "bucket"])
