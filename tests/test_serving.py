@@ -54,3 +54,21 @@ def test_thrift_in_session_binds(spark):
             last = e
             time.sleep(1)
     raise AssertionError(f"thrift port never opened: {last}")
+
+
+def test_query_history_records_served_statements(spark):
+    """system.runtime.queries analog: served statements land in the
+    history with duration + state; failures are recorded then re-raised."""
+    import pytest as _pytest
+
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    ws.sql("SELECT 1 AS one").collect()
+    with _pytest.raises(Exception):
+        ws.sql("SELECT * FROM definitely_not_a_table_xyz").collect()
+    hist = ws.system_queries().orderBy("query_id").collect()
+    assert len(hist) == 2
+    assert hist[0].state == "FINISHED" and hist[0].query == "SELECT 1 AS one"
+    assert hist[0].duration_sec >= 0
+    assert hist[1].state == "FAILED" and "definitely_not_a_table_xyz" in hist[1].error

@@ -45,6 +45,49 @@ def system_runtime(spark: SparkSession) -> DataFrame:
     )
 
 
+class QueryLog:
+    """Query-history recorder — the reference's `system.runtime.queries`
+    analog (README.md:184-185, Superset's trino-system datasource,
+    tf/superset/superset.tf:63-68): one row per served statement with
+    the columns BI tools expect — id, text, duration, state, error.
+    Bounded ring buffer in-process; a cluster deployment points the
+    same record() call at an external store. (pyspark exposes no Python
+    QueryExecutionListener, so recording lives in the serving facade —
+    WaldenSession.sql — which is where served-query history belongs.)"""
+
+    MAX_ROWS = 1000
+
+    def __init__(self):
+        self.rows: list[tuple] = []
+        self._next_id = 0
+
+    def record(self, query: str, duration_sec: float, error: str | None) -> None:
+        import time as _t
+
+        self.rows.append(
+            (
+                self._next_id,
+                query[:500],
+                duration_sec,
+                "FAILED" if error else "FINISHED",
+                error,
+                _t.time(),
+            )
+        )
+        self._next_id += 1
+        if len(self.rows) > self.MAX_ROWS:
+            del self.rows[: -self.MAX_ROWS]
+
+
+def system_queries(spark: SparkSession, log: QueryLog) -> DataFrame:
+    """`system.runtime.queries`-style view over a QueryLog."""
+    return spark.createDataFrame(
+        log.rows,
+        "query_id long, query string, duration_sec double, state string, "
+        "error string, ended_at_unix double",
+    )
+
+
 def explain_cost(spark: SparkSession, sql: str) -> str:
     """EXPLAIN COST text (CBO row-count/size estimates when stats exist)."""
     return spark.sql(f"EXPLAIN COST {sql}").collect()[0][0]

@@ -132,9 +132,29 @@ class WaldenSession:
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
+        from walden_spark.plans.serving import QueryLog
+
+        self.query_log = QueryLog()
 
     def sql(self, query: str) -> DataFrame:
-        return self.spark.sql(query)
+        """Serve a SQL statement, recording it in the query history
+        (the reference's system.runtime.queries surface)."""
+        import time
+
+        t0 = time.perf_counter()
+        try:
+            out = self.spark.sql(query)
+        except Exception as e:  # noqa: BLE001 - recorded then re-raised
+            self.query_log.record(query, time.perf_counter() - t0, str(e)[:500])
+            raise
+        self.query_log.record(query, time.perf_counter() - t0, None)
+        return out
+
+    def system_queries(self) -> DataFrame:
+        """Query history as a DataFrame (register as a temp view for BI)."""
+        from walden_spark.plans.serving import system_queries
+
+        return system_queries(self.spark, self.query_log)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
