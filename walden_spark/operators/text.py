@@ -327,3 +327,157 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup_frac > 0.3).alias("is_repetitive"),
         )
     )
+
+
+@query(
+    "text_decontaminate",
+    oracle="""
+WITH bench AS (
+  SELECT DISTINCT s FROM (
+    SELECT doc_id AS b_id, w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' ||
+           w[i+4] || '_' || w[i+5] || '_' || w[i+6] || '_' || w[i+7] AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0),
+         (SELECT unnest(range(1, 2000)) AS i)
+    WHERE i + 7 <= len(w)
+  )
+),
+corpus AS (
+  SELECT doc_id, w[i] || '_' || w[i+1] || '_' || w[i+2] || '_' || w[i+3] || '_' ||
+         w[i+4] || '_' || w[i+5] || '_' || w[i+6] || '_' || w[i+7] AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 <> 0),
+       (SELECT unnest(range(1, 2000)) AS i)
+  WHERE i + 7 <= len(w)
+)
+SELECT doc_id, COUNT(DISTINCT s) AS n_contaminated_ngrams
+FROM corpus JOIN bench USING (s)
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    category="text",
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-8-gram with a held-out evaluation set (the GPT-3 appendix-C /
+    PaLM-style n-gram overlap rule; Brown et al. 2020). The eval set
+    (every 97th doc here) is tiny relative to the corpus, so its
+    distinct-8-gram index BROADCASTS and contamination detection is a
+    map-side semi-join — the corpus never shuffles at any scale. Emits
+    (doc_id, overlapping-ngram count) for flagged docs only."""
+    t = Tables(spark, sf_dir)
+    w = F.split("text", " ")
+
+    def grams8(df):
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(w) - 7, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        "_", *[F.element_at(w, i + j) for j in range(8)]
+                    ),
+                )
+            ).alias("s"),
+        )
+
+    bench = (
+        grams8(t.documents.filter(F.col("doc_id") % 97 == 0)).select("s").distinct()
+    )
+    corpus = grams8(t.documents.filter(F.col("doc_id") % 97 != 0)).distinct()
+    return (
+        corpus.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_chunking",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 300),
+chunks AS (
+  SELECT doc_id, CAST((c - 1) / 24 AS BIGINT) AS chunk_id,
+         array_to_string(w[c : c + 31], ' ') AS chunk_text,
+         least(32, len(w) - c + 1) AS n_tokens
+  FROM docs, (SELECT unnest(range(1, 4000)) AS c)
+  WHERE c <= len(w) AND (c - 1) % 24 = 0
+)
+SELECT doc_id, chunk_id, chunk_text, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM chunks
+ORDER BY doc_id, chunk_id
+""",
+    category="text",
+)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 32-token
+    chunks with 8-token overlap (stride 24) — the standard LLM
+    pretraining/RAG windowing step. Pure per-row array arithmetic
+    (sequence + slice), zero shuffle, embarrassingly parallel at any
+    corpus size."""
+    t = Tables(spark, sf_dir)
+    w = F.split("text", " ")
+    chunk_starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(24))
+    return (
+        t.documents.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            F.size(w).alias("_n"),
+            F.explode(chunk_starts).alias("c"),
+            w.alias("_w"),
+        )
+        .filter(F.col("c") <= F.col("_n"))
+        .select(
+            "doc_id",
+            ((F.col("c") - 1) / 24).cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice("_w", F.col("c"), 32)).alias("chunk_text"),
+            F.least(F.lit(32), F.col("_n") - F.col("c") + 1).cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "text_stratified_sample",
+    oracle="""
+WITH strata AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+SELECT lang, n_docs, TRUE AS within_bounds
+FROM strata
+ORDER BY lang
+""",
+    category="text",
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sampling: draw a per-language stratified sample
+    (sampleBy) to hit a target data mixture — the domain/language
+    re-weighting step every pretraining corpus goes through. Which rows
+    are drawn is engine-seeded, so the checkable contract is
+    statistical: each stratum's sampled count must land within ±30% of
+    fraction x stratum size (>6 sigma at fixture sizes); the oracle
+    carries the exact stratum sizes and the bound verdict."""
+    from itertools import chain
+
+    t = Tables(spark, sf_dir)
+    fractions = {"en": 0.5, "de": 0.2, "es": 0.2, "zh": 0.1, "fr": 0.3}
+    docs = t.documents
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    fr = {lg: fractions.get(lg, 0.25) for lg in langs}
+    sampled = docs.sampleBy("lang", fractions=fr, seed=42)
+    per_stratum = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    got = sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+    frac_map = F.create_map(*list(chain(*[(F.lit(k), F.lit(v)) for k, v in fr.items()])))
+    expected = F.col("n_docs") * frac_map[F.col("lang")]
+    # tolerance: ±30% of the expectation OR 4 binomial sigmas + 1,
+    # whichever is larger — small fixture strata (tens of docs) need
+    # the sigma term; at corpus scale the 30% relative band dominates
+    tol = F.greatest(0.3 * expected, 4 * F.sqrt(expected) + 1)
+    return (
+        per_stratum.join(got, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            (F.abs(F.coalesce(F.col("n_sampled"), F.lit(0)) - expected) <= tol).alias(
+                "within_bounds"
+            ),
+        )
+        .orderBy("lang")
+    )
