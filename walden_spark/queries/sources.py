@@ -92,3 +92,43 @@ def source_datagen_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in dfs[1:]:
         out = out.unionByName(d)
     return out.orderBy("tbl")
+
+
+@query(
+    "source_python_stream",
+    oracle="""
+SELECT CAST(h % 1000 AS INTEGER) % 10 AS bucket_mod, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(h % 10000 AS DOUBLE) / 100.0 AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM (SELECT (i * 2654435761 + 42) % 2147483648 AS h
+      FROM (SELECT unnest(range(0, 1000)) AS i))
+GROUP BY 1
+ORDER BY 1
+""",
+    category="scan",
+)
+def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING connector in pure Python (Spark 4
+    SimpleDataSourceStreamReader): the walden_seq_stream source serves
+    a bounded deterministic sequence in offset-tracked micro-batches;
+    the query drains it to completion and aggregates. The oracle
+    replays the generator formula in SQL — proving the connector
+    surface end to end, offsets included."""
+    from walden_spark.sources.pyds import register_python_sources
+    from walden_spark.streaming.windows import _run_to_memory
+
+    register_python_sources(spark)
+    stream = (
+        spark.readStream.format("walden_seq_stream")
+        .option("batchRows", "200")
+        .option("maxRows", "1000")
+        .load()
+    )
+    collected = _run_to_memory(stream, "append")
+    return (
+        collected.groupBy((F.col("bucket") % 10).alias("bucket_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .orderBy("bucket_mod")
+    )

@@ -14,7 +14,12 @@ driver, read one split per task). Registered per-session via
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class _RangePartition(InputPartition):
@@ -59,5 +64,54 @@ class WaldenSeqDataSource(DataSource):
         return _SeqReader(self.options)
 
 
+class _SeqStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked streaming read of the same deterministic sequence:
+    each micro-batch serves rows [pos, pos+batch_rows) until max_rows.
+    This is the minimal custom streaming-connector contract — offsets
+    owned by the source, replayable reads between offsets (exactly-once
+    with checkpointing), no driver-side data retention."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batchRows", 200))
+        self.max_rows = int(options.get("maxRows", 1000))
+        self.seed = int(options.get("seed", 42))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int):
+        for i in range(start, end):
+            h = (i * 2654435761 + self.seed) % (2**31)
+            yield (i, h % 1000, float(h % 10_000) / 100.0)
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch_rows, self.max_rows)
+        # a picklable list_iterator, not a generator: the simple-reader
+        # contract prefetches rows driver-side and ships them pickled
+        return iter(list(self._rows(pos, end))), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        # replay path after failure recovery — must be deterministic
+        return iter(list(self._rows(start["pos"], end["pos"])))
+
+
+class WaldenSeqStreamDataSource(DataSource):
+    """``spark.readStream.format("walden_seq_stream")…`` — bounded
+    deterministic stream (maxRows), used to prove the Python streaming
+    connector surface end to end."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "walden_seq_stream"
+
+    def schema(self) -> str:
+        return "id long, bucket int, value double"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return _SeqStreamReader(self.options)
+
+
 def register_python_sources(spark: SparkSession) -> None:
     spark.dataSource.register(WaldenSeqDataSource)
+    spark.dataSource.register(WaldenSeqStreamDataSource)
