@@ -18,6 +18,8 @@ ladder, fastest first:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -226,3 +228,100 @@ def udf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("c_custkey")
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+SELECT event_id,
+       CAST(length(event_type) + (event_id % 7) AS BIGINT) AS feature
+FROM events WHERE event_id < 400 ORDER BY event_id
+""",
+    category="function",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDF (Spark 4 ``useArrow=True``): row
+    signature like a classic Python UDF but Arrow-batched transport —
+    the migration path for legacy UDFs that can't be vectorized (the
+    exported alternative to the deliberately-unexported row-at-a-time
+    ``@udf``; per-row Python still caps throughput, so hot paths should
+    graduate to pandas UDFs)."""
+    from pyspark.sql.functions import udf as _udf
+
+    @_udf(returnType="bigint", useArrow=True)
+    def feature(event_type: str, event_id: int) -> int:
+        return len(event_type) + (event_id % 7)
+
+    t = Tables(spark, sf_dir)
+    return (
+        t.events.filter(F.col("event_id") < 400)
+        .select("event_id", feature("event_type", "event_id").alias("feature"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "udf_pandas_iterator",
+    oracle="""
+SELECT event_id,
+       floor((value - (SELECT AVG(value) FROM events)) * 1000000.0) / 1000000.0 AS centered
+FROM events WHERE event_id < 400 ORDER BY event_id
+""",
+    category="function",
+)
+def udf_pandas_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-series pandas UDF: per-worker one-time setup (here a
+    broadcast mean; in production a model/tokenizer load) amortized
+    across all Arrow batches — the pattern for expensive-init inference
+    UDFs."""
+    t = Tables(spark, sf_dir)
+    mean_val = t.events.agg(F.avg("value")).collect()[0][0]
+    bc = spark.sparkContext.broadcast(mean_val)
+
+    @pandas_udf("double")
+    def center(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        mu = bc.value  # one-time per-worker setup
+        import numpy as np
+
+        for s in batches:
+            yield pd.Series(np.floor((s - mu) * 1e6) / 1e6)
+
+    return (
+        t.events.filter(F.col("event_id") < 400)
+        .select("event_id", center("value").alias("centered"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "udf_pandas_window_agg",
+    oracle="""
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS rolling_median
+FROM events WHERE user_id < 20 ORDER BY event_id
+""",
+    category="function",
+)
+def udf_pandas_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF applied OVER a window frame — custom
+    rolling statistics (exact rolling median) that no built-in window
+    aggregate provides; the UDF evaluates once per frame on the
+    Arrow-transferred slice."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        t.events.filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            batch_median()(F.col("value")).over(w).alias("rolling_median"),
+        )
+        .orderBy("event_id")
+    )

@@ -454,3 +454,36 @@ def fn_uuid_typeof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("uuid()").alias("id"),
         F.expr("typeof(n_name)").alias("name_type"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(props->>'$.k' AS BIGINT) AS k_typed,
+       props->>'$.k' AS k_str,
+       CAST(props->>'$.k' AS BIGINT) IS NULL AS k_missing
+FROM events WHERE event_id < 300
+ORDER BY event_id
+""",
+    category="function",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse_json into an
+    open-schema variant column, then typed path extraction with
+    variant_get — the engine-native upgrade over string JSON
+    functions (binary-encoded, no re-parse per access; the reference's
+    Trino json type plays the same role). Oracle extracts the same
+    paths through DuckDB's JSON operators."""
+    t = Tables(spark, sf_dir)
+    v = F.parse_json("props")
+    return (
+        t.events.filter(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "bigint").alias("k_typed"),
+            F.try_variant_get(v, "$.k", "string").alias("k_str"),
+            F.try_variant_get(v, "$.k", "bigint").isNull().alias("k_missing"),
+        )
+        .orderBy("event_id")
+    )
