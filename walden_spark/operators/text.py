@@ -481,3 +481,72 @@ def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_sequence_pack",
+    oracle="""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, doc_id % 8 AS bucket, len(string_split(text, ' ')) AS tok,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents WHERE doc_id < 1000
+),
+pack(bucket, rn, doc_id, tok, bin_id, bin_fill) AS (
+  SELECT bucket, rn, doc_id, tok, CAST(0 AS BIGINT), tok FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.tok,
+         CASE WHEN p.bin_fill + d.tok > 256 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.bin_fill + d.tok > 256 THEN d.tok ELSE p.bin_fill + d.tok END
+  FROM pack p JOIN docs d ON d.bucket = p.bucket AND d.rn = p.rn + 1
+)
+SELECT CAST(bucket AS BIGINT) AS bucket, bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS total_tokens
+FROM pack
+GROUP BY bucket, bin_id
+ORDER BY bucket, bin_id
+""",
+    category="text",
+)
+def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: next-fit token packing of documents into
+    256-token context bins — the pretraining batching step that turns
+    variable-length docs into fixed windows with minimal padding.
+    Packing is order-dependent, so docs hash into buckets (the parallel
+    unit at corpus scale: one packer task per bucket, deterministic
+    doc_id order inside) and applyInPandas runs the next-fit loop per
+    bucket. The oracle replays the identical fold as a recursive CTE."""
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    docs = (
+        t.documents.filter(F.col("doc_id") < 1000)
+        .select(
+            "doc_id",
+            (F.col("doc_id") % 8).alias("bucket"),
+            F.size(F.split("text", " ")).cast("bigint").alias("tok"),
+        )
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        bins, fills = [], 0
+        bin_id, fill = 0, 0
+        first = True
+        for tok in pdf["tok"]:
+            if not first and fill + tok > 256:
+                bin_id, fill = bin_id + 1, tok
+            else:
+                fill += tok
+            first = False
+            bins.append(bin_id)
+        out = pdf.assign(bin_id=bins)
+        g = out.groupby("bin_id", as_index=False).agg(
+            bucket=("bucket", "first"), n_docs=("doc_id", "count"), total_tokens=("tok", "sum")
+        )
+        return g[["bucket", "bin_id", "n_docs", "total_tokens"]]
+
+    return (
+        docs.groupBy("bucket")
+        .applyInPandas(pack, schema="bucket long, bin_id long, n_docs long, total_tokens long")
+        .orderBy("bucket", "bin_id")
+    )
