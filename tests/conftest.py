@@ -12,7 +12,14 @@ SF_DIR = os.environ.get("WALDEN_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from walden_spark.session import get_spark
 
-    s = get_spark(app_name="walden_tests", master="local[8]", shuffle_partitions=8)
+    # WALDEN_TEST_MASTER / WALDEN_TEST_SHUFFLE: partition-count
+    # independence probes (e.g. local[5] + shuffle=3) — results must
+    # not depend on the parallelism layout
+    s = get_spark(
+        app_name="walden_tests",
+        master=os.environ.get("WALDEN_TEST_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("WALDEN_TEST_SHUFFLE", "8")),
+    )
     yield s
 
 

@@ -629,3 +629,32 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus, metric
         """
     )
+
+
+@query(
+    "sql_parameterized",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 50000.0 AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="sql",
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named parameter markers) — the Trino
+    prepared-statement / BI-template analog: the query text is constant
+    and values bind at execution, so plans cache and injection is
+    structurally impossible. Spark 4 `spark.sql(..., args=...)`."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n
+        FROM orders
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"min_price": 50000.0, "status": "F"},
+    )
