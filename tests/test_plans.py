@@ -140,3 +140,36 @@ def test_embedding_cosine_multiblock_matches_single(spark, sf_dir, registry):
 
     plan = _plan(spark, dedup_embedding_cosine(spark, sf_dir, rows_per_block=64))
     assert "FlatMapGroupsInPandas" in plan
+
+
+# Queries whose semantics REQUIRE a cross/nested-loop join (explicit
+# CROSS JOIN, tiny literal relations) — everything else must not
+# regress into one.
+_CARTESIAN_OK = {
+    "join_cross",          # explicit CROSS JOIN semantics
+    "join_theta_nonequi",  # pure-inequality theta join on a 25-row dim
+    "tpch_q11",            # scalar-subquery threshold: BNLJ against a 1-row aggregate, O(n)
+    "tpch_q22",            # same — avg-balance scalar subquery comparison
+    "ann_ivf_probe",       # intentional broadcast-cross against the bounded centroid table (IVF assign is map-only by design)
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark, sf_dir, registry):
+    """Blanket plan-hygiene gate: no registered batch query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin unless its semantics
+    require one. Catches an operator silently losing its equi-join key
+    (the classic 100TB regression) at CI time."""
+    offenders = {}
+    for name, q in registry.items():
+        if q.category in ("streaming", "tpcds", "ddl"):
+            continue  # streaming plans differ; tpcds/ddl create state
+        if name in _CARTESIAN_OK:
+            continue
+        try:
+            plan = _plan(spark, q.fn(spark, sf_dir))
+        except Exception:
+            continue  # queries needing special setup are covered elsewhere
+        bad = [k for k in ("CartesianProduct", "BroadcastNestedLoopJoin") if k in plan]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"accidental cartesian/NLJ plans: {offenders}"
