@@ -202,3 +202,48 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
     images = decoded.filter(F.col("modality") == "image").select("doc_id", "width", "height")
     return images.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
+
+
+@query(
+    "multimodal_dedup_exact",
+    oracle="""
+SELECT modality, keep_id, n_copies
+FROM (
+  SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS modality,
+         MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_copies
+  FROM (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000, text FROM documents WHERE doc_id % 3 = 1
+  )
+  GROUP BY sha256(text), ['image', 'audio', 'video'][(doc_id % 3) + 1]
+)
+WHERE n_copies > 1
+ORDER BY modality, keep_id
+""",
+    category="multimodal",
+)
+def multimodal_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup: group binary payloads by content digest
+    (sha-256 from the metadata struct) per modality, keep the minimum
+    id — the image/audio dedup step of a multimodal training pipeline.
+    Input is re-duplicated (ids shifted by 3M preserve doc_id%3, hence
+    modality) so the operator provably collapses copies. Scale shape:
+    identical to text dedup_exact — one shuffle on the 256-bit digest,
+    uniform keys, payload bytes never leave their partition (only the
+    digest shuffles)."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    dup = base.unionAll(
+        base.filter(F.col("doc_id") % 3 == 1).select(
+            (F.col("doc_id") + 3000000).alias("doc_id"), "text"
+        )
+    )
+    media = with_media_columns(dup)
+    return (
+        media.groupBy(F.col("media_meta.sha").alias("sha"), F.col("media_meta.modality").alias("modality"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select("modality", "keep_id", "n_copies")
+        .orderBy("modality", "keep_id")
+    )
