@@ -640,7 +640,7 @@ WHERE o_totalprice > 50000.0 AND o_orderstatus = 'F'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """,
-    category="sql",
+    category="filter",
 )
 def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL (named parameter markers) — the Trino
