@@ -173,3 +173,34 @@ def test_no_accidental_cartesian_anywhere(spark, sf_dir, registry):
         if bad:
             offenders[name] = bad
     assert not offenders, f"accidental cartesian/NLJ plans: {offenders}"
+
+
+def test_sorted_layout_prunes_row_groups(spark, sf_dir, tmp_path):
+    """compact_table(sort_by=...)'s premise, measured: a range filter
+    over a SORTED parquet layout must emit far fewer scan rows than
+    over a shuffled layout (parquet row-group min/max skipping — the
+    Z-order-lite data-skipping story for the leading sort dimension)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "user_id", "value")
+    ev.orderBy("event_id").coalesce(4).write.parquet(str(tmp_path / "sorted"))
+    ev.orderBy(F.rand(7)).coalesce(4).write.parquet(str(tmp_path / "shuffled"))
+
+    def scan_output_rows(path: str) -> tuple[int, int]:
+        df = spark.read.parquet(path).filter("event_id BETWEEN 1000 AND 1999")
+        n = len(df.collect())
+        leaf = df._jdf.queryExecution().executedPlan().collectLeaves().head()
+        met, out = leaf.metrics(), {}
+        it = met.iterator()
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        return n, out["numOutputRows"]
+
+    n_sorted, scan_sorted = scan_output_rows(str(tmp_path / "sorted"))
+    n_shuffled, scan_shuffled = scan_output_rows(str(tmp_path / "shuffled"))
+    assert n_sorted == n_shuffled  # same answer either way
+    assert scan_sorted * 3 <= scan_shuffled, (
+        f"sorted layout should skip row groups: scan emitted {scan_sorted} vs {scan_shuffled}"
+    )
