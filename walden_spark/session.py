@@ -41,6 +41,7 @@ def get_spark(
     persistent_catalog: bool = False,
     metastore_dir: str | None = None,
     metastore_uri: str | None = None,
+    fair_scheduling: bool = False,
     extra_conf: Mapping[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
@@ -102,6 +103,15 @@ def get_spark(
     if warehouse_dir:
         # reference: Nessie default warehouse s3://demobucket/
         b = b.config("spark.sql.warehouse.dir", warehouse_dir)
+    if fair_scheduling:
+        # BI-concurrency mode (the reference's Trino serves many
+        # dashboard queries at once): FAIR scheduling lets short
+        # queries overtake long scans instead of FIFO head-of-line
+        # blocking. Threads opt into pools via
+        # sc.setLocalProperty("spark.scheduler.pool", name).
+        # Must be set at JVM launch — no-op via getOrCreate on a live
+        # session.
+        b = b.config("spark.scheduler.mode", "FAIR")
     if persistent_catalog or metastore_uri:
         b = b.config("spark.sql.catalogImplementation", "hive").enableHiveSupport()
         if metastore_uri:
