@@ -222,3 +222,43 @@ def ddl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("version")
+
+
+@query(
+    "ddl_schema_evolution",
+    oracle="""
+SELECT id, v, CAST(tag AS VARCHAR) AS tag
+FROM (
+  SELECT CAST(id AS BIGINT) AS id, CAST(v AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS tag
+  FROM (VALUES (1, 1.5), (2, 2.5)) AS a(id, v)
+  UNION ALL
+  SELECT CAST(id AS BIGINT), CAST(v AS DOUBLE), tag
+  FROM (VALUES (3, 3.5, 'new'), (4, 4.5, 'new')) AS b(id, v, tag)
+)
+ORDER BY id
+""",
+    category="ddl",
+)
+def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: ALTER TABLE ADD COLUMNS on a live parquet
+    table — rows written before the evolution read back with NULL in
+    the new column, new rows carry values (the Iceberg add-column
+    capability the reference exposes through Trino; Spark supports it
+    natively on parquet tables). The oracle replays the union."""
+    import tempfile as _tf
+
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    loc = _tf.mkdtemp(prefix="walden_evo_")
+    spark.sql("DROP DATABASE IF EXISTS walden_evo CASCADE")
+    cat.create_schema("walden_evo", location=loc)
+    t = "walden_evo.metrics"
+    cat.create_table(t, "id BIGINT, v DOUBLE")
+    cat.insert_values(t, "(1, 1.5), (2, 2.5)")
+    spark.sql(f"ALTER TABLE {t} ADD COLUMNS (tag STRING)")
+    cat.insert_values(t, "(3, 3.5, 'new'), (4, 4.5, 'new')")
+    out = spark.table(t).orderBy("id")
+    rows = out.collect()
+    cat.drop_schema("walden_evo")
+    return spark.createDataFrame(rows, out.schema)
