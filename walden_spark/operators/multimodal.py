@@ -137,11 +137,20 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
 
 
-@query("multimodal_frame_sample", oracle=None, category="multimodal")
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id,
+       CAST(unnest(range(0, 1 + (octet_length(CAST(text AS BLOB)) % 120), 30)) AS BIGINT) AS frame_idx
+FROM documents WHERE doc_id % 3 = 2
+""",
+    category="multimodal",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling for video payloads: explode decoded frame indexes
-    (every 30th frame) — the downstream shape of a video pipeline;
-    rows-only (depends on the stubbed decode)."""
+    (every 30th frame) — the downstream shape of a video pipeline. The
+    stub codec is deterministic (n_frames = 1 + bytes % 120), so the
+    oracle replays it: r02 upgrade from rows-only to hash-checked."""
     t = Tables(spark, sf_dir)
     media = with_media_columns(t.documents)
     decoded = media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)

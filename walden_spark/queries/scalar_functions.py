@@ -445,14 +445,32 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("fn_uuid_typeof", oracle=None, category="function")
+@query(
+    "fn_uuid_typeof",
+    oracle="""
+SELECT COUNT(*) AS n_rows, COUNT(*) AS n_valid_uuid,
+       COUNT(*) AS n_distinct_uuid, COUNT(*) AS n_string_typed
+FROM nation
+""",
+    category="function",
+)
 def fn_uuid_typeof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """uuid() (nondeterministic by design → rows-only) + typeof."""
+    """uuid() + typeof. The generated ids are nondeterministic by
+    design, so the checkable contract is structural: every row gets a
+    syntactically valid RFC-4122 v4 uuid, all generated ids are
+    distinct, and typeof reports string for a varchar column (r02
+    upgrade from rows-only)."""
     t = Tables(spark, sf_dir)
-    return t.nation.select(
-        "n_nationkey",
+    g = t.nation.select(
         F.expr("uuid()").alias("id"),
         F.expr("typeof(n_name)").alias("name_type"),
+    )
+    uuid_re = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    return g.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("id").rlike(uuid_re), 1).otherwise(0)).cast("bigint").alias("n_valid_uuid"),
+        F.countDistinct("id").alias("n_distinct_uuid"),
+        F.sum(F.when(F.col("name_type") == "string", 1).otherwise(0)).cast("bigint").alias("n_string_typed"),
     )
 
 
