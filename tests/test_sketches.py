@@ -1,20 +1,39 @@
 """Sketch surface: HLL estimates must be mergeable and bounded.
-(Sketch bytes are engine-specific, so the registry entry is rows-only;
-this test pins the semantics instead.)"""
+(Sketch bytes are engine-specific, so the registry entry emits a
+bounds-check boolean the oracle can verify; this test additionally pins
+the mergeable-union semantics on raw estimates.)"""
 
 from __future__ import annotations
+
+from pyspark.sql import functions as F
 
 from walden_spark.registry import load_all
 
 
-def test_hll_estimates_bounded_and_mergeable(spark, sf_dir):
+def test_hll_query_within_bounds(spark, sf_dir):
     reg = load_all()
-    rows = {(r.c_mktsegment, r.level): r for r in reg["agg_hll_sketch"].fn(spark, sf_dir).collect()}
-    segs = [r for (seg, lvl), r in rows.items() if lvl == "segment"]
+    rows = reg["agg_hll_sketch"].fn(spark, sf_dir).collect()
+    segs = [r for r in rows if r.level == "segment"]
     assert segs, "expected per-segment sketches"
-    for r in segs:  # default lgK=12 → ~2% error; allow 5%
-        assert abs(r.approx_distinct - r.exact_distinct) <= max(2, 0.05 * r.exact_distinct)
-    total = rows[("ALL", "union")]
-    assert abs(total.approx_distinct - total.exact_distinct) <= max(2, 0.05 * total.exact_distinct)
-    # merged estimate must be consistent with the parts (union ≥ max part)
-    assert total.approx_distinct >= max(r.approx_distinct for r in segs)
+    assert any(r.level == "union" for r in rows), "expected a union row"
+    assert all(r.within_bounds for r in rows)
+
+
+def test_hll_union_is_mergeable(spark):
+    # build per-part sketches, union them, and check the estimator:
+    # each part within 5%, union within 5%, union >= max part.
+    df = spark.range(3000).select("id", (F.col("id") % 3).alias("seg"))
+    per = df.groupBy("seg").agg(
+        F.expr("hll_sketch_agg(id)").alias("sk"),
+        F.countDistinct("id").alias("n"),
+    )
+    parts = per.select(
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est"), "n"
+    ).collect()
+    for r in parts:
+        assert abs(r.est - r.n) <= max(2, 0.05 * r.n)
+    total = per.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est")
+    ).collect()[0]
+    assert abs(total.est - 3000) <= 0.05 * 3000
+    assert total.est >= max(r.est for r in parts)

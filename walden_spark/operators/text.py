@@ -550,3 +550,86 @@ def text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema="bucket long, bin_id long, n_docs long, total_tokens long")
         .orderBy("bucket", "bin_id")
     )
+
+
+@query(
+    "text_span_dedup",
+    oracle="""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+segs AS (
+  SELECT doc_id, CAST((c - 1) / 8 AS BIGINT) AS seg_no,
+         array_to_string(w[c : c + 7], ' ') AS seg_text
+  FROM docs, (SELECT unnest(range(1, 4000)) AS c)
+  WHERE c <= len(w) AND (c - 1) % 8 = 0
+),
+flagged AS (
+  SELECT doc_id, seg_no, seg_text,
+         row_number() OVER (PARTITION BY md5(seg_text)
+                            ORDER BY doc_id, seg_no) = 1 AS keep
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       COALESCE(array_to_string(list(seg_text ORDER BY seg_no) FILTER (WHERE keep), ' '),
+                '') AS cleaned_text
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    category="text",
+)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022): documents
+    are cut into fixed 8-word spans, every span that repeats anywhere
+    in the corpus keeps only its first occurrence (min (doc_id,
+    position) — a total order, so the survivor is deterministic), and
+    each document is reassembled from its surviving spans. Production
+    pipelines use ~50-token spans; 8 fits this fixture's vocabulary.
+
+    Scale shape: span extraction is a zero-shuffle codegen map
+    (sequence + slice); the survivor choice is one shuffle on the span
+    DIGEST (uniform md5 keys — no skew; the window's per-key groups are
+    occurrence counts, i.e. tiny); reassembly is one shuffle on doc_id
+    with sort_array(collect_list(struct)) fixing intra-doc order
+    without a global sort. Same two-shuffle budget as exact dedup plus
+    the rebuild — the plan a suffix-array pipeline collapses to when
+    spans are fixed-width.
+    """
+    t = Tables(spark, sf_dir)
+    w = _words()
+    starts = F.sequence(F.lit(1), F.greatest(F.size(w), F.lit(1)), F.lit(8))
+    segs = (
+        t.documents.repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "doc_id",
+            F.size(w).alias("_n"),
+            F.explode(starts).alias("c"),
+            w.alias("_w"),
+        )
+        .filter(F.col("c") <= F.col("_n"))
+        .select(
+            "doc_id",
+            ((F.col("c") - 1) / 8).cast("bigint").alias("seg_no"),
+            F.concat_ws(" ", F.slice("_w", F.col("c"), 8)).alias("seg_text"),
+        )
+    )
+    from pyspark.sql import Window
+
+    first = Window.partitionBy(F.md5("seg_text")).orderBy("doc_id", "seg_no")
+    flagged = segs.withColumn("keep", F.row_number().over(first) == 1)
+    kept_spans = F.array_sort(
+        F.collect_list(F.when(F.col("keep"), F.struct("seg_no", "seg_text")))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+            F.concat_ws(
+                " ", F.transform(kept_spans, lambda s: s["seg_text"])
+            ).alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
