@@ -332,3 +332,146 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"),
         )
     )
+
+
+# ---- Product-quantization parameters (mirrored in oracle SQL) ----
+# 64-dim vectors split into M=8 subspaces of 8 dims; each subspace
+# quantizes to its nearest coarse centroid (seed vectors vec_id%100==7,
+# same deterministic codebook rule as ann_ivf_probe). A vector becomes
+# an 8-byte code — 32x smaller than 64 floats, which is what lets a
+# 100TB embedding corpus fit executor memory as ~3TB of codes.
+PQ_M = 8
+PQ_SUBDIM = 8  # DIM / PQ_M
+
+_L2_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip({a}, {b}),"
+    " p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))"
+    " * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), (x, y) -> x + y)"
+)
+
+
+@query(
+    "ann_ivf_pq",
+    oracle=f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 7),
+sub AS (
+  SELECT e.vec_id, r.m, e.embedding[r.m * {PQ_SUBDIM} + 1 : r.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+  FROM embeddings e, range(0, {PQ_M}) AS r(m)
+),
+csub AS (
+  SELECT cid, r.m, ce[r.m * {PQ_SUBDIM} + 1 : r.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS cv
+  FROM cent, range(0, {PQ_M}) AS r(m)
+),
+code AS (
+  SELECT vec_id, m, cid, cv FROM (
+    SELECT s.vec_id, s.m, c.cid, c.cv,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_L2_SQL.format(a='s.sv', b='c.cv')}, c.cid) AS rn
+    FROM sub s JOIN csub c ON s.m = c.m
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, m, sv AS qv FROM sub WHERE vec_id < {N_QUERIES}),
+adc AS (
+  SELECT q.query_id, k.vec_id AS neighbor_id,
+         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+           list({_DOT_SQL.format(a='q.qv', b='k.cv')} ORDER BY q.m)),
+           (x, y) -> x + y) AS adc
+  FROM q JOIN code k ON q.m = k.m
+  WHERE q.query_id <> k.vec_id
+  GROUP BY q.query_id, k.vec_id
+)
+SELECT query_id, neighbor_id,
+       floor(adc * 1000000.0) / 1000000.0 AS adc_score, CAST(rn AS INT) AS rn
+FROM (
+  SELECT query_id, neighbor_id, adc,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id) AS rn
+  FROM adc
+)
+WHERE rn <= {TOP_K}
+""",
+    category="similarity",
+)
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou/Douze/Schmid, TPAMI 2011): each
+    vector is encoded as M=8 sub-centroid ids; query-vs-corpus scoring
+    is the asymmetric distance computation (ADC) — one M-entry lookup
+    per candidate into a per-query table of dot(query_subvector,
+    centroid_subvector), never touching the original corpus floats.
+
+    Scale shape: the codebook (K centroids) and per-query LUTs are a
+    tiny broadcast; encoding + scoring is ONE zero-shuffle Arrow map
+    over the corpus (each batch: one vectorized distance tensor to
+    encode, one LUT gather to score); the only shuffle is the final
+    per-query TopK window. The 32x code compression is the point at
+    100TB — re-ranking survivors against true floats is knn_brute_force
+    composed after this operator. Codebooks come from the same
+    deterministic seed rule as ann_ivf_probe (vec_id % 100 == 7), so
+    DuckDB replays encode + ADC exactly; the oracle folds ADC terms in
+    fixed m-order so equal-code candidates tie bit-identically and fall
+    back to the neighbor_id tie-break in both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    cent_pdf = e.filter(F.col("vec_id") % 100 == 7).toPandas().sort_values("vec_id")
+    Csub = (
+        np.stack(cent_pdf["embedding"].to_numpy())
+        .astype(np.float64)
+        .reshape(len(cent_pdf), PQ_M, PQ_SUBDIM)
+    )  # (K, M, d)
+    q_pdf = e.filter(F.col("vec_id") < N_QUERIES).toPandas().sort_values("vec_id")
+    Qsub = (
+        np.stack(q_pdf["embedding"].to_numpy())
+        .astype(np.float64)
+        .reshape(len(q_pdf), PQ_M, PQ_SUBDIM)
+    )
+    # LUT[qi, m, k] = dot(query qi's m-th subvector, centroid k's m-th)
+    LUT = np.einsum("qmd,kmd->qmk", Qsub, Csub)
+    q_ids = q_pdf["vec_id"].to_numpy()
+    bc = spark.sparkContext.broadcast((q_ids, LUT, Csub))
+
+    def score(batches):
+        q_ids_, LUT_, Csub_ = bc.value
+        m_idx = np.arange(PQ_M)[:, None]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            X = (
+                np.stack(pdf["embedding"].to_numpy())
+                .astype(np.float64)
+                .reshape(len(ids), PQ_M, PQ_SUBDIM)
+            )
+            # encode: d2[n, m, k] = ||X[n,m,:] - C[k,m,:]||^2; argmin
+            # returns the FIRST minimum → lowest cid (cids sorted), the
+            # same tie-break as the oracle's ORDER BY l2, cid
+            d2 = ((X[:, :, None, :] - Csub_.transpose(1, 0, 2)[None]) ** 2).sum(-1)
+            codes = d2.argmin(-1)  # (n, M)
+            out = []
+            for qi, qid in enumerate(q_ids_):
+                adc = LUT_[qi][m_idx, codes.T].sum(axis=0)  # (n,)
+                mask = ids != qid
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "neighbor_id": ids[mask], "adc": adc[mask]}
+                    )
+                )
+            yield pd.concat(out)
+
+    scored = e.repartition(spark.sparkContext.defaultParallelism).mapInPandas(
+        score, schema="query_id long, neighbor_id long, adc double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.floor(F.col("adc") * 1000000.0) / 1000000.0).alias("adc_score"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
