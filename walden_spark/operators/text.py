@@ -633,3 +633,75 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_shard_shuffle",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+  FROM documents
+),
+placed AS (
+  SELECT doc_id, n_tokens, hkey % 8 AS shard_id,
+         row_number() OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id) AS pos,
+         SUM(n_tokens) OVER (PARTITION BY hkey % 8 ORDER BY hkey, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS tok_before
+  FROM h
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id, CAST(pos AS BIGINT) AS pos, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COALESCE(tok_before, 0) AS BIGINT) AS token_offset
+FROM placed
+ORDER BY shard_id, pos
+""",
+    category="text",
+)
+def text_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the step that
+    turns a curated corpus into training input: every document gets a
+    pseudo-random but reproducible position (order by a salted md5 of
+    its id — same permutation on every rerun, engine, and layout), a
+    shard (hash mod 8; a real run uses num_workers x files_per_worker),
+    and the running token offset at which it starts inside its shard
+    (prefix-sum, so trainers can seek without scanning).
+
+    Scale shape: the hash is a zero-shuffle map; placement is ONE
+    shuffle on shard_id with an in-shard sort (window: row_number +
+    running SUM share the same sort — Spark evaluates both over one
+    exchange, and per-shard sorts are independent, so 100TB spreads
+    across however many shards the trainer asked for). No global
+    total-order sort anywhere — the output contract (shard_id, pos) is
+    already the consumable order.
+    """
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    h = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        hkey.alias("hkey"),
+    ).withColumn("shard_id", F.col("hkey") % 8)
+    w = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    return (
+        h.select(
+            "shard_id",
+            F.row_number().over(w).cast("bigint").alias("pos"),
+            "doc_id",
+            "n_tokens",
+            F.coalesce(
+                F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("token_offset"),
+        )
+        .orderBy("shard_id", "pos")
+    )
