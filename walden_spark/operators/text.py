@@ -705,3 +705,83 @@ def text_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "pos")
     )
+
+
+@query(
+    "text_pretrain_pipeline",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+),
+quality AS (
+  SELECT doc_id, text, len(w) AS n_tokens
+  FROM toks
+  WHERE len(w) >= 20
+    AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) >= 0.45
+),
+canon AS (
+  SELECT doc_id, n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM quality
+  ) WHERE rn = 1
+),
+placed AS (
+  SELECT doc_id, n_tokens,
+         ('0x' || substr(md5('pipe:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+  FROM canon
+)
+SELECT CAST(hkey % 4 AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (PARTITION BY hkey % 4 ORDER BY hkey, doc_id) AS BIGINT) AS pos,
+       doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+FROM placed
+ORDER BY shard_id, pos
+""",
+    category="text",
+)
+def text_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining corpus pipeline in ONE declarative plan:
+    quality gate (length >= 20 tokens, type-token ratio >= 0.45) →
+    exact dedup (first doc per content digest survives) → deterministic
+    shuffle into 4 shards with in-shard positions. The composition is
+    the product a reference user actually runs — each stage is also
+    available standalone (text_quality_score, dedup_exact,
+    text_shard_shuffle).
+
+    Scale shape: quality is a zero-shuffle codegen map and runs FIRST,
+    so later shuffles only carry survivors (filter-early is the 100TB
+    win — Catalyst cannot reorder across the dedup window, so stage
+    order is the design choice here); dedup is one shuffle on the
+    content digest; sharding is one shuffle on shard_id. Three stages,
+    two shuffles, no global sort, nothing on the driver.
+    """
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = F.split("text", " ")
+    quality = t.documents.select(
+        "doc_id", "text", F.size(w).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(w)).cast("double") / F.size(w)).alias("ttr"),
+    ).filter((F.col("n_tokens") >= 20) & (F.col("ttr") >= 0.45))
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    canon = (
+        quality.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    hkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("pipe:"), F.col("doc_id").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    placed = canon.withColumn("hkey", hkey).withColumn("shard_id", F.col("hkey") % 4)
+    ws = Window.partitionBy("shard_id").orderBy("hkey", "doc_id")
+    return (
+        placed.select(
+            "shard_id",
+            F.row_number().over(ws).cast("bigint").alias("pos"),
+            "doc_id",
+            "n_tokens",
+        )
+        .orderBy("shard_id", "pos")
+    )
