@@ -204,3 +204,27 @@ def test_sorted_layout_prunes_row_groups(spark, sf_dir, tmp_path):
     assert scan_sorted * 3 <= scan_shuffled, (
         f"sorted layout should skip row groups: scan emitted {scan_sorted} vs {scan_shuffled}"
     )
+
+
+def test_runtime_bloom_filter(spark, sf_dir):
+    """Runtime bloom-filter join pruning (the non-partition-key analog
+    of DPP; together = Trino-style dynamic filtering): a selective
+    dim-side filter must inject might_contain(...bloom...) into the
+    fact-side scan filter. The application-side scan threshold
+    (default 10GB) makes this big-data-only in production, so the test
+    lowers it to observe the rewrite on fixture data."""
+    thr = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    bcast = "spark.sql.autoBroadcastJoinThreshold"
+    old_thr, old_bcast = spark.conf.get(thr), spark.conf.get(bcast)
+    try:
+        spark.conf.set(thr, "0")
+        spark.conf.set(bcast, "-1")  # broadcast joins don't need blooms
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        sel = o.filter(F.col("o_totalprice") > 400000).select("o_orderkey")
+        j = l.join(sel, l.l_orderkey == sel.o_orderkey)
+        plan = _plan(spark, j)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        spark.conf.set(thr, old_thr)
+        spark.conf.set(bcast, old_bcast)

@@ -552,3 +552,61 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "c_mktsegment")
     )
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle="""
+SELECT l_returnflag, level,
+       floor(exact_p50 * 1000000.0) / 1000000.0 AS exact_p50,
+       TRUE AS within_bounds
+FROM (
+  SELECT l_returnflag, 'group' AS level,
+         quantile_cont(l_extendedprice, 0.5) AS exact_p50
+  FROM lineitem GROUP BY l_returnflag
+  UNION ALL
+  SELECT 'ALL', 'merged', quantile_cont(l_extendedprice, 0.5) FROM lineitem
+)
+ORDER BY level, l_returnflag
+""",
+    category="aggregate",
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch surface (Trino's approx_percentile /
+    qdigest analog, same contract pattern as agg_hll_sketch): per-group
+    approx_percentile at accuracy 10000 — Spark's partial/final split
+    IS the sketch merge (each partition summarizes, merges combine
+    summaries), so the same aggregate scales to any partition count.
+    Checkable contract: the approximate median must land inside the
+    exact [p49, p51] value window (rank error at accuracy 1e4 is 1e-4
+    << 0.01), emitted as a boolean; exact_p50 is the driver-hashable
+    payload (floor-quantized — Spark and DuckDB both linearly
+    interpolate)."""
+    t = Tables(spark, sf_dir)
+
+    def level(df, label):
+        return df.agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+            F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
+            F.expr("percentile(l_extendedprice, 0.51)").alias("hi"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+        )
+
+    per = level(t.lineitem.groupBy("l_returnflag"), "group").withColumn(
+        "level", F.lit("group")
+    )
+    total = (
+        level(t.lineitem.groupBy(), "merged")
+        .withColumn("l_returnflag", F.lit("ALL"))
+        .withColumn("level", F.lit("merged"))
+    )
+    return (
+        per.unionByName(total)
+        .select(
+            "l_returnflag",
+            "level",
+            (F.floor(F.col("exact_p50") * 1000000.0) / 1000000.0).alias("exact_p50"),
+            F.col("approx_p50").between(F.col("lo"), F.col("hi")).alias("within_bounds"),
+        )
+        .orderBy("level", "l_returnflag")
+    )

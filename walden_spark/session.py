@@ -85,6 +85,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # Runtime bloom-filter join pruning — the non-partition-key
+        # analog of dynamic partition pruning (together they cover what
+        # the reference gets from Trino's dynamic filtering): a
+        # selective dim-side predicate builds a bloom filter that
+        # pre-filters the fact scan before the shuffle. The
+        # application-side threshold (default 10GB) keeps it
+        # big-data-only in production; tests lower it to observe the
+        # rewrite (tests/test_plans.py::test_runtime_bloom_filter).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("WALDEN_SPARK_UI", "false"))
     )
