@@ -508,3 +508,112 @@ def tpcds_q65_low_revenue_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_store_id", "i_item_id")
     )
+
+
+@_tpcds(
+    "tpcds_q67_rollup_topn",
+    """
+WITH sales AS (
+  SELECT d_year, i_category, i_brand,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS sumsales
+  FROM store_sales
+  JOIN date_dim ON d_date_sk = ss_sold_date_sk
+  JOIN item ON i_item_sk = ss_item_sk
+  GROUP BY d_year, ROLLUP(i_category, i_brand)
+)
+SELECT d_year, i_category, i_brand,
+       CAST(sumsales AS DOUBLE) AS sumsales, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, RANK() OVER (PARTITION BY d_year, i_category
+                         ORDER BY sumsales DESC, i_brand ASC NULLS FIRST) AS rk
+  FROM sales
+)
+WHERE rk <= 3
+ORDER BY d_year, i_category NULLS FIRST, rk, i_brand NULLS FIRST
+""",
+)
+def tpcds_q67_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape: year-pinned ROLLUP over the category→brand
+    hierarchy, then top-3 rows per (year, category) partition —
+    rollup + window rank composed. The rollup is ONE aggregate pass
+    (Spark expands grouping sets map-side), the rank's partitions are
+    per-(year, category) — both scale-free; dims broadcast. Decimal
+    sums rank exactly; doubles appear only in the emitted column."""
+    g = _gen(spark)
+    g.store_sales().createOrReplaceTempView("q67_store_sales")
+    g.date_dim().createOrReplaceTempView("q67_date_dim")
+    g.item().createOrReplaceTempView("q67_item")
+    return spark.sql("""
+WITH sales AS (
+  SELECT d_year, i_category, i_brand,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS sumsales
+  FROM q67_store_sales
+  JOIN q67_date_dim ON d_date_sk = ss_sold_date_sk
+  JOIN q67_item ON i_item_sk = ss_item_sk
+  GROUP BY d_year, ROLLUP(i_category, i_brand)
+)
+SELECT d_year, i_category, i_brand,
+       CAST(sumsales AS DOUBLE) AS sumsales, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, RANK() OVER (PARTITION BY d_year, i_category
+                         ORDER BY sumsales DESC, i_brand ASC NULLS FIRST) AS rk
+  FROM sales
+)
+WHERE rk <= 3
+ORDER BY d_year, i_category NULLS FIRST, rk, i_brand NULLS FIRST
+""")
+
+
+@_tpcds(
+    "tpcds_q36_margin_rank",
+    """
+WITH s AS (
+  SELECT i_category, i_brand,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS paid,
+         SUM(CAST(ss_list_price AS DECIMAL(14,2)) * ss_quantity) AS gross,
+         GROUPING(i_category) + GROUPING(i_brand) AS lochierarchy
+  FROM store_sales JOIN item ON i_item_sk = ss_item_sk
+  GROUP BY ROLLUP(i_category, i_brand)
+)
+SELECT i_category, i_brand, CAST(lochierarchy AS INT) AS lochierarchy,
+       floor(CAST(paid AS DOUBLE) / CAST(gross AS DOUBLE) * 1000000.0) / 1000000.0
+         AS realized_margin,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN i_category END
+         ORDER BY CAST(paid AS DOUBLE) / CAST(gross AS DOUBLE) ASC,
+                  i_brand ASC NULLS FIRST) AS INT) AS rank_within_parent
+FROM s
+ORDER BY lochierarchy DESC, i_category NULLS FIRST, rank_within_parent, i_brand NULLS FIRST
+""",
+)
+def tpcds_q36_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape: realized-margin ratio over the rollup
+    hierarchy with GROUPING()-derived level, worst margin first within
+    each parent (brands rank inside their category; categories rank
+    against each other). The ratio divides two exact decimal sums cast
+    to double identically in both engines, so ranking is
+    drift-free."""
+    g = _gen(spark)
+    g.store_sales().createOrReplaceTempView("q36_store_sales")
+    g.item().createOrReplaceTempView("q36_item")
+    return spark.sql("""
+WITH s AS (
+  SELECT i_category, i_brand,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS paid,
+         SUM(CAST(ss_list_price AS DECIMAL(14,2)) * ss_quantity) AS gross,
+         GROUPING(i_category) + GROUPING(i_brand) AS lochierarchy
+  FROM q36_store_sales JOIN q36_item ON i_item_sk = ss_item_sk
+  GROUP BY ROLLUP(i_category, i_brand)
+)
+SELECT i_category, i_brand, CAST(lochierarchy AS INT) AS lochierarchy,
+       floor(CAST(paid AS DOUBLE) / CAST(gross AS DOUBLE) * 1000000.0) / 1000000.0
+         AS realized_margin,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN i_category END
+         ORDER BY CAST(paid AS DOUBLE) / CAST(gross AS DOUBLE) ASC,
+                  i_brand ASC NULLS FIRST) AS INT) AS rank_within_parent
+FROM s
+ORDER BY lochierarchy DESC, i_category NULLS FIRST, rank_within_parent, i_brand NULLS FIRST
+""")
