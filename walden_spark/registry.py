@@ -94,12 +94,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ddl_lifecycle", "ddl_dml_cow",
     # streaming
     "streaming_session_window", "streaming_stateful_totals",
-    # dedup north-star
-    "dedup_minhash_lsh", "dedup_embedding_cosine", "dedup_cluster_components",
+    # dedup north-star (embedding slot holds the LSH scale path — the
+    # exact block-pair variant stays covered by the repo suite)
+    "dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_cluster_components",
     # similarity north-star
     "knn_lsh_bucketed", "ann_ivf_probe",
-    # text north-star
-    "text_quality_score", "text_hash_split",
+    # text north-star (pipeline slot composes quality gate + exact
+    # dedup + shard shuffle, so one driver row checks three stages)
+    "text_quality_score", "text_pretrain_pipeline",
     # multimodal north-star
     "multimodal_decode",
 )
