@@ -785,3 +785,71 @@ def text_pretrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id", "pos")
     )
+
+
+@query(
+    "text_weighted_sample",
+    oracle="""
+SELECT doc_id, n_chars,
+       floor(k * 1000000.0) / 1000000.0 AS key6,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT doc_id, n_chars, k,
+         row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, n_chars,
+           pow((('0x' || substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                % 1000000007 + 1) / 1000000008.0,
+               1.0 / n_chars) AS k
+    FROM documents
+  )
+)
+WHERE rn <= 20
+ORDER BY rn
+""",
+    category="text",
+)
+def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis/Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006): each doc
+    draws key u^(1/w) from a hash-derived uniform (salted md5 → u in
+    (0,1], weight = n_chars) and the global top-20 keys are the sample
+    — longer documents proportionally likelier, yet fully reproducible
+    across reruns, engines, and layouts (no rand()).
+
+    Scale shape: key assignment is a zero-shuffle map; ORDER BY key
+    LIMIT k plans as TakeOrderedAndProject — each partition keeps its
+    local top-20 and only k rows per partition reach the driver-side
+    merge, the distributed-reservoir plan (never a full global sort).
+    Per-stratum variants compose with a partitionBy window instead.
+    """
+    t = Tables(spark, sf_dir)
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            % 1000000007
+            + 1
+        )
+        / 1000000008.0
+    )
+    keyed = t.documents.select(
+        "doc_id", "n_chars", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("k"), "doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "doc_id",
+            "n_chars",
+            (F.floor(F.col("k") * 1000000.0) / 1000000.0).alias("key6"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+        .orderBy("rn")
+    )
