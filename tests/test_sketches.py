@@ -37,3 +37,32 @@ def test_hll_union_is_mergeable(spark):
     ).collect()[0]
     assert abs(total.est - 3000) <= 0.05 * 3000
     assert total.est >= max(r.est for r in parts)
+
+
+def test_misra_gries_bounds_and_recall(spark):
+    """Distributed Misra-Gries on a synthetic Zipf stream: merged
+    estimates must be undercounts within n/k, and every item with
+    frequency > n/k must be found — regardless of partition layout
+    (checked under two layouts)."""
+    from walden_spark.operators.sketch import frequent_items
+
+    # Zipf-ish: item i appears ~ N/(i+1) times -> heavy head, long tail
+    n_items, reps = 200, 3000
+    df = (
+        spark.range(reps)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_items - 1))).alias("x"))
+        .select((F.floor(F.sqrt(F.col("x") * 1.0)) ).cast("long").alias("item"))
+    )
+    exact = {r.item: r.c for r in df.groupBy("item").agg(F.count("*").alias("c")).collect()}
+    n = sum(exact.values())
+    k = 32
+    for parts in (4, 17):
+        got = {
+            r.item: r.est
+            for r in frequent_items(df.repartition(parts), "item", k=k).collect()
+        }
+        for item, est in got.items():
+            assert est <= exact[item] <= est + n // k + 1, (item, est, exact[item])
+        for item, c in exact.items():
+            if c > n / k:
+                assert item in got, f"guaranteed item {item} (freq {c}) missing"
