@@ -257,3 +257,69 @@ def test_compact_table(spark, cat, bucket):
     assert all(s.min <= s.max for s in rgs)
     mins = [s.min for s in rgs]
     assert mins == sorted(mins), "sort_by layout should order row groups"
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering (OPTIMIZE ZORDER analog): after zorder_table
+    on (x, y), row-group min/max stats must prune selective range
+    predicates on EITHER column; a plain x-sort prunes only x. Measured
+    directly from parquet footer statistics."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from walden_spark.catalog import Catalog, compact_table, zorder_table
+
+    cat = Catalog(spark)
+    cat.create_schema("zo", location=str(tmp_path / "zo"))
+    # 2-D uniform grid: neither dim is correlated with the other, the
+    # worst case for single-column sorting
+    df = spark.range(200_000).selectExpr(
+        "cast(id % 447 as bigint) as x", "cast(id % 631 as bigint) as y",
+        "id as payload"
+    )
+    for t in ("zo.zsorted", "zo.xsorted"):
+        df.write.mode("overwrite").option("path", str(tmp_path / t)).saveAsTable(t)
+    # small row groups so there is something to skip (hadoop conf is
+    # read per-write, so runtime mutation works; restored below)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old_block = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(64 * 1024))
+    try:
+        zorder_table(spark, "zo.zsorted", ["x", "y"], target_file_bytes=1 << 40)
+        compact_table(spark, "zo.xsorted", sort_by=["x"], target_file_bytes=1 << 40)
+    finally:
+        if old_block is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old_block)
+
+    def surviving(table_dir, col, lo, hi):
+        tot = kept = 0
+        for f in glob.glob(f"{table_dir}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(col)
+            for g in range(md.num_row_groups):
+                s = md.row_group(g).column(ci).statistics
+                tot += 1
+                if not (s.max < lo or s.min > hi):
+                    kept += 1
+        return kept, tot
+
+    zx, ztot = surviving(str(tmp_path / "zo.zsorted"), "x", 0, 44)
+    zy, _ = surviving(str(tmp_path / "zo.zsorted"), "y", 0, 63)
+    sx, stot = surviving(str(tmp_path / "zo.xsorted"), "x", 0, 44)
+    sy, _ = surviving(str(tmp_path / "zo.xsorted"), "y", 0, 63)
+    assert ztot >= 8 and stot >= 8, "need multiple row groups to measure"
+    # x-sorted: prunes x but reads ~everything for y
+    assert sx < stot * 0.5
+    assert sy == stot
+    # z-ordered: prunes BOTH dimensions
+    assert zx < ztot * 0.6
+    assert zy < ztot * 0.6
+    # and the queries still return identical results
+    a = spark.table("zo.zsorted").filter("x <= 44").count()
+    b = spark.table("zo.xsorted").filter("x <= 44").count()
+    assert a == b
+    cat.drop_schema("zo", cascade=True)

@@ -392,3 +392,84 @@ def compact_table(
     finally:
         _rm_path(spark, staging)
     return n_files
+
+
+def zorder_expr(
+    df_or_stats,
+    cols: Sequence[str],
+    bits: int = 16,
+):
+    """Build the Z-order (Morton) interleaved-bits column for 2-3
+    numeric columns — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER. Each column min-max normalizes to a
+    ``bits``-bit integer, then bit i of column c lands at position
+    i * n_cols + c, so a sort on the result clusters ALL dimensions at
+    once and row-group min/max stats prune on any of them.
+
+    ``df_or_stats`` is either a DataFrame (ranges computed with one
+    tiny agg) or a precomputed {col: (min, max)} mapping — at 100TB
+    pass table-statistics ranges instead of rescanning. The expression
+    itself is pure JVM bit arithmetic (codegen, zero Python).
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    if isinstance(df_or_stats, _DF):
+        row = df_or_stats.agg(
+            *[f(c).alias(f"{f.__name__}_{c}") for c in cols for f in (F.min, F.max)]
+        ).collect()[0]
+        stats = {c: (row[f"min_{c}"], row[f"max_{c}"]) for c in cols}
+    else:
+        stats = dict(df_or_stats)
+    n = len(cols)
+    scaled = []
+    for c in cols:
+        lo, hi = stats[c]
+        lo_f, hi_f = float(lo), float(hi)
+        span = (hi_f - lo_f) or 1.0
+        scaled.append(
+            F.least(
+                F.lit((1 << bits) - 1),
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo_f)) / F.lit(span) * ((1 << bits) - 1)
+                ).cast("bigint"),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for ci, s in enumerate(scaled):
+            z = z + F.shiftleft(
+                F.shiftright(s, i).bitwiseAND(F.lit(1)), i * n + ci
+            ).cast("bigint")
+    return z
+
+
+def zorder_table(
+    spark: SparkSession,
+    name: str,
+    cols: Sequence[str],
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    bits: int = 16,
+) -> int:
+    """OPTIMIZE ZORDER analog: rewrite a managed table clustered by the
+    Morton key of ``cols`` (range-partitioned AND sorted within files,
+    so both file-level and row-group-level min/max prune on every
+    z-dimension). Same staging/commit path as compact_table."""
+    import math
+
+    df = spark.table(name)
+    total_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    z = zorder_expr(df, cols, bits=bits)
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    staging = _staging_dir(spark)
+    clustered.write.mode("overwrite").parquet(staging)
+    try:
+        spark.read.parquet(staging).write.mode("overwrite").insertInto(name, overwrite=True)
+    finally:
+        _rm_path(spark, staging)
+    return n_files
