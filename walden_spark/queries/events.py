@@ -169,3 +169,152 @@ def events_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "events_gapfill",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM types, bounds
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n, SUM(CAST(value AS DECIMAL(12,2))) AS tv
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type,
+       strftime(s.h, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n,
+       CAST(a.tv AS DOUBLE) AS total_value,
+       CAST(last_value(a.tv IGNORE NULLS) OVER (
+              PARTITION BY s.event_type ORDER BY s.h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS locf_value
+FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h
+ORDER BY s.event_type, s.h
+""",
+    category="events",
+)
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with LOCF carry-forward — the
+    TimescaleDB time_bucket_gapfill / Trino sequence+unnest idiom:
+    every (event_type, hour) cell of the global span exists in the
+    output, empty cells get n=0 and carry the last observed value
+    forward (IGNORE NULLS last_value).
+
+    Scale shape: the aggregate is the usual partial/final hourly
+    groupBy; the spine is |types| x |hours| rows built by exploding a
+    sequence against the distinct types — spine size is the REPORT
+    size, independent of event volume; the left join is equi on
+    (type, hour) and LOCF is one window sort per type. Bounds are one
+    2-value driver fetch (same bounded-collect pattern as the ANN
+    probe matrices)."""
+    t = Tables(spark, sf_dir)
+    b = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).collect()[0]
+    spine = (
+        t.events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(b.h0).cast("timestamp_ntz"),
+                    F.lit(b.h1).cast("timestamp_ntz"),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("h"),
+        )
+    )
+    agg = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).alias("tv"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.date_format("h", _FMT).alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.col("tv").cast("double").alias("total_value"),
+            F.last(F.col("tv"), ignorenulls=True).over(w).cast("double").alias("locf_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT stage, CAST(stage_no AS INT) AS stage_no, n_users FROM (
+  SELECT 'view' AS stage, 1 AS stage_no, COUNT(*) AS n_users FROM v
+  UNION ALL SELECT 'click', 2, COUNT(*) FROM c
+  UNION ALL SELECT 'purchase', 3, COUNT(*) FROM p
+)
+ORDER BY stage_no
+""",
+    category="events",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase, strictly
+    increasing timestamps): per-user first qualifying event per stage,
+    counted per stage — the product-analytics sequential-match query
+    (Trino serves it via windowed UDFs; here it is three
+    filter+min-aggregate passes chained by time-conditioned equi-joins
+    on user_id, each one shuffle on the same key so co-partitioning
+    carries through)."""
+    t = Tables(spark, sf_dir)
+    e = t.events.select("user_id", "event_type", "ts")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t1"))
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def stage(df, name, no):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"), F.lit(no).cast("int").alias("stage_no"), "n_users"
+        )
+    return (
+        stage(v, "view", 1)
+        .unionByName(stage(c, "click", 2))
+        .unionByName(stage(p, "purchase", 3))
+        .orderBy("stage_no")
+    )
