@@ -301,3 +301,18 @@ def test_pq_adc_approximates_exact_ranking(spark, sf_dir):
         assert [r.rn for r in rs] == list(range(1, len(rs) + 1))
         scores = [r.adc_score for r in rs]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_embedding_lsh_bucket_cap_is_subset(spark, sf_dir):
+    """The hot-bucket cap can only REMOVE pairs; a generous cap removes
+    nothing on fixture data and cap=1 removes everything (a candidate
+    needs a shared bucket of size >= 2)."""
+    from walden_spark.operators.dedup import dedup_embedding_lsh
+
+    full = {(r.a_id, r.b_id) for r in dedup_embedding_lsh(spark, sf_dir).collect()}
+    capped = {
+        (r.a_id, r.b_id)
+        for r in dedup_embedding_lsh(spark, sf_dir, max_bucket_size=100_000).collect()
+    }
+    assert capped == full and len(full) > 0
+    assert dedup_embedding_lsh(spark, sf_dir, max_bucket_size=1).count() == 0

@@ -362,6 +362,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     at least one byte matches (pigeonhole), so an equi-join on
     (band, byte) finds every qualifying pair with no cross join. The
     brute-force DuckDB oracle confirms completeness.
+
+    The band join runs over DISTINCT fingerprints (classes), not doc
+    ids: duplicate-heavy corpora collapse many docs onto one
+    fingerprint (measured: 5k docs → 2k classes on the fixture; 50k
+    synthetic near-dup docs → 9.6k classes with the hottest band chunk
+    holding 20k DOCS but only ~40 classes), so class-level banding
+    shrinks the quadratic join term by the duplication factor squared
+    while staying exact — hamming-0 pairs are recovered by a separate
+    same-fingerprint equi-join and class pairs re-expand to id pairs
+    through two member joins whose fan-out IS the true output size
+    (no plan can emit fewer rows than the answer).
     """
     t = Tables(spark, sf_dir)
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
@@ -401,30 +412,53 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = bal.select("doc_id", fingerprint.cast("bigint").alias("fingerprint")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # Band-join on 8-bit chunks. Two plan notes for the fan-out:
+    # Band-join on 8-bit chunks over fingerprint CLASSES. Plan notes:
     # * explicit repartition on the join key — AQE sizes partitions by
     #   join *input* (tiny) and would coalesce to one task, serializing
-    #   the ~10^6-pair join output;
+    #   the pair-join output;
     # * hamming filter BEFORE dropDuplicates — the xor+bit_count is
-    #   codegen'd and collapses the fan-out to the few real pairs, so
-    #   the distinct shuffle moves almost nothing.
-    banded = fp.select(
-        "doc_id",
+    #   codegen'd and collapses the fan-out to the few real class
+    #   pairs, so the distinct shuffle moves almost nothing.
+    classes = fp.select("fingerprint").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    banded = classes.select(
         "fingerprint",
         F.explode(F.sequence(F.lit(0), F.lit(2))).alias("band"),
     ).withColumn("chunk", F.expr("shiftright(fingerprint, band * 8) & 255"))
     banded = banded.repartition(spark.sparkContext.defaultParallelism, "band", "chunk")
-    a = banded.select(F.col("doc_id").alias("a_id"), F.col("fingerprint").alias("fa"), "band", "chunk")
-    b = banded.select(F.col("doc_id").alias("b_id"), F.col("fingerprint").alias("fb"), "band", "chunk")
+    ca = banded.select(F.col("fingerprint").alias("fa"), "band", "chunk")
+    cb = banded.select(F.col("fingerprint").alias("fb"), "band", "chunk")
     hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    return (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("a_id") < F.col("b_id"))
+    class_pairs = (
+        ca.join(cb, ["band", "chunk"])
+        .filter(F.col("fa") < F.col("fb"))
         .withColumn("hamming", hamming.cast("int"))
         .filter(F.col("hamming") <= 2)
-        .dropDuplicates(["a_id", "b_id"])
-        .select("a_id", "b_id", "hamming")
+        .dropDuplicates(["fa", "fb"])
+        .select("fa", "fb", "hamming")
     )
+    # expand class pairs to id pairs (fan-out == true output size)
+    ma = fp.select(F.col("doc_id").alias("ia"), F.col("fingerprint").alias("fa"))
+    mb = fp.select(F.col("doc_id").alias("ib"), F.col("fingerprint").alias("fb"))
+    cross = (
+        class_pairs.join(ma, "fa")
+        .join(mb, "fb")
+        .select(
+            F.least("ia", "ib").alias("a_id"),
+            F.greatest("ia", "ib").alias("b_id"),
+            "hamming",
+        )
+    )
+    # hamming-0 pairs: members sharing one fingerprint
+    zero = (
+        ma.join(mb, F.col("fa") == F.col("fb"))
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("a_id"),
+            F.col("ib").alias("b_id"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross.unionByName(zero)
 
 
 _DOT_SQL = (
@@ -656,7 +690,13 @@ WHERE cos_sim >= {COS_THRESHOLD}
 """,
     category="dedup",
 )
-def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_tables: int = EMB_LSH_TABLES,
+    n_planes: int = EMB_LSH_PLANES,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane LSH —
     the sub-quadratic scale path promised by dedup_embedding_cosine's
     docstring, now a first-class registered operator (VERDICT r01
@@ -680,9 +720,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q the global plane index), so DuckDB replays bucket assignment
     exactly and the oracle is hash-checkable end to end — candidate
     recall is a *parameter choice*, never nondeterminism (tradeoff
-    measured in the constants comment above). Literature: Charikar
-    (STOC 2002) random-hyperplane LSH; multi-table OR-construction —
-    Indyk/Motwani (STOC 1998), MMDS ch. 3.
+    measured in the constants comment above). ``n_planes`` must grow
+    with log2(n / target bucket occupancy) as the corpus grows or the
+    candidate join re-approaches O(n^2) — the oracle pins the default
+    geometry; tools/corpus_probe.py exercises the scaled-up one.
+    ``max_bucket_size`` is the hot-bucket skew cap (same contract as
+    dedup_minhash_lsh's): buckets above the cap are dropped BEFORE the
+    self-join, trading bounded recall loss for a hard quadratic bound —
+    dense embedding regions (boilerplate, templated text) otherwise
+    concentrate candidates (measured: 50k near-uniform vectors put
+    1689 in one 10-plane bucket vs 49 expected). None keeps the
+    registered query oracle-exact; subset behavior is property-tested.
+    Literature: Charikar (STOC 2002) random-hyperplane LSH; multi-table
+    OR-construction — Indyk/Motwani (STOC 1998), MMDS ch. 3.
     """
     t = Tables(spark, sf_dir)
     e = t.embeddings.repartition(spark.sparkContext.defaultParallelism).select(
@@ -691,10 +741,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def bucket_for_table(tt):
         planes = F.transform(
-            F.sequence(F.lit(0), F.lit(EMB_LSH_PLANES - 1)),
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
             lambda p: F.transform(
                 F.sequence(F.lit(0), F.lit(EMB_DIM - 1)),
-                lambda j: ((F.lit(1) + (tt * EMB_LSH_PLANES + p) * 131 + j * 17) % 997)
+                lambda j: ((F.lit(1) + (tt * n_planes + p) * 131 + j * 17) % 997)
                 / 997.0
                 - 0.5,
             ),
@@ -709,11 +759,19 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, v: acc + v)
 
     all_buckets = F.transform(
-        F.sequence(F.lit(0), F.lit(EMB_LSH_TABLES - 1)), bucket_for_table
+        F.sequence(F.lit(0), F.lit(n_tables - 1)), bucket_for_table
     )
     sig = e.select(
         "vec_id", F.posexplode(all_buckets).alias("t", "bucket")
     )
+    if max_bucket_size is not None:
+        small = (
+            sig.groupBy("t", "bucket")
+            .count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("t", "bucket")
+        )
+        sig = sig.join(small, ["t", "bucket"], "left_semi")
     # fan-out join: pin partitioning on the bucket key (see module
     # local-parallelism note — AQE sizes from the small inputs)
     sig = sig.repartition(spark.sparkContext.defaultParallelism, "t", "bucket")

@@ -445,10 +445,17 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .astype(np.float64)
                 .reshape(len(ids), PQ_M, PQ_SUBDIM)
             )
-            # encode: d2[n, m, k] = ||X[n,m,:] - C[k,m,:]||^2; argmin
-            # returns the FIRST minimum → lowest cid (cids sorted), the
-            # same tie-break as the oracle's ORDER BY l2, cid
-            d2 = ((X[:, :, None, :] - Csub_.transpose(1, 0, 2)[None]) ** 2).sum(-1)
+            # encode: d2[n, m, k] = ||X[n,m,:]||^2 - 2 X·C + ||C[k,m,:]||^2
+            # via einsum — O(n·M·K) memory instead of the O(n·M·K·d)
+            # broadcast-subtraction tensor (which was ~400MB/batch at
+            # 50k vectors x 500 centroids and thrashed every executor
+            # thread; found by tools/corpus_probe.py). argmin returns
+            # the FIRST minimum → lowest cid (cids sorted), the same
+            # tie-break as the oracle's ORDER BY l2, cid
+            x2 = (X * X).sum(-1)  # (n, M)
+            c2 = (Csub_ * Csub_).sum(-1)  # (K, M)
+            xc = np.einsum("nmd,kmd->nmk", X, Csub_)  # (n, M, K)
+            d2 = x2[:, :, None] - 2.0 * xc + c2.T[None, :, :]
             codes = d2.argmin(-1)  # (n, M)
             out = []
             for qi, qid in enumerate(q_ids_):
