@@ -323,3 +323,27 @@ def test_zorder_prunes_both_dimensions(spark, tmp_path):
     b = spark.table("zo.xsorted").filter("x <= 44").count()
     assert a == b
     cat.drop_schema("zo", cascade=True)
+
+
+def test_materialized_view_stale_until_refresh(spark, sf_dir):
+    """MV semantics: reads serve the MATERIALIZED state (stale after
+    source changes), REFRESH catches up; the definition survives in
+    table properties."""
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    spark.sql("DROP TABLE IF EXISTS mv_smoke_src")
+    spark.sql("DROP TABLE IF EXISTS mv_smoke_tot")
+    spark.range(10).selectExpr("id", "id * 2 AS v").write.saveAsTable("mv_smoke_src")
+    cat.create_materialized_view(
+        "mv_smoke_tot", "SELECT CAST(SUM(v) AS BIGINT) AS total FROM mv_smoke_src"
+    )
+    assert spark.table("mv_smoke_tot").collect()[0].total == 90
+    spark.sql("INSERT INTO mv_smoke_src VALUES (100, 1000)")
+    # stale: the insert is NOT visible until refresh
+    assert spark.table("mv_smoke_tot").collect()[0].total == 90
+    assert "SUM(v)" in cat.materialized_view_query("mv_smoke_tot")
+    cat.refresh_materialized_view("mv_smoke_tot")
+    assert spark.table("mv_smoke_tot").collect()[0].total == 1090
+    spark.sql("DROP TABLE mv_smoke_tot")
+    spark.sql("DROP TABLE mv_smoke_src")

@@ -119,6 +119,42 @@ class Catalog:
         kind = "TEMP VIEW" if temp else "VIEW"
         self.spark.sql(f"CREATE OR REPLACE {kind} {_q(name)} AS {select_sql}")
 
+    # ---- materialized views ----
+    # The reference gets MVs from Trino-on-Iceberg (CREATE MATERIALIZED
+    # VIEW + REFRESH); Spark has no native MV, so this is the CTAS-swap
+    # formulation: the definition is stored in TBLPROPERTIES (survives
+    # restarts under the persistent catalog) and REFRESH re-runs it
+    # through the same staging/commit path as DML, so readers never see
+    # a partial refresh.
+
+    def create_materialized_view(self, name: str, select_sql: str) -> None:
+        """``select_sql`` is a trusted-SQL passthrough — not escaped
+        beyond the single quotes needed to store it as a property."""
+        self.spark.sql(f"CREATE TABLE {_q(name)} USING parquet AS {select_sql}")
+        stored = select_sql.replace("'", "''")
+        self.spark.sql(
+            f"ALTER TABLE {_q(name)} SET TBLPROPERTIES ('walden.mv.query' = '{stored}')"
+        )
+
+    def materialized_view_query(self, name: str) -> str:
+        row = self.spark.sql(
+            f"SHOW TBLPROPERTIES {_q(name)} ('walden.mv.query')"
+        ).collect()[0]
+        if row.value.startswith("Table") and "does not have property" in row.value:
+            raise ValueError(f"{name} is not a materialized view")
+        return row.value
+
+    def refresh_materialized_view(self, name: str) -> None:
+        select_sql = self.materialized_view_query(name)
+        staging = _staging_dir(self.spark)
+        self.spark.sql(select_sql).write.mode("overwrite").parquet(staging)
+        try:
+            self.spark.read.parquet(staging).write.mode("overwrite").insertInto(
+                name, overwrite=True
+            )
+        finally:
+            _rm_path(self.spark, staging)
+
     # ---- writes ----
 
     def write_table(

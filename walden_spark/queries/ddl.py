@@ -262,3 +262,52 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     cat.drop_schema("walden_evo")
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_materialized_view",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT o_orderpriority, o_totalprice FROM orders
+  UNION ALL
+  SELECT o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 7 = 0
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    category="ddl",
+)
+def ddl_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE MATERIALIZED VIEW + REFRESH (the reference's
+    Trino-on-Iceberg MV surface): the definition is stored in
+    TBLPROPERTIES, the source table moves on (an INSERT), and REFRESH
+    re-materializes through the DML staging path — the returned MV
+    content must equal recomputing the definition over the moved
+    source, which is exactly what the oracle does."""
+    from walden_spark.catalog import Catalog
+
+    t = Tables(spark, sf_dir)
+    cat = Catalog(spark)
+    spark.sql("DROP TABLE IF EXISTS walden_mv_src")
+    spark.sql("DROP TABLE IF EXISTS walden_mv_rev")
+    t.orders.select("o_orderkey", "o_orderpriority", "o_totalprice").write.saveAsTable(
+        "walden_mv_src"
+    )
+    cat.create_materialized_view(
+        "walden_mv_rev",
+        "SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS revenue "
+        "FROM walden_mv_src GROUP BY o_orderpriority",
+    )
+    spark.sql(
+        "INSERT INTO walden_mv_src "
+        "SELECT * FROM walden_mv_src WHERE o_orderkey % 7 = 0"
+    )
+    cat.refresh_materialized_view("walden_mv_rev")
+    out = spark.table("walden_mv_rev").orderBy("o_orderpriority")
+    rows = out.collect()
+    spark.sql("DROP TABLE walden_mv_rev")
+    spark.sql("DROP TABLE walden_mv_src")
+    return spark.createDataFrame(rows, out.schema)
