@@ -132,3 +132,46 @@ def source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_mod")
     )
+
+
+@query(
+    "source_binaryfile_ingest",
+    oracle="""
+SELECT 'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt' AS file_name,
+       CAST(n_chars AS BIGINT) AS length,
+       md5(text) AS digest
+FROM documents
+WHERE doc_id < 20
+ORDER BY file_name
+""",
+    category="scan",
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-file ingestion via the binaryFile source — the entry point
+    for media/corpus files that aren't columnar yet (the multimodal
+    operators consume exactly this shape). The query materializes 20
+    fixture docs as loose files, reads them back as (path, bytes)
+    rows, and emits name/size/content-digest; the oracle recomputes
+    the digests from the documents table, proving byte-lossless
+    ingestion. At scale binaryFile splits by file and supports
+    pathGlobFilter/recursiveFileLookup — scan parallelism is file
+    count, the right unit for opaque blobs."""
+    import os
+
+    t = Tables(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="walden_blob_")
+    docs = t.documents.filter(F.col("doc_id") < 20).select("doc_id", "text").collect()
+    for r in docs:  # 20 tiny fixture files; ingestion itself is the test
+        with open(os.path.join(out, f"doc_{r.doc_id:06d}.txt"), "wb") as f:
+            f.write(r.text.encode("utf-8"))
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("length").cast("bigint").alias("length"),
+            F.md5(F.col("content").cast("string")).alias("digest"),
+        )
+        .orderBy("file_name")
+    )
