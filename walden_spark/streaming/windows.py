@@ -254,3 +254,45 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+@query(
+    "streaming_available_now",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="streaming",
+)
+def streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow batch-drain: process everything currently
+    available in bounded micro-batches, then STOP — the scheduled-
+    backfill pattern (a cron'd job drains the queue with streaming
+    exactly-once semantics and releases the cluster, vs processingTime
+    triggers that hold it). The query terminates on its own; the result
+    must equal the batch aggregate, which is the oracle."""
+    src = _read_events_stream(spark, sf_dir)
+    agg = (
+        src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
+    name = f"walden_stream_{next(_counter)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()  # AvailableNow self-terminates after the drain
+    finally:
+        if q.isActive:
+            q.stop()
+    return spark.table(name).orderBy("event_type")
