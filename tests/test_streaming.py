@@ -125,3 +125,52 @@ def test_foreachbatch_upsert_snapshots_per_batch(spark, sf_dir):
     ]
     assert n_by_version == sorted(n_by_version)  # totals only grow
     assert vt.read(version=hist[-1].version).count() == final_rows
+
+
+def test_rocksdb_state_store_matches_batch(sf_dir):
+    """Large-state mode: the same stateful streaming aggregation under
+    the RocksDB state store provider (get_spark(rocksdb_state=True))
+    must produce exactly the batch result. Runs in its own session —
+    the provider is a JVM-launch config."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="walden_rocksdb_test",
+        master="local[4]",
+        shuffle_partitions=4,
+        rocksdb_state=True,
+    )
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        assert "RocksDB" in spark.conf.get(prov_key)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        agg = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("rocks_types")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {r.event_type: r.n for r in spark.table("rocks_types").collect()}
+        want = {
+            r.event_type: r.n
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        # getOrCreate may have applied the provider to a shared session;
+        # unset so later tests keep the default HDFS-backed store
+        spark.conf.unset(prov_key)

@@ -42,6 +42,7 @@ def get_spark(
     metastore_dir: str | None = None,
     metastore_uri: str | None = None,
     fair_scheduling: bool = False,
+    rocksdb_state: bool = False,
     extra_conf: Mapping[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) the configured SparkSession.
@@ -121,6 +122,24 @@ def get_spark(
         # Must be set at JVM launch — no-op via getOrCreate on a live
         # session.
         b = b.config("spark.scheduler.mode", "FAIR")
+    if rocksdb_state:
+        # Large-state streaming mode: RocksDB state store spills
+        # per-partition state to local disk instead of holding it on
+        # the JVM heap — the production knob when stateful operators
+        # (sessionization, stream-stream joins, dropDuplicates
+        # horizons) accumulate state beyond executor memory at corpus
+        # scale. Changelog checkpointing ships per-batch deltas to the
+        # checkpoint location rather than full snapshots.
+        b = (
+            b.config(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+            )
+            .config(
+                "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+                "true",
+            )
+        )
     if persistent_catalog or metastore_uri:
         b = b.config("spark.sql.catalogImplementation", "hive").enableHiveSupport()
         if metastore_uri:
