@@ -316,3 +316,20 @@ def test_embedding_lsh_bucket_cap_is_subset(spark, sf_dir):
     }
     assert capped == full and len(full) > 0
     assert dedup_embedding_lsh(spark, sf_dir, max_bucket_size=1).count() == 0
+
+
+def test_embedding_lsh_arrow_verify_same_pairs(spark, sf_dir):
+    """The Arrow verify kernel must produce the same pair set and
+    floor-quantized cosines as the fold-exact default on the fixture."""
+    from walden_spark.operators.dedup import dedup_embedding_lsh
+
+    fold = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup_embedding_lsh(spark, sf_dir).collect()
+    }
+    arrow = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in dedup_embedding_lsh(spark, sf_dir, arrow_verify=True).collect()
+    }
+    assert set(arrow) == set(fold)
+    assert all(abs(arrow[k] - fold[k]) < 2e-6 for k in arrow)

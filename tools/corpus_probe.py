@@ -127,7 +127,9 @@ def main() -> None:
         if n == "dedup_embedding_lsh":
             from walden_spark.operators.dedup import dedup_embedding_lsh
 
-            df = dedup_embedding_lsh(spark, out, n_tables=4, n_planes=planes)
+            df = dedup_embedding_lsh(
+                spark, out, n_tables=4, n_planes=planes, arrow_verify=True
+            )
         else:
             df = reg[n].fn(spark, out)
         df.write.format("noop").mode("overwrite").save()

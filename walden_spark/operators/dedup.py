@@ -696,6 +696,7 @@ def dedup_embedding_lsh(
     n_tables: int = EMB_LSH_TABLES,
     n_planes: int = EMB_LSH_PLANES,
     max_bucket_size: int | None = None,
+    arrow_verify: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs via multi-table random-hyperplane LSH —
     the sub-quadratic scale path promised by dedup_embedding_cosine's
@@ -731,6 +732,14 @@ def dedup_embedding_lsh(
     concentrate candidates (measured: 50k near-uniform vectors put
     1689 in one 10-plane bucket vs 49 expected). None keeps the
     registered query oracle-exact; subset behavior is property-tested.
+    ``arrow_verify=True`` swaps the interpreted exact-cosine fold in
+    the verify stage for an Arrow-batched numpy kernel — ~20x less CPU
+    per candidate (the verify fold dominated the 200k corpus probe).
+    Same math, but vectorized summation drifts ~1e-16 vs the oracle's
+    sequential fold, so the DEFAULT stays fold-exact for bit-level
+    hash checks and production flips the flag (the drift is far below
+    the 0.45 threshold's meaningful precision; property-tested equal
+    pair sets on the fixture).
     Literature: Charikar (STOC 2002) random-hyperplane LSH; multi-table
     OR-construction — Indyk/Motwani (STOC 1998), MMDS ch. 3.
     """
@@ -785,6 +794,31 @@ def dedup_embedding_lsh(
     )
     ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    if arrow_verify:
+        import numpy as np
+        import pandas as pd
+
+        def verify(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
+                B = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
+                cs = (A * B).sum(1) / np.sqrt((A * A).sum(1)) / np.sqrt((B * B).sum(1))
+                keep = cs >= COS_THRESHOLD
+                yield pd.DataFrame(
+                    {
+                        "a_id": pdf["a_id"].to_numpy()[keep],
+                        "b_id": pdf["b_id"].to_numpy()[keep],
+                        "cos_sim": np.floor(cs[keep] * 1e6) / 1e6,
+                    }
+                )
+
+        return (
+            cand.join(ea, "a_id")
+            .join(eb, "b_id")
+            .mapInPandas(verify, schema="a_id long, b_id long, cos_sim double")
+        )
     cos = (
         _edot(F.col("emb_a"), F.col("emb_b"))
         / F.sqrt(_edot(F.col("emb_a"), F.col("emb_a")))

@@ -342,6 +342,11 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100TB embedding corpus fit executor memory as ~3TB of codes.
 PQ_M = 8
 PQ_SUBDIM = 8  # DIM / PQ_M
+# Bounded codebook: the first PQ_MAX_K seed vectors only. The seed rule
+# alone (vec_id %% 100 == 7) grows K with the corpus, making encode
+# O(n*K) unbounded; production IVF-PQ fixes K (training-set-sized), so
+# the deterministic analog is "seeds among the first 100*PQ_MAX_K ids".
+PQ_MAX_K = 256
 
 _L2_SQL = (
     "list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(list_zip({a}, {b}),"
@@ -353,7 +358,8 @@ _L2_SQL = (
 @query(
     "ann_ivf_pq",
     oracle=f"""
-WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 7),
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+              WHERE vec_id % 100 = 7 AND vec_id < {PQ_MAX_K * 100}),
 sub AS (
   SELECT e.vec_id, r.m, e.embedding[r.m * {PQ_SUBDIM} + 1 : r.m * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
   FROM embeddings e, range(0, {PQ_M}) AS r(m)
@@ -416,7 +422,11 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = Tables(spark, sf_dir)
     e = t.embeddings.select("vec_id", "embedding")
-    cent_pdf = e.filter(F.col("vec_id") % 100 == 7).toPandas().sort_values("vec_id")
+    cent_pdf = (
+        e.filter((F.col("vec_id") % 100 == 7) & (F.col("vec_id") < PQ_MAX_K * 100))
+        .toPandas()
+        .sort_values("vec_id")
+    )
     Csub = (
         np.stack(cent_pdf["embedding"].to_numpy())
         .astype(np.float64)
