@@ -206,6 +206,20 @@ def test_sorted_layout_prunes_row_groups(spark, sf_dir, tmp_path):
     )
 
 
+def test_weighted_sample_is_take_ordered(spark, sf_dir, registry):
+    """ADVICE r02 low: the Efraimidis/Spirakis sample must plan its
+    global top-20 as TakeOrderedAndProject (per-partition local top-k),
+    not an unpartitioned-Window single-partition global sort."""
+    plan = _plan(spark, registry["text_weighted_sample"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # formatted explain prints root-first: the numbering Window must sit
+    # ABOVE the take (earlier in the text) — i.e. it runs on the 20
+    # survivors, and the full-table scan feeds the take directly
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), (
+        "row_number must run on the 20 survivors, not the full table"
+    )
+
+
 def test_runtime_bloom_filter(spark, sf_dir):
     """Runtime bloom-filter join pruning (the non-partition-key analog
     of DPP; together = Trino-style dynamic filtering): a selective

@@ -43,6 +43,25 @@ def _qs(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+def _partition_literal(v) -> str:
+    """Format one partition value for an ALTER TABLE .. PARTITION spec.
+
+    NULL partition values live in the hive default-partition directory,
+    addressed in specs by its sentinel token — naive ``str(v)`` would
+    emit ``'None'`` and silently match nothing (ADVICE r02 low #3).
+    Numeric/boolean literals go unquoted; everything else (strings,
+    dates, timestamps, decimals) is quoted text that Spark coerces to
+    the partition column's type when parsing the spec.
+    """
+    if v is None:
+        return _qs("__HIVE_DEFAULT_PARTITION__")
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return _qs(str(v))
+
+
 def _staging_dir(spark: SparkSession) -> str:
     """A staging path under the warehouse so it is reachable by every
     executor on a real cluster (driver-local /tmp is not — ADVICE r01).
@@ -243,7 +262,7 @@ class Catalog:
                 }
                 for p in before_parts:
                     if tuple(p[c] for c in part_cols) not in after:
-                        spec = ", ".join(f"{_q(c)} = {_qs(str(p[c]))}" for c in part_cols)
+                        spec = ", ".join(f"{_q(c)} = {_partition_literal(p[c])}" for c in part_cols)
                         spark.sql(f"ALTER TABLE {_q(table)} DROP IF EXISTS PARTITION ({spec})")
         finally:
             _rm_path(spark, staging)
@@ -296,13 +315,21 @@ class Catalog:
         tgt_cols = self.spark.table(target).columns
         update_cols = list(update_cols or [c for c in tgt_cols if c not in on])
 
+        persisted = None
         if partition_pred is not None:
-            n_src = source.count()
-            source = source.filter(partition_pred)
-            n_in_scope = source.count()
-            if n_in_scope != n_src:
+            # Persist the source before any action: the guard verdict
+            # and the merged data must see the SAME rows (a
+            # non-deterministic source evaluated twice could pass the
+            # guard yet merge out-of-scope rows), and an expensive
+            # source shouldn't be recomputed for the guard. One
+            # aggregate counts the out-of-scope rows directly instead
+            # of two full counts (ADVICE r02 low #4).
+            persisted = source = source.persist()
+            n_out = source.filter(~partition_pred | partition_pred.isNull()).count()
+            if n_out:
+                persisted.unpersist()
                 raise ValueError(
-                    f"merge_into: {n_src - n_in_scope} source row(s) fall outside "
+                    f"merge_into: {n_out} source row(s) fall outside "
                     "partition_pred scope; merging them would rewrite partitions "
                     "outside the scope. Widen partition_pred or pre-filter the source."
                 )
@@ -329,7 +356,11 @@ class Catalog:
                 joined = joined.filter(t_hit)
             return joined.select(*out_cols)
 
-        self._rewrite(target, transform, partition_pred)
+        try:
+            self._rewrite(target, transform, partition_pred)
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
 
     # ---- introspection (information_schema-style) ----
 

@@ -512,8 +512,12 @@ def dedup_embedding_cosine(
     # the block count so small inputs still produce enough (i<=j) tiles
     # to keep every core busy — B blocks give B(B+1)/2 parallel tasks;
     # B=8 yields 36 tiles, saturating local[32] (tiles, not rows, are
-    # the unit of parallelism here).
-    n = e.count()
+    # the unit of parallelism here). Cardinality comes from parquet
+    # footer metadata (catalog ANALYZE stats on a deployment), not a
+    # count() action — no extra scan job at any scale.
+    from ..tables import fast_row_count
+
+    n = fast_row_count(sf_dir, "embeddings")
     par_blocks = math.ceil((2 * spark.sparkContext.defaultParallelism) ** 0.5)
     n_blocks = max(
         math.ceil(n / rows_per_block),
@@ -536,17 +540,36 @@ def dedup_embedding_cosine(
     ).select("bi", "bj", "vec_id", "embedding", F.lit("R").alias("role"))
     fanout = left.unionByName(right)
 
-    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+    empty_tile = pd.DataFrame(
+        {
+            "a_id": pd.Series(dtype="int64"),
+            "b_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi_key, bj_key = key
         lp = pdf[pdf["role"] == "L"]
         rp = pdf[pdf["role"] == "R"]
+        # A pmod residue class can be empty (non-contiguous / skewed
+        # vec_ids) while its pair partner is not — the group then holds
+        # only one role and has no pairs to emit.
+        if not len(lp) or (bi_key != bj_key and not len(rp)):
+            return empty_tile
         ids_a = lp["vec_id"].to_numpy()
         A = np.stack(lp["embedding"].to_numpy()).astype(np.float64)
+        # zero-norm embeddings: cosine is undefined; clamp the divisor
+        # so they simply never clear the 0.45 threshold instead of
+        # poisoning the tile with divide-by-zero NaNs/Infs.
         na = np.sqrt((A * A).sum(axis=1))
+        na = np.where(na == 0.0, 1.0, na)
         if len(rp):  # off-diagonal: blocks are disjoint, keep every
             # cross pair (orientation fixed by min/max below)
             ids_b = rp["vec_id"].to_numpy()
             B = np.stack(rp["embedding"].to_numpy()).astype(np.float64)
             nb = np.sqrt((B * B).sum(axis=1))
+            nb = np.where(nb == 0.0, 1.0, nb)
             pair_mask = np.ones((len(ids_a), len(ids_b)), dtype=bool)
         else:  # diagonal tile: within-block pairs, each once, no self
             ids_b, B, nb = ids_a, A, na

@@ -367,11 +367,14 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = F.split("text", " ")
 
     def grams8(df):
-        return df.select(
+        # Docs shorter than 8 words contribute no 8-grams. The guard
+        # matters: sequence(1, 0) is DESCENDING [1, 0] on Spark and
+        # element_at(w, 0) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+        return df.filter(F.size(w) >= 8).select(
             "doc_id",
             F.explode(
                 F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size(w) - 7, F.lit(0))),
+                    F.sequence(F.lit(1), F.size(w) - 7),
                     lambda i: F.concat_ws(
                         "_", *[F.element_at(w, i + j) for j in range(8)]
                     ),
@@ -841,10 +844,15 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
+    # Global sort+limit over the full table plans as
+    # TakeOrderedAndProject (per-partition local top-20, k rows per
+    # partition to the merge) — the distributed-reservoir shape. The
+    # row_number window then runs over the 20 surviving rows only, so
+    # its single-partition sort is constant-size at any corpus scale.
+    top = keyed.orderBy(F.desc("k"), "doc_id").limit(20)
     w = Window.orderBy(F.desc("k"), "doc_id")
     return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
+        top.withColumn("rn", F.row_number().over(w))
         .select(
             "doc_id",
             "n_chars",
