@@ -174,3 +174,56 @@ def test_rocksdb_state_store_matches_batch(sf_dir):
         # getOrCreate may have applied the provider to a shared session;
         # unset so later tests keep the default HDFS-backed store
         spark.conf.unset(prov_key)
+
+
+def test_event_ts_encoding_parity(spark, tmp_path):
+    """Regression for the round-3 breakage: the driver has shipped
+    events.ts as BOTH parquet INT64 TIMESTAMP(NANOS) and native
+    timestamp[us]. Every read path (batch load_table, streaming
+    _read_events_stream) must normalize either encoding to the same
+    TimestampType wall times — so a fixture regeneration can't break
+    streaming again."""
+    from datetime import datetime, timedelta
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from walden_spark.streaming.windows import _read_events_stream, _run_to_memory
+    from walden_spark.tables import load_table
+
+    base = datetime(2024, 1, 1, 10, 0, 0)
+    times = [base + timedelta(minutes=7 * i) for i in range(6)]
+    batch_results, stream_results = {}, {}
+    for unit in ("ns", "us"):
+        d = tmp_path / unit
+        d.mkdir()
+        tbl = pa.table(
+            {
+                "event_id": pa.array(range(6), pa.int64()),
+                "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+                "event_type": pa.array(["a", "b"] * 3),
+                "value": pa.array([float(i) for i in range(6)]),
+                "ts": pa.array(times, pa.timestamp(unit)),
+            }
+        )
+        pq.write_table(tbl, str(d / "events.parquet"))
+        ev = load_table(spark, str(d), "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp", unit
+        batch_results[unit] = sorted(
+            (r.event_id, r.ts.strftime("%Y-%m-%d %H:%M:%S")) for r in ev.collect()
+        )
+        stream = _read_events_stream(spark, str(d))
+        assert dict(stream.dtypes)["ts"] == "timestamp", unit
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "15 minutes"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = _run_to_memory(agg, "complete")
+        stream_results[unit] = sorted(
+            (r["window"].start.strftime("%H:%M"), r["n"]) for r in out.collect()
+        )
+    assert batch_results["ns"] == batch_results["us"]
+    assert batch_results["ns"][0] == (0, "2024-01-01 10:00:00")
+    assert stream_results["ns"] == stream_results["us"]
+    assert stream_results["ns"] == [("10:00", 3), ("10:15", 2), ("10:30", 1)]

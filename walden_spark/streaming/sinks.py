@@ -68,13 +68,10 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     """
     import tempfile
 
+    from walden_spark.tables import load_table
     from walden_spark.timetravel import VersionedTable
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        "user_id", "ts", "value"
-    )
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
 
     # stage 4 contiguous time ranges so the file source replays them in
     # order (mirrors streaming_stateful_timeout_sessions)

@@ -142,11 +142,9 @@ def streaming_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> Dat
     real events (the oracle's lag/cumsum formulation)."""
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).select(
-        "event_id", "user_id", "ts"
-    )
+    from walden_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
 
     # stage the stream: 4 contiguous time ranges + a sentinel file,
     # written in order so the file source replays them as 5 batches

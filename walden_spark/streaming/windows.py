@@ -21,12 +21,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from walden_spark.registry import query
+from walden_spark.tables import normalize_event_ts
 
 _counter = itertools.count()
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming read of the events fixture (ns timestamps → µs)."""
+    """Streaming read of the events fixture; ts normalized to
+    TimestampType whichever way the fixture encodes it (int64-ns or
+    timestamp[us]) via the shared :func:`normalize_event_ts` guard."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -34,7 +37,7 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")  # file source wants a dir
         .parquet(sf_dir)
     )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(stream)
 
 
 def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:

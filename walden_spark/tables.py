@@ -35,6 +35,28 @@ TABLE_NAMES = [
 BROADCAST_DIMS = {"region", "nation"}
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to TimestampType no matter how
+    the fixture encodes it on disk. Driver regenerations have shipped it
+    both ways: parquet INT64 TIMESTAMP(NANOS) (read as ``bigint`` under
+    ``spark.sql.legacy.parquet.nanosAsLong``; truncate ns → µs, matching
+    DuckDB) and native ``timestamp[us]`` (read as TIMESTAMP_NTZ; cast to
+    session-TZ timestamp — session TZ is pinned UTC, so wall times are
+    identical). Already-TimestampType input passes through untouched.
+
+    Every reader of the events fixture — batch (:func:`load_table`) and
+    all streaming paths — MUST route through this one guard; round 3
+    broke all 10 streaming queries because three streaming sites
+    hardcoded the int64 branch.
+    """
+    ts_type = dict(df.dtypes).get(col)
+    if ts_type == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Self-defense for caller-provided sessions (the driver runs queries
     # under ITS session): timestamp formatting/windowing of the events
@@ -43,18 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet INT64 TIMESTAMP(NANOS) — Spark has no ns
-        # precision. Read the raw int64 (legacy conf, runtime-settable
-        # so it works under any caller-provided session) and truncate
-        # ns → µs, matching DuckDB's datetime truncation.
+        # Legacy conf is runtime-settable so it works under any
+        # caller-provided session; harmless when ts is already µs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
