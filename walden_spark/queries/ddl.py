@@ -311,3 +311,52 @@ def ddl_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql("DROP TABLE walden_mv_rev")
     spark.sql("DROP TABLE walden_mv_src")
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_branch_merge",
+    oracle="""
+SELECT 'branch:etl' AS ref, n_nationkey, n_name FROM nation WHERE n_regionkey <> 0
+UNION ALL
+SELECT 'main' AS ref, n_nationkey, n_name FROM nation WHERE n_regionkey <> 0
+UNION ALL
+SELECT 'tag:v0' AS ref, n_nationkey, n_name FROM nation
+ORDER BY ref, n_nationkey
+""",
+    category="ddl",
+)
+def ddl_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nessie-analog catalog versioning (tf/nessie-values.yaml:1-7,
+    tf/main.tf:34-60): tag the initial snapshot, branch, commit a
+    transformation on the branch while main stays pinned, then
+    fast-forward merge. The result reads all three refs after the
+    merge — the tag still serves the pre-branch data, and main serves
+    the merged branch head. The oracle replays the ref contents as
+    plain SQL over the source table."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_branch_") + "/nation_b"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))  # v0 on main
+    vt.create_tag("v0")
+    vt.create_branch("etl")
+    vt.write(
+        vt.read(branch="etl").filter(F.col("n_regionkey") != 0),
+        operation="etl_filter",
+        branch="etl",
+    )  # v1 on etl; main still v0
+    assert vt.head("main") == 0 and vt.head("etl") == 1
+    vt.merge_branch("etl", into="main")  # fast-forward main → v1
+
+    def ref_rows(label: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(label).alias("ref"), "n_nationkey", "n_name"
+        )
+
+    out = (
+        ref_rows("branch:etl", vt.read(branch="etl"))
+        .unionByName(ref_rows("main", vt.read(branch="main")))
+        .unionByName(ref_rows("tag:v0", vt.read(tag="v0")))
+    )
+    return out.orderBy("ref", "n_nationkey")
