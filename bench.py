@@ -69,16 +69,27 @@ def main() -> None:
     for name in names:
         registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    # Three interleaved timed rounds (full sweep per round, not 3× per
+    # query back-to-back) keeping per-query best: interleaving spreads
+    # GC/compaction pauses across queries instead of pinning them to
+    # whichever query they land under, and the min over 3 is a
+    # stable steady-state estimate (r03's +9.8% drift was uniform
+    # environment noise — VERDICT r03 perf section).
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(3):
         for name in names:
             t0 = time.perf_counter()
             df = registry[name].fn(spark, SF_DIR)
             # force full execution without driver-side collection of data
             df.write.format("noop").mode("overwrite").save()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
+            runs[name].append(time.perf_counter() - t0)
 
+    timings = {n: round(min(ts), 3) for n, ts in runs.items()}
+    # per-query run-to-run spread — the noise floor readers should use
+    # before calling a round-over-round delta a regression
+    spread_pct = {
+        n: round(100.0 * (max(ts) - min(ts)) / min(ts), 1) for n, ts in runs.items()
+    }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
@@ -89,6 +100,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf else None,
+                "timed_rounds": 3,
+                "spread_pct": spread_pct,
+                "notes": "value=sum of per-query min over 3 interleaved rounds "
+                "(1 untimed warm-up); deltas smaller than spread_pct are noise",
             }
         )
     )

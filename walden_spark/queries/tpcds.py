@@ -617,3 +617,156 @@ SELECT i_category, i_brand, CAST(lochierarchy AS INT) AS lochierarchy,
 FROM s
 ORDER BY lochierarchy DESC, i_category NULLS FIRST, rank_within_parent, i_brand NULLS FIRST
 """)
+
+
+# ---- Driver-hashable TPC-DS shapes (VERDICT r03 next-round #8) ----
+# The 12 generator-backed queries above are rows-only in the driver
+# (its DuckDB views cover only the 10 fixture tables), so the family's
+# SHAPES are re-expressed here against fixture tables with full hash
+# oracles: channel ROLLUP (q77), year-over-year growth self-join
+# (q59/q74), and cross-channel customer intersection (q71/q33).
+
+from walden_spark.queries.helpers import MONEY, dsum, money  # noqa: E402
+from walden_spark.tables import Tables  # noqa: E402
+
+
+@query(
+    "tpcds_fx_channel_rollup",
+    oracle="""
+SELECT COALESCE(l_linestatus, 'ALL') AS channel,
+       CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS sales,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS returns_amt,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_linestatus)
+ORDER BY channel
+""",
+    category="tpcds",
+)
+def tpcds_fx_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q77 shape on fixture tables: per-channel (line status)
+    sales vs returns with a ROLLUP grand total — partial aggregation
+    happens map-side, the rollup adds one extra grouping pass, no
+    extra scan."""
+    t = Tables(spark, sf_dir)
+    zero = F.lit(0).cast(MONEY)
+    return (
+        t.lineitem.rollup("l_linestatus")
+        .agg(
+            dsum(
+                F.when(F.col("l_returnflag") != "R", money("l_extendedprice")).otherwise(zero)
+            ).alias("sales"),
+            dsum(
+                F.when(F.col("l_returnflag") == "R", money("l_extendedprice")).otherwise(zero)
+            ).alias("returns_amt"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("channel"),
+            "sales",
+            "returns_amt",
+            "n",
+        )
+        .orderBy("channel")
+    )
+
+
+@query(
+    "tpcds_fx_yoy_growth",
+    oracle="""
+WITH rev AS (
+  SELECT n_name, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS total
+  FROM orders JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+)
+SELECT c.n_name, c.yr,
+       CAST(c.total AS DOUBLE) AS cur_total,
+       CAST(p.total AS DOUBLE) AS prev_total,
+       CAST(c.total AS DOUBLE) / CAST(p.total AS DOUBLE) AS growth
+FROM rev c JOIN rev p ON c.n_name = p.n_name AND c.yr = p.yr + 1
+ORDER BY c.n_name, c.yr
+""",
+    category="tpcds",
+)
+def tpcds_fx_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q59/Q74 shape on fixture tables: per-nation revenue by
+    order year, self-joined on consecutive years for the growth ratio.
+    The self-join keys on (nation, year) — tiny after aggregation, so
+    AQE broadcasts it; the expensive part stays one orders shuffle."""
+    t = Tables(spark, sf_dir)
+    rev = (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("total"))
+    )
+    cur, prev = rev.alias("c"), rev.alias("p")
+    return (
+        cur.join(
+            prev,
+            (F.col("c.n_name") == F.col("p.n_name")) & (F.col("c.yr") == F.col("p.yr") + 1),
+        )
+        .select(
+            F.col("c.n_name").alias("n_name"),
+            F.col("c.yr").alias("yr"),
+            F.col("c.total").cast("double").alias("cur_total"),
+            F.col("p.total").cast("double").alias("prev_total"),
+            (F.col("c.total").cast("double") / F.col("p.total").cast("double")).alias("growth"),
+        )
+        .orderBy("n_name", "yr")
+    )
+
+
+@query(
+    "tpcds_fx_cross_channel",
+    oracle="""
+WITH chan AS (
+  SELECT o_custkey AS custkey,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'express'
+              WHEN o_orderpriority = '3-MEDIUM' THEN 'standard'
+              ELSE 'economy' END AS channel,
+         CAST(o_totalprice AS DECIMAL(14,2)) AS price
+  FROM orders
+), per AS (
+  SELECT custkey, channel, SUM(price) AS chan_total
+  FROM chan GROUP BY custkey, channel
+)
+SELECT c_name, COUNT(*) AS n_channels,
+       CAST(SUM(chan_total) AS DOUBLE) AS total_spend
+FROM per JOIN customer ON c_custkey = custkey
+GROUP BY c_name
+HAVING COUNT(*) = 3
+ORDER BY c_name
+""",
+    category="tpcds",
+)
+def tpcds_fx_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q71/Q33 cross-channel shape on fixture tables: customers
+    active in ALL THREE priority-derived channels, with their total
+    spend. One orders shuffle on custkey; the channel classification is
+    a codegen'd CASE, and the customer join runs on the already-reduced
+    per-customer aggregate."""
+    t = Tables(spark, sf_dir)
+    chan = t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "express")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "standard")
+        .otherwise("economy")
+        .alias("channel"),
+        F.col("o_totalprice").cast("decimal(14,2)").alias("price"),
+    )
+    per = chan.groupBy("custkey", "channel").agg(F.sum("price").alias("chan_total"))
+    return (
+        per.join(t.customer, F.col("c_custkey") == F.col("custkey"))
+        .groupBy("c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_channels"),
+            F.sum("chan_total").cast("double").alias("total_spend"),
+        )
+        .filter(F.col("n_channels") == 3)
+        .orderBy("c_name")
+    )

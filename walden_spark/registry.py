@@ -63,47 +63,52 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # operator family so one driver pass verifies at least one
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
+#
+# r04 ROTATION (VERDICT r03 next-round #2, carried from r02): the r02/
+# r03 windows were identical, pinning cumulative driver verification at
+# 50/179. This window keeps 15 anchors (flagships + one per north-star
+# family + the two streaming rows that failed in r03, so their fix is
+# driver-witnessed) and fills 35 slots with names the driver has NEVER
+# checked. Names rotated out stay verified by the repo's own oracle
+# suite (tests/test_oracle.py runs all of them); the union of driver
+# windows should keep growing round over round.
 DRIVER_WINDOW: tuple[str, ...] = (
-    # tpch flagship (incl. the 3 r01 hash-fix queries)
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q12", "tpch_q16", "tpch_q18",
-    # projection / filter / distinct / sample
-    "proj_case_cast", "filter_predicates", "distinct_pairs", "sample_bernoulli",
-    # scans / sources / formats
-    "values_inline", "source_csv_roundtrip", "source_orc_roundtrip",
-    # unnest / lateral
-    "explode_words", "lateral_topn",
-    # joins (outer, null-aware anti, theta, as-of, correlated subquery, range)
-    "join_full_outer", "join_anti_null_aware", "join_theta_nonequi",
-    "join_asof", "subquery_correlated_scalar", "range_join_binned",
-    # sorts / limits
-    "topk_with_ties", "sort_nulls_ordering",
-    # aggregations (basic, distinct, grouping sets, sketch-bounds, skew)
-    "agg_basic", "agg_count_distinct", "agg_grouping_sets",
-    "agg_approx_distinct", "skew_salted_agg",
-    # windows
-    "win_ranking", "win_range_interval",
-    # set ops
-    "setop_except_all",
-    # scalar function families (riskiest four)
-    "fn_regex", "fn_datetime", "fn_json", "fn_hash",
-    # UDF surface
-    "udf_pandas_scalar", "udf_python_udtf",
-    # events / time-series
-    "events_hypertable_rollup",
-    # DDL / DML
+    # -- anchors (driver-verified in r02/r03; keep one per family) --
+    "tpch_q1", "tpch_q3", "tpch_q6",
     "ddl_lifecycle", "ddl_dml_cow",
-    # streaming
-    "streaming_session_window", "streaming_stateful_totals",
-    # dedup north-star (embedding slot holds the LSH scale path — the
-    # exact block-pair variant stays covered by the repo suite)
-    "dedup_minhash_lsh", "dedup_embedding_lsh", "dedup_cluster_components",
-    # similarity north-star
-    "knn_lsh_bucketed", "ann_ivf_probe",
-    # text north-star (pipeline slot composes quality gate + exact
-    # dedup + shard shuffle, so one driver row checks three stages)
-    "text_quality_score", "text_pretrain_pipeline",
-    # multimodal north-star
+    "streaming_session_window", "streaming_stateful_totals",  # r03 regression rows
+    "dedup_minhash_lsh",
+    "knn_lsh_bucketed",
+    "text_pretrain_pipeline",
     "multimodal_decode",
+    "udf_pandas_scalar",
+    "agg_basic",
+    "win_ranking",
+    "source_csv_roundtrip",
+    "proj_case_cast",
+    # -- rotated in: never driver-verified before r04 --
+    # scalar function families (the 8 not yet driver-checked)
+    "fn_string", "fn_math", "fn_bitwise", "fn_array", "fn_map",
+    "fn_struct", "fn_url", "fn_variant",
+    # windows (value fns, frames, GROUPS emulation)
+    "win_value_functions", "win_agg_frames", "win_groups_frame",
+    # set ops
+    "setop_union_all", "setop_intersect_all", "setop_except",
+    # joins + recursive CTE
+    "join_left_outer", "join_right_outer", "join_semi", "join_cross",
+    "sql_recursive_cte",
+    # aggregate stragglers
+    "agg_percentile_exact", "agg_stats_formula", "agg_pivot",
+    # text / similarity scale paths
+    "text_span_dedup", "ann_ivf_pq",
+    # streaming (fixed family — get more of it independently witnessed)
+    "streaming_tumbling", "streaming_stream_stream_join",
+    "streaming_foreachbatch_upsert",
+    # sort / filter / unnest / events family representatives
+    "topn_per_group", "filter_null_semantics", "posexplode_ordinality",
+    "events_funnel",
+    # new in r04: Nessie-analog refs + driver-hashable TPC-DS shapes
+    "ddl_branch_merge", "tpcds_fx_channel_rollup", "tpcds_fx_yoy_growth",
 )
 
 
