@@ -138,3 +138,122 @@ def test_concurrent_commit_conflict(spark, vt):
 
     v_dirs = [d for d in os.listdir(f"{vt.path}/data") if d.startswith(f"v={v_a}-")]
     assert len(v_dirs) == 1
+
+
+# ---- r04 Iceberg-analog mechanics: stats pruning, MoR, hidden parts ----
+
+
+def _mk(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id"), (F.col("id") % 7).cast("double").alias("v")
+    )
+
+
+def test_manifest_file_pruning(spark, tmp_path):
+    """scan(filters) must skip files whose footer-stat ranges can't
+    match — fewer input files than a full read, identical results to
+    read().filter()."""
+    t = VersionedTable(spark, str(tmp_path / "pruned"))
+    df = _mk(spark).repartitionByRange(8, "id")  # 8 files, disjoint id ranges
+    t.write(df)
+    m = t._manifests()[-1]
+    assert len(m["files"]) == 8
+    assert all(f["rows"] > 0 and "id" in f["stats"] for f in m["files"])
+
+    full = t.read()
+    pruned = t.scan(filters=[("id", ">=", 900)])
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert sorted(r.id for r in pruned.collect()) == list(range(900, 1000))
+    # empty-result pruning: no file can match
+    assert t.scan(filters=[("id", ">", 10_000)]).count() == 0
+
+
+def test_merge_on_read_stack_and_compact(spark, tmp_path):
+    """append/delete/update in MoR mode are O(delta) commits (no
+    table rewrite); reads compose the stack; compact materializes."""
+    t = VersionedTable(spark, str(tmp_path / "mor"))
+    t.write(_mk(spark, 100))                                   # v0 full
+    t.append(spark.range(100, 120).select(
+        F.col("id"), F.lit(0.0).alias("v")))                   # v1 mor append
+    t.delete_where("id % 2 = 1", mode="mor")                   # v2 mor delete
+    t.update_where({"v": "v + 100"}, "id < 10", mode="mor")    # v3 mor update
+
+    ms = t._manifests()
+    assert [m.get("operation") for m in ms] == [
+        "write", "append", "delete_mor", "update_mor"]
+    assert ms[2].get("data_dir") is None          # delete wrote NO data
+    # update layer wrote only the 5 changed rows (even ids < 10)
+    assert sum(f["rows"] for f in ms[3]["files"]) == 5
+
+    cur = {r.id: r.v for r in t.read().collect()}
+    assert set(cur) == {i for i in range(120) if i % 2 == 0}
+    assert cur[4] == 104.0 and cur[8] == 101.0    # updated (v = id%7 + 100)
+    assert cur[12] == 5.0                         # untouched (12 % 7)
+    assert cur[100] == 0.0                        # appended survives delete? no:
+    # append happened BEFORE the delete layer, so odd appended ids are gone
+    assert 101 not in cur
+
+    # every historical version still readable
+    assert t.read(version=0).count() == 100
+    assert t.read(version=1).count() == 120
+    assert t.read(version=2).count() == 60
+
+    v4 = t.compact()
+    assert t._manifests()[-1]["operation"] == "compact"
+    after = {r.id: r.v for r in t.read(version=v4).collect()}
+    assert after == cur                            # compaction is a no-op logically
+
+
+def test_mor_scan_filters_push_into_base(spark, tmp_path):
+    """scan() through a MoR stack prunes base files AND applies the
+    residual filter; equality with the unpruned read path."""
+    t = VersionedTable(spark, str(tmp_path / "morscan"))
+    t.write(_mk(spark).repartitionByRange(8, "id"))
+    t.delete_where("id >= 950", mode="mor")
+    got = sorted(r.id for r in t.scan(filters=[("id", ">=", 900)]).collect())
+    want = sorted(
+        r.id for r in t.read().filter("id >= 900").collect()
+    )
+    assert got == want == list(range(900, 950))
+
+
+def test_hidden_day_partitioning(spark, tmp_path):
+    """write(partition_day=...) partitions by a derived day column the
+    reader never sees; time filters on the SOURCE column prune
+    partitions (PartitionFilters on the hidden field)."""
+    rows = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts "
+        "FROM range(0, 24*14)"  # 14 days of hourly rows
+    )
+    t = VersionedTable(spark, str(tmp_path / "hidden"))
+    t.write(rows, partition_day="ts")
+    out = t.read()
+    assert set(out.columns) == {"id", "ts"}        # hidden col invisible
+    assert out.count() == 24 * 14
+
+    scanned = t.scan(filters=[("ts", ">=", "2024-01-13 00:00:00")])
+    assert sorted(r.id for r in scanned.collect()) == list(range(24 * 12, 24 * 14))
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    assert "walden_p_day" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0], (
+        "source-column time filter must become a partition filter on the hidden field"
+    )
+
+
+def test_expire_keeps_mor_bases_and_ref_targets(spark, tmp_path):
+    """expire_versions must not break retained MoR chains or refs."""
+    t = VersionedTable(spark, str(tmp_path / "exp"))
+    t.write(_mk(spark, 50))                  # v0 — base of every later layer
+    t.create_tag("keep0")
+    t.delete_where("id >= 40", mode="mor")   # v1
+    t.delete_where("id >= 30", mode="mor")   # v2
+    t.delete_where("id >= 20", mode="mor")   # v3
+    # while the head is a MoR layer, its entire chain (v3→v2→v1→v0) is
+    # live — nothing is droppable yet
+    assert t.expire_versions(keep_last=2) == []
+    assert t.read().count() == 20
+    t.compact()                              # v4 full snapshot
+    dropped = t.expire_versions(keep_last=1)
+    # v1..v3 collapse away; v0 survives because the tag points at it
+    assert dropped == [1, 2, 3]
+    assert t.read().count() == 20
+    assert t.read(tag="keep0").count() == 50

@@ -360,3 +360,65 @@ def ddl_branch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ref_rows("tag:v0", vt.read(tag="v0")))
     )
     return out.orderBy("ref", "n_nationkey")
+
+
+@query(
+    "ddl_mor_lifecycle",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+v1 AS (SELECT * FROM v0 UNION ALL
+       SELECT 900 + r.r AS n_nationkey, 'new_' || CAST(r.r AS VARCHAR) AS n_name, 9 AS n_regionkey
+       FROM (SELECT unnest(range(3)) AS r) r),
+v2 AS (SELECT * FROM v1 WHERE NOT (n_regionkey = 2)),
+v3 AS (SELECT n_nationkey,
+              CASE WHEN n_regionkey = 9 THEN upper(n_name) ELSE n_name END AS n_name,
+              n_regionkey FROM v2),
+metrics AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum FROM v0
+  UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey) FROM v1
+  UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey) FROM v2
+  UNION ALL SELECT 3, COUNT(*), SUM(n_nationkey) FROM v3
+  UNION ALL SELECT 4, COUNT(*), SUM(n_nationkey) FROM v3
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_sum AS BIGINT) AS key_sum
+FROM metrics ORDER BY version
+""",
+    category="ddl",
+)
+def ddl_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read lifecycle (Iceberg v2 analog): append / predicate
+    delete / update commit O(delta) layers — the delete writes NO data
+    files at all — then compaction materializes the stack. Every
+    intermediate version stays readable (time travel over MoR layers),
+    and the compacted snapshot equals the layered read, which is what
+    version 4's metrics assert against version 3's."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_mor_") + "/nation_m"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))      # v0 full
+    new_rows = spark.createDataFrame(
+        [(900 + i, f"new_{i}", 9) for i in range(3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    vt.append(new_rows)                                                    # v1 append-only
+    vt.delete_where("n_regionkey = 2", mode="mor")                         # v2 zero-data delete
+    vt.update_where({"n_name": "upper(n_name)"}, "n_regionkey = 9", mode="mor")  # v3
+    assert vt._manifests()[2].get("data_dir") is None  # delete wrote no data
+    v4 = vt.compact()                                                      # v4 materialized
+
+    frames = []
+    for v in range(5):
+        frames.append(
+            vt.read(version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")

