@@ -257,3 +257,58 @@ def test_expire_keeps_mor_bases_and_ref_targets(spark, tmp_path):
     assert dropped == [1, 2, 3]
     assert t.read().count() == 20
     assert t.read(tag="keep0").count() == 50
+
+
+def test_mor_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check of the merge-on-read stack: random sequences
+    of append / mor-delete / mor-update / compact must always read
+    back exactly what a driver-side dict model predicts — including
+    across compaction boundaries (hypothesis-driven, small budget:
+    each example is a real Spark table)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 5)),
+        st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
+        st.tuples(st.just("update"), st.integers(1, 60), st.integers(1, 9)),
+        st.tuples(st.just("compact"), st.just(0)),
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        t = VersionedTable(spark, str(tmp_path / f"model{counter[0]}"))
+        model = {i: float(i % 3) for i in range(30)}
+        t.write(
+            spark.createDataFrame(sorted(model.items()), "id long, v double")
+        )
+        next_id = [100]
+        for o in ops:
+            if o[0] == "append":
+                n = o[1]
+                rows = [(next_id[0] + j, -1.0) for j in range(n)]
+                next_id[0] += n
+                t.append(spark.createDataFrame(rows, "id long, v double"))
+                model.update(rows)
+            elif o[0] == "delete":
+                _, k, r = o
+                t.delete_where(f"id % {k} = {r}", mode="mor")
+                model = {i: v for i, v in model.items() if i % k != r}
+            elif o[0] == "update":
+                _, x, c = o
+                t.update_where({"v": f"v + {c}"}, f"id < {x}", mode="mor")
+                model = {i: (v + c if i < x else v) for i, v in model.items()}
+            else:
+                t.compact()
+            got = {r.id: r.v for r in t.read().collect()}
+            assert got == model, f"divergence after {o} in {ops}"
+
+    run()
