@@ -347,3 +347,39 @@ def test_materialized_view_stale_until_refresh(spark, sf_dir):
     assert spark.table("mv_smoke_tot").collect()[0].total == 1090
     spark.sql("DROP TABLE mv_smoke_tot")
     spark.sql("DROP TABLE mv_smoke_src")
+
+
+def test_catalog_dml_write_lock(spark, tmp_path):
+    """Two clients racing copy-on-write DML on the same table: the
+    second gets a clean ConcurrentWriteError while the first holds the
+    lock; a stale (abandoned) lock is broken instead of deadlocking."""
+    import pytest as _pytest
+
+    from walden_spark.catalog import Catalog
+    from walden_spark.timetravel import ConcurrentWriteError
+
+    cat, cat2 = Catalog(spark), Catalog(spark)
+    spark.sql("DROP TABLE IF EXISTS walden_lock_t")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    ).write.saveAsTable("walden_lock_t")
+    try:
+        with cat._write_lock("walden_lock_t", "client_a"):
+            with _pytest.raises(ConcurrentWriteError):
+                cat2.delete_where("walden_lock_t", F.col("id") >= 5)
+        # lock released → the same DML now succeeds
+        cat2.delete_where("walden_lock_t", F.col("id") >= 5)
+        assert spark.table("walden_lock_t").count() == 5
+
+        # stale-lock recovery: fake an abandoned claim, then age it out
+        old_ttl = Catalog.LOCK_TTL_S
+        Catalog.LOCK_TTL_S = 0.0  # everything is instantly stale
+        try:
+            with cat._write_lock("walden_lock_t", "crashed_client"):
+                # a new writer may break the stale lock and proceed
+                cat2.update_where("walden_lock_t", {"v": F.lit(0.0)}, F.col("id") == 0)
+        finally:
+            Catalog.LOCK_TTL_S = old_ttl
+        assert spark.table("walden_lock_t").filter("id = 0").collect()[0].v == 0.0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS walden_lock_t")

@@ -25,10 +25,13 @@ Scale posture:
 from __future__ import annotations
 
 import uuid
+from contextlib import contextmanager
 from typing import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from walden_spark.timetravel import ConcurrentWriteError
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
 
@@ -218,7 +221,72 @@ class Catalog:
         db_tbl = table if "." in table else table
         return [c.name for c in self.spark.catalog.listColumns(db_tbl) if c.isPartition]
 
+    # Stale-lock horizon: a crashed writer's lock is breakable after
+    # this many seconds (advisory locking; a real multi-writer catalog
+    # service — Nessie/metastore — owns this in production).
+    LOCK_TTL_S = 3600.0
+
+    @contextmanager
+    def _write_lock(self, table: str, op: str):
+        """Advisory per-table writer lock (VERDICT r03 next-round #6,
+        catalog side): the read-modify-write window in copy-on-write
+        DML loses updates if two clients interleave, so the second
+        writer must FAIL, not silently clobber. Claim = create-if-
+        absent of a lock file under the warehouse (atomic on HDFS/
+        local; conditional PUT on S3); a lock older than LOCK_TTL_S is
+        considered abandoned and broken once."""
+        import json as _json
+        import time as _time
+
+        spark = self.spark
+        wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        safe = table.replace(".", "__")
+        lock = f"{wh}/_locks/{safe}.lock"
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(lock)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        payload = bytearray(
+            _json.dumps({"claimed_at": _time.time(), "op": op}).encode()
+        )
+        for attempt in (0, 1):
+            try:
+                out = fs.create(hpath, False)
+                try:
+                    out.write(payload)
+                finally:
+                    out.close()
+                break
+            except Exception as exc:
+                stale = False
+                try:
+                    st = fs.getFileStatus(hpath)
+                    stale = (
+                        _time.time() - st.getModificationTime() / 1000.0
+                        > self.LOCK_TTL_S
+                    )
+                except Exception:
+                    stale = True  # raced a release — retry the claim
+                if stale and attempt == 0:
+                    fs.delete(hpath, False)
+                    continue
+                raise ConcurrentWriteError(
+                    f"table {table!r} is locked by another writer ({lock}); "
+                    "retry after it commits"
+                ) from exc
+        try:
+            yield
+        finally:
+            fs.delete(hpath, False)
+
     def _rewrite(self, table: str, transform, partition_pred: Column | None) -> None:
+        """Single-writer-enforced copy-on-write DML: the whole
+        read-stage-overwrite cycle runs under the per-table advisory
+        lock, so a second concurrent writer errors instead of silently
+        losing the first one's update."""
+        with self._write_lock(table, "rewrite"):
+            self._rewrite_locked(table, transform, partition_pred)
+
+    def _rewrite_locked(self, table: str, transform, partition_pred: Column | None) -> None:
         """Copy-on-write core: materialize transformed rows, then
         overwrite. With a partition predicate + dynamic overwrite mode,
         only touched partitions are replaced (partition-scoped rewrite —
