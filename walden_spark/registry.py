@@ -129,6 +129,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.operators.rangejoin  # noqa: F401
     import walden_spark.operators.rollup  # noqa: F401
     import walden_spark.operators.skew  # noqa: F401
+    import walden_spark.operators.sketches  # noqa: F401
     import walden_spark.operators.scd  # noqa: F401
     import walden_spark.operators.similarity  # noqa: F401
     import walden_spark.operators.text  # noqa: F401
