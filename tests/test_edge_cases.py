@@ -117,3 +117,54 @@ def test_drop_emptied_partition_with_null_and_int_values(spark, tmp_path):
         assert [r.id for r in spark.table(t).collect()] == [4]
     finally:
         cat.drop_schema(schema)
+
+
+def test_asof_join_payload_direction_tolerance(spark):
+    """Generalized as-of operator: payload carry, forward direction,
+    and tolerance nulling — the merge_asof contract on a hand-checked
+    fixture."""
+    from datetime import datetime
+
+    from walden_spark.operators.asof import asof_join
+
+    T = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    trades = spark.createDataFrame(
+        [(1, 1, T("2024-01-01 00:00:10")), (2, 1, T("2024-01-01 00:01:40")),
+         (3, 2, T("2024-01-01 00:00:30"))],
+        "trade_id long, uid long, ts timestamp",
+    )
+    quotes = spark.createDataFrame(
+        [(1, T("2024-01-01 00:00:05"), 1.0), (1, T("2024-01-01 00:00:50"), 2.0)],
+        "uid long, ts timestamp, px double",
+    )
+
+    back = {
+        r.trade_id: r.px
+        for r in asof_join(trades, quotes, "uid", "ts", ["px"]).collect()
+    }
+    assert back == {1: 1.0, 2: 2.0, 3: None}  # uid 2 has no quotes at all
+
+    fwd = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, "uid", "ts", ["px"], direction="forward"
+        ).collect()
+    }
+    assert fwd == {1: 2.0, 2: None, 3: None}  # next quote at-or-after
+
+    tol = {
+        r.trade_id: r.px
+        for r in asof_join(
+            trades, quotes, "uid", "ts", ["px"], tolerance="10 SECONDS"
+        ).collect()
+    }
+    # trade 1: quote 5s earlier → in tolerance; trade 2: quote 50s earlier → nulled
+    assert tol == {1: 1.0, 2: None, 3: None}
+
+    # exact-timestamp match is visible in both directions
+    eq_trades = spark.createDataFrame(
+        [(9, 1, T("2024-01-01 00:00:50"))], "trade_id long, uid long, ts timestamp"
+    )
+    for d in ("backward", "forward"):
+        got = asof_join(eq_trades, quotes, "uid", "ts", ["px"], direction=d).collect()
+        assert got[0].px == 2.0, d

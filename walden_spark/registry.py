@@ -127,6 +127,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.functions.udf  # noqa: F401
     import walden_spark.operators.dedup  # noqa: F401
     import walden_spark.operators.rangejoin  # noqa: F401
+    import walden_spark.operators.asof  # noqa: F401
     import walden_spark.operators.rollup  # noqa: F401
     import walden_spark.operators.skew  # noqa: F401
     import walden_spark.operators.sketches  # noqa: F401
