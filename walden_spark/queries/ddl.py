@@ -422,3 +422,56 @@ def ddl_mor_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("version")
+
+
+@query(
+    "ddl_hidden_partition_scan",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE ts >= (SELECT date_trunc('day', MIN(ts)) + INTERVAL 2 DAY FROM events)
+  AND ts <  (SELECT date_trunc('day', MIN(ts)) + INTERVAL 4 DAY FROM events)
+GROUP BY event_type
+ORDER BY event_type
+""",
+    category="ddl",
+)
+def ddl_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden day partitioning end-to-end (Iceberg's headline pruning
+    feature): events land in a VersionedTable partitioned by a derived
+    day column the reader never sees; the query filters on raw ``ts``
+    and scan() converts that into partition predicates, so only the
+    two queried days' directories are touched. The oracle applies the
+    same time window to the flat events table — identical rows prove
+    the pruning is lossless."""
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="walden_hidden_") + "/events_h"
+    vt = VersionedTable(spark, path)
+    vt.write(ev.select("event_id", "event_type", "value", "ts"), partition_day="ts")
+
+    lo, hi = (
+        ev.agg(
+            F.date_trunc("day", F.min("ts")).alias("d0"),
+        )
+        .select(
+            (F.col("d0") + F.expr("INTERVAL 2 DAY")).alias("lo"),
+            (F.col("d0") + F.expr("INTERVAL 4 DAY")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    scanned = vt.scan(filters=[("ts", ">=", lo), ("ts", "<", hi)])
+    # prove directory-level pruning actually happened: the scan's file
+    # set must be a strict subset of the full table's
+    assert len(scanned.inputFiles()) < len(vt.read().inputFiles())
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

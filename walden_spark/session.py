@@ -85,6 +85,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark's default INT96 timestamps carry NO parquet statistics,
+        # killing row-group/file skipping on every time column; int64
+        # micros is the modern layout every engine reads and stats-prunes
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # Runtime bloom-filter join pruning — the non-partition-key
         # analog of dynamic partition pruning (together they cover what

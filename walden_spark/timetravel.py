@@ -369,6 +369,11 @@ class VersionedTable:
         column; readers never see the derived column, and ``scan``
         rewrites ts predicates into partition predicates."""
         parent = self.head(branch)  # validates the branch exists
+        # INT96 (Spark's compatibility default) stores no parquet stats,
+        # which would silently disable manifest-level pruning on time
+        # columns; force the stats-capable int64 layout even under
+        # caller-provided sessions (runtime-settable conf)
+        self.spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         ms = self._manifests()
         v = ms[-1]["version"] + 1 if ms else 0
         manifest = {
