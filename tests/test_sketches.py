@@ -73,7 +73,7 @@ def test_heavy_hitters_guarantee_and_exactness(spark):
     frequent set with exact counts, (b) the guarantee holds under a
     tiny counter budget and an adversarial partition layout, (c) the
     candidate shuffle stays bounded by partitions x counters."""
-    from walden_spark.operators.sketches import heavy_hitters
+    from walden_spark.operators.sketch import heavy_hitters
 
     # 3 heavy keys (>1/4 each) + a long tail of singletons, scattered
     # across partitions so no partition sees a clean local majority

@@ -130,7 +130,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.operators.asof  # noqa: F401
     import walden_spark.operators.rollup  # noqa: F401
     import walden_spark.operators.skew  # noqa: F401
-    import walden_spark.operators.sketches  # noqa: F401
+    import walden_spark.operators.sketch  # noqa: F401
     import walden_spark.operators.scd  # noqa: F401
     import walden_spark.operators.similarity  # noqa: F401
     import walden_spark.operators.text  # noqa: F401
