@@ -312,3 +312,34 @@ def test_mor_random_op_sequences_match_model(spark, tmp_path):
             assert got == model, f"divergence after {o} in {ops}"
 
     run()
+
+
+def test_sql_time_travel_syntax(spark, tmp_path):
+    """Trino/Iceberg `FOR VERSION AS OF` / `FOR TIMESTAMP AS OF` SQL
+    surface over a registered VersionedTable, including branch/tag
+    names as quoted versions."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "sqltt"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    ts_v0 = t._manifests()[0]["timestamp"]
+    t.create_tag("release-0")
+    t.delete_where("id >= 5")                       # v1
+    ws.register_versioned("tt", t.path)
+
+    assert ws.sql("SELECT COUNT(*) AS n FROM tt").collect()[0].n == 5
+    assert ws.sql("SELECT COUNT(*) AS n FROM tt FOR VERSION AS OF 0").collect()[0].n == 10
+    assert ws.sql("SELECT COUNT(*) AS n FROM tt FOR VERSION AS OF 'release-0'").collect()[0].n == 10
+    import datetime
+
+    iso = datetime.datetime.fromtimestamp(ts_v0 + 0.5).isoformat()
+    q = f"SELECT COUNT(*) AS n FROM tt FOR TIMESTAMP AS OF TIMESTAMP '{iso}'"
+    assert ws.sql(q).collect()[0].n == 10
+    # joins mixing travel and current state work in one statement
+    both = ws.sql(
+        "SELECT COUNT(*) AS n FROM tt a JOIN (SELECT id FROM tt FOR VERSION AS OF 0) b ON a.id = b.id"
+    ).collect()[0].n
+    assert both == 5
+    with pytest.raises(ValueError):
+        ws.sql("SELECT * FROM tt FOR VERSION AS OF 'no-such-ref'")

@@ -172,11 +172,69 @@ class WaldenSession:
     Spark Thrift JDBC server (plans/serving.py) covers BI clients.
     """
 
+    # Trino/Iceberg time-travel syntax over registered versioned tables:
+    #   SELECT ... FROM t FOR VERSION AS OF 3
+    #   SELECT ... FROM t FOR VERSION AS OF 'branch-or-tag'
+    #   SELECT ... FROM t FOR TIMESTAMP AS OF TIMESTAMP '2024-01-01 00:00:00'
+    import re as _re
+
+    _TT_RE = _re.compile(
+        r"\b(\w+)\s+FOR\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+        r"(?:TIMESTAMP\s+)?('[^']*'|[\w\-]+)",
+        _re.IGNORECASE,
+    )
+
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
         from walden_spark.plans.serving import QueryLog
 
         self.query_log = QueryLog()
+        self._versioned: dict[str, object] = {}
+
+    def register_versioned(self, name: str, path: str):
+        """Expose a :class:`walden_spark.timetravel.VersionedTable` to
+        SQL: its current snapshot becomes view ``name``, and
+        ``FOR VERSION/TIMESTAMP AS OF`` in :meth:`sql` time-travels it
+        (the reference's Trino-on-Iceberg `FOR VERSION AS OF` surface,
+        with branch/tag names accepted as quoted versions — Nessie's
+        ref-in-SQL idiom)."""
+        from walden_spark.timetravel import VersionedTable
+
+        vt = VersionedTable(self.spark, path)
+        self._versioned[name] = vt
+        vt.read().createOrReplaceTempView(name)
+        return vt
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        def sub(m) -> str:
+            name, kind, val = m.group(1), m.group(2).upper(), m.group(3)
+            vt = self._versioned.get(name)
+            if vt is None:
+                return m.group(0)  # not a versioned table — leave as-is
+            if kind == "TIMESTAMP":
+                import datetime
+
+                ts = datetime.datetime.fromisoformat(val.strip("'")).timestamp()
+                df = vt.read_as_of(ts)
+                view = f"{name}_asof_{int(ts)}"
+            elif val.startswith("'"):
+                ref = val.strip("'")
+                refs = vt._read_refs()
+                if ("branch", ref) in refs:
+                    df = vt.read(branch=ref)
+                elif ("tag", ref) in refs:
+                    df = vt.read(tag=ref)
+                else:
+                    raise ValueError(f"unknown branch/tag {ref!r} for table {name!r}")
+                safe = "".join(c if c.isalnum() else "_" for c in ref)
+                view = f"{name}_ref_{safe}"
+            else:
+                df = vt.read(version=int(val))
+                view = f"{name}_v{int(val)}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TT_RE.sub(sub, query)
 
     def sql(self, query: str) -> DataFrame:
         """Serve a SQL statement, recording it in the query history
@@ -184,6 +242,8 @@ class WaldenSession:
         import time
 
         t0 = time.perf_counter()
+        if self._versioned and " FOR " in query.upper():
+            query = self._rewrite_time_travel(query)
         try:
             out = self.spark.sql(query)
         except Exception as e:  # noqa: BLE001 - recorded then re-raised
