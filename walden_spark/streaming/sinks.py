@@ -123,3 +123,71 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     # stash for the history assertion in tests
     streaming_foreachbatch_upsert.last_table = vt  # type: ignore[attr-defined]
     return out
+
+
+@query(
+    "streaming_mor_ingest",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    category="streaming",
+)
+def streaming_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a merge-on-read table (the reference's
+    Iceberg streaming-ingest story): readStream replays the events
+    fixture as 4 time-ranged micro-batches, foreachBatch lands each as
+    an O(batch) MoR append — no table rewrite per commit, one retained
+    snapshot per batch — and the final aggregate over the composed
+    table equals the batch aggregate the oracle computes. History
+    shape (1 full + 3 append layers) is asserted in-query."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+
+    stage = tempfile.mkdtemp(prefix="walden_mor_stream_")
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev_us
+        if bounds[i] is not None:
+            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
+        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_mor_vt_") + "/events_i")
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        if vt.head() is None:  # first batch bootstraps the base snapshot
+            vt.write(batch_df, operation=f"batch_{batch_id}")
+        else:
+            vt.append(batch_df)  # O(batch): no rewrite of prior data
+
+    stream = (
+        spark.readStream.schema("event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    ms = vt._manifests()
+    assert len(ms) == 4 and all(m.get("mor") for m in ms[1:]), (
+        "expected 1 full + 3 merge-on-read append commits"
+    )
+    streaming_mor_ingest.last_table = vt  # type: ignore[attr-defined]
+    return (
+        vt.read()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+    )
