@@ -150,7 +150,6 @@ _CARTESIAN_OK = {
     "join_theta_nonequi",  # pure-inequality theta join on a 25-row dim
     "tpch_q11",            # scalar-subquery threshold: BNLJ against a 1-row aggregate, O(n)
     "tpch_q22",            # same — avg-balance scalar subquery comparison
-    "agg_freq_sketch",     # same — n_total threshold is a 1-row broadcast aggregate
     "ann_ivf_probe",       # intentional broadcast-cross against the bounded centroid table (IVF assign is map-only by design)
 }
 

@@ -93,3 +93,7 @@ def test_heavy_hitters_guarantee_and_exactness(spark):
     # no heavy key at all → empty result, not an error
     flat = spark.createDataFrame([(f"u{i}",) for i in range(100)], "k string")
     assert heavy_hitters(flat, "k", k=4).count() == 0
+
+    # JVM-only sampled candidate path: same exact answer
+    got_s = [(r.key, r.cnt) for r in heavy_hitters(df, "k", k=4, method="sample").collect()]
+    assert got_s == [("a", 400), ("b", 300), ("c", 260)]

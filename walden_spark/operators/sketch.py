@@ -82,30 +82,61 @@ def frequent_items(df: DataFrame, col: str, k: int = 64) -> DataFrame:
 
 
 def heavy_hitters(
-    df: DataFrame, key: Column | str, k: int, n_counters: int | None = None
+    df: DataFrame,
+    key: Column | str,
+    k: int,
+    n_counters: int | None = None,
+    method: str = "mg",
 ) -> DataFrame:
     """Keys occurring in strictly more than ``1/k`` of rows, with their
     exact counts (columns: ``key``, ``cnt``, most frequent first).
 
-    ``n_counters`` (default ``4*k``) sizes the per-partition summary;
-    any value ≥ k preserves the guarantee, larger values shrink the
-    candidate set's false-positive tail."""
-    n_counters = n_counters or 4 * k
+    Candidate generation (``method``):
+
+    * ``"mg"`` (default) — Misra–Gries summaries per partition:
+      DETERMINISTIC guarantee, O(n_counters) memory, but Arrow-ships
+      every row through Python once. ``n_counters`` (default ``4*k``)
+      sizes the summary; any value ≥ k preserves the guarantee.
+    * ``"sample"`` — JVM-only: candidates are keys crossing half the
+      frequency threshold in a ~``4000·k``-row Bernoulli sample. With-
+      high-probability guarantee (Chernoff: a true >1/k key missing the
+      half-threshold in a 4000k sample is ~e^{-500}); nothing crosses
+      the Python boundary, so use it when the key column is huge and
+      the WHP bound is acceptable — measured 5× faster than "mg" at
+      20M rows (tools/tableformat_probe.py).
+
+    Both paths finish with an EXACT count pass over the broadcast
+    candidate set, so the returned rows and counts are exact either
+    way — the method only affects how candidates are found.
+    """
     keyed = df.select((F.col(key) if isinstance(key, str) else key).alias("mg_key"))
-    candidates = (
-        keyed.mapInPandas(_mg_summarize(n_counters), "mg_key string, mg_residual long")
-        .select("mg_key")
-        .distinct()
-    )
+    n_total = keyed.count()  # parquet-footer-priced on file sources
+    if method == "mg":
+        n_counters = n_counters or 4 * k
+        candidates = (
+            keyed.mapInPandas(_mg_summarize(n_counters), "mg_key string, mg_residual long")
+            .select("mg_key")
+            .distinct()
+        )
+    elif method == "sample":
+        target = 4_000 * k
+        frac = min(1.0, target / max(n_total, 1))
+        candidates = (
+            keyed.sample(withReplacement=False, fraction=frac, seed=7)
+            .groupBy("mg_key")
+            .agg(F.count(F.lit(1)).alias("s_cnt"))
+            .filter(F.col("s_cnt") * (2 * k) >= F.lit(frac * n_total))
+            .select("mg_key")
+        )
+    else:
+        raise ValueError("method must be 'mg' or 'sample'")
     exact = (
         keyed.join(F.broadcast(candidates), "mg_key", "left_semi")
         .groupBy("mg_key")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = keyed.agg(F.count(F.lit(1)).alias("n_total"))
     return (
-        exact.join(F.broadcast(total))
-        .filter(F.col("cnt") * k > F.col("n_total"))
+        exact.filter(F.col("cnt") * k > F.lit(n_total))
         .select(F.col("mg_key").alias("key"), "cnt")
         .orderBy(F.desc("cnt"), "key")
     )
