@@ -343,3 +343,25 @@ def test_sql_time_travel_syntax(spark, tmp_path):
     assert both == 5
     with pytest.raises(ValueError):
         ws.sql("SELECT * FROM tt FOR VERSION AS OF 'no-such-ref'")
+
+
+def test_remove_orphans(spark, vt, tmp_path):
+    """Orphan cleanup: an unreferenced staged dir (crashed writer
+    debris) is removed once past the age horizon; referenced snapshot
+    dirs and fresh stages survive."""
+    import os
+    import time
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    orphan = f"{vt.path}/data/v=99-deadbeef"
+    df.write.parquet(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    fresh = f"{vt.path}/data/v=98-cafecafe"
+    df.write.parquet(fresh)  # in-flight stage: younger than horizon
+
+    removed = vt.remove_orphans(older_than_s=3600)
+    assert removed == [orphan]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(fresh)           # too young to reap
+    assert vt.read().count() == 10         # committed data untouched

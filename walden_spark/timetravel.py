@@ -716,6 +716,30 @@ class VersionedTable:
             "have diverged; content-unaware merge cannot fast-forward"
         )
 
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """Iceberg remove_orphan_files analog: delete data dirs that no
+        manifest references — the debris a writer that crashed between
+        staging and its (failed or never-attempted) manifest claim
+        leaves behind. ``older_than_s`` guards in-flight commits: a
+        freshly staged dir whose claim hasn't happened yet is younger
+        than the horizon and is left alone."""
+        import time as _time
+
+        fs, _, jvm = _fs(self.spark, self.path)
+        data_root = jvm.org.apache.hadoop.fs.Path(f"{self.path}/data")
+        if not fs.exists(data_root):
+            return []
+        referenced = {m.get("data_dir") for m in self._manifests()}
+        removed = []
+        for st in fs.listStatus(data_root):
+            p = st.getPath()
+            full = f"{self.path}/data/{p.getName()}"
+            age = _time.time() - st.getModificationTime() / 1000.0
+            if full not in referenced and age > older_than_s:
+                fs.delete(p, True)
+                removed.append(full)
+        return removed
+
     def expire_versions(self, keep_last: int = 10) -> list[int]:
         """Iceberg expire_snapshots analog: drop all but the newest
         ``keep_last`` snapshots (manifest + data dir). Returns expired
