@@ -365,3 +365,25 @@ def test_remove_orphans(spark, vt, tmp_path):
     assert not os.path.exists(orphan)
     assert os.path.exists(fresh)           # too young to reap
     assert vt.read().count() == 10         # committed data untouched
+
+
+def test_hidden_bucket_partitioning(spark, tmp_path):
+    """Iceberg bucket transform: point lookups on the source column
+    prune to one bucket directory the reader never sees."""
+    t = VersionedTable(spark, str(tmp_path / "bucketed"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("user_id"), (F.col("id") % 13).cast("double").alias("v")
+    )
+    t.write(df, partition_bucket=("user_id", 16))
+    out = t.read()
+    assert set(out.columns) == {"user_id", "v"}
+
+    hit = t.scan(filters=[("user_id", "=", 4242)])
+    rows = hit.collect()
+    assert [(r.user_id, r.v) for r in rows] == [(4242, float(4242 % 13))]
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "walden_p_bucket" in pf, "equality filter must prune to one bucket"
+
+    several = t.scan(filters=[("user_id", "in", [1, 2, 9999])])
+    assert sorted(r.user_id for r in several.collect()) == [1, 2, 9999]

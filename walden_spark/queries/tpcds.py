@@ -703,6 +703,8 @@ def tpcds_fx_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("c_nationkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("yr"))
         .agg(F.sum(F.col("o_totalprice").cast("decimal(14,2)")).alias("total"))
+        .persist()  # |nations|x|years| rows; both self-join sides reuse it,
+        # so orders+customer are scanned once, not twice
     )
     cur, prev = rev.alias("c"), rev.alias("p")
     return (

@@ -347,6 +347,7 @@ class VersionedTable:
         return ms[-1]["version"]
 
     _HIDDEN_DAY = "walden_p_day"
+    _HIDDEN_BUCKET = "walden_p_bucket"
 
     def write(
         self,
@@ -354,6 +355,7 @@ class VersionedTable:
         operation: str = "write",
         branch: str = "main",
         partition_day: str | None = None,
+        partition_bucket: tuple[str, int] | None = None,
         _mor: dict | None = None,
     ) -> int:
         """Commit ``df`` as the next snapshot on ``branch``; returns its
@@ -367,7 +369,13 @@ class VersionedTable:
         ``partition_day="ts"`` enables hidden partitioning: data lands
         under day=... directories derived from the named timestamp
         column; readers never see the derived column, and ``scan``
-        rewrites ts predicates into partition predicates."""
+        rewrites ts predicates into partition predicates.
+        ``partition_bucket=("user_id", 16)`` is the Iceberg bucket
+        transform: rows land in pmod(hash(col), n) directories and
+        ``scan`` maps equality/IN filters on the source column to
+        bucket predicates (point lookups touch 1/n of the table)."""
+        if partition_day is not None and partition_bucket is not None:
+            raise ValueError("pass at most one hidden-partition transform")
         parent = self.head(branch)  # validates the branch exists
         # INT96 (Spark's compatibility default) stores no parquet stats,
         # which would silently disable manifest-level pruning on time
@@ -386,7 +394,6 @@ class VersionedTable:
         data_dir = None
         if df is not None:
             data_dir = f"{self.path}/data/v={v}-{uuid.uuid4().hex[:8]}"
-            writer = df
             if partition_day is not None:
                 writer = df.withColumn(
                     self._HIDDEN_DAY, F.to_date(F.col(partition_day))
@@ -399,8 +406,22 @@ class VersionedTable:
                 writer.write.mode("errorifexists").partitionBy(
                     self._HIDDEN_DAY
                 ).parquet(data_dir)
+            elif partition_bucket is not None:
+                src, n = partition_bucket
+                writer = df.withColumn(
+                    self._HIDDEN_BUCKET, F.pmod(F.hash(F.col(src)), F.lit(n))
+                )
+                manifest["partition"] = {
+                    "transform": "bucket",
+                    "source": src,
+                    "n": n,
+                    "field": self._HIDDEN_BUCKET,
+                }
+                writer.write.mode("errorifexists").partitionBy(
+                    self._HIDDEN_BUCKET
+                ).parquet(data_dir)
             else:
-                writer.write.mode("errorifexists").parquet(data_dir)
+                df.write.mode("errorifexists").parquet(data_dir)
             manifest["data_dir"] = data_dir
             manifest["files"] = _collect_file_stats(data_dir)
         if _mor is not None:
@@ -527,7 +548,7 @@ class VersionedTable:
         else:
             df = self.spark.read.parquet(data_dir)
         if filters:
-            if part is not None:
+            if part is not None and part["transform"] == "day":
                 # hidden partitioning: monotone day transform lets a
                 # source-column time predicate imply a partition-column
                 # predicate → directory-level pruning on a column the
@@ -543,6 +564,25 @@ class VersionedTable:
                         df = df.filter(fld <= day)
                     elif op in ("=", "=="):
                         df = df.filter(fld == day)
+            elif part is not None and part["transform"] == "bucket":
+                # bucket transform prunes point lookups: hash the
+                # literal with the SAME type as the source column (int
+                # vs long hash differently) and keep only its bucket
+                src_type = df.schema[part["source"]].dataType
+                fld = F.col(part["field"])
+
+                def bucket_of(v):
+                    return self.spark.range(1).select(
+                        F.pmod(F.hash(F.lit(v).cast(src_type)), F.lit(part["n"]))
+                    ).collect()[0][0]
+
+                for col, op, value in filters:
+                    if col != part["source"]:
+                        continue
+                    if op in ("=", "=="):
+                        df = df.filter(fld == bucket_of(value))
+                    elif op == "in":
+                        df = df.filter(fld.isin(sorted({bucket_of(v) for v in value})))
             residual = _filters_to_column(filters)
             if residual is not None:
                 df = df.filter(residual)
