@@ -21,23 +21,36 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("schema", nargs="?", default=None, help="USE this schema on start")
     ap.add_argument("--sf-dir", default=None, help="fixture dir to register as views")
     ap.add_argument("-e", "--execute", default=None, help="run one statement and exit")
+    ap.add_argument(
+        "--versioned",
+        action="append",
+        default=[],
+        metavar="NAME=PATH",
+        help="register a VersionedTable for FOR VERSION/TIMESTAMP AS OF",
+    )
     args = ap.parse_args(argv)
 
-    from walden_spark.session import get_spark
+    from walden_spark.session import WaldenSession, get_spark
     from walden_spark.tables import register_views
 
-    spark = get_spark(app_name="walden-sql")
+    ws = WaldenSession(get_spark(app_name="walden-sql"))
+    spark = ws.spark
     if args.sf_dir:
         register_views(spark, args.sf_dir)
     if args.schema:
         spark.sql(f"USE {args.schema}")
+    for spec in args.versioned:
+        name, _, path = spec.partition("=")
+        ws.register_versioned(name, path)
 
     def run(stmt: str) -> None:
         stmt = stmt.strip().rstrip(";")
         if not stmt:
             return
         try:
-            spark.sql(stmt).show(100, truncate=False)
+            # WaldenSession.sql: query-history recording + time-travel
+            # clause rewrite over registered versioned tables
+            ws.sql(stmt).show(100, truncate=False)
         except Exception as exc:  # surface the analyzer error, keep REPL alive
             print(f"ERROR: {exc}", file=sys.stderr)
 
