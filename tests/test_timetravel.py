@@ -387,3 +387,41 @@ def test_hidden_bucket_partitioning(spark, tmp_path):
 
     several = t.scan(filters=[("user_id", "in", [1, 2, 9999])])
     assert sorted(r.user_id for r in several.collect()) == [1, 2, 9999]
+
+
+def test_scan_pruning_never_changes_results(spark, tmp_path):
+    """Property: for ANY combination of range/equality/IN filters,
+    scan(filters) must return exactly read().filter(same predicate) —
+    file pruning may only skip files that provably hold no matches."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    t = VersionedTable(spark, str(tmp_path / "prop"))
+    t.write(_mk(spark, 500).repartitionByRange(6, "id"))
+
+    flt = st.one_of(
+        st.tuples(st.just("id"), st.sampled_from([">=", ">", "<=", "<", "="]),
+                  st.integers(-50, 550)),
+        st.tuples(st.just("id"), st.just("in"),
+                  st.lists(st.integers(0, 520), min_size=1, max_size=5)),
+        st.tuples(st.just("v"), st.sampled_from([">=", "<"]),
+                  st.integers(0, 7).map(float)),
+    )
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(filters=st.lists(flt, min_size=1, max_size=3))
+    def run(filters):
+        from walden_spark.timetravel import _filters_to_column
+
+        got = {tuple(r) for r in t.scan(filters=filters).collect()}
+        want = {
+            tuple(r)
+            for r in t.read().filter(_filters_to_column(filters)).collect()
+        }
+        assert got == want, filters
+
+    run()
