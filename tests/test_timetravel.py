@@ -323,7 +323,6 @@ def test_sql_time_travel_syntax(spark, tmp_path):
     ws = WaldenSession(spark)
     t = VersionedTable(spark, str(tmp_path / "sqltt"))
     t.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
-    ts_v0 = t._manifests()[0]["timestamp"]
     t.create_tag("release-0")
     t.delete_where("id >= 5")                       # v1
     ws.register_versioned("tt", t.path)
@@ -333,7 +332,10 @@ def test_sql_time_travel_syntax(spark, tmp_path):
     assert ws.sql("SELECT COUNT(*) AS n FROM tt FOR VERSION AS OF 'release-0'").collect()[0].n == 10
     import datetime
 
-    iso = datetime.datetime.fromtimestamp(ts_v0 + 0.5).isoformat()
+    # a probe instant strictly between the two commits (a fixed offset
+    # from v0 flaked when v1 committed faster than the offset)
+    ts_v0, ts_v1 = (m["timestamp"] for m in t._manifests())
+    iso = datetime.datetime.fromtimestamp((ts_v0 + ts_v1) / 2).isoformat()
     q = f"SELECT COUNT(*) AS n FROM tt FOR TIMESTAMP AS OF TIMESTAMP '{iso}'"
     assert ws.sql(q).collect()[0].n == 10
     # joins mixing travel and current state work in one statement
