@@ -427,3 +427,24 @@ def test_scan_pruning_never_changes_results(spark, tmp_path):
         assert got == want, filters
 
     run()
+
+
+def test_sort_by_write_makes_pruning_selective(spark, tmp_path):
+    """Iceberg write-ordering premise, measured: range-clustered files
+    carry disjoint stat ranges, so a point/range scan skips most files;
+    the same data written unclustered prunes nothing."""
+    data = _mk(spark, 4000).withColumn("id", (F.col("id") * 7919) % 4000)  # scrambled
+    messy = VersionedTable(spark, str(tmp_path / "messy"))
+    messy.write(data.repartition(8))                       # value ranges overlap
+    tidy = VersionedTable(spark, str(tmp_path / "tidy"))
+    tidy.write(data, sort_by=["id"], n_files=8)            # disjoint ranges
+
+    flt = [("id", ">=", 3600)]
+    n_messy = len(messy.scan(filters=flt).inputFiles())
+    n_tidy = len(tidy.scan(filters=flt).inputFiles())
+    assert n_messy == 8                                    # nothing skippable
+    assert n_tidy <= 2                                     # ~1/8 of the table
+    assert (
+        sorted(r.id for r in tidy.scan(filters=flt).collect())
+        == sorted(r.id for r in messy.scan(filters=flt).collect())
+    )

@@ -356,6 +356,8 @@ class VersionedTable:
         branch: str = "main",
         partition_day: str | None = None,
         partition_bucket: tuple[str, int] | None = None,
+        sort_by: list[str] | None = None,
+        n_files: int | None = None,
         _mor: dict | None = None,
     ) -> int:
         """Commit ``df`` as the next snapshot on ``branch``; returns its
@@ -373,9 +375,19 @@ class VersionedTable:
         ``partition_bucket=("user_id", 16)`` is the Iceberg bucket
         transform: rows land in pmod(hash(col), n) directories and
         ``scan`` maps equality/IN filters on the source column to
-        bucket predicates (point lookups touch 1/n of the table)."""
+        bucket predicates (point lookups touch 1/n of the table).
+
+        ``sort_by=[cols]`` range-clusters the snapshot (Iceberg write
+        ordering): files get DISJOINT value ranges on the sort keys,
+        which is what turns the manifest min/max stats from "present"
+        into "selective" — without clustering, every file's range spans
+        the domain and ``scan`` can't skip anything. ``n_files`` caps
+        the file count (defaults to the current parallelism)."""
         if partition_day is not None and partition_bucket is not None:
             raise ValueError("pass at most one hidden-partition transform")
+        if sort_by:
+            n_files = n_files or self.spark.sparkContext.defaultParallelism
+            df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
         parent = self.head(branch)  # validates the branch exists
         # INT96 (Spark's compatibility default) stores no parquet stats,
         # which would silently disable manifest-level pruning on time
