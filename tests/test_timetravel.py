@@ -448,3 +448,17 @@ def test_sort_by_write_makes_pruning_selective(spark, tmp_path):
         sorted(r.id for r in tidy.scan(filters=flt).collect())
         == sorted(r.id for r in messy.scan(filters=flt).collect())
     )
+
+
+def test_distributed_stats_collection(spark, tmp_path):
+    """A snapshot with more files than the distribution threshold must
+    produce identical manifest stats via the executor fan-out path."""
+    from walden_spark import timetravel as tt
+
+    t = VersionedTable(spark, str(tmp_path / "manyfiles"))
+    t.write(_mk(spark, 2000).repartitionByRange(80, "id"))  # 80 > threshold
+    m = t._manifests()[-1]
+    assert len(m["files"]) == 80
+    driver_side = tt._collect_file_stats(m["data_dir"], spark=None)
+    assert m["files"] == driver_side  # same stats either path
+    assert len(t.scan(filters=[("id", ">=", 1975)]).inputFiles()) <= 2

@@ -118,48 +118,66 @@ def _stat_value(v):
     return None
 
 
-def _collect_file_stats(data_dir: str) -> list[dict]:
-    """Per-file row counts + column min/max from parquet FOOTERS only
-    (no data pages). Driver-side but metadata-priced: one footer per
-    file, the same cost Iceberg pays once at commit time to build its
-    manifest — every later scan then plans against these numbers
-    instead of re-opening footers."""
-    import pyarrow.dataset as ds
+def _one_file_stats(fpath: str) -> dict:
+    """Footer-only stats for one parquet file (runs driver- OR
+    executor-side; must stay self-contained and picklable)."""
     import pyarrow.parquet as pq
 
-    out = []
-    for fpath in ds.dataset(data_dir, format="parquet").files:
-        md = pq.ParquetFile(fpath).metadata
-        mins: dict[str, object] = {}
-        maxs: dict[str, object] = {}
-        ok: dict[str, bool] = {}
-        for rg in range(md.num_row_groups):
-            g = md.row_group(rg)
-            for ci in range(g.num_columns):
-                col = g.column(ci)
-                name = col.path_in_schema
-                if "." in name:  # nested — no pruning
-                    continue
-                st = col.statistics
-                if st is None or not st.has_min_max:
-                    ok[name] = False
-                    continue
-                try:
-                    mn, mx = _stat_value(st.min), _stat_value(st.max)
-                except Exception:  # e.g. decimal: no pyarrow stat extraction
-                    ok[name] = False
-                    continue
-                if mn is None or mx is None:
-                    ok[name] = False
-                    continue
-                ok.setdefault(name, True)
-                mins[name] = mn if name not in mins else min(mins[name], mn, key=_ordkey)
-                maxs[name] = mx if name not in maxs else max(maxs[name], mx, key=_ordkey)
-        stats = {
-            n: [mins[n], maxs[n]] for n in mins if ok.get(n) and n in maxs
-        }
-        out.append({"path": fpath, "rows": md.num_rows, "stats": stats})
-    return out
+    md = pq.ParquetFile(fpath).metadata
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    ok: dict[str, bool] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — no pruning
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False
+                continue
+            try:
+                mn, mx = _stat_value(st.min), _stat_value(st.max)
+            except Exception:  # e.g. decimal: no pyarrow stat extraction
+                ok[name] = False
+                continue
+            if mn is None or mx is None:
+                ok[name] = False
+                continue
+            ok.setdefault(name, True)
+            mins[name] = mn if name not in mins else min(mins[name], mn, key=_ordkey)
+            maxs[name] = mx if name not in maxs else max(maxs[name], mx, key=_ordkey)
+    stats = {n: [mins[n], maxs[n]] for n in mins if ok.get(n) and n in maxs}
+    return {"path": fpath, "rows": md.num_rows, "stats": stats}
+
+
+# Above this file count, footer collection fans out to executors —
+# driver-sequential is fine for dozens of files, not for a snapshot
+# with thousands (1M footers × ~ms each would serialize the commit).
+_STATS_DISTRIBUTE_THRESHOLD = 64
+
+
+def _collect_file_stats(data_dir: str, spark: SparkSession | None = None) -> list[dict]:
+    """Per-file row counts + column min/max from parquet FOOTERS only
+    (no data pages) — the cost Iceberg pays once at commit time to
+    build its manifest; every later scan then plans against these
+    numbers instead of re-opening footers. Small snapshots read
+    footers on the driver; large ones fan the file list out to
+    executors (local paths require a shared filesystem, which any
+    object-store deployment has)."""
+    import pyarrow.dataset as ds
+
+    files = sorted(ds.dataset(data_dir, format="parquet").files)
+    if spark is not None and len(files) > _STATS_DISTRIBUTE_THRESHOLD:
+        sc = spark.sparkContext
+        slices = min(len(files), sc.defaultParallelism * 2)
+        return sorted(
+            sc.parallelize(files, slices).map(_one_file_stats).collect(),
+            key=lambda f: f["path"],
+        )
+    return [_one_file_stats(f) for f in files]
 
 
 def _ordkey(v):
@@ -435,7 +453,7 @@ class VersionedTable:
             else:
                 df.write.mode("errorifexists").parquet(data_dir)
             manifest["data_dir"] = data_dir
-            manifest["files"] = _collect_file_stats(data_dir)
+            manifest["files"] = _collect_file_stats(data_dir, self.spark)
         if _mor is not None:
             manifest["mor"] = True
             manifest.update(_mor)
