@@ -462,3 +462,27 @@ def test_distributed_stats_collection(spark, tmp_path):
     driver_side = tt._collect_file_stats(m["data_dir"], spark=None)
     assert m["files"] == driver_side  # same stats either path
     assert len(t.scan(filters=[("id", ">=", 1975)]).inputFiles()) <= 2
+
+
+def test_append_schema_evolution(spark, vt):
+    """MoR append with a new column: refused without the flag; with it,
+    readers see the widened schema with NULL backfill, and historical
+    versions keep their original schema."""
+    widened = spark.createDataFrame(
+        [(100, 1.0, "x")], "id long, v double, tag string"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        vt.append(widened)
+    vt.append(widened, allow_schema_evolution=True)
+    cur = vt.read()
+    assert set(cur.columns) == {"id", "v", "tag"}
+    by_id = {r.id: r.tag for r in cur.collect()}
+    assert by_id[100] == "x" and by_id[0] is None   # old rows NULL-backfilled
+    assert set(vt.read(version=0).columns) == {"id", "v"}  # history keeps schema
+
+    # dropping a column is also evolution: batch without 'v'
+    narrow = spark.createDataFrame([(200, "y")], "id long, tag string")
+    vt.append(narrow, allow_schema_evolution=True)
+    got = {r.id: (r.v, r.tag) for r in vt.read().collect()}
+    assert got[200] == (None, "y")
+    assert got[100] == (1.0, "x")

@@ -558,7 +558,10 @@ class VersionedTable:
                 cond = F.expr(pred)
                 df = df.filter(~cond | cond.isNull())
             if layer.get("data_dir"):
-                df = df.unionByName(self._read_snapshot(layer, filters))
+                df = df.unionByName(
+                    self._read_snapshot(layer, filters),
+                    allowMissingColumns=bool(layer.get("schema_evolved")),
+                )
         return df
 
     def _read_snapshot(self, m: dict, filters: list[tuple] | None) -> DataFrame:
@@ -629,12 +632,29 @@ class VersionedTable:
 
     # ---- row-level DML: every op is a new snapshot ----
 
-    def append(self, df: DataFrame, branch: str = "main") -> int:
+    def append(
+        self, df: DataFrame, branch: str = "main", allow_schema_evolution: bool = False
+    ) -> int:
         """O(new-data) commit: writes ONLY ``df`` as a merge-on-read
         layer — no rewrite of existing data. The streaming-ingest /
         incremental-load shape; at 100 TB appending a 1 GB batch costs
-        1 GB, not a table rewrite."""
-        return self.write(df, operation="append", branch=branch, _mor={})
+        1 GB, not a table rewrite.
+
+        ``allow_schema_evolution=True`` permits the batch to add or
+        drop columns relative to the current schema (Iceberg
+        add-column evolution): readers union by name with missing
+        columns NULL-filled, so old snapshots keep their own schema
+        and the head reflects the widened one. Without the flag, a
+        schema drift fails the commit instead of corrupting reads."""
+        cur_cols = set(self.read(branch=branch).columns)
+        new_cols = set(df.columns)
+        if cur_cols != new_cols and not allow_schema_evolution:
+            raise ValueError(
+                f"append schema drift (table {sorted(cur_cols)} vs batch "
+                f"{sorted(new_cols)}); pass allow_schema_evolution=True to evolve"
+            )
+        mor: dict = {"schema_evolved": True} if cur_cols != new_cols else {}
+        return self.write(df, operation="append", branch=branch, _mor=mor)
 
     def delete_where(
         self, condition: Column | str, branch: str = "main", mode: str = "cow"
