@@ -486,3 +486,17 @@ def test_append_schema_evolution(spark, vt):
     got = {r.id: (r.v, r.tag) for r in vt.read().collect()}
     assert got[200] == (None, "y")
     assert got[100] == (1.0, "x")
+
+
+def test_history_metadata_columns(spark, vt):
+    """history() exposes lineage, layer kind, and write accounting."""
+    vt.append(spark.createDataFrame([(50, 5.0)], "id long, v double"))
+    vt.delete_where("id >= 5", mode="mor")
+    h = {r.version: r for r in vt.history().collect()}
+    assert h[0].operation == "write" and not h[0].merge_on_read
+    assert h[0].n_rows_written == 10 and h[0].n_files > 0
+    assert h[1].operation == "append" and h[1].merge_on_read
+    assert h[1].n_rows_written == 1 and h[1].parent == 0
+    assert h[2].operation == "delete_mor" and h[2].predicate == "id >= 5"
+    assert h[2].n_files == 0 and h[2].n_rows_written == 0
+    assert all(r.branch == "main" for r in h.values())

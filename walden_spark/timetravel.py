@@ -351,11 +351,32 @@ class VersionedTable:
     # ---- public surface ----
 
     def history(self) -> DataFrame:
-        """DESCRIBE HISTORY analog: one row per snapshot."""
+        """DESCRIBE HISTORY analog: one row per snapshot, with commit
+        lineage (parent/branch), layer kind, and the manifest's file/
+        row accounting — what Iceberg's snapshots metadata table
+        exposes."""
         ms = self._manifests()
+        rows = []
+        for m in ms:
+            files = m.get("files")
+            rows.append(
+                (
+                    m["version"],
+                    m["operation"],
+                    m["timestamp"],
+                    m.get("parent"),
+                    m.get("branch", "main"),
+                    bool(m.get("mor")),
+                    m.get("predicate"),
+                    len(files) if files is not None else 0,
+                    sum(f["rows"] for f in files) if files is not None else 0,
+                )
+            )
         return self.spark.createDataFrame(
-            [(m["version"], m["operation"], m["timestamp"]) for m in ms],
-            "version bigint, operation string, committed_at_unix double",
+            rows,
+            "version bigint, operation string, committed_at_unix double, "
+            "parent bigint, branch string, merge_on_read boolean, "
+            "predicate string, n_files bigint, n_rows_written bigint",
         )
 
     def current_version(self) -> int:
