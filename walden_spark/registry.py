@@ -111,6 +111,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ddl_branch_merge", "tpcds_fx_channel_rollup", "tpcds_fx_yoy_growth",
 )
 
+# r05 ROTATION QUEUE: 92 oracle-backed names remain never-driver-
+# verified after r02∪r03∪r04 (run the snippet in tests/test_registry.py
+# to regenerate). Next round: keep ~15 anchors again and fill the
+# other ~35 slots from this list, preferring one per family per round —
+# udf_* (6), events_* (7), text_* (12), multimodal_* (4), remaining
+# tpch (16), dedup exact/jaccard/simhash/cosine, agg stragglers,
+# sources, r04's own additions (ddl_mor_lifecycle,
+# ddl_hidden_partition_scan, agg_freq_sketch, join_asof_tolerance,
+# join_asof_forward, streaming_mor_ingest, tpcds_fx_cross_channel,
+# win_groups_frame_partitioned). Cumulative target: every oracle-backed
+# query driver-verified at least once by ~r07.
+
 
 def load_all() -> dict[str, Query]:
     """Import every query/operator module so their decorators run."""
