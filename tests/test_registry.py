@@ -56,6 +56,30 @@ def test_driver_window_spans_every_family():
     assert not no_oracle, f"driver-window queries without oracle: {no_oracle}"
 
 
+def test_driver_window_emits_hashable_types(spark, sf_dir):
+    """The driver canonicalizer sort_values a pandas frame of the output;
+    cells that are Python lists/dicts make pandas factorize throw
+    (r04: fn_array/fn_map ERR'd this way). Nothing in the hash-checked
+    window may emit nested (array/map/struct) columns — queries must
+    serialize them (concat_ws / to_json) before emission."""
+    from pyspark.sql import types as T
+
+    from walden_spark.registry import DRIVER_WINDOW
+
+    reg = load_all()
+    bad = {}
+    for name in DRIVER_WINDOW:
+        schema = reg[name].fn(spark, sf_dir).schema
+        nested = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if nested:
+            bad[name] = nested
+    assert not bad, f"driver-window queries emit nested-typed columns: {bad}"
+
+
 def test_entry_schema_stable(spark):
     """The driver smoke-checks entry() for a stable schema — two builds
     must agree exactly."""

@@ -212,13 +212,13 @@ SELECT doc_id,
        words[-1] AS last_word,
        list_contains(words, 'data') AS has_data,
        len(list_distinct(words)) AS n_distinct,
-       list_sort(list_distinct(words))[1:3] AS first3_sorted,
+       array_to_string(list_sort(list_distinct(words))[1:3], '|') AS first3_sorted,
        list_position(words, 'the') AS the_pos,
-       flatten([words[1:2], words[3:4]]) AS reflat,
+       array_to_string(flatten([words[1:2], words[3:4]]), '|') AS reflat,
        list_transform(words, w -> upper(w))[1] AS first_uc,
        len(list_filter(words, w -> length(w) > 4)) AS n_long,
        list_reduce(list_transform(words, w -> length(w)), (a, b) -> a + b) AS total_chars,
-       CAST([doc_id, doc_id + 1, doc_id + 2] AS BIGINT[]) AS seq3
+       array_to_string([doc_id, doc_id + 1, doc_id + 2], '|') AS seq3
 FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id < 30)
 """,
     category="function",
@@ -226,7 +226,12 @@ FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_i
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family incl. higher-order fns: cardinality/element_at/
     contains/distinct/sort/slice/position/flatten/transform/filter/
-    reduce/sequence (near-1:1 with Trino per SURVEY §2.8)."""
+    reduce/sequence (near-1:1 with Trino per SURVEY §2.8).
+
+    Array-valued outputs are emitted as '|'-joined strings: the driver's
+    pandas canonicalizer cannot sort list-valued cells (r04 driver ERR),
+    and a delimiter join is escaping-proof on both engines — the array
+    functions themselves still run, only the emission is serialized."""
     t = Tables(spark, sf_dir)
     src = t.documents.filter(F.col("doc_id") < 30).select(
         "doc_id", F.split("text", " ").alias("words")
@@ -239,15 +244,17 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(w, -1).alias("last_word"),
         F.array_contains(w, "data").alias("has_data"),
         F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
-        F.slice(F.array_sort(F.array_distinct(w)), 1, 3).alias("first3_sorted"),
+        F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(w)), 1, 3)).alias("first3_sorted"),
         F.array_position(w, "the").cast("long").alias("the_pos"),
-        F.flatten(F.array(F.slice(w, 1, 2), F.slice(w, 3, 2))).alias("reflat"),
+        F.concat_ws("|", F.flatten(F.array(F.slice(w, 1, 2), F.slice(w, 3, 2)))).alias("reflat"),
         F.element_at(F.transform(w, lambda x: F.upper(x)), 1).alias("first_uc"),
         F.size(F.filter(w, lambda x: F.length(x) > 4)).cast("long").alias("n_long"),
         F.aggregate(
             F.transform(w, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, b: a + b
         ).alias("total_chars"),
-        F.sequence(F.col("doc_id"), F.col("doc_id") + 2).alias("seq3"),
+        F.concat_ws(
+            "|", F.transform(F.sequence(F.col("doc_id"), F.col("doc_id") + 2), lambda x: x.cast("string"))
+        ).alias("seq3"),
     )
 
 
@@ -286,8 +293,8 @@ def fn_array_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT doc_id,
        m['lang'][1] AS lang_val,
        len(map_keys(m)) AS n_keys,
-       list_sort(map_keys(m)) AS keys_sorted,
-       list_sort(map_values(m)) AS vals_sorted
+       array_to_string(list_sort(map_keys(m)), '|') AS keys_sorted,
+       array_to_string(list_sort(map_values(m)), '|') AS vals_sorted
 FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
       FROM documents WHERE doc_id < 30)
 """,
@@ -295,8 +302,10 @@ FROM (SELECT doc_id, MAP {'lang': lang, 'source': source} AS m
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family: construction/element_at/map_keys/map_values (scalar
-    or sorted-list projections — raw map values compare
-    engine-specifically)."""
+    or sorted projections — raw map values compare engine-specifically).
+
+    Sorted key/value lists are '|'-joined so the driver canonicalizer
+    can hash them (r04 driver ERR on list-valued cells)."""
     t = Tables(spark, sf_dir)
     src = t.documents.filter(F.col("doc_id") < 30).select(
         "doc_id", F.create_map(F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")).alias("m")
@@ -305,8 +314,8 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.element_at(F.col("m"), "lang").alias("lang_val"),
         F.size(F.map_keys(F.col("m"))).cast("long").alias("n_keys"),
-        F.array_sort(F.map_keys(F.col("m"))).alias("keys_sorted"),
-        F.array_sort(F.map_values(F.col("m"))).alias("vals_sorted"),
+        F.concat_ws("|", F.array_sort(F.map_keys(F.col("m")))).alias("keys_sorted"),
+        F.concat_ws("|", F.array_sort(F.map_values(F.col("m")))).alias("vals_sorted"),
     )
 
 
