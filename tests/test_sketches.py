@@ -97,3 +97,28 @@ def test_heavy_hitters_guarantee_and_exactness(spark):
     # JVM-only sampled candidate path: same exact answer
     got_s = [(r.key, r.cnt) for r in heavy_hitters(df, "k", k=4, method="sample").collect()]
     assert got_s == [("a", 400), ("b", 300), ("c", 260)]
+
+
+def test_heavy_hitters_non_string_key(spark):
+    """Int ids are the canonical heavy-hitter key: the mapInPandas
+    summary schema must carry the key's actual type, not a hardcoded
+    string (ADVICE r04 medium — broke Arrow conversion / the semi
+    join for long keys)."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.operators.sketch import heavy_hitters
+
+    # key 0 appears 800x (> n/2), keys 1..3 ~130x each, 100 singletons
+    df = spark.range(1300).select(
+        F.when(F.col("id") < 800, F.lit(0))
+        .when(F.col("id") < 1200, (F.col("id") % 3 + 1))
+        .otherwise(F.col("id"))
+        .cast("long")
+        .alias("uid")
+    ).repartition(8)
+    got = [(r.key, r.cnt) for r in heavy_hitters(df, "uid", k=2).collect()]
+    assert got == [(0, 800)]
+    got_dbl = heavy_hitters(
+        df.select(F.col("uid").cast("double").alias("uid")), "uid", k=2
+    ).collect()
+    assert [(r.key, r.cnt) for r in got_dbl] == [(0.0, 800)]

@@ -44,6 +44,50 @@ def test_read_as_of_timestamp(spark, vt):
     assert vt.read().count() == 1
 
 
+def test_read_as_of_composes_mor_and_branches(spark, vt):
+    """read_as_of must resolve snapshots exactly like read(): MoR
+    layers composed onto their base (not the delta alone), predicate-
+    only delete layers readable (no data_dir → KeyError before r05),
+    and commits on other branches ignored (ADVICE r04 high)."""
+    vt.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))  # v1 mor
+    vt.delete_where("id < 8", mode="mor")                                # v2 no data_dir
+    ts_v1, ts_v2 = (m["timestamp"] for m in vt._manifests()[1:])
+    # as-of the append instant: base ∘ append (delete not yet committed)
+    assert sorted(r.id for r in vt.read_as_of(ts_v1).collect()) == list(range(10)) + [100]
+    got = sorted(r.id for r in vt.read_as_of(ts_v2 + 0.001).collect())
+    assert got == [8, 9, 100]                     # base ∘ append ∘ delete
+    # a later commit on a side branch must not leak into main's as-of
+    vt.create_branch("side")
+    vt.write(spark.createDataFrame([(999, 9.0)], "id long, v double"), branch="side")
+    import time as _t
+
+    assert sorted(r.id for r in vt.read_as_of(_t.time()).collect()) == got
+
+
+def test_read_as_of_drops_hidden_partition_column(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "asofhidden"))
+    t.write(_mk(spark, 20), partition_bucket=("id", 4))
+    import time as _t
+
+    df = t.read_as_of(_t.time())
+    assert set(df.columns) == {"id", "v"}
+    assert df.count() == 20
+
+
+def test_non_conflict_commit_failure_not_masked(spark, vt):
+    """A transient manifest-write failure (permissions/quota/...) must
+    surface unchanged — mapping it to ConcurrentWriteError would tell
+    the caller to retry a non-conflict failure (ADVICE r04 low)."""
+    boom = PermissionError("disk says no")
+    orig = vt._write_manifest
+    vt._write_manifest = lambda *a, **k: (_ for _ in ()).throw(boom)  # type: ignore
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(PermissionError, match="disk says no"):
+        vt.write(df)
+    vt._write_manifest = orig  # type: ignore
+    assert vt.read().count() == 10  # table intact
+
+
 def test_expire_versions(spark, vt):
     vt.delete_where(F.col("id") >= 8)   # v1
     vt.delete_where(F.col("id") >= 6)   # v2
@@ -335,7 +379,9 @@ def test_sql_time_travel_syntax(spark, tmp_path):
     # a probe instant strictly between the two commits (a fixed offset
     # from v0 flaked when v1 committed faster than the offset)
     ts_v0, ts_v1 = (m["timestamp"] for m in t._manifests())
-    iso = datetime.datetime.fromtimestamp((ts_v0 + ts_v1) / 2).isoformat()
+    iso = datetime.datetime.fromtimestamp(
+        (ts_v0 + ts_v1) / 2, tz=datetime.timezone.utc
+    ).isoformat()
     q = f"SELECT COUNT(*) AS n FROM tt FOR TIMESTAMP AS OF TIMESTAMP '{iso}'"
     assert ws.sql(q).collect()[0].n == 10
     # joins mixing travel and current state work in one statement
@@ -345,6 +391,42 @@ def test_sql_time_travel_syntax(spark, tmp_path):
     assert both == 5
     with pytest.raises(ValueError):
         ws.sql("SELECT * FROM tt FOR VERSION AS OF 'no-such-ref'")
+
+
+def test_sql_time_travel_naive_literal_is_utc(spark, tmp_path):
+    """A naive FOR TIMESTAMP AS OF literal means UTC (manifests record
+    UTC, session TZ is UTC) — it must resolve the same snapshot on ANY
+    host timezone. Pre-r05, fromisoformat(...).timestamp() read naive
+    literals in the host's LOCAL zone (ADVICE r04 medium)."""
+    import datetime
+    import os
+    import time as _time
+
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "tztt"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    t.delete_where("id >= 5")
+    ws.register_versioned("tz_tt", t.path)
+    ts_v0, ts_v1 = (m["timestamp"] for m in t._manifests())
+    naive_utc = (
+        datetime.datetime.fromtimestamp((ts_v0 + ts_v1) / 2, tz=datetime.timezone.utc)
+        .replace(tzinfo=None)
+        .isoformat()
+    )
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "Pacific/Kiritimati"  # UTC+14, no DST
+    _time.tzset()
+    try:
+        q = f"SELECT COUNT(*) AS n FROM tz_tt FOR TIMESTAMP AS OF TIMESTAMP '{naive_utc}'"
+        assert ws.sql(q).collect()[0].n == 10
+    finally:
+        if old_tz is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old_tz
+        _time.tzset()
 
 
 def test_remove_orphans(spark, vt, tmp_path):
@@ -448,6 +530,37 @@ def test_sort_by_write_makes_pruning_selective(spark, tmp_path):
         sorted(r.id for r in tidy.scan(filters=flt).collect())
         == sorted(r.id for r in messy.scan(filters=flt).collect())
     )
+
+
+def test_timestamp_stats_prune_exact_boundaries(spark, tmp_path):
+    """Manifest pruning on a timestamp column at exact file boundaries:
+    Spark's TIMESTAMP_MICROS footers yield tz-aware stats while filter
+    literals are naive — the pre-r05 isoformat-string compare mis-
+    ordered them and silently PRUNED matching files. Stats are now UTC
+    epoch micros; a boundary-equal filter must keep the file."""
+    import datetime
+
+    t = VersionedTable(spark, str(tmp_path / "tsstats"))
+    rows = spark.sql(
+        "SELECT id, timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,CAST(id AS INT),0) AS ts "
+        "FROM range(0, 240)"  # 4 hours of minutely rows
+    )
+    t.write(rows, sort_by=["ts"], n_files=4)
+    m = t._manifests()[-1]
+    stats = m["files"][0]["stats"]["ts"]
+    assert isinstance(stats[0], dict) and isinstance(stats[0]["v"], int)
+
+    # file 0 spans minutes [0, 60): its min is exactly 00:00:00
+    lo = datetime.datetime(2024, 3, 1, 0, 0, 0)  # naive literal
+    hit = t.scan(filters=[("ts", "<=", lo)])
+    assert len(hit.inputFiles()) == 1
+    assert hit.count() == 1                       # the boundary row itself
+    eq = t.scan(filters=[("ts", "=", datetime.datetime(2024, 3, 1, 2, 0, 0))])
+    assert eq.count() == 1
+    # range query still prunes: last hour only touches the last file(s)
+    late = t.scan(filters=[("ts", ">=", datetime.datetime(2024, 3, 1, 3, 0, 0))])
+    assert late.count() == 60
+    assert len(late.inputFiles()) <= 2
 
 
 def test_distributed_stats_collection(spark, tmp_path):

@@ -113,8 +113,12 @@ def heavy_hitters(
     n_total = keyed.count()  # parquet-footer-priced on file sources
     if method == "mg":
         n_counters = n_counters or 4 * k
+        # the summary schema must carry the KEY's actual type (int ids
+        # are the canonical heavy-hitter key): a hardcoded string here
+        # breaks the Arrow conversion / the left-semi join below
+        dtype = keyed.schema["mg_key"].dataType.simpleString()
         candidates = (
-            keyed.mapInPandas(_mg_summarize(n_counters), "mg_key string, mg_residual long")
+            keyed.mapInPandas(_mg_summarize(n_counters), f"mg_key {dtype}, mg_residual long")
             .select("mg_key")
             .distinct()
         )

@@ -214,7 +214,13 @@ class WaldenSession:
             if kind == "TIMESTAMP":
                 import datetime
 
-                ts = datetime.datetime.fromisoformat(val.strip("'")).timestamp()
+                # naive literals are UTC: manifests record UTC unix
+                # times and the session TZ is pinned to UTC — .timestamp()
+                # on a naive datetime would use the HOST's local zone
+                dt = datetime.datetime.fromisoformat(val.strip("'"))
+                if dt.tzinfo is None:
+                    dt = dt.replace(tzinfo=datetime.timezone.utc)
+                ts = dt.timestamp()
                 df = vt.read_as_of(ts)
                 view = f"{name}_asof_{int(ts)}"
             elif val.startswith("'"):

@@ -98,12 +98,54 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
+def _is_commit_conflict(exc: Exception) -> bool:
+    """True only for a lost optimistic-commit race (the manifest file
+    already exists). Transient failures — permissions, quota, network —
+    must NOT be reported as conflicts: the caller would retry a
+    non-conflict failure and the real error would be masked."""
+    if isinstance(exc, FileExistsError):
+        return True
+    je = getattr(exc, "java_exception", None)  # py4j Py4JJavaError
+    while je is not None:
+        try:
+            name = je.getClass().getName()
+            msg = je.getMessage() or ""
+        except Exception:
+            return False
+        if "AlreadyExists" in name or "already exists" in msg.lower():
+            return True
+        je = je.getCause()
+    return False
+
+
 # ---- per-file statistics (manifest-level pruning) ----
+
+
+def _dt_micros(v) -> int:
+    """UTC epoch microseconds for a date/datetime; naive values are
+    treated as UTC (manifests record UTC and the session TZ is pinned
+    to UTC). Exact integer arithmetic — no float timestamp rounding."""
+    import datetime
+
+    if not isinstance(v, datetime.datetime):
+        dt = datetime.datetime(v.year, v.month, v.day, tzinfo=datetime.timezone.utc)
+    elif v.tzinfo is None:
+        dt = v.replace(tzinfo=datetime.timezone.utc)
+    else:
+        dt = v
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    return (dt - epoch) // datetime.timedelta(microseconds=1)
 
 
 def _stat_value(v):
     """JSON-encodable stat value, tagged for ordered types. Returns
-    None for types we don't prune on (conservative: file is kept)."""
+    None for types we don't prune on (conservative: file is kept).
+
+    Datetimes are normalized to UTC epoch microseconds: isoformat
+    strings compare lexicographically, and Spark-written
+    TIMESTAMP_MICROS footers yield tz-aware stats ('...+00:00') while
+    filter literals are typically naive — string compare would
+    mis-order at boundaries and silently PRUNE a matching file."""
     import datetime
 
     if isinstance(v, bytes):
@@ -114,7 +156,7 @@ def _stat_value(v):
     if isinstance(v, bool) or isinstance(v, (int, float, str)):
         return v
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return {"t": "dt", "v": v.isoformat()}
+        return {"t": "dt", "v": _dt_micros(v)}
     return None
 
 
@@ -181,7 +223,17 @@ def _collect_file_stats(data_dir: str, spark: SparkSession | None = None) -> lis
 
 
 def _ordkey(v):
-    return v["v"] if isinstance(v, dict) else v
+    if isinstance(v, dict):
+        val = v["v"]
+        if isinstance(val, str):  # pre-r05 manifests stored isoformat
+            import datetime
+
+            try:
+                return _dt_micros(datetime.datetime.fromisoformat(val))
+            except ValueError:
+                return val
+        return val
+    return v
 
 
 def _file_may_match(stats: dict, filters: Sequence[tuple]) -> bool:
@@ -480,7 +532,11 @@ class VersionedTable:
             manifest.update(_mor)
         try:
             self._write_manifest(manifest, overwrite=False)
-        except Exception as exc:  # JVM FileAlreadyExistsException et al.
+        except Exception as exc:
+            if not _is_commit_conflict(exc):
+                # real failure (permissions, quota, ...): surface it
+                # unchanged; the staged dir is left for remove_orphans
+                raise
             if data_dir is not None:
                 fs, _, jvm = _fs(self.spark, self.path)
                 fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
@@ -621,22 +677,40 @@ class VersionedTable:
             elif part is not None and part["transform"] == "bucket":
                 # bucket transform prunes point lookups: hash the
                 # literal with the SAME type as the source column (int
-                # vs long hash differently) and keep only its bucket
+                # vs long hash differently) and keep only its bucket.
+                # ALL literals are hashed in ONE Spark job (one select,
+                # one column per distinct literal) — a 1,000-element IN
+                # list must not mean 1,000 driver round-trips at plan
+                # time.
                 src_type = df.schema[part["source"]].dataType
                 fld = F.col(part["field"])
-
-                def bucket_of(v):
-                    return self.spark.range(1).select(
-                        F.pmod(F.hash(F.lit(v).cast(src_type)), F.lit(part["n"]))
-                    ).collect()[0][0]
-
+                lits: list = []
                 for col, op, value in filters:
                     if col != part["source"]:
                         continue
                     if op in ("=", "=="):
-                        df = df.filter(fld == bucket_of(value))
+                        lits.append(value)
                     elif op == "in":
-                        df = df.filter(fld.isin(sorted({bucket_of(v) for v in value})))
+                        lits.extend(value)
+                bucket_of: dict = {}
+                if lits:
+                    uniq = list(dict.fromkeys(lits))
+                    row = self.spark.range(1).select(
+                        *[
+                            F.pmod(F.hash(F.lit(v).cast(src_type)), F.lit(part["n"])).alias(
+                                f"b{i}"
+                            )
+                            for i, v in enumerate(uniq)
+                        ]
+                    ).collect()[0]
+                    bucket_of = dict(zip(uniq, row))
+                for col, op, value in filters:
+                    if col != part["source"]:
+                        continue
+                    if op in ("=", "=="):
+                        df = df.filter(fld == bucket_of[value])
+                    elif op == "in":
+                        df = df.filter(fld.isin(sorted({bucket_of[v] for v in value})))
             residual = _filters_to_column(filters)
             if residual is not None:
                 df = df.filter(residual)
@@ -644,12 +718,21 @@ class VersionedTable:
             df = df.drop(part["field"])
         return df
 
-    def read_as_of(self, unix_ts: float) -> DataFrame:
-        """TIMESTAMP AS OF analog: latest snapshot committed <= ts."""
-        ms = [m for m in self._manifests() if m["timestamp"] <= unix_ts]
-        if not ms:
+    def read_as_of(self, unix_ts: float, branch: str = "main") -> DataFrame:
+        """TIMESTAMP AS OF analog: latest snapshot committed <= ts on
+        the branch's lineage, composed exactly like :meth:`read` — MoR
+        layers applied onto their base, hidden partition columns
+        dropped. (Reading the raw data_dir here would return only a
+        layer's delta rows and crash on predicate-only deletes.)"""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        lineage = self._ancestors(self.head(branch))
+        cands = [
+            m for m in ms if m["version"] in lineage and m["timestamp"] <= unix_ts
+        ]
+        if not cands:
             raise ValueError(f"no snapshot at or before {unix_ts}")
-        return self.spark.read.parquet(ms[-1]["data_dir"])
+        return self._dataframe_for(cands[-1], by_v, filters=None)
 
     # ---- row-level DML: every op is a new snapshot ----
 
