@@ -64,19 +64,19 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r04 ROTATION (VERDICT r03 next-round #2, carried from r02): the r02/
-# r03 windows were identical, pinning cumulative driver verification at
-# 50/179. This window keeps 15 anchors (flagships + one per north-star
-# family + the two streaming rows that failed in r03, so their fix is
-# driver-witnessed) and fills 35 slots with names the driver has NEVER
-# checked. Names rotated out stay verified by the repo's own oracle
-# suite (tests/test_oracle.py runs all of them); the union of driver
-# windows should keep growing round over round.
+# r05 ROTATION (VERDICT r04 next-round #2): 15 anchors — flagships,
+# one per north-star family, plus fn_array/fn_map (r04's only red rows:
+# their nested-output serialization fix must be driver-witnessed) —
+# and 35 slots filled with names the driver has NEVER checked,
+# prioritizing r04's own additions and the udf_/events_/dedup families.
+# Names rotated out stay verified by the repo's own oracle suite
+# (tests/test_oracle.py runs all of them); the union of driver windows
+# keeps growing round over round (cumulative after r04: 102/190).
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- anchors (driver-verified in r02/r03; keep one per family) --
-    "tpch_q1", "tpch_q3", "tpch_q6",
+    # -- anchors --
+    "tpch_q1",
     "ddl_lifecycle", "ddl_dml_cow",
-    "streaming_session_window", "streaming_stateful_totals",  # r03 regression rows
+    "streaming_session_window",
     "dedup_minhash_lsh",
     "knn_lsh_bucketed",
     "text_pretrain_pipeline",
@@ -86,41 +86,55 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_ranking",
     "source_csv_roundtrip",
     "proj_case_cast",
-    # -- rotated in: never driver-verified before r04 --
-    # scalar function families (the 8 not yet driver-checked)
-    "fn_string", "fn_math", "fn_bitwise", "fn_array", "fn_map",
-    "fn_struct", "fn_url", "fn_variant",
-    # windows (value fns, frames, GROUPS emulation)
-    "win_value_functions", "win_agg_frames", "win_groups_frame",
-    # set ops
-    "setop_union_all", "setop_intersect_all", "setop_except",
-    # joins + recursive CTE
-    "join_left_outer", "join_right_outer", "join_semi", "join_cross",
-    "sql_recursive_cte",
+    "fn_array", "fn_map",  # r04 ERR rows — fix witnessed this round
+    "topn_per_group", "posexplode_ordinality",  # sort/unnest family reps
+    # -- rotated in: never driver-verified before r05 --
+    # r04's own additions (VERDICT r04 priority)
+    "ddl_mor_lifecycle", "ddl_hidden_partition_scan",
+    "agg_freq_sketch",
+    "join_asof_tolerance", "join_asof_forward",
+    "streaming_mor_ingest",
+    "tpcds_fx_cross_channel",
+    "win_groups_frame_partitioned",
+    # UDF surface (all six remaining variants)
+    "udf_sql_function", "udf_pandas_grouped_agg", "udf_cogroup_pandas",
+    "udf_arrow_optimized", "udf_pandas_iterator", "udf_pandas_window_agg",
+    # events family
+    "events_tumbling", "events_sliding", "events_session_windows",
+    "events_gapfill", "events_scd2_history",
+    # dedup tiers not yet driver-witnessed
+    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine",
+    # text pipeline stages
+    "text_token_counts", "text_lang_id",
     # aggregate stragglers
-    "agg_percentile_exact", "agg_stats_formula", "agg_pivot",
-    # text / similarity scale paths
-    "text_span_dedup", "ann_ivf_pq",
-    # streaming (fixed family — get more of it independently witnessed)
-    "streaming_tumbling", "streaming_stream_stream_join",
-    "streaming_foreachbatch_upsert",
-    # sort / filter / unnest / events family representatives
-    "topn_per_group", "filter_null_semantics", "posexplode_ordinality",
-    "events_funnel",
-    # new in r04: Nessie-analog refs + driver-hashable TPC-DS shapes
-    "ddl_branch_merge", "tpcds_fx_channel_rollup", "tpcds_fx_yoy_growth",
+    "agg_cube", "agg_quantile_sketch",
+    # ddl / sources / similarity / setop / filter representatives
+    "ddl_time_travel",
+    "source_json_roundtrip", "source_partitioned_parquet",
+    "knn_brute_force",
+    "setop_union_distinct",
+    "sql_parameterized",
 )
 
-# r05 ROTATION QUEUE: 92 oracle-backed names remain never-driver-
-# verified after r02∪r03∪r04 (run the snippet in tests/test_registry.py
-# to regenerate). Next round: keep ~15 anchors again and fill the
-# other ~35 slots from this list, preferring one per family per round —
-# udf_* (6), events_* (7), text_* (12), multimodal_* (4), remaining
-# tpch (16), dedup exact/jaccard/simhash/cosine, agg stragglers,
-# sources, r04's own additions (ddl_mor_lifecycle,
-# ddl_hidden_partition_scan, agg_freq_sketch, join_asof_tolerance,
-# join_asof_forward, streaming_mor_ingest, tpcds_fx_cross_channel,
-# win_groups_frame_partitioned). Cumulative target: every oracle-backed
+# r06 ROTATION QUEUE: after r05's window lands, ~39 oracle-backed names
+# remain never-driver-verified — including agg_rollup and
+# text_hash_split, bumped from r05 for family coverage (regenerate via
+# the snippet in
+# tests/test_registry.py): agg_percentile_approx, agg_stats_builtin,
+# agg_collect_sorted, agg_map_entries, agg_min_max_by,
+# agg_filter_clause, agg_bool_bit, agg_having, agg_hll_sketch,
+# ddl_ctas_view, ddl_schema_evolution, ddl_materialized_view,
+# events_json_agg, events_dedup_exact, fn_array_zip, fn_conditional,
+# fn_uuid_typeof, multimodal_meta, multimodal_frame_sample,
+# multimodal_resize, multimodal_dedup_exact, setop_intersect,
+# knn_lsh_multiprobe, source_python_stream, source_binaryfile_ingest,
+# streaming_dedup_watermark, streaming_sliding, streaming_static_join,
+# streaming_available_now, streaming_stateful_timeout_sessions,
+# text_fingerprint, text_pii_scan, text_repetition,
+# text_decontaminate, text_chunking, text_stratified_sample,
+# text_sequence_pack, text_shard_shuffle, text_weighted_sample.
+# Keep ~15 anchors; fill the rest from this list → every oracle-backed
 # query driver-verified at least once by ~r07.
 
 
