@@ -317,6 +317,7 @@ def test_mor_random_op_sequences_match_model(spark, tmp_path):
         st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
         st.tuples(st.just("update"), st.integers(1, 60), st.integers(1, 9)),
         st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("delete_keys"), st.lists(st.integers(0, 110), min_size=1, max_size=4)),
     )
 
     counter = [0]
@@ -350,12 +351,143 @@ def test_mor_random_op_sequences_match_model(spark, tmp_path):
                 _, x, c = o
                 t.update_where({"v": f"v + {c}"}, f"id < {x}", mode="mor")
                 model = {i: (v + c if i < x else v) for i, v in model.items()}
+            elif o[0] == "delete_keys":
+                ks = o[1]
+                t.delete_keys(
+                    spark.createDataFrame([(k,) for k in ks], "id long"), on=["id"]
+                )
+                model = {i: v for i, v in model.items() if i not in set(ks)}
             else:
                 t.compact()
             got = {r.id: r.v for r in t.read().collect()}
             assert got == model, f"divergence after {o} in {ops}"
 
     run()
+
+
+def test_equality_delete_keys(spark, vt):
+    """Iceberg v2 equality-delete files: delete-by-key commits compose
+    with later appends (same key appended after the delete survives),
+    history stays readable, and compaction materializes the stack."""
+    keys = spark.createDataFrame([(3,), (5,)], "id long")
+    v1 = vt.delete_keys(keys, on=["id"])
+    assert sorted(r.id for r in vt.read().collect()) == [0, 1, 2, 4, 6, 7, 8, 9]
+    # re-append a deleted key ABOVE the delete layer: it survives
+    vt.append(spark.createDataFrame([(5, 55.0)], "id long, v double"))
+    cur = {r.id: r.v for r in vt.read().collect()}
+    assert cur[5] == 55.0 and 3 not in cur
+    # history intact at every version
+    assert vt.read(version=0).count() == 10
+    assert vt.read(version=v1).count() == 8
+    v3 = vt.compact()
+    assert {r.id: r.v for r in vt.read(version=v3).collect()} == cur
+    # scan() through the equality-delete stack equals read().filter()
+    got = sorted(r.id for r in vt.scan(filters=[("id", ">=", 4)]).collect())
+    assert got == [4, 5, 6, 7, 8, 9]
+    with pytest.raises(ValueError, match="not in table schema"):
+        vt.delete_keys(spark.createDataFrame([(1,)], "nope long"), on=["nope"])
+
+
+def test_three_way_merge_disjoint_keys(spark, vt):
+    """Divergent branches whose MoR layers touched DISJOINT key sets
+    merge content-aware: source layers replay onto the target sharing
+    data files; overlapping keys or full rewrites conflict."""
+    from walden_spark.timetravel import MergeConflictError
+
+    vt.create_branch("b")
+    # source branch: append 100..102, equality-delete key 0
+    vt.append(spark.createDataFrame([(100 + i, -1.0) for i in range(3)], "id long, v double"), branch="b")
+    vt.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"], branch="b")
+    # main: predicate-delete keys >= 8 (touched keys resolved vs base)
+    vt.delete_where("id >= 8", mode="mor")
+    new_head = vt.merge_branch("b", into="main", keys=["id"])
+    got = sorted(r.id for r in vt.read(branch="main").collect())
+    assert got == [1, 2, 3, 4, 5, 6, 7, 100, 101, 102]
+    assert vt.head("main") == new_head
+    # replayed manifests record provenance and share the data dirs
+    merged = [m for m in vt._manifests() if m.get("merged_from")]
+    assert [m["merged_from"]["branch"] for m in merged] == ["b", "b"]
+    src_dirs = {m.get("data_dir") for m in vt._manifests() if m.get("branch") == "b"}
+    assert {m.get("data_dir") for m in merged} <= src_dirs
+    # branch b itself is untouched
+    assert sorted(r.id for r in vt.read(branch="b").collect()) == list(range(1, 10)) + [100, 101, 102]
+
+
+def test_three_way_merge_conflicts(spark, vt):
+    from walden_spark.timetravel import MergeConflictError
+
+    vt.create_branch("b")
+    vt.update_where({"v": "v + 1"}, "id = 5", mode="mor", branch="b")
+    vt.delete_keys(spark.createDataFrame([(5,)], "id long"), on=["id"])  # main touches 5 too
+    with pytest.raises(MergeConflictError, match="both touched keys"):
+        vt.merge_branch("b", into="main", keys=["id"])
+    # a full-rewrite commit on either side also conflicts
+    vt2_path = vt.path + "_full"
+    t2 = VersionedTable(spark, vt2_path)
+    t2.write(spark.createDataFrame([(i, 0.0) for i in range(5)], "id long, v double"))
+    t2.create_branch("b")
+    t2.append(spark.createDataFrame([(100, 0.0)], "id long, v double"), branch="b")
+    t2.delete_where("id = 0")  # cow rewrite on main
+    with pytest.raises(MergeConflictError, match="full-rewrite"):
+        t2.merge_branch("b", into="main", keys=["id"])
+
+
+def test_merge_replay_survives_source_expiry(spark, vt):
+    """After a three-way merge, expiring the source branch's manifests
+    must not delete data dirs the replayed commits still reference."""
+    vt.create_branch("b")
+    vt.append(spark.createDataFrame([(100, -1.0)], "id long, v double"), branch="b")
+    vt.delete_where("id >= 9", mode="mor")  # diverge main
+    vt.merge_branch("b", into="main", keys=["id"])
+    vt.delete_ref("branch", "b")
+    vt.compact()  # main head becomes a full snapshot
+    vt.expire_versions(keep_last=2)
+    assert 100 in {r.id for r in vt.read().collect()}
+    # replayed layer version itself still readable if retained
+    ms = vt._manifests()
+    assert all(
+        m.get("data_dir") is None or len(vt.spark.read.parquet(m["data_dir"]).columns) > 0
+        for m in ms
+    )
+
+
+def test_versioned_catalog_atomic_cross_table_merge(spark, tmp_path):
+    """Nessie's catalog-level pitch: one branch versions several tables;
+    the merge applies every table's changes or none (validate-then-
+    apply: a conflict on ANY table aborts before any pointer moves)."""
+    from walden_spark.timetravel import MergeConflictError, VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path / "cat"))
+    a, b = cat.table("a"), cat.table("b")
+    a.write(spark.createDataFrame([(i, 0.0) for i in range(5)], "id long, v double"))
+    b.write(spark.createDataFrame([(i, "x") for i in range(5)], "id long, s string"))
+    pins = cat.create_branch("etl", ["a", "b"])
+    assert pins == {"a": 0, "b": 0}
+    with pytest.raises(Exception):
+        cat.create_branch("etl", ["a"])  # ref file is the claim
+
+    # commit on BOTH tables on the branch
+    a.write(a.read(branch="etl").filter("id < 3"), branch="etl")
+    b.write(b.read(branch="etl").filter("id >= 3"), branch="etl")
+    assert cat.head("etl") == {"a": 1, "b": 1}
+
+    # diverge table b on main → whole-catalog merge aborts, nothing moves
+    b.write(b.read(branch="main").filter("id <> 0"), branch="main")
+    with pytest.raises(MergeConflictError, match="no table was merged"):
+        cat.merge("etl", into="main")
+    assert a.head("main") == 0 and b.head("main") == 2  # untouched
+
+    # fresh catalog where both tables fast-forward: merged together
+    cat2 = VersionedCatalog(spark, str(tmp_path / "cat2"))
+    for n in ("x", "y"):
+        cat2.table(n).write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    cat2.create_branch("etl", ["x", "y"])
+    cat2.table("x").append(spark.createDataFrame([(2, 2.0)], "id long, v double"), branch="etl")
+    cat2.table("y").append(spark.createDataFrame([(3, 3.0)], "id long, v double"), branch="etl")
+    out = cat2.merge("etl", into="main")
+    assert out == {"x": 1, "y": 1}
+    assert cat2.table("x").read(branch="main").count() == 2
+    assert cat2.table("y").read(branch="main").count() == 2
 
 
 def test_sql_time_travel_syntax(spark, tmp_path):

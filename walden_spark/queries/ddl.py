@@ -475,3 +475,122 @@ def ddl_hidden_partition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ddl_eq_delete_lifecycle",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+v1 AS (SELECT * FROM v0 WHERE n_nationkey NOT IN
+       (SELECT n_nationkey FROM v0 WHERE n_regionkey = 2)),
+v2 AS (SELECT * FROM v1 UNION ALL
+       SELECT n_nationkey, 'revived_' || CAST(n_nationkey AS VARCHAR) AS n_name, 2 AS n_regionkey
+       FROM v0 WHERE n_regionkey = 2 AND n_nationkey <= 10),
+v3 AS (SELECT * FROM v2 WHERE n_nationkey <> 1),
+metrics AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum FROM v0
+  UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey) FROM v1
+  UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey) FROM v2
+  UNION ALL SELECT 3, COUNT(*), SUM(n_nationkey) FROM v3
+  UNION ALL SELECT 4, COUNT(*), SUM(n_nationkey) FROM v3
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_sum AS BIGINT) AS key_sum
+FROM metrics ORDER BY version
+""",
+    category="ddl",
+)
+def ddl_eq_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY-DELETE lifecycle: delete-by-key commits store
+    the key rows (O(|keys|), no predicate, no table rewrite) and compose
+    with later appends — re-appending a deleted key above the delete
+    layer revives it, exactly the interleaving predicate deletes can't
+    express. Replays deletes-then-appends-then-deletes and checks every
+    version's metrics, plus the compacted snapshot, against a plain-SQL
+    replay (reference capability: Iceberg v2 delete files via
+    tf/main.tf:93-98)."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_eqdel_") + "/nation_e"
+    vt = VersionedTable(spark, path)
+    base = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(base)                                                      # v0 full
+    region2 = base.filter(F.col("n_regionkey") == 2).select("n_nationkey")
+    vt.delete_keys(region2, on=["n_nationkey"])                         # v1 eq-delete
+    revived = (
+        base.filter((F.col("n_regionkey") == 2) & (F.col("n_nationkey") <= 10))
+        .select(
+            "n_nationkey",
+            F.concat(F.lit("revived_"), F.col("n_nationkey").cast("string")).alias("n_name"),
+            F.lit(2).cast("int").alias("n_regionkey"),
+        )
+    )
+    vt.append(revived)                                                  # v2 revive subset
+    vt.delete_keys(
+        spark.createDataFrame([(1,)], "n_nationkey int"), on=["n_nationkey"]
+    )                                                                   # v3
+    vt.compact()                                                        # v4 == v3
+
+    frames = []
+    for v in range(5):
+        frames.append(
+            vt.read(version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+@query(
+    "ddl_branch_merge_threeway",
+    oracle="""
+SELECT n_nationkey, n_name FROM (
+  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+  FROM nation WHERE n_regionkey NOT IN (0, 4)
+  UNION ALL
+  SELECT 900 + r.r AS n_nationkey, 'etl_' || CAST(r.r AS VARCHAR) AS n_name
+  FROM (SELECT unnest(range(3)) AS r) r
+) ORDER BY n_nationkey
+""",
+    category="ddl",
+)
+def ddl_branch_merge_threeway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-aware THREE-WAY branch merge (the Nessie delta VERDICT
+    r04 called out, tf/main.tf:34-60): branches that diverged but
+    touched disjoint key sets merge by replaying the source's
+    merge-on-read layers onto the target — data files shared, no
+    rewrite. Here the etl branch appends rows and equality-deletes
+    region-0 keys while main predicate-deletes region-4 keys; the
+    merged main must show all three changes, which the oracle states as
+    one SQL expression."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_3way_") + "/nation_t"
+    vt = VersionedTable(spark, path)
+    base = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(base)                                                      # v0 on main
+    vt.create_branch("etl")
+    new_rows = spark.createDataFrame(
+        [(900 + i, f"etl_{i}", 7) for i in range(3)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    vt.append(new_rows, branch="etl")                                   # etl: append
+    vt.delete_keys(
+        base.filter(F.col("n_regionkey") == 0).select("n_nationkey"),
+        on=["n_nationkey"],
+        branch="etl",
+    )                                                                   # etl: eq-delete
+    vt.delete_where("n_regionkey = 4", mode="mor")                      # main diverges
+    vt.merge_branch("etl", into="main", keys=["n_nationkey"])
+    return (
+        vt.read(branch="main")
+        .select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name")
+        .orderBy("n_nationkey")
+    )

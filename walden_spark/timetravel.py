@@ -630,6 +630,18 @@ class VersionedTable:
             cur = by_v[parent]
         df = self._read_snapshot(cur, filters)
         for layer in reversed(chain):  # oldest layer first
+            eq = layer.get("equality_delete")
+            if eq is not None:
+                # Iceberg v2 equality-delete file: the layer's data dir
+                # holds KEY ROWS, not appends; rows beneath this layer
+                # with a matching key vanish, rows appended above it are
+                # untouched (sequence-number semantics via layer order).
+                # Plain join, not forced broadcast: AQE broadcasts small
+                # delete sets at runtime, and a huge delete set must not
+                # be driver-collected.
+                keys = self._read_snapshot(layer, None).select(*eq["on"]).distinct()
+                df = df.join(keys, on=list(eq["on"]), how="left_anti")
+                continue
             pred = layer.get("predicate")
             if pred is not None:
                 cond = F.expr(pred)
@@ -779,6 +791,28 @@ class VersionedTable:
         cur = self.read(branch=branch)
         return self.write(cur.filter(~cond | cond.isNull()), operation="delete", branch=branch)
 
+    def delete_keys(
+        self, keys: DataFrame, on: Sequence[str], branch: str = "main"
+    ) -> int:
+        """Iceberg v2 EQUALITY-DELETE commit: stores the key rows
+        themselves (not a predicate) as an O(|keys|) merge-on-read
+        layer. Unlike predicate deletes, key files compose cleanly with
+        concurrent appends — the delete applies exactly to rows at or
+        below this layer whose ``on`` columns match a stored key, while
+        later appends of the same key survive — and they are the
+        mergeable unit the three-way branch merge reasons about."""
+        on = list(on)
+        cur_cols = self.read(branch=branch).columns  # also asserts a base exists
+        missing = [c for c in on if c not in cur_cols]
+        if missing:
+            raise ValueError(f"equality-delete keys not in table schema: {missing}")
+        return self.write(
+            keys.select(*on).distinct(),
+            operation="delete_keys_mor",
+            branch=branch,
+            _mor={"equality_delete": {"on": on}},
+        )
+
     def update_where(
         self,
         assignments: Mapping[str, Column | str],
@@ -889,13 +923,26 @@ class VersionedTable:
             rows, "ref_type string, ref_name string, version bigint"
         )
 
-    def merge_branch(self, source: str, into: str = "main") -> int:
-        """Content-unaware merge, Nessie's default contract: if ``into``
-        is already at-or-ahead of ``source`` it's a no-op; if ``into``'s
-        head is an ancestor of ``source``'s head, fast-forward the
-        pointer (zero data movement — commits are shared); otherwise the
-        branches diverged and a :class:`MergeConflictError` is raised
-        (resolve by replaying one side, e.g. merge_into on data)."""
+    def merge_branch(
+        self, source: str, into: str = "main", keys: Sequence[str] | None = None
+    ) -> int:
+        """Branch merge, Nessie's contract. If ``into`` is already
+        at-or-ahead of ``source`` it's a no-op; if ``into``'s head is an
+        ancestor of ``source``'s head, fast-forward the pointer (zero
+        data movement — commits are shared).
+
+        Diverged heads: without ``keys`` the merge refuses
+        (:class:`MergeConflictError`), Nessie's content-unaware default.
+        With ``keys`` (the table's logical key columns) a CONTENT-AWARE
+        three-way merge runs: if every divergent commit on both sides is
+        a merge-on-read layer and the two sides touched DISJOINT key
+        sets, the source layers are replayed onto ``into`` as new
+        commits (data files shared, O(manifests) — no data rewrite);
+        any overlap, or a full-rewrite commit on either side, conflicts.
+        Touched-key sets are computed from the layers' own delta files
+        (O(changes)), except predicate layers which evaluate against the
+        merge base (O(base), the honest cost of predicate deletes —
+        equality deletes via :meth:`delete_keys` stay O(delta))."""
         src_head = self.head(source)
         dst_head = self.head(into)
         if src_head is None:
@@ -905,10 +952,126 @@ class VersionedTable:
         if dst_head is None or dst_head in self._ancestors(src_head):
             self._write_ref("branch", into, src_head, overwrite=True)
             return src_head
-        raise MergeConflictError(
-            f"branches {source!r} (v{src_head}) and {into!r} (v{dst_head}) "
-            "have diverged; content-unaware merge cannot fast-forward"
-        )
+        if keys is None:
+            raise MergeConflictError(
+                f"branches {source!r} (v{src_head}) and {into!r} (v{dst_head}) "
+                "have diverged; content-unaware merge cannot fast-forward "
+                "(pass keys=[...] for a three-way merge)"
+            )
+        return self._merge_three_way(source, src_head, into, dst_head, list(keys))
+
+    def _lineage(self, head: int, base: int, by_v: dict[int, dict]) -> list[dict]:
+        """Manifests on the parent-chain from ``base`` (exclusive) to
+        ``head`` (inclusive), oldest first."""
+        path: list[dict] = []
+        v: int | None = head
+        while v is not None and v != base:
+            m = by_v.get(v)
+            if m is None:
+                raise ValueError(f"version {v} missing from retained manifests")
+            path.append(m)
+            v = self._parent_of(m)
+        return list(reversed(path))
+
+    def _touched_keys(
+        self, path: list[dict], base_m: dict, by_v: dict[int, dict], keys: list[str]
+    ) -> DataFrame:
+        """Keys a side's divergent MoR layers wrote, deleted, or
+        updated. Conservative (may overcount, never undercount):
+        predicate layers match against the merge BASE, so a key deleted
+        earlier on the same branch still counts as touched."""
+        parts: list[DataFrame] = []
+        base_df: DataFrame | None = None
+        for m in path:
+            eq = m.get("equality_delete")
+            if eq is not None:
+                touched = self._read_snapshot(m, None)
+                if sorted(eq["on"]) != sorted(keys):
+                    raise MergeConflictError(
+                        f"equality-delete layer v{m['version']} keyed on "
+                        f"{eq['on']}, merge keyed on {keys}"
+                    )
+                parts.append(touched.select(*keys))
+                continue
+            pred = m.get("predicate")
+            if pred is not None:
+                if base_df is None:
+                    base_df = self._dataframe_for(base_m, by_v, filters=None)
+                try:
+                    parts.append(base_df.filter(F.expr(pred)).select(*keys))
+                except Exception as exc:
+                    raise MergeConflictError(
+                        f"cannot evaluate layer v{m['version']} predicate "
+                        f"{pred!r} against the merge base: {exc}"
+                    ) from exc
+            if m.get("data_dir"):  # append / update_mor rewritten rows
+                delta = self._read_snapshot(m, None)
+                missing = [c for c in keys if c not in delta.columns]
+                if missing:
+                    raise MergeConflictError(
+                        f"layer v{m['version']} lacks merge key columns {missing}"
+                    )
+                parts.append(delta.select(*keys))
+        if not parts:
+            return self.spark.createDataFrame([], ", ".join(f"{k} string" for k in keys))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.distinct()
+
+    def _merge_three_way(
+        self, source: str, src_head: int, into: str, dst_head: int, keys: list[str]
+    ) -> int:
+        by_v = {m["version"]: m for m in self._manifests()}
+        common = self._ancestors(src_head) & self._ancestors(dst_head)
+        if not common:
+            raise MergeConflictError(
+                f"branches {source!r} and {into!r} share no common ancestor"
+            )
+        base_v = max(common)
+        src_path = self._lineage(src_head, base_v, by_v)
+        dst_path = self._lineage(dst_head, base_v, by_v)
+        full = [m for m in src_path + dst_path if not m.get("mor")]
+        if full:
+            ops = {m["version"]: m["operation"] for m in full}
+            raise MergeConflictError(
+                f"divergent full-rewrite commits cannot be key-merged: {ops}"
+            )
+        base_m = by_v[base_v]
+        src_keys = self._touched_keys(src_path, base_m, by_v, keys)
+        dst_keys = self._touched_keys(dst_path, base_m, by_v, keys)
+        clash = src_keys.join(dst_keys, on=keys, how="inner").limit(5).collect()
+        if clash:
+            raise MergeConflictError(
+                f"branches {source!r} and {into!r} both touched keys "
+                f"{[tuple(r) for r in clash]}; three-way merge refuses"
+            )
+        # disjoint: replay source's layers onto into's head — new
+        # manifests SHARING the source layers' data files (no rewrite)
+        new_head = dst_head
+        for m in src_path:
+            v_new = max(by_v) + 1
+            nm = dict(m)
+            nm.update(
+                version=v_new,
+                parent=new_head,
+                branch=into,
+                timestamp=time.time(),
+                merged_from={"branch": source, "version": m["version"]},
+            )
+            try:
+                self._write_manifest(nm, overwrite=False)
+            except Exception as exc:
+                if _is_commit_conflict(exc):
+                    raise ConcurrentWriteError(
+                        f"version {v_new} of {self.path} was committed by "
+                        "another writer during merge; re-read and retry"
+                    ) from exc
+                raise
+            by_v[v_new] = nm
+            new_head = v_new
+        self._write_ref("branch", into, new_head, overwrite=True)
+        return new_head
 
     def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
         """Iceberg remove_orphan_files analog: delete data dirs that no
@@ -955,10 +1118,16 @@ class VersionedTable:
                 cur = by_v.get(cur.get("parent"))
         candidates = ms[:-keep_last] if keep_last > 0 else ms[:-1]
         to_drop = [m for m in candidates if m["version"] not in needed]
+        drop_vs = {m["version"] for m in to_drop}
+        # a three-way merge replays manifests SHARING the source
+        # layers' data dirs — never delete a dir a survivor references
+        still_referenced = {
+            m.get("data_dir") for m in ms if m["version"] not in drop_vs
+        }
         fs, _, jvm = _fs(self.spark, self.path)
         dropped = []
         for m in to_drop:
-            if m.get("data_dir"):
+            if m.get("data_dir") and m["data_dir"] not in still_referenced:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(m["data_dir"]), True)
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
@@ -968,3 +1137,130 @@ class VersionedTable:
             )
             dropped.append(m["version"])
         return dropped
+
+
+class VersionedCatalog:
+    """Catalog-level refs over several :class:`VersionedTable`\\ s —
+    Nessie's actual pitch vs per-table snapshots (the reference versions
+    the WHOLE catalog: tf/nessie-values.yaml): a branch names a
+    consistent set of table versions, commits on the branch move tables
+    together, and a merge lands every table's changes or none of them.
+
+    Thin by design: each table keeps its own manifest DAG and per-table
+    branch of the same name; the catalog adds one ref file per branch
+    pinning ``{table: version}``. ``merge`` is validate-then-apply —
+    every table must merge cleanly (fast-forward, or three-way when
+    ``keys`` are given) before ANY pointer moves, so a conflict on one
+    table aborts the whole merge with no partial state."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+
+    def table(self, name: str) -> VersionedTable:
+        return VersionedTable(self.spark, f"{self.root}/{name}")
+
+    @property
+    def _refs_dir(self) -> str:
+        return f"{self.root}/_catalog_refs"
+
+    def _ref_path(self, branch: str) -> str:
+        return f"{self._refs_dir}/{branch}.json"
+
+    def _read_ref(self, branch: str) -> dict:
+        fs, p, jvm = _fs(self.spark, self._ref_path(branch))
+        if not fs.exists(p):
+            raise ValueError(f"unknown catalog branch {branch!r}")
+        stream = fs.open(p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode(
+                "utf-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(raw)
+
+    def create_branch(self, name: str, tables: Sequence[str]) -> dict[str, int]:
+        """Branch every named table at its current main head, atomically
+        recorded as one catalog ref (the ref file is the claim: a
+        second create of the same name fails)."""
+        pins: dict[str, int] = {}
+        for t in tables:
+            pins[t] = self.table(t).create_branch(name)
+        ref = {"branch": name, "tables": pins, "created": time.time()}
+        vt0 = self.table(list(tables)[0]) if tables else None
+        writer = vt0 if vt0 is not None else VersionedTable(self.spark, self.root)
+        writer._write_json(self._ref_path(name), ref, overwrite=False)
+        return pins
+
+    def head(self, branch: str) -> dict[str, int]:
+        """Current ``{table: version}`` the branch serves."""
+        ref = self._read_ref(branch)
+        return {t: self.table(t).head(branch) for t in ref["tables"]}
+
+    def merge(
+        self, branch: str, into: str = "main", keys: Mapping[str, Sequence[str]] | None = None
+    ) -> dict[str, int]:
+        """Merge every table on ``branch`` into ``into`` — together or
+        not at all. Phase 1 computes each table's merge plan without
+        moving anything (raising :class:`MergeConflictError` aborts the
+        whole merge); phase 2 applies the per-table merges. ``keys``
+        optionally maps table → key columns to allow three-way merges
+        for divergent tables."""
+        ref = self._read_ref(branch)
+        tables = list(ref["tables"])
+        vts = {t: self.table(t) for t in tables}
+        # phase 1: every table must be mergeable before anything moves
+        plans: dict[str, tuple] = {}
+        for t, vt in vts.items():
+            src = vt.head(branch)
+            try:
+                dst = vt.head(into)
+            except ValueError:  # target branch doesn't exist on this table yet
+                dst = None
+            if src is None:
+                raise MergeConflictError(f"table {t!r}: branch {branch!r} has no head")
+            if src == dst or src in vt._ancestors(dst):
+                plans[t] = ("noop", dst)
+            elif dst is None or dst in vt._ancestors(src):
+                plans[t] = ("ff", src)
+            elif keys is not None and t in keys:
+                # dry-run the three-way checks (no manifest writes):
+                # raises MergeConflictError on overlap / full rewrites
+                by_v = {m["version"]: m for m in vt._manifests()}
+                common = vt._ancestors(src) & vt._ancestors(dst)
+                if not common:
+                    raise MergeConflictError(f"table {t!r}: no common ancestor")
+                base_v = max(common)
+                sp = vt._lineage(src, base_v, by_v)
+                dp = vt._lineage(dst, base_v, by_v)
+                full = [m for m in sp + dp if not m.get("mor")]
+                if full:
+                    raise MergeConflictError(
+                        f"table {t!r}: divergent full-rewrite commits "
+                        f"{sorted(m['version'] for m in full)}"
+                    )
+                sk = vt._touched_keys(sp, by_v[base_v], by_v, list(keys[t]))
+                dk = vt._touched_keys(dp, by_v[base_v], by_v, list(keys[t]))
+                if sk.join(dk, on=list(keys[t]), how="inner").limit(1).count():
+                    raise MergeConflictError(
+                        f"table {t!r}: both branches touched overlapping keys"
+                    )
+                plans[t] = ("three_way", src)
+            else:
+                raise MergeConflictError(
+                    f"table {t!r} diverged on branch {branch!r}; catalog merge "
+                    "aborted — no table was merged"
+                )
+        # phase 2: apply
+        out: dict[str, int] = {}
+        for t, (kind, v) in plans.items():
+            vt = vts[t]
+            if kind == "noop":
+                out[t] = v
+            elif kind == "ff":
+                vt._write_ref("branch", into, v, overwrite=True)
+                out[t] = v
+            else:
+                out[t] = vt.merge_branch(branch, into=into, keys=list(keys[t]))
+        return out
