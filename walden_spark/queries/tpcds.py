@@ -772,3 +772,87 @@ def tpcds_fx_cross_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_channels") == 3)
         .orderBy("c_name")
     )
+
+
+# One SQL text, two engines: these run verbatim in Spark SQL (over temp
+# views of the fixture tables) and in DuckDB (over the driver's views),
+# so the hash compare exercises the identical statement.
+_FX_ROLLUP_TOPN_SQL = """
+WITH sales AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         l_returnflag, l_linestatus,
+         SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS sumsales
+  FROM {lineitem} JOIN {orders} ON o_orderkey = l_orderkey
+  GROUP BY yr, ROLLUP(l_returnflag, l_linestatus)
+)
+SELECT yr, l_returnflag, l_linestatus,
+       CAST(sumsales AS DOUBLE) AS sumsales, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, RANK() OVER (PARTITION BY yr, l_returnflag
+                         ORDER BY sumsales DESC, l_linestatus ASC NULLS FIRST) AS rk
+  FROM sales
+)
+WHERE rk <= 3
+ORDER BY yr, l_returnflag NULLS FIRST, rk, l_linestatus NULLS FIRST
+"""
+
+
+@query(
+    "tpcds_fx_rollup_topn",
+    oracle=_FX_ROLLUP_TOPN_SQL.format(lineitem="lineitem", orders="orders"),
+    category="tpcds",
+)
+def tpcds_fx_rollup_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q67 shape with a full hash oracle (the generator-backed
+    tpcds_q67_rollup_topn is rows-only in the driver): year-pinned
+    ROLLUP over the returnflag→linestatus hierarchy, then top-3 rows
+    per (year, flag) partition by exact decimal revenue. One aggregate
+    pass (Spark expands the grouping sets map-side after the one
+    fact-fact orderkey shuffle), rank partitions are tiny."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx67_lineitem")
+    t.orders.createOrReplaceTempView("fx67_orders")
+    return spark.sql(
+        _FX_ROLLUP_TOPN_SQL.format(lineitem="fx67_lineitem", orders="fx67_orders")
+    )
+
+
+_FX_MARGIN_RANK_SQL = """
+WITH s AS (
+  SELECT l_returnflag, l_linestatus,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS paid,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS gross,
+         GROUPING(l_returnflag) + GROUPING(l_linestatus) AS lochierarchy
+  FROM {lineitem}
+  GROUP BY ROLLUP(l_returnflag, l_linestatus)
+)
+SELECT l_returnflag, l_linestatus, CAST(lochierarchy AS INT) AS lochierarchy,
+       floor(CAST(paid AS DOUBLE) / CAST(gross AS DOUBLE) * 1e6) / 1e6
+         AS realized_margin,
+       CAST(RANK() OVER (
+         PARTITION BY lochierarchy,
+                      CASE WHEN lochierarchy = 0 THEN l_returnflag END
+         ORDER BY CAST(paid AS DOUBLE) / CAST(gross AS DOUBLE) ASC,
+                  l_linestatus ASC NULLS FIRST) AS INT) AS rank_within_parent
+FROM s
+ORDER BY lochierarchy DESC, l_returnflag NULLS FIRST, rank_within_parent,
+         l_linestatus NULLS FIRST
+"""
+
+
+@query(
+    "tpcds_fx_margin_rank",
+    oracle=_FX_MARGIN_RANK_SQL.format(lineitem="lineitem"),
+    category="tpcds",
+)
+def tpcds_fx_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q36 shape with a full hash oracle: discounted-vs-gross
+    revenue ratio over the ROLLUP hierarchy with a GROUPING()-derived
+    level column, worst margin ranked first within each parent. The
+    ratio divides two exact decimal sums cast to double identically on
+    both engines (rank is drift-free); the emitted margin is
+    floor-quantized, never round()ed."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx36_lineitem")
+    return spark.sql(_FX_MARGIN_RANK_SQL.format(lineitem="fx36_lineitem"))

@@ -106,9 +106,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_embedding_cosine",
     # text pipeline stages
-    "text_token_counts", "text_lang_id",
+    "text_token_counts",
     # aggregate stragglers
-    "agg_cube", "agg_quantile_sketch",
+    "agg_quantile_sketch",
+    # r05 TPC-DS fixture ports (VERDICT r04 #7: driver rows, not just
+    # file-differential) — the q67/q36 shapes with hash oracles
+    "tpcds_fx_rollup_topn", "tpcds_fx_margin_rank",
     # ddl / sources / similarity / setop / filter representatives
     "ddl_time_travel",
     "source_json_roundtrip", "source_partitioned_parquet",
@@ -118,9 +121,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 )
 
 # r06 ROTATION QUEUE: after r05's window lands, ~39 oracle-backed names
-# remain never-driver-verified — including agg_rollup and
-# text_hash_split, bumped from r05 for family coverage (regenerate via
-# the snippet in
+# remain never-driver-verified — including agg_cube, agg_rollup,
+# text_lang_id and text_hash_split, bumped from r05 to make room for
+# the tpcds_fx ports (regenerate via the snippet in
 # tests/test_registry.py): agg_percentile_approx, agg_stats_builtin,
 # agg_collect_sorted, agg_map_entries, agg_min_max_by,
 # agg_filter_clause, agg_bool_bit, agg_having, agg_hll_sketch,
