@@ -318,6 +318,7 @@ def test_mor_random_op_sequences_match_model(spark, tmp_path):
         st.tuples(st.just("update"), st.integers(1, 60), st.integers(1, 9)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("delete_keys"), st.lists(st.integers(0, 110), min_size=1, max_size=4)),
+        st.tuples(st.just("delete_pos"), st.integers(2, 5), st.integers(0, 4)),
     )
 
     counter = [0]
@@ -357,6 +358,12 @@ def test_mor_random_op_sequences_match_model(spark, tmp_path):
                     spark.createDataFrame([(k,) for k in ks], "id long"), on=["id"]
                 )
                 model = {i: v for i, v in model.items() if i not in set(ks)}
+            elif o[0] == "delete_pos":
+                # position delete == predicate delete over LIVE rows at
+                # commit time, so the dict model is identical to delete
+                _, k, r = o
+                t.delete_positions_where(f"id % {k} = {r}")
+                model = {i: v for i, v in model.items() if i % k != r}
             else:
                 t.compact()
             got = {r.id: r.v for r in t.read().collect()}
@@ -386,6 +393,96 @@ def test_equality_delete_keys(spark, vt):
     assert got == [4, 5, 6, 7, 8, 9]
     with pytest.raises(ValueError, match="not in table schema"):
         vt.delete_keys(spark.createDataFrame([(1,)], "nope long"), on=["nope"])
+
+
+def test_position_delete(spark, tmp_path):
+    """Iceberg v2 position-delete files: (file, row_index) pairs pin
+    exact rows at commit time — later appends matching the predicate
+    are untouched (the frozen-at-commit semantics predicate deletes
+    can't express), history stays readable, compaction materializes."""
+    t = VersionedTable(spark, str(tmp_path / "posdel"))
+    t.write(_mk(spark, 100).repartitionByRange(4, "id"))
+    v1 = t.delete_positions_where("id % 2 = 1")
+    assert t.read().count() == 50
+    assert t._manifests()[-1]["operation"] == "delete_pos_mor"
+    # a later append of matching rows is NOT re-deleted
+    t.append(spark.createDataFrame([(1, -1.0), (3, -3.0)], "id long, v double"))
+    cur = {r.id: r.v for r in t.read().collect()}
+    assert cur[1] == -1.0 and cur[3] == -3.0 and 5 not in cur
+    assert len(cur) == 52
+    # user never sees the hidden position columns
+    assert set(t.read().columns) == {"id", "v"}
+    # history + compaction
+    assert t.read(version=0).count() == 100
+    assert t.read(version=v1).count() == 50
+    v3 = t.compact()
+    assert {r.id: r.v for r in t.read(version=v3).collect()} == cur
+    # scan filters compose through the position-delete stack
+    got = sorted(r.id for r in t.scan(filters=[("id", "<", 10)]).collect())
+    assert got == [0, 1, 2, 3, 4, 6, 8]
+
+
+def test_position_delete_three_way_merge(spark, vt):
+    """Position-delete layers participate in the content-aware merge:
+    their touched keys resolve via the (file,pos)→base join."""
+    vt.create_branch("b")
+    vt.delete_positions_where("id < 2", branch="b")     # b touches {0,1}
+    vt.delete_where("id >= 8", mode="mor")              # main touches {8,9}
+    vt.merge_branch("b", into="main", keys=["id"])
+    assert sorted(r.id for r in vt.read(branch="main").collect()) == [2, 3, 4, 5, 6, 7]
+    # overlap case conflicts
+    from walden_spark.timetravel import MergeConflictError
+
+    vt.create_branch("c")
+    vt.delete_positions_where("id = 5", branch="c")
+    vt.delete_keys(spark.createDataFrame([(5,)], "id long"), on=["id"])
+    with pytest.raises(MergeConflictError, match="both touched keys"):
+        vt.merge_branch("c", into="main", keys=["id"])
+
+
+def test_hidden_month_partitioning(spark, tmp_path):
+    """partition_time=(col, 'month'): month-granularity hidden
+    partitioning with range predicates pruning directories."""
+    rows = spark.sql(
+        "SELECT id, timestamp'2024-01-15 00:00:00' + make_interval(0,0,0,CAST(id AS INT)*7,0,0,0) AS ts "
+        "FROM range(0, 20)"  # weekly rows spanning ~5 months
+    )
+    t = VersionedTable(spark, str(tmp_path / "monthly"))
+    t.write(rows, partition_time=("ts", "month"))
+    assert set(t.read().columns) == {"id", "ts"}
+    import datetime
+
+    lo = datetime.datetime(2024, 3, 1)
+    scanned = t.scan(filters=[("ts", ">=", lo)])
+    want = sorted(r.id for r in t.read().filter(F.col("ts") >= F.lit(lo)).collect())
+    assert sorted(r.id for r in scanned.collect()) == want
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "walden_p_time" in pf
+
+
+def test_hidden_truncate_partitioning(spark, tmp_path):
+    """partition_truncate: string-prefix and integral floor-to-multiple
+    transforms; equality, IN and RANGE predicates all prune."""
+    strs = spark.createDataFrame(
+        [(f"{c}{i}", i) for c in "abcd" for i in range(25)], "k string, n long"
+    )
+    ts = VersionedTable(spark, str(tmp_path / "truncs"))
+    ts.write(strs, partition_truncate=("k", 1))
+    hit = ts.scan(filters=[("k", "=", "b7")])
+    assert [(r.k, r.n) for r in hit.collect()] == [("b7", 7)]
+    plan = hit._jdf.queryExecution().executedPlan().toString()
+    assert "walden_p_trunc" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    several = ts.scan(filters=[("k", "in", ["a1", "c3"])])
+    assert sorted(r.k for r in several.collect()) == ["a1", "c3"]
+
+    ints = VersionedTable(spark, str(tmp_path / "trunci"))
+    ints.write(_mk(spark, 1000), partition_truncate=("id", 100))
+    got = sorted(r.id for r in ints.scan(filters=[("id", ">=", 850)]).collect())
+    assert got == list(range(850, 1000))
+    eq = ints.scan(filters=[("id", "=", 123)])
+    assert [r.id for r in eq.collect()] == [123]
+    assert set(ints.read().columns) == {"id", "v"}
 
 
 def test_three_way_merge_disjoint_keys(spark, vt):

@@ -548,6 +548,66 @@ def ddl_eq_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_pos_delete_lifecycle",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+v1 AS (SELECT * FROM v0 WHERE n_regionkey <> 2),
+v2 AS (SELECT * FROM v1 UNION ALL
+       SELECT n_nationkey, 'back_' || CAST(n_nationkey AS VARCHAR) AS n_name, 2 AS n_regionkey
+       FROM v0 WHERE n_regionkey = 2),
+metrics AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, SUM(n_nationkey) AS key_sum FROM v0
+  UNION ALL SELECT 1, COUNT(*), SUM(n_nationkey) FROM v1
+  UNION ALL SELECT 2, COUNT(*), SUM(n_nationkey) FROM v2
+  UNION ALL SELECT 3, COUNT(*), SUM(n_nationkey) FROM v2
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(key_sum AS BIGINT) AS key_sum
+FROM metrics ORDER BY version
+""",
+    category="ddl",
+)
+def ddl_pos_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 POSITION-DELETE lifecycle: the commit resolves a
+    predicate once against the live snapshot and stores (file,
+    row_index) pairs — frozen-at-commit semantics, so re-appending
+    rows that match the original predicate leaves them alive (here the
+    whole deleted region is appended back and version 2 shows it
+    restored; a predicate delete would re-hide it). Metrics for every
+    version plus the compacted head are hash-checked against a plain
+    SQL replay."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_posdel_") + "/nation_p"
+    vt = VersionedTable(spark, path)
+    base = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    vt.write(base)                                                      # v0 full
+    vt.delete_positions_where("n_regionkey = 2")                        # v1 pos-delete
+    back = base.filter(F.col("n_regionkey") == 2).select(
+        "n_nationkey",
+        F.concat(F.lit("back_"), F.col("n_nationkey").cast("string")).alias("n_name"),
+        F.lit(2).cast("int").alias("n_regionkey"),
+    )
+    vt.append(back)                                                     # v2: revived
+    vt.compact()                                                        # v3 == v2
+
+    frames = []
+    for v in range(4):
+        frames.append(
+            vt.read(version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+@query(
     "ddl_branch_merge_threeway",
     oracle="""
 SELECT n_nationkey, n_name FROM (

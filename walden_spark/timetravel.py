@@ -439,6 +439,18 @@ class VersionedTable:
 
     _HIDDEN_DAY = "walden_p_day"
     _HIDDEN_BUCKET = "walden_p_bucket"
+    _HIDDEN_TIME = "walden_p_time"
+    _HIDDEN_TRUNC = "walden_p_trunc"
+
+    # Iceberg time transforms as zero-padded date_format patterns: the
+    # hidden column is a STRING whose lexicographic order equals time
+    # order, so scan() maps source-column time predicates to partition
+    # predicates for every granularity with one code path.
+    _TIME_FMTS = {
+        "year": "yyyy",
+        "month": "yyyy-MM",
+        "hour": "yyyy-MM-dd-HH",
+    }
 
     def write(
         self,
@@ -447,6 +459,8 @@ class VersionedTable:
         branch: str = "main",
         partition_day: str | None = None,
         partition_bucket: tuple[str, int] | None = None,
+        partition_time: tuple[str, str] | None = None,
+        partition_truncate: tuple[str, int] | None = None,
         sort_by: list[str] | None = None,
         n_files: int | None = None,
         _mor: dict | None = None,
@@ -468,13 +482,25 @@ class VersionedTable:
         ``scan`` maps equality/IN filters on the source column to
         bucket predicates (point lookups touch 1/n of the table).
 
+        ``partition_time=("ts", "year"|"month"|"hour")`` covers the
+        remaining Iceberg time transforms (day has its own param for
+        back-compat); ``partition_truncate=("key", w)`` is the Iceberg
+        truncate transform — width-``w`` string prefix, or value
+        floor-divided to a multiple of ``w`` for integral columns. All
+        of these are MONOTONE, so scan() rewrites range AND equality
+        predicates on the source column into partition predicates.
+
         ``sort_by=[cols]`` range-clusters the snapshot (Iceberg write
         ordering): files get DISJOINT value ranges on the sort keys,
         which is what turns the manifest min/max stats from "present"
         into "selective" — without clustering, every file's range spans
         the domain and ``scan`` can't skip anything. ``n_files`` caps
         the file count (defaults to the current parallelism)."""
-        if partition_day is not None and partition_bucket is not None:
+        n_transforms = sum(
+            p is not None
+            for p in (partition_day, partition_bucket, partition_time, partition_truncate)
+        )
+        if n_transforms > 1:
             raise ValueError("pass at most one hidden-partition transform")
         if sort_by:
             n_files = n_files or self.spark.sparkContext.defaultParallelism
@@ -522,6 +548,40 @@ class VersionedTable:
                 }
                 writer.write.mode("errorifexists").partitionBy(
                     self._HIDDEN_BUCKET
+                ).parquet(data_dir)
+            elif partition_time is not None:
+                src, kind = partition_time
+                fmt = self._TIME_FMTS.get(kind)
+                if fmt is None:
+                    raise ValueError(
+                        f"unknown time transform {kind!r}; one of {sorted(self._TIME_FMTS)}"
+                    )
+                writer = df.withColumn(
+                    self._HIDDEN_TIME, F.date_format(F.col(src), fmt)
+                )
+                manifest["partition"] = {
+                    "transform": kind,
+                    "source": src,
+                    "fmt": fmt,
+                    "field": self._HIDDEN_TIME,
+                }
+                writer.write.mode("errorifexists").partitionBy(
+                    self._HIDDEN_TIME
+                ).parquet(data_dir)
+            elif partition_truncate is not None:
+                src, width = partition_truncate
+                if width <= 0:
+                    raise ValueError("truncate width must be positive")
+                trunc = self._truncate_expr(F.col(src), df.schema[src].dataType, width)
+                writer = df.withColumn(self._HIDDEN_TRUNC, trunc)
+                manifest["partition"] = {
+                    "transform": "truncate",
+                    "source": src,
+                    "width": width,
+                    "field": self._HIDDEN_TRUNC,
+                }
+                writer.write.mode("errorifexists").partitionBy(
+                    self._HIDDEN_TRUNC
                 ).parquet(data_dir)
             else:
                 df.write.mode("errorifexists").parquet(data_dir)
@@ -615,8 +675,30 @@ class VersionedTable:
 
     # ---- snapshot resolution (full + merge-on-read layers) ----
 
+    _POS_FILE = "__wfile"
+    _POS_IDX = "__wpos"
+
+    @staticmethod
+    def _truncate_expr(col: Column, dtype, width: int) -> Column:
+        """Iceberg truncate transform: width-``width`` prefix for
+        strings, value floored to a multiple of ``width`` for integral
+        types (exact integer arithmetic — no double round-trip)."""
+        from pyspark.sql import types as T
+
+        if isinstance(dtype, T.StringType):
+            return F.substring(col, 1, width)
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return (col - F.pmod(col, F.lit(width))).cast(dtype.simpleString())
+        raise ValueError(
+            f"truncate transform unsupported for {dtype.simpleString()} columns"
+        )
+
     def _dataframe_for(
-        self, m: dict, by_v: dict[int, dict], filters: list[tuple] | None
+        self,
+        m: dict,
+        by_v: dict[int, dict],
+        filters: list[tuple] | None,
+        keep_pos: bool = False,
     ) -> DataFrame:
         chain: list[dict] = []
         cur = m
@@ -628,8 +710,21 @@ class VersionedTable:
                     f"merge-on-read layer v{cur['version']} has no base snapshot"
                 )
             cur = by_v[parent]
-        df = self._read_snapshot(cur, filters)
+        # position-delete layers anti-join on (file, row_index), so the
+        # base and every appended layer must carry those hidden columns
+        with_pos = keep_pos or any(l.get("position_delete") for l in chain)
+        df = self._read_snapshot(cur, filters, with_pos=with_pos)
         for layer in reversed(chain):  # oldest layer first
+            if layer.get("position_delete"):
+                # Iceberg v2 position-delete file: (file_path, row_index)
+                # pairs pin EXACT physical rows; files appended above
+                # this layer have different paths, so their rows are
+                # structurally unaffected — composes with everything.
+                dels = self.spark.read.parquet(layer["data_dir"]).select(
+                    self._POS_FILE, self._POS_IDX
+                )
+                df = df.join(dels, on=[self._POS_FILE, self._POS_IDX], how="left_anti")
+                continue
             eq = layer.get("equality_delete")
             if eq is not None:
                 # Iceberg v2 equality-delete file: the layer's data dir
@@ -648,12 +743,16 @@ class VersionedTable:
                 df = df.filter(~cond | cond.isNull())
             if layer.get("data_dir"):
                 df = df.unionByName(
-                    self._read_snapshot(layer, filters),
+                    self._read_snapshot(layer, filters, with_pos=with_pos),
                     allowMissingColumns=bool(layer.get("schema_evolved")),
                 )
+        if with_pos and not keep_pos:
+            df = df.drop(self._POS_FILE, self._POS_IDX)
         return df
 
-    def _read_snapshot(self, m: dict, filters: list[tuple] | None) -> DataFrame:
+    def _read_snapshot(
+        self, m: dict, filters: list[tuple] | None, with_pos: bool = False
+    ) -> DataFrame:
         data_dir = m["data_dir"]
         part = m.get("partition")
         files = m.get("files")
@@ -669,6 +768,12 @@ class VersionedTable:
                 df = self.spark.read.parquet(data_dir)
         else:
             df = self.spark.read.parquet(data_dir)
+        if with_pos:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias(self._POS_FILE),
+                F.col("_metadata.row_index").alias(self._POS_IDX),
+            )
         if filters:
             if part is not None and part["transform"] == "day":
                 # hidden partitioning: monotone day transform lets a
@@ -723,6 +828,49 @@ class VersionedTable:
                         df = df.filter(fld == bucket_of[value])
                     elif op == "in":
                         df = df.filter(fld.isin(sorted({bucket_of[v] for v in value})))
+            elif part is not None and part["transform"] in self._TIME_FMTS:
+                # year/month/hour: the hidden column is a zero-padded
+                # date_format string, lexicographically time-ordered, so
+                # the monotone rewrite is the same as day's
+                fld = F.col(part["field"])
+                for col, op, value in filters:
+                    if col != part["source"]:
+                        continue
+                    lit = F.date_format(F.lit(value), part["fmt"])
+                    if op in (">=", ">"):
+                        df = df.filter(fld >= lit)
+                    elif op in ("<=", "<"):
+                        df = df.filter(fld <= lit)
+                    elif op in ("=", "=="):
+                        df = df.filter(fld == lit)
+            elif part is not None and part["transform"] == "truncate":
+                # truncate is monotone non-decreasing (string prefix /
+                # integral floor-to-multiple), so ranges rewrite too
+                src_type = df.schema[part["source"]].dataType
+                fld = F.col(part["field"])
+                for col, op, value in filters:
+                    if col != part["source"]:
+                        continue
+                    if op == "in":
+                        match_any = F.lit(False)
+                        for v in value:
+                            match_any = match_any | (
+                                fld
+                                == self._truncate_expr(
+                                    F.lit(v).cast(src_type), src_type, part["width"]
+                                )
+                            )
+                        df = df.filter(match_any)
+                        continue
+                    lit = self._truncate_expr(
+                        F.lit(value).cast(src_type), src_type, part["width"]
+                    )
+                    if op in (">=", ">"):
+                        df = df.filter(fld >= lit)
+                    elif op in ("<=", "<"):
+                        df = df.filter(fld <= lit)
+                    elif op in ("=", "=="):
+                        df = df.filter(fld == lit)
             residual = _filters_to_column(filters)
             if residual is not None:
                 df = df.filter(residual)
@@ -811,6 +959,31 @@ class VersionedTable:
             operation="delete_keys_mor",
             branch=branch,
             _mor={"equality_delete": {"on": on}},
+        )
+
+    def delete_positions_where(
+        self, condition: Column | str, branch: str = "main"
+    ) -> int:
+        """Iceberg v2 POSITION-DELETE commit: resolves ``condition``
+        against the live snapshot ONCE at commit time and stores the
+        matching rows' (file_path, row_index) pairs — O(matches)
+        storage, no table rewrite. Unlike predicate deletes the effect
+        is frozen at commit: rows appended later are untouched even if
+        they match the predicate, and renaming a column afterwards
+        cannot re-scope the delete."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        head = self.head(branch)
+        if head is None:
+            raise FileNotFoundError(f"branch {branch!r} has no commits")
+        live = self._dataframe_for(by_v[head], by_v, filters=None, keep_pos=True)
+        positions = live.filter(cond).select(self._POS_FILE, self._POS_IDX)
+        return self.write(
+            positions,
+            operation="delete_pos_mor",
+            branch=branch,
+            _mor={"position_delete": True},
         )
 
     def update_where(
@@ -983,6 +1156,19 @@ class VersionedTable:
         parts: list[DataFrame] = []
         base_df: DataFrame | None = None
         for m in path:
+            if m.get("position_delete"):
+                # deleted rows' keys: join the (file, pos) pairs back
+                # against the base read with positions; rows the delete
+                # removed from same-branch appends are covered by those
+                # appends' own delta keys
+                base_pos = self._dataframe_for(base_m, by_v, None, keep_pos=True)
+                dels = self._read_snapshot(m, None)
+                parts.append(
+                    base_pos.join(
+                        dels, on=[self._POS_FILE, self._POS_IDX], how="inner"
+                    ).select(*keys)
+                )
+                continue
             eq = m.get("equality_delete")
             if eq is not None:
                 touched = self._read_snapshot(m, None)
