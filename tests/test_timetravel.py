@@ -485,6 +485,29 @@ def test_hidden_truncate_partitioning(spark, tmp_path):
     assert set(ints.read().columns) == {"id", "v"}
 
 
+def test_upsert_keys_single_commit(spark, vt):
+    """upsert_keys: one MoR layer = equality delete on the batch's keys
+    + append of the batch (Iceberg's delete-file+data-file commit)."""
+    batch = spark.createDataFrame([(3, 33.0), (100, 1.0)], "id long, v double")
+    v1 = vt.upsert_keys(batch, on=["id"])
+    cur = {r.id: r.v for r in vt.read().collect()}
+    assert cur[3] == 33.0 and cur[100] == 1.0 and len(cur) == 11
+    assert vt._manifests()[-1]["operation"] == "upsert_mor"
+    assert vt.read(version=0).count() == 10       # history intact
+    # a second upsert of the same key wins (layer order)
+    vt.upsert_keys(spark.createDataFrame([(3, 44.0)], "id long, v double"), on=["id"])
+    assert {r.v for r in vt.read().filter("id = 3").collect()} == {44.0}
+    with pytest.raises(ValueError, match="batch schema"):
+        vt.upsert_keys(spark.createDataFrame([(1,)], "id long"), on=["id"])
+    # upserts carry keys, so they three-way merge like any MoR layer
+    vt.create_branch("b")
+    vt.upsert_keys(spark.createDataFrame([(200, 2.0)], "id long, v double"), on=["id"], branch="b")
+    vt.delete_keys(spark.createDataFrame([(4,)], "id long"), on=["id"])
+    vt.merge_branch("b", into="main", keys=["id"])
+    got = {r.id: r.v for r in vt.read().collect()}
+    assert got[200] == 2.0 and 4 not in got
+
+
 def test_three_way_merge_disjoint_keys(spark, vt):
     """Divergent branches whose MoR layers touched DISJOINT key sets
     merge content-aware: source layers replay onto the target sharing

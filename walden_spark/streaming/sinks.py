@@ -191,3 +191,61 @@ def streaming_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
     )
+
+
+@query(
+    "streaming_mor_upsert",
+    oracle="""
+SELECT event_id, event_type,
+       CASE WHEN event_id % 3 = 0 THEN value * 2
+            WHEN event_id % 5 = 0 THEN value * 3
+            ELSE value END AS value
+FROM events
+ORDER BY event_id
+""",
+    category="streaming",
+)
+def streaming_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT ingest into the versioned table format: the
+    base snapshot holds every event, then two key-disjoint correction
+    batches stream in via foreachBatch → upsert_keys — each lands as
+    ONE O(batch) merge-on-read layer whose data file is both the
+    equality-delete key source and the appended rows (Iceberg's
+    delete-file + data-file single commit). Disjoint key sets make the
+    batches commutative, so the result is deterministic under any
+    micro-batch arrival order; the oracle states the final per-event
+    value as a CASE over the raw fixture."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_upsert_vt_") + "/events_u")
+    vt.write(ev)  # base snapshot (batch bootstrap)
+
+    b1 = ev.filter(F.col("event_id") % 3 == 0).withColumn("value", F.col("value") * 2)
+    b2 = ev.filter((F.col("event_id") % 3 != 0) & (F.col("event_id") % 5 == 0)).withColumn(
+        "value", F.col("value") * 3
+    )
+    stage = tempfile.mkdtemp(prefix="walden_upsert_stream_")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b0")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b1")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        vt.upsert_keys(batch_df, on=["event_id"])  # O(batch), one commit
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(upsert).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    ms = vt._manifests()
+    assert [m["operation"] for m in ms[1:]] == ["upsert_mor", "upsert_mor"], (
+        "expected two streaming upsert layers over the base snapshot"
+    )
+    return vt.read().orderBy("event_id")

@@ -736,6 +736,14 @@ class VersionedTable:
                 # be driver-collected.
                 keys = self._read_snapshot(layer, None).select(*eq["on"]).distinct()
                 df = df.join(keys, on=list(eq["on"]), how="left_anti")
+                if layer.get("upsert"):
+                    # upsert layer: the SAME data file is both the
+                    # delete-key source and the appended rows (Iceberg
+                    # writes delete+data files in one commit)
+                    df = df.unionByName(
+                        self._read_snapshot(layer, filters, with_pos=with_pos),
+                        allowMissingColumns=bool(layer.get("schema_evolved")),
+                    )
                 continue
             pred = layer.get("predicate")
             if pred is not None:
@@ -984,6 +992,35 @@ class VersionedTable:
             operation="delete_pos_mor",
             branch=branch,
             _mor={"position_delete": True},
+        )
+
+    def upsert_keys(
+        self, df: DataFrame, on: Sequence[str], branch: str = "main"
+    ) -> int:
+        """MERGE-shaped O(batch) commit — ONE merge-on-read layer whose
+        data file serves as both the equality-delete key source and the
+        appended rows (Iceberg writes delete files + data files in a
+        single commit the same way): existing rows matching the batch's
+        ``on`` keys are superseded, new keys are inserts. This is the
+        streaming-upsert ingest shape: per micro-batch cost is
+        O(batch), never O(table), and the layer lands under one atomic
+        manifest claim — a crash before the claim leaves only an orphan
+        staging dir for remove_orphans."""
+        on = list(on)
+        cur_cols = self.read(branch=branch).columns
+        missing = [c for c in on if c not in cur_cols]
+        if missing:
+            raise ValueError(f"upsert keys not in table schema: {missing}")
+        if sorted(df.columns) != sorted(cur_cols):
+            raise ValueError(
+                f"upsert batch schema {sorted(df.columns)} != table schema "
+                f"{sorted(cur_cols)}"
+            )
+        return self.write(
+            df,
+            operation="upsert_mor",
+            branch=branch,
+            _mor={"equality_delete": {"on": on}, "upsert": True},
         )
 
     def update_where(
