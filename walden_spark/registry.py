@@ -136,7 +136,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # streaming_available_now, streaming_stateful_timeout_sessions,
 # text_fingerprint, text_pii_scan, text_repetition,
 # text_decontaminate, text_chunking, text_stratified_sample,
-# text_sequence_pack, text_shard_shuffle, text_weighted_sample.
+# text_sequence_pack, text_shard_shuffle, text_weighted_sample —
+# plus r05's own additions: ddl_eq_delete_lifecycle,
+# ddl_pos_delete_lifecycle, ddl_branch_merge_threeway,
+# streaming_mor_upsert.
 # Keep ~15 anchors; fill the rest from this list → every oracle-backed
 # query driver-verified at least once by ~r07.
 
