@@ -548,6 +548,53 @@ def ddl_eq_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_catalog_refs",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, upper(r_name) AS r_name
+FROM nation JOIN region ON r_regionkey = n_regionkey
+WHERE n_regionkey <> 0
+ORDER BY n_nationkey
+""",
+    category="ddl",
+)
+def ddl_catalog_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-level refs (Nessie's cross-table pitch,
+    tf/nessie-values.yaml): ONE branch versions two tables; commits on
+    the branch leave both mains pinned, and the catalog merge lands
+    both tables' changes atomically (validate-then-apply). The result
+    joins the two merged mains — nation filtered on the branch, region
+    uppercased on the branch — which the oracle states as plain SQL
+    over the raw fixtures."""
+    from walden_spark.timetravel import VersionedCatalog
+
+    t = Tables(spark, sf_dir)
+    cat = VersionedCatalog(spark, tempfile.mkdtemp(prefix="walden_catref_") + "/cat")
+    nat, reg = cat.table("nat"), cat.table("reg")
+    nat.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))
+    reg.write(t.region.select("r_regionkey", "r_name"))
+    cat.create_branch("etl", ["nat", "reg"])
+    nat.write(
+        nat.read(branch="etl").filter(F.col("n_regionkey") != 0),
+        operation="etl_filter",
+        branch="etl",
+    )
+    reg.write(
+        reg.read(branch="etl").withColumn("r_name", F.upper("r_name")),
+        operation="etl_upper",
+        branch="etl",
+    )
+    assert nat.head("main") == 0 and reg.head("main") == 0  # pinned until merge
+    merged = cat.merge("etl", into="main")
+    assert merged == {"nat": 1, "reg": 1}
+    return (
+        nat.read(branch="main")
+        .join(reg.read(branch="main"), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+@query(
     "ddl_pos_delete_lifecycle",
     oracle="""
 WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
