@@ -72,6 +72,34 @@ def main() -> None:
                       lambda: mor.read().agg(F.sum("v")).collect())
     print(f"  -> stack overhead {t_stack / t_flat:.1f}x; compaction resets it")
 
+    # -- probe 4 (r05): delete-file commit + read costs at 20M rows --
+    eq = VersionedTable(spark, tempfile.mkdtemp(prefix="probe_eq_") + "/t")
+    eq.write(base)
+    del_keys = spark.range(0, N, 100).select(F.col("id"))  # 1% of keys
+    _, t_eqc = timed("DELETE 1% by equality-delete file (200k key rows)",
+                     lambda: eq.delete_keys(del_keys, on=["id"]))
+    _, t_eqr = timed("read+agg through equality-delete layer (anti join)",
+                     lambda: eq.read().agg(F.sum("v")).collect())
+    pos = VersionedTable(spark, tempfile.mkdtemp(prefix="probe_pos_") + "/t")
+    pos.write(base)
+    _, t_poc = timed("DELETE 1% by position-delete file (commit-time scan)",
+                     lambda: pos.delete_positions_where("id % 100 = 0"))
+    _, t_por = timed("read+agg through position-delete layer",
+                     lambda: pos.read().agg(F.sum("v")).collect())
+    _, t_ups = timed("UPSERT 1% batch (single delete+data commit)",
+                     lambda: eq.upsert_keys(
+                         spark.range(0, N, 100).select(
+                             F.col("id"), (F.col("id") % 97).alias("k"),
+                             F.lit(-1.0).alias("v")),
+                         on=["id"]))
+    base_read = VersionedTable(spark, tempfile.mkdtemp(prefix="probe_fl_") + "/t")
+    base_read.write(base)
+    _, t_flat2 = timed("read+agg flat baseline (no layers)",
+                       lambda: base_read.read().agg(F.sum("v")).collect())
+    print(f"  -> eq-delete commit {t_cow / t_eqc:.1f}x cheaper than CoW; "
+          f"read overhead eq {t_eqr / t_flat2:.2f}x, pos {t_por / t_flat2:.2f}x; "
+          f"pos commit pays its scan ({t_poc:.2f}s), upsert commit {t_ups:.2f}s")
+
     # -- probe 3: heavy hitters vs full groupBy on wide key domain --
     skewed = spark.range(N).select(
         F.when(F.rand(7) < 0.5, (F.col("id") % 3).cast("string"))
