@@ -585,6 +585,13 @@ def test_versioned_catalog_atomic_cross_table_merge(spark, tmp_path):
     assert pins == {"a": 0, "b": 0}
     with pytest.raises(Exception):
         cat.create_branch("etl", ["a"])  # ref file is the claim
+    # partial failure rolls back: table a has no 'stale' branch after b
+    # (which already carries one) aborts the catalog create
+    b.create_branch("stale")
+    with pytest.raises(ValueError):
+        cat.create_branch("stale", ["a", "b"])
+    with pytest.raises(ValueError):
+        a.head("stale")  # a's branch was rolled back
 
     # commit on BOTH tables on the branch
     a.write(a.read(branch="etl").filter("id < 3"), branch="etl")

@@ -1406,14 +1406,25 @@ class VersionedCatalog:
     def create_branch(self, name: str, tables: Sequence[str]) -> dict[str, int]:
         """Branch every named table at its current main head, atomically
         recorded as one catalog ref (the ref file is the claim: a
-        second create of the same name fails)."""
+        second create of the same name fails). All-or-nothing: if any
+        per-table branch or the ref claim fails, already-created
+        table branches are rolled back."""
         pins: dict[str, int] = {}
-        for t in tables:
-            pins[t] = self.table(t).create_branch(name)
-        ref = {"branch": name, "tables": pins, "created": time.time()}
-        vt0 = self.table(list(tables)[0]) if tables else None
-        writer = vt0 if vt0 is not None else VersionedTable(self.spark, self.root)
-        writer._write_json(self._ref_path(name), ref, overwrite=False)
+        created: list[str] = []
+        try:
+            for t in tables:
+                pins[t] = self.table(t).create_branch(name)
+                created.append(t)
+            ref = {"branch": name, "tables": pins, "created": time.time()}
+            writer = self.table(created[0]) if created else VersionedTable(self.spark, self.root)
+            writer._write_json(self._ref_path(name), ref, overwrite=False)
+        except Exception:
+            for t in created:
+                try:
+                    self.table(t).delete_ref("branch", name)
+                except Exception:
+                    pass  # rollback is best-effort; the claim never landed
+            raise
         return pins
 
     def head(self, branch: str) -> dict[str, int]:
