@@ -460,6 +460,11 @@ def test_hidden_month_partitioning(spark, tmp_path):
     pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert "walden_p_time" in pf
 
+    # IN on exact timestamps also derives a partition filter
+    two = [r.ts for r in t.read().filter("id IN (2, 11)").collect()]
+    got = sorted(r.id for r in t.scan(filters=[("ts", "in", two)]).collect())
+    assert got == [2, 11]
+
 
 def test_hidden_truncate_partitioning(spark, tmp_path):
     """partition_truncate: string-prefix and integral floor-to-multiple

@@ -791,8 +791,14 @@ class VersionedTable:
                 for col, op, value in filters:
                     if col != part["source"]:
                         continue
-                    day = F.to_date(F.lit(value))
                     fld = F.col(part["field"])
+                    if op == "in":
+                        match_any = F.lit(False)
+                        for v in value:
+                            match_any = match_any | (fld == F.to_date(F.lit(v)))
+                        df = df.filter(match_any)
+                        continue
+                    day = F.to_date(F.lit(value))
                     if op in (">=", ">"):
                         df = df.filter(fld >= day)
                     elif op in ("<=", "<"):
@@ -843,6 +849,14 @@ class VersionedTable:
                 fld = F.col(part["field"])
                 for col, op, value in filters:
                     if col != part["source"]:
+                        continue
+                    if op == "in":
+                        match_any = F.lit(False)
+                        for v in value:
+                            match_any = match_any | (
+                                fld == F.date_format(F.lit(v), part["fmt"])
+                            )
+                        df = df.filter(match_any)
                         continue
                     lit = F.date_format(F.lit(value), part["fmt"])
                     if op in (">=", ">"):
