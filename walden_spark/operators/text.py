@@ -861,3 +861,71 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rn")
     )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle="""
+WITH terms AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+    FROM documents WHERE doc_id < 200
+  ) WHERE w <> ''
+),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM terms GROUP BY doc_id, w),
+dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS dfreq FROM terms GROUP BY w),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM terms),
+scored AS (
+  SELECT doc_id, w, CAST(tf * n AS DOUBLE) / dfreq AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+)
+SELECT doc_id, w AS term, score, CAST(rk AS INT) AS rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, w) AS rk
+  FROM scored
+) WHERE rk <= 5
+ORDER BY doc_id, rk
+""",
+    category="text",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 salient terms by tf-idf — the keyword /
+    topicality signal training-data pipelines use for quality filtering
+    and corpus inspection. The idf is the RATIONAL form tf·N/df (no
+    log): the score is then one IEEE division of exact integers, so
+    ranking can never flip between engines on a last-ulp log
+    difference — log-idf would order identically anyway since log is
+    monotone.
+
+    Scale shape: one explode → (doc, word) shuffle for tf, a word-keyed
+    aggregate for df (stopword skew absorbed by AQE/partial aggs), a
+    word-keyed join tf⋈df, and a per-doc top-k window — every stage is
+    key-partitioned, nothing is driver-side; N arrives via a broadcast
+    1-row cross join."""
+    t = Tables(spark, sf_dir)
+    terms = (
+        t.documents.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    tf = terms.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = terms.groupBy("w").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = terms.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "w",
+            ((F.col("tf") * F.col("n")).cast("double") / F.col("dfreq")).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), "w")
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", F.col("w").alias("term"), "score", F.col("rk").cast("int").alias("rk"))
+        .orderBy("doc_id", "rk")
+    )
