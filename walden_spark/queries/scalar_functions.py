@@ -514,3 +514,42 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev,
+       floor((1.0 - CAST(levenshtein(a.p_name, b.p_name) AS DOUBLE)
+                    / greatest(length(a.p_name), length(b.p_name))) * 1e6) / 1e6
+         AS name_sim
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+WHERE a.p_partkey <= 200
+ORDER BY key_a
+""",
+    category="function",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance family (Trino levenshtein_distance parity):
+    levenshtein between adjacent part names plus a length-normalized
+    similarity, floor-quantized — the fuzzy-matching primitive record
+    linkage and near-dup triage build on."""
+    t = Tables(spark, sf_dir)
+    a = t.part.filter(F.col("p_partkey") <= 200).select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = t.part.select((F.col("p_partkey")).alias("key_b"), F.col("p_name").alias("name_b"))
+    lev = F.levenshtein("name_a", "name_b")
+    sim = (
+        F.floor(
+            (F.lit(1.0) - lev.cast("double") / F.greatest(F.length("name_a"), F.length("name_b")))
+            * 1e6
+        )
+        / 1e6
+    )
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 1)
+        .select("key_a", "key_b", lev.cast("bigint").alias("lev"), sim.alias("name_sim"))
+        .orderBy("key_a")
+    )
