@@ -775,6 +775,46 @@ def test_scan_pruning_never_changes_results(spark, tmp_path):
     run()
 
 
+def test_scan_pruning_through_delete_stack_property(spark, tmp_path):
+    """Property: scan(filters) ≡ read().filter(...) THROUGH a stack of
+    equality-delete + position-delete + append layers — file pruning in
+    the base may never interact wrongly with delete-layer anti-joins."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from walden_spark.timetravel import _filters_to_column
+
+    t = VersionedTable(spark, str(tmp_path / "delprop"))
+    t.write(_mk(spark, 400).repartitionByRange(5, "id"))
+    t.delete_keys(
+        spark.createDataFrame([(i,) for i in range(0, 400, 7)], "id long"), on=["id"]
+    )
+    t.delete_positions_where("id % 11 = 3")
+    t.append(spark.createDataFrame([(500 + i, -1.0) for i in range(20)], "id long, v double"))
+
+    flt = st.one_of(
+        st.tuples(st.just("id"), st.sampled_from([">=", ">", "<=", "<", "="]),
+                  st.integers(-10, 540)),
+        st.tuples(st.just("id"), st.just("in"),
+                  st.lists(st.integers(0, 520), min_size=1, max_size=5)),
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(filters=st.lists(flt, min_size=1, max_size=2))
+    def run(filters):
+        got = {tuple(r) for r in t.scan(filters=filters).collect()}
+        want = {
+            tuple(r) for r in t.read().filter(_filters_to_column(filters)).collect()
+        }
+        assert got == want, filters
+
+    run()
+
+
 def test_sort_by_write_makes_pruning_selective(spark, tmp_path):
     """Iceberg write-ordering premise, measured: range-clustered files
     carry disjoint stat ranges, so a point/range scan skips most files;
