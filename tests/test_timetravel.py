@@ -657,6 +657,43 @@ def test_sql_time_travel_syntax(spark, tmp_path):
         ws.sql("SELECT * FROM tt FOR VERSION AS OF 'no-such-ref'")
 
 
+def test_sql_dml_on_versioned_table(spark, tmp_path):
+    """Trino allow_dml-on-Iceberg surface: DELETE / UPDATE / INSERT
+    issued as SQL against a registered versioned table commit
+    merge-on-read snapshots; SELECT sees the new state, time travel
+    still serves every prior version."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "dml"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    ws.register_versioned("vdml", t.path)
+
+    r = ws.sql("DELETE FROM vdml WHERE id >= 8").collect()[0]
+    assert (r.table, r.version) == ("vdml", 1)
+    assert ws.sql("SELECT COUNT(*) AS n FROM vdml").collect()[0].n == 8
+
+    ws.sql("UPDATE vdml SET v = v * 10 WHERE id < 2")
+    got = {r.id: r.v for r in ws.sql("SELECT id, v FROM vdml").collect()}
+    assert got[0] == 0.0 and got[1] == 10.0 and got[5] == 5.0
+
+    ws.sql("INSERT INTO vdml VALUES (100, 1.5), (101, 2.5)")
+    assert ws.sql("SELECT COUNT(*) AS n FROM vdml").collect()[0].n == 10
+    ws.sql("INSERT INTO vdml SELECT id + 200, v FROM vdml WHERE id < 2")
+    assert ws.sql("SELECT COUNT(*) AS n FROM vdml").collect()[0].n == 12
+
+    # history intact through the SQL DML stack
+    assert ws.sql("SELECT COUNT(*) AS n FROM vdml FOR VERSION AS OF 0").collect()[0].n == 10
+    assert ws.sql("SELECT COUNT(*) AS n FROM vdml FOR VERSION AS OF 1").collect()[0].n == 8
+    ops = [m["operation"] for m in t._manifests()]
+    assert ops == ["write", "delete_mor", "update_mor", "append", "append"]
+    # DML on non-registered names falls through to Spark untouched
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        ws.sql("DELETE FROM not_registered WHERE x = 1")
+
+
 def test_sql_time_travel_naive_literal_is_utc(spark, tmp_path):
     """A naive FOR TIMESTAMP AS OF literal means UTC (manifests record
     UTC, session TZ is UTC) — it must resolve the same snapshot on ANY

@@ -183,6 +183,20 @@ class WaldenSession:
         r"(?:TIMESTAMP\s+)?('[^']*'|[\w\-]+)",
         _re.IGNORECASE,
     )
+    # Trino-on-Iceberg DML over registered versioned tables (the
+    # reference enables allow_dml through SQL; here every statement
+    # commits a merge-on-read snapshot)
+    _DML_DELETE_RE = _re.compile(
+        r"^\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$", _re.IGNORECASE | _re.DOTALL
+    )
+    _DML_UPDATE_RE = _re.compile(
+        r"^\s*UPDATE\s+(\w+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    _DML_INSERT_RE = _re.compile(
+        r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES)\s+.+?)\s*;?\s*$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
@@ -242,12 +256,80 @@ class WaldenSession:
 
         return self._TT_RE.sub(sub, query)
 
+    @staticmethod
+    def _split_assignments(s: str) -> list[str]:
+        """Split a SET clause on top-level commas (function-call commas
+        inside parens don't separate assignments)."""
+        parts: list[str] = []
+        depth = 0
+        cur: list[str] = []
+        for ch in s:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return parts
+
+    def _refresh_versioned(self, name: str) -> None:
+        self._versioned[name].read().createOrReplaceTempView(name)
+
+    def _maybe_versioned_dml(self, query: str) -> DataFrame | None:
+        """Route DELETE/UPDATE/INSERT on a registered versioned table to
+        merge-on-read commits (Trino's allow_dml-on-Iceberg surface);
+        returns a (table, version) receipt DataFrame, or None when the
+        statement is not versioned-table DML."""
+        m = self._DML_DELETE_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            name = m.group(1)
+            vt = self._versioned[name]
+            v = vt.delete_where(m.group(2), mode="mor")
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DML_UPDATE_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            name = m.group(1)
+            vt = self._versioned[name]
+            assignments: dict[str, str] = {}
+            for part in self._split_assignments(m.group(2)):
+                col, expr = part.split("=", 1)
+                assignments[col.strip()] = expr.strip()
+            v = vt.update_where(assignments, m.group(3), mode="mor")
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DML_INSERT_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            name = m.group(1)
+            vt = self._versioned[name]
+            df = self.spark.sql(m.group(2))
+            tbl_cols = vt.read().columns
+            if df.columns != tbl_cols and len(df.columns) == len(tbl_cols):
+                df = df.toDF(*tbl_cols)  # VALUES yields col1..colN — positional
+            v = vt.append(df)
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        return None
+
     def sql(self, query: str) -> DataFrame:
         """Serve a SQL statement, recording it in the query history
         (the reference's system.runtime.queries surface)."""
         import time
 
         t0 = time.perf_counter()
+        if self._versioned:
+            try:
+                dml = self._maybe_versioned_dml(query)
+            except Exception as e:  # noqa: BLE001 - recorded then re-raised
+                self.query_log.record(query, time.perf_counter() - t0, str(e)[:500])
+                raise
+            if dml is not None:
+                self.query_log.record(query, time.perf_counter() - t0, None)
+                return dml
         if self._versioned and " FOR " in query.upper():
             query = self._rewrite_time_travel(query)
         try:
