@@ -422,6 +422,22 @@ def test_position_delete(spark, tmp_path):
     assert got == [0, 1, 2, 3, 4, 6, 8]
 
 
+def test_position_delete_on_hidden_partitioned_table(spark, tmp_path):
+    """Position deletes compose with hidden partitioning: the partition
+    column stays invisible while the position columns thread through."""
+    t = VersionedTable(spark, str(tmp_path / "poshidden"))
+    t.write(_mk(spark, 200), partition_bucket=("id", 8))
+    t.delete_positions_where("id % 10 = 0")
+    out = t.read()
+    assert set(out.columns) == {"id", "v"}
+    got = sorted(r.id for r in out.collect())
+    assert got == [i for i in range(200) if i % 10 != 0]
+    # bucket pruning still applies through the delete layer
+    hit = t.scan(filters=[("id", "=", 55)])
+    assert [r.id for r in hit.collect()] == [55]
+    assert t.scan(filters=[("id", "=", 60)]).count() == 0  # deleted
+
+
 def test_position_delete_three_way_merge(spark, vt):
     """Position-delete layers participate in the content-aware merge:
     their touched keys resolve via the (file,pos)→base join."""
