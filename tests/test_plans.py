@@ -151,6 +151,7 @@ _CARTESIAN_OK = {
     "tpch_q11",            # scalar-subquery threshold: BNLJ against a 1-row aggregate, O(n)
     "tpch_q22",            # same — avg-balance scalar subquery comparison
     "ann_ivf_probe",       # intentional broadcast-cross against the bounded centroid table (IVF assign is map-only by design)
+    "text_tfidf_topk",     # corpus-size N: BNLJ against a 1-row aggregate, O(n)
 }
 
 
