@@ -168,3 +168,43 @@ def test_asof_join_payload_direction_tolerance(spark):
     for d in ("backward", "forward"):
         got = asof_join(eq_trades, quotes, "uid", "ts", ["px"], direction=d).collect()
         assert got[0].px == 2.0, d
+
+
+def test_fuzzy_match_domain_blocking_cap_and_min_shared(spark):
+    """fuzzy_match_domain: (a) max_token_df drops a stopword-grade
+    blocking key — pairs sharing ONLY that token disappear while pairs
+    also sharing a rare token survive; (b) min_shared_tokens=2 keeps
+    only pairs sharing two tokens; (c) counts aggregate duplicates."""
+    from walden_spark.operators.fuzzyjoin import fuzzy_match_domain
+
+    df = spark.createDataFrame(
+        [
+            ("acme corp ltd",),
+            ("acme corp ltd",),   # duplicate row → n=2
+            ("acme corp inc",),
+            ("zenith corp inc",),
+            ("weird corp gmbh",),
+        ],
+        "name string",
+    )
+    out = fuzzy_match_domain(df, "name", max_dist=10).collect()
+    pairs = {(r.name_a, r.name_b): (r.n_a, r.n_b, r.shared_tokens, r.lev) for r in out}
+    # dup occurrence count carried through
+    assert pairs[("acme corp inc", "acme corp ltd")][:2] == (1, 2)
+    assert pairs[("acme corp inc", "acme corp ltd")][2] == 2  # shares acme+corp
+    # "corp" is in every name: blocked pairs via it exist (within max_dist)
+    assert ("acme corp inc", "zenith corp inc") in pairs
+
+    # cap df: "corp" (df=4) excluded as a blocking key → the
+    # zenith/acme pair (shared only via corp+inc... still shares inc)
+    capped = fuzzy_match_domain(df, "name", max_dist=10, max_token_df=3).collect()
+    cpairs = {(r.name_a, r.name_b): r.shared_tokens for r in capped}
+    # corp no longer counts as a shared blocking token anywhere
+    assert cpairs[("acme corp inc", "acme corp ltd")] == 1  # acme only
+    # weird/zenith shared only "corp" → gone under the cap
+    assert ("weird corp gmbh", "zenith corp inc") not in cpairs
+
+    strict = fuzzy_match_domain(df, "name", max_dist=10, min_shared_tokens=2).collect()
+    spairs = {(r.name_a, r.name_b) for r in strict}
+    assert ("acme corp inc", "acme corp ltd") in spairs
+    assert ("acme corp inc", "weird corp gmbh") not in spairs

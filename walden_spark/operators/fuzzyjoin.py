@@ -1,0 +1,125 @@
+"""Blocked fuzzy (edit-distance) self-join — the entity-resolution
+similarity-join primitive (Trino exposes ``levenshtein_distance`` as a
+scalar; the *join* built on it is what record linkage at scale needs).
+
+Strategy, 100 TB-shaped:
+
+1. **Dedupe to the value domain first.** A fuzzy join over raw rows is
+   O(rows²) in the worst case; over the DISTINCT text domain it is
+   O(domain²) — and real-world dirty-dimension domains (merchant
+   names, addresses, product titles) are orders of magnitude smaller
+   than the fact tables referencing them. One hash aggregation gets
+   the domain plus occurrence counts; the match result can then be
+   broadcast back onto the fact rows without ever shuffling them.
+2. **Token blocking, not all-pairs.** Candidate pairs are generated
+   only for values sharing >= ``min_shared_tokens`` word tokens (the
+   standard ER blocking scheme); the join key is the token, so the
+   shuffle carries slim (token, name) rows. ``max_token_df`` drops
+   ultra-frequent tokens (stopword-grade blocking keys whose df²
+   candidate blow-up is the classic skew failure) — the same cap
+   pattern as ``dedup_minhash_lsh``'s ``max_bucket_size``.
+3. **Verify only candidates.** ``levenshtein`` (JVM codegen, no UDF)
+   runs on the blocked candidate set only.
+
+No CartesianProduct anywhere in the plan; the blanket plan-hygiene
+gate (tests/test_plans.py) covers the registered query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.registry import query
+from walden_spark.tables import Tables
+
+
+def fuzzy_match_domain(
+    df: DataFrame,
+    text_col: str,
+    max_dist: int = 4,
+    min_shared_tokens: int = 1,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Fuzzy-match the distinct (lower-cased) value domain of
+    ``text_col`` against itself: pairs of distinct values that share at
+    least ``min_shared_tokens`` whitespace tokens AND have levenshtein
+    distance <= ``max_dist``.
+
+    Output columns: ``name_a < name_b`` (the pair, each once),
+    ``n_a``/``n_b`` (occurrence counts in ``df``), ``shared_tokens``,
+    ``lev``. ``max_token_df`` excludes tokens occurring in more than
+    that many distinct values from *blocking* (they can still appear in
+    matched pairs found via rarer shared tokens).
+    """
+    names = df.groupBy(F.lower(F.col(text_col)).alias("name")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    toks = names.select(
+        "name",
+        "n",
+        F.explode(F.array_distinct(F.split(F.col("name"), r"\s+"))).alias("tok"),
+    )
+    if max_token_df is not None:
+        # blocking-key skew cap: a token seen in > max_token_df distinct
+        # values would contribute O(df²) candidates — drop it as a key
+        ok = (
+            toks.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_token_df)
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(ok), "tok")
+    a = toks.select(
+        F.col("name").alias("name_a"), F.col("n").alias("n_a"), "tok"
+    )
+    b = toks.select(
+        F.col("name").alias("name_b"), F.col("n").alias("n_b"), "tok"
+    )
+    cand = (
+        a.join(b, "tok")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .groupBy("name_a", "name_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared_tokens"))
+        .filter(F.col("shared_tokens") >= min_shared_tokens)
+    )
+    return (
+        cand.withColumn("lev", F.levenshtein("name_a", "name_b").cast("long"))
+        .filter(F.col("lev") <= max_dist)
+        .select("name_a", "name_b", "n_a", "n_b", "shared_tokens", "lev")
+    )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH names AS (
+  SELECT lower(p_name) AS name, count(*) AS n FROM part GROUP BY 1
+),
+toks AS (
+  SELECT name, n, unnest(list_distinct(string_split(name, ' '))) AS tok
+  FROM names
+),
+cand AS (
+  SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
+         CAST(count(*) AS BIGINT) AS shared_tokens
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+  GROUP BY 1, 2, 3, 4
+)
+SELECT name_a, name_b, n_a, n_b, shared_tokens,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS lev
+FROM cand
+WHERE levenshtein(name_a, name_b) <= 4
+""",
+    category="join",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join over the part-name domain: distinct
+    names sharing a word token with edit distance <= 4, with occurrence
+    counts — the record-linkage primitive, domain-first so fact rows
+    are never pair-joined. Oracle: identical blocking + levenshtein in
+    DuckDB."""
+    t = Tables(spark, sf_dir)
+    return fuzzy_match_domain(
+        t.part.select("p_name"), "p_name", max_dist=4, min_shared_tokens=1
+    )

@@ -160,6 +160,7 @@ def load_all() -> dict[str, Query]:
     import walden_spark.operators.dedup  # noqa: F401
     import walden_spark.operators.rangejoin  # noqa: F401
     import walden_spark.operators.asof  # noqa: F401
+    import walden_spark.operators.fuzzyjoin  # noqa: F401
     import walden_spark.operators.rollup  # noqa: F401
     import walden_spark.operators.skew  # noqa: F401
     import walden_spark.operators.sketch  # noqa: F401
