@@ -970,3 +970,100 @@ def test_history_metadata_columns(spark, vt):
     assert h[2].operation == "delete_mor" and h[2].predicate == "id >= 5"
     assert h[2].n_files == 0 and h[2].n_rows_written == 0
     assert all(r.branch == "main" for r in h.values())
+
+
+def test_rename_column_tracked_across_snapshots(spark, vt):
+    """Field-id-style RENAME: metadata-only commit; pre-rename
+    snapshots keep the old name, post-rename reads and appends use the
+    new one, and delete layers on either side of the rename bind to
+    the names as of their own commit."""
+    vt.delete_keys(spark.createDataFrame([(9,)], "id long"), on=["id"])  # v1
+    v_ren = vt.rename_column("v", "score")                               # v2
+    assert v_ren == 2
+    head = vt.read()
+    assert head.columns == ["id", "score"]
+    assert head.count() == 9
+    # time travel: pre-rename version still shows the old name
+    assert vt.read(version=1).columns == ["id", "v"]
+    assert vt.read(version=0).count() == 10
+    # appends after the rename are written under the new name
+    vt.append(spark.createDataFrame([(100, 1.5)], "id long, score double"))
+    got = {r.id: r.score for r in vt.read().collect()}
+    assert got[100] == 1.5 and got[0] == 0.0
+    # equality delete AFTER the rename still hits pre-rename rows
+    vt.delete_keys(spark.createDataFrame([(3,)], "id long"), on=["id"])
+    assert vt.read().filter("id = 3").count() == 0
+    # predicate delete referencing the NEW name applies to old rows too
+    vt.delete_where("score > 7.5", mode="mor")
+    assert sorted(r.id for r in vt.read().collect()) == [0, 1, 2, 4, 5, 6, 7, 100]
+    # compact materializes under the head schema; history stays intact
+    vt.compact()
+    assert vt.read().columns == ["id", "score"]
+    assert vt.read(version=0).columns == ["id", "v"]
+
+
+def test_rename_column_validation_and_merge_conflict(spark, vt):
+    with pytest.raises(ValueError):
+        vt.rename_column("nope", "x")
+    with pytest.raises(ValueError):
+        vt.rename_column("v", "id")
+    # a rename on a divergent branch conflicts in a keyed three-way
+    # merge (schema changes are not key-mergeable)
+    from walden_spark.timetravel import MergeConflictError
+
+    vt.create_branch("dev")
+    vt.rename_column("v", "score", branch="dev")
+    vt.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])  # main diverges
+    with pytest.raises(MergeConflictError):
+        vt.merge_branch("dev", into="main", keys=["id"])
+
+
+def test_rename_scan_filters_translate_to_old_files(spark, tmp_path):
+    """scan() on the new name prunes pre-rename files: filters are
+    translated back to the old physical name below the rename layer, so
+    footer-stat pruning keeps firing on old files AND the residual
+    predicate binds correctly on both sides of the rename."""
+    t = VersionedTable(spark, str(tmp_path / "tblr"))
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "id long, metric double"
+    )
+    t.write(df, sort_by=["id"], n_files=8)
+    t.rename_column("id", "row_id")
+    t.append(
+        spark.createDataFrame([(5000, 1.0)], "row_id long, metric double")
+    )
+    got = t.scan(filters=[("row_id", ">=", 900)])
+    assert got.columns == ["row_id", "metric"]
+    assert sorted(r.row_id for r in got.collect()) == list(range(900, 1000)) + [5000]
+    # equivalence with read().filter() — the scan-pruning contract
+    want = t.read().filter("row_id >= 900")
+    assert sorted(r.row_id for r in want.collect()) == sorted(
+        r.row_id for r in got.collect()
+    )
+
+
+def test_sql_alter_table_rename_column(spark, tmp_path):
+    """Iceberg ALTER TABLE ... RENAME COLUMN through the SQL surface:
+    metadata-only commit, new name live for SELECT and later DML, old
+    name intact under time travel."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "ren"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, v double"))
+    ws.register_versioned("vren", t.path)
+
+    r = ws.sql("ALTER TABLE vren RENAME COLUMN v TO score").collect()[0]
+    assert (r.table, r.version) == ("vren", 1)
+    assert ws.sql("SELECT id, score FROM vren WHERE score >= 3").count() == 2
+    ws.sql("UPDATE vren SET score = score + 100 WHERE id = 0")
+    assert ws.sql("SELECT score FROM vren WHERE id = 0").collect()[0].score == 100.0
+    # pre-rename snapshot serves the old name
+    assert ws.sql(
+        "SELECT v FROM vren FOR VERSION AS OF 0 WHERE id = 0"
+    ).collect()[0].v == 0.0
+    # non-registered tables fall through to Spark
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        ws.sql("ALTER TABLE not_registered RENAME COLUMN a TO b")

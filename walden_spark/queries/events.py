@@ -318,3 +318,52 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(p, "purchase", 3))
         .orderBy("stage_no")
     )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+),
+days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT CAST(floor(datediff('day', DATE '2024-01-01', f.first_day) / 7) AS BIGINT)
+         AS cohort_week,
+       CAST(floor(datediff('day', f.first_day, d.day) / 7) AS BIGINT)
+         AS week_offset,
+       count(DISTINCT d.user_id) AS active_users
+FROM days d JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+    category="events",
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their
+    first event; for each (cohort_week, weeks-since-first) cell, how
+    many of them were active. The classic product-analytics triangle.
+
+    Plan shape: one groupBy(user) for first-touch, one distinct over
+    (user, day) activity, one user-keyed join (same key → no extra
+    shuffle under AQE), one count-distinct agg. All keys are user_id —
+    at 100 TB this is three shuffles of slim (user, day) rows, no
+    row-level fan-out. Week boundaries are computed as day-arithmetic
+    from a fixed epoch on BOTH engines (date_trunc('week') start-of-week
+    conventions differ across engines)."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.to_date("ts").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    days = ev.distinct()
+    return (
+        days.join(firsts, "user_id")
+        .groupBy(
+            F.floor(
+                F.datediff(F.col("first_day"), F.lit("2024-01-01").cast("date")) / 7
+            ).alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )

@@ -197,6 +197,10 @@ class WaldenSession:
         r"^\s*INSERT\s+INTO\s+(\w+)\s+((?:SELECT|VALUES)\s+.+?)\s*;?\s*$",
         _re.IGNORECASE | _re.DOTALL,
     )
+    _DDL_RENAME_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
+        _re.IGNORECASE,
+    )
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
@@ -311,6 +315,15 @@ class WaldenSession:
             if df.columns != tbl_cols and len(df.columns) == len(tbl_cols):
                 df = df.toDF(*tbl_cols)  # VALUES yields col1..colN — positional
             v = vt.append(df)
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DDL_RENAME_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # Iceberg ALTER TABLE ... RENAME COLUMN: metadata-only commit
+            # (field-id-style tracking — no data rewrite, history keeps
+            # its own names)
+            name = m.group(1)
+            v = self._versioned[name].rename_column(m.group(2), m.group(3))
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         return None

@@ -710,11 +710,36 @@ class VersionedTable:
                     f"merge-on-read layer v{cur['version']} has no base snapshot"
                 )
             cur = by_v[parent]
+        # Rename layers (field-id-style schema evolution): caller
+        # filters name HEAD-schema columns, but layers beneath a rename
+        # store the OLD name — translate filters per layer so footer
+        # pruning and hidden-partition rewrites keep firing on old
+        # files. chain is newest-first here; walking it forward
+        # accumulates the head->local name map that applies BELOW each
+        # rename layer.
+        name_map: dict[str, str] = {}
+        layer_filters: list[list[tuple] | None] = []
+        for layer in chain:
+            layer_filters.append(self._xlate_filters(filters, name_map))
+            ren = layer.get("rename")
+            if ren is not None:
+                # below this layer, anything resolving to `to` is `from`
+                hit = [h for h, loc in name_map.items() if loc == ren["to"]]
+                for h in hit:
+                    name_map[h] = ren["from"]
+                if not hit:
+                    name_map[ren["to"]] = ren["from"]
+        base_filters = self._xlate_filters(filters, name_map)
         # position-delete layers anti-join on (file, row_index), so the
         # base and every appended layer must carry those hidden columns
         with_pos = keep_pos or any(l.get("position_delete") for l in chain)
-        df = self._read_snapshot(cur, filters, with_pos=with_pos)
-        for layer in reversed(chain):  # oldest layer first
+        df = self._read_snapshot(cur, base_filters, with_pos=with_pos)
+        for layer, lf in zip(reversed(chain), reversed(layer_filters)):
+            # oldest layer first
+            ren = layer.get("rename")
+            if ren is not None:
+                df = df.withColumnRenamed(ren["from"], ren["to"])
+                continue
             if layer.get("position_delete"):
                 # Iceberg v2 position-delete file: (file_path, row_index)
                 # pairs pin EXACT physical rows; files appended above
@@ -741,7 +766,7 @@ class VersionedTable:
                     # delete-key source and the appended rows (Iceberg
                     # writes delete+data files in one commit)
                     df = df.unionByName(
-                        self._read_snapshot(layer, filters, with_pos=with_pos),
+                        self._read_snapshot(layer, lf, with_pos=with_pos),
                         allowMissingColumns=bool(layer.get("schema_evolved")),
                     )
                 continue
@@ -751,12 +776,22 @@ class VersionedTable:
                 df = df.filter(~cond | cond.isNull())
             if layer.get("data_dir"):
                 df = df.unionByName(
-                    self._read_snapshot(layer, filters, with_pos=with_pos),
+                    self._read_snapshot(layer, lf, with_pos=with_pos),
                     allowMissingColumns=bool(layer.get("schema_evolved")),
                 )
         if with_pos and not keep_pos:
             df = df.drop(self._POS_FILE, self._POS_IDX)
         return df
+
+    @staticmethod
+    def _xlate_filters(
+        filters: list[tuple] | None, name_map: dict[str, str]
+    ) -> list[tuple] | None:
+        """Rewrite filter column names through the rename map (head
+        name -> name as stored at this layer's depth)."""
+        if filters is None or not name_map:
+            return filters
+        return [(name_map.get(c, c), op, v) for c, op, v in filters]
 
     def _read_snapshot(
         self, m: dict, filters: list[tuple] | None, with_pos: bool = False
@@ -1065,6 +1100,30 @@ class VersionedTable:
             out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)))
         return self.write(out, operation="update", branch=branch)
 
+    def rename_column(self, old: str, new: str, branch: str = "main") -> int:
+        """ALTER TABLE ... RENAME COLUMN, tracked across snapshots the
+        way Iceberg's field-ids track it: an O(manifest) metadata-only
+        commit — NO data rewrite, old files keep the old physical name.
+        Readers apply the rename at its position in the layer chain, so
+        time travel to a pre-rename version still shows the old name,
+        equality/predicate delete layers committed before the rename
+        keep applying (they bind to the names as of their own commit),
+        and appends after the rename are written under the new name.
+        ``scan()`` filters on the new name are translated back to the
+        old name when pushed below the rename, so footer-stat pruning
+        and hidden-partition rewrites keep firing on pre-rename files."""
+        cur_cols = self.read(branch=branch).columns
+        if old not in cur_cols:
+            raise ValueError(f"no column {old!r} in {sorted(cur_cols)}")
+        if new in cur_cols:
+            raise ValueError(f"column {new!r} already exists")
+        return self.write(
+            None,
+            operation="rename_column",
+            branch=branch,
+            _mor={"rename": {"from": old, "to": new}},
+        )
+
     def compact(self, branch: str = "main") -> int:
         """Materialize the merge-on-read stack into one full snapshot
         (Iceberg rewrite_data_files / Delta OPTIMIZE analog). History
@@ -1268,11 +1327,16 @@ class VersionedTable:
         base_v = max(common)
         src_path = self._lineage(src_head, base_v, by_v)
         dst_path = self._lineage(dst_head, base_v, by_v)
-        full = [m for m in src_path + dst_path if not m.get("mor")]
+        full = [
+            m
+            for m in src_path + dst_path
+            if not m.get("mor") or m.get("rename")
+        ]
         if full:
             ops = {m["version"]: m["operation"] for m in full}
             raise MergeConflictError(
-                f"divergent full-rewrite commits cannot be key-merged: {ops}"
+                "divergent full-rewrite or schema-rename commits cannot "
+                f"be key-merged: {ops}"
             )
         base_m = by_v[base_v]
         src_keys = self._touched_keys(src_path, base_m, by_v, keys)
