@@ -41,7 +41,7 @@ join *inputs*, not the multiplied output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from walden_spark.registry import query
@@ -679,6 +679,11 @@ def _edot(x, y):
     )
 
 
+def _ecos(x, y):
+    """Cosine from sequential-fold dots — cross-engine bit-stable."""
+    return _edot(x, y) / F.sqrt(_edot(x, x)) / F.sqrt(_edot(y, y))
+
+
 @query(
     "dedup_embedding_lsh",
     oracle=f"""
@@ -857,4 +862,106 @@ def dedup_embedding_lsh(
             "b_id",
             (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"),
         )
+    )
+
+
+@query(
+    "dedup_semantic_cluster",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+seeds AS (
+  SELECT vec_id AS seed_id, embedding AS semb FROM e WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, s.seed_id,
+         {_DOT_SQL.format(a='e.embedding', b='s.semb')}
+         / sqrt({_DOT_SQL.format(a='e.embedding', b='e.embedding')})
+         / sqrt({_DOT_SQL.format(a='s.semb', b='s.semb')}) AS cs
+  FROM e CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, seed_id AS cluster_id
+  FROM (SELECT vec_id, seed_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, seed_id ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+)
+SELECT aa.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       floor({_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+             / sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+             / sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')})
+             * 1000000.0) / 1000000.0 AS cos_sim
+FROM assigned aa JOIN e a ON aa.vec_id = a.vec_id
+JOIN assigned bb ON aa.cluster_id = bb.cluster_id AND aa.vec_id < bb.vec_id
+JOIN e b ON bb.vec_id = b.vec_id
+WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+      / sqrt({_DOT_SQL.format(a='a.embedding', b='a.embedding')})
+      / sqrt({_DOT_SQL.format(a='b.embedding', b='b.embedding')}) >= 0.45
+""",
+    category="dedup",
+)
+def dedup_semantic_cluster(
+    spark: SparkSession, sf_dir: str, n_clusters: int = 8, threshold: float = 0.45
+) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): partition the corpus into embedding clusters, then
+    search for near-duplicate pairs ONLY within each cluster — the
+    sub-quadratic alternative to the exact all-pairs tier
+    (`dedup_embedding_cosine`), trading recall for O(sum c_i^2) ≪
+    O(n^2) comparisons.
+
+    Determinism: clustering is a single nearest-seed assignment against
+    a fixed set of seed vectors (the ``n_clusters`` smallest vec_ids) —
+    no Lloyd iterations, whose order-dependent float averaging would
+    break cross-engine bit-equality. Dot products evaluate left-to-
+    right identically in Spark (`F.aggregate`) and DuckDB
+    (`list_reduce`), so assignments match bit-for-bit.
+
+    Scale shape: seeds broadcast (bounded: k rows) → assignment is a
+    map-only pass, no shuffle; the within-cluster self-join shuffles
+    (cluster_id, vec_id, embedding) once. Cluster-size skew is the
+    known hazard — at 100 TB pick k ≈ n / target_cluster_size (SemDeDup
+    uses ~100k clusters for 5B docs) and re-seed or split any cluster
+    over the cap, exactly the `max_bucket_size` discipline the LSH
+    operators apply."""
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    seeds = (
+        t.embeddings.filter(F.col("vec_id") < n_clusters)
+        .select(
+            F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).withColumn(
+        "cs", _ecos(F.col("embedding"), F.col("semb"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cs").desc(), F.col("seed_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster_id"), "embedding")
+    )
+    a = assigned.select(
+        "cluster_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "cluster_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cs", _ecos(F.col("ea"), F.col("eb")))
+        .filter(F.col("cs") >= threshold)
+    )
+    return pairs.select(
+        "cluster_id",
+        "a_id",
+        "b_id",
+        (F.floor(F.col("cs") * 1e6) / 1e6).alias("cos_sim"),
     )
