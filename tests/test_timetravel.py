@@ -1067,3 +1067,47 @@ def test_sql_alter_table_rename_column(spark, tmp_path):
 
     with _pt.raises(Exception):
         ws.sql("ALTER TABLE not_registered RENAME COLUMN a TO b")
+
+
+def test_zorder_rewrite_skips_on_every_dimension(spark, tmp_path):
+    """rewrite_zorder: after the Morton-curve rewrite, footer stats
+    prune files for narrow range filters on EACH clustered dimension;
+    a linear sort_by layout only ever prunes its leading column. Also:
+    the rewrite is a plain snapshot — row content is unchanged."""
+    from walden_spark.timetravel import _file_may_match
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(10_000), rng.randrange(10_000)) for _ in range(40_000)]
+    df = spark.createDataFrame(rows, "x long, y long")
+
+    lin = VersionedTable(spark, str(tmp_path / "lin"))
+    lin.write(df, sort_by=["x"], n_files=16)
+    zo = VersionedTable(spark, str(tmp_path / "zo"))
+    zo.write(df)
+    zo.rewrite_zorder(["x", "y"], bits=4, n_files=16)
+
+    def kept(t, filters):
+        files = t._manifests()[-1]["files"]
+        return sum(_file_may_match(f["stats"], filters) for f in files), len(files)
+
+    xf = [("x", ">=", 4000), ("x", "<=", 4600)]
+    yf = [("y", ">=", 4000), ("y", "<=", 4600)]
+    lx, ln = kept(lin, xf)
+    ly, _ = kept(lin, yf)
+    zx, zn = kept(zo, xf)
+    zy, _ = kept(zo, yf)
+    # linear: leading dim prunes hard, second dim prunes nothing
+    assert lx <= ln // 4
+    assert ly == ln
+    # zorder: BOTH dims prune
+    assert zx <= zn // 2
+    assert zy <= zn // 2
+    # correctness: scan ≡ read+filter through the clustered layout
+    got = sorted((r.x, r.y) for r in zo.scan(filters=xf + yf).collect())
+    want = sorted(
+        (r.x, r.y)
+        for r in zo.read().filter("x between 4000 and 4600 and y between 4000 and 4600").collect()
+    )
+    assert got == want and len(got) > 0
+    assert zo.read().count() == 40_000

@@ -1100,6 +1100,71 @@ class VersionedTable:
             out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)))
         return self.write(out, operation="update", branch=branch)
 
+    def rewrite_zorder(
+        self,
+        cols: Sequence[str],
+        branch: str = "main",
+        bits: int = 8,
+        n_files: int | None = None,
+    ) -> int:
+        """Multi-dimensional clustering rewrite (Delta ``OPTIMIZE
+        ZORDER BY`` / Iceberg sort-strategy ``rewrite_data_files``
+        analog): lay the table out along a Z-order (Morton) curve over
+        ``cols`` so footer min/max stats become selective on EVERY
+        listed dimension — a linear ``sort_by`` prunes only its leading
+        column; Z-order trades a little per-column selectivity for
+        skipping on all of them.
+
+        Mechanics: each column is rank-bucketed into ``2**bits``
+        quantile buckets (approxQuantile boundaries — O(2^bits) driver
+        state, robust to skew where min/max-uniform bucketing is not),
+        bucket ids are bit-interleaved into the Morton code, and the
+        table is range-repartitioned + sorted by that code. The curve
+        value itself is not stored — it only steers the layout. At
+        100 TB this is the standard maintenance job run per partition;
+        cost is one full shuffle of the rewritten data, same as any
+        clustering rewrite."""
+        cols = list(cols)
+        if len(cols) < 2:
+            raise ValueError("zorder needs >= 2 columns (use sort_by for one)")
+        df = self.read(branch=branch)
+        n_buckets = 1 << bits
+        zcol = None
+        for ci, c in enumerate(cols):
+            qs = [i / n_buckets for i in range(1, n_buckets)]
+            dcol = F.col(c).cast("double")
+            bnds = df.select(dcol.alias("_q")).approxQuantile("_q", qs, 0.001)
+            # strictly increasing boundary list (duplicates collapse
+            # under heavy skew); bucket = #boundaries below the value
+            uniq: list[float] = []
+            for b in bnds:
+                if not uniq or b > uniq[-1]:
+                    uniq.append(b)
+            barr = F.array(*[F.lit(float(b)) for b in uniq])
+            bucket = F.aggregate(
+                barr,
+                F.lit(0),
+                lambda acc, b: acc + F.when(dcol > b, 1).otherwise(0),
+            )
+            # interleave this column's bits into the Morton code:
+            # bit k of the bucket lands at position k*len(cols)+ci
+            contrib = None
+            for k in range(bits):
+                piece = F.shiftleft(
+                    F.shiftright(bucket, k).bitwiseAND(F.lit(1)),
+                    k * len(cols) + ci,
+                )
+                contrib = piece if contrib is None else contrib + piece
+            zcol = contrib if zcol is None else zcol + contrib
+        n_files = n_files or self.spark.sparkContext.defaultParallelism
+        out = (
+            df.withColumn("_z", zcol.cast("long"))
+            .repartitionByRange(n_files, "_z")
+            .sortWithinPartitions("_z")
+            .drop("_z")
+        )
+        return self.write(out, operation="zorder", branch=branch, n_files=n_files)
+
     def rename_column(self, old: str, new: str, branch: str = "main") -> int:
         """ALTER TABLE ... RENAME COLUMN, tracked across snapshots the
         way Iceberg's field-ids track it: an O(manifest) metadata-only
