@@ -1111,3 +1111,42 @@ def test_zorder_rewrite_skips_on_every_dimension(spark, tmp_path):
     )
     assert got == want and len(got) > 0
     assert zo.read().count() == 40_000
+
+
+def test_versioned_catalog_branch_versioned_views(spark, tmp_path):
+    """Catalog refs version VIEWS with the tables (Nessie versions view
+    metadata as commits): a branch evolves a view against its own table
+    pins; merge three-ways the view set — source-only edits land,
+    both-sides edits conflict and abort with no partial state."""
+    from walden_spark.timetravel import MergeConflictError, VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path / "cat"))
+    t = cat.table("orders_t")
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    cat.create_view("big", "SELECT id, v FROM orders_t WHERE v >= 5")
+    assert cat.read_view("big").count() == 5
+
+    cat.create_branch("etl", ["orders_t"])
+    # branch evolves the view AND the data; main sees neither
+    cat.create_view("big", "SELECT id, v FROM orders_t WHERE v >= 8", branch="etl")
+    cat.table("orders_t").delete_keys(
+        spark.createDataFrame([(9,)], "id long"), on=["id"], branch="etl"
+    )
+    assert cat.read_view("big", branch="etl").count() == 1   # v8 only (9 deleted)
+    assert cat.read_view("big").count() == 5                 # main untouched
+    # a NEW view created only on the branch merges in too
+    cat.create_view("tiny", "SELECT id FROM orders_t WHERE v < 1", branch="etl")
+
+    cat.merge("etl")
+    assert cat.read_view("big").count() == 1
+    assert cat.read_view("tiny").count() == 1
+    assert "tiny" in cat.views()
+
+    # conflict: both sides edit the same view after a fresh branch
+    cat.create_branch("etl2", ["orders_t"])
+    cat.create_view("big", "SELECT id FROM orders_t", branch="etl2")
+    cat.create_view("big", "SELECT v FROM orders_t")  # main edits too
+    with pytest.raises(MergeConflictError):
+        cat.merge("etl2")
+    # aborted cleanly: main's own edit still served
+    assert cat.views()["big"] == "SELECT v FROM orders_t"

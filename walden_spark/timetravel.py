@@ -1546,12 +1546,89 @@ class VersionedCatalog:
             stream.close()
         return json.loads(raw)
 
+    # ---- branch-versioned views (Nessie versions view metadata the
+    # same way it versions table pointers) ----
+
+    def _views_path(self, branch: str, base: bool = False) -> str:
+        suffix = ".base" if base else ""
+        return f"{self.root}/_catalog_views/{branch}{suffix}.json"
+
+    def _read_views(self, branch: str, base: bool = False) -> dict[str, str]:
+        fs, p, jvm = _fs(self.spark, self._views_path(branch, base))
+        if not fs.exists(p):
+            return {}
+        stream = fs.open(p)
+        try:
+            raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode(
+                "utf-8"
+            )
+        finally:
+            stream.close()
+        return json.loads(raw)
+
+    def _write_views(
+        self, branch: str, views: dict[str, str], base: bool = False
+    ) -> None:
+        VersionedTable(self.spark, self.root)._write_json(
+            self._views_path(branch, base), views, overwrite=True
+        )
+
+    def create_view(self, name: str, sql: str, branch: str = "main") -> None:
+        """Create or replace a named view (SQL text) ON A BRANCH — view
+        metadata is versioned with the catalog ref, so a branch can
+        evolve a view definition and merge it back (or conflict) like
+        any table change."""
+        views = self._read_views(branch)
+        views[name] = sql
+        self._write_views(branch, views)
+
+    def drop_view(self, name: str, branch: str = "main") -> None:
+        views = self._read_views(branch)
+        if name not in views:
+            raise ValueError(f"no view {name!r} on branch {branch!r}")
+        del views[name]
+        self._write_views(branch, views)
+
+    def views(self, branch: str = "main") -> dict[str, str]:
+        return dict(self._read_views(branch))
+
+    def read_view(self, name: str, branch: str = "main") -> DataFrame:
+        """Evaluate a branch's view against that branch's table pins:
+        every pinned table's branch head is registered under its plain
+        name, then the stored SQL runs — the Nessie promise that a ref
+        names a consistent snapshot of tables AND views."""
+        views = self._read_views(branch)
+        if name not in views:
+            raise ValueError(f"no view {name!r} on branch {branch!r}")
+        if branch != "main":
+            tables = list(self._read_ref(branch)["tables"])
+        else:
+            # main isn't pinned by a ref file — serve every table in
+            # the catalog root at its main head
+            fs, root_p, jvm = _fs(self.spark, self.root)
+            tables = [
+                st.getPath().getName()
+                for st in fs.listStatus(root_p)
+                if st.isDirectory()
+                and not st.getPath().getName().startswith("_catalog")
+                and fs.exists(
+                    jvm.org.apache.hadoop.fs.Path(
+                        f"{self.root}/{st.getPath().getName()}/_versions"
+                    )
+                )
+            ]
+        for t in tables:
+            self.table(t).read(branch=branch).createOrReplaceTempView(t)
+        return self.spark.sql(views[name])
+
     def create_branch(self, name: str, tables: Sequence[str]) -> dict[str, int]:
         """Branch every named table at its current main head, atomically
         recorded as one catalog ref (the ref file is the claim: a
         second create of the same name fails). All-or-nothing: if any
         per-table branch or the ref claim fails, already-created
-        table branches are rolled back."""
+        table branches are rolled back. The branch also snapshots
+        main's view definitions (plus a frozen merge-base copy, so a
+        later merge can three-way the view metadata)."""
         pins: dict[str, int] = {}
         created: list[str] = []
         try:
@@ -1568,6 +1645,9 @@ class VersionedCatalog:
                 except Exception:
                     pass  # rollback is best-effort; the claim never landed
             raise
+        main_views = self._read_views("main")
+        self._write_views(name, main_views)
+        self._write_views(name, main_views, base=True)
         return pins
 
     def head(self, branch: str) -> dict[str, int]:
@@ -1587,7 +1667,28 @@ class VersionedCatalog:
         ref = self._read_ref(branch)
         tables = list(ref["tables"])
         vts = {t: self.table(t) for t in tables}
-        # phase 1: every table must be mergeable before anything moves
+        # phase 1a: three-way merge of VIEW metadata against the base
+        # snapshot frozen at branch time — a view edited on both sides
+        # conflicts and aborts before any pointer moves
+        base_views = self._read_views(branch, base=True)
+        src_views = self._read_views(branch)
+        dst_views = self._read_views(into)
+        merged_views = dict(dst_views)
+        for v in set(base_views) | set(src_views) | set(dst_views):
+            b, s, d = base_views.get(v), src_views.get(v), dst_views.get(v)
+            if s == b:
+                continue  # source didn't touch it — destination wins
+            if d == b or d == s:
+                if s is None:
+                    merged_views.pop(v, None)
+                else:
+                    merged_views[v] = s
+            else:
+                raise MergeConflictError(
+                    f"view {v!r} changed on both {branch!r} and {into!r}; "
+                    "catalog merge aborted — nothing was merged"
+                )
+        # phase 1b: every table must be mergeable before anything moves
         plans: dict[str, tuple] = {}
         for t, vt in vts.items():
             src = vt.head(branch)
@@ -1640,4 +1741,6 @@ class VersionedCatalog:
                 out[t] = v
             else:
                 out[t] = vt.merge_branch(branch, into=into, keys=list(keys[t]))
+        if merged_views != dst_views:
+            self._write_views(into, merged_views)
         return out
