@@ -1150,3 +1150,57 @@ def test_versioned_catalog_branch_versioned_views(spark, tmp_path):
         cat.merge("etl2")
     # aborted cleanly: main's own edit still served
     assert cat.views()["big"] == "SELECT v FROM orders_t"
+
+
+def test_read_changes_cdf(spark, vt):
+    """Change data feed: (from, to] semantics, insert/delete rows per
+    commit; MoR layers replay O(delta); compact emits nothing; CoW
+    rewrites fall back to an exact multiset diff."""
+    vt.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))        # v1
+    vt.delete_keys(spark.createDataFrame([(0,), (1,)], "id long"), on=["id"])  # v2
+    vt.update_where({"v": "v + 0.5"}, "id = 2", mode="mor")                    # v3
+    vt.compact()                                                               # v4
+    vt.delete_where(F.col("id") >= 100)                                        # v5 CoW
+
+    ch = vt.read_changes(0).collect()
+    got = sorted((r._commit_version, r._change_type, r.id) for r in ch)
+    assert got == [
+        (1, "insert", 100),
+        (2, "delete", 0), (2, "delete", 1),
+        (3, "delete", 2), (3, "insert", 2),
+        (5, "delete", 100),
+    ]
+    # post-image of the update carried the new value
+    post = [r.v for r in ch if r._commit_version == 3 and r._change_type == "insert"]
+    assert post == [2.5]
+    # sub-range: only v2's deletes
+    sub = vt.read_changes(1, 2).collect()
+    assert sorted(r.id for r in sub) == [0, 1]
+    assert {r._change_type for r in sub} == {"delete"}
+    # empty range over a physical-only rewrite
+    assert vt.read_changes(3, 4).count() == 0
+    # CDF replay reconstructs the head state from the base snapshot
+    base = {r.id: r.v for r in vt.read(version=0).collect()}
+    for r in sorted(ch, key=lambda r: r._commit_version):
+        if r._change_type == "delete":
+            base.pop(r.id)
+        else:
+            base[r.id] = r.v
+    head = {r.id: r.v for r in vt.read().collect()}
+    assert base == head
+
+
+def test_read_changes_upsert_and_rename_guard(spark, vt):
+    vt.upsert_keys(
+        spark.createDataFrame([(1, 10.0), (50, 5.0)], "id long, v double"), on=["id"]
+    )  # v1
+    ch = vt.read_changes(0, 1).collect()
+    got = sorted((r._change_type, r.id, r.v) for r in ch)
+    assert got == [("delete", 1, 1.0), ("insert", 1, 10.0), ("insert", 50, 5.0)]
+    vt.rename_column("v", "score")  # v2
+    with pytest.raises(ValueError, match="rename"):
+        vt.read_changes(0)
+    # after the rename, changes read fine in the new schema
+    vt.delete_keys(spark.createDataFrame([(50,)], "id long"), on=["id"])  # v3
+    ch2 = vt.read_changes(2).collect()
+    assert [(r._change_type, r.id, r.score) for r in ch2] == [("delete", 50, 5.0)]

@@ -701,3 +701,59 @@ def ddl_branch_merge_threeway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"), "n_name")
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "ddl_change_feed",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+newrows AS (
+  SELECT 900 + r.r AS n_nationkey, 'new_' || CAST(r.r AS VARCHAR) AS n_name,
+         9 AS n_regionkey
+  FROM (SELECT unnest(range(3)) AS r) r
+),
+v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM newrows),
+v2 AS (SELECT * FROM v1 WHERE n_nationkey NOT IN (0, 901)),
+changes AS (
+  SELECT *, 'insert' AS _change_type, 1 AS _commit_version FROM newrows
+  UNION ALL
+  SELECT *, 'delete', 2 FROM v1 WHERE n_nationkey IN (0, 901)
+  UNION ALL
+  SELECT *, 'delete', 3 FROM v2 WHERE n_regionkey = 4
+  UNION ALL
+  SELECT n_nationkey, upper(n_name), n_regionkey, 'insert', 3
+  FROM v2 WHERE n_regionkey = 4
+)
+SELECT n_nationkey, n_name, n_regionkey, _change_type,
+       CAST(_commit_version AS BIGINT) AS _commit_version
+FROM changes
+""",
+    category="ddl",
+)
+def ddl_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed over a merge-on-read table (Delta
+    ``table_changes`` / Iceberg incremental-read analog): append,
+    equality-delete and predicate-update commits replay as
+    insert/delete rows tagged with their commit version; every MoR
+    layer contributes O(delta) rows, never a table diff. The oracle
+    reconstructs the same feed relationally from the nation fixture."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_cdf_") + "/nation_c"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))   # v0
+    vt.append(
+        spark.createDataFrame(
+            [(900 + i, f"new_{i}", 9) for i in range(3)],
+            "n_nationkey int, n_name string, n_regionkey int",
+        )
+    )                                                                   # v1
+    vt.delete_keys(
+        spark.createDataFrame([(0,), (901,)], "n_nationkey int"),
+        on=["n_nationkey"],
+    )                                                                   # v2
+    vt.update_where(
+        {"n_name": "upper(n_name)"}, "n_regionkey = 4", mode="mor"
+    )                                                                   # v3
+    return vt.read_changes(0)

@@ -1100,6 +1100,113 @@ class VersionedTable:
             out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)))
         return self.write(out, operation="update", branch=branch)
 
+    def read_changes(
+        self, from_version: int, to_version: int | None = None, branch: str = "main"
+    ) -> DataFrame:
+        """Change data feed (Delta ``table_changes`` / Iceberg
+        incremental-read analog): every row inserted or deleted in
+        ``(from_version, to_version]`` on the branch lineage, as the
+        table's columns plus ``_change_type`` ('insert' | 'delete')
+        and ``_commit_version``. An update surfaces as delete+insert
+        at the same commit version.
+
+        Cost model, the reason CDC wants a MoR table at 100 TB: append
+        and equality/position-delete commits replay in O(delta) (plus
+        one semi-join against the pre-image state to materialize
+        deleted rows); predicate deletes/updates pay one filtered scan
+        of the pre-image (their honest cost); compact/zorder commits
+        rewrite bytes but change no logical rows and emit nothing. A
+        full-rewrite commit (CoW write/delete/update/merge) falls back
+        to an exact multiset diff (``exceptAll`` both ways) — correct,
+        but O(both snapshots); keep DML merge-on-read if consumers
+        tail the feed. Ranges crossing a column rename are refused
+        (the pre- and post-rename halves have different schemas —
+        Delta CDF restricts column-mapping changes the same way)."""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        head = self.head(branch)
+        if to_version is None:
+            to_version = head
+        if to_version not in by_v:
+            raise ValueError(f"version {to_version} not retained")
+        if from_version not in by_v:
+            raise ValueError(f"version {from_version} not retained")
+        path = self._lineage(to_version, from_version, by_v)
+        if any(m.get("rename") for m in path):
+            raise ValueError(
+                "change range crosses a column rename; read changes up "
+                "to the rename and after it separately"
+            )
+        head_cols = self.read(version=to_version).columns
+        _CT, _CV = "_change_type", "_commit_version"
+
+        def tag(df: DataFrame, ct: str, v: int) -> DataFrame:
+            out = df
+            for c in head_cols:
+                if c not in out.columns:
+                    out = out.withColumn(c, F.lit(None))
+            return out.select(
+                *head_cols,
+                F.lit(ct).alias(_CT),
+                F.lit(v).cast("long").alias(_CV),
+            )
+
+        frames: list[DataFrame] = []
+        for m in path:
+            v = m["version"]
+            parent = self._parent_of(m)
+            op = m.get("operation", "")
+            if not m.get("mor"):
+                if op in ("compact", "zorder"):
+                    continue  # physical rewrite, no logical change
+                # full rewrite: exact multiset diff against the parent
+                new = self.read(version=v)
+                if parent is None:
+                    frames.append(tag(new, "insert", v))
+                    continue
+                old = self.read(version=parent).select(*new.columns)
+                frames.append(tag(new.exceptAll(old), "insert", v))
+                frames.append(tag(old.exceptAll(new), "delete", v))
+                continue
+            pre = self._dataframe_for(by_v[parent], by_v, filters=None)
+            if m.get("position_delete"):
+                pre_pos = self._dataframe_for(
+                    by_v[parent], by_v, filters=None, keep_pos=True
+                )
+                dels = self.spark.read.parquet(m["data_dir"]).select(
+                    self._POS_FILE, self._POS_IDX
+                )
+                gone = pre_pos.join(
+                    dels, on=[self._POS_FILE, self._POS_IDX], how="inner"
+                ).drop(self._POS_FILE, self._POS_IDX)
+                frames.append(tag(gone, "delete", v))
+                continue
+            eq = m.get("equality_delete")
+            if eq is not None:
+                keys = self._read_snapshot(m, None).select(*eq["on"]).distinct()
+                gone = pre.join(keys, on=list(eq["on"]), how="left_semi")
+                frames.append(tag(gone, "delete", v))
+                if m.get("upsert"):
+                    frames.append(tag(self._read_snapshot(m, None), "insert", v))
+                continue
+            pred = m.get("predicate")
+            if pred is not None:
+                frames.append(tag(pre.filter(F.expr(pred)), "delete", v))
+            if m.get("data_dir"):
+                frames.append(tag(self._read_snapshot(m, None), "insert", v))
+        if not frames:
+            schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in self.read(version=to_version).schema.fields
+            )
+            return self.spark.createDataFrame(
+                [], schema + f", {_CT} string, {_CV} long"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def rewrite_zorder(
         self,
         cols: Sequence[str],
