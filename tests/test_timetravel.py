@@ -1204,3 +1204,60 @@ def test_read_changes_upsert_and_rename_guard(spark, vt):
     vt.delete_keys(spark.createDataFrame([(50,)], "id long"), on=["id"])  # v3
     ch2 = vt.read_changes(2).collect()
     assert [(r._change_type, r.id, r.score) for r in ch2] == [("delete", 50, 5.0)]
+
+
+def test_incremental_agg_view_refresh(spark, tmp_path):
+    """Incremental MV maintenance over the change feed: refresh folds
+    only the delta (insert = +x, delete = -x per group), commits only
+    touched groups (upsert/delete_keys — no MV rewrite after the first
+    materialization), equals the full recompute after every step, and
+    drops a group whose row count reaches zero."""
+    from walden_spark.timetravel import IncrementalAggView, VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "src"))
+    rows = [(i, i % 3, i * 10) for i in range(12)]
+    src.write(spark.createDataFrame(rows, "id long, grp long, amount long"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "mv"),
+        group_by=["grp"], sums={"total": "amount"},
+    )
+
+    def check():
+        got = {(r.grp): (r.total, r.n_rows) for r in mv.read().collect()}
+        want = {
+            r.grp: (r.total, r.n_rows)
+            for r in src.read()
+            .groupBy("grp")
+            .agg(
+                F.sum("amount").alias("total"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    mv.refresh()
+    check()
+    # delta ops on the source, then incremental refreshes
+    src.append(spark.createDataFrame([(100, 0, 5), (101, 7, 9)], "id long, grp long, amount long"))
+    src.delete_keys(spark.createDataFrame([(3,), (6,)], "id long"), on=["id"])
+    mv.refresh()
+    check()
+    src.upsert_keys(
+        spark.createDataFrame([(0, 0, 1000), (102, 7, 1)], "id long, grp long, amount long"),
+        on=["id"],
+    )
+    mv.refresh()
+    check()
+    # group elimination: remove every grp=7 row → group vanishes from MV
+    src.delete_keys(spark.createDataFrame([(101,), (102,)], "id long"), on=["id"])
+    mv.refresh()
+    check()
+    assert mv.read().filter("grp = 7").count() == 0
+    # refresh history after materialization is MoR-only on the MV table
+    ops = [m["operation"] for m in mv.table._manifests()]
+    assert ops[0] == "mv_materialize"
+    assert all(op in ("upsert_mor", "delete_keys_mor") for op in ops[1:])
+    # idempotent when source hasn't moved
+    v = mv.refresh()
+    assert v == src.current_version() and len(mv.table._manifests()) == len(ops)

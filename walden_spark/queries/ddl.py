@@ -757,3 +757,62 @@ def ddl_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_name": "upper(n_name)"}, "n_regionkey = 4", mode="mor"
     )                                                                   # v3
     return vt.read_changes(0)
+
+
+@query(
+    "ddl_incremental_mv",
+    oracle="""
+WITH v0 AS (SELECT o_orderkey, o_orderpriority FROM orders),
+v1 AS (SELECT * FROM v0 UNION ALL
+       SELECT 9000001, '9-TEST' UNION ALL SELECT 9000002, '9-TEST'
+       UNION ALL SELECT 9000003, '1-URGENT'),
+v2 AS (SELECT * FROM v1 WHERE o_orderkey NOT IN (1, 9000002)),
+v3 AS (SELECT o_orderkey,
+              CASE WHEN o_orderkey = 9000001 THEN '2-HIGH' ELSE o_orderpriority END
+                AS o_orderpriority
+       FROM v2)
+SELECT o_orderpriority, CAST(SUM(o_orderkey) AS BIGINT) AS key_total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM v3 GROUP BY 1
+""",
+    category="ddl",
+)
+def ddl_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally maintained aggregate view: the MV is refreshed
+    from the source's CHANGE FEED after each commit — appends add,
+    deletes retract, an upsert does both — and the final MV state
+    equals the oracle's full recompute over the same edit history.
+    Refreshes after the first materialization commit O(touched groups)
+    to the view table (upsert/delete-key MoR layers, never a rewrite)."""
+    from walden_spark.timetravel import IncrementalAggView, VersionedTable
+
+    t = Tables(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="walden_imv_")
+    src = VersionedTable(spark, base + "/src")
+    src.write(t.orders.select("o_orderkey", "o_orderpriority"))
+    mv = IncrementalAggView(
+        spark, src, base + "/mv",
+        group_by=["o_orderpriority"], sums={"key_total": "o_orderkey"},
+    )
+    mv.refresh()                                                       # full once
+    src.append(
+        spark.createDataFrame(
+            [(9000001, "9-TEST"), (9000002, "9-TEST"), (9000003, "1-URGENT")],
+            "o_orderkey long, o_orderpriority string",
+        )
+    )
+    mv.refresh()                                                       # delta only
+    src.delete_keys(
+        spark.createDataFrame([(1,), (9000002,)], "o_orderkey long"),
+        on=["o_orderkey"],
+    )
+    src.upsert_keys(
+        spark.createDataFrame([(9000001, "2-HIGH")], "o_orderkey long, o_orderpriority string"),
+        on=["o_orderkey"],
+    )
+    mv.refresh()                                                       # two commits folded
+    return mv.read().select(
+        "o_orderpriority",
+        F.col("key_total").cast("long").alias("key_total"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
