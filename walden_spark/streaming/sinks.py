@@ -249,3 +249,71 @@ def streaming_mor_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected two streaming upsert layers over the base snapshot"
     )
     return vt.read().orderBy("event_id")
+
+
+@query(
+    "streaming_incremental_mv",
+    oracle="""
+SELECT CASE WHEN event_id % 7 = 0 THEN 'corrected'
+            WHEN event_id % 11 = 0 THEN 'flagged'
+            ELSE event_type END AS event_type,
+       CAST(SUM(event_id) AS BIGINT) AS key_total,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY 1
+""",
+    category="streaming",
+)
+def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upserts + CDF-driven view maintenance, composed: each
+    micro-batch commits an O(batch) upsert layer to the versioned
+    source, and the aggregate view refreshes from the source's CHANGE
+    FEED — folding the retracted pre-image rows (-) and upserted rows
+    (+) for only the touched groups. Neither the per-batch commit nor
+    the per-batch refresh ever re-scans the source; the final view
+    state equals the oracle's full recompute over the corrected
+    events. Key-disjoint batches keep the result arrival-order
+    deterministic."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import IncrementalAggView, VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    base = tempfile.mkdtemp(prefix="walden_simv_")
+    vt = VersionedTable(spark, base + "/events_s")
+    vt.write(ev)
+    mv = IncrementalAggView(
+        spark, vt, base + "/mv",
+        group_by=["event_type"], sums={"key_total": "event_id"},
+    )
+    mv.refresh()  # materialize once against the base snapshot
+
+    b1 = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_type", F.lit("corrected")
+    )
+    b2 = ev.filter((F.col("event_id") % 7 != 0) & (F.col("event_id") % 11 == 0)).withColumn(
+        "event_type", F.lit("flagged")
+    )
+    stage = tempfile.mkdtemp(prefix="walden_simv_stream_")
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b0")
+    b2.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b1")
+
+    def upsert_and_refresh(batch_df: DataFrame, batch_id: int) -> None:
+        vt.upsert_keys(batch_df, on=["event_id"])  # O(batch) commit
+        mv.refresh()                               # O(changes) view delta
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(upsert_and_refresh).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    return mv.read().select(
+        "event_type",
+        F.col("key_total").cast("long").alias("key_total"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
