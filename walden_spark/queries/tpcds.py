@@ -856,3 +856,79 @@ def tpcds_fx_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.lineitem.createOrReplaceTempView("fx36_lineitem")
     return spark.sql(_FX_MARGIN_RANK_SQL.format(lineitem="fx36_lineitem"))
+
+
+_FX_HOUR_BANDS_SQL = """
+SELECT h1.n AS h8_9, h2.n AS h9_10, h3.n AS h10_11, h4.n AS h11_12,
+       h5.n AS h12_13, h6.n AS h13_14, h7.n AS h14_15, h8.n AS h15_16
+FROM (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 8  AND event_type IN ('view','click')) h1,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 9  AND event_type IN ('view','click')) h2,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 10 AND event_type IN ('view','click')) h3,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 11 AND event_type IN ('view','click')) h4,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 12 AND event_type IN ('view','click')) h5,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 13 AND event_type IN ('view','click')) h6,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 14 AND event_type IN ('view','click')) h7,
+     (SELECT COUNT(*) AS n FROM {events} WHERE EXTRACT(HOUR FROM ts) = 15 AND event_type IN ('view','click')) h8
+"""
+
+
+@query(
+    "tpcds_fx_hour_bands",
+    oracle=_FX_HOUR_BANDS_SQL.format(events="events"),
+    category="tpcds",
+)
+def tpcds_fx_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape with a full hash oracle: eight independent
+    time-band count subqueries cross-joined into one row (the
+    canonical store-hours dashboard query). Each subquery reduces to a
+    1-row aggregate, so the 'cross joins' are O(1) scalar combination;
+    AQE/CBO can also merge the scans — the semantics, not the plan,
+    are Q88's point. Identical SQL text runs on both engines."""
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("fx88_events")
+    return spark.sql(_FX_HOUR_BANDS_SQL.format(events="fx88_events"))
+
+
+_FX_CUMULATIVE_CHANNELS_SQL = """
+WITH web AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(COUNT(*)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume
+  FROM {events} WHERE event_type = 'view'
+  GROUP BY user_id, CAST(ts AS DATE)
+),
+store AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         SUM(COUNT(*)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cume
+  FROM {events} WHERE event_type = 'purchase'
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT COALESCE(w.user_id, s.user_id) AS user_id,
+       CAST(COALESCE(w.d, s.d) AS STRING) AS d,
+       CAST(w.cume AS BIGINT) AS web_cume,
+       CAST(s.cume AS BIGINT) AS store_cume
+FROM web w FULL OUTER JOIN store s
+  ON w.user_id = s.user_id AND w.d = s.d
+WHERE COALESCE(w.cume, 0) > COALESCE(s.cume, 0) * 2
+"""
+
+
+@query(
+    "tpcds_fx_cumulative_channels",
+    oracle=_FX_CUMULATIVE_CHANNELS_SQL.format(events="events"),
+    category="tpcds",
+)
+def tpcds_fx_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape with a full hash oracle: per-user cumulative
+    daily activity in two channels (view=web, purchase=store), FULL
+    OUTER joined on (user, day), keeping days where the web cumulative
+    ran ahead of twice the store cumulative. Exercises windowed
+    running sums OVER a grouped aggregate plus the two-channel outer
+    join — one shuffle per channel on (user, day), then a key-aligned
+    join. Counts are exact integers, so the comparison is drift-free."""
+    t = Tables(spark, sf_dir)
+    t.events.createOrReplaceTempView("fx51_events")
+    return spark.sql(_FX_CUMULATIVE_CHANNELS_SQL.format(events="fx51_events"))
