@@ -1261,3 +1261,39 @@ def test_incremental_agg_view_refresh(spark, tmp_path):
     # idempotent when source hasn't moved
     v = mv.refresh()
     assert v == src.current_version() and len(mv.table._manifests()) == len(ops)
+
+
+def test_sql_maintenance_statements(spark, tmp_path):
+    """Delta/Trino-style SQL maintenance on versioned tables:
+    OPTIMIZE (compact), OPTIMIZE ... ZORDER BY (clustering rewrite),
+    VACUUM RETAIN n VERSIONS (expiry + orphan sweep), DESCRIBE
+    HISTORY. Non-registered names fall through to Spark."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "maint"))
+    t.write(spark.createDataFrame([(i, i % 50) for i in range(2000)], "x long, y long"))
+    ws.register_versioned("vm", t.path)
+
+    ws.sql("DELETE FROM vm WHERE x >= 1500")                     # v1 MoR
+    r = ws.sql("OPTIMIZE vm").collect()[0]
+    assert (r.table, r.version) == ("vm", 2)
+    assert t._manifests()[-1]["operation"] == "compact"
+
+    r = ws.sql("OPTIMIZE vm ZORDER BY (x, y)").collect()[0]
+    assert r.version == 3
+    assert t._manifests()[-1]["operation"] == "zorder"
+    assert ws.sql("SELECT COUNT(*) AS n FROM vm").collect()[0].n == 1500
+
+    hist = ws.sql("DESCRIBE HISTORY vm")
+    ops = [row.operation for row in hist.orderBy("version").collect()]
+    assert ops == ["write", "delete_mor", "compact", "zorder"]
+
+    r = ws.sql("VACUUM vm RETAIN 2 VERSIONS").collect()[0]
+    assert r.expired_versions >= 1
+    assert ws.sql("SELECT COUNT(*) AS n FROM vm").collect()[0].n == 1500
+
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        ws.sql("OPTIMIZE not_registered")

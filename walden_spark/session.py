@@ -201,6 +201,18 @@ class WaldenSession:
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
         _re.IGNORECASE,
     )
+    # Delta/Trino-style maintenance statements on versioned tables
+    _MAINT_OPTIMIZE_RE = _re.compile(
+        r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
+        _re.IGNORECASE,
+    )
+    _MAINT_VACUUM_RE = _re.compile(
+        r"^\s*VACUUM\s+(\w+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$",
+        _re.IGNORECASE,
+    )
+    _MAINT_HISTORY_RE = _re.compile(
+        r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", _re.IGNORECASE
+    )
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
@@ -326,6 +338,36 @@ class WaldenSession:
             v = self._versioned[name].rename_column(m.group(2), m.group(3))
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._MAINT_OPTIMIZE_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # OPTIMIZE tbl [ZORDER BY (a, b)]: compaction, or the
+            # multi-dimensional clustering rewrite (Delta's surface)
+            name = m.group(1)
+            vt = self._versioned[name]
+            if m.group(2):
+                cols = [c.strip() for c in m.group(2).split(",")]
+                v = vt.rewrite_zorder(cols)
+            else:
+                v = vt.compact()
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._MAINT_VACUUM_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # VACUUM tbl [RETAIN n VERSIONS]: expire old snapshots +
+            # drop orphaned staging dirs (Delta VACUUM / Iceberg
+            # expire_snapshots + remove_orphan_files)
+            name = m.group(1)
+            vt = self._versioned[name]
+            keep = int(m.group(2)) if m.group(2) else 10
+            expired = vt.expire_versions(keep_last=keep)
+            orphans = vt.remove_orphans()
+            return self.spark.createDataFrame(
+                [(name, len(expired), len(orphans))],
+                "table string, expired_versions bigint, removed_orphans bigint",
+            )
+        m = self._MAINT_HISTORY_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            return self._versioned[m.group(1)].history()
         return None
 
     def sql(self, query: str) -> DataFrame:
