@@ -610,3 +610,66 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "l_returnflag")
     )
+
+
+@query(
+    "agg_linear_regression",
+    oracle="""
+SELECT l_returnflag,
+       floor(((sxy - sx * sy / n) / (sxx - sx * sx / n)) * 1000000.0) / 1000000.0
+         AS regr_slope,
+       floor(((sy - ((sxy - sx * sy / n) / (sxx - sx * sx / n)) * sx) / n) * 1000000.0) / 1000000.0
+         AS regr_intercept,
+       floor((((sxy - sx * sy / n) * (sxy - sx * sy / n))
+              / ((sxx - sx * sx / n) * (syy - sy * sy / n))) * 1000000.0) / 1000000.0
+         AS regr_r2,
+       CAST(n AS BIGINT) AS regr_count
+FROM (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(l_quantity) AS DOUBLE) AS sx,
+         CAST(SUM(l_quantity * l_quantity) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+) sums
+""",
+    category="aggregate",
+)
+def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (Trino/ANSI regr_slope /
+    regr_intercept / regr_r2 / regr_count parity): price regressed on
+    quantity per returnflag, computed from exact sums (decimal for the
+    money column) so both engines evaluate identical IEEE arithmetic —
+    the same determinism discipline as agg_stats_formula. The sums are
+    one partial-aggregated groupBy; the regression algebra is O(groups)
+    post-processing, so the plan is a plain two-phase aggregate at any
+    scale."""
+    t = Tables(spark, sf_dir)
+    qty = F.col("l_quantity")
+    ep = money("l_extendedprice")
+    sums = t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(qty).cast("double").alias("sx"),
+        F.sum(qty * qty).cast("double").alias("sxx"),
+        F.sum(ep).cast("double").alias("sy"),
+        F.sum(ep * ep).cast("double").alias("syy"),
+        F.sum(F.col("l_quantity").cast("decimal(12,2)") * ep).cast("double").alias("sxy"),
+    )
+    n, sx, sxx, sy, syy, sxy = (F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    slope = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    return sums.select(
+        "l_returnflag",
+        (F.floor(slope * 1000000.0) / 1000000.0).alias("regr_slope"),
+        (F.floor((sy - slope * sx) / n * 1000000.0) / 1000000.0).alias("regr_intercept"),
+        (
+            F.floor(
+                (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+                * 1000000.0
+            )
+            / 1000000.0
+        ).alias("regr_r2"),
+        n.cast("long").alias("regr_count"),
+    )

@@ -141,7 +141,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ddl_pos_delete_lifecycle, ddl_branch_merge_threeway,
 # streaming_mor_upsert, join_fuzzy_blocked, events_retention_cohort,
 # dedup_semantic_cluster, text_tfidf_topk, fn_string_distance,
-# ddl_change_feed, ddl_incremental_mv, streaming_incremental_mv.
+# ddl_change_feed, ddl_incremental_mv, streaming_incremental_mv,
+# tpcds_fx_hour_bands, tpcds_fx_cumulative_channels,
+# agg_linear_regression.
 # Keep ~15 anchors; fill the rest from this list → every oracle-backed
 # query driver-verified at least once by ~r07.
 
