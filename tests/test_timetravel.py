@@ -1297,3 +1297,38 @@ def test_sql_maintenance_statements(spark, tmp_path):
 
     with _pt.raises(Exception):
         ws.sql("OPTIMIZE not_registered")
+
+
+def test_sql_merge_into_versioned_table(spark, tmp_path):
+    """MERGE INTO ... USING ... ON ... WHEN MATCHED THEN UPDATE SET *
+    [WHEN NOT MATCHED THEN INSERT *] commits one merge snapshot
+    (upsert-by-key subset of the Trino/Delta MERGE grammar)."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "mrg"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, v double"))
+    ws.register_versioned("vt_m", t.path)
+    spark.createDataFrame(
+        [(1, 100.0), (99, 9.9)], "id long, v double"
+    ).createOrReplaceTempView("src_m")
+
+    r = ws.sql(
+        "MERGE INTO vt_m t USING src_m s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    ).collect()[0]
+    assert (r.table, r.version) == ("vt_m", 1)
+    got = {row.id: row.v for row in ws.sql("SELECT * FROM vt_m").collect()}
+    assert got[1] == 100.0 and got[99] == 9.9 and len(got) == 6
+
+    # matched-only: no insert clause → id 98 not added
+    spark.createDataFrame([(0, -1.0), (98, 8.0)], "id long, v double").createOrReplaceTempView("src_m2")
+    ws.sql("MERGE INTO vt_m t USING src_m2 s ON t.id = s.id WHEN MATCHED THEN UPDATE SET *")
+    got = {row.id: row.v for row in ws.sql("SELECT * FROM vt_m").collect()}
+    assert got[0] == -1.0 and 98 not in got
+
+    # non-equi ON clause falls through to Spark (which rejects it)
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        ws.sql("MERGE INTO vt_m t USING src_m s ON t.id > s.id WHEN MATCHED THEN UPDATE SET *")

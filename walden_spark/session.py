@@ -201,6 +201,12 @@ class WaldenSession:
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
         _re.IGNORECASE,
     )
+    _DML_MERGE_RE = _re.compile(
+        r"^\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+(\w+)\s+(?:AS\s+)?(\w+)"
+        r"\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+        r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
     # Delta/Trino-style maintenance statements on versioned tables
     _MAINT_OPTIMIZE_RE = _re.compile(
         r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
@@ -336,6 +342,32 @@ class WaldenSession:
             # its own names)
             name = m.group(1)
             v = self._versioned[name].rename_column(m.group(2), m.group(3))
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DML_MERGE_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED
+            # THEN UPDATE SET * [WHEN NOT MATCHED THEN INSERT *] — the
+            # UPDATE SET * / INSERT * (upsert-by-key) subset, which is
+            # what Iceberg streaming pipelines issue; arbitrary SET
+            # expressions go through the UPDATE statement instead
+            import re
+
+            name, t_alias, src_name, s_alias = m.group(1, 2, 3, 4)
+            vt = self._versioned[name]
+            on_cols: list[str] = []
+            for clause in re.split(r"\s+AND\s+", m.group(5), flags=re.IGNORECASE):
+                eq = re.match(
+                    rf"^\s*(?:{t_alias}|{s_alias})\.(\w+)\s*=\s*(?:{t_alias}|{s_alias})\.(\w+)\s*$",
+                    clause,
+                )
+                if eq is None or eq.group(1) != eq.group(2):
+                    return None  # non-equi merge: let Spark report it
+                on_cols.append(eq.group(1))
+            src = self.spark.table(src_name)
+            v = vt.merge_into(
+                src, on=on_cols, insert_when_not_matched=bool(m.group(6))
+            )
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._MAINT_OPTIMIZE_RE.match(query)
