@@ -1332,3 +1332,76 @@ def test_sql_merge_into_versioned_table(spark, tmp_path):
 
     with _pt.raises(Exception):
         ws.sql("MERGE INTO vt_m t USING src_m s ON t.id > s.id WHEN MATCHED THEN UPDATE SET *")
+
+
+def test_incremental_mv_random_ops_match_full_recompute(spark, tmp_path):
+    """Property: for ANY sequence of append / delete_keys / upsert
+    commits with refreshes interleaved at random points, the
+    incremental view equals the full recompute at every refresh —
+    including refreshes that fold several commits at once."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from walden_spark.timetravel import IncrementalAggView
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(200, 260), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 30), min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), st.lists(st.integers(0, 40), min_size=1, max_size=3)),
+        st.tuples(st.just("refresh"), st.just(0)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=5))
+    def run(ops):
+        counter[0] += 1
+        src = VersionedTable(spark, str(tmp_path / f"imvsrc{counter[0]}"))
+        src.write(
+            spark.createDataFrame(
+                [(i, i % 4, i) for i in range(20)], "id long, grp long, amt long"
+            )
+        )
+        mv = IncrementalAggView(
+            spark, src, str(tmp_path / f"imv{counter[0]}"),
+            group_by=["grp"], sums={"total": "amt"},
+        )
+        mv.refresh()
+        fresh = [300]
+
+        def check():
+            got = {r.grp: (r.total, r.n_rows) for r in mv.read().collect()}
+            want = {
+                r.grp: (r.total, r.n_rows)
+                for r in src.read()
+                .groupBy("grp")
+                .agg(F.sum("amt").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+                .collect()
+            }
+            assert got == want, (got, want)
+
+        for kind, arg in ops:
+            if kind == "append":
+                fresh[0] += len(arg)
+                rows = [(fresh[0] * 1000 + j, k % 4, k) for j, k in enumerate(arg)]
+                src.append(spark.createDataFrame(rows, "id long, grp long, amt long"))
+            elif kind == "delete":
+                src.delete_keys(
+                    spark.createDataFrame([(k,) for k in set(arg)], "id long"), on=["id"]
+                )
+            elif kind == "upsert":
+                rows = [(k, (k + 1) % 4, k * 7) for k in sorted(set(arg))]
+                src.upsert_keys(
+                    spark.createDataFrame(rows, "id long, grp long, amt long"), on=["id"]
+                )
+            else:
+                mv.refresh()
+                check()
+        mv.refresh()
+        check()
+
+    run()
