@@ -227,3 +227,68 @@ def test_event_ts_encoding_parity(spark, tmp_path):
     assert batch_results["ns"][0] == (0, "2024-01-01 10:00:00")
     assert stream_results["ns"] == stream_results["us"]
     assert stream_results["ns"] == [("10:00", 3), ("10:15", 2), ("10:30", 1)]
+
+
+def test_table_tail_streaming_source(spark, tmp_path):
+    """walden_table_tail: offsets are table versions; each micro-batch
+    plans one InputPartition per parquet file of the new append layers
+    (no driver-side rows); restart from a checkpoint resumes at the
+    committed version; non-append commits raise unless skipNonAppend
+    is set (Iceberg streaming-read semantics)."""
+    from walden_spark.sources.tablestream import register_table_tail
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_tail(spark)
+    t = VersionedTable(spark, str(tmp_path / "tailsrc"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(8)], "id long, v double"))
+    t.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))
+
+    stream = spark.readStream.format("walden_table_tail").option("path", t.path).load()
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(r.id for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == list(range(8)) + [100]
+
+    # restart from the checkpoint: ONLY the new append arrives
+    t.append(spark.createDataFrame([(200, 2.0)], "id long, v double"))
+    seen.clear()
+    q2 = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert sorted(seen) == [200]
+
+    # a delete commit poisons the tail...
+    t.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])
+    t.append(spark.createDataFrame([(300, 3.0)], "id long, v double"))
+    q3 = (
+        stream.writeStream.format("memory").queryName("tt3")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True).start()
+    )
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="not an append"):
+        q3.awaitTermination()
+    # ...unless explicitly skipped
+    skipper = (
+        spark.readStream.format("walden_table_tail")
+        .option("path", t.path).option("skipNonAppend", "true").load()
+    )
+    q4 = (
+        skipper.writeStream.format("memory").queryName("tt4")
+        .trigger(availableNow=True).start()
+    )
+    q4.awaitTermination()
+    got = sorted(r.id for r in spark.sql("SELECT * FROM tt4").collect())
+    assert 300 in got and len(got) == 11  # 8 base + 100/200/300 appends, delete skipped

@@ -1,0 +1,161 @@
+"""Streaming source that TAILS a :class:`VersionedTable` — the
+Iceberg/Delta "table as a stream" surface (Iceberg's Spark streaming
+read: incremental append scan, erroring on non-append commits;
+reference capability per the Trino-on-Iceberg stack's CDC story).
+
+Contract (full ``DataSourceStreamReader``, not the driver-prefetching
+simple reader): offsets are TABLE VERSIONS; ``latestOffset`` reads the
+manifest log (O(manifests), driver-side planning state only);
+``partitions(start, end)`` lists the parquet files of the append
+layers in ``(start, end]`` — one :class:`InputPartition` per data
+file; ``read(partition)`` opens ONE parquet file executor-side via
+pyarrow. Rows never pass through the driver, so a 1000-file backlog
+fans out across the cluster like any batch scan.
+
+Non-append commits (deletes, upserts, rewrites) cannot be expressed
+as an append stream; like Iceberg's `streaming-skip-delete-snapshots`
+default, the source raises — set ``skipNonAppend=true`` to skip those
+versions explicitly (downstream then sees inserts only).
+
+Local-path note: manifest listing/reading uses the local filesystem
+(the test/bench environment); a cloud deployment swaps in fsspec here
+— the planning contract (versions → files → one file per task) is
+unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def _manifests(table_path: str) -> list[dict]:
+    vdir = os.path.join(table_path, "_versions")
+    if not os.path.isdir(vdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(vdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(vdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _data_files(data_dir: str) -> list[str]:
+    files = []
+    for root, _dirs, names in os.walk(data_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+    return sorted(files)
+
+
+_ARROW_TO_SPARK = {
+    "int8": "byte", "int16": "short", "int32": "int", "int64": "long",
+    "float": "float", "double": "double", "bool": "boolean",
+    "string": "string", "large_string": "string", "binary": "binary",
+    "date32[day]": "date",
+}
+
+
+def _spark_type(arrow_type) -> str:
+    s = str(arrow_type)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s in _ARROW_TO_SPARK:
+        return _ARROW_TO_SPARK[s]
+    raise ValueError(f"unsupported column type for table tail: {s}")
+
+
+class _TableTailReader(DataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options["path"]
+        self.from_version = int(options.get("fromVersion", -1))
+        self.skip_non_append = (
+            str(options.get("skipNonAppend", "false")).lower() == "true"
+        )
+
+    def initialOffset(self):
+        return {"version": self.from_version}
+
+    def latestOffset(self):
+        ms = _manifests(self.path)
+        v = ms[-1]["version"] if ms else self.from_version
+        return {"version": max(v, self.from_version)}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        parts: list[_FilePartition] = []
+        for m in _manifests(self.path):
+            v = m["version"]
+            if v <= lo or v > hi:
+                continue
+            if v == 0 and lo == -1:
+                pass  # base snapshot streams as the initial batch
+            elif not (m.get("mor") and m.get("operation") == "append"):
+                if self.skip_non_append:
+                    continue
+                raise ValueError(
+                    f"version {v} is {m.get('operation')!r}, not an append; "
+                    "an append tail cannot express it (set skipNonAppend=true "
+                    "to skip, or consume read_changes() in batch)"
+                )
+            if m.get("data_dir"):
+                parts.extend(_FilePartition(p) for p in _data_files(m["data_dir"]))
+        # Spark requires >=1 partition per microbatch plan; an empty
+        # batch is a partition that yields no rows
+        return parts or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        # arrow → python tuples, executor-side, one file per task
+        cols = [c.to_pylist() for c in table.columns]
+        return iter(list(zip(*cols))) if cols else iter(())
+
+    def commit(self, end):
+        pass  # offsets are table versions; nothing to clean up
+
+
+class WaldenTableTailDataSource(DataSource):
+    """``spark.readStream.format("walden_table_tail")
+    .option("path", <table>).load()`` — stream a versioned table's
+    append commits as micro-batches, one executor task per data file."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "walden_table_tail"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        ms = _manifests(self.options["path"])
+        if not ms:
+            raise ValueError(f"no versions at {self.options['path']}")
+        with_data = [m for m in ms if m.get("data_dir")]
+        f = _data_files(with_data[0]["data_dir"])[0]
+        sch = pq.read_schema(f)
+        return ", ".join(
+            f"`{name}` {_spark_type(sch.field(name).type)}" for name in sch.names
+        )
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _TableTailReader(self.options)
+
+
+def register_table_tail(spark) -> None:
+    spark.dataSource.register(WaldenTableTailDataSource)

@@ -317,3 +317,41 @@ def streaming_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_total").cast("long").alias("key_total"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "streaming_table_tail",
+    oracle="""
+SELECT event_id, user_id FROM events WHERE event_id % 4 <> 3
+""",
+    category="streaming",
+)
+def streaming_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned table AS a stream (Iceberg streaming read / Delta
+    table-stream analog): the custom `walden_table_tail` source plans
+    one executor task per data file of each append commit — offsets
+    are table versions, rows never pass through the driver. The base
+    snapshot streams as the first batch, two appends arrive as
+    incremental batches, and the memory-sink union equals the oracle's
+    static selection."""
+    import tempfile
+
+    from walden_spark.sources.tablestream import register_table_tail
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_tail(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_tail_") + "/ev")
+    t.write(ev.filter(F.col("event_id") % 4 == 0))
+    t.append(ev.filter(F.col("event_id") % 4 == 1))
+    t.append(ev.filter(F.col("event_id") % 4 == 2))
+
+    stream = spark.readStream.format("walden_table_tail").option("path", t.path).load()
+    name = f"tail_{abs(hash(t.path)) % 10_000_000}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT event_id, user_id FROM {name}")
