@@ -890,7 +890,7 @@ def tpcds_fx_hour_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FX_CUMULATIVE_CHANNELS_SQL = """
-WITH web AS (
+WITH web_ch AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          SUM(COUNT(*)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -898,7 +898,7 @@ WITH web AS (
   FROM {events} WHERE event_type = 'view'
   GROUP BY user_id, CAST(ts AS DATE)
 ),
-store AS (
+store_ch AS (
   SELECT user_id, CAST(ts AS DATE) AS d,
          SUM(COUNT(*)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -910,7 +910,7 @@ SELECT COALESCE(w.user_id, s.user_id) AS user_id,
        CAST(COALESCE(w.d, s.d) AS STRING) AS d,
        CAST(w.cume AS BIGINT) AS web_cume,
        CAST(s.cume AS BIGINT) AS store_cume
-FROM web w FULL OUTER JOIN store s
+FROM web_ch w FULL OUTER JOIN store_ch s
   ON w.user_id = s.user_id AND w.d = s.d
 WHERE COALESCE(w.cume, 0) > COALESCE(s.cume, 0) * 2
 """
