@@ -35,7 +35,7 @@ def main() -> None:
         (F.col("id") % 97).alias("amt"),
     )
     t0 = time.perf_counter()
-    src.write(df, n_files=32)
+    src.write(df, sort_by=["id"], n_files=32)
     print(f"base write {N} rows: {time.perf_counter() - t0:.2f}s")
 
     mv = IncrementalAggView(

@@ -1184,7 +1184,30 @@ class VersionedTable:
             eq = m.get("equality_delete")
             if eq is not None:
                 keys = self._read_snapshot(m, None).select(*eq["on"]).distinct()
-                gone = pre.join(keys, on=list(eq["on"]), how="left_semi")
+                pre_src = pre
+                if len(eq["on"]) == 1:
+                    # Iceberg-style delete-file key-range pruning: push
+                    # the [min, max] of the stored delete keys into the
+                    # pre-image read, so footer-stat / hidden-partition
+                    # pruning skips files that can't hold any deleted
+                    # key. Two scalars from one tiny agg over the
+                    # delete layer — never a driver collect of the key
+                    # set, never an IN-list expression (a 40k-literal
+                    # isin was measured 10x SLOWER than the full scan).
+                    # Clustered deletes (CDC's common case: recent key
+                    # ranges) prune to O(files-with-keys); scattered
+                    # keys degrade gracefully to the full semi-join.
+                    kcol = eq["on"][0]
+                    mm = keys.agg(
+                        F.min(kcol).alias("lo"), F.max(kcol).alias("hi")
+                    ).collect()[0]
+                    if mm["lo"] is not None:
+                        pre_src = self._dataframe_for(
+                            by_v[parent],
+                            by_v,
+                            filters=[(kcol, ">=", mm["lo"]), (kcol, "<=", mm["hi"])],
+                        )
+                gone = pre_src.join(keys, on=list(eq["on"]), how="left_semi")
                 frames.append(tag(gone, "delete", v))
                 if m.get("upsert"):
                     frames.append(tag(self._read_snapshot(m, None), "insert", v))
@@ -1708,15 +1731,23 @@ class IncrementalAggView:
                 for c in val_cols
             ],
         )
-        gone = merged.filter(F.col(self.count_col) == 0).select(*self.group_by)
-        live = merged.filter(F.col(self.count_col) != 0)
-        # O(touched groups) commits against the view table
-        if gone.limit(1).count():
-            self.table.delete_keys(gone, on=self.group_by)
-        if live.limit(1).count():
-            self.table.upsert_keys(
-                live.select(*self.table.read().columns), on=self.group_by
-            )
+        # materialize the touched-group delta ONCE: the existence
+        # probes and both commits would otherwise each re-run the
+        # change-feed join (measured 4x at tools/cdf_probe.py before
+        # this persist)
+        merged = merged.persist()
+        try:
+            gone = merged.filter(F.col(self.count_col) == 0).select(*self.group_by)
+            live = merged.filter(F.col(self.count_col) != 0)
+            # O(touched groups) commits against the view table
+            if gone.limit(1).count():
+                self.table.delete_keys(gone, on=self.group_by)
+            if live.limit(1).count():
+                self.table.upsert_keys(
+                    live.select(*self.table.read().columns), on=self.group_by
+                )
+        finally:
+            merged.unpersist()
         self._set_last_refreshed(head)
         return head
 
