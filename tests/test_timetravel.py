@@ -1405,3 +1405,14 @@ def test_incremental_mv_random_ops_match_full_recompute(spark, tmp_path):
         check()
 
     run()
+
+
+def test_read_changes_rejects_cross_branch_range(spark, vt):
+    """A (from, to] range whose endpoints sit on different lineages
+    must error — not silently replay the whole history as changes."""
+    vt.create_branch("side")
+    vt.append(spark.createDataFrame([(50, 5.0)], "id long, v double"), branch="side")  # v1 on side
+    vt.append(spark.createDataFrame([(60, 6.0)], "id long, v double"))                  # v2 on main
+    with pytest.raises(ValueError, match="ancestor"):
+        vt.read_changes(1, 2)  # v1 is side's, not main's ancestor chain
+    assert [r.id for r in vt.read_changes(0, 2).collect()] == [60]

@@ -1131,6 +1131,13 @@ class VersionedTable:
             raise ValueError(f"version {to_version} not retained")
         if from_version not in by_v:
             raise ValueError(f"version {from_version} not retained")
+        if from_version not in self._ancestors(to_version):
+            # _lineage would silently walk past a non-ancestor to the
+            # root and return the WHOLE history as "changes"
+            raise ValueError(
+                f"version {from_version} is not an ancestor of {to_version} "
+                "(different branch lineage?)"
+            )
         path = self._lineage(to_version, from_version, by_v)
         if any(m.get("rename") for m in path):
             raise ValueError(
