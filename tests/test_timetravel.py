@@ -1327,6 +1327,12 @@ def test_sql_merge_into_versioned_table(spark, tmp_path):
     got = {row.id: row.v for row in ws.sql("SELECT * FROM vt_m").collect()}
     assert got[0] == -1.0 and 98 not in got
 
+    # alias-less form routes too (table names act as their aliases)
+    spark.createDataFrame([(2, 22.0)], "id long, v double").createOrReplaceTempView("src_m3")
+    ws.sql("MERGE INTO vt_m USING src_m3 ON vt_m.id = src_m3.id WHEN MATCHED THEN UPDATE SET *")
+    got = {row.id: row.v for row in ws.sql("SELECT * FROM vt_m").collect()}
+    assert got[2] == 22.0
+
     # non-equi ON clause falls through to Spark (which rejects it)
     import pytest as _pt
 

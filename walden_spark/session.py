@@ -202,7 +202,8 @@ class WaldenSession:
         _re.IGNORECASE,
     )
     _DML_MERGE_RE = _re.compile(
-        r"^\s*MERGE\s+INTO\s+(\w+)\s+(?:AS\s+)?(\w+)\s+USING\s+(\w+)\s+(?:AS\s+)?(\w+)"
+        r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
         r"\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
         r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
         _re.IGNORECASE | _re.DOTALL,
@@ -354,6 +355,8 @@ class WaldenSession:
             import re
 
             name, t_alias, src_name, s_alias = m.group(1, 2, 3, 4)
+            t_alias = t_alias or name
+            s_alias = s_alias or src_name
             vt = self._versioned[name]
             on_cols: list[str] = []
             for clause in re.split(r"\s+AND\s+", m.group(5), flags=re.IGNORECASE):
