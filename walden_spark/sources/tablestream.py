@@ -79,7 +79,8 @@ def _spark_type(arrow_type) -> str:
 
 
 class _TableTailReader(DataSourceStreamReader):
-    def __init__(self, options):
+    def __init__(self, options, schema_names):
+        self.schema_names = list(schema_names)
         self.path = options["path"]
         self.from_version = int(options.get("fromVersion", -1))
         self.skip_non_append = (
@@ -101,6 +102,16 @@ class _TableTailReader(DataSourceStreamReader):
             v = m["version"]
             if v <= lo or v > hi:
                 continue
+            if m.get("rename"):
+                # a schema change breaks the declared stream schema —
+                # rows after it would bind to the wrong column names,
+                # so this is never skippable (restart the stream with
+                # fromVersion past the rename instead)
+                raise ValueError(
+                    f"version {v} renames a column; the tail's schema is "
+                    "fixed at stream start — restart with fromVersion="
+                    f"{v} to continue under the new schema"
+                )
             if v == 0 and lo == -1:
                 pass  # base snapshot streams as the initial batch
             elif not (m.get("mor") and m.get("operation") == "append"):
@@ -123,8 +134,16 @@ class _TableTailReader(DataSourceStreamReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(partition.path)
-        # arrow → python tuples, executor-side, one file per task
-        cols = [c.to_pylist() for c in table.columns]
+        # arrow → python tuples, executor-side, one file per task;
+        # bind BY NAME against the declared stream schema so file
+        # column order never matters and columns added by later schema
+        # evolution surface as None in older files
+        n = table.num_rows
+        names = set(table.schema.names)
+        cols = [
+            table.column(name).to_pylist() if name in names else [None] * n
+            for name in self.schema_names
+        ]
         return iter(list(zip(*cols))) if cols else iter(())
 
     def commit(self, end):
@@ -146,15 +165,17 @@ class WaldenTableTailDataSource(DataSource):
         ms = _manifests(self.options["path"])
         if not ms:
             raise ValueError(f"no versions at {self.options['path']}")
+        # LAST data manifest: the head schema, so a tail started after
+        # a rename/evolution serves the current column names
         with_data = [m for m in ms if m.get("data_dir")]
-        f = _data_files(with_data[0]["data_dir"])[0]
+        f = _data_files(with_data[-1]["data_dir"])[0]
         sch = pq.read_schema(f)
         return ", ".join(
             f"`{name}` {_spark_type(sch.field(name).type)}" for name in sch.names
         )
 
     def streamReader(self, schema) -> DataSourceStreamReader:
-        return _TableTailReader(self.options)
+        return _TableTailReader(self.options, schema.fieldNames())
 
 
 def register_table_tail(spark) -> None:
