@@ -1422,3 +1422,37 @@ def test_read_changes_rejects_cross_branch_range(spark, vt):
     with pytest.raises(ValueError, match="ancestor"):
         vt.read_changes(1, 2)  # v1 is side's, not main's ancestor chain
     assert [r.id for r in vt.read_changes(0, 2).collect()] == [60]
+
+
+def test_metadata_tables_sql(spark, tmp_path):
+    """Iceberg metadata-table parity: tbl$files / tbl$snapshots /
+    tbl$partitions resolve from manifests (no data scan) through both
+    the Python API and the SQL idiom."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "meta"))
+    t.write(
+        spark.createDataFrame(
+            [(i, f"2024-01-{(i % 3) + 1:02d} 00:00:00") for i in range(30)],
+            "id long, ts_s string",
+        ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts"),
+        partition_day="ts",
+    )
+    t.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])
+    ws.register_versioned("vmeta", t.path)
+
+    files = ws.sql('SELECT content, record_count FROM "vmeta$files"').collect()
+    contents = {r.content for r in files}
+    assert contents == {"data", "equality-deletes"}
+    assert sum(r.record_count for r in files if r.content == "data") == 30
+
+    snaps = ws.sql("SELECT version, operation FROM vmeta$snapshots ORDER BY version").collect()
+    assert [r.operation for r in snaps] == ["write", "delete_keys_mor"]
+
+    parts = {r.partition: r.file_count for r in ws.sql('SELECT * FROM "vmeta$partitions"').collect()}
+    day_keys = {k for k in parts if k and k.startswith("2024-01-")}
+    assert len(day_keys) == 3  # three hidden day partitions
+    # python API parity
+    assert t.files().count() == len(files)
+    assert t.partitions().count() == len(parts)

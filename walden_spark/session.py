@@ -299,6 +299,37 @@ class WaldenSession:
         parts.append("".join(cur))
         return parts
 
+    _META_RE = _re.compile(r'(?:"(\w+)\$(\w+)"|(\w+)\$(\w+))')
+
+    def _rewrite_metadata_tables(self, query: str) -> str:
+        """Iceberg metadata-table idiom over registered versioned
+        tables: ``SELECT * FROM "tbl$files"`` (also bare ``tbl$files``)
+        for $files / $snapshots / $history / $partitions — each
+        resolves to a temp view served from manifests, no data scan."""
+
+        def sub(m) -> str:
+            name = m.group(1) or m.group(3)
+            kind = (m.group(2) or m.group(4)).lower()
+            vt = self._versioned.get(name)
+            if vt is None:
+                return m.group(0)
+            if kind == "files":
+                df = vt.files()
+            elif kind in ("snapshots", "history"):
+                df = vt.history()
+            elif kind == "partitions":
+                df = vt.partitions()
+            else:
+                raise ValueError(
+                    f"unknown metadata table {name}${kind} "
+                    "(one of: files, snapshots, history, partitions)"
+                )
+            view = f"{name}_meta_{kind}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._META_RE.sub(sub, query)
+
     def _refresh_versioned(self, name: str) -> None:
         self._versioned[name].read().createOrReplaceTempView(name)
 
@@ -422,6 +453,8 @@ class WaldenSession:
                 return dml
         if self._versioned and " FOR " in query.upper():
             query = self._rewrite_time_travel(query)
+        if self._versioned and "$" in query:
+            query = self._rewrite_metadata_tables(query)
         try:
             out = self.spark.sql(query)
         except Exception as e:  # noqa: BLE001 - recorded then re-raised

@@ -1100,6 +1100,77 @@ class VersionedTable:
             out = out.withColumn(col, F.when(cond, v).otherwise(F.col(col)))
         return self.write(out, operation="update", branch=branch)
 
+    def files(self, branch: str = "main") -> DataFrame:
+        """Iceberg ``tbl$files`` metadata table: one row per live data
+        file of the branch head's snapshot chain, with footer-stat
+        row counts — planning metadata served from manifests, no data
+        scan."""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        head = self.head(branch)
+        if head is None:
+            raise FileNotFoundError(f"branch {branch!r} has no commits")
+        rows = []
+        cur = by_v[head]
+        while cur is not None:
+            if cur.get("position_delete"):
+                content = "position-deletes"
+            elif cur.get("equality_delete") and not cur.get("upsert"):
+                content = "equality-deletes"
+            else:
+                content = "data"
+            for f in cur.get("files") or []:
+                rows.append(
+                    (
+                        cur["version"],
+                        cur.get("operation", ""),
+                        content,
+                        f["path"],
+                        int(f.get("rows") or 0),
+                    )
+                )
+            cur = by_v.get(cur.get("parent")) if cur.get("mor") else None
+        return self.spark.createDataFrame(
+            rows,
+            "version long, operation string, content string, "
+            "file_path string, record_count long",
+        )
+
+    def snapshots(self) -> DataFrame:
+        """Iceberg ``tbl$snapshots`` metadata table (alias of
+        :meth:`history`)."""
+        return self.history()
+
+    def partitions(self, branch: str = "main") -> DataFrame:
+        """Iceberg ``tbl$partitions`` metadata table: hidden-partition
+        values of the branch head's snapshot chain with file counts —
+        derived from file paths in the manifests, no data scan."""
+        import re as _rx
+
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        head = self.head(branch)
+        if head is None:
+            raise FileNotFoundError(f"branch {branch!r} has no commits")
+        rows = []
+        cur = by_v[head]
+        while cur is not None:
+            part = cur.get("partition")
+            for f in cur.get("files") or []:
+                if part is None:
+                    key = None
+                else:
+                    m2 = _rx.search(rf"{part['field']}=([^/]+)", f["path"])
+                    key = m2.group(1) if m2 else None
+                rows.append((key, part["transform"] if part else None, 1))
+            cur = by_v.get(cur.get("parent")) if cur.get("mor") else None
+        df = self.spark.createDataFrame(
+            rows, "partition string, transform string, file_count long"
+        )
+        return df.groupBy("partition", "transform").agg(
+            F.sum("file_count").alias("file_count")
+        )
+
     def read_changes(
         self, from_version: int, to_version: int | None = None, branch: str = "main"
     ) -> DataFrame:
