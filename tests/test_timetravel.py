@@ -1456,3 +1456,32 @@ def test_metadata_tables_sql(spark, tmp_path):
     # python API parity
     assert t.files().count() == len(files)
     assert t.partitions().count() == len(parts)
+
+
+def test_restore_table(spark, tmp_path):
+    """RESTORE: a new snapshot whose content equals the restored
+    version (shared data files, zero movement); the bad commits stay
+    in history; works for full AND merge-on-read restore points."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "rst"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    t.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))   # v1 (MoR)
+    t.delete_where("id < 100", mode="mor")                               # v2 (the bad commit)
+    assert t.read().count() == 1
+    ws.register_versioned("vrst", t.path)
+
+    r = ws.sql("RESTORE TABLE vrst TO VERSION AS OF 1").collect()[0]
+    assert (r.table, r.version) == ("vrst", 3)
+    assert ws.sql("SELECT COUNT(*) AS n FROM vrst").collect()[0].n == 11
+    # audit trail intact: the bad delete remains in history
+    ops = [row.operation for row in t.history().orderBy("version").collect()]
+    assert ops == ["write", "append", "delete_mor", "restore"]
+    # and the restore point composes: its MoR base chain still applies
+    assert sorted(r2.id for r2 in t.read().collect()) == list(range(10)) + [100]
+    # restoring a FULL snapshot works too
+    t.restore(0)
+    assert t.read().count() == 10
+    # time travel still serves every version including the bad one
+    assert t.read(version=2).count() == 1

@@ -220,6 +220,10 @@ class WaldenSession:
     _MAINT_HISTORY_RE = _re.compile(
         r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", _re.IGNORECASE
     )
+    _MAINT_RESTORE_RE = _re.compile(
+        r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+        _re.IGNORECASE,
+    )
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
@@ -434,6 +438,14 @@ class WaldenSession:
         m = self._MAINT_HISTORY_RE.match(query)
         if m and m.group(1) in self._versioned:
             return self._versioned[m.group(1)].history()
+        m = self._MAINT_RESTORE_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # Delta RESTORE: forward-history rollback — a new snapshot
+            # sharing the old version's files, bad commits kept for audit
+            name = m.group(1)
+            v = self._versioned[name].restore(int(m.group(2)))
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         return None
 
     def sql(self, query: str) -> DataFrame:

@@ -1397,6 +1397,48 @@ class VersionedTable:
             _mor={"rename": {"from": old, "to": new}},
         )
 
+    def restore(self, version: int, branch: str = "main") -> int:
+        """Delta ``RESTORE`` / Iceberg rollback, forward-history style:
+        commit a NEW snapshot whose content is the retained ``version``
+        — the manifest is duplicated (sharing the old data files and
+        MoR linkage, zero data movement) and the bad commits stay in
+        history for audit instead of being erased. O(manifest)."""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        if version not in by_v:
+            raise ValueError(
+                f"version {version} not in retained versions {sorted(by_v)}"
+            )
+        parent = self.head(branch)
+        src = by_v[version]
+        v_new = ms[-1]["version"] + 1
+        nm = dict(src)
+        nm.update(
+            version=v_new,
+            timestamp=time.time(),
+            operation="restore",
+            branch=branch,
+            restored_from=version,
+        )
+        if src.get("mor"):
+            # a MoR layer only means something on top of ITS OWN base
+            # chain — keep its original parent linkage for reads; the
+            # restore's place in the branch is recorded separately
+            nm["restore_parent"] = parent
+        else:
+            nm["parent"] = parent
+        try:
+            self._write_manifest(nm, overwrite=False)
+        except Exception as exc:
+            if _is_commit_conflict(exc):
+                raise ConcurrentWriteError(
+                    f"version {v_new} of {self.path} was committed by another "
+                    "writer; re-read and retry"
+                ) from exc
+            raise
+        self._write_ref("branch", branch, v_new, overwrite=True)
+        return v_new
+
     def compact(self, branch: str = "main") -> int:
         """Materialize the merge-on-read stack into one full snapshot
         (Iceberg rewrite_data_files / Delta OPTIMIZE analog). History
