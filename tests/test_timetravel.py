@@ -1485,3 +1485,18 @@ def test_restore_table(spark, tmp_path):
     assert t.read().count() == 10
     # time travel still serves every version including the bad one
     assert t.read(version=2).count() == 1
+
+
+def test_read_changes_rejects_mor_restore_range(spark, vt):
+    vt.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))  # v1
+    vt.delete_where("id < 100", mode="mor")                              # v2
+    vt.restore(1)                                                        # v3 (MoR restore)
+    with pytest.raises(ValueError, match="restore"):
+        vt.read_changes(0)
+    # a full-snapshot restore diffs exactly (exceptAll vs branch parent)
+    vt.compact()                                                         # v4 (full)
+    vt.delete_where("id >= 100")                                         # v5 CoW (full)
+    vt.restore(4)                                                        # v6 full restore
+    ch = vt.read_changes(4)
+    got = sorted((r._commit_version, r._change_type, r.id) for r in ch.collect())
+    assert got == [(5, "delete", 100), (6, "insert", 100)]

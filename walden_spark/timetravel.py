@@ -1215,6 +1215,16 @@ class VersionedTable:
                 "change range crosses a column rename; read changes up "
                 "to the rename and after it separately"
             )
+        if any(m.get("operation") == "restore" and m.get("mor") for m in path):
+            # a MoR restore changes content relative to the BRANCH head
+            # but its manifest only carries its own base-chain delta —
+            # replaying that as inserts would be wrong. (Full-snapshot
+            # restores are fine: the exceptAll diff against the branch
+            # parent is exact.)
+            raise ValueError(
+                "change range crosses a merge-on-read restore; read "
+                "changes before and after it separately"
+            )
         head_cols = self.read(version=to_version).columns
         _CT, _CV = "_change_type", "_commit_version"
 
