@@ -816,3 +816,49 @@ def ddl_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key_total").cast("long").alias("key_total"),
         F.col("n_rows").cast("long").alias("n_rows"),
     )
+
+
+@query(
+    "ddl_restore_lifecycle",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+v1 AS (SELECT * FROM v0 WHERE n_regionkey <> 1),
+metrics AS (
+  SELECT 0 AS version, 'write' AS operation, COUNT(*) AS n_rows,
+         SUM(n_nationkey) AS key_sum FROM v0
+  UNION ALL SELECT 1, 'delete_mor', COUNT(*), SUM(n_nationkey) FROM v1
+  UNION ALL SELECT 2, 'restore', COUNT(*), SUM(n_nationkey) FROM v0
+)
+SELECT CAST(version AS BIGINT) AS version, operation,
+       CAST(n_rows AS BIGINT) AS n_rows, CAST(key_sum AS BIGINT) AS key_sum
+FROM metrics ORDER BY version
+""",
+    category="ddl",
+)
+def ddl_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE lifecycle: a bad merge-on-read delete is rolled back by
+    committing a restore snapshot that SHARES the original files (zero
+    data movement, O(manifest)); the bad version stays readable for
+    audit. Metrics per version assert the roll-forward history."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_restore_") + "/nation_r"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))   # v0
+    vt.delete_where("n_regionkey = 1", mode="mor")                      # v1 (bad)
+    vt.restore(0)                                                       # v2
+    frames = []
+    for v, op in [(0, "write"), (1, "delete_mor"), (2, "restore")]:
+        frames.append(
+            vt.read(version=v).agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.lit(op).alias("operation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
