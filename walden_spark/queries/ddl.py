@@ -862,3 +862,47 @@ def ddl_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("version")
+
+
+@query(
+    "ddl_wap_publish",
+    oracle="""
+WITH staged AS (
+  SELECT n_nationkey, n_name, n_regionkey FROM nation
+  UNION ALL
+  SELECT 900 + r.r, 'audited_' || CAST(r.r AS VARCHAR), 9
+  FROM (SELECT unnest(range(4)) AS r) r
+)
+SELECT n_nationkey, n_name, n_regionkey FROM staged
+""",
+    category="ddl",
+)
+def ddl_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (Iceberg's marquee branch workflow): the
+    ingest lands on an 'audit' branch (main never sees it), audit
+    checks run against the branch head — here a row-count delta and a
+    no-null-keys assertion — and only then does a fast-forward merge
+    publish the commit to main atomically. A failed audit would leave
+    main untouched (the branch is simply dropped). The oracle states
+    main's post-publish content."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_wap_") + "/nation_w"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))   # main v0
+    vt.create_branch("audit")
+    staged = spark.createDataFrame(
+        [(900 + i, f"audited_{i}", 9) for i in range(4)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    vt.append(staged, branch="audit")                                   # invisible to main
+    base_n = vt.read(branch="main").count()
+    # ---- audit gates against the BRANCH head ----
+    audited = vt.read(branch="audit")
+    assert audited.count() == base_n + 4, "audit: row-count delta"
+    assert audited.filter(F.col("n_nationkey").isNull()).count() == 0, "audit: null keys"
+    # ---- publish: atomic fast-forward of main's pointer ----
+    vt.merge_branch("audit", into="main")
+    vt.delete_ref("branch", "audit")
+    return vt.read(branch="main").select("n_nationkey", "n_name", "n_regionkey")
