@@ -1500,3 +1500,26 @@ def test_read_changes_rejects_mor_restore_range(spark, vt):
     ch = vt.read_changes(4)
     got = sorted((r._commit_version, r._change_type, r.id) for r in ch.collect())
     assert got == [(5, "delete", 100), (6, "insert", 100)]
+
+
+def test_incremental_mv_ignores_side_branches(spark, tmp_path):
+    """refresh() tracks the view's branch head, not the newest
+    manifest: commits on a side branch of the source must not leak
+    into (or crash) the view."""
+    from walden_spark.timetravel import IncrementalAggView, VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "bsrc"))
+    src.write(spark.createDataFrame([(i, i % 2, 1) for i in range(6)], "id long, grp long, amt long"))
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "bmv"), group_by=["grp"], sums={"total": "amt"}
+    )
+    mv.refresh()
+    src.create_branch("exp")
+    src.append(
+        spark.createDataFrame([(100, 0, 999)], "id long, grp long, amt long"),
+        branch="exp",
+    )  # newest manifest now lives on the side branch
+    src.append(spark.createDataFrame([(200, 1, 5)], "id long, grp long, amt long"))
+    mv.refresh()
+    got = {r.grp: r.total for r in mv.read().collect()}
+    assert got == {0: 3, 1: 8}  # 999 from the branch never leaked

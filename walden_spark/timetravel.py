@@ -1795,6 +1795,7 @@ class IncrementalAggView:
         group_by: Sequence[str],
         sums: Mapping[str, str],
         count_col: str = "n_rows",
+        branch: str = "main",
     ):
         self.spark = spark
         self.source = source
@@ -1802,6 +1803,7 @@ class IncrementalAggView:
         self.group_by = list(group_by)
         self.sums = dict(sums)
         self.count_col = count_col
+        self.branch = branch
 
     @property
     def _state_path(self) -> str:
@@ -1835,7 +1837,13 @@ class IncrementalAggView:
     def refresh(self, full: bool = False) -> int:
         """Bring the view up to the source head; returns the source
         version now reflected."""
-        head = self.source.current_version()
+        # the BRANCH head, not the newest manifest: a side branch on
+        # the source must not leak its commits into the view
+        head = self.source.head(self.branch)
+        if head is None:
+            raise FileNotFoundError(
+                f"source branch {self.branch!r} has no commits"
+            )
         last = None if full else self._last_refreshed()
         if last is None:
             state = self._agg(self.source.read(version=head))
