@@ -1,7 +1,9 @@
 """Streaming source that TAILS a :class:`VersionedTable` — the
 Iceberg/Delta "table as a stream" surface (Iceberg's Spark streaming
 read: incremental append scan, erroring on non-append commits;
-reference capability per the Trino-on-Iceberg stack's CDC story).
+reference capability per the Trino-on-Iceberg stack's CDC story —
+/root/reference/tf/main.tf:93-98 wires the Iceberg connector whose
+table commits this source tails).
 
 Contract (full ``DataSourceStreamReader``, not the driver-prefetching
 simple reader): offsets are TABLE VERSIONS; ``latestOffset`` reads the

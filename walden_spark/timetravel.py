@@ -1175,7 +1175,8 @@ class VersionedTable:
         self, from_version: int, to_version: int | None = None, branch: str = "main"
     ) -> DataFrame:
         """Change data feed (Delta ``table_changes`` / Iceberg
-        incremental-read analog): every row inserted or deleted in
+        incremental-read analog; reference stack: Iceberg connector at
+        tf/main.tf:93-98): every row inserted or deleted in
         ``(from_version, to_version]`` on the branch lineage, as the
         table's columns plus ``_change_type`` ('insert' | 'delete')
         and ``_commit_version``. An update surfaces as delete+insert
@@ -1385,7 +1386,8 @@ class VersionedTable:
 
     def rename_column(self, old: str, new: str, branch: str = "main") -> int:
         """ALTER TABLE ... RENAME COLUMN, tracked across snapshots the
-        way Iceberg's field-ids track it: an O(manifest) metadata-only
+        way Iceberg's field-ids track it (reference rides the Iceberg
+        connector: /root/reference/tf/main.tf:93-98): an O(manifest) metadata-only
         commit — NO data rewrite, old files keep the old physical name.
         Readers apply the rename at its position in the layer chain, so
         time travel to a pre-rename version still shows the old name,
@@ -1408,7 +1410,9 @@ class VersionedTable:
         )
 
     def restore(self, version: int, branch: str = "main") -> int:
-        """Delta ``RESTORE`` / Iceberg rollback, forward-history style:
+        """Delta ``RESTORE`` / Iceberg rollback analog (reference:
+        Nessie-versioned catalog, tf/main.tf:34-60), forward-history
+        style:
         commit a NEW snapshot whose content is the retained ``version``
         — the manifest is duplicated (sharing the old data files and
         MoR linkage, zero data movement) and the bad commits stay in
