@@ -1523,3 +1523,36 @@ def test_incremental_mv_ignores_side_branches(spark, tmp_path):
     mv.refresh()
     got = {r.grp: r.total for r in mv.read().collect()}
     assert got == {0: 3, 1: 8}  # 999 from the branch never leaked
+
+
+def test_scan_or_filters(spark, tmp_path):
+    """OR expression nodes in scan(): ("or", left, right) composes
+    with AND tuples; footer-stat pruning recurses through both
+    branches (a file is skipped only when BOTH sides are impossible);
+    result always equals read().filter()."""
+    from walden_spark.timetravel import _file_may_match
+
+    t = VersionedTable(spark, str(tmp_path / "orscan"))
+    df = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(4000)], "id long, v double"
+    )
+    t.write(df, sort_by=["id"], n_files=8)
+
+    filt = [("or", [("id", "<", 100)], [("id", ">=", 3900)]), ("v", ">=", 50.0)]
+    got = sorted(r.id for r in t.scan(filters=filt).collect())
+    want = sorted(
+        r.id
+        for r in t.read().filter("(id < 100 OR id >= 3900) AND v >= 50").collect()
+    )
+    assert got == want and len(got) > 0
+
+    # pruning recurses: middle files (both OR branches impossible) skipped
+    files = t._manifests()[-1]["files"]
+    kept = [f for f in files if _file_may_match(f["stats"], filt)]
+    assert 0 < len(kept) < len(files)
+
+    # OR composed with a rename: filters translate inside both branches
+    t.rename_column("id", "row_id")
+    filt2 = [("or", [("row_id", "<", 50)], [("row_id", ">", 3950)])]
+    got2 = sorted(r.row_id for r in t.scan(filters=filt2).collect())
+    assert got2 == list(range(50)) + list(range(3951, 4000))

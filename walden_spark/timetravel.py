@@ -239,8 +239,16 @@ def _ordkey(v):
 def _file_may_match(stats: dict, filters: Sequence[tuple]) -> bool:
     """Conservative range check: False only when the file provably
     contains no matching row. ``filters`` are Iceberg-style
-    ``(column, op, value)`` tuples, implicitly ANDed."""
-    for col, op, value in filters:
+    ``(column, op, value)`` tuples, implicitly ANDed; a
+    ``("or", left_filters, right_filters)`` node (each side a filter
+    list) prunes only when BOTH branches prove impossible."""
+    for item in filters:
+        if item and item[0] == "or":
+            _, left, right = item
+            if not (_file_may_match(stats, left) or _file_may_match(stats, right)):
+                return False
+            continue
+        col, op, value = item
         rng = stats.get(col)
         if rng is None:
             continue  # no stats → can't prune
@@ -271,7 +279,16 @@ def _filters_to_column(filters: Sequence[tuple]) -> Column | None:
     """Exact residual predicate for the pruned scan (pruning only
     skips files; row-level filtering still applies)."""
     out = None
-    for col, op, value in filters:
+    for item in filters:
+        if item and item[0] == "or":
+            _, left, right = item
+            lc, rc = _filters_to_column(left), _filters_to_column(right)
+            if lc is None or rc is None:
+                continue  # an empty side matches everything
+            e = lc | rc
+            out = e if out is None else (out & e)
+            continue
+        col, op, value = item
         c = F.col(col)
         if op in (">=",):
             e = c >= F.lit(value)
@@ -791,7 +808,20 @@ class VersionedTable:
         name -> name as stored at this layer's depth)."""
         if filters is None or not name_map:
             return filters
-        return [(name_map.get(c, c), op, v) for c, op, v in filters]
+        out = []
+        for item in filters:
+            if item and item[0] == "or":
+                out.append(
+                    (
+                        "or",
+                        VersionedTable._xlate_filters(item[1], name_map),
+                        VersionedTable._xlate_filters(item[2], name_map),
+                    )
+                )
+            else:
+                c, op, v = item
+                out.append((name_map.get(c, c), op, v))
+        return out
 
     def _read_snapshot(
         self, m: dict, filters: list[tuple] | None, with_pos: bool = False
@@ -823,7 +853,10 @@ class VersionedTable:
                 # source-column time predicate imply a partition-column
                 # predicate → directory-level pruning on a column the
                 # user never sees
-                for col, op, value in filters:
+                for item in filters:
+                    if item and item[0] == "or":
+                        continue  # no partition rewrite through OR
+                    col, op, value = item
                     if col != part["source"]:
                         continue
                     fld = F.col(part["field"])
@@ -851,7 +884,10 @@ class VersionedTable:
                 src_type = df.schema[part["source"]].dataType
                 fld = F.col(part["field"])
                 lits: list = []
-                for col, op, value in filters:
+                for item in filters:
+                    if item and item[0] == "or":
+                        continue  # no partition rewrite through OR
+                    col, op, value = item
                     if col != part["source"]:
                         continue
                     if op in ("=", "=="):
@@ -870,7 +906,10 @@ class VersionedTable:
                         ]
                     ).collect()[0]
                     bucket_of = dict(zip(uniq, row))
-                for col, op, value in filters:
+                for item in filters:
+                    if item and item[0] == "or":
+                        continue  # no partition rewrite through OR
+                    col, op, value = item
                     if col != part["source"]:
                         continue
                     if op in ("=", "=="):
@@ -882,7 +921,10 @@ class VersionedTable:
                 # date_format string, lexicographically time-ordered, so
                 # the monotone rewrite is the same as day's
                 fld = F.col(part["field"])
-                for col, op, value in filters:
+                for item in filters:
+                    if item and item[0] == "or":
+                        continue  # no partition rewrite through OR
+                    col, op, value = item
                     if col != part["source"]:
                         continue
                     if op == "in":
@@ -905,7 +947,10 @@ class VersionedTable:
                 # integral floor-to-multiple), so ranges rewrite too
                 src_type = df.schema[part["source"]].dataType
                 fld = F.col(part["field"])
-                for col, op, value in filters:
+                for item in filters:
+                    if item and item[0] == "or":
+                        continue  # no partition rewrite through OR
+                    col, op, value = item
                     if col != part["source"]:
                         continue
                     if op == "in":
