@@ -1556,3 +1556,28 @@ def test_scan_or_filters(spark, tmp_path):
     filt2 = [("or", [("row_id", "<", 50)], [("row_id", ">", 3950)])]
     got2 = sorted(r.row_id for r in t.scan(filters=filt2).collect())
     assert got2 == list(range(50)) + list(range(3951, 4000))
+
+
+def test_scan_negation_and_null_ops(spark, tmp_path):
+    """!=, not in, is [not] null in scan filters: result equals
+    read().filter(); a constant file is pruned by a != on its value."""
+    from walden_spark.timetravel import _file_may_match
+
+    t = VersionedTable(spark, str(tmp_path / "negscan"))
+    rows = [(i, float(i) if i % 10 else None) for i in range(100)]
+    t.write(spark.createDataFrame(rows, "id long, v double"))
+
+    got = sorted(
+        r.id for r in t.scan(filters=[("id", "not in", [1, 2, 3]), ("v", "is not null",
+        None)]).collect()
+    )
+    want = sorted(
+        r.id for r in t.read().filter("id NOT IN (1,2,3) AND v IS NOT NULL").collect()
+    )
+    assert got == want
+    assert t.scan(filters=[("v", "is null", None)]).count() == 10
+    assert t.scan(filters=[("id", "!=", 5)]).count() == 99
+    # a constant file prunes under != / not in
+    assert not _file_may_match({"id": [7, 7]}, [("id", "!=", 7)])
+    assert not _file_may_match({"id": [7, 7]}, [("id", "not in", [6, 7])])
+    assert _file_may_match({"id": [5, 9]}, [("id", "!=", 7)])

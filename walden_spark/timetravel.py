@@ -254,7 +254,9 @@ def _file_may_match(stats: dict, filters: Sequence[tuple]) -> bool:
             continue  # no stats → can't prune
         mn, mx = _ordkey(rng[0]), _ordkey(rng[1])
         v = _ordkey(_stat_value(value))
-        if v is None:
+        if v is None and op not in ("in", "not in"):
+            # unorderable scalar literal → can't prune (list-valued
+            # ops order their elements individually below)
             continue
         try:
             if op in (">=", ">"):
@@ -266,8 +268,14 @@ def _file_may_match(stats: dict, filters: Sequence[tuple]) -> bool:
             elif op == "in":
                 vals = [_ordkey(_stat_value(x)) for x in value]
                 hit = any(x is not None and mn <= x <= mx for x in vals)
+            elif op in ("!=", "<>"):
+                # prunable only for a constant file: every row equals v
+                hit = not (mn == mx == v)
+            elif op == "not in":
+                vals = {_ordkey(_stat_value(x)) for x in value}
+                hit = not (mn == mx and mn in vals)
             else:
-                hit = True  # unknown op → keep
+                hit = True  # unknown op (incl. null checks) → keep
         except TypeError:
             hit = True  # cross-type compare → keep
         if not hit:
@@ -302,6 +310,14 @@ def _filters_to_column(filters: Sequence[tuple]) -> Column | None:
             e = c == F.lit(value)
         elif op == "in":
             e = c.isin(list(value))
+        elif op in ("!=", "<>"):
+            e = c != F.lit(value)
+        elif op == "not in":
+            e = ~c.isin(list(value))
+        elif op == "is null":
+            e = c.isNull()
+        elif op == "is not null":
+            e = c.isNotNull()
         else:
             raise ValueError(f"unsupported filter op {op!r}")
         out = e if out is None else (out & e)
