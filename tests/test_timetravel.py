@@ -1581,3 +1581,52 @@ def test_scan_negation_and_null_ops(spark, tmp_path):
     assert not _file_may_match({"id": [7, 7]}, [("id", "!=", 7)])
     assert not _file_may_match({"id": [7, 7]}, [("id", "not in", [6, 7])])
     assert _file_may_match({"id": [5, 9]}, [("id", "!=", 7)])
+
+
+def test_sql_transactions(spark, tmp_path):
+    """Multi-statement transactions over the SQL session: intermediate
+    state invisible to main but read-your-writes inside the block;
+    commit publishes every touched table's pointer; an exception (or a
+    concurrent commit) rolls everything back with nothing published."""
+    from walden_spark.session import WaldenSession
+    from walden_spark.timetravel import MergeConflictError
+
+    ws = WaldenSession(spark)
+    t1 = VersionedTable(spark, str(tmp_path / "tx1"))
+    t2 = VersionedTable(spark, str(tmp_path / "tx2"))
+    t1.write(spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double"))
+    t2.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    ws.register_versioned("vt1", t1.path)
+    ws.register_versioned("vt2", t2.path)
+
+    with ws.transaction():
+        ws.sql("DELETE FROM vt1 WHERE id >= 5")
+        # read-your-writes inside the block...
+        assert ws.sql("SELECT COUNT(*) AS n FROM vt1").collect()[0].n == 5
+        ws.sql("INSERT INTO vt2 VALUES (1, 1.5)")
+        # ...while main still serves the pre-transaction state
+        assert t1.read(branch="main").count() == 10
+    # committed: both tables published together
+    assert ws.sql("SELECT COUNT(*) AS n FROM vt1").collect()[0].n == 5
+    assert ws.sql("SELECT COUNT(*) AS n FROM vt2").collect()[0].n == 2
+
+    # rollback on exception: nothing published, views restored
+    try:
+        with ws.transaction():
+            ws.sql("DELETE FROM vt1 WHERE id = 0")
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert ws.sql("SELECT COUNT(*) AS n FROM vt1").collect()[0].n == 5
+
+    # optimistic conflict: a concurrent main commit aborts the txn
+    with pytest.raises(MergeConflictError):
+        with ws.transaction():
+            ws.sql("DELETE FROM vt1 WHERE id = 1")
+            t1.append(spark.createDataFrame([(99, 9.0)], "id long, v double"))  # concurrent writer
+    assert sorted(r.id for r in t1.read().collect()) == [0, 1, 2, 3, 4, 99]
+
+    # maintenance refuses inside a transaction
+    with pytest.raises(RuntimeError, match="maintenance"):
+        with ws.transaction():
+            ws.sql("OPTIMIZE vt1")

@@ -231,6 +231,82 @@ class WaldenSession:
 
         self.query_log = QueryLog()
         self._versioned: dict[str, object] = {}
+        self._txn: dict | None = None
+
+    # ---- multi-statement transactions over versioned tables ----
+
+    def transaction(self):
+        """Multi-statement ACID transaction over registered versioned
+        tables (the Nessie-refs transaction model): every DML inside
+        the block stages on a per-table TRANSACTION BRANCH — main
+        never sees intermediate state, while SELECTs inside the block
+        read their own writes. On exit the commit is two-phase:
+        every touched table is validated fast-forwardable first, then
+        all pointers move; a concurrent commit on any table aborts
+        the WHOLE transaction with nothing published (optimistic
+        serializability, same claim protocol as single commits). An
+        exception inside the block rolls everything back.
+
+        >>> with ws.transaction():
+        ...     ws.sql("DELETE FROM orders_v WHERE status = 'X'")
+        ...     ws.sql("INSERT INTO audit_v VALUES (...)")
+        """
+        import contextlib
+        import uuid as _uuid
+
+        from walden_spark.timetravel import MergeConflictError
+
+        @contextlib.contextmanager
+        def _txn():
+            if self._txn is not None:
+                raise RuntimeError("transactions do not nest")
+            name = f"txn_{_uuid.uuid4().hex[:12]}"
+            self._txn = {"name": name, "tables": set()}
+            ok = False
+            try:
+                yield self
+                # phase 1: every touched table must be fast-forwardable
+                # BEFORE any pointer moves
+                for t in self._txn["tables"]:
+                    vt = self._versioned[t]
+                    src = vt.head(name)
+                    dst = vt.head("main")
+                    if not (dst == src or dst in vt._ancestors(src)):
+                        raise MergeConflictError(
+                            f"table {t!r} was committed concurrently during "
+                            "the transaction; nothing was published — retry"
+                        )
+                # phase 2: publish all pointers
+                for t in self._txn["tables"]:
+                    vt = self._versioned[t]
+                    vt._write_ref("branch", "main", vt.head(name), overwrite=True)
+                ok = True
+            finally:
+                txn, self._txn = self._txn, None
+                for t in txn["tables"]:
+                    vt = self._versioned[t]
+                    try:
+                        vt.delete_ref("branch", txn["name"])
+                    except Exception:
+                        pass  # branch cleanup is best-effort
+                    # views back to (possibly updated) main
+                    self._refresh_versioned(t)
+                if not ok:
+                    pass  # staged branch commits dangle unreferenced;
+                    # expire_versions / remove_orphans reclaim them
+
+        return _txn()
+
+    def _dml_branch(self, name: str) -> str:
+        """Branch DML statements write to: main normally, the
+        transaction branch (created at first touch) inside one."""
+        if self._txn is None:
+            return "main"
+        vt = self._versioned[name]
+        if name not in self._txn["tables"]:
+            vt.create_branch(self._txn["name"])
+            self._txn["tables"].add(name)
+        return self._txn["name"]
 
     def register_versioned(self, name: str, path: str):
         """Expose a :class:`walden_spark.timetravel.VersionedTable` to
@@ -243,7 +319,7 @@ class WaldenSession:
 
         vt = VersionedTable(self.spark, path)
         self._versioned[name] = vt
-        vt.read().createOrReplaceTempView(name)
+        vt.read(branch="main").createOrReplaceTempView(name)
         return vt
 
     def _rewrite_time_travel(self, query: str) -> str:
@@ -335,7 +411,17 @@ class WaldenSession:
         return self._META_RE.sub(sub, query)
 
     def _refresh_versioned(self, name: str) -> None:
-        self._versioned[name].read().createOrReplaceTempView(name)
+        # inside a transaction a touched table's view serves the txn
+        # branch head: statements read their own writes
+        if self._txn is not None and name in self._txn["tables"]:
+            self._versioned[name].read(
+                branch=self._txn["name"]
+            ).createOrReplaceTempView(name)
+        else:
+            # branch="main" explicitly: read() with no args serves the
+            # NEWEST manifest on any branch — a dangling transaction or
+            # side-branch commit must not surface in the view
+            self._versioned[name].read(branch="main").createOrReplaceTempView(name)
 
     def _maybe_versioned_dml(self, query: str) -> DataFrame | None:
         """Route DELETE/UPDATE/INSERT on a registered versioned table to
@@ -346,7 +432,7 @@ class WaldenSession:
         if m and m.group(1) in self._versioned:
             name = m.group(1)
             vt = self._versioned[name]
-            v = vt.delete_where(m.group(2), mode="mor")
+            v = vt.delete_where(m.group(2), branch=self._dml_branch(name), mode="mor")
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._DML_UPDATE_RE.match(query)
@@ -357,7 +443,9 @@ class WaldenSession:
             for part in self._split_assignments(m.group(2)):
                 col, expr = part.split("=", 1)
                 assignments[col.strip()] = expr.strip()
-            v = vt.update_where(assignments, m.group(3), mode="mor")
+            v = vt.update_where(
+                assignments, m.group(3), branch=self._dml_branch(name), mode="mor"
+            )
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._DML_INSERT_RE.match(query)
@@ -368,7 +456,7 @@ class WaldenSession:
             tbl_cols = vt.read().columns
             if df.columns != tbl_cols and len(df.columns) == len(tbl_cols):
                 df = df.toDF(*tbl_cols)  # VALUES yields col1..colN — positional
-            v = vt.append(df)
+            v = vt.append(df, branch=self._dml_branch(name))
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._DDL_RENAME_RE.match(query)
@@ -382,6 +470,11 @@ class WaldenSession:
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._DML_MERGE_RE.match(query)
         if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "MERGE INTO is not supported inside a transaction; "
+                    "use DELETE/UPDATE/INSERT statements"
+                )
             # MERGE INTO t USING s ON t.k = s.k [AND ...] WHEN MATCHED
             # THEN UPDATE SET * [WHEN NOT MATCHED THEN INSERT *] — the
             # UPDATE SET * / INSERT * (upsert-by-key) subset, which is
@@ -410,6 +503,8 @@ class WaldenSession:
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._MAINT_OPTIMIZE_RE.match(query)
         if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError("maintenance statements cannot run inside a transaction")
             # OPTIMIZE tbl [ZORDER BY (a, b)]: compaction, or the
             # multi-dimensional clustering rewrite (Delta's surface)
             name = m.group(1)
