@@ -1630,3 +1630,18 @@ def test_sql_transactions(spark, tmp_path):
     with pytest.raises(RuntimeError, match="maintenance"):
         with ws.transaction():
             ws.sql("OPTIMIZE vt1")
+
+
+def test_transaction_snapshot_isolation(spark, tmp_path):
+    """Views pin at transaction start: a concurrent commit on an
+    UNTOUCHED table is invisible inside the block, visible after."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "si"))
+    t.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    ws.register_versioned("vsi", t.path)
+    with ws.transaction():
+        t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))  # concurrent
+        assert ws.sql("SELECT COUNT(*) AS n FROM vsi").collect()[0].n == 1
+    assert ws.sql("SELECT COUNT(*) AS n FROM vsi").collect()[0].n == 2

@@ -262,6 +262,12 @@ class WaldenSession:
                 raise RuntimeError("transactions do not nest")
             name = f"txn_{_uuid.uuid4().hex[:12]}"
             self._txn = {"name": name, "tables": set()}
+            # snapshot isolation: pin EVERY registered table's view at
+            # its main head as of transaction start — a concurrent
+            # commit mid-transaction never changes what this block
+            # reads (touched tables then switch to their txn branch)
+            for t in self._versioned:
+                self._refresh_versioned(t)
             ok = False
             try:
                 yield self
@@ -289,7 +295,9 @@ class WaldenSession:
                         vt.delete_ref("branch", txn["name"])
                     except Exception:
                         pass  # branch cleanup is best-effort
-                    # views back to (possibly updated) main
+                # un-pin EVERY view (untouched tables were snapshot-
+                # pinned at txn start and may have moved since)
+                for t in self._versioned:
                     self._refresh_versioned(t)
                 if not ok:
                     pass  # staged branch commits dangle unreferenced;
