@@ -1645,3 +1645,19 @@ def test_transaction_snapshot_isolation(spark, tmp_path):
         t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))  # concurrent
         assert ws.sql("SELECT COUNT(*) AS n FROM vsi").collect()[0].n == 1
     assert ws.sql("SELECT COUNT(*) AS n FROM vsi").collect()[0].n == 2
+
+
+def test_show_stats_for(spark, tmp_path):
+    """SHOW STATS FOR: per-column min/max + row count served from
+    manifest footer stats, composing across MoR append layers."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "st"))
+    t.write(spark.createDataFrame([(i, float(i) * 2) for i in range(100)], "id long, v double"))
+    t.append(spark.createDataFrame([(500, -1.0)], "id long, v double"))
+    ws.register_versioned("vst", t.path)
+    stats = {r.column_name: r for r in ws.sql("SHOW STATS FOR vst").collect()}
+    assert stats["id"].low_value == "0" and stats["id"].high_value == "500"
+    assert stats["v"].low_value == "-1.0" and stats["v"].high_value == "198.0"
+    assert stats["id"].row_count == 101

@@ -220,6 +220,9 @@ class WaldenSession:
     _MAINT_HISTORY_RE = _re.compile(
         r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", _re.IGNORECASE
     )
+    _MAINT_STATS_RE = _re.compile(
+        r"^\s*SHOW\s+STATS\s+FOR\s+(\w+)\s*;?\s*$", _re.IGNORECASE
+    )
     _MAINT_RESTORE_RE = _re.compile(
         r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
         _re.IGNORECASE,
@@ -541,6 +544,10 @@ class WaldenSession:
         m = self._MAINT_HISTORY_RE.match(query)
         if m and m.group(1) in self._versioned:
             return self._versioned[m.group(1)].history()
+        m = self._MAINT_STATS_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # Trino SHOW STATS FOR: manifest footer stats, no data scan
+            return self._versioned[m.group(1)].column_stats()
         m = self._MAINT_RESTORE_RE.match(query)
         if m and m.group(1) in self._versioned:
             # Delta RESTORE: forward-history rollback — a new snapshot

@@ -1197,6 +1197,45 @@ class VersionedTable:
             "file_path string, record_count long",
         )
 
+    def column_stats(self, branch: str = "main") -> DataFrame:
+        """Trino ``SHOW STATS FOR`` analog, answered from manifest
+        footer stats — per-column global min/max and total row count
+        across the head's data files, zero data scan. Delete layers
+        make these bounds CONSERVATIVE (a deleted extremum still
+        widens the range), exactly like Iceberg's scan-level stats."""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        head = self.head(branch)
+        if head is None:
+            raise FileNotFoundError(f"branch {branch!r} has no commits")
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        total = 0
+        cur = by_v[head]
+        while cur is not None:
+            is_data = not (
+                cur.get("position_delete")
+                or (cur.get("equality_delete") and not cur.get("upsert"))
+            )
+            for f in cur.get("files") or []:
+                if not is_data:
+                    continue
+                total += int(f.get("rows") or 0)
+                for col, rng in (f.get("stats") or {}).items():
+                    lo, hi = rng
+                    if col not in mins or _ordkey(lo) < _ordkey(mins[col]):
+                        mins[col] = lo
+                    if col not in maxs or _ordkey(hi) > _ordkey(maxs[col]):
+                        maxs[col] = hi
+            cur = by_v.get(cur.get("parent")) if cur.get("mor") else None
+        rows = [
+            (c, str(mins[c]), str(maxs[c]), total) for c in sorted(mins)
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "column_name string, low_value string, high_value string, row_count long",
+        )
+
     def snapshots(self) -> DataFrame:
         """Iceberg ``tbl$snapshots`` metadata table (alias of
         :meth:`history`)."""
