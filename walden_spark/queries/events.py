@@ -367,3 +367,48 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@query(
+    "events_path_regex",
+    oracle="""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS path
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, CAST(length(path) AS BIGINT) AS n_events,
+       CAST(regexp_matches(path, 's[^p]*p') AS BOOLEAN) AS converted
+FROM paths
+""",
+    category="events",
+)
+def events_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path analysis (ClickHouse sequenceMatch / funnel-
+    regex shape): each user's ordered event history folds to a
+    compact symbol string (first letter of the type — s=signup,
+    p=purchase, ...) and a regex answers 'signup then a later
+    purchase with no purchase in between'. One groupBy(user) shuffle
+    with an ORDERED aggregation, then a map-only regex — the whole
+    path state is one string per user, so a billion-user corpus is a
+    plain aggregate, not a window. Tiebreak on (ts, event_id) keeps
+    the fold deterministic across engines."""
+    t = Tables(spark, sf_dir)
+    paths = (
+        t.events.select("user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "sym"))
+                ).getField("sym"),
+            ).alias("path")
+        )
+    )
+    return paths.select(
+        "user_id",
+        F.length("path").cast("long").alias("n_events"),
+        F.col("path").rlike("s[^p]*p").alias("converted"),
+    )

@@ -932,3 +932,39 @@ def tpcds_fx_cumulative_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.events.createOrReplaceTempView("fx51_events")
     return spark.sql(_FX_CUMULATIVE_CHANNELS_SQL.format(events="fx51_events"))
+
+
+_FX_TRIP_BANDS_SQL = """
+WITH trips AS (
+  SELECT o_custkey, o_orderkey, COUNT(*) AS items
+  FROM {lineitem} l JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o_custkey, o_orderkey
+)
+SELECT c.c_custkey, c.c_name, t.o_orderkey, CAST(t.items AS BIGINT) AS items
+FROM trips t JOIN {customer} c ON t.o_custkey = c.c_custkey
+WHERE t.items BETWEEN 5 AND 7
+"""
+
+
+@query(
+    "tpcds_fx_trip_bands",
+    oracle=_FX_TRIP_BANDS_SQL.format(
+        lineitem="lineitem", orders="orders", customer="customer"
+    ),
+    category="tpcds",
+)
+def tpcds_fx_trip_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q73 shape with a full hash oracle: per-trip (order) item
+    counts banded, then joined back to the customer dimension — the
+    count-band-then-dimension-join pattern. One fact-fact orderkey
+    shuffle for the count, then a key join against customers (AQE
+    broadcasts the banded survivors). Counts are exact integers."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx73_lineitem")
+    t.orders.createOrReplaceTempView("fx73_orders")
+    t.customer.createOrReplaceTempView("fx73_customer")
+    return spark.sql(
+        _FX_TRIP_BANDS_SQL.format(
+            lineitem="fx73_lineitem", orders="fx73_orders", customer="fx73_customer"
+        )
+    )
