@@ -553,3 +553,41 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", lev.cast("bigint").alias("lev"), sim.alias("name_sim"))
         .orderBy("key_a")
     )
+
+
+@query(
+    "fn_timezone",
+    oracle="""
+SELECT event_id,
+       strftime(timezone('America/New_York', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS ny_time,
+       strftime(timezone('Asia/Tokyo', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS tokyo_time,
+       strftime(timezone('Australia/Sydney', timezone('UTC', ts)),
+                '%Y-%m-%d %H:%M:%S') AS sydney_time,
+       CAST(EXTRACT(HOUR FROM timezone('America/New_York', timezone('UTC', ts)))
+            AS BIGINT) AS ny_hour
+FROM events
+WHERE event_id % 20 = 0
+""",
+    category="function",
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AT TIME ZONE family (Trino ts AT TIME ZONE 'zone' /
+    from_utc_timestamp parity): UTC event times rendered as wall-clock
+    in three named zones (one of them DST-active for the fixture
+    window), plus an EXTRACT over the converted value. Emitted as
+    formatted strings — cross-engine tz conversion is IANA-table
+    identical, but raw timestamp hashing would trip on session-TZ
+    re-encoding."""
+    t = Tables(spark, sf_dir)
+    ev = t.events.filter(F.col("event_id") % 20 == 0)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    ny = F.from_utc_timestamp("ts", "America/New_York")
+    return ev.select(
+        "event_id",
+        F.date_format(ny, fmt).alias("ny_time"),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt).alias("tokyo_time"),
+        F.date_format(F.from_utc_timestamp("ts", "Australia/Sydney"), fmt).alias("sydney_time"),
+        F.hour(ny).cast("long").alias("ny_hour"),
+    )
