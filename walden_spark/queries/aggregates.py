@@ -673,3 +673,33 @@ def agg_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("regr_r2"),
         n.cast("long").alias("regr_count"),
     )
+
+
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT l_returnflag,
+       CAST(floor(l_quantity / 10) AS BIGINT) AS bucket,
+       CAST(floor(l_quantity / 10) * 10 AS BIGINT) AS bucket_lo,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY 1, 2, 3
+""",
+    category="aggregate",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric histogram (Trino numeric_histogram / histogram()
+    analog, emitted as ROWS not a map so the result hashes): fixed-
+    width quantity buckets per returnflag via exact integer floor
+    arithmetic — one partial-aggregated groupBy, deterministic on any
+    engine."""
+    t = Tables(spark, sf_dir)
+    bucket = F.floor(F.col("l_quantity") / 10)
+    return (
+        t.lineitem.groupBy(
+            "l_returnflag",
+            bucket.cast("long").alias("bucket"),
+            (bucket * 10).cast("long").alias("bucket_lo"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -412,3 +412,55 @@ def events_path_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("path").cast("long").alias("n_events"),
         F.col("path").rlike("s[^p]*p").alias("converted"),
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS d,
+         CAST(SUM(n) AS DOUBLE) AS s,
+         CAST(SUM(n * n) AS DOUBLE) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, CAST(d.day AS STRING) AS day, CAST(d.n AS BIGINT) AS n,
+       floor(((d.n - s.s / s.d)
+              / sqrt((s.ss - s.s * s.s / s.d) / (s.d - 1))) * 1000000.0)
+         / 1000000.0 AS zscore
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE abs((d.n - s.s / s.d)
+          / sqrt((s.ss - s.s * s.s / s.d) / (s.d - 1))) > 1.5
+""",
+    category="events",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: daily event counts per type scored
+    against that type's mean/stddev (z-score from exact integer sums —
+    identical IEEE arithmetic on both engines), keeping |z| > 1.5
+    days. Two slim aggregations plus a per-type broadcast join; at
+    100 TB the daily rollup is the only pass over raw events."""
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("d"),
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.col("n") * F.col("n")).cast("double").alias("ss"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    z = (F.col("n") - F.col("s") / F.col("d")) / F.sqrt(
+        (F.col("ss") - F.col("s") * F.col("s") / F.col("d")) / (F.col("d") - 1)
+    )
+    return j.filter(F.abs(z) > 1.5).select(
+        "event_type",
+        F.col("day").cast("string").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        (F.floor(z * 1e6) / 1e6).alias("zscore"),
+    )

@@ -144,7 +144,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # ddl_change_feed, ddl_incremental_mv, streaming_incremental_mv,
 # tpcds_fx_hour_bands, tpcds_fx_cumulative_channels,
 # agg_linear_regression, streaming_table_tail, ddl_restore_lifecycle, ddl_wap_publish,
-# tpcds_fx_trip_bands, events_path_regex, fn_timezone.
+# tpcds_fx_trip_bands, events_path_regex, fn_timezone,
+# agg_histogram, events_anomaly_zscore.
 # Keep ~15 anchors; fill the rest from this list → every oracle-backed
 # query driver-verified at least once by ~r07.
 
