@@ -175,3 +175,22 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query("source_xml_roundtrip", oracle=_NATION_ORACLE, category="scan")
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → XML source with explicit schema (Spark 4 ships the
+    XML data source natively — the one structured file format beyond
+    CSV/JSON/ORC/Parquet/binary the engine serves without extra jars;
+    Avro remains the documented env-blocked exception)."""
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_xml_") + "/nation"
+    nation = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    nation.write.format("xml").option("rowTag", "nation").save(path)
+    return (
+        spark.read.format("xml")
+        .schema(_NATION_DDL)
+        .option("rowTag", "nation")
+        .load(path)
+        .orderBy("n_nationkey")
+    )

@@ -145,7 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
 # tpcds_fx_hour_bands, tpcds_fx_cumulative_channels,
 # agg_linear_regression, streaming_table_tail, ddl_restore_lifecycle, ddl_wap_publish,
 # tpcds_fx_trip_bands, events_path_regex, fn_timezone,
-# agg_histogram, events_anomaly_zscore.
+# agg_histogram, events_anomaly_zscore, source_xml_roundtrip.
 # Keep ~15 anchors; fill the rest from this list → every oracle-backed
 # query driver-verified at least once by ~r07.
 
