@@ -292,3 +292,38 @@ def test_table_tail_streaming_source(spark, tmp_path):
     q4.awaitTermination()
     got = sorted(r.id for r in spark.sql("SELECT * FROM tt4").collect())
     assert 300 in got and len(got) == 11  # 8 base + 100/200/300 appends, delete skipped
+
+
+def test_table_tail_ignores_side_branches(spark, tmp_path):
+    """ADVICE r05 #2: the tail follows the MAIN branch lineage. Commits
+    on a side branch (a WAP audit branch, a transaction's staging
+    branch) must neither leak unpublished rows into the stream nor
+    abort it when they're non-append — until a merge publishes them."""
+    from walden_spark.sources.tablestream import register_table_tail
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_tail(spark)
+    t = VersionedTable(spark, str(tmp_path / "brsrc"))
+    t.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    # side-branch activity: an append (unpublished rows) AND a MoR
+    # delete (would abort an append tail if it leaked into the plan)
+    t.create_branch("wap")
+    t.append(spark.createDataFrame([(900, 9.0)], "id long, v double"), branch="wap")
+    t.delete_keys(
+        spark.createDataFrame([(1,)], "id long"), on=["id"], branch="wap"
+    )
+    t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))  # on main
+
+    stream = spark.readStream.format("walden_table_tail").option("path", t.path).load()
+    seen: list[int] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(r.id for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "brck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [1, 2]  # main rows only — no 900, no abort

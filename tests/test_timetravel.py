@@ -283,6 +283,52 @@ def test_hidden_day_partitioning(spark, tmp_path):
     )
 
 
+def test_hidden_partition_prunes_through_or(spark, tmp_path):
+    """VERDICT r05 next-round #5: an OR of same-column ranges rewrites
+    to the UNION of their partition filters (footer pruning already
+    recursed through OR; the partition rewrite now does too). An OR
+    with an unconstrained side must imply nothing — full scan, right
+    rows."""
+    rows = spark.sql(
+        "SELECT id, timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts "
+        "FROM range(0, 24*14)"  # 14 days of hourly rows
+    )
+    t = VersionedTable(spark, str(tmp_path / "hiddenor"))
+    t.write(rows, partition_day="ts")
+
+    scanned = t.scan(
+        filters=[
+            (
+                "or",
+                [("ts", ">=", "2024-01-02 00:00:00"), ("ts", "<", "2024-01-03 00:00:00")],
+                [("ts", ">=", "2024-01-13 00:00:00"), ("ts", "<", "2024-01-14 00:00:00")],
+            )
+        ]
+    )
+    want = list(range(24, 48)) + list(range(24 * 12, 24 * 13))
+    assert sorted(r.id for r in scanned.collect()) == want
+    plan = scanned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "walden_p_day" in pf, (
+        "OR of two day ranges must become a partition filter on the hidden field"
+    )
+
+    # unconstrained side (different column) → no partition implication,
+    # but row-level residual still correct
+    mixed = t.scan(
+        filters=[
+            (
+                "or",
+                [("ts", ">=", "2024-01-13 00:00:00")],
+                [("id", "<", 5)],
+            )
+        ]
+    )
+    assert sorted(r.id for r in mixed.collect()) == list(range(5)) + list(
+        range(24 * 12, 24 * 14)
+    )
+
+
 def test_expire_keeps_mor_bases_and_ref_targets(spark, tmp_path):
     """expire_versions must not break retained MoR chains or refs."""
     t = VersionedTable(spark, str(tmp_path / "exp"))
@@ -1518,6 +1564,15 @@ def test_metadata_tables_sql(spark, tmp_path):
     assert len(day_keys) == 3  # three hidden day partitions
     # python API parity
     assert t.files().count() == len(files)
+
+    # ADVICE r05 #5: a tbl$kind token inside a STRING LITERAL is data,
+    # not a table reference — it must pass through untouched, and an
+    # unknown $suffix must fall through to Spark instead of raising
+    lit = ws.sql("SELECT 'vmeta$files' AS s, 'vmeta$bogus' AS b").collect()[0]
+    assert lit.s == "vmeta$files" and lit.b == "vmeta$bogus"
+    # escaped-quote literal ('' = one quote) keeps the splitter aligned
+    esc = ws.sql("SELECT 'it''s vmeta$files' AS s").collect()[0]
+    assert esc.s == "it's vmeta$files"
     assert t.partitions().count() == len(parts)
 
 
@@ -1812,10 +1867,18 @@ def test_sql_transactions(spark, tmp_path):
             t1.append(spark.createDataFrame([(99, 9.0)], "id long, v double"))  # concurrent writer
     assert sorted(r.id for r in t1.read().collect()) == [0, 1, 2, 3, 4, 99]
 
-    # maintenance refuses inside a transaction
+    # maintenance refuses inside a transaction — ALL of it: RESTORE
+    # would commit straight to main mid-transaction and VACUUM could GC
+    # versions the staged branch builds on (ADVICE r05 #4)
     with pytest.raises(RuntimeError, match="maintenance"):
         with ws.transaction():
             ws.sql("OPTIMIZE vt1")
+    with pytest.raises(RuntimeError, match="maintenance"):
+        with ws.transaction():
+            ws.sql("RESTORE TABLE vt1 TO VERSION AS OF 0")
+    with pytest.raises(RuntimeError, match="maintenance"):
+        with ws.transaction():
+            ws.sql("VACUUM vt1")
 
 
 def test_transaction_snapshot_isolation(spark, tmp_path):

@@ -100,10 +100,16 @@ toks AS (
   SELECT name, n, unnest(list_distinct(string_split(name, ' '))) AS tok
   FROM names
 ),
+tok_ok AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= 100
+),
+toks_b AS (
+  SELECT t.* FROM toks t JOIN tok_ok USING (tok)
+),
 cand AS (
   SELECT a.name AS name_a, b.name AS name_b, a.n AS n_a, b.n AS n_b,
          CAST(count(*) AS BIGINT) AS shared_tokens
-  FROM toks a JOIN toks b ON a.tok = b.tok AND a.name < b.name
+  FROM toks_b a JOIN toks_b b ON a.tok = b.tok AND a.name < b.name
   GROUP BY 1, 2, 3, 4
 )
 SELECT name_a, name_b, n_a, n_b, shared_tokens,
@@ -118,8 +124,20 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     names sharing a word token with edit distance <= 4, with occurrence
     counts — the record-linkage primitive, domain-first so fact rows
     are never pair-joined. Oracle: identical blocking + levenshtein in
-    DuckDB."""
+    DuckDB.
+
+    ``max_token_df=100`` (mirrored in the oracle's tok_ok CTE): the
+    blocking-key skew cap is ON in the registered query — a
+    stopword-grade token in a dirty real-world domain would otherwise
+    contribute O(df²) candidate pairs (VERDICT r05 "What's wrong" #3).
+    On this fixture every token has df=8, so the cap never binds and
+    recall is unchanged; the bound itself is tested with a planted
+    stopword in tests/test_edge_cases.py."""
     t = Tables(spark, sf_dir)
     return fuzzy_match_domain(
-        t.part.select("p_name"), "p_name", max_dist=4, min_shared_tokens=1
+        t.part.select("p_name"),
+        "p_name",
+        max_dist=4,
+        min_shared_tokens=1,
+        max_token_df=100,
     )

