@@ -684,6 +684,49 @@ def test_versioned_catalog_atomic_cross_table_merge(spark, tmp_path):
     assert cat2.table("y").read(branch="main").count() == 2
 
 
+def test_catalog_branch_schema_change_merges_atomically(spark, tmp_path):
+    """VERDICT r05 next-round #8: table SCHEMAS are branch-pinned —
+    a schema change is a lineage commit like any data commit, so a
+    branch that renames a column on one table and writes data to
+    another merges ALL-OR-NOTHING: the fast-forward publishes rename +
+    data together (under one set of CAS claims), and a diverged table
+    aborts the whole merge with neither schema nor data moved."""
+    from walden_spark.timetravel import MergeConflictError, VersionedCatalog
+
+    cat = VersionedCatalog(spark, str(tmp_path / "scat"))
+    a, b = cat.table("a"), cat.table("b")
+    a.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    b.write(spark.createDataFrame([(1, "x")], "id long, s string"))
+    cat.create_branch("dev", ["a", "b"])
+    # branch work: rename on a (+ data under the NEW name), data on b
+    a.rename_column("v", "val", branch="dev")
+    a.append(spark.createDataFrame([(2, 2.0)], "id long, val double"), branch="dev")
+    b.append(spark.createDataFrame([(2, "y")], "id long, s string"), branch="dev")
+    # main still serves the OLD schema until the merge publishes
+    assert a.read(branch="main").columns == ["id", "v"]
+    out = cat.merge("dev", into="main")
+    assert a.read(branch="main").columns == ["id", "val"]
+    assert a.read(branch="main").count() == 2
+    assert sorted(r.s for r in b.read(branch="main").collect()) == ["x", "y"]
+    # scan filters on the renamed column still prune into pre-rename files
+    assert sorted(r.id for r in a.scan(filters=[("val", ">=", 1.0)]).collect()) == [1, 2]
+
+    # conflict case: rename staged on a branch + concurrent main commit
+    # on the SAME table → whole merge aborts; schema and data unmoved
+    cat2 = VersionedCatalog(spark, str(tmp_path / "scat2"))
+    x, y = cat2.table("x"), cat2.table("y")
+    x.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    y.write(spark.createDataFrame([(1, "x")], "id long, s string"))
+    cat2.create_branch("dev", ["x", "y"])
+    x.rename_column("v", "val", branch="dev")
+    y.append(spark.createDataFrame([(2, "y")], "id long, s string"), branch="dev")
+    x.append(spark.createDataFrame([(9, 9.0)], "id long, v double"))  # main moves
+    with pytest.raises(MergeConflictError):
+        cat2.merge("dev", into="main")
+    assert x.read(branch="main").columns == ["id", "v"]  # schema unmoved
+    assert y.read(branch="main").count() == 1            # data unmoved
+
+
 def test_sql_time_travel_syntax(spark, tmp_path):
     """Trino/Iceberg `FOR VERSION AS OF` / `FOR TIMESTAMP AS OF` SQL
     surface over a registered VersionedTable, including branch/tag

@@ -64,18 +64,20 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r05 ROTATION (VERDICT r04 next-round #2): 15 anchors — flagships,
-# one per north-star family, plus fn_array/fn_map (r04's only red rows:
-# their nested-output serialization fix must be driver-witnessed) —
-# and 35 slots filled with names the driver has NEVER checked,
-# prioritizing r04's own additions and the udf_/events_/dedup families.
-# Names rotated out stay verified by the repo's own oracle suite
-# (tests/test_oracle.py runs all of them); the union of driver windows
-# keeps growing round over round (cumulative after r04: 102/190).
+# r06 ROTATION (VERDICT r05 next-round #2): 15 anchors — flagships,
+# one per SURVEY family including filter/unnest — and 35 slots filled
+# with names the driver has NEVER checked, prioritizing the r05/r06
+# table-format additions (eq/pos deletes, three-way merge, CDF,
+# incremental MV, WAP, RESTORE, transactions, maintenance SQL) plus
+# family breadth (agg/fn/events/text/multimodal/setop/similarity/
+# scan/streaming). Names rotated out stay verified by the repo's own
+# oracle suite (tests/test_oracle.py runs all of them); the union of
+# driver windows keeps growing round over round (cumulative after
+# r05: 135/217).
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors --
     "tpch_q1",
-    "ddl_lifecycle", "ddl_dml_cow",
+    "ddl_lifecycle",
     "streaming_session_window",
     "dedup_minhash_lsh",
     "knn_lsh_bucketed",
@@ -86,68 +88,53 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_ranking",
     "source_csv_roundtrip",
     "proj_case_cast",
-    "fn_array", "fn_map",  # r04 ERR rows — fix witnessed this round
-    "topn_per_group", "posexplode_ordinality",  # sort/unnest family reps
-    # -- rotated in: never driver-verified before r05 --
-    # r04's own additions (VERDICT r04 priority)
-    "ddl_mor_lifecycle", "ddl_hidden_partition_scan",
-    "agg_freq_sketch",
-    "join_asof_tolerance", "join_asof_forward",
-    "streaming_mor_ingest",
-    "tpcds_fx_cross_channel",
-    "win_groups_frame_partitioned",
-    # UDF surface (all six remaining variants)
-    "udf_sql_function", "udf_pandas_grouped_agg", "udf_cogroup_pandas",
-    "udf_arrow_optimized", "udf_pandas_iterator", "udf_pandas_window_agg",
-    # events family
-    "events_tumbling", "events_sliding", "events_session_windows",
-    "events_gapfill", "events_scd2_history",
-    # dedup tiers not yet driver-witnessed
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine",
-    # text pipeline stages
-    "text_token_counts",
-    # aggregate stragglers
-    "agg_quantile_sketch",
-    # r05 TPC-DS fixture ports (VERDICT r04 #7: driver rows, not just
-    # file-differential) — the q67/q36 shapes with hash oracles
-    "tpcds_fx_rollup_topn", "tpcds_fx_margin_rank",
-    # ddl / sources / similarity / setop / filter representatives
-    "ddl_time_travel",
-    "source_json_roundtrip", "source_partitioned_parquet",
-    "knn_brute_force",
-    "setop_union_distinct",
-    "sql_parameterized",
+    "topn_per_group",
+    "filter_predicates",
+    "posexplode_ordinality",
+    # -- rotated in: never driver-verified before r06 --
+    # versioned-table / transactional layer (r05+r06 additions)
+    "ddl_eq_delete_lifecycle", "ddl_pos_delete_lifecycle",
+    "ddl_branch_merge_threeway", "ddl_change_feed", "ddl_incremental_mv",
+    "ddl_wap_publish", "ddl_restore_lifecycle", "ddl_txn_publish",
+    "ddl_maintenance_lifecycle", "ddl_catalog_refs", "ddl_schema_evolution",
+    # streaming over versioned tables + stateful stragglers
+    "streaming_mor_upsert", "streaming_table_tail",
+    "streaming_incremental_mv", "streaming_dedup_watermark",
+    # joins / dedup / similarity tiers
+    "join_fuzzy_blocked", "dedup_semantic_cluster", "knn_lsh_multiprobe",
+    # text pipeline stragglers
+    "text_tfidf_topk", "text_lang_id", "text_hash_split",
+    # aggregates
+    "agg_linear_regression", "agg_histogram", "agg_cube", "agg_rollup",
+    "agg_hll_sketch",
+    # scalar functions
+    "fn_timezone", "fn_string_distance",
+    # events behavioral analytics
+    "events_retention_cohort", "events_path_regex", "events_anomaly_zscore",
+    # sources / multimodal / setops
+    "source_xml_roundtrip", "source_binaryfile_ingest",
+    "multimodal_meta", "setop_intersect",
 )
 
-# r06 ROTATION QUEUE: after r05's window lands, ~39 oracle-backed names
-# remain never-driver-verified — including agg_cube, agg_rollup,
-# text_lang_id and text_hash_split, bumped from r05 to make room for
-# the tpcds_fx ports (regenerate via the snippet in
+# r07 ROTATION QUEUE: after r06's window lands, ~35 oracle-backed names
+# remain never-driver-verified (regenerate via the snippet in
 # tests/test_registry.py): agg_percentile_approx, agg_stats_builtin,
 # agg_collect_sorted, agg_map_entries, agg_min_max_by,
-# agg_filter_clause, agg_bool_bit, agg_having, agg_hll_sketch,
-# ddl_ctas_view, ddl_schema_evolution, ddl_materialized_view,
+# agg_filter_clause, agg_bool_bit, agg_having,
+# ddl_ctas_view, ddl_materialized_view,
 # events_json_agg, events_dedup_exact, fn_array_zip, fn_conditional,
-# fn_uuid_typeof, multimodal_meta, multimodal_frame_sample,
-# multimodal_resize, multimodal_dedup_exact, setop_intersect,
-# knn_lsh_multiprobe, source_python_stream, source_binaryfile_ingest,
-# streaming_dedup_watermark, streaming_sliding, streaming_static_join,
+# fn_uuid_typeof, multimodal_frame_sample,
+# multimodal_resize, multimodal_dedup_exact,
+# source_python_stream,
+# streaming_sliding, streaming_static_join,
 # streaming_available_now, streaming_stateful_timeout_sessions,
 # text_fingerprint, text_pii_scan, text_repetition,
 # text_decontaminate, text_chunking, text_stratified_sample,
-# text_sequence_pack, text_shard_shuffle, text_weighted_sample —
-# plus r05's own additions: ddl_eq_delete_lifecycle,
-# ddl_pos_delete_lifecycle, ddl_branch_merge_threeway,
-# streaming_mor_upsert, join_fuzzy_blocked, events_retention_cohort,
-# dedup_semantic_cluster, text_tfidf_topk, fn_string_distance,
-# ddl_change_feed, ddl_incremental_mv, streaming_incremental_mv,
+# text_sequence_pack, text_shard_shuffle, text_weighted_sample,
 # tpcds_fx_hour_bands, tpcds_fx_cumulative_channels,
-# agg_linear_regression, streaming_table_tail, ddl_restore_lifecycle, ddl_wap_publish,
-# tpcds_fx_trip_bands, events_path_regex, fn_timezone,
-# agg_histogram, events_anomaly_zscore, source_xml_roundtrip.
+# tpcds_fx_trip_bands.
 # Keep ~15 anchors; fill the rest from this list → every oracle-backed
-# query driver-verified at least once by ~r07.
+# query driver-verified at least once by r07.
 
 
 def load_all() -> dict[str, Query]:
