@@ -1000,3 +1000,88 @@ def ddl_maintenance_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_nationkey", "n_name", "n_regionkey")
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "ddl_shallow_clone",
+    oracle="""
+WITH post_del AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS key_id FROM nation WHERE n_regionkey <> 2
+)
+SELECT 'clone' AS side, key_id FROM post_del
+UNION ALL SELECT 'clone', 999
+UNION ALL SELECT 'src', key_id FROM post_del
+UNION ALL SELECT 'src', 888
+ORDER BY side, key_id
+""",
+    category="ddl",
+)
+def ddl_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta SHALLOW CLONE analog: a zero-copy table whose initial
+    state references the source's files through its merge-on-read
+    chain (O(manifests), no data movement), after which both sides
+    commit independently. The output is both tables' post-divergence
+    key sets — each carries the shared pre-clone state plus only its
+    own append."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="walden_clone_")
+    src = VersionedTable(spark, f"{root}/src")
+    src.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))
+    src.delete_where("n_regionkey = 2", mode="mor")      # MoR chain to clone
+    clone = src.shallow_clone(f"{root}/clone")
+    clone.append(
+        spark.createDataFrame([(999, "CLONED", 9)], "n_nationkey int, n_name string, n_regionkey int")
+    )
+    src.append(
+        spark.createDataFrame([(888, "SOURCED", 8)], "n_nationkey int, n_name string, n_regionkey int")
+    )
+    c = clone.read().select(
+        F.lit("clone").alias("side"), F.col("n_nationkey").cast("bigint").alias("key_id")
+    )
+    s = src.read().select(
+        F.lit("src").alias("side"), F.col("n_nationkey").cast("bigint").alias("key_id")
+    )
+    return c.unionByName(s).orderBy("side", "key_id")
+
+
+@query(
+    "ddl_partition_evolution",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d') AS day, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+GROUP BY 1 ORDER BY 1
+""",
+    category="ddl",
+)
+def ddl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition SPEC EVOLUTION: the base snapshot is
+    day-partitioned, the later append switches the spec to a
+    user_id-bucket transform — a pure metadata decision, no rewrite —
+    and scan() prunes each layer under the spec its files were written
+    with (time filters skip base partitions via day dirs and the
+    bucket layer's files via footer stats). The oracle is the same
+    daily rollup computed directly on the events table."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("event_id", "ts", "user_id")
+    path = tempfile.mkdtemp(prefix="walden_specevo_") + "/events_pe"
+    vt = VersionedTable(spark, path)
+    vt.write(ev.filter("ts < TIMESTAMP '2024-01-16 00:00:00'"), partition_day="ts")
+    vt.append(
+        ev.filter("ts >= TIMESTAMP '2024-01-16 00:00:00'"),
+        partition_bucket=("user_id", 8),
+    )
+    return (
+        vt.scan(filters=[("ts", ">=", "2024-01-20 00:00:00")])
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("id_sum"),
+        )
+        .orderBy("day")
+    )

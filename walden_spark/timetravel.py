@@ -1108,7 +1108,11 @@ class VersionedTable:
     # ---- row-level DML: every op is a new snapshot ----
 
     def append(
-        self, df: DataFrame, branch: str = "main", allow_schema_evolution: bool = False
+        self,
+        df: DataFrame,
+        branch: str = "main",
+        allow_schema_evolution: bool = False,
+        **partition_kwargs,
     ) -> int:
         """O(new-data) commit: writes ONLY ``df`` as a merge-on-read
         layer — no rewrite of existing data. The streaming-ingest /
@@ -1120,7 +1124,14 @@ class VersionedTable:
         add-column evolution): readers union by name with missing
         columns NULL-filled, so old snapshots keep their own schema
         and the head reflects the widened one. Without the flag, a
-        schema drift fails the commit instead of corrupting reads."""
+        schema drift fails the commit instead of corrupting reads.
+
+        ``partition_day=`` / ``partition_bucket=`` / ``partition_time=``
+        / ``partition_truncate=`` apply PER LAYER — Iceberg partition
+        SPEC EVOLUTION: each manifest records its own spec, old layers
+        keep theirs, and ``scan()`` prunes every layer under the spec
+        its files were actually written with. Changing the spec is a
+        metadata decision on the next append, never a rewrite."""
         cur_cols = set(self.read(branch=branch).columns)
         new_cols = set(df.columns)
         if cur_cols != new_cols and not allow_schema_evolution:
@@ -1129,7 +1140,9 @@ class VersionedTable:
                 f"{sorted(new_cols)}); pass allow_schema_evolution=True to evolve"
             )
         mor: dict = {"schema_evolved": True} if cur_cols != new_cols else {}
-        return self.write(df, operation="append", branch=branch, _mor=mor)
+        return self.write(
+            df, operation="append", branch=branch, _mor=mor, **partition_kwargs
+        )
 
     def delete_where(
         self, condition: Column | str, branch: str = "main", mode: str = "cow"
@@ -1698,6 +1711,53 @@ class VersionedTable:
             raise
         return v_new
 
+    def shallow_clone(
+        self,
+        dest: str,
+        version: int | None = None,
+        branch: str = "main",
+    ) -> "VersionedTable":
+        """Delta ``CREATE TABLE ... SHALLOW CLONE`` analog: a new
+        independent table whose initial state REFERENCES this table's
+        data files — zero bytes copied, O(manifest chain). The clone
+        copies the resolved head's manifest chain (the snapshot plus
+        any merge-on-read layers beneath it), so reads compose exactly
+        as on the source, and new commits on the clone diverge freely
+        (next version = chain max + 1). Same caveat as Delta: VACUUM /
+        expire on the SOURCE can remove files a clone still references
+        — the clone's own GC never touches dirs outside its root
+        (guarded in expire_versions/remove_orphans)."""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        if version is None:
+            version = self.head(branch)
+            if version is None:
+                raise FileNotFoundError(f"branch {branch!r} has no commits")
+        if version not in by_v:
+            raise ValueError(f"version {version} not in retained versions")
+        chain: list[dict] = []
+        cur = by_v[version]
+        while True:
+            chain.append(cur)
+            if not cur.get("mor"):
+                break
+            parent = cur.get("parent")
+            if parent is None or parent not in by_v:
+                raise ValueError(
+                    f"merge-on-read layer v{cur['version']} has no base snapshot"
+                )
+            cur = by_v[parent]
+        dst = VersionedTable(self.spark, dest)
+        if dst._manifests():
+            raise ValueError(f"clone destination {dest!r} is not empty")
+        for m in reversed(chain):  # oldest first: a reader mid-clone
+            # never sees a layer whose base hasn't landed yet
+            dst._write_manifest(
+                dict(m, cloned_from=self.path), overwrite=False
+            )
+        dst._write_ref("branch", "main", version, overwrite=False)
+        return dst
+
     def compact(self, branch: str = "main") -> int:
         """Materialize the merge-on-read stack into one full snapshot
         (Iceberg rewrite_data_files / Delta OPTIMIZE analog). History
@@ -2050,14 +2110,15 @@ class VersionedTable:
                 still_referenced.add(m.get("extra_delete_dir"))
         fs, _, jvm = _fs(self.spark, self.path)
         dropped = []
+        own = f"{self.path}/"  # a shallow clone's manifests reference
+        # SOURCE-table dirs; this table's GC must never delete those
         for m in to_drop:
-            if m.get("data_dir") and m["data_dir"] not in still_referenced:
-                fs.delete(jvm.org.apache.hadoop.fs.Path(m["data_dir"]), True)
-            if (
-                m.get("extra_delete_dir")
-                and m["extra_delete_dir"] not in still_referenced
-            ):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(m["extra_delete_dir"]), True)
+            d = m.get("data_dir")
+            if d and d not in still_referenced and d.startswith(own):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+            ed = m.get("extra_delete_dir")
+            if ed and ed not in still_referenced and ed.startswith(own):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(ed), True)
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
                     f"{self._versions_dir}/v{m['version']:08d}.json"
