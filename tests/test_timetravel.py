@@ -1498,6 +1498,23 @@ def test_sql_merge_into_versioned_table(spark, tmp_path):
     with _pt.raises(Exception):
         ws.sql("MERGE INTO vt_m t USING src_m s ON t.id > s.id WHEN MATCHED THEN UPDATE SET *")
 
+    # WHEN MATCHED THEN DELETE (CDC-apply): matched keys retract as one
+    # equality-delete commit; unmatched source keys are no-ops
+    spark.createDataFrame([(0,), (1,), (777,)], "id long").createOrReplaceTempView("src_del")
+    ws.sql("MERGE INTO vt_m t USING src_del s ON t.id = s.id WHEN MATCHED THEN DELETE")
+    got = {row.id for row in ws.sql("SELECT * FROM vt_m").collect()}
+    assert 0 not in got and 1 not in got and 777 not in got and 2 in got
+
+    # WHEN NOT MATCHED BY SOURCE THEN DELETE (full-sync): rows whose
+    # key the source no longer carries are removed
+    spark.createDataFrame([(2,), (3,)], "id long").createOrReplaceTempView("src_sync")
+    ws.sql(
+        "MERGE INTO vt_m t USING src_sync s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+    )
+    got = {row.id for row in ws.sql("SELECT * FROM vt_m").collect()}
+    assert got == {2, 3}
+
 
 def test_incremental_mv_refresh_single_commit_and_crash_safe(spark, tmp_path):
     """VERDICT r05 "What's wrong" #2: a refresh that both retracts
@@ -1846,6 +1863,25 @@ def test_merge_after_mor_restore_uses_branch_lineage(spark, vt):
     # history stays audit-complete through the fixed lineage
     real = VersionedTable(spark, vt.path)
     assert 2 in real._ancestors(merged)
+
+
+def test_expire_sweeps_spent_cas_claims(spark, vt):
+    """Spent CAS transition claims below the retention horizon are
+    swept by expire_versions (they can never be legitimately
+    re-claimed: heads only move forward), and the table keeps
+    committing normally afterward."""
+    import os
+
+    for i in range(5):
+        vt.append(spark.createDataFrame([(100 + i, 1.0)], "id long, v double"))
+    cas_dir = f"{vt.path}/_refs/_cas/branch=main"
+    n_before = len(os.listdir(cas_dir))
+    assert n_before >= 5
+    dropped = vt.compact() and vt.expire_versions(keep_last=1)
+    assert dropped
+    assert len(os.listdir(cas_dir)) < n_before
+    vt.append(spark.createDataFrame([(999, 9.0)], "id long, v double"))
+    assert vt.read(branch="main").filter("id = 999").count() == 1
 
 
 def test_publish_cas_blocks_stale_ref_move(spark, vt):

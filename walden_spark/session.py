@@ -208,6 +208,22 @@ class WaldenSession:
         r"(\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*)?\s*;?\s*$",
         _re.IGNORECASE | _re.DOTALL,
     )
+    # MERGE ... WHEN MATCHED THEN DELETE — the CDC-apply shape (a
+    # change stream whose matched keys are retractions)
+    _DML_MERGE_DEL_RE = _re.compile(
+        r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+        r"\s+ON\s+(.+?)\s+WHEN\s+MATCHED\s+THEN\s+DELETE\s*;?\s*$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
+    # MERGE ... WHEN NOT MATCHED BY SOURCE THEN DELETE — the full-sync
+    # shape (rows whose key vanished from the source are removed)
+    _DML_MERGE_SYNC_RE = _re.compile(
+        r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
+        r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
+        r"\s+ON\s+(.+?)\s+WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+THEN\s+DELETE\s*;?\s*$",
+        _re.IGNORECASE | _re.DOTALL,
+    )
     # Delta/Trino-style maintenance statements on versioned tables
     _MAINT_OPTIMIZE_RE = _re.compile(
         r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
@@ -418,6 +434,25 @@ class WaldenSession:
 
     _META_RE = _re.compile(r'(?:"(\w+)\$(\w+)"|(\w+)\$(\w+))')
 
+    def _merge_on_cols(
+        self, t_alias: str, s_alias: str, cond: str
+    ) -> list[str] | None:
+        """Parse a MERGE ON condition of ANDed same-name equi clauses
+        (``t.k = s.k AND ...``) into the key column list; None for
+        anything else (the caller falls through to Spark's error)."""
+        import re
+
+        on_cols: list[str] = []
+        for clause in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+            eq = re.match(
+                rf"^\s*(?:{t_alias}|{s_alias})\.(\w+)\s*=\s*(?:{t_alias}|{s_alias})\.(\w+)\s*$",
+                clause,
+            )
+            if eq is None or eq.group(1) != eq.group(2):
+                return None
+            on_cols.append(eq.group(1))
+        return on_cols
+
     def _rewrite_metadata_tables(self, query: str) -> str:
         """Iceberg metadata-table idiom over registered versioned
         tables: ``SELECT * FROM "tbl$files"`` (also bare ``tbl$files``)
@@ -523,25 +558,69 @@ class WaldenSession:
             # UPDATE SET * / INSERT * (upsert-by-key) subset, which is
             # what Iceberg streaming pipelines issue; arbitrary SET
             # expressions go through the UPDATE statement instead
-            import re
-
             name, t_alias, src_name, s_alias = m.group(1, 2, 3, 4)
-            t_alias = t_alias or name
-            s_alias = s_alias or src_name
+            on_cols = self._merge_on_cols(
+                t_alias or name, s_alias or src_name, m.group(5)
+            )
+            if on_cols is None:
+                return None  # non-equi merge: let Spark report it
             vt = self._versioned[name]
-            on_cols: list[str] = []
-            for clause in re.split(r"\s+AND\s+", m.group(5), flags=re.IGNORECASE):
-                eq = re.match(
-                    rf"^\s*(?:{t_alias}|{s_alias})\.(\w+)\s*=\s*(?:{t_alias}|{s_alias})\.(\w+)\s*$",
-                    clause,
-                )
-                if eq is None or eq.group(1) != eq.group(2):
-                    return None  # non-equi merge: let Spark report it
-                on_cols.append(eq.group(1))
             src = self.spark.table(src_name)
             v = vt.merge_into(
                 src, on=on_cols, insert_when_not_matched=bool(m.group(6))
             )
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DML_MERGE_DEL_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "MERGE INTO is not supported inside a transaction; "
+                    "use DELETE/UPDATE/INSERT statements"
+                )
+            # WHEN MATCHED THEN DELETE: the source's keys retract —
+            # one O(|source keys|) equality-delete commit, never a
+            # table rewrite (keys absent from the table are no-ops,
+            # exactly MERGE's matched-only semantics)
+            name, t_alias, src_name, s_alias = m.group(1, 2, 3, 4)
+            on_cols = self._merge_on_cols(
+                t_alias or name, s_alias or src_name, m.group(5)
+            )
+            if on_cols is None:
+                return None
+            vt = self._versioned[name]
+            v = vt.delete_keys(self.spark.table(src_name), on=on_cols)
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DML_MERGE_SYNC_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "MERGE INTO is not supported inside a transaction; "
+                    "use DELETE/UPDATE/INSERT statements"
+                )
+            # WHEN NOT MATCHED BY SOURCE THEN DELETE: keys the source
+            # no longer carries are retracted — an anti-join of the
+            # table's keys against the source's (the honest O(table
+            # keys) cost of a full-sync), committed as one
+            # equality-delete layer
+            name, t_alias, src_name, s_alias = m.group(1, 2, 3, 4)
+            on_cols = self._merge_on_cols(
+                t_alias or name, s_alias or src_name, m.group(5)
+            )
+            if on_cols is None:
+                return None
+            vt = self._versioned[name]
+            gone = (
+                vt.read(branch="main")
+                .select(*on_cols)
+                .join(
+                    self.spark.table(src_name).select(*on_cols),
+                    on=on_cols,
+                    how="left_anti",
+                )
+            )
+            v = vt.delete_keys(gone, on=on_cols)
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._MAINT_OPTIMIZE_RE.match(query)

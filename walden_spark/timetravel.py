@@ -1522,28 +1522,33 @@ class VersionedTable:
                         )
                     ).distinct()
                 pre_src = pre
-                if len(eq["on"]) == 1:
-                    # Iceberg-style delete-file key-range pruning: push
-                    # the [min, max] of the stored delete keys into the
-                    # pre-image read, so footer-stat / hidden-partition
-                    # pruning skips files that can't hold any deleted
-                    # key. Two scalars from one tiny agg over the
-                    # delete layer — never a driver collect of the key
-                    # set, never an IN-list expression (a 40k-literal
-                    # isin was measured 10x SLOWER than the full scan).
-                    # Clustered deletes (CDC's common case: recent key
-                    # ranges) prune to O(files-with-keys); scattered
-                    # keys degrade gracefully to the full semi-join.
-                    kcol = eq["on"][0]
-                    mm = keys.agg(
-                        F.min(kcol).alias("lo"), F.max(kcol).alias("hi")
-                    ).collect()[0]
-                    if mm["lo"] is not None:
-                        pre_src = self._dataframe_for(
-                            by_v[parent],
-                            by_v,
-                            filters=[(kcol, ">=", mm["lo"]), (kcol, "<=", mm["hi"])],
-                        )
+                # Iceberg-style delete-file key-range pruning: push the
+                # per-column [min, max] of the stored delete keys into
+                # the pre-image read, so footer-stat / hidden-partition
+                # pruning skips files that can't hold any deleted key.
+                # 2×k scalars from ONE tiny agg over the delete layer —
+                # never a driver collect of the key set, never an
+                # IN-list expression (a 40k-literal isin was measured
+                # 10x SLOWER than the full scan). Clustered deletes
+                # (CDC's common case: recent key ranges) prune to
+                # O(files-with-keys); scattered keys degrade gracefully
+                # to the full semi-join. Multi-column keys AND their
+                # per-column ranges (r06; a box superset of the keys —
+                # conservative, like Iceberg's bound metadata).
+                aggs = []
+                for i, kcol in enumerate(eq["on"]):
+                    aggs.append(F.min(kcol).alias(f"lo{i}"))
+                    aggs.append(F.max(kcol).alias(f"hi{i}"))
+                mm = keys.agg(*aggs).collect()[0]
+                rng: list[tuple] = []
+                for i, kcol in enumerate(eq["on"]):
+                    if mm[f"lo{i}"] is not None:
+                        rng.append((kcol, ">=", mm[f"lo{i}"]))
+                        rng.append((kcol, "<=", mm[f"hi{i}"]))
+                if rng:
+                    pre_src = self._dataframe_for(
+                        by_v[parent], by_v, filters=rng
+                    )
                 gone = pre_src.join(keys, on=list(eq["on"]), how="left_semi")
                 frames.append(tag(gone, "delete", v))
                 if m.get("upsert"):
@@ -2126,6 +2131,21 @@ class VersionedTable:
                 False,
             )
             dropped.append(m["version"])
+        # sweep spent CAS transition claims below the retention horizon:
+        # heads only move forward, so a from=<expired version> claim can
+        # never be legitimately re-claimed (the head re-check would fail
+        # anyway) — dropping it only reclaims the ~100-byte tombstone
+        if dropped:
+            horizon = min(m["version"] for m in ms if m["version"] not in drop_vs)
+            cas_root = jvm.org.apache.hadoop.fs.Path(f"{self._refs_dir}/_cas")
+            if fs.exists(cas_root):
+                for bdir in fs.listStatus(cas_root):
+                    for st in fs.listStatus(bdir.getPath()):
+                        name = st.getPath().getName()
+                        if name.startswith("from=") and name.endswith(".json"):
+                            token = name[len("from="):-len(".json")]
+                            if token != "empty" and int(token) < horizon:
+                                fs.delete(st.getPath(), False)
         return dropped
 
 
