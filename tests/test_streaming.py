@@ -294,6 +294,108 @@ def test_table_tail_streaming_source(spark, tmp_path):
     assert 300 in got and len(got) == 11  # 8 base + 100/200/300 appends, delete skipped
 
 
+def test_table_changes_streaming_source(spark, tmp_path):
+    """walden_table_changes: streams EVERY commit kind of a cdf-enabled
+    table as change rows — appends as inserts straight from their data
+    files, deletes/upsert-retractions from the commit-staged CDF files
+    — with checkpoint resume, and agrees with batch read_changes over
+    the same range."""
+    from walden_spark.sources.tablestream import register_table_changes
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_changes(spark)
+    t = VersionedTable(spark, str(tmp_path / "cdfsrc"))
+    t.enable_cdf()
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(5)], "id long, v double"))
+    t.append(spark.createDataFrame([(5, 5.0)], "id long, v double"))
+    t.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])
+    t.upsert_keys(
+        spark.createDataFrame([(1, 99.0), (6, 6.0)], "id long, v double"), on=["id"]
+    )
+
+    stream = (
+        spark.readStream.format("walden_table_changes").option("path", t.path).load()
+    )
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend(
+            (r.id, r.v, r._change_type, r._commit_version) for r in batch_df.collect()
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdfck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(seen)
+    want = sorted(
+        [(i, float(i), "insert", 0) for i in range(5)]
+        + [(5, 5.0, "insert", 1)]
+        + [(0, 0.0, "delete", 2)]
+        + [(1, 1.0, "delete", 3), (1, 99.0, "insert", 3), (6, 6.0, "insert", 3)]
+    )
+    assert got == want
+    # agreement with batch read_changes over (0, head]
+    batch = sorted(
+        (r.id, r.v, r._change_type, r._commit_version)
+        for r in t.read_changes(0, 3).collect()
+    )
+    assert batch == [x for x in want if x[3] > 0]
+
+    # checkpoint resume: only the NEW commit's changes arrive
+    t.delete_where("id >= 5", mode="mor")  # predicate delete → CDF file
+    seen.clear()
+    q2 = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdfck"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert sorted(seen) == [(5, 5.0, "delete", 4), (6, 6.0, "delete", 4)]
+
+
+def test_table_changes_requires_cdf_coverage(spark, tmp_path):
+    """Commits made before enable_cdf() carry no change rows: the
+    stream refuses (never silently drops), and fromVersion at the
+    enable point serves the covered suffix."""
+    from walden_spark.sources.tablestream import register_table_changes
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_changes(spark)
+    t = VersionedTable(spark, str(tmp_path / "latecdf"))
+    t.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))  # pre-enable
+    t.enable_cdf()
+    t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))  # covered
+
+    uncov = (
+        spark.readStream.format("walden_table_changes").option("path", t.path).load()
+    )
+    import pytest as _pt
+
+    q = (
+        uncov.writeStream.format("memory").queryName("cdf_uncov")
+        .trigger(availableNow=True).start()
+    )
+    with _pt.raises(Exception, match="enable_cdf"):
+        q.awaitTermination()
+
+    cov = (
+        spark.readStream.format("walden_table_changes")
+        .option("path", t.path).option("fromVersion", "0").load()
+    )
+    seen: list[tuple] = []
+    q2 = (
+        cov.writeStream.foreachBatch(
+            lambda b, _: seen.extend((r.id, r._change_type, r._commit_version) for r in b.collect())
+        )
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    assert sorted(seen) == [(2, "insert", 1)]
+
+
 def test_table_tail_ignores_side_branches(spark, tmp_path):
     """ADVICE r05 #2: the tail follows the MAIN branch lineage. Commits
     on a side branch (a WAP audit branch, a transaction's staging

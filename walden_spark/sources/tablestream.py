@@ -42,6 +42,18 @@ class _FilePartition(InputPartition):
         self.path = path
 
 
+class _ChangeFilePartition(InputPartition):
+    """One parquet file of a change micro-batch. ``change_type`` is the
+    constant to stamp ('insert' for files served straight from a
+    commit's data dir); None means the file carries its own
+    ``_change_type`` column (a staged CDF file)."""
+
+    def __init__(self, path: str, change_type: str | None, version: int):
+        self.path = path
+        self.change_type = change_type
+        self.version = version
+
+
 def _manifests(table_path: str) -> list[dict]:
     vdir = os.path.join(table_path, "_versions")
     if not os.path.isdir(vdir):
@@ -222,5 +234,125 @@ class WaldenTableTailDataSource(DataSource):
         return _TableTailReader(self.options, schema.fieldNames())
 
 
+class _TableChangesReader(DataSourceStreamReader):
+    """Streams a cdf-enabled VersionedTable's CHANGE ROWS — every
+    commit kind, not just appends (the Delta CDF-streaming surface the
+    append tail can't express). Inserts of append/upsert commits are
+    served straight from the commit's own data files; deletes, update
+    pre-images, and rewrite diffs come from the CDF file the commit
+    staged under its manifest claim (timetravel.py::_stage_cdf)."""
+
+    def __init__(self, options, schema_names):
+        # last two declared fields are _change_type/_commit_version
+        self.schema_names = list(schema_names)
+        self.data_names = [
+            n for n in self.schema_names
+            if n not in ("_change_type", "_commit_version")
+        ]
+        self.path = options["path"]
+        self.branch = options.get("branch", "main")
+        self.from_version = int(options.get("fromVersion", -1))
+
+    def initialOffset(self):
+        return {"version": self.from_version}
+
+    def latestOffset(self):
+        ms = _manifests(self.path)
+        head = _branch_head(self.path, ms, self.branch)
+        v = head if head is not None else self.from_version
+        return {"version": max(v, self.from_version)}
+
+    def partitions(self, start, end):
+        lo, hi = start["version"], end["version"]
+        ms = _manifests(self.path)
+        on_branch = _lineage_versions(ms, hi if hi >= 0 else None)
+        parts: list[_ChangeFilePartition] = []
+        for m in ms:
+            v = m["version"]
+            if v <= lo or v > hi or v not in on_branch:
+                continue
+            cdf = m.get("cdf")
+            if cdf is None:
+                # committed before enable_cdf(): no change rows exist.
+                # Refuse rather than silently drop changes — restart
+                # with fromVersion at or past the enable point.
+                raise ValueError(
+                    f"version {v} carries no change-data files (committed "
+                    "before enable_cdf()); start the stream with "
+                    f"fromVersion={v}"
+                )
+            if cdf.get("appends") and m.get("data_dir"):
+                parts.extend(
+                    _ChangeFilePartition(p, "insert", v)
+                    for p in _data_files(m["data_dir"])
+                )
+            if cdf.get("dir"):
+                parts.extend(
+                    _ChangeFilePartition(p, None, v)
+                    for p in _data_files(cdf["dir"])
+                )
+        return parts or [_ChangeFilePartition("", None, -1)]
+
+    def read(self, partition: _ChangeFilePartition):
+        if not partition.path:
+            return iter(())
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(partition.path)
+        n = table.num_rows
+        names = set(table.schema.names)
+        cols = [
+            table.column(name).to_pylist() if name in names else [None] * n
+            for name in self.data_names
+        ]
+        if partition.change_type is not None:
+            ct = [partition.change_type] * n
+        else:
+            ct = table.column("_change_type").to_pylist()
+        cv = [partition.version] * n
+        return iter(list(zip(*cols, ct, cv)))
+
+    def commit(self, end):
+        pass
+
+
+class WaldenTableChangesDataSource(DataSource):
+    """``spark.readStream.format("walden_table_changes")
+    .option("path", <table>).load()`` — stream a cdf-enabled versioned
+    table's change rows (insert AND delete) per commit."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "walden_table_changes"
+
+    def schema(self) -> str:
+        import pyarrow.parquet as pq
+
+        path = self.options["path"]
+        if not os.path.isfile(os.path.join(path, "_cdf_enabled.json")):
+            raise ValueError(
+                f"table at {path} is not CDF-enabled; call enable_cdf() first"
+            )
+        ms = _manifests(path)
+        if not ms:
+            raise ValueError(f"no versions at {path}")
+        with_data = [m for m in ms if m.get("data_dir")]
+        f = _data_files(with_data[-1]["data_dir"])[0]
+        sch = pq.read_schema(f)
+        cols = ", ".join(
+            f"`{name}` {_spark_type(sch.field(name).type)}"
+            for name in sch.names
+            if not name.startswith("walden_p_")  # hidden partition fields
+        )
+        return cols + ", `_change_type` string, `_commit_version` long"
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return _TableChangesReader(self.options, schema.fieldNames())
+
+
 def register_table_tail(spark) -> None:
     spark.dataSource.register(WaldenTableTailDataSource)
+
+
+def register_table_changes(spark) -> None:
+    spark.dataSource.register(WaldenTableChangesDataSource)

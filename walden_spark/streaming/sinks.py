@@ -355,3 +355,72 @@ def streaming_table_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.sql(f"SELECT event_id, user_id FROM {name}")
+
+
+@query(
+    "streaming_change_feed",
+    oracle="""
+WITH base AS (
+  SELECT event_id, user_id FROM events WHERE event_id % 4 = 0
+),
+appended AS (
+  SELECT event_id, user_id FROM events WHERE event_id % 4 = 1
+)
+SELECT event_id, user_id, 'insert' AS change_type,
+       CAST(0 AS BIGINT) AS commit_version FROM base
+UNION ALL
+SELECT event_id, user_id, 'insert', CAST(1 AS BIGINT) FROM appended
+UNION ALL
+SELECT event_id, user_id, 'delete', CAST(2 AS BIGINT) FROM base WHERE user_id % 10 = 0
+UNION ALL
+SELECT event_id, user_id, 'delete', CAST(3 AS BIGINT) FROM appended WHERE user_id % 10 = 1
+UNION ALL
+SELECT event_id, CAST(-1 AS BIGINT), 'insert', CAST(3 AS BIGINT) FROM appended WHERE user_id % 10 = 1
+""",
+    category="streaming",
+)
+def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed STREAM (Delta CDF-streaming analog): a
+    cdf-enabled versioned table materializes every commit's change
+    rows under the commit's own manifest claim — appends stream as
+    inserts straight from their data files, an equality delete streams
+    the deleted rows, an upsert streams retraction + insert — and the
+    `walden_table_changes` source tails all of it with one executor
+    task per file. The memory-sink union equals the oracle's statically
+    stated change log."""
+    import tempfile
+
+    from walden_spark.sources.tablestream import register_table_changes
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_changes(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_cdfs_") + "/ev")
+    t.enable_cdf()
+    t.write(ev.filter(F.col("event_id") % 4 == 0))                       # v0
+    t.append(ev.filter(F.col("event_id") % 4 == 1))                      # v1
+    t.delete_keys(
+        ev.filter((F.col("event_id") % 4 == 0) & (F.col("user_id") % 10 == 0))
+        .select("event_id"),
+        on=["event_id"],
+    )                                                                    # v2
+    t.upsert_keys(
+        ev.filter((F.col("event_id") % 4 == 1) & (F.col("user_id") % 10 == 1))
+        .select("event_id", F.lit(-1).cast("long").alias("user_id")),
+        on=["event_id"],
+    )                                                                    # v3
+
+    stream = (
+        spark.readStream.format("walden_table_changes").option("path", t.path).load()
+    )
+    name = f"cdfs_{abs(hash(t.path)) % 10_000_000}"
+    q = (
+        stream.writeStream.format("memory").queryName(name)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.sql(
+        f"SELECT event_id, user_id, _change_type AS change_type, "
+        f"_commit_version AS commit_version FROM {name}"
+    )

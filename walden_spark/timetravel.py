@@ -706,6 +706,14 @@ class VersionedTable:
             # source_version watermark — what makes a replayed refresh
             # detectably idempotent)
             manifest.update(_meta)
+        if self.cdf_enabled():
+            # Delta enableChangeDataFeed model: DELETE/UPDATE/rewrite
+            # commits materialize their change rows to a CDF dir under
+            # the same manifest claim (O(delta) output; the pre-image
+            # semi-join is the honest commit-time cost Delta pays too);
+            # pure appends/upsert-inserts are served straight from the
+            # commit's own data files — never written twice.
+            manifest["cdf"] = self._stage_cdf(manifest, parent)
         try:
             self._write_manifest(manifest, overwrite=False)
         except Exception as exc:
@@ -713,9 +721,11 @@ class VersionedTable:
                 # real failure (permissions, quota, ...): surface it
                 # unchanged; the staged dir is left for remove_orphans
                 raise
+            fs, _, jvm = _fs(self.spark, self.path)
             if data_dir is not None:
-                fs, _, jvm = _fs(self.spark, self.path)
                 fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+            if (manifest.get("cdf") or {}).get("dir"):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(manifest["cdf"]["dir"]), True)
             raise ConcurrentWriteError(
                 f"version {v} of {self.path} was committed by another writer; "
                 "re-read and retry"
@@ -739,6 +749,8 @@ class VersionedTable:
             )
             if data_dir is not None:
                 fs.delete(jvm.org.apache.hadoop.fs.Path(data_dir), True)
+            if (manifest.get("cdf") or {}).get("dir"):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(manifest["cdf"]["dir"]), True)
             raise
         return v
 
@@ -1413,6 +1425,111 @@ class VersionedTable:
             F.sum("file_count").alias("file_count")
         )
 
+    # ---- commit-time change data feed (Delta enableChangeDataFeed
+    # analog): DELETE/UPDATE/rewrite commits materialize change ROWS so
+    # a stream can tail every commit kind, not just appends ----
+
+    @property
+    def _cdf_marker(self) -> str:
+        return f"{self.path}/_cdf_enabled.json"
+
+    def enable_cdf(self) -> None:
+        """Turn on commit-time CDF materialization (Delta
+        ``delta.enableChangeDataFeed`` analog). From the NEXT commit
+        on, every snapshot carries enough to serve its change rows:
+        pure appends/upsert-inserts straight from their own data files
+        (never written twice), delete/update/rewrite commits from a
+        CDF file staged under the same manifest claim. Commits made
+        before enabling carry no CDF — start streams at or after the
+        enable point. Costs nothing until enabled; once enabled,
+        deletes pay one pre-image semi-join at commit time (the same
+        trade Delta makes)."""
+        self._write_json(self._cdf_marker, {"enabled": time.time()}, overwrite=True)
+
+    def cdf_enabled(self) -> bool:
+        fs, p, _ = _fs(self.spark, self._cdf_marker)
+        return fs.exists(p)
+
+    _CT = "_change_type"
+
+    def _stage_cdf(self, manifest: dict, parent: int | None) -> dict:
+        """Stage this commit's change rows BEFORE the manifest claim
+        (a crash leaves an orphan dir for remove_orphans; a claim/CAS
+        loss deletes it). Returns the manifest's ``cdf`` entry:
+        ``appends`` — the commit's own data files are its inserts;
+        ``dir`` — parquet of table-schema rows + ``_change_type`` for
+        everything data files can't express (deletes, rewrite diffs)."""
+        op = manifest.get("operation", "")
+        if op in ("compact", "zorder", "rename_column"):
+            return {"dir": None, "appends": False}  # no logical change
+        by_v = {m["version"]: m for m in self._manifests()}
+        pre = (
+            self._dataframe_for(by_v[parent], by_v, filters=None)
+            if parent is not None and parent in by_v
+            else None
+        )
+        data_dir = manifest.get("data_dir")
+        deletes: DataFrame | None = None
+        inserts: DataFrame | None = None  # rewrite diffs only
+        appends = False
+        if not manifest.get("mor"):
+            if pre is None:
+                appends = True  # first snapshot: data files ARE the inserts
+            else:
+                # full rewrite: exact multiset diff, the honest cost
+                new = self.spark.read.parquet(data_dir)
+                cols = pre.columns
+                deletes = pre.exceptAll(new.select(*cols))
+                inserts = new.select(*cols).exceptAll(pre)
+        else:
+            eq = manifest.get("equality_delete")
+            if eq is not None:
+                keys = (
+                    self.spark.read.parquet(data_dir).select(*eq["on"]).distinct()
+                )
+                if manifest.get("extra_delete_dir"):
+                    keys = keys.unionByName(
+                        self.spark.read.parquet(
+                            manifest["extra_delete_dir"]
+                        ).select(*eq["on"])
+                    ).distinct()
+                deletes = pre.join(keys, on=list(eq["on"]), how="left_semi")
+                appends = bool(manifest.get("upsert"))
+            elif manifest.get("position_delete"):
+                pre_pos = self._dataframe_for(
+                    by_v[parent], by_v, filters=None, keep_pos=True
+                )
+                dels = self.spark.read.parquet(data_dir).select(
+                    self._POS_FILE, self._POS_IDX
+                )
+                deletes = pre_pos.join(
+                    dels, on=[self._POS_FILE, self._POS_IDX], how="inner"
+                ).drop(self._POS_FILE, self._POS_IDX)
+            elif manifest.get("predicate") is not None:
+                cond = F.expr(manifest["predicate"])
+                deletes = pre.filter(cond)
+                appends = data_dir is not None  # update_mor's rewritten rows
+            else:
+                appends = True  # plain append (incl. schema evolution)
+        if deletes is None and inserts is None:
+            return {"dir": None, "appends": appends}
+        cols = pre.columns
+        frames = []
+        if deletes is not None:
+            frames.append(
+                deletes.select(*cols).withColumn(self._CT, F.lit("delete"))
+            )
+        if inserts is not None:
+            frames.append(
+                inserts.select(*cols).withColumn(self._CT, F.lit("insert"))
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        cdf_dir = f"{self.path}/data/cdf={uuid.uuid4().hex[:12]}"
+        out.write.mode("errorifexists").parquet(cdf_dir)
+        return {"dir": cdf_dir, "appends": appends}
+
     def read_changes(
         self, from_version: int, to_version: int | None = None, branch: str = "main"
     ) -> DataFrame:
@@ -1694,6 +1811,20 @@ class VersionedTable:
             nm["restore_parent"] = parent
         else:
             nm["parent"] = parent
+        if self.cdf_enabled() and parent is not None:
+            # the restore's logical change on the BRANCH is the diff
+            # restored-content vs current head — materialized so CDF
+            # streams ride straight through a rollback (batch
+            # read_changes still refuses MoR-restore ranges; streams
+            # don't have to)
+            old = self.read(version=parent)
+            new = self.read(version=version).select(*old.columns)
+            diff = new.exceptAll(old).withColumn(self._CT, F.lit("insert")).unionByName(
+                old.exceptAll(new).withColumn(self._CT, F.lit("delete"))
+            )
+            cdf_dir = f"{self.path}/data/cdf={uuid.uuid4().hex[:12]}"
+            diff.write.mode("errorifexists").parquet(cdf_dir)
+            nm["cdf"] = {"dir": cdf_dir, "appends": False}
         try:
             self._write_manifest(nm, overwrite=False)
         except Exception as exc:
@@ -2074,6 +2205,7 @@ class VersionedTable:
         for m in self._manifests():
             referenced.add(m.get("data_dir"))
             referenced.add(m.get("extra_delete_dir"))
+            referenced.add((m.get("cdf") or {}).get("dir"))
         removed = []
         for st in fs.listStatus(data_root):
             p = st.getPath()
@@ -2113,17 +2245,20 @@ class VersionedTable:
             if m["version"] not in drop_vs:
                 still_referenced.add(m.get("data_dir"))
                 still_referenced.add(m.get("extra_delete_dir"))
+                still_referenced.add((m.get("cdf") or {}).get("dir"))
         fs, _, jvm = _fs(self.spark, self.path)
         dropped = []
         own = f"{self.path}/"  # a shallow clone's manifests reference
         # SOURCE-table dirs; this table's GC must never delete those
         for m in to_drop:
-            d = m.get("data_dir")
-            if d and d not in still_referenced and d.startswith(own):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
-            ed = m.get("extra_delete_dir")
-            if ed and ed not in still_referenced and ed.startswith(own):
-                fs.delete(jvm.org.apache.hadoop.fs.Path(ed), True)
+            dirs = [
+                m.get("data_dir"),
+                m.get("extra_delete_dir"),
+                (m.get("cdf") or {}).get("dir"),
+            ]
+            for d in dirs:
+                if d and d not in still_referenced and d.startswith(own):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
             fs.delete(
                 jvm.org.apache.hadoop.fs.Path(
                     f"{self._versions_dir}/v{m['version']:08d}.json"
