@@ -1579,6 +1579,106 @@ def test_incremental_mv_refresh_single_commit_and_crash_safe(spark, tmp_path):
     assert {r.grp: (r.total, r.n_rows) for r in mv.read().collect()} == full()
 
 
+def test_cdf_files_match_computed_changes_random_ops(spark, tmp_path):
+    """Property: for ANY op sequence on a cdf-enabled table, the
+    MATERIALIZED change feed (read_cdf — files staged at commit time)
+    is multiset-equal to the COMPUTED one (read_changes — replayed from
+    layer semantics) over every commit range both can serve."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(200, 240), min_size=1, max_size=3)),
+        st.tuples(st.just("delete"), st.lists(st.integers(0, 25), min_size=1, max_size=3)),
+        st.tuples(st.just("upsert"), st.lists(st.integers(0, 30), min_size=1, max_size=3)),
+        st.tuples(st.just("pdelete"), st.integers(0, 20)),
+        st.tuples(st.just("rewrite"), st.integers(1, 9)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        counter[0] += 1
+        t = VersionedTable(spark, str(tmp_path / f"cdfeq{counter[0]}"))
+        t.enable_cdf()
+        t.write(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(30)], "id long, v double"
+            )
+        )
+        fresh = [500]
+        for kind, arg in ops:
+            if kind == "append":
+                fresh[0] += 1
+                rows = [(fresh[0] * 100 + j, float(k)) for j, k in enumerate(arg)]
+                t.append(spark.createDataFrame(rows, "id long, v double"))
+            elif kind == "delete":
+                t.delete_keys(
+                    spark.createDataFrame([(k,) for k in set(arg)], "id long"),
+                    on=["id"],
+                )
+            elif kind == "upsert":
+                t.upsert_keys(
+                    spark.createDataFrame(
+                        [(k, float(k) + 0.5) for k in set(arg)], "id long, v double"
+                    ),
+                    on=["id"],
+                )
+            elif kind == "pdelete":
+                t.delete_where(f"id % 7 = {arg % 7}", mode="mor")
+            else:
+                t.write(
+                    t.read().filter(f"id % 11 <> {arg}"), operation="rewrite"
+                )
+        head = t.head("main")
+        mat = sorted(
+            map(tuple, t.read_cdf(0, head).collect())
+        )
+        comp = sorted(
+            map(tuple, t.read_changes(0, head).collect())
+        )
+        assert mat == comp
+
+    run()
+
+
+def test_table_changes_tvf_sql(spark, tmp_path):
+    """Delta's table_changes('tbl', from[, to]) TVF: served from the
+    materialized feed on cdf-enabled tables, computed otherwise."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "tvf"))
+    t.enable_cdf()
+    t.write(spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double"))
+    t.delete_keys(spark.createDataFrame([(1,)], "id long"), on=["id"])
+    ws.register_versioned("tvf_t", t.path)
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in ws.sql(
+            "SELECT id, _change_type, _commit_version FROM table_changes('tvf_t', 0)"
+        ).collect()
+    }
+    assert got == {(1, "delete", 1)}
+    # computed path for tables without CDF files
+    t2 = VersionedTable(spark, str(tmp_path / "tvf2"))
+    t2.write(spark.createDataFrame([(9, 9.0)], "id long, v double"))
+    t2.append(spark.createDataFrame([(10, 1.0)], "id long, v double"))
+    ws.register_versioned("tvf_u", t2.path)
+    got = {
+        (r.id, r._change_type)
+        for r in ws.sql(
+            "SELECT id, _change_type FROM table_changes('tvf_u', 0, 1)"
+        ).collect()
+    }
+    assert got == {(10, "insert")}
+
+
 def test_incremental_mv_random_ops_match_full_recompute(spark, tmp_path):
     """Property: for ANY sequence of append / delete_keys / upsert
     commits with refreshes interleaved at random points, the

@@ -243,6 +243,20 @@ class WaldenSession:
         r"^\s*RESTORE\s+TABLE\s+(\w+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
         _re.IGNORECASE,
     )
+    # Iceberg branch/tag DDL: ALTER TABLE t CREATE BRANCH b [AS OF
+    # VERSION n] / CREATE TAG g [AS OF VERSION n] / DROP BRANCH b /
+    # DROP TAG g, plus the merge statement Iceberg spells as a
+    # procedure: ALTER TABLE t MERGE BRANCH b [KEYS (a, b)]
+    _MAINT_REF_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+(CREATE|DROP)\s+(BRANCH|TAG)\s+(\w+)"
+        r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+        _re.IGNORECASE,
+    )
+    _MAINT_MERGE_BRANCH_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+MERGE\s+BRANCH\s+(\w+)"
+        r"(?:\s+KEYS\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
+        _re.IGNORECASE,
+    )
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
@@ -488,6 +502,36 @@ class WaldenSession:
             p if i % 2 else self._META_RE.sub(sub, p) for i, p in enumerate(parts)
         )
 
+    _TVF_CHANGES_RE = _re.compile(
+        r"table_changes\(\s*'(\w+)'\s*,\s*(\d+)\s*(?:,\s*(\d+))?\s*\)",
+        _re.IGNORECASE,
+    )
+
+    def _rewrite_table_changes(self, query: str) -> str:
+        """Delta's ``table_changes('tbl', from[, to])`` TVF over
+        registered versioned tables: served from the MATERIALIZED feed
+        (read_cdf — zero compute) when the table has CDF enabled, else
+        computed by read_changes. The quoted table name is part of the
+        call syntax, so the rewrite matches the whole call."""
+
+        def sub(m) -> str:
+            name = m.group(1)
+            vt = self._versioned.get(name)
+            if vt is None:
+                return m.group(0)
+            lo = int(m.group(2))
+            hi = int(m.group(3)) if m.group(3) else None
+            df = (
+                vt.read_cdf(lo, hi)
+                if vt.cdf_enabled()
+                else vt.read_changes(lo, hi)
+            )
+            view = f"{name}_changes_{lo}_{hi if hi is not None else 'head'}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TVF_CHANGES_RE.sub(sub, query)
+
     def _refresh_versioned(self, name: str) -> None:
         # inside a transaction a touched table's view serves the txn
         # branch head: statements read their own writes
@@ -656,6 +700,39 @@ class WaldenSession:
                 [(name, len(expired), len(orphans))],
                 "table string, expired_versions bigint, removed_orphans bigint",
             )
+        m = self._MAINT_REF_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError("ref DDL cannot run inside a transaction")
+            name, action, kind, ref = m.group(1, 2, 3, 4)
+            vt = self._versioned[name]
+            kind_l = kind.lower()
+            if action.upper() == "CREATE":
+                at = int(m.group(5)) if m.group(5) else None
+                if kind_l == "branch":
+                    v = vt.create_branch(ref, at_version=at) if at is not None else vt.create_branch(ref)
+                else:
+                    v = vt.create_tag(ref, at_version=at) if at is not None else vt.create_tag(ref)
+                return self.spark.createDataFrame(
+                    [(name, kind_l, ref, v)],
+                    "table string, ref_type string, ref_name string, version bigint",
+                )
+            vt.delete_ref(kind_l, ref)
+            return self.spark.createDataFrame(
+                [(name, kind_l, ref)], "table string, ref_type string, ref_name string"
+            )
+        m = self._MAINT_MERGE_BRANCH_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError("ref DDL cannot run inside a transaction")
+            name, ref = m.group(1, 2)
+            keys = [c.strip() for c in m.group(3).split(",")] if m.group(3) else None
+            vt = self._versioned[name]
+            v = vt.merge_branch(ref, keys=keys)
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame(
+                [(name, ref, v)], "table string, ref_name string, version bigint"
+            )
         m = self._MAINT_HISTORY_RE.match(query)
         if m and m.group(1) in self._versioned:
             return self._versioned[m.group(1)].history()
@@ -697,6 +774,8 @@ class WaldenSession:
             query = self._rewrite_time_travel(query)
         if self._versioned and "$" in query:
             query = self._rewrite_metadata_tables(query)
+        if self._versioned and "table_changes" in query.lower():
+            query = self._rewrite_table_changes(query)
         try:
             out = self.spark.sql(query)
         except Exception as e:  # noqa: BLE001 - recorded then re-raised

@@ -1530,6 +1530,77 @@ class VersionedTable:
         out.write.mode("errorifexists").parquet(cdf_dir)
         return {"dir": cdf_dir, "appends": appends}
 
+    def read_cdf(
+        self, from_version: int, to_version: int | None = None, branch: str = "main"
+    ) -> DataFrame:
+        """Batch read of the MATERIALIZED change feed — the files
+        commits staged at write time (enable_cdf), zero computation at
+        read: appends replay straight from their data files, everything
+        else from the commit's CDF file. Unlike :meth:`read_changes`
+        (which recomputes changes from layer semantics) this rides
+        through MoR restores, and a million-row delete costs a file
+        scan, not a pre-image join. Raises on commits that predate
+        enabling."""
+        ms = self._manifests()
+        by_v = {m["version"]: m for m in ms}
+        head = self.head(branch)
+        if to_version is None:
+            to_version = head
+        for v in (from_version, to_version):
+            if v not in by_v:
+                raise ValueError(f"version {v} not retained")
+        if from_version not in self._ancestors(to_version):
+            raise ValueError(
+                f"version {from_version} is not an ancestor of {to_version}"
+            )
+        path = self._lineage(to_version, from_version, by_v)
+        head_cols = self.read(version=to_version).columns
+        _CV = "_commit_version"
+        frames: list[DataFrame] = []
+
+        def conform(df: DataFrame, v: int, ct: str | None) -> DataFrame:
+            out = df
+            for c in head_cols:
+                if c not in out.columns:
+                    out = out.withColumn(c, F.lit(None))
+            ct_col = F.lit(ct) if ct is not None else F.col(self._CT)
+            return out.select(
+                *head_cols,
+                ct_col.alias(self._CT),
+                F.lit(v).cast("long").alias(_CV),
+            )
+
+        for m in path:
+            cdf = m.get("cdf")
+            if cdf is None:
+                raise ValueError(
+                    f"version {m['version']} carries no change-data files "
+                    "(committed before enable_cdf()); use read_changes() "
+                    "or start past the enable point"
+                )
+            if cdf.get("appends") and m.get("data_dir"):
+                frames.append(
+                    conform(self._read_snapshot(m, None), m["version"], "insert")
+                )
+            if cdf.get("dir"):
+                frames.append(
+                    conform(
+                        self.spark.read.parquet(cdf["dir"]), m["version"], None
+                    )
+                )
+        if not frames:
+            schema = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in self.read(version=to_version).schema.fields
+            )
+            return self.spark.createDataFrame(
+                [], schema + f", {self._CT} string, {_CV} long"
+            )
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def read_changes(
         self, from_version: int, to_version: int | None = None, branch: str = "main"
     ) -> DataFrame:
