@@ -80,6 +80,33 @@ def test_driver_window_emits_hashable_types(spark, sf_dir):
     assert not bad, f"driver-window queries emit nested-typed columns: {bad}"
 
 
+def test_rotation_queue_cannot_drift():
+    """VERDICT r06 #7: the rotation queue is DERIVED from the recorded
+    CORRECTNESS files (tools/rotation_queue.py), never hand-counted.
+    The current DRIVER_WINDOW must hold every never-driver-verified
+    oracle-backed name that fits after the anchors — i.e. at least
+    min(37, len(queue)) of them — so a future edit can't silently stop
+    rotating. agg_collect_sorted is the one standing exclusion (array
+    output; the driver canonicalizer can't hash nested types —
+    enforced separately by test_driver_window_emits_hashable_types)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from rotation_queue import never_driver_verified
+
+    from walden_spark.registry import DRIVER_WINDOW
+
+    oracle_backed, _rows_only = never_driver_verified()
+    rotatable = [n for n in oracle_backed if n != "agg_collect_sorted"]
+    in_window = [n for n in rotatable if n in DRIVER_WINDOW]
+    assert len(in_window) >= min(37, len(rotatable)), (
+        f"DRIVER_WINDOW rotates only {len(in_window)} of {len(rotatable)} "
+        "never-driver-verified oracle-backed names; regenerate via "
+        "python tools/rotation_queue.py"
+    )
+
+
 def test_entry_schema_stable(spark):
     """The driver smoke-checks entry() for a stable schema — two builds
     must agree exactly."""

@@ -1649,7 +1649,11 @@ def test_cdf_files_match_computed_changes_random_ops(spark, tmp_path):
 
 def test_table_changes_tvf_sql(spark, tmp_path):
     """Delta's table_changes('tbl', from[, to]) TVF: served from the
-    materialized feed on cdf-enabled tables, computed otherwise."""
+    materialized feed on cdf-enabled tables, computed otherwise.
+    `from` is INCLUSIVE, matching Delta's startingVersion — a query
+    ported from the reference stack gets identical results (ADVICE
+    r06 #2: the engine-level read_cdf baseline is exclusive; the TVF
+    maps from → from-1)."""
     from walden_spark.session import WaldenSession
 
     ws = WaldenSession(spark)
@@ -1664,6 +1668,14 @@ def test_table_changes_tvf_sql(spark, tmp_path):
             "SELECT id, _change_type, _commit_version FROM table_changes('tvf_t', 0)"
         ).collect()
     }
+    # inclusive: version 0's inserts are part of the feed
+    assert got == {(1, "insert", 0), (2, "insert", 0), (1, "delete", 1)}
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in ws.sql(
+            "SELECT id, _change_type, _commit_version FROM table_changes('tvf_t', 1)"
+        ).collect()
+    }
     assert got == {(1, "delete", 1)}
     # computed path for tables without CDF files
     t2 = VersionedTable(spark, str(tmp_path / "tvf2"))
@@ -1676,7 +1688,33 @@ def test_table_changes_tvf_sql(spark, tmp_path):
             "SELECT id, _change_type FROM table_changes('tvf_u', 0, 1)"
         ).collect()
     }
+    assert got == {(9, "insert"), (10, "insert")}
+    got = {
+        (r.id, r._change_type)
+        for r in ws.sql(
+            "SELECT id, _change_type FROM table_changes('tvf_u', 1, 1)"
+        ).collect()
+    }
     assert got == {(10, "insert")}
+
+
+def test_table_changes_literal_not_rewritten(spark, tmp_path):
+    """The TEXT table_changes('t', 0) inside a string literal is data,
+    not a TVF call — it must survive the rewrite verbatim (ADVICE
+    r06 #4: same literal-clobbering class as tbl$files)."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "tvf_lit"))
+    t.enable_cdf()
+    t.write(spark.createDataFrame([(1,)], "id long"))
+    t.append(spark.createDataFrame([(2,)], "id long"))
+    ws.register_versioned("tvf_lit", t.path)
+    rows = ws.sql(
+        "SELECT 'table_changes(''tvf_lit'', 0)' AS note, id "
+        "FROM table_changes('tvf_lit', 1)"
+    ).collect()
+    assert {(r.note, r.id) for r in rows} == {("table_changes('tvf_lit', 0)", 2)}
 
 
 def test_incremental_mv_random_ops_match_full_recompute(spark, tmp_path):
@@ -2071,6 +2109,279 @@ def test_transaction_abort_releases_claims(spark, tmp_path):
     assert sorted(r.id for r in t2.read(branch="main").collect()) == [1, 9]
     t1.append(spark.createDataFrame([(3, 3.0)], "id long, v double"))
     assert sorted(r.id for r in t1.read(branch="main").collect()) == [1, 3]
+
+
+def test_dead_writer_claim_rolled_forward(spark, vt, monkeypatch):
+    """ADVICE r06 #1 (liveness): a writer that dies BETWEEN its claim
+    create and its pointer move must not wedge the branch. The next
+    writer finds head==expected with an aged claim whose `to` manifest
+    exists → completes the dead writer's publish and aborts retryably;
+    its own retry then lands on the rolled-forward head."""
+    from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+    dead = VersionedTable(spark, vt.path)
+
+    def dying(ref_type, name, version, overwrite):
+        raise RuntimeError("writer died before the pointer move")
+
+    monkeypatch.setattr(dead, "_write_ref", dying)
+    with pytest.raises(RuntimeError):
+        dead.append(spark.createDataFrame([(50, 5.0)], "id long, v double"))
+    # wedged state: manifest v1 + from=v0 claim exist, head still v0
+    assert vt.head("main") == 0
+    assert [m["version"] for m in vt._manifests()] == [0, 1]
+    # a young claim is NOT raided (could be a live txn mid-publish):
+    with pytest.raises(ConcurrentWriteError):
+        vt.append(spark.createDataFrame([(60, 6.0)], "id long, v double"))
+    assert vt.head("main") == 0
+    # once aged past the repair horizon, the next writer repairs it
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.0)
+    with pytest.raises(ConcurrentWriteError):
+        vt.append(spark.createDataFrame([(60, 6.0)], "id long, v double"))
+    assert vt.head("main") == 1          # dead writer's publish completed
+    assert vt.read(branch="main").filter("id = 50").count() == 1
+    # and the advised retry now SUCCEEDS — the branch is unwedged
+    v = vt.append(spark.createDataFrame([(60, 6.0)], "id long, v double"))
+    assert vt.head("main") == v
+    assert sorted(
+        r.id for r in vt.read(branch="main").filter("id >= 50").collect()
+    ) == [50, 60]
+
+
+def test_dead_claim_without_manifest_taken_over(spark, vt, monkeypatch):
+    """ADVICE r06 #1, the other arm: an aged claim at the live head
+    whose `to` manifest no longer exists (rolled back or expired) is a
+    dead tombstone — the next writer takes the slot over and commits
+    in ONE attempt."""
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable
+
+    vt._write_json(
+        f"{vt._refs_dir}/_cas/branch=main/from=00000000.json",
+        {"to": 99, "claimed": _time.time() - 9999.0},
+        overwrite=False,
+    )
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 60.0)
+    v = vt.append(spark.createDataFrame([(70, 7.0)], "id long, v double"))
+    assert vt.head("main") == v
+    assert vt.read(branch="main").filter("id = 70").count() == 1
+
+
+def test_swept_claim_stale_writer_still_aborts(spark, vt):
+    """VERDICT r06 'Next' #4: after expire_versions sweeps spent
+    claims, a stale writer CAN re-create a from=<old-head> claim — the
+    head re-read under the claim is what aborts it. This pins that the
+    re-read is load-bearing post-sweep."""
+    from walden_spark.timetravel import ConcurrentWriteError
+
+    for i in range(5):
+        vt.append(spark.createDataFrame([(100 + i, 1.0)], "id long, v double"))
+    vt.compact()
+    assert vt.expire_versions(keep_last=1)
+    head = vt.head("main")
+    # the from=00000001 transition was spent by the v1→v2 commit and
+    # its claim swept; a stale writer re-claims it and must still lose
+    with pytest.raises(ConcurrentWriteError):
+        vt._cas_ref_move("main", 1, 2)
+    assert vt.head("main") == head
+
+
+def test_upsert_cas_loss_cleans_extra_delete_dir(spark, vt):
+    """ADVICE r06 #5: a CAS-lost upsert_keys(also_delete=...) must
+    remove its staged ed=* dir along with the manifest/data/cdf — a hot
+    retrying incremental-MV refresh under contention would otherwise
+    leak one orphan dir per lost race until remove_orphans."""
+    import os
+
+    from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+    other = VersionedTable(spark, vt.path)
+    refs_frozen = other._read_refs()              # stale refs: head = v0
+    other._read_refs = lambda: refs_frozen  # type: ignore[method-assign]
+    vt.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))
+    with pytest.raises(ConcurrentWriteError):
+        other.upsert_keys(
+            spark.createDataFrame([(0, 9.0)], "id long, v double"),
+            on=["id"],
+            also_delete=spark.createDataFrame([(1,)], "id long"),
+        )
+    assert not [
+        d for d in os.listdir(f"{vt.path}/data") if d.startswith("ed=")
+    ], "CAS-lost upsert leaked its staged extra-delete dir"
+
+
+def test_manifest_checkpoint_roundtrip(spark, tmp_path):
+    """VERDICT r06 'Next' #1: past CHECKPOINT_INTERVAL commits the
+    writer rolls a checkpoint; a FRESH process (cache cleared, new
+    instance) reads the same manifests through checkpoint + tail, and
+    every time-travel surface still resolves."""
+    import os
+
+    from walden_spark import timetravel as tt
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "ckpt"))
+    t.CHECKPOINT_INTERVAL = 5
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    for i in range(1, 7):
+        t.append(spark.createDataFrame([(i, float(i))], "id long, v double"))
+    vdir = f"{t.path}/_versions"
+    ckpts = [n for n in os.listdir(vdir) if n.startswith("checkpoint-")]
+    assert len(ckpts) == 1, "auto-checkpoint must fire past the interval"
+    expected = [m["version"] for m in t._manifests()]
+    # fresh process: no cache, new instance — checkpoint accelerates
+    tt._MANIFEST_CACHE.clear()
+    fresh = VersionedTable(spark, t.path)
+    assert [m["version"] for m in fresh._manifests()] == expected
+    assert fresh.head("main") == expected[-1]
+    assert fresh.read(version=3).count() == 4  # time travel through ckpt
+    assert sorted(r.id for r in fresh.read(branch="main").collect()) == list(range(7))
+
+
+def test_manifest_checkpoint_never_resurrects_expired(spark, tmp_path):
+    """A checkpoint is pure read acceleration — loose files stay
+    authoritative. After expire_versions drops snapshots, a reader
+    (even one holding the old checkpoint in cache) must NOT see them,
+    and expire refreshes the checkpoint over the survivors."""
+    import os
+
+    from walden_spark import timetravel as tt
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "ckpt_exp"))
+    t.CHECKPOINT_INTERVAL = 4
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    for i in range(1, 6):
+        t.append(spark.createDataFrame([(i, float(i))], "id long, v double"))
+    assert any(
+        n.startswith("checkpoint-") for n in os.listdir(f"{t.path}/_versions")
+    )
+    t.compact()
+    dropped = t.expire_versions(keep_last=1)
+    assert dropped
+    live = {m["version"] for m in t._manifests()}
+    assert not (set(dropped) & live)
+    tt._MANIFEST_CACHE.clear()
+    fresh = VersionedTable(spark, t.path)
+    assert {m["version"] for m in fresh._manifests()} == live
+    with pytest.raises(ValueError):
+        fresh.read(version=dropped[0])
+    # the refreshed checkpoint carries only survivors
+    ckpts = [
+        n for n in os.listdir(f"{t.path}/_versions") if n.startswith("checkpoint-")
+    ]
+    assert len(ckpts) == 1
+    import json as _json
+
+    with open(f"{t.path}/_versions/{ckpts[0]}") as f:
+        payload = _json.load(f)
+    assert {e["manifest"]["version"] for e in payload["entries"]} == live
+
+
+def test_manifest_cache_sees_rolled_back_name_recreated(spark, vt):
+    """A CAS-lost commit rolls its manifest back; the SAME filename is
+    re-created by the next commit with different content — readers
+    (cached or fresh) must serve the new content, never the rolled-back
+    one."""
+    from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+    other = VersionedTable(spark, vt.path)
+    refs_frozen = other._read_refs()
+    other._read_refs = lambda: refs_frozen  # type: ignore[method-assign]
+    vt.append(spark.createDataFrame([(100, 1.0)], "id long, v double"))
+    vt._manifests()  # warm the cache with v0, v1
+    with pytest.raises(ConcurrentWriteError):
+        other.write(
+            spark.createDataFrame([(777, 7.0)], "id long, v double"),
+            operation="loser",
+        )
+    v2 = vt.append(spark.createDataFrame([(200, 2.0)], "id long, v double"))
+    assert v2 == 2  # the rolled-back name v00000002.json, re-created
+    ms = vt._manifests()
+    assert ms[-1]["operation"] == "append"  # not the rolled-back "loser"
+    assert vt.read(branch="main").filter("id = 777").count() == 0
+    assert vt.read(branch="main").filter("id = 200").count() == 1
+
+
+def test_manifest_remote_read_path(spark, tmp_path, monkeypatch):
+    """The thread-pooled JVM read path (what a real object store hits):
+    force the local fast-path off and verify identical results."""
+    from walden_spark import timetravel as tt
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "jvmread"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    for i in range(1, 3):
+        t.append(spark.createDataFrame([(i, float(i))], "id long, v double"))
+    expected = [m["version"] for m in t._manifests()]
+    monkeypatch.setattr(tt, "_local_fs_path", lambda p: None)
+    tt._MANIFEST_CACHE.clear()
+    fresh = VersionedTable(spark, t.path)
+    assert [m["version"] for m in fresh._manifests()] == expected
+    assert fresh.checkpoint() is not None
+    tt._MANIFEST_CACHE.clear()
+    assert [m["version"] for m in fresh._manifests()] == expected
+
+
+def test_streaming_tail_ignores_checkpoint_files(spark, tmp_path):
+    """The pure-Python tail reader must not trip over checkpoint files
+    in _versions, and its per-poll cache must still see new commits."""
+    from walden_spark.sources import tablestream as ts
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "tailckpt"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    for i in range(1, 3):
+        t.append(spark.createDataFrame([(i, float(i))], "id long, v double"))
+    assert t.checkpoint() is not None
+    ms = ts._manifests(t.path)
+    assert [m["version"] for m in ms] == [0, 1, 2]
+    ms2 = ts._manifests(t.path)  # cached poll
+    assert [m["version"] for m in ms2] == [0, 1, 2]
+    t.append(spark.createDataFrame([(9, 9.0)], "id long, v double"))
+    assert [m["version"] for m in ts._manifests(t.path)] == [0, 1, 2, 3]
+
+
+def test_export_snapshot_duckdb_reads(spark, tmp_path):
+    """The exported snapshot is readable by an EXTERNAL engine with no
+    repo code: DuckDB's read_parquet over the exported files equals
+    the engine's own read() of the same version — through MoR deletes,
+    an upsert, and a rename (VERDICT r06 'Next' #3: proves versioned
+    state is not engine-locked)."""
+    import duckdb
+
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "exp"))
+    t.write(
+        spark.createDataFrame(
+            [(i, float(i), f"n{i}") for i in range(20)], "id long, v double, name string"
+        )
+    )
+    t.delete_keys(spark.createDataFrame([(3,), (7,)], "id long"), on=["id"])
+    t.upsert_keys(
+        spark.createDataFrame([(5, 55.0, "n5x"), (99, 9.0, "n99")], "id long, v double, name string"),
+        on=["id"],
+    )
+    t.rename_column("name", "label")
+    dest = str(tmp_path / "exported")
+    info = t.export_snapshot(dest)
+    assert info["version"] == t.head("main")
+    engine = sorted(
+        (r.id, r.v, r.label) for r in t.read(branch="main").collect()
+    )
+    external = duckdb.sql(
+        f"SELECT id, v, label FROM read_parquet('{dest}/*.parquet') ORDER BY id"
+    ).fetchall()
+    assert [tuple(r) for r in external] == engine
+    # historic version export: pre-delete state, original column name
+    dest0 = str(tmp_path / "exported_v0")
+    t.export_snapshot(dest0, version=0)
+    n0 = duckdb.sql(
+        f"SELECT COUNT(*), MIN(name), MAX(id) FROM read_parquet('{dest0}/*.parquet')"
+    ).fetchone()
+    assert n0 == (20, "n0", 19)
 
 
 def test_sql_transactions(spark, tmp_path):

@@ -1085,3 +1085,38 @@ def ddl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "ddl_export_snapshot",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS key_id, n_name AS nation_name
+FROM nation WHERE n_regionkey <> 2
+ORDER BY key_id
+""",
+    category="ddl",
+)
+def ddl_export_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External-reader export path (VERDICT r06 'Next' #3): the
+    versioned table's resolved state — THROUGH a merge-on-read delete
+    stack and a column rename — materialized as plain parquet any
+    engine reads without this repo's code. The returned frame is
+    spark.read.parquet over the exported directory (never the engine's
+    own read()), so a value match against the oracle proves the
+    exported bytes carry the fully resolved snapshot; the companion
+    pytest additionally has DuckDB read the same files
+    (tests/test_timetravel.py::test_export_snapshot_duckdb_reads)."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="walden_export_")
+    vt = VersionedTable(spark, f"{root}/src")
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))
+    vt.delete_where("n_regionkey = 2", mode="mor")  # MoR layer to resolve
+    vt.rename_column("n_name", "nation_name")       # rename to carry through
+    info = vt.export_snapshot(f"{root}/exported")
+    assert info["version"] == 2
+    out = spark.read.parquet(f"{root}/exported")    # plain files, no engine
+    return out.select(
+        F.col("n_nationkey").cast("bigint").alias("key_id"), "nation_name"
+    ).orderBy("key_id")

@@ -64,16 +64,19 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r06 ROTATION (VERDICT r05 next-round #2): 15 anchors — flagships,
-# one per SURVEY family including filter/unnest — and 35 slots filled
-# with names the driver has NEVER checked, prioritizing the r05/r06
-# table-format additions (eq/pos deletes, three-way merge, CDF,
-# incremental MV, WAP, RESTORE, transactions, maintenance SQL) plus
-# family breadth (agg/fn/events/text/multimodal/setop/similarity/
-# scan/streaming). Names rotated out stay verified by the repo's own
-# oracle suite (tests/test_oracle.py runs all of them); the union of
-# driver windows keeps growing round over round (cumulative after
-# r05: 135/217).
+# r07 ROTATION (VERDICT r06 next-round #2): 13 anchors — one per
+# SURVEY family a never-verified name doesn't already cover, plus the
+# flagships — and 37 slots holding EVERY remaining never-driver-
+# verified oracle-backed name (the queue is auto-derived from the
+# CORRECTNESS_r*.json files by tools/rotation_queue.py, asserted in
+# tests/test_registry.py so it can't drift; r06's hand-counted comment
+# said ~35 when the true count was 52 — VERDICT r06 #7). Excluded by
+# rule: agg_collect_sorted (emits array columns — the driver
+# canonicalizer can't hash nested types) and the rows-only names (the
+# window must be fully oracle-backed). Cumulative driver-verified
+# going in: 170/222; this window takes the oracle-backed remainder to
+# 208 if green, leaving 14 rows-only names + agg_collect_sorted for
+# rows-only windows later.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors --
     "tpch_q1",
@@ -81,60 +84,40 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_session_window",
     "dedup_minhash_lsh",
     "knn_lsh_bucketed",
-    "text_pretrain_pipeline",
-    "multimodal_decode",
+    "join_fuzzy_blocked",
     "udf_pandas_scalar",
-    "agg_basic",
     "win_ranking",
-    "source_csv_roundtrip",
     "proj_case_cast",
     "topn_per_group",
     "filter_predicates",
     "posexplode_ordinality",
-    # -- rotated in: never driver-verified before r06 --
-    # versioned-table / transactional layer (r05+r06 additions)
-    "ddl_eq_delete_lifecycle", "ddl_pos_delete_lifecycle",
-    "ddl_branch_merge_threeway", "ddl_change_feed", "ddl_incremental_mv",
-    "ddl_wap_publish", "ddl_restore_lifecycle", "ddl_txn_publish",
-    "ddl_maintenance_lifecycle", "ddl_catalog_refs", "ddl_schema_evolution",
-    # streaming over versioned tables + stateful stragglers
-    "streaming_mor_upsert", "streaming_table_tail",
-    "streaming_incremental_mv", "streaming_dedup_watermark",
-    # joins / dedup / similarity tiers
-    "join_fuzzy_blocked", "dedup_semantic_cluster", "knn_lsh_multiprobe",
-    # text pipeline stragglers
-    "text_tfidf_topk", "text_lang_id", "text_hash_split",
+    "setop_union_distinct",
+    # -- rotated in: never driver-verified before r07 --
     # aggregates
-    "agg_linear_regression", "agg_histogram", "agg_cube", "agg_rollup",
-    "agg_hll_sketch",
+    "agg_percentile_approx", "agg_stats_builtin", "agg_map_entries",
+    "agg_min_max_by", "agg_filter_clause", "agg_bool_bit", "agg_having",
     # scalar functions
-    "fn_timezone", "fn_string_distance",
-    # events behavioral analytics
-    "events_retention_cohort", "events_path_regex", "events_anomaly_zscore",
-    # sources / multimodal / setops
-    "source_xml_roundtrip", "source_binaryfile_ingest",
-    "multimodal_meta", "setop_intersect",
+    "fn_array_zip", "fn_conditional", "fn_uuid_typeof",
+    # events
+    "events_json_agg", "events_dedup_exact",
+    # versioned-table layer (r06 additions)
+    "ddl_ctas_view", "ddl_materialized_view", "ddl_shallow_clone",
+    "ddl_partition_evolution",
+    # sources
+    "source_python_stream",
+    # tpcds fixture-hashable shapes
+    "tpcds_fx_hour_bands", "tpcds_fx_cumulative_channels",
+    "tpcds_fx_trip_bands",
+    # text pipeline stragglers
+    "text_fingerprint", "text_pii_scan", "text_repetition",
+    "text_decontaminate", "text_chunking", "text_stratified_sample",
+    "text_sequence_pack", "text_shard_shuffle", "text_weighted_sample",
+    # multimodal
+    "multimodal_frame_sample", "multimodal_resize", "multimodal_dedup_exact",
+    # streaming
+    "streaming_sliding", "streaming_static_join", "streaming_available_now",
+    "streaming_stateful_timeout_sessions", "streaming_change_feed",
 )
-
-# r07 ROTATION QUEUE: after r06's window lands, ~35 oracle-backed names
-# remain never-driver-verified (regenerate via the snippet in
-# tests/test_registry.py): agg_percentile_approx, agg_stats_builtin,
-# agg_collect_sorted, agg_map_entries, agg_min_max_by,
-# agg_filter_clause, agg_bool_bit, agg_having,
-# ddl_ctas_view, ddl_materialized_view,
-# events_json_agg, events_dedup_exact, fn_array_zip, fn_conditional,
-# fn_uuid_typeof, multimodal_frame_sample,
-# multimodal_resize, multimodal_dedup_exact,
-# source_python_stream,
-# streaming_sliding, streaming_static_join,
-# streaming_available_now, streaming_stateful_timeout_sessions,
-# text_fingerprint, text_pii_scan, text_repetition,
-# text_decontaminate, text_chunking, text_stratified_sample,
-# text_sequence_pack, text_shard_shuffle, text_weighted_sample,
-# tpcds_fx_hour_bands, tpcds_fx_cumulative_channels,
-# tpcds_fx_trip_bands.
-# Keep ~15 anchors; fill the rest from this list → every oracle-backed
-# query driver-verified at least once by r07.
 
 
 def load_all() -> dict[str, Query]:

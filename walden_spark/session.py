@@ -314,6 +314,7 @@ class WaldenSession:
                 from walden_spark.timetravel import ConcurrentWriteError
 
                 claims: list[tuple] = []  # (vt, claim_path, txn_head)
+                published = 0
                 try:
                     # sorted: deterministic validate/claim order, so a
                     # multi-table abort is reproducible in tests
@@ -330,21 +331,29 @@ class WaldenSession:
                                 "published — retry"
                             )
                         claims.append((vt, vt._cas_claim("main", dst, src), src))
-                except (MergeConflictError, ConcurrentWriteError) as exc:
-                    # release the UNUSED claims so the aborted tables
-                    # aren't wedged, then abort the whole transaction
-                    for cvt, c, _ in claims:
-                        cvt._cas_release(c)
-                    if isinstance(exc, MergeConflictError):
-                        raise
-                    raise MergeConflictError(
-                        f"transaction publish lost a commit race: {exc}; "
-                        "nothing was published — retry"
-                    ) from exc
-                # phase 2: publish all pointers (every transition is
-                # claimed, so each move is serialized against racers)
-                for vt, _, src in claims:
-                    vt._write_ref("branch", "main", src, overwrite=True)
+                    # phase 2: publish all pointers (every transition is
+                    # claimed, so each move is serialized against racers)
+                    for vt, _, src in claims:
+                        vt._write_ref("branch", "main", src, overwrite=True)
+                        published += 1
+                except BaseException as exc:
+                    # release every claim that did NOT culminate in its
+                    # pointer move — regardless of exception type (an
+                    # IO error mid-claim would otherwise wedge those
+                    # tables exactly like a crashed writer; ADVICE
+                    # r06 #3). Claims whose pointer DID move are spent
+                    # and must stay.
+                    for cvt, c, _ in claims[published:]:
+                        try:
+                            cvt._cas_release(c)
+                        except Exception:
+                            pass  # repairable later via the stale-claim path
+                    if isinstance(exc, ConcurrentWriteError):
+                        raise MergeConflictError(
+                            f"transaction publish lost a commit race: {exc}; "
+                            "nothing was published — retry"
+                        ) from exc
+                    raise
                 ok = True
             finally:
                 txn, self._txn = self._txn, None
@@ -512,7 +521,13 @@ class WaldenSession:
         registered versioned tables: served from the MATERIALIZED feed
         (read_cdf — zero compute) when the table has CDF enabled, else
         computed by read_changes. The quoted table name is part of the
-        call syntax, so the rewrite matches the whole call."""
+        call syntax, so the rewrite matches the whole call.
+
+        ``from`` is INCLUSIVE, matching Delta's ``startingVersion``
+        contract (ADVICE r06 #2): ``table_changes('t', 0)`` includes
+        version 0's inserts. The engine-level feeds use an exclusive
+        baseline, so the TVF passes ``from - 1`` down (−1 = pre-table
+        empty state)."""
 
         def sub(m) -> str:
             name = m.group(1)
@@ -522,15 +537,36 @@ class WaldenSession:
             lo = int(m.group(2))
             hi = int(m.group(3)) if m.group(3) else None
             df = (
-                vt.read_cdf(lo, hi)
+                vt.read_cdf(lo - 1, hi)
                 if vt.cdf_enabled()
-                else vt.read_changes(lo, hi)
+                else vt.read_changes(lo - 1, hi)
             )
             view = f"{name}_changes_{lo}_{hi if hi is not None else 'head'}"
             df.createOrReplaceTempView(view)
             return view
 
-        return self._TVF_CHANGES_RE.sub(sub, query)
+        # rewrite only OUTSIDE single-quoted string literals — the text
+        # table_changes('t', 0) inside a literal is DATA (same
+        # literal-clobbering class _rewrite_metadata_tables fixed;
+        # ADVICE r06 #4). The call's own quoted table name straddles
+        # the even/odd split, so instead of substituting per-segment we
+        # substitute over the WHOLE query and drop any match that
+        # STARTS inside a literal span (a genuine call starts at the
+        # identifier, always outside one).
+        parts = self._re.split(r"('(?:[^']|'')*')", query)
+        literal_spans: list[tuple[int, int]] = []
+        pos = 0
+        for idx, p in enumerate(parts):
+            if idx % 2 == 1:
+                literal_spans.append((pos, pos + len(p)))
+            pos += len(p)
+
+        def guarded(m) -> str:
+            if any(a <= m.start() < b for a, b in literal_spans):
+                return m.group(0)
+            return sub(m)
+
+        return self._TVF_CHANGES_RE.sub(guarded, query)
 
     def _refresh_versioned(self, name: str) -> None:
         # inside a transaction a touched table's view serves the txn
