@@ -94,6 +94,18 @@ def _manifests(table_path: str) -> list[dict]:
     out = []
     seen: set[str] = set(ckpts)
     for name in sorted(loose):
+        # checkpoint-covered names are stat-free: checkpoint() only
+        # records PUBLISHED manifests, which are immutable while they
+        # exist (a name is only ever re-created with new content while
+        # it exceeds every ref — excluded by construction), so mere
+        # presence in the listing validates the entry. This is what
+        # keeps per-poll cost at one listdir + O(tail) stats.
+        hit = ckpt_entries.get(name)
+        if hit is not None:
+            cache[name] = hit
+            out.append(hit[2])
+            seen.add(name)
+            continue
         fpath = os.path.join(vdir, name)
         try:
             st = os.stat(fpath)
@@ -102,13 +114,11 @@ def _manifests(table_path: str) -> list[dict]:
         key = (st.st_mtime_ns // 1_000_000, st.st_size)
         hit = cache.get(name)
         if hit is None or (hit[0], hit[1]) != key:
-            hit = ckpt_entries.get(name)
-            if hit is None or (hit[0], hit[1]) != key:
-                try:
-                    with open(fpath) as f:
-                        hit = (*key, json.load(f))
-                except (OSError, ValueError):
-                    continue
+            try:
+                with open(fpath) as f:
+                    hit = (*key, json.load(f))
+            except (OSError, ValueError):
+                continue
             cache[name] = hit
         out.append(hit[2])
         seen.add(name)

@@ -75,6 +75,8 @@ for Delta/Iceberg when their jars are installable.
 from __future__ import annotations
 
 import json
+import os as _os_mod
+import re as _re_mod
 import time
 import uuid
 from typing import Mapping, Sequence
@@ -122,6 +124,15 @@ def _local_fs_path(path: str) -> str | None:
     if "://" not in path:
         return path
     return None
+
+
+# FileStatus.toString carries path/length/modification_time in one
+# py4j round-trip; the per-field accessors cost four. Parsed with an
+# accessor fallback, so a Hadoop format change degrades to slower,
+# never wrong.
+_STATUS_RE = _re_mod.compile(
+    r"path=([^;]+); isDirectory=\w+; length=(\d+);.*?modification_time=(\d+)"
+)
 
 
 def _read_json_via_jvm(fs, jvm, path: str) -> dict:
@@ -398,22 +409,21 @@ class VersionedTable:
         file, served from (in order) the process cache, the newest
         checkpoint, then actual reads — parallel for remote stores,
         plain ``open()`` for local paths."""
-        fs, vdir, jvm = _fs(self.spark, self._versions_dir)
-        if not fs.exists(vdir):
+        listed = self._list_versions_dir()
+        if listed is None:
             self._last_ckpt_upto = None
             return {}
         loose: dict[str, tuple[int, int]] = {}
         ckpts: list[tuple[int, str, int, int]] = []  # (upto, name, mtime, len)
-        for st in fs.listStatus(vdir):
-            name = st.getPath().getName()
+        for name, mt, ln in listed:
             if name.startswith("v") and name.endswith(".json"):
-                loose[name] = (st.getModificationTime(), st.getLen())
+                loose[name] = (mt, ln)
             elif name.startswith("checkpoint-") and name.endswith(".json"):
                 try:
                     upto = int(name[len("checkpoint-") : -len(".json")])
                 except ValueError:
                     continue
-                ckpts.append((upto, name, st.getModificationTime(), st.getLen()))
+                ckpts.append((upto, name, mt, ln))
         cache = _MANIFEST_CACHE.setdefault(self._versions_dir, {})
         # newest checkpoint (highest covered version) as a read cache
         ckpt_entries: dict[str, tuple[int, int, dict]] = {}
@@ -459,6 +469,49 @@ class VersionedTable:
         live = set(loose) | {c[1] for c in ckpts}
         for name in [n for n in cache if n not in live]:
             cache.pop(name, None)
+        return out
+
+    def _list_versions_dir(self) -> list[tuple[str, int, int]] | None:
+        """(name, mtime_ms, length) for every child of ``_versions``,
+        or None when the dir doesn't exist. Local paths: one
+        ``os.scandir``, zero JVM round-trips (the probe measured the
+        per-status py4j accessors, 4 RPCs/file, as the residual linear
+        term once reads were cached — ~0.6s per op at 1,000 commits).
+        Remote stores: one listStatus + one ``toString`` parse per
+        status (4× fewer RPCs), with the accessor fallback."""
+        vdir = self._versions_dir
+        local = _local_fs_path(vdir)
+        if local is not None:
+            try:
+                with _os_mod.scandir(local) as it:
+                    out = []
+                    for e in it:
+                        try:
+                            st = e.stat()
+                        except OSError:
+                            continue  # deleted mid-scan (expire race)
+                        out.append(
+                            (e.name, st.st_mtime_ns // 1_000_000, st.st_size)
+                        )
+                return out
+            except FileNotFoundError:
+                return None
+            except NotADirectoryError:
+                return None
+        fs, hp, jvm = _fs(self.spark, vdir)
+        if not fs.exists(hp):
+            return None
+        out = []
+        for st in fs.listStatus(hp):
+            m = _STATUS_RE.search(st.toString())
+            if m:
+                out.append(
+                    (m.group(1).rsplit("/", 1)[-1], int(m.group(3)), int(m.group(2)))
+                )
+            else:  # unrecognized FileStatus format: per-field accessors
+                out.append(
+                    (st.getPath().getName(), st.getModificationTime(), st.getLen())
+                )
         return out
 
     def _read_manifest_files(
@@ -520,6 +573,24 @@ class VersionedTable:
         still matches. Returns the checkpoint name, or None when there
         is nothing to checkpoint or a racer already wrote this one."""
         entries = self._manifest_entries()
+        if not entries:
+            return None
+        # PUBLISHED manifests only (version ≤ the highest ref): a
+        # staged-but-unpublished loser could be rolled back and its
+        # NAME re-created with different content — but only while no
+        # manifest above it exists, i.e. only while it exceeds every
+        # ref. Filtering to the ref horizon therefore makes checkpoint
+        # entries immutable-by-construction, which is what lets the
+        # streaming tail reader trust covered names WITHOUT a stat
+        # (presence in the listing suffices).
+        refs = self._read_refs()
+        ref_max = max((r["version"] for r in refs.values()), default=None)
+        if ref_max is None:
+            # pre-refs table: implicit linear main, everything published
+            ref_max = max(m["version"] for _, _, m in entries.values())
+        entries = {
+            n: e for n, e in entries.items() if e[2]["version"] <= ref_max
+        }
         if not entries:
             return None
         upto = max(m["version"] for _, _, m in entries.values())
