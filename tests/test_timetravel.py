@@ -2343,6 +2343,108 @@ def test_streaming_tail_ignores_checkpoint_files(spark, tmp_path):
     assert [m["version"] for m in ts._manifests(t.path)] == [0, 1, 2, 3]
 
 
+def test_add_files_zero_copy_convert(spark, tmp_path):
+    """Iceberg add_files / Delta CONVERT analog: external parquet dirs
+    become snapshot layers with zero bytes copied; the table versions,
+    DMLs, and GCs over them while NEVER deleting the external data
+    (the shallow-clone own-root rule)."""
+    import os
+
+    from walden_spark.timetravel import VersionedTable
+
+    ext1 = str(tmp_path / "lake1")
+    ext2 = str(tmp_path / "lake2")
+    spark.createDataFrame(
+        [(i, float(i)) for i in range(10)], "id long, v double"
+    ).write.parquet(ext1)
+    spark.createDataFrame(
+        [(i, -1.0) for i in range(100, 105)], "id long, v double"
+    ).write.parquet(ext2)
+    t = VersionedTable(spark, str(tmp_path / "conv"))
+    v0 = t.add_files(ext1)                      # initial convert
+    assert v0 == 0
+    assert sorted(r.id for r in t.read().collect()) == list(range(10))
+    v1 = t.add_files(ext2)                      # incremental add
+    assert {r.id for r in t.read().collect()} == set(range(10)) | set(
+        range(100, 105)
+    )
+    t.delete_where("id >= 100", mode="mor")     # DML over external layers
+    assert sorted(r.id for r in t.read().collect()) == list(range(10))
+    # schema drift refused
+    bad = str(tmp_path / "lake_bad")
+    spark.createDataFrame([(1, "x")], "id long, s string").write.parquet(bad)
+    with pytest.raises(ValueError):
+        t.add_files(bad)
+    # time travel reaches the pre-delete state
+    assert {r.id for r in t.read(version=v1).collect()} >= set(range(100, 105))
+    # GC never touches external dirs: compact + aggressive expire
+    t.compact()
+    t.expire_versions(keep_last=1)
+    t.remove_orphans(older_than_s=0.0)
+    assert os.path.isdir(ext1) and any(
+        f.endswith(".parquet") for f in os.listdir(ext1)
+    ), "expire must never delete external data"
+    assert sorted(r.id for r in t.read().collect()) == list(range(10))
+
+
+def test_tail_reader_uri_io_path(spark, tmp_path):
+    """The streaming tail reader's pyarrow.fs IO path (what an
+    s3://-rooted table exercises), driven through file:// URIs —
+    manifests, branch head, cdf marker, and data-file walks must all
+    match the os-level fast path byte for byte."""
+    from walden_spark.sources import tablestream as ts
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "uriio"))
+    t.enable_cdf()
+    t.write(spark.createDataFrame([(0, 0.0), (1, 1.0)], "id long, v double"))
+    t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    assert t.checkpoint() is not None
+    uri = "file://" + t.path
+    local_ms = ts._manifests(t.path)
+    uri_ms = ts._manifests(uri)
+    assert [m["version"] for m in uri_ms] == [m["version"] for m in local_ms] == [0, 1]
+    assert ts._branch_head(uri, uri_ms, "main") == 1
+    assert ts._io_for(uri).isfile(f"{uri}/_cdf_enabled.json")
+    local_files = ts._data_files(local_ms[-1]["data_dir"])
+    uri_files = ts._data_files("file://" + local_ms[-1]["data_dir"])
+    assert [f.rsplit("/", 1)[-1] for f in uri_files] == [
+        f.rsplit("/", 1)[-1] for f in local_files
+    ]
+    import pyarrow.parquet as pq
+
+    assert sum(pq.read_table(f).num_rows for f in uri_files) == 1
+
+
+def test_sql_export_and_add_files(spark, tmp_path):
+    """SQL surface for the interop pair: EXPORT TABLE ... TO 'dir'
+    round-trips through ALTER TABLE ... ADD FILES 'dir' on a second
+    table with zero bytes rewritten by the engine."""
+    from walden_spark.session import WaldenSession
+    from walden_spark.timetravel import VersionedTable
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "sqlexp"))
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(8)], "id long, v double"))
+    t.delete_keys(spark.createDataFrame([(3,)], "id long"), on=["id"])
+    ws.register_versioned("sqlexp", t.path)
+    dest = str(tmp_path / "sqlexp_out")
+    res = ws.sql(f"EXPORT TABLE sqlexp TO '{dest}'").collect()[0]
+    assert res.table == "sqlexp" and res.version == 1
+    # import into a fresh table via SQL
+    t2 = VersionedTable(spark, str(tmp_path / "sqlimp"))
+    t2.write(spark.createDataFrame([(99, 9.0)], "id long, v double"))
+    ws.register_versioned("sqlimp", t2.path)
+    ws.sql(f"ALTER TABLE sqlimp ADD FILES '{dest}'")
+    got = sorted(r.id for r in ws.sql("SELECT id FROM sqlimp").collect())
+    assert got == [0, 1, 2, 4, 5, 6, 7, 99]
+    # historic export: VERSION AS OF pre-delete
+    dest0 = str(tmp_path / "sqlexp_v0")
+    res0 = ws.sql(f"EXPORT TABLE sqlexp VERSION AS OF 0 TO '{dest0}'").collect()[0]
+    assert res0.version == 0
+    assert spark.read.parquet(dest0).count() == 8
+
+
 def test_export_snapshot_duckdb_reads(spark, tmp_path):
     """The exported snapshot is readable by an EXTERNAL engine with no
     repo code: DuckDB's read_parquet over the exported files equals
@@ -2382,6 +2484,72 @@ def test_export_snapshot_duckdb_reads(spark, tmp_path):
         f"SELECT COUNT(*), MIN(name), MAX(id) FROM read_parquet('{dest0}/*.parquet')"
     ).fetchone()
     assert n0 == (20, "n0", 19)
+
+
+def test_checkpoint_cache_random_ops_consistent(spark, tmp_path):
+    """Model check of the r07 metadata plane: under random sequences
+    of append / MoR-delete / compact / expire / checkpoint interleaved
+    with cache clears, the warm-cached view, a fresh instance's
+    checkpoint-accelerated view, and the pure-Python streaming tail
+    reader must all agree on the manifest set after EVERY op, and the
+    table must read back exactly a dict model's content."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from walden_spark import timetravel as tt
+    from walden_spark.sources import tablestream as ts
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 3)),
+        st.tuples(st.just("delete"), st.integers(2, 4), st.integers(0, 3)),
+        st.tuples(st.just("compact"), st.just(0)),
+        st.tuples(st.just("expire"), st.integers(1, 3)),
+        st.tuples(st.just("checkpoint"), st.just(0)),
+        st.tuples(st.just("cache_clear"), st.just(0)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=2, max_size=6))
+    def run(ops):
+        counter[0] += 1
+        t = VersionedTable(spark, str(tmp_path / f"ckptmodel{counter[0]}"))
+        t.CHECKPOINT_INTERVAL = 3  # force frequent auto-checkpoints
+        model = {i: float(i) for i in range(10)}
+        t.write(spark.createDataFrame(sorted(model.items()), "id long, v double"))
+        nxt = [100]
+        for o in ops:
+            if o[0] == "append":
+                rows = [(nxt[0] + j, -1.0) for j in range(o[1])]
+                nxt[0] += o[1]
+                t.append(spark.createDataFrame(rows, "id long, v double"))
+                model.update(rows)
+            elif o[0] == "delete":
+                _, k, r = o
+                t.delete_where(f"id % {k} = {r}", mode="mor")
+                model = {i: v for i, v in model.items() if i % k != r}
+            elif o[0] == "compact":
+                t.compact()
+            elif o[0] == "expire":
+                t.expire_versions(keep_last=o[1])
+            elif o[0] == "checkpoint":
+                t.checkpoint()
+            elif o[0] == "cache_clear":
+                tt._MANIFEST_CACHE.clear()
+                ts._TAIL_CACHE.clear()
+            warm = [m["version"] for m in t._manifests()]
+            tt._MANIFEST_CACHE.clear()
+            fresh = VersionedTable(spark, t.path)
+            assert [m["version"] for m in fresh._manifests()] == warm
+            assert [m["version"] for m in ts._manifests(t.path)] == warm
+            got = {r.id: r.v for r in t.read(branch="main").collect()}
+            assert got == model
+
+    run()
 
 
 def test_sql_transactions(spark, tmp_path):

@@ -1120,3 +1120,44 @@ def ddl_export_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("n_nationkey").cast("bigint").alias("key_id"), "nation_name"
     ).orderBy("key_id")
+
+
+@query(
+    "ddl_add_files",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS key_id, n_name,
+       CAST(n_regionkey AS BIGINT) AS region_id
+FROM nation WHERE n_regionkey <> 0
+UNION ALL
+SELECT 999, 'ADDED', 9
+ORDER BY key_id
+""",
+    category="ddl",
+)
+def ddl_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy convert-in-place (Iceberg add_files / Delta CONVERT TO
+    DELTA — the import direction of interop; export_snapshot is the
+    export): an EXISTING parquet directory becomes the table's initial
+    snapshot with no bytes copied, a second external dir lands as an
+    append-shaped layer, and row-level DML then runs over the external
+    data. The output is the final state; the oracle recomputes it from
+    the nation fixture directly."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="walden_addfiles_")
+    lake = f"{root}/lake"
+    t.nation.select("n_nationkey", "n_name", "n_regionkey").write.parquet(lake)
+    extra = f"{root}/extra"
+    spark.createDataFrame(
+        [(999, "ADDED", 9)], "n_nationkey int, n_name string, n_regionkey int"
+    ).write.parquet(extra)
+    vt = VersionedTable(spark, f"{root}/tbl")
+    vt.add_files(lake)                              # v0: convert in place
+    vt.add_files(extra)                             # v1: incremental add
+    vt.delete_where("n_regionkey = 0", mode="mor")  # v2: DML over externals
+    return vt.read(branch="main").select(
+        F.col("n_nationkey").cast("bigint").alias("key_id"),
+        "n_name",
+        F.col("n_regionkey").cast("bigint").alias("region_id"),
+    ).orderBy("key_id")

@@ -257,6 +257,19 @@ class WaldenSession:
         r"(?:\s+KEYS\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
         _re.IGNORECASE,
     )
+    # interop pair (r07): EXPORT TABLE t [VERSION AS OF n] TO 'dir'
+    # materializes a resolved snapshot as plain parquet any engine
+    # reads; ALTER TABLE t ADD FILES 'dir' is the Iceberg add_files /
+    # Delta CONVERT import direction — zero-copy external-dir commit
+    _MAINT_EXPORT_RE = _re.compile(
+        r"^\s*EXPORT\s+TABLE\s+(\w+)(?:\s+VERSION\s+AS\s+OF\s+(\d+))?"
+        r"\s+TO\s+'([^']+)'\s*;?\s*$",
+        _re.IGNORECASE,
+    )
+    _MAINT_ADD_FILES_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+FILES\s+'([^']+)'\s*;?\s*$",
+        _re.IGNORECASE,
+    )
 
     def __init__(self, spark: SparkSession | None = None, **kwargs):
         self.spark = spark or get_spark(**kwargs)
@@ -776,6 +789,32 @@ class WaldenSession:
         if m and m.group(1) in self._versioned:
             # Trino SHOW STATS FOR: manifest footer stats, no data scan
             return self._versioned[m.group(1)].column_stats()
+        m = self._MAINT_EXPORT_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # EXPORT TABLE t [VERSION AS OF n] TO 'dir': read-only —
+            # safe inside a transaction (exports the published main
+            # state, like any other read of an untouched table)
+            name = m.group(1)
+            version = int(m.group(2)) if m.group(2) else None
+            info = self._versioned[name].export_snapshot(
+                m.group(3), version=version
+            )
+            return self.spark.createDataFrame(
+                [(name, info["version"], info["dest"])],
+                "table string, version bigint, dest string",
+            )
+        m = self._MAINT_ADD_FILES_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            if self._txn is not None:
+                raise RuntimeError(
+                    "maintenance statements cannot run inside a transaction"
+                )
+            name = m.group(1)
+            v = self._versioned[name].add_files(m.group(2))
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame(
+                [(name, v)], "table string, version bigint"
+            )
         m = self._MAINT_RESTORE_RE.match(query)
         if m and m.group(1) in self._versioned:
             if self._txn is not None:

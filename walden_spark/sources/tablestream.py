@@ -19,10 +19,12 @@ as an append stream; like Iceberg's `streaming-skip-delete-snapshots`
 default, the source raises — set ``skipNonAppend=true`` to skip those
 versions explicitly (downstream then sees inserts only).
 
-Local-path note: manifest listing/reading uses the local filesystem
-(the test/bench environment); a cloud deployment swaps in fsspec here
-— the planning contract (versions → files → one file per task) is
-unchanged.
+Storage: bare paths use os-level IO (the test/bench fast path); URI
+paths (s3://, hdfs://, file://) route through pyarrow.fs with the
+SAME planning code — manifest listing, ref resolution, and file walks
+all go through the `_io_for` abstraction, and executors already read
+single files via pyarrow, which resolves URIs natively. The planning
+contract (versions → files → one file per task) is storage-agnostic.
 """
 
 from __future__ import annotations
@@ -63,29 +65,144 @@ class _ChangeFilePartition(InputPartition):
 _TAIL_CACHE: dict[str, dict[str, tuple[int, int, dict]]] = {}
 
 
+def _is_local(path: str) -> bool:
+    return "://" not in path
+
+
+class _LocalIO:
+    """os-based IO for bare local paths — the polling fast path
+    (~µs/file; pyarrow's LocalFileSystem pays object overhead)."""
+
+    def list_dir(self, d: str) -> list[tuple[str, int, int]] | None:
+        """(name, mtime_ms, size) per child, or None if dir missing."""
+        try:
+            with os.scandir(d) as it:
+                out = []
+                for e in it:
+                    try:
+                        st = e.stat()
+                    except OSError:
+                        continue
+                    out.append((e.name, st.st_mtime_ns // 1_000_000, st.st_size))
+            return out
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+
+    def read_json(self, path: str) -> dict:
+        with open(path) as f:
+            return json.load(f)
+
+    def isfile(self, path: str) -> bool:
+        return os.path.isfile(path)
+
+    def walk_parquet(self, d: str) -> list[str]:
+        files = []
+        for root, _dirs, names in os.walk(d):
+            for n in names:
+                if n.endswith(".parquet"):
+                    files.append(os.path.join(root, n))
+        return sorted(files)
+
+
+class _ArrowIO:
+    """pyarrow.fs-based IO for URI paths (s3://, hdfs://, file://) —
+    the same planning code runs against an object store; executors
+    already read single files through pyarrow, which resolves URIs
+    natively. One FileSystem per process per scheme/authority."""
+
+    _CACHE: dict[str, tuple] = {}
+
+    def _fs(self, path: str):
+        from pyarrow import fs as pafs
+
+        scheme = path.split("://", 1)[0]
+        authority = path.split("://", 1)[1].split("/", 1)[0]
+        key = f"{scheme}://{authority}"
+        hit = self._CACHE.get(key)
+        if hit is None:
+            hit = pafs.FileSystem.from_uri(path)
+            self._CACHE[key] = (hit[0],)
+            return hit[0], self._strip(path)
+        return hit[0], self._strip(path)
+
+    @staticmethod
+    def _strip(path: str) -> str:
+        # pyarrow filesystems address paths WITHOUT the scheme
+        rest = path.split("://", 1)[1]
+        return rest
+
+    def list_dir(self, d: str) -> list[tuple[str, int, int]] | None:
+        from pyarrow import fs as pafs
+
+        f, p = self._fs(d)
+        infos = f.get_file_info(pafs.FileSelector(p, allow_not_found=True))
+        if not infos:
+            info = f.get_file_info(p)
+            if info.type == pafs.FileType.NotFound:
+                return None
+        out = []
+        for i in infos:
+            mt = i.mtime_ns // 1_000_000 if i.mtime_ns is not None else 0
+            out.append((i.base_name, mt, i.size or 0))
+        return out
+
+    def read_json(self, path: str) -> dict:
+        f, p = self._fs(path)
+        with f.open_input_stream(p) as s:
+            return json.loads(s.readall().decode("utf-8"))
+
+    def isfile(self, path: str) -> bool:
+        from pyarrow import fs as pafs
+
+        f, p = self._fs(path)
+        return f.get_file_info(p).type == pafs.FileType.File
+
+    def walk_parquet(self, d: str) -> list[str]:
+        from pyarrow import fs as pafs
+
+        f, p = self._fs(d)
+        scheme_prefix = d.split("://", 1)[0] + "://"
+        sel = pafs.FileSelector(p, recursive=True, allow_not_found=True)
+        return sorted(
+            scheme_prefix + i.path
+            for i in f.get_file_info(sel)
+            if i.type == pafs.FileType.File and i.path.endswith(".parquet")
+        )
+
+
+def _io_for(path: str):
+    return _LocalIO() if _is_local(path) else _ArrowIO()
+
+
 def _manifests(table_path: str) -> list[dict]:
-    vdir = os.path.join(table_path, "_versions")
-    if not os.path.isdir(vdir):
+    io = _io_for(table_path)
+    vdir = f"{table_path.rstrip('/')}/_versions"
+    listed = io.list_dir(vdir)
+    if listed is None:
         return []
     cache = _TAIL_CACHE.setdefault(vdir, {})
-    names = os.listdir(vdir)
-    loose = [n for n in names if n.startswith("v") and n.endswith(".json")]
+    stat_by_name = {n: (mt, sz) for n, mt, sz in listed}
+    loose = sorted(
+        n for n in stat_by_name if n.startswith("v") and n.endswith(".json")
+    )
     # newest checkpoint as a read cache: entries are trusted only while
-    # the loose file they snapshot is still listed with matching stats
-    # (loose files stay authoritative — see VersionedTable.checkpoint)
+    # the loose file they snapshot is still listed (loose files stay
+    # authoritative — see VersionedTable.checkpoint)
     ckpt_entries: dict[str, tuple[int, int, dict]] = {}
-    ckpts = sorted(n for n in names if n.startswith("checkpoint-") and n.endswith(".json"))
+    ckpts = sorted(
+        n
+        for n in stat_by_name
+        if n.startswith("checkpoint-") and n.endswith(".json")
+    )
     if ckpts:
         cname = ckpts[-1]
+        ckey = stat_by_name[cname]
         try:
-            cst = os.stat(os.path.join(vdir, cname))
-            ckey = (cst.st_mtime_ns // 1_000_000, cst.st_size)
             hit = cache.get(cname)
             if hit and (hit[0], hit[1]) == ckey:
                 payload = hit[2]
             else:
-                with open(os.path.join(vdir, cname)) as f:
-                    payload = json.load(f)
+                payload = io.read_json(f"{vdir}/{cname}")
                 cache[cname] = (*ckey, payload)
             for e in payload.get("entries", []):
                 ckpt_entries[e["name"]] = (e["mtime"], e["len"], e["manifest"])
@@ -93,32 +210,26 @@ def _manifests(table_path: str) -> list[dict]:
             ckpt_entries = {}
     out = []
     seen: set[str] = set(ckpts)
-    for name in sorted(loose):
-        # checkpoint-covered names are stat-free: checkpoint() only
-        # records PUBLISHED manifests, which are immutable while they
-        # exist (a name is only ever re-created with new content while
-        # it exceeds every ref — excluded by construction), so mere
-        # presence in the listing validates the entry. This is what
-        # keeps per-poll cost at one listdir + O(tail) stats.
+    for name in loose:
+        # checkpoint-covered names need no further validation:
+        # checkpoint() only records PUBLISHED manifests, which are
+        # immutable while they exist (a name is only ever re-created
+        # with new content while it exceeds every ref — excluded by
+        # construction), so mere presence in the listing suffices.
+        # This keeps per-poll cost at ONE dir listing + O(tail) reads.
         hit = ckpt_entries.get(name)
         if hit is not None:
             cache[name] = hit
             out.append(hit[2])
             seen.add(name)
             continue
-        fpath = os.path.join(vdir, name)
-        try:
-            st = os.stat(fpath)
-        except OSError:
-            continue  # deleted between listing and stat (expire race)
-        key = (st.st_mtime_ns // 1_000_000, st.st_size)
+        key = stat_by_name[name]
         hit = cache.get(name)
         if hit is None or (hit[0], hit[1]) != key:
             try:
-                with open(fpath) as f:
-                    hit = (*key, json.load(f))
+                hit = (*key, io.read_json(f"{vdir}/{name}"))
             except (OSError, ValueError):
-                continue
+                continue  # deleted between listing and read (expire race)
             cache[name] = hit
         out.append(hit[2])
         seen.add(name)
@@ -130,11 +241,10 @@ def _manifests(table_path: str) -> list[dict]:
 def _branch_head(table_path: str, ms: list[dict], branch: str) -> int | None:
     """Head of ``branch`` — same resolution as VersionedTable.head():
     explicit ref file first, implicit linear main for pre-refs tables."""
-    rdir = os.path.join(table_path, "_refs")
-    ref_file = os.path.join(rdir, f"branch={branch}.json")
-    if os.path.isfile(ref_file):
-        with open(ref_file) as f:
-            return json.load(f)["version"]
+    io = _io_for(table_path)
+    ref_file = f"{table_path.rstrip('/')}/_refs/branch={branch}.json"
+    if io.isfile(ref_file):
+        return io.read_json(ref_file)["version"]
     if branch == "main":
         main_ms = [m for m in ms if m.get("branch", "main") == "main"]
         return main_ms[-1]["version"] if main_ms else None
@@ -160,12 +270,7 @@ def _lineage_versions(ms: list[dict], head: int | None) -> set[int]:
 
 
 def _data_files(data_dir: str) -> list[str]:
-    files = []
-    for root, _dirs, names in os.walk(data_dir):
-        for n in names:
-            if n.endswith(".parquet"):
-                files.append(os.path.join(root, n))
-    return sorted(files)
+    return _io_for(data_dir).walk_parquet(data_dir)
 
 
 _ARROW_TO_SPARK = {
@@ -390,7 +495,7 @@ class WaldenTableChangesDataSource(DataSource):
         import pyarrow.parquet as pq
 
         path = self.options["path"]
-        if not os.path.isfile(os.path.join(path, "_cdf_enabled.json")):
+        if not _io_for(path).isfile(f"{path.rstrip('/')}/_cdf_enabled.json"):
             raise ValueError(
                 f"table at {path} is not CDF-enabled; call enable_cdf() first"
             )

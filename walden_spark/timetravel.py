@@ -2344,6 +2344,37 @@ class VersionedTable:
         cur = self.read(branch=branch)
         return self.write(cur, operation="compact", branch=branch)
 
+    def add_files(self, src_dir: str, branch: str = "main") -> int:
+        """Iceberg ``add_files`` / Delta ``CONVERT TO DELTA`` analog —
+        the IMPORT direction of interop (export_snapshot is the other):
+        commit an EXISTING parquet directory as a snapshot layer with
+        ZERO bytes copied. The manifest references the external dir and
+        records its footer stats (so scan pruning works immediately);
+        on an empty table the commit is the initial full snapshot, on a
+        non-empty one it's an append-shaped merge-on-read layer. GC
+        safety is the shallow-clone rule: expire/remove_orphans never
+        delete dirs outside the table's own root, so the external data
+        is never this table's to destroy. Converting a 100 TB parquet
+        lake into a versioned table is a metadata operation, exactly
+        the migration path the reference stack offers via Iceberg's
+        add_files procedure."""
+        stats = _collect_file_stats(src_dir, self.spark)
+        if not stats:
+            raise ValueError(f"no parquet files under {src_dir!r}")
+        payload = {"data_dir": src_dir, "files": stats, "external_dir": True}
+        if self.head(branch) is None:
+            return self.write(
+                None, operation="add_files", branch=branch, _meta=payload
+            )
+        new_cols = set(self.spark.read.parquet(src_dir).columns)
+        cur_cols = set(self.read(branch=branch).columns)
+        if new_cols != cur_cols:
+            raise ValueError(
+                f"add_files schema drift (table {sorted(cur_cols)} vs "
+                f"external {sorted(new_cols)})"
+            )
+        return self.write(None, operation="add_files", branch=branch, _mor=payload)
+
     def export_snapshot(
         self,
         dest: str,
