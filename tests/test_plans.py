@@ -152,6 +152,7 @@ _CARTESIAN_OK = {
     "tpch_q22",            # same — avg-balance scalar subquery comparison
     "ann_ivf_probe",       # intentional broadcast-cross against the bounded centroid table (IVF assign is map-only by design)
     "text_tfidf_topk",     # corpus-size N: BNLJ against a 1-row aggregate, O(n)
+    "text_bigram_lm_score",  # vocab-size V: BNLJ against a 1-row aggregate, O(n)
     "dedup_semantic_cluster",  # intentional broadcast-cross against the bounded seed-centroid table (nearest-seed assign is map-only by design)
 }
 

@@ -2552,6 +2552,44 @@ def test_checkpoint_cache_random_ops_consistent(spark, tmp_path):
     run()
 
 
+def test_concurrent_writers_serialize_and_survive(spark, tmp_path):
+    """Commit storm: N threads each land M append batches using the
+    advised re-read-and-retry loop. Every batch must commit exactly
+    once, the final head must equal the total commit count (linear
+    history, no forks, no lost updates), and no thread may wedge —
+    pure-contention complement to the dead-writer repair tests."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "storm"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    n_writers, n_batches = 4, 3
+
+    def worker(w: int) -> int:
+        vt = VersionedTable(spark, t.path)
+        done = 0
+        while done < n_batches:
+            df = spark.createDataFrame(
+                [(1000 + w * 100 + done, float(w))], "id long, v double"
+            )
+            try:
+                vt.append(df)
+                done += 1
+            except ConcurrentWriteError:
+                continue  # the advised retry: re-read happens inside append
+        return done
+
+    with ThreadPoolExecutor(max_workers=n_writers) as pool:
+        assert all(r == n_batches for r in pool.map(worker, range(n_writers)))
+    ids = sorted(r.id for r in t.read(branch="main").collect())
+    expected = sorted(
+        [0] + [1000 + w * 100 + k for w in range(n_writers) for k in range(n_batches)]
+    )
+    assert ids == expected
+    assert t.head("main") == n_writers * n_batches
+
+
 def test_sql_transactions(spark, tmp_path):
     """Multi-statement transactions over the SQL session: intermediate
     state invisible to main but read-your-writes inside the block;

@@ -929,3 +929,102 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("w").alias("term"), "score", F.col("rk").cast("int").alias("rk"))
         .orderBy("doc_id", "rk")
     )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle="""
+WITH wlists AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> len(w) > 0) AS ws
+  FROM documents WHERE doc_id < 300
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM wlists CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+  ) gs
+),
+big_counts AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2
+),
+uni_counts AS (
+  SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS v FROM (
+    SELECT w1 AS w FROM bg UNION SELECT w2 FROM bg
+  ) uw
+)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(((bc.c12 + 1) * 1000000) // (uc.c1 + vocab.v)) AS BIGINT)
+         AS lm_score_q
+FROM bg
+JOIN big_counts bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2
+JOIN uni_counts uc ON bg.w1 = uc.w1
+CROSS JOIN vocab
+GROUP BY bg.doc_id
+ORDER BY bg.doc_id
+""",
+    category="text",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained smoothed bigram language-model score per document
+    — the statistical fluency/quality signal (KenLM-style perplexity
+    filtering) pretrain pipelines apply, here self-trained on the
+    corpus with add-one smoothing. Scoring stays ENTIRELY in integer
+    arithmetic: each bigram contributes
+    floor(1e6·(c(w1,w2)+1)/(c(w1)+V)) — exact BIGINT multiply and
+    integer division in both engines, so no float log/ulp can ever
+    flip a hash (same determinism posture as the rational tf-idf
+    above; log would only compress the same ranking monotonically).
+
+    Scale shape: bigrams come from per-row zip_with over each doc's
+    own word array — NO positional self-join. Then two key-partitioned
+    aggregates (bigram counts, unigram counts), two shuffle joins on
+    those keys (hot-word skew absorbed by AQE), the vocab size V as a
+    broadcast scalar, and a per-doc aggregate. Every stage is
+    key-partitioned; nothing touches the driver but V."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda w: F.length(w) > 0,
+        ).alias("ws"),
+    )
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    big_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        bg.select(F.col("w1").alias("w"))
+        .union(bg.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    return (
+        bg.join(big_counts, ["w1", "w2"])
+        .join(uni_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("((c12 + 1) * 1000000) DIV (c1 + v)").alias("term"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("term").cast("bigint").alias("lm_score_q"),
+        )
+        .orderBy("doc_id")
+    )

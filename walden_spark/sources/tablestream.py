@@ -70,23 +70,25 @@ def _is_local(path: str) -> bool:
 
 
 class _LocalIO:
-    """os-based IO for bare local paths — the polling fast path
-    (~µs/file; pyarrow's LocalFileSystem pays object overhead)."""
+    """os-based IO for bare local paths — the polling fast path.
+    Listing returns NAMES ONLY (one os.listdir); stats are lazy, so
+    checkpoint-covered manifests (the overwhelming majority on a
+    long-lived table) cost zero syscalls beyond the listing."""
 
-    def list_dir(self, d: str) -> list[tuple[str, int, int]] | None:
-        """(name, mtime_ms, size) per child, or None if dir missing."""
+    def list_names(self, d: str) -> list[str] | None:
+        """Child names, or None if the dir is missing."""
         try:
-            with os.scandir(d) as it:
-                out = []
-                for e in it:
-                    try:
-                        st = e.stat()
-                    except OSError:
-                        continue
-                    out.append((e.name, st.st_mtime_ns // 1_000_000, st.st_size))
-            return out
+            return os.listdir(d)
         except (FileNotFoundError, NotADirectoryError):
             return None
+
+    def stat(self, path: str) -> tuple[int, int] | None:
+        """(mtime_ms, size), or None if the file vanished."""
+        try:
+            st = os.stat(path)
+        except OSError:
+            return None
+        return (st.st_mtime_ns // 1_000_000, st.st_size)
 
     def read_json(self, path: str) -> dict:
         with open(path) as f:
@@ -131,7 +133,10 @@ class _ArrowIO:
         rest = path.split("://", 1)[1]
         return rest
 
-    def list_dir(self, d: str) -> list[tuple[str, int, int]] | None:
+    def list_names(self, d: str) -> list[str] | None:
+        """One listing RPC; per-entry stats are remembered so later
+        stat() calls for this dir's children are free (an object-store
+        LIST returns size/mtime anyway)."""
         from pyarrow import fs as pafs
 
         f, p = self._fs(d)
@@ -140,11 +145,27 @@ class _ArrowIO:
             info = f.get_file_info(p)
             if info.type == pafs.FileType.NotFound:
                 return None
-        out = []
+        self._stat_cache = {}
+        names = []
         for i in infos:
             mt = i.mtime_ns // 1_000_000 if i.mtime_ns is not None else 0
-            out.append((i.base_name, mt, i.size or 0))
-        return out
+            self._stat_cache[i.base_name] = (mt, i.size or 0)
+            names.append(i.base_name)
+        return names
+
+    def stat(self, path: str) -> tuple[int, int] | None:
+        from pyarrow import fs as pafs
+
+        name = path.rsplit("/", 1)[-1]
+        hit = getattr(self, "_stat_cache", {}).get(name)
+        if hit is not None:
+            return hit
+        f, p = self._fs(path)
+        info = f.get_file_info(p)
+        if info.type != pafs.FileType.File:
+            return None
+        mt = info.mtime_ns // 1_000_000 if info.mtime_ns is not None else 0
+        return (mt, info.size or 0)
 
     def read_json(self, path: str) -> dict:
         f, p = self._fs(path)
@@ -177,59 +198,57 @@ def _io_for(path: str):
 def _manifests(table_path: str) -> list[dict]:
     io = _io_for(table_path)
     vdir = f"{table_path.rstrip('/')}/_versions"
-    listed = io.list_dir(vdir)
-    if listed is None:
+    names = io.list_names(vdir)
+    if names is None:
         return []
     cache = _TAIL_CACHE.setdefault(vdir, {})
-    stat_by_name = {n: (mt, sz) for n, mt, sz in listed}
-    loose = sorted(
-        n for n in stat_by_name if n.startswith("v") and n.endswith(".json")
-    )
+    loose = sorted(n for n in names if n.startswith("v") and n.endswith(".json"))
     # newest checkpoint as a read cache: entries are trusted only while
     # the loose file they snapshot is still listed (loose files stay
     # authoritative — see VersionedTable.checkpoint)
     ckpt_entries: dict[str, tuple[int, int, dict]] = {}
     ckpts = sorted(
-        n
-        for n in stat_by_name
-        if n.startswith("checkpoint-") and n.endswith(".json")
+        n for n in names if n.startswith("checkpoint-") and n.endswith(".json")
     )
     if ckpts:
         cname = ckpts[-1]
-        ckey = stat_by_name[cname]
         try:
+            ckey = io.stat(f"{vdir}/{cname}")
             hit = cache.get(cname)
-            if hit and (hit[0], hit[1]) == ckey:
-                payload = hit[2]
-            else:
-                payload = io.read_json(f"{vdir}/{cname}")
-                cache[cname] = (*ckey, payload)
-            for e in payload.get("entries", []):
-                ckpt_entries[e["name"]] = (e["mtime"], e["len"], e["manifest"])
+            if ckey is not None:
+                if hit and (hit[0], hit[1]) == ckey:
+                    payload = hit[2]
+                else:
+                    payload = io.read_json(f"{vdir}/{cname}")
+                    cache[cname] = (*ckey, payload)
+                for e in payload.get("entries", []):
+                    ckpt_entries[e["name"]] = (e["mtime"], e["len"], e["manifest"])
         except (OSError, ValueError, KeyError):
             ckpt_entries = {}
     out = []
     seen: set[str] = set(ckpts)
     for name in loose:
-        # checkpoint-covered names need no further validation:
-        # checkpoint() only records PUBLISHED manifests, which are
-        # immutable while they exist (a name is only ever re-created
-        # with new content while it exceeds every ref — excluded by
-        # construction), so mere presence in the listing suffices.
-        # This keeps per-poll cost at ONE dir listing + O(tail) reads.
+        # checkpoint-covered names need no stat or read: checkpoint()
+        # only records PUBLISHED manifests, which are immutable while
+        # they exist (a name is only ever re-created with new content
+        # while it exceeds every ref — excluded by construction), so
+        # mere presence in the listing suffices. Per-poll cost: ONE
+        # dir listing + O(tail) stats/reads.
         hit = ckpt_entries.get(name)
         if hit is not None:
             cache[name] = hit
             out.append(hit[2])
             seen.add(name)
             continue
-        key = stat_by_name[name]
+        key = io.stat(f"{vdir}/{name}")
+        if key is None:
+            continue  # deleted between listing and stat (expire race)
         hit = cache.get(name)
         if hit is None or (hit[0], hit[1]) != key:
             try:
                 hit = (*key, io.read_json(f"{vdir}/{name}"))
             except (OSError, ValueError):
-                continue  # deleted between listing and read (expire race)
+                continue  # deleted between stat and read
             cache[name] = hit
         out.append(hit[2])
         seen.add(name)

@@ -646,10 +646,39 @@ class VersionedTable:
         return f"{self.path}/_refs"
 
     def _read_refs(self) -> dict[tuple[str, str], dict]:
+        # head() sits on every read/write path; local tables resolve
+        # refs with plain os IO (~µs) instead of per-file py4j
+        # round-trips (~ms each). Ref files are tiny and re-read every
+        # call — no cache, so a concurrent pointer move is always seen.
+        local = _local_fs_path(self._refs_dir)
+        out: dict[tuple[str, str], dict] = {}
+        if local is not None:
+            try:
+                names = _os_mod.listdir(local)
+            except (FileNotFoundError, NotADirectoryError):
+                return {}
+            for name in names:
+                if not name.endswith(".json") or "=" not in name:
+                    continue
+                ref = None
+                for attempt in (0, 1):
+                    try:
+                        with open(f"{local}/{name}", "r", encoding="utf-8") as f:
+                            ref = json.load(f)
+                        break
+                    except FileNotFoundError:
+                        ref = None  # deleted between listing and read
+                        break
+                    except ValueError:
+                        if attempt == 1:
+                            raise  # genuinely corrupt — surface it
+                        time.sleep(0.01)  # torn mid-overwrite: retry once
+                if ref is not None:
+                    out[(ref["type"], ref["name"])] = ref
+            return out
         fs, rdir, jvm = _fs(self.spark, self._refs_dir)
         if not fs.exists(rdir):
             return {}
-        out: dict[tuple[str, str], dict] = {}
         for st in fs.listStatus(rdir):
             name = st.getPath().getName()
             if not name.endswith(".json") or "=" not in name:
