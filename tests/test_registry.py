@@ -86,9 +86,10 @@ def test_rotation_queue_cannot_drift():
     The current DRIVER_WINDOW must hold every never-driver-verified
     oracle-backed name that fits after the anchors — i.e. at least
     min(37, len(queue)) of them — so a future edit can't silently stop
-    rotating. agg_collect_sorted is the one standing exclusion (array
-    output; the driver canonicalizer can't hash nested types —
-    enforced separately by test_driver_window_emits_hashable_types)."""
+    rotating. agg_collect_sorted was excluded when the r07 window was
+    cut (it emitted array columns then; since reworked to serialize
+    them — hashability itself is enforced by
+    test_driver_window_emits_hashable_types)."""
     import os
     import sys
 

@@ -429,3 +429,36 @@ def test_table_tail_ignores_side_branches(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(seen) == [1, 2]  # main rows only — no 900, no abort
+
+
+def test_table_tail_streams_over_file_uri(spark, tmp_path):
+    """End-to-end streaming over a URI path: the tail source planned
+    entirely through the pyarrow.fs IO layer (what an s3://-rooted
+    table exercises), driven via file:// — offsets, partitions, and
+    executor-side reads all resolve identically to the bare-path run."""
+    from walden_spark.sources.tablestream import register_table_tail
+    from walden_spark.timetravel import VersionedTable
+
+    register_table_tail(spark)
+    t = VersionedTable(spark, str(tmp_path / "uritail"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    t.append(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+    t.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    stream = (
+        spark.readStream.format("walden_table_tail")
+        .option("path", "file://" + t.path)
+        .load()
+    )
+    seen: list[tuple] = []
+
+    def sink(batch_df, batch_id):
+        seen.extend((r.id, r.v) for r in batch_df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "uritail_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [(0, 0.0), (1, 1.0), (2, 2.0)]

@@ -59,8 +59,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [100, 1000]
     rows = []
-    for n_commits in (100, 1000):
+    for n_commits in ns:
         root = tempfile.mkdtemp(prefix=f"walden_mdprobe_{n_commits}_")
         t = VersionedTable(spark, f"{root}/t")
         t.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
@@ -107,11 +108,16 @@ def main() -> None:
         print(json.dumps(r))
 
     # the scaling verdict: steady-state costs must be ~flat in commits
-    a, b = rows
-    for k in ("warm_s", "poll_x100_s", "head_s"):
-        ratio = b[k] / max(a[k], 1e-9)
-        print(f"{k}: {a[k]*1e3:.2f}ms @100 -> {b[k]*1e3:.2f}ms @1000 "
-              f"(x{ratio:.1f} for x10 commits)")
+    if len(rows) >= 2:
+        a, b = rows[0], rows[-1]
+        scale = b["commits"] / a["commits"]
+        for k in ("warm_s", "poll_x100_s", "head_s"):
+            ratio = b[k] / max(a[k], 1e-9)
+            print(
+                f"{k}: {a[k]*1e3:.2f}ms @{a['commits']} -> "
+                f"{b[k]*1e3:.2f}ms @{b['commits']} "
+                f"(x{ratio:.1f} for x{scale:.0f} commits)"
+            )
 
 
 if __name__ == "__main__":

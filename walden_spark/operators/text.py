@@ -995,16 +995,23 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda w: F.length(w) > 0,
         ).alias("ws"),
     )
-    bg = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
-                "slice(ws, 2, greatest(size(ws) - 1, 0)), "
-                "(a, b) -> struct(a AS w1, b AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    bg = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                    "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+                    "(a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        # four consumers (bigram counts, unigram counts, vocab, the
+        # scoring join) — without persist each recomputes the tokenize
+        # + explode lineage (the minhash-shingles lesson)
+        .persist()
+    )
     big_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (

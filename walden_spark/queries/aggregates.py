@@ -273,27 +273,48 @@ def agg_stats_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_sorted",
     oracle="""
 SELECT c_mktsegment,
-       list_sort(list(c_nationkey)) AS nation_keys,
-       list_sort(list(DISTINCT c_nationkey)) AS distinct_keys,
+       array_to_string(list_sort(list(c_nationkey)), ',') AS nation_keys,
+       array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS distinct_keys,
        string_agg(nk, ',' ORDER BY nk) AS joined
 FROM (SELECT c_mktsegment, c_nationkey, CAST(c_nationkey AS VARCHAR) AS nk
       FROM customer WHERE c_custkey < 100)
 GROUP BY c_mktsegment
+ORDER BY c_mktsegment
 """,
     category="aggregate",
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array_agg / listagg → collect_list + array_sort (Trino's
     array_agg is also order-nondeterministic without ORDER BY, SURVEY
-    §2.4) and sorted string_agg."""
+    §2.4) and sorted string_agg. The sorted arrays are emitted as
+    comma-joined STRINGS (numeric sort first, then stringify) so the
+    output is driver-hashable — nested columns can't be value-hashed
+    by the round driver's canonicalizer (r07: this was the one
+    oracle-backed query barred from the window)."""
     t = Tables(spark, sf_dir)
     src = t.customer.filter(F.col("c_custkey") < 100).select(
         "c_mktsegment", "c_nationkey", F.col("c_nationkey").cast("string").alias("nk")
     )
-    return src.groupBy("c_mktsegment").agg(
-        F.array_sort(F.collect_list("c_nationkey")).alias("nation_keys"),
-        F.array_sort(F.collect_set("c_nationkey")).alias("distinct_keys"),
-        F.concat_ws(",", F.array_sort(F.collect_list("nk"))).alias("joined"),
+    return (
+        src.groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("c_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("nation_keys"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_set("c_nationkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("distinct_keys"),
+            F.concat_ws(",", F.array_sort(F.collect_list("nk"))).alias("joined"),
+        )
+        .orderBy("c_mktsegment")
     )
 
 

@@ -70,13 +70,14 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # verified oracle-backed name (the queue is auto-derived from the
 # CORRECTNESS_r*.json files by tools/rotation_queue.py, asserted in
 # tests/test_registry.py so it can't drift; r06's hand-counted comment
-# said ~35 when the true count was 52 — VERDICT r06 #7). Excluded by
-# rule: agg_collect_sorted (emits array columns — the driver
-# canonicalizer can't hash nested types) and the rows-only names (the
-# window must be fully oracle-backed). Cumulative driver-verified
-# going in: 170/222; this window takes the oracle-backed remainder to
-# 208 if green, leaving 14 rows-only names + agg_collect_sorted for
-# rows-only windows later.
+# said ~35 when the true count was 52 — VERDICT r06 #7). Excluded:
+# agg_collect_sorted (emitted array columns when this window was cut;
+# reworked later in r07 to serialize them — rotate it in r08) and the
+# rows-only names (the window must be fully oracle-backed).
+# Cumulative driver-verified going in: 170/222; this window takes the
+# oracle-backed remainder to 208 if green, leaving 14 rows-only names
+# + agg_collect_sorted + the r07-new queries (ddl_export_snapshot,
+# ddl_add_files, text_bigram_lm_score) for r08.
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- anchors --
     "tpch_q1",

@@ -252,8 +252,12 @@ def _manifests(table_path: str) -> list[dict]:
             cache[name] = hit
         out.append(hit[2])
         seen.add(name)
-    for stale in [n for n in cache if n not in seen]:
-        cache.pop(stale, None)
+    # list(cache) first: concurrent pollers/writers share this cache,
+    # and iterating the live dict across bytecode boundaries raises
+    # "dictionary changed size during iteration"
+    for stale in list(cache):
+        if stale not in seen:
+            cache.pop(stale, None)
     return out
 
 

@@ -406,38 +406,66 @@ class VersionedTable:
 
     def _manifest_entries(self) -> dict[str, tuple[int, int, dict]]:
         """name → (mtime_ms, length, manifest) for every live manifest
-        file, served from (in order) the process cache, the newest
-        checkpoint, then actual reads — parallel for remote stores,
-        plain ``open()`` for local paths."""
-        listed = self._list_versions_dir()
-        if listed is None:
-            self._last_ckpt_upto = None
-            return {}
-        loose: dict[str, tuple[int, int]] = {}
-        ckpts: list[tuple[int, str, int, int]] = []  # (upto, name, mtime, len)
-        for name, mt, ln in listed:
+        file, served from (in order) the newest checkpoint, the
+        process cache, then actual reads. Checkpoint-covered names are
+        PRESENCE-trusted with no stat at all — checkpoints record only
+        published manifests, which are immutable while they exist (a
+        name is only ever re-created with new content while it exceeds
+        every ref, and such names are excluded at checkpoint-write
+        time) — so the steady-state cost of a table operation is ONE
+        name listing + O(tail) stats/reads, flat-ish in commit count.
+        Non-covered names stat-validate against the cache (manifest
+        files are create-once; (mtime, length) catches the
+        rolled-back-name re-creation window at the head)."""
+        vdir = self._versions_dir
+        local = _local_fs_path(vdir)
+        if local is not None:
+            try:
+                names = _os_mod.listdir(local)
+            except (FileNotFoundError, NotADirectoryError):
+                self._last_ckpt_upto = None
+                return {}
+
+            def stat_of(name: str) -> tuple[int, int] | None:
+                try:
+                    st = _os_mod.stat(f"{local}/{name}")
+                except OSError:
+                    return None
+                return (st.st_mtime_ns // 1_000_000, st.st_size)
+
+        else:
+            listed = self._list_versions_dir()
+            if listed is None:
+                self._last_ckpt_upto = None
+                return {}
+            names = [n for n, _, _ in listed]
+            smap = {n: (mt, ln) for n, mt, ln in listed}
+            stat_of = smap.get  # stats came free with the one LIST RPC
+        loose: list[str] = []
+        ckpts: list[tuple[int, str]] = []  # (upto, name)
+        for name in names:
             if name.startswith("v") and name.endswith(".json"):
-                loose[name] = (mt, ln)
+                loose.append(name)
             elif name.startswith("checkpoint-") and name.endswith(".json"):
                 try:
-                    upto = int(name[len("checkpoint-") : -len(".json")])
+                    ckpts.append((int(name[len("checkpoint-") : -len(".json")]), name))
                 except ValueError:
                     continue
-                ckpts.append((upto, name, mt, ln))
         cache = _MANIFEST_CACHE.setdefault(self._versions_dir, {})
         # newest checkpoint (highest covered version) as a read cache
         ckpt_entries: dict[str, tuple[int, int, dict]] = {}
         self._last_ckpt_upto = None
         if ckpts:
-            upto, cname, cmt, cln = max(ckpts)
+            upto, cname = max(ckpts)
+            cstat = stat_of(cname)
             hit = cache.get(cname)
-            payload = hit[2] if hit and hit[0] == cmt and hit[1] == cln else None
-            if payload is None:
+            payload = (
+                hit[2] if hit and cstat and (hit[0], hit[1]) == cstat else None
+            )
+            if payload is None and cstat is not None:
                 try:
-                    payload = self._read_manifest_files(
-                        {cname: (cmt, cln)}
-                    )[cname]
-                    cache[cname] = (cmt, cln, payload)
+                    payload = self._read_manifest_files({cname: cstat})[cname]
+                    cache[cname] = (*cstat, payload)
                 except Exception:
                     payload = None  # torn/vanished checkpoint: ignore it
             if payload is not None:
@@ -446,29 +474,35 @@ class VersionedTable:
                     ckpt_entries[e["name"]] = (e["mtime"], e["len"], e["manifest"])
         out: dict[str, tuple[int, int, dict]] = {}
         to_read: dict[str, tuple[int, int]] = {}
-        for name, (mt, ln) in loose.items():
-            hit = cache.get(name)
-            if hit and hit[0] == mt and hit[1] == ln:
-                out[name] = hit
-                continue
+        for name in loose:
             khit = ckpt_entries.get(name)
-            if khit and khit[0] == mt and khit[1] == ln:
+            if khit is not None:
                 cache[name] = khit
                 out[name] = khit
                 continue
-            to_read[name] = (mt, ln)
+            st = stat_of(name)
+            if st is None:
+                continue  # deleted between listing and stat (expire race)
+            hit = cache.get(name)
+            if hit and (hit[0], hit[1]) == st:
+                out[name] = hit
+                continue
+            to_read[name] = st
         if to_read:
             read = self._read_manifest_files(to_read)
             for name, parsed in read.items():
-                mt, ln = to_read[name]
-                entry = (mt, ln, parsed)
+                entry = (*to_read[name], parsed)
                 cache[name] = entry
                 out[name] = entry
         # evict names the listing no longer shows (expired / rolled
-        # back) so the cache tracks, not trails, the directory
+        # back) so the cache tracks, not trails, the directory.
+        # list(cache) first: concurrent writer threads insert into the
+        # shared cache, and iterating the live dict across bytecode
+        # boundaries raises "dictionary changed size during iteration"
         live = set(loose) | {c[1] for c in ckpts}
-        for name in [n for n in cache if n not in live]:
-            cache.pop(name, None)
+        for name in list(cache):
+            if name not in live:
+                cache.pop(name, None)
         return out
 
     def _list_versions_dir(self) -> list[tuple[str, int, int]] | None:
@@ -531,9 +565,10 @@ class VersionedTable:
                 try:
                     with open(f"{local}/{name}", "r", encoding="utf-8") as f:
                         out[name] = json.load(f)
-                except FileNotFoundError:
-                    continue
-                except OSError:
+                except (OSError, ValueError):
+                    # vanished (expire/rollback race) or not yet fully
+                    # visible (a non-atomic writer mid-flight): either
+                    # way, the next listing resolves it — skip
                     continue
             return out
         fs, _, jvm = _fs(self.spark, vdir)
@@ -624,10 +659,37 @@ class VersionedTable:
         return name
 
     def _write_json(self, path: str, payload: dict, overwrite: bool) -> None:
+        local = _local_fs_path(path)
+        if local is not None:
+            # CONTENT-atomic local writes (the commit-storm test caught
+            # readers seeing zero-byte files mid-write): the payload
+            # lands in a temp file first, then enters the namespace in
+            # one atomic step — os.replace for pointer overwrites
+            # (ref swap: readers see old or new, never empty) and
+            # os.link for create-if-absent claims (EEXIST IS the lost
+            # race, and the link carries the full content).
+            d = local.rsplit("/", 1)[0]
+            _os_mod.makedirs(d, exist_ok=True)
+            tmp = f"{local}.tmp-{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(json.dumps(payload))
+            try:
+                if overwrite:
+                    _os_mod.replace(tmp, local)
+                    return
+                _os_mod.link(tmp, local)  # raises FileExistsError on loss
+                return
+            finally:
+                try:
+                    _os_mod.unlink(tmp)
+                except OSError:
+                    pass
         fs, _, jvm = _fs(self.spark, path)
         p = jvm.org.apache.hadoop.fs.Path(path)
         # overwrite=False is the atomic claim: HDFS create() is
-        # namespace-atomic, local FS maps to O_CREAT|O_EXCL semantics
+        # namespace-atomic; S3 maps to conditional PUT (object stores
+        # publish whole objects, so the torn-content window is a
+        # filesystem-only concern handled by the local branch above)
         stream = fs.create(p, overwrite)
         try:
             stream.write(bytearray(json.dumps(payload).encode("utf-8")))
