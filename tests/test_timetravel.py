@@ -2590,6 +2590,64 @@ def test_concurrent_writers_serialize_and_survive(spark, tmp_path):
     assert t.head("main") == n_writers * n_batches
 
 
+def test_reader_sees_consistent_snapshots_under_writes(spark, tmp_path):
+    """Snapshot isolation under live commits: while a writer lands
+    appends, concurrent readers must never error and must always see
+    a CONSISTENT prefix (exactly 1 + k rows for some completed commit
+    count k, never a torn in-between)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "snapiso"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    n_commits = 6
+
+    def writer() -> int:
+        for k in range(1, n_commits + 1):
+            t.append(spark.createDataFrame([(k, float(k))], "id long, v double"))
+        return n_commits
+
+    def reader() -> list[int]:
+        rt = VersionedTable(spark, t.path)
+        counts = []
+        for _ in range(12):
+            rows = sorted(r.id for r in rt.read(branch="main").collect())
+            assert rows == list(range(len(rows))), f"torn read: {rows}"
+            counts.append(len(rows))
+        return counts
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        w = pool.submit(writer)
+        r1 = pool.submit(reader)
+        r2 = pool.submit(reader)
+        assert w.result() == n_commits
+        for res in (r1.result(), r2.result()):
+            assert all(1 <= c <= 1 + n_commits for c in res)
+            assert res == sorted(res), f"head went backwards: {res}"
+    assert sorted(r.id for r in t.read(branch="main").collect()) == list(
+        range(1 + n_commits)
+    )
+
+
+def test_remove_orphans_sweeps_stale_tmp_files(spark, vt):
+    """A writer that crashed between its temp-file write and the
+    atomic replace/link leaves *.tmp-* debris in _versions/_refs;
+    remove_orphans sweeps it past the age horizon (and never touches
+    live metadata)."""
+    import os
+
+    with open(f"{vt.path}/_versions/v00000000.json.tmp-dead", "w") as f:
+        f.write("{}")
+    with open(f"{vt.path}/_refs/branch=main.json.tmp-dead", "w") as f:
+        f.write("{}")
+    removed = vt.remove_orphans(older_than_s=0.0)
+    assert len([p for p in removed if ".tmp-" in p]) == 2
+    assert os.path.isfile(f"{vt.path}/_versions/v00000000.json")
+    assert vt.head("main") == 0
+    assert vt.read(branch="main").count() == 10
+
+
 def test_sql_transactions(spark, tmp_path):
     """Multi-statement transactions over the SQL session: intermediate
     state invisible to main but read-your-writes inside the block;

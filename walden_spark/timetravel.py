@@ -2801,15 +2801,28 @@ class VersionedTable:
         import time as _time
 
         fs, _, jvm = _fs(self.spark, self.path)
+        removed = []
+        # crashed atomic-write stagers: a writer that died between its
+        # temp-file write and the replace/link leaves a *.tmp-* file in
+        # _versions/_refs — sweep those past the horizon too
+        for meta_dir in (self._versions_dir, self._refs_dir):
+            mp = jvm.org.apache.hadoop.fs.Path(meta_dir)
+            if not fs.exists(mp):
+                continue
+            for st in fs.listStatus(mp):
+                name = st.getPath().getName()
+                age = _time.time() - st.getModificationTime() / 1000.0
+                if ".tmp-" in name and age > older_than_s:
+                    fs.delete(st.getPath(), False)
+                    removed.append(f"{meta_dir}/{name}")
         data_root = jvm.org.apache.hadoop.fs.Path(f"{self.path}/data")
         if not fs.exists(data_root):
-            return []
+            return removed
         referenced = set()
         for m in self._manifests():
             referenced.add(m.get("data_dir"))
             referenced.add(m.get("extra_delete_dir"))
             referenced.add((m.get("cdf") or {}).get("dir"))
-        removed = []
         for st in fs.listStatus(data_root):
             p = st.getPath()
             full = f"{self.path}/data/{p.getName()}"
