@@ -797,7 +797,17 @@ class VersionedTable:
         Only fires when the head still equals ``expected`` AND the
         claim is older than :attr:`CLAIM_REPAIR_AGE_S` — a younger
         claim is presumed to belong to a live writer about to move the
-        pointer (or a transaction holding claims across tables)."""
+        pointer (or a transaction holding claims across tables).
+
+        Sizing note for multi-table publishes: a catalog three-way
+        merge holds claims while its replay runs Spark jobs, so
+        :attr:`CLAIM_REPAIR_AGE_S` must exceed the longest such
+        publish (raise it on deployments doing huge merges). Even if a
+        raid fires on a LIVE held claim, it can only perform the exact
+        pointer move the owner would make — the claimed ``to`` whose
+        manifest is fully staged — never invent state; the exposure is
+        limited to turning an owner-side late abort into the
+        partial-publish outcome phase 2b already documents."""
         fs, cpath, jvm = _fs(self.spark, claim)
         try:
             stream = fs.open(cpath)
