@@ -462,3 +462,31 @@ def test_table_tail_streams_over_file_uri(spark, tmp_path):
     )
     q.awaitTermination()
     assert sorted(seen) == [(0, 0.0), (1, 1.0), (2, 2.0)]
+
+
+def test_streaming_minhash_dedup_is_incremental(spark, sf_dir):
+    """The streaming near-dup flags must agree with the batch pair
+    detector's later-id side, AND the mechanics must be genuinely
+    incremental: the band index and shingle store advance one snapshot
+    commit per micro-batch (append-only state, never rebuilt)."""
+    from walden_spark.operators.dedup import dedup_minhash_lsh
+    from walden_spark.streaming.sinks import streaming_minhash_dedup
+
+    got = {
+        (r.doc_id, r.n_prior_dups)
+        for r in streaming_minhash_dedup(spark, sf_dir).collect()
+    }
+    band_state, shingle_state, flagged = streaming_minhash_dedup.last_tables
+    # one append-shaped commit per micro-batch (4 staged batches)
+    ops = [m.get("operation") for m in band_state._manifests()]
+    assert len(ops) == 4 and all(
+        op in ("append", "batch_0", "write") for op in ops
+    ), ops
+    assert len(shingle_state._manifests()) == 4
+    # agreement with the batch pair detector: flag count per later doc
+    from collections import Counter
+
+    pair_counts = Counter(
+        r.b_id for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    )
+    assert got == {(d, n) for d, n in pair_counts.items()}

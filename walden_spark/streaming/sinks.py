@@ -424,3 +424,179 @@ def streaming_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT event_id, user_id, _change_type AS change_type, "
         f"_commit_version AS commit_version FROM {name}"
     )
+
+
+def _streaming_minhash_oracle() -> str:
+    from walden_spark.operators.dedup import (
+        _HS_SQL,
+        _MINHASH_SIG_SQL,
+        _SHINGLES_SQL,
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        ROWS_PER_BAND,
+    )
+
+    return f"""
+WITH docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+shng AS (SELECT doc_id, {_SHINGLES_SQL} AS shingles FROM docs),
+hashed AS (SELECT doc_id, {_HS_SQL} AS hs FROM shng),
+sig AS (SELECT doc_id, {_MINHASH_SIG_SQL} AS sig FROM hashed),
+bands AS (
+  SELECT doc_id, b AS band,
+         array_to_string(sig[b * {ROWS_PER_BAND} + 1 : b * {ROWS_PER_BAND} + {ROWS_PER_BAND}], ',') AS bucket
+  FROM sig, (SELECT unnest(range(0, {N_BANDS})) AS b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT a_id, b_id,
+         CAST(len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s))) AS DOUBLE)
+           / (len(sa.shingles) + len(sb.shingles)
+              - len(list_filter(sa.shingles, s -> list_contains(sb.shingles, s)))) AS jac
+  FROM cand JOIN shng sa ON sa.doc_id = a_id JOIN shng sb ON sb.doc_id = b_id
+)
+SELECT b_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_prior_dups
+FROM verified WHERE jac >= {JACCARD_THRESHOLD}
+GROUP BY b_id ORDER BY doc_id
+"""
+
+
+@query(
+    "streaming_minhash_dedup",
+    oracle=_streaming_minhash_oracle(),
+    category="streaming",
+)
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup over a DOCUMENT STREAM — the corpus-
+    ingest shape: each arriving micro-batch is checked against every
+    previously ingested document via a persisted MinHash band index,
+    and newly detected near-dups are flagged with how many prior docs
+    they duplicate. Semantically: doc d is flagged iff some doc p with
+    p.doc_id < d.doc_id shares an LSH band AND exact Jaccard ≥ 0.8 —
+    batch boundaries don't change the answer (intra-batch pairs use
+    the same earlier-id rule), which is what makes the closed-input
+    run oracle-exact while the mechanism is genuinely incremental.
+
+    Scale shape per micro-batch (the 100 TB-ingest argument): the
+    batch's signatures are per-row array math; the candidate join is
+    (batch bands) ⋈ (band index) on (band, bucket) — key-partitioned,
+    touching only colliding ids, never all prior docs; the verify
+    joins fetch only candidate shingle sets by id from the persisted
+    shingle store. State grows APPEND-ONLY as two snapshot commits per
+    batch (band index rows: ids + 4-number buckets; shingle store:
+    the arrays the verify stage needs), so per-batch cost is
+    O(batch + collisions), never O(corpus). The same versioned-table
+    state survives restarts — a resumed stream continues the index."""
+    import tempfile
+
+    from walden_spark.operators.dedup import (
+        _md5int,
+        _minhash_sig,
+        _shingles,
+        JACCARD_THRESHOLD,
+        N_BANDS,
+        ROWS_PER_BAND,
+    )
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage 4 contiguous doc_id ranges: the file source replays them in
+    # order, so "previously ingested" = lower doc_id (arrival order)
+    stage = tempfile.mkdtemp(prefix="walden_mh_stream_")
+    qs = docs.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = docs
+        if bounds[i] is not None:
+            part = part.filter(F.col("doc_id") > int(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("doc_id") <= int(bounds[i + 1]))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+
+    root = tempfile.mkdtemp(prefix="walden_mh_state_")
+    band_state = VersionedTable(spark, f"{root}/bands")
+    shingle_state = VersionedTable(spark, f"{root}/shingles")
+    flagged = VersionedTable(spark, f"{root}/flagged")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        sh = batch_df.select(
+            "doc_id", _shingles(F.col("text")).alias("shingles")
+        ).persist()
+        sig = sh.select(
+            "doc_id", _minhash_sig(F.transform("shingles", _md5int)).alias("sig")
+        )
+        bands = sig.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
+            "sig",
+        ).select(
+            "doc_id",
+            "band",
+            F.concat_ws(
+                ",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+            ).alias("bucket"),
+        )
+        try:
+            prior_bands: DataFrame | None = band_state.read()
+            prior_sh: DataFrame | None = shingle_state.read()
+        except FileNotFoundError:
+            prior_bands = prior_sh = None
+        all_bands = (
+            bands if prior_bands is None else bands.unionByName(prior_bands)
+        )
+        cand = (
+            bands.alias("n")
+            .join(all_bands.alias("p"), ["band", "bucket"])
+            .filter(F.col("p.doc_id") < F.col("n.doc_id"))
+            .select(
+                F.col("p.doc_id").alias("a_id"), F.col("n.doc_id").alias("b_id")
+            )
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        all_sh = sh if prior_sh is None else sh.unionByName(prior_sh)
+        pairs = cand.join(
+            all_sh.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sa")),
+            "a_id",
+        ).join(
+            sh.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sb")),
+            "b_id",
+        )
+        inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+        jac = inter / (F.size("sa") + F.size("sb") - inter)
+        hits = (
+            pairs.withColumn("jac", jac)
+            .filter(F.col("jac") >= JACCARD_THRESHOLD)
+            .groupBy("b_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_prior_dups"))
+            .select(F.col("b_id").alias("doc_id"), "n_prior_dups")
+        )
+        for vt, frame in ((band_state, bands), (shingle_state, sh)):
+            try:
+                vt.append(frame)
+            except FileNotFoundError:
+                vt.write(frame, operation=f"batch_{batch_id}")
+        if hits.limit(1).count():
+            try:
+                flagged.append(hits)
+            except FileNotFoundError:
+                flagged.write(hits, operation=f"batch_{batch_id}")
+        sh.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    try:
+        out = flagged.read()
+    except FileNotFoundError:
+        return spark.createDataFrame([], "doc_id long, n_prior_dups bigint")
+    streaming_minhash_dedup.last_tables = (band_state, shingle_state, flagged)  # type: ignore[attr-defined]
+    return out.orderBy("doc_id")
