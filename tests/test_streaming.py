@@ -490,3 +490,22 @@ def test_streaming_minhash_dedup_is_incremental(spark, sf_dir):
         r.b_id for r in dedup_minhash_lsh(spark, sf_dir).collect()
     )
     assert got == {(d, n) for d, n in pair_counts.items()}
+
+
+def test_streaming_ivf_ingest_builds_bucketed_index(spark, sf_dir):
+    """The IVF stream must build its index incrementally (one bucket-
+    partitioned snapshot commit per micro-batch) and serve probes from
+    a cell-pruned scan, not a full index read."""
+    from walden_spark.streaming.sinks import streaming_ivf_ingest
+
+    out = streaming_ivf_ingest(spark, sf_dir).collect()
+    assert out, "probes must return neighbors"
+    index = streaming_ivf_ingest.last_table
+    ms = index._manifests()
+    assert len(ms) == 4, "one commit per staged micro-batch"
+    assert all(m.get("partition", {}).get("transform") == "bucket" for m in ms)
+    # cell-pruned scan: one cid touches a strict subset of the index
+    total = index.read().count()
+    one_cell_cid = index.read().select("cid").first().cid
+    one = index.scan(filters=[("cid", "=", one_cell_cid)]).count()
+    assert 0 < one < total

@@ -600,3 +600,144 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], "doc_id long, n_prior_dups bigint")
     streaming_minhash_dedup.last_tables = (band_state, shingle_state, flagged)  # type: ignore[attr-defined]
     return out.orderBy("doc_id")
+
+
+def _streaming_ivf_oracle() -> str:
+    from walden_spark.operators.similarity import _COS_SQL, TOP_K
+
+    return f"""
+WITH cent AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 100 = 7),
+assigned AS (
+  SELECT vec_id, cid, embedding FROM (
+    SELECT e.vec_id, cent.cid, e.embedding,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.embedding', b='cent.ce')} DESC, cent.cid) AS rn
+    FROM embeddings e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT query_id, cid, qe FROM (
+    SELECT e.vec_id AS query_id, cent.cid, e.embedding AS qe,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_SQL.format(a='e.embedding', b='cent.ce')} DESC, cent.cid) AS rn
+    FROM embeddings e CROSS JOIN cent
+    WHERE e.vec_id < 4
+  ) WHERE rn <= 2
+)
+SELECT query_id, neighbor_id, floor(cos_sim * 1000000.0) / 1000000.0 AS cos_sim
+FROM (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='q.qe', b='a.embedding')} AS cos_sim,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {_COS_SQL.format(a='q.qe', b='a.embedding')} DESC, a.vec_id) AS rn2
+  FROM qcells q JOIN assigned a ON a.cid = q.cid
+  WHERE a.vec_id <> q.query_id
+) WHERE rn2 <= {TOP_K}
+ORDER BY query_id, cos_sim DESC, neighbor_id
+"""
+
+
+@query(
+    "streaming_ivf_ingest",
+    oracle=_streaming_ivf_oracle(),
+    category="streaming",
+)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index build — the vector-ingest shape: arriving
+    embedding micro-batches are assigned to their nearest (pre-trained,
+    broadcast) IVF centroid MAP-SIDE and appended to a versioned index
+    table BUCKET-PARTITIONED on the cell id, one snapshot commit per
+    batch. Queries then probe their 2 nearest cells and rank only the
+    vectors stored in those cells — scan() prunes the index read to
+    the probed cells' buckets, so probe cost is O(probed cells), never
+    O(index), and ingest cost is O(batch): nothing is ever rebuilt.
+    Deterministic seed centroids (every 100th vector, no Lloyd
+    iterations) keep the closed-input run oracle-exact; dot products
+    left-fold so both engines emit bit-identical scores."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from walden_spark.operators.similarity import TOP_K, _cos
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    stage = tempfile.mkdtemp(prefix="walden_ivf_stream_")
+    qs = e.approxQuantile("vec_id", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = e
+        if bounds[i] is not None:
+            part = part.filter(F.col("vec_id") > int(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("vec_id") <= int(bounds[i + 1]))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+
+    index = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="walden_ivf_state_") + "/index"
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        pairs = batch_df.crossJoin(F.broadcast(cent)).withColumn(
+            "cos_sim", _cos(F.col("embedding"), F.col("ce"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "cid")
+        assigned = (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "embedding")
+        )
+        try:
+            index.append(assigned, partition_bucket=("cid", 8))
+        except FileNotFoundError:
+            index.write(
+                assigned, operation=f"batch_{batch_id}", partition_bucket=("cid", 8)
+            )
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    # probe: each query ranks only the vectors in its 2 nearest cells;
+    # the index scan prunes to those cells' buckets
+    queries = e.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc_pairs = queries.crossJoin(F.broadcast(cent)).withColumn(
+        "csim", _cos(F.col("qe"), F.col("ce"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("csim"), "cid")
+    qcells = (
+        qc_pairs.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", "cid", "qe")
+    )
+    probed = [r.cid for r in qcells.select("cid").distinct().collect()]  # ≤ 8 ids
+    cand = index.scan(filters=[("cid", "in", probed)]).join(
+        F.broadcast(qcells), "cid"
+    )
+    scored = cand.filter(F.col("vec_id") != F.col("query_id")).withColumn(
+        "cos_sim", _cos(F.col("qe"), F.col("embedding"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    streaming_ivf_ingest.last_table = index  # type: ignore[attr-defined]
+    return (
+        scored.withColumn("rn2", F.row_number().over(wr))
+        .filter(F.col("rn2") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"),
+        )
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
