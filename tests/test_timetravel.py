@@ -2648,6 +2648,44 @@ def test_remove_orphans_sweeps_stale_tmp_files(spark, vt):
     assert vt.read(branch="main").count() == 10
 
 
+def test_manifests_metadata_table_and_describe_detail(spark, tmp_path):
+    """tbl$manifests (Iceberg $manifests analog + checkpoint coverage)
+    and DESCRIBE DETAIL (Delta analog) — table facts served from
+    manifests only, through both the API and SQL."""
+    from walden_spark.session import WaldenSession
+    from walden_spark.timetravel import VersionedTable
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, str(tmp_path / "detail"))
+    t.CHECKPOINT_INTERVAL = 2
+    t.write(
+        spark.createDataFrame([(i, float(i)) for i in range(6)], "id long, v double")
+    )
+    t.append(spark.createDataFrame([(6, 6.0)], "id long, v double"))
+    t.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])
+    ws.register_versioned("dtl", t.path)
+    man = {r.version: r for r in ws.sql("SELECT * FROM dtl$manifests").collect()}
+    assert set(man) == {0, 1, 2}
+    assert man[0].operation == "write" and not man[0].is_mor
+    assert man[1].operation == "append" and man[1].is_mor
+    assert man[2].is_mor and man[2].n_files >= 1  # delete-key file
+    assert man[0].in_checkpoint and man[1].in_checkpoint  # interval=2 fired
+    det = ws.sql("DESCRIBE DETAIL dtl").collect()[0]
+    assert det.format == "parquet" and det.location == t.path
+    assert det.num_versions == 3 and det.head_version == 2
+    assert det.num_files >= 3  # base files + append + delete-key file
+    assert det.num_rows >= 8   # physical rows incl. delete keys
+    assert det.partition_transform is None
+    # partitioned head reports its spec
+    t2 = VersionedTable(spark, str(tmp_path / "detail_p"))
+    t2.write(
+        spark.createDataFrame([(1, 7)], "id long, user_id int"),
+        partition_bucket=("user_id", 4),
+    )
+    d2 = t2.detail().collect()[0]
+    assert d2.partition_transform == "bucket" and d2.partition_source == "user_id"
+
+
 def test_sql_transactions(spark, tmp_path):
     """Multi-statement transactions over the SQL session: intermediate
     state invisible to main but read-your-writes inside the block;

@@ -236,6 +236,9 @@ class WaldenSession:
     _MAINT_HISTORY_RE = _re.compile(
         r"^\s*DESCRIBE\s+HISTORY\s+(\w+)\s*;?\s*$", _re.IGNORECASE
     )
+    _MAINT_DETAIL_RE = _re.compile(
+        r"^\s*DESCRIBE\s+DETAIL\s+(\w+)\s*;?\s*$", _re.IGNORECASE
+    )
     _MAINT_STATS_RE = _re.compile(
         r"^\s*SHOW\s+STATS\s+FOR\s+(\w+)\s*;?\s*$", _re.IGNORECASE
     )
@@ -507,6 +510,8 @@ class WaldenSession:
                 df = vt.history()
             elif kind == "partitions":
                 df = vt.partitions()
+            elif kind == "manifests":
+                df = vt.manifests()
             else:
                 # unknown suffix → NOT a metadata-table reference; leave
                 # the token for Spark to resolve (ADVICE r05 #5: raising
@@ -785,6 +790,10 @@ class WaldenSession:
         m = self._MAINT_HISTORY_RE.match(query)
         if m and m.group(1) in self._versioned:
             return self._versioned[m.group(1)].history()
+        m = self._MAINT_DETAIL_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # Delta DESCRIBE DETAIL: table facts from manifests only
+            return self._versioned[m.group(1)].detail()
         m = self._MAINT_STATS_RE.match(query)
         if m and m.group(1) in self._versioned:
             # Trino SHOW STATS FOR: manifest footer stats, no data scan

@@ -2445,6 +2445,72 @@ class VersionedTable:
         cur = self.read(branch=branch)
         return self.write(cur, operation="compact", branch=branch)
 
+    def manifests(self) -> DataFrame:
+        """Iceberg ``$manifests`` metadata-table analog, extended with
+        the r07 checkpoint plane: one row per retained snapshot
+        manifest with its logical role, physical footprint, and
+        whether the newest checkpoint covers it (the tail a fresh
+        reader must actually read). Served entirely from the manifest
+        cache — no data scan."""
+        entries = self._manifest_entries()
+        upto = self._last_ckpt_upto  # refreshed by the call above
+        rows = []
+        for _, _, m in sorted(entries.values(), key=lambda e: e[2]["version"]):
+            cdf = m.get("cdf") or {}
+            rows.append(
+                (
+                    m["version"],
+                    m.get("parent"),
+                    m.get("branch", "main"),
+                    m.get("operation", ""),
+                    bool(m.get("mor")),
+                    len(m.get("files") or []),
+                    bool(cdf.get("dir") or cdf.get("appends")),
+                    upto is not None and m["version"] <= upto,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, parent long, branch string, operation string, "
+            "is_mor boolean, n_files int, has_cdf boolean, in_checkpoint boolean",
+        )
+
+    def detail(self, branch: str = "main") -> DataFrame:
+        """Delta ``DESCRIBE DETAIL`` analog: one row of table-level
+        facts (format, location, version counts, head footprint,
+        partition spec) from manifests only — no data scan."""
+        ms = self._manifests()
+        head = self.head(branch)
+        by_v = {m["version"]: m for m in ms}
+        n_files = n_rows = 0
+        v = head
+        while v is not None and v in by_v:  # walk the MoR base chain
+            m = by_v[v]
+            files = m.get("files") or []
+            n_files += len(files)
+            n_rows += sum(f.get("rows") or 0 for f in files)
+            if not m.get("mor"):
+                break
+            v = m.get("parent")
+        spec = (by_v.get(head) or {}).get("partition") or {}
+        return self.spark.createDataFrame(
+            [
+                (
+                    "parquet",
+                    self.path,
+                    len(ms),
+                    head,
+                    n_files,
+                    n_rows,
+                    spec.get("transform"),
+                    spec.get("source"),
+                )
+            ],
+            "format string, location string, num_versions long, "
+            "head_version long, num_files long, num_rows long, "
+            "partition_transform string, partition_source string",
+        )
+
     def add_files(self, src_dir: str, branch: str = "main") -> int:
         """Iceberg ``add_files`` / Delta ``CONVERT TO DELTA`` analog —
         the IMPORT direction of interop (export_snapshot is the other):
