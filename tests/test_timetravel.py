@@ -2686,6 +2686,70 @@ def test_manifests_metadata_table_and_describe_detail(spark, tmp_path):
     assert d2.partition_transform == "bucket" and d2.partition_source == "user_id"
 
 
+def test_cross_process_commit_race(spark, tmp_path):
+    """Two ENGINE PROCESSES (separate JVMs, separate Python runtimes,
+    no shared caches) commit to the same table concurrently with the
+    advised retry loop — the filesystem claim protocol alone must
+    serialize them: every batch lands exactly once, linear history,
+    nobody wedges."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "xproc"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    helper = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {repr('/root/repo')})
+        from pyspark.sql import SparkSession
+        from walden_spark.timetravel import ConcurrentWriteError, VersionedTable
+
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("xproc_writer")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false")
+                 .config("spark.sql.session.timeZone", "UTC").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+        vt = VersionedTable(spark, {repr(t.path)})
+        done = 0
+        while done < 3:
+            df = spark.createDataFrame([(2000 + done, 2.0)], "id long, v double")
+            try:
+                vt.append(df)
+                done += 1
+            except ConcurrentWriteError:
+                continue
+        print("OK", done)
+        """
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", helper],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    try:
+        done = 0
+        while done < 3:
+            df = spark.createDataFrame([(1000 + done, 1.0)], "id long, v double")
+            try:
+                t.append(df)
+                done += 1
+            except ConcurrentWriteError:
+                continue
+        out, _ = proc.communicate(timeout=240)
+        assert "OK 3" in out, f"subprocess writer failed: {out!r}"
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    ids = sorted(r.id for r in t.read(branch="main").collect())
+    assert ids == [0, 1000, 1001, 1002, 2000, 2001, 2002]
+    assert t.head("main") == 6
+
+
 def test_sql_transactions(spark, tmp_path):
     """Multi-statement transactions over the SQL session: intermediate
     state invisible to main but read-your-writes inside the block;
