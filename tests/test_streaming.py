@@ -502,7 +502,11 @@ def test_streaming_ivf_ingest_builds_bucketed_index(spark, sf_dir):
     assert out, "probes must return neighbors"
     index = streaming_ivf_ingest.last_table
     ms = index._manifests()
-    assert len(ms) == 4, "one commit per staged micro-batch"
+    # batches 0-2 committed, then mid-stream maintenance (compact +
+    # expire keep_last=1) collapsed them into one snapshot, then batch
+    # 3 appended: 2 retained versions, ending in one MoR layer over a
+    # compacted base — maintenance ran WHILE the stream kept going
+    assert [m.get("operation") for m in ms] == ["compact", "append"]
     assert all(m.get("partition", {}).get("transform") == "bucket" for m in ms)
     # cell-pruned scan: one cid touches a strict subset of the index
     total = index.read().count()

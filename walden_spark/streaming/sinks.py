@@ -698,6 +698,14 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             index.write(
                 assigned, operation=f"batch_{batch_id}", partition_bucket=("cid", 8)
             )
+        if batch_id == 2:
+            # maintenance DURING ingest — the production cadence: the
+            # MoR layer stack compacts into one bucketed snapshot and
+            # old versions expire, all while the stream keeps
+            # committing. Content-invariant, so the oracle is
+            # unaffected; the behavioral test pins the layer collapse.
+            index.compact(partition_bucket=("cid", 8))
+            index.expire_versions(keep_last=1)
 
     stream = (
         spark.readStream.schema("vec_id long, embedding array<float>")

@@ -2438,12 +2438,23 @@ class VersionedTable:
         dst._write_ref("branch", "main", version, overwrite=False)
         return dst
 
-    def compact(self, branch: str = "main") -> int:
+    def compact(
+        self,
+        branch: str = "main",
+        sort_by: list[str] | None = None,
+        **partition_kwargs,
+    ) -> int:
         """Materialize the merge-on-read stack into one full snapshot
         (Iceberg rewrite_data_files / Delta OPTIMIZE analog). History
-        stays readable; subsequent reads pay zero layer cost."""
+        stays readable; subsequent reads pay zero layer cost.
+        ``sort_by`` / ``partition_*`` kwargs let the compacted snapshot
+        ADOPT a clustering or partition spec (spec adoption at
+        compaction — the optional-maintenance half of partition spec
+        evolution)."""
         cur = self.read(branch=branch)
-        return self.write(cur, operation="compact", branch=branch)
+        return self.write(
+            cur, operation="compact", branch=branch, sort_by=sort_by, **partition_kwargs
+        )
 
     def manifests(self) -> DataFrame:
         """Iceberg ``$manifests`` metadata-table analog, extended with
