@@ -2750,6 +2750,62 @@ def test_cross_process_commit_race(spark, tmp_path):
     assert t.head("main") == 6
 
 
+def test_export_matches_engine_under_random_ops(spark, tmp_path):
+    """Property: after ANY random sequence of append / MoR-delete /
+    update / compact commits, the exported snapshot read by an
+    EXTERNAL engine (DuckDB, no repo code) equals the engine's own
+    resolved read — the interop claim under arbitrary delete stacks,
+    not just the hand-picked lifecycle."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    op = st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 4)),
+        st.tuples(st.just("delete"), st.integers(2, 5), st.integers(0, 4)),
+        st.tuples(st.just("update"), st.integers(1, 40), st.integers(1, 9)),
+        st.tuples(st.just("compact"), st.just(0)),
+    )
+    counter = [0]
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(op, min_size=1, max_size=4))
+    def run(ops):
+        counter[0] += 1
+        t = VersionedTable(spark, str(tmp_path / f"expmodel{counter[0]}"))
+        model = {i: float(i % 3) for i in range(25)}
+        t.write(spark.createDataFrame(sorted(model.items()), "id long, v double"))
+        nxt = [100]
+        for o in ops:
+            if o[0] == "append":
+                rows = [(nxt[0] + j, -1.0) for j in range(o[1])]
+                nxt[0] += o[1]
+                t.append(spark.createDataFrame(rows, "id long, v double"))
+                model.update(rows)
+            elif o[0] == "delete":
+                _, k, r = o
+                t.delete_where(f"id % {k} = {r}", mode="mor")
+                model = {i: v for i, v in model.items() if i % k != r}
+            elif o[0] == "update":
+                _, x, c = o
+                t.update_where({"v": f"v + {c}"}, f"id < {x}", mode="mor")
+                model = {i: (v + c if i < x else v) for i, v in model.items()}
+            else:
+                t.compact()
+        dest = str(tmp_path / f"expmodel{counter[0]}_out")
+        t.export_snapshot(dest)
+        external = duckdb.sql(
+            f"SELECT id, v FROM read_parquet('{dest}/*.parquet') ORDER BY id"
+        ).fetchall()
+        assert [tuple(r) for r in external] == sorted(model.items())
+
+    run()
+
+
 def test_sql_transactions(spark, tmp_path):
     """Multi-statement transactions over the SQL session: intermediate
     state invisible to main but read-your-writes inside the block;
