@@ -20,7 +20,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = _pos[0] if _pos else "/root/testdata/sf0.01"
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -47,8 +48,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     reg = load_all()
+    # --all: sweep EVERY oracle-backed registry query, not just the
+    # 50-name window — the r08-prep check that queries destined for
+    # future windows also hold under the driver's vanilla session
+    names = (
+        [n for n, q in reg.items() if q.oracle]
+        if "--all" in sys.argv
+        else list(DRIVER_WINDOW)
+    )
     failed = []
-    for name in DRIVER_WINDOW:
+    for name in names:
         q = reg[name]
         try:
             df = q.fn(spark, SF_DIR)
@@ -64,7 +73,7 @@ def main() -> int:
             status = f"ERROR: {type(exc).__name__}: {str(exc).splitlines()[0][:120]}"
             failed.append(name)
         print(f"{name:36s} {status}")
-    print(f"\n{len(DRIVER_WINDOW) - len(failed)}/{len(DRIVER_WINDOW)} pass under vanilla session")
+    print(f"\n{len(names) - len(failed)}/{len(names)} pass under vanilla session")
     if failed:
         print("FAILED:", ", ".join(failed))
     spark.stop()
