@@ -1035,3 +1035,53 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_corpus_report",
+    oracle="""
+SELECT COALESCE(lang, 'ALL') AS lang_g,
+       COALESCE(source, 'ALL') AS source_g,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars,
+       CAST((1000 * COUNT(*) FILTER (WHERE n_chars < 200)) // COUNT(*) AS BIGINT)
+         AS short_permille
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), ())
+ORDER BY lang_g, source_g
+""",
+    category="text",
+)
+def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report — the rollup a data curation run
+    publishes per ingest: document counts, volume, and a short-doc
+    rate per (lang, source), per lang, and overall, in ONE pass via
+    GROUPING SETS (each row is computed from map-side partials; no
+    per-slice re-scan). All metrics are integer arithmetic (sums,
+    integer division, permille counts) so the cross-engine hash can
+    never hinge on a float ulp."""
+    t = Tables(spark, sf_dir)
+    return (
+        t.documents.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_p"),
+            F.sum("n_chars").alias("chars_p"),
+            F.count_if(F.col("n_chars") < 200).alias("short_p"),
+        )
+        .rollup("lang", "source")
+        .agg(
+            F.sum("n_docs_p").alias("n_docs"),
+            F.sum("chars_p").alias("total_chars"),
+            F.sum("short_p").alias("short_n"),
+        )
+        .select(
+            F.coalesce(F.col("lang"), F.lit("ALL")).alias("lang_g"),
+            F.coalesce(F.col("source"), F.lit("ALL")).alias("source_g"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("total_chars").cast("bigint").alias("total_chars"),
+            F.expr("total_chars DIV n_docs").cast("bigint").alias("avg_chars"),
+            F.expr("(1000 * short_n) DIV n_docs").cast("bigint").alias("short_permille"),
+        )
+        .orderBy("lang_g", "source_g")
+    )
