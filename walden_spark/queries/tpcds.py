@@ -968,3 +968,90 @@ def tpcds_fx_trip_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem="fx73_lineitem", orders="fx73_orders", customer="fx73_customer"
         )
     )
+
+
+_FX_RETURNS_ABOVE_AVG_SQL = """
+WITH ret AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey AS custkey,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS ret_cents
+  FROM {lineitem} l
+  JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+  JOIN {customer} c ON o.o_custkey = c.c_custkey
+  WHERE l.l_returnflag = 'R'
+  GROUP BY c.c_nationkey, o.o_custkey
+),
+nat AS (
+  SELECT nation, CAST(SUM(ret_cents) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_cust
+  FROM ret GROUP BY nation
+)
+SELECT r.custkey, CAST(r.nation AS BIGINT) AS nation, r.ret_cents
+FROM ret r JOIN nat ON r.nation = nat.nation
+WHERE r.ret_cents * 10 * nat.n_cust > 12 * nat.total_cents
+ORDER BY r.custkey
+"""
+
+
+@query(
+    "tpcds_fx_returns_above_avg",
+    oracle=_FX_RETURNS_ABOVE_AVG_SQL.format(
+        lineitem="lineitem", orders="orders", customer="customer"
+    ),
+    category="tpcds",
+)
+def tpcds_fx_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q1 shape with a full hash oracle: customers whose
+    returned-revenue total exceeds 1.2× their nation's average — the
+    correlated-scalar-threshold-over-an-aggregate pattern, expressed
+    as a group-level join with an INTEGER cross-multiplied inequality
+    (ret·10·n > 12·total): exact cents from DECIMAL sums, no division
+    anywhere, so no float can drift the survivor set. Plan: one
+    fact-fact shuffle for the per-customer aggregate, a tiny per-nation
+    rollup broadcast back — no per-row subquery re-evaluation."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx1_lineitem")
+    t.orders.createOrReplaceTempView("fx1_orders")
+    t.customer.createOrReplaceTempView("fx1_customer")
+    return spark.sql(
+        _FX_RETURNS_ABOVE_AVG_SQL.format(
+            lineitem="fx1_lineitem", orders="fx1_orders", customer="fx1_customer"
+        )
+    )
+
+
+_FX_LOYALTY_GROWTH_SQL = """
+WITH per_year AS (
+  SELECT o_custkey AS custkey, CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS rev_cents
+  FROM {orders}
+  WHERE EXTRACT(year FROM o_orderdate) IN (1995, 1996)
+  GROUP BY o_custkey, EXTRACT(year FROM o_orderdate)
+)
+SELECT a.custkey,
+       a.n_orders AS orders_95, b.n_orders AS orders_96,
+       a.rev_cents AS rev_95, b.rev_cents AS rev_96
+FROM per_year a JOIN per_year b
+  ON a.custkey = b.custkey AND a.yr = 1995 AND b.yr = 1996
+WHERE b.rev_cents * a.n_orders > a.rev_cents * b.n_orders
+ORDER BY a.custkey
+"""
+
+
+@query(
+    "tpcds_fx_loyalty_growth",
+    oracle=_FX_LOYALTY_GROWTH_SQL.format(orders="orders"),
+    category="tpcds",
+)
+def tpcds_fx_loyalty_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q74 shape with a full hash oracle: customers whose
+    year-over-year REVENUE growth outpaces their ORDER-COUNT growth
+    (the two-metric growth-ratio comparison), as the integer
+    cross-multiplication rev96·n95 > rev95·n96 — exact cents and
+    counts, no ratio division, so the survivor set can't flip on a
+    quotient ulp. One shuffle for the per-(customer, year) aggregate,
+    then a self-join keyed on customer."""
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("fx74_orders")
+    return spark.sql(_FX_LOYALTY_GROWTH_SQL.format(orders="fx74_orders"))
