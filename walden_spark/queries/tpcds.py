@@ -1055,3 +1055,78 @@ def tpcds_fx_loyalty_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.orders.createOrReplaceTempView("fx74_orders")
     return spark.sql(_FX_LOYALTY_GROWTH_SQL.format(orders="fx74_orders"))
+
+
+_FX_THREE_CHANNEL_BRAND_SQL = """
+WITH chan AS (
+  SELECT p.p_brand AS brand, l.l_returnflag AS channel,
+         CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM {lineitem} l JOIN {part} p ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_brand, l.l_returnflag
+)
+SELECT brand,
+       CAST(SUM(CASE WHEN channel = 'N' THEN rev_cents ELSE 0 END) AS BIGINT) AS rev_n,
+       CAST(SUM(CASE WHEN channel = 'A' THEN rev_cents ELSE 0 END) AS BIGINT) AS rev_a,
+       CAST(SUM(CASE WHEN channel = 'R' THEN rev_cents ELSE 0 END) AS BIGINT) AS rev_r,
+       CAST(SUM(rev_cents) AS BIGINT) AS rev_total
+FROM chan
+GROUP BY brand
+ORDER BY brand
+"""
+
+
+@query(
+    "tpcds_fx_three_channel_brand",
+    oracle=_FX_THREE_CHANNEL_BRAND_SQL.format(lineitem="lineitem", part="part"),
+    category="tpcds",
+)
+def tpcds_fx_three_channel_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q33/Q71 shape with a full hash oracle: revenue per brand
+    across three channels (the return-flag classes standing in for
+    store/web/catalog), unioned into one per-dimension rollup plus the
+    cross-channel total — exact DECIMAL cents as BIGINT, one fact-dim
+    join and one two-level aggregate, no float anywhere."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx33_lineitem")
+    t.part.createOrReplaceTempView("fx33_part")
+    return spark.sql(
+        _FX_THREE_CHANNEL_BRAND_SQL.format(lineitem="fx33_lineitem", part="fx33_part")
+    )
+
+
+_FX_LOW_REVENUE_ITEMS_SQL = """
+WITH item_rev AS (
+  SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+           AS rev_cents
+  FROM {lineitem}
+  GROUP BY l_suppkey, l_partkey
+),
+supp AS (
+  SELECT suppkey, CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_items
+  FROM item_rev GROUP BY suppkey
+)
+SELECT i.suppkey, i.partkey, i.rev_cents
+FROM item_rev i JOIN supp s ON i.suppkey = s.suppkey
+WHERE i.rev_cents * s.n_items * 2 < s.total_cents
+ORDER BY i.suppkey, i.partkey
+"""
+
+
+@query(
+    "tpcds_fx_low_revenue_items",
+    oracle=_FX_LOW_REVENUE_ITEMS_SQL.format(lineitem="lineitem"),
+    category="tpcds",
+)
+def tpcds_fx_low_revenue_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q65 shape with a full hash oracle: per-supplier items
+    earning under HALF the supplier's average item revenue — the
+    below-group-average join, as the integer inequality
+    rev·n·2 < total (exact cents, no division). One shuffle for the
+    (supplier, item) aggregate, a per-supplier rollup joined back on
+    the supplier key."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx65_lineitem")
+    return spark.sql(_FX_LOW_REVENUE_ITEMS_SQL.format(lineitem="fx65_lineitem"))
