@@ -1130,3 +1130,44 @@ def tpcds_fx_low_revenue_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     t.lineitem.createOrReplaceTempView("fx65_lineitem")
     return spark.sql(_FX_LOW_REVENUE_ITEMS_SQL.format(lineitem="fx65_lineitem"))
+
+
+_FX_DIM_FILTER_TOPN_SQL = """
+SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS order_year,
+       p.p_brand,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+         AS rev_cents
+FROM {lineitem} l
+JOIN {orders} o ON l.l_orderkey = o.o_orderkey
+JOIN {part} p ON l.l_partkey = p.p_partkey
+WHERE p.p_type LIKE 'SMALL%'
+GROUP BY EXTRACT(year FROM o.o_orderdate), p.p_brand
+ORDER BY rev_cents DESC, order_year, p.p_brand
+LIMIT 20
+"""
+
+
+@query(
+    "tpcds_fx_dim_filter_topn",
+    oracle=_FX_DIM_FILTER_TOPN_SQL.format(
+        lineitem="lineitem", orders="orders", part="part"
+    ),
+    category="tpcds",
+)
+def tpcds_fx_dim_filter_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q3/Q42 shape with a full hash oracle: filter a dimension
+    (part type prefix), join the fact, aggregate revenue by
+    (year, brand), top-N by revenue under a TOTAL order (year + brand
+    tiebreak, exact integer cents) so LIMIT can never admit an
+    engine-dependent row. The dim filter reaches the scan and the
+    filtered dim broadcasts — the selective-dim-drives-the-fact plan
+    Q3/Q42 exist to exercise."""
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("fx3_lineitem")
+    t.orders.createOrReplaceTempView("fx3_orders")
+    t.part.createOrReplaceTempView("fx3_part")
+    return spark.sql(
+        _FX_DIM_FILTER_TOPN_SQL.format(
+            lineitem="fx3_lineitem", orders="fx3_orders", part="fx3_part"
+        )
+    )
