@@ -584,6 +584,17 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             except FileNotFoundError:
                 flagged.write(hits, operation=f"batch_{batch_id}")
         sh.unpersist()
+        if batch_id == 2:
+            # state maintenance DURING ingest (same cadence as the IVF
+            # stream): collapse the append chains and expire old
+            # versions while the stream keeps committing — content-
+            # invariant, so detection (and the oracle) are unaffected.
+            # LAST in the batch: `hits` above lazily reads the PRIOR
+            # state snapshot, so expiring before materializing it
+            # would delete dirs its plan still references.
+            for vt in (band_state, shingle_state):
+                vt.compact()
+                vt.expire_versions(keep_last=1)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")
