@@ -19,7 +19,7 @@ from collections import defaultdict
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-TIERS = ["knn_lsh_bucketed", "knn_lsh_multiprobe", "ann_ivf_pq"]
+TIERS = ["knn_lsh_bucketed", "knn_lsh_multiprobe", "ann_ivf_pq", "ann_pq_rerank"]
 
 
 def topk_sets(df) -> dict:
