@@ -81,31 +81,65 @@ def test_driver_window_emits_hashable_types(spark, sf_dir):
 
 
 def test_rotation_queue_cannot_drift():
-    """VERDICT r06 #7: the rotation queue is DERIVED from the recorded
-    CORRECTNESS files (tools/rotation_queue.py), never hand-counted.
-    The current DRIVER_WINDOW must hold every never-driver-verified
-    oracle-backed name that fits after the anchors — i.e. at least
-    min(37, len(queue)) of them — so a future edit can't silently stop
-    rotating. agg_collect_sorted was excluded when the r07 window was
-    cut (it emitted array columns then; since reworked to serialize
-    them — hashability itself is enforced by
-    test_driver_window_emits_hashable_types)."""
+    """VERDICT r06 #7 / r07 "What's wrong": the rotation queue is
+    DERIVED from the recorded CORRECTNESS files
+    (tools/rotation_queue.py), never hand-counted, and the guard is
+    ROUND-BOUNDARY-AWARE. Three states, keyed by DRIVER_WINDOW_ROUND
+    vs the newest CORRECTNESS_r*.json round:
+
+    * window round > newest file round (mid-round, window rotated):
+      the window must hold at least min(37, len(queue)) of the
+      never-driver-verified oracle-backed names — the r06 tripwire.
+    * window round == newest file round (the handover boundary: the
+      driver just landed THIS window's results): the window already
+      ran; queries added during the round are allowed to be
+      un-rotated for exactly one boundary. Require instead that the
+      window itself is green in its own round's file — proof the
+      rotation happened and worked. (The r07 guard lacked this arm
+      and was guaranteed-red at every handover.)
+    * window round < newest file round: the window is more than one
+      rotation behind — hard fail, rotate now.
+    """
+    import glob
+    import json
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from rotation_queue import never_driver_verified
 
-    from walden_spark.registry import DRIVER_WINDOW
+    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_ROUND
 
-    oracle_backed, _rows_only = never_driver_verified()
-    rotatable = [n for n in oracle_backed if n != "agg_collect_sorted"]
-    in_window = [n for n in rotatable if n in DRIVER_WINDOW]
-    assert len(in_window) >= min(37, len(rotatable)), (
-        f"DRIVER_WINDOW rotates only {len(in_window)} of {len(rotatable)} "
-        "never-driver-verified oracle-backed names; regenerate via "
-        "python tools/rotation_queue.py"
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    rounds = {}
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rounds[int(f.rsplit("_r", 1)[1].split(".")[0])] = f
+    newest_round = max(rounds)
+
+    assert DRIVER_WINDOW_ROUND >= newest_round, (
+        f"DRIVER_WINDOW was cut for round {DRIVER_WINDOW_ROUND} but "
+        f"CORRECTNESS_r{newest_round:02d}.json exists — the window is more "
+        "than one rotation behind; regenerate via python tools/rotation_queue.py"
     )
+
+    if DRIVER_WINDOW_ROUND > newest_round:
+        oracle_backed, _rows_only = never_driver_verified()
+        in_window = [n for n in oracle_backed if n in DRIVER_WINDOW]
+        assert len(in_window) >= min(37, len(oracle_backed)), (
+            f"DRIVER_WINDOW rotates only {len(in_window)} of "
+            f"{len(oracle_backed)} never-driver-verified oracle-backed "
+            "names; regenerate via python tools/rotation_queue.py"
+        )
+    else:  # boundary: this window's own results just landed
+        data = json.load(open(rounds[newest_round]))
+        not_green = [
+            n for n in DRIVER_WINDOW
+            if not (isinstance(data.get(n), dict) and not data[n].get("err"))
+        ]
+        assert not not_green, (
+            f"window round {DRIVER_WINDOW_ROUND} results landed but these "
+            f"window queries aren't green in it: {not_green}"
+        )
 
 
 def test_entry_schema_stable(spark):

@@ -64,22 +64,26 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r07 ROTATION (VERDICT r06 next-round #2): 13 anchors — one per
-# SURVEY family a never-verified name doesn't already cover, plus the
-# flagships — and 37 slots holding EVERY remaining never-driver-
-# verified oracle-backed name (the queue is auto-derived from the
-# CORRECTNESS_r*.json files by tools/rotation_queue.py, asserted in
-# tests/test_registry.py so it can't drift; r06's hand-counted comment
-# said ~35 when the true count was 52 — VERDICT r06 #7). Excluded:
-# agg_collect_sorted (emitted array columns when this window was cut;
-# reworked later in r07 to serialize them — rotate it in r08) and the
-# rows-only names (the window must be fully oracle-backed).
-# Cumulative driver-verified going in: 170/222; this window takes the
-# oracle-backed remainder to 208 if green, leaving 14 rows-only names
-# + agg_collect_sorted + the r07-new queries (ddl_export_snapshot,
-# ddl_add_files, text_bigram_lm_score) for r08.
+# r08 ROTATION (VERDICT r07 next-round #1): all 13 remaining
+# never-driver-verified oracle-backed names (auto-derived by
+# tools/rotation_queue.py from the CORRECTNESS_r*.json files) plus 37
+# anchors — the 13 flagships that spanned every family in r07, plus 24
+# stalest previously-witnessed names (mostly first seen r01/r02) for
+# re-witnessing. agg_collect_sorted is now IN (r07 reworked it to
+# serialize its arrays; the r07 exclusion is stale — VERDICT r07
+# "What's wrong"). If this window goes green, cumulative
+# driver-verified reaches 220/234 — every driver-verifiable query
+# witnessed at least once; only the 14 rows-only names remain outside
+# (nondeterministic by nature, weaker rows-only driver check).
+#
+# DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
+# rotation drift-guard (tests/test_registry.py) uses it to stay green
+# at the round boundary when the driver lands this round's
+# CORRECTNESS file (the r07 guard was guaranteed-red at every
+# handover — VERDICT r07 "What's wrong").
+DRIVER_WINDOW_ROUND = 8
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- anchors --
+    # -- flagship anchors: one per SURVEY family --
     "tpch_q1",
     "ddl_lifecycle",
     "streaming_session_window",
@@ -93,31 +97,45 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_predicates",
     "posexplode_ordinality",
     "setop_union_distinct",
-    # -- rotated in: never driver-verified before r07 --
-    # aggregates
-    "agg_percentile_approx", "agg_stats_builtin", "agg_map_entries",
-    "agg_min_max_by", "agg_filter_clause", "agg_bool_bit", "agg_having",
-    # scalar functions
-    "fn_array_zip", "fn_conditional", "fn_uuid_typeof",
-    # events
-    "events_json_agg", "events_dedup_exact",
-    # versioned-table layer (r06 additions)
-    "ddl_ctas_view", "ddl_materialized_view", "ddl_shallow_clone",
-    "ddl_partition_evolution",
-    # sources
-    "source_python_stream",
-    # tpcds fixture-hashable shapes
-    "tpcds_fx_hour_bands", "tpcds_fx_cumulative_channels",
-    "tpcds_fx_trip_bands",
-    # text pipeline stragglers
-    "text_fingerprint", "text_pii_scan", "text_repetition",
-    "text_decontaminate", "text_chunking", "text_stratified_sample",
-    "text_sequence_pack", "text_shard_shuffle", "text_weighted_sample",
-    # multimodal
-    "multimodal_frame_sample", "multimodal_resize", "multimodal_dedup_exact",
-    # streaming
-    "streaming_sliding", "streaming_static_join", "streaming_available_now",
-    "streaming_stateful_timeout_sessions", "streaming_change_feed",
+    # -- rotated in: the 13 never-driver-verified oracle-backed names --
+    "agg_collect_sorted",
+    "ddl_export_snapshot",
+    "ddl_add_files",
+    "tpcds_fx_returns_above_avg",
+    "tpcds_fx_loyalty_growth",
+    "tpcds_fx_three_channel_brand",
+    "tpcds_fx_low_revenue_items",
+    "tpcds_fx_dim_filter_topn",
+    "ann_pq_rerank",
+    "text_bigram_lm_score",
+    "text_corpus_report",
+    "streaming_minhash_dedup",
+    "streaming_ivf_ingest",
+    # -- re-witness anchors: stalest previously-verified names --
+    "tpch_q5",
+    "tpch_q18",
+    "join_asof",
+    "join_anti_null_aware",
+    "lateral_topn",
+    "sql_recursive_cte",
+    "subquery_correlated_scalar",
+    "topk_with_ties",
+    "sort_nulls_ordering",
+    "distinct_pairs",
+    "filter_null_semantics",
+    "explode_words",
+    "agg_basic",
+    "agg_count_distinct",
+    "agg_unpivot",
+    "values_inline",
+    "fn_datetime",
+    "fn_regex",
+    "dedup_exact",
+    "text_quality_score",
+    "range_join_binned",
+    "events_hypertable_rollup",
+    "source_csv_roundtrip",
+    "multimodal_meta",
 )
 
 
