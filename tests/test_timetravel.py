@@ -2168,6 +2168,86 @@ def test_dead_claim_without_manifest_taken_over(spark, vt, monkeypatch):
     assert vt.read(branch="main").filter("id = 70").count() == 1
 
 
+def test_stale_merge_claim_not_rolled_forward(spark, vt, monkeypatch):
+    """ADVICE r07 #1: a dead catalog-merge owner's claim records the
+    merge SOURCE head as `to` — a manifest that always exists but is
+    NOT a descendant of the target's diverged head. Repair must
+    RELEASE such a claim, never 'complete' it by fast-forwarding
+    `into` to src (which would silently drop the target branch's
+    divergent commits)."""
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable
+
+    vt.create_branch("b")
+    vt.append(
+        spark.createDataFrame([(100, -1.0)], "id long, v double"), branch="b"
+    )
+    vt.delete_where("id >= 9", mode="mor")  # diverge main (v: mor delete)
+    src_head, dst_head = vt.head("b"), vt.head("main")
+    # the dead catalog-merge owner's claim: from=dst, to=src (the shape
+    # _merge_catalog's phase 2a writes for a three_way plan)
+    vt._write_json(
+        f"{vt._refs_dir}/_cas/branch=main/from={dst_head:08d}.json",
+        {"to": src_head, "claimed": _time.time() - 9999.0},
+        overwrite=False,
+    )
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 60.0)
+    v = vt.append(spark.createDataFrame([(200, 2.0)], "id long, v double"))
+    # the repair released the merge claim (one-attempt commit) and did
+    # NOT move main to the source head: the divergent mor-delete commit
+    # is still on main's chain and still applies
+    assert vt.head("main") == v
+    assert dst_head in vt._ancestors(v)
+    got = sorted(r.id for r in vt.read(branch="main").collect())
+    assert got == [0, 1, 2, 3, 4, 5, 6, 7, 8, 200]  # id=9 deleted, no 100
+
+
+def test_raided_live_merge_aborts_instead_of_overwriting(spark, vt):
+    """The flip side of merge-claim release: a still-live merge whose
+    claim was repaired away must ABORT its publish (unwinding the
+    replayed manifests), not blind-overwrite a pointer a new writer
+    may have moved since."""
+    from walden_spark.timetravel import ConcurrentWriteError
+
+    vt.create_branch("b")
+    vt.append(
+        spark.createDataFrame([(100, -1.0)], "id long, v double"), branch="b"
+    )
+    vt.delete_where("id >= 9", mode="mor")
+    src_head, dst_head = vt.head("b"), vt.head("main")
+    n_before = len(vt._manifests())
+    with pytest.raises(ConcurrentWriteError, match="repaired away"):
+        vt._merge_three_way(
+            "b", src_head, "main", dst_head, ["id"],
+            _claim_held=True,
+            _claim=f"{vt._refs_dir}/_cas/branch=main/from=gone.json",
+        )
+    assert vt.head("main") == dst_head          # pointer untouched
+    assert len(vt._manifests()) == n_before      # replay unwound
+    assert not [m for m in vt._manifests() if m.get("merged_from")]
+
+
+def test_claim_without_to_released_not_typeerror(spark, vt, monkeypatch):
+    """ADVICE r07 #2: a malformed claim payload missing `to` must reach
+    the release path, not raise TypeError from int(None) inside the
+    conflict handler."""
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable
+
+    head = vt.head("main")
+    vt._write_json(
+        f"{vt._refs_dir}/_cas/branch=main/from={head:08d}.json",
+        {"claimed": _time.time() - 9999.0},
+        overwrite=False,
+    )
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 60.0)
+    v = vt.append(spark.createDataFrame([(300, 3.0)], "id long, v double"))
+    assert vt.head("main") == v
+    assert vt.read(branch="main").filter("id = 300").count() == 1
+
+
 def test_swept_claim_stale_writer_still_aborts(spark, vt):
     """VERDICT r06 'Next' #4: after expire_versions sweeps spent
     claims, a stale writer CAN re-create a from=<old-head> claim — the

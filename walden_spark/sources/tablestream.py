@@ -145,7 +145,11 @@ class _ArrowIO:
             info = f.get_file_info(p)
             if info.type == pafs.FileType.NotFound:
                 return None
+        # keyed by the LISTED DIRECTORY + base name (ADVICE r07 #3: a
+        # base-name-only key served wrong (mtime, size) if one instance
+        # listed a dir then stat'ed a same-named file elsewhere)
         self._stat_cache = {}
+        self._stat_cache_dir = d.rstrip("/")
         names = []
         for i in infos:
             mt = i.mtime_ns // 1_000_000 if i.mtime_ns is not None else 0
@@ -156,8 +160,10 @@ class _ArrowIO:
     def stat(self, path: str) -> tuple[int, int] | None:
         from pyarrow import fs as pafs
 
-        name = path.rsplit("/", 1)[-1]
-        hit = getattr(self, "_stat_cache", {}).get(name)
+        parent, _, name = path.rstrip("/").rpartition("/")
+        hit = None
+        if parent == getattr(self, "_stat_cache_dir", None):
+            hit = getattr(self, "_stat_cache", {}).get(name)
         if hit is not None:
             return hit
         f, p = self._fs(path)

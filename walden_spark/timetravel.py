@@ -799,15 +799,27 @@ class VersionedTable:
         claim is presumed to belong to a live writer about to move the
         pointer (or a transaction holding claims across tables).
 
+        Roll-forward requires the claimed ``to`` to be a DESCENDANT of
+        ``expected`` (parent-chain check): commit/txn claims stage that
+        manifest before claiming, and catalog fast-forwards satisfy it
+        by definition. A diverged catalog three-way-merge claim records
+        the merge SOURCE head as ``to`` (its manifest always exists but
+        is NOT the merged version the owner's replay would create), so
+        it fails the check and is RELEASED instead — rolling forward
+        would drop the target branch's divergent commits (ADVICE r07
+        #1).
+
         Sizing note for multi-table publishes: a catalog three-way
         merge holds claims while its replay runs Spark jobs, so
         :attr:`CLAIM_REPAIR_AGE_S` must exceed the longest such
         publish (raise it on deployments doing huge merges). Even if a
-        raid fires on a LIVE held claim, it can only perform the exact
-        pointer move the owner would make — the claimed ``to`` whose
-        manifest is fully staged — never invent state; the exposure is
-        limited to turning an owner-side late abort into the
-        partial-publish outcome phase 2b already documents."""
+        raid fires on a LIVE held claim it cannot corrupt state: for
+        commit claims it performs the exact pointer move the owner
+        would make; for merge claims it releases the claim, and the
+        still-live owner re-checks the claim file before its publish
+        and aborts with ConcurrentWriteError (unwinding its replayed
+        manifests) rather than blind-overwriting a pointer a new
+        writer may have moved."""
         fs, cpath, jvm = _fs(self.spark, claim)
         try:
             stream = fs.open(cpath)
@@ -830,13 +842,32 @@ class VersionedTable:
         if time.time() - float(payload.get("claimed", 0)) < self.CLAIM_REPAIR_AGE_S:
             return False  # presumed live owner — let it finish
         to = payload.get("to")
+        if to is None:  # malformed/legacy claim: free the slot (ADVICE r07 #2
+            # — int(to) before this check raised TypeError inside the
+            # conflict handler instead of reaching the repair path)
+            self._cas_release(claim)
+            return True
         mpath = f"{self._versions_dir}/v{int(to):08d}.json"
         fs2, mp, _ = _fs(self.spark, mpath)
-        if to is not None and fs2.exists(mp):
-            # finish the dead writer's publish; our own transition away
-            # from `expected` is thereby consumed — caller must re-read
-            self._write_ref("branch", name, int(to), overwrite=True)
-            return False
+        if fs2.exists(mp):
+            # Roll forward ONLY if the claimed `to` is a DESCENDANT of
+            # `expected` — true for staged commit/txn claims and for a
+            # single-table three-way merge's replayed head, and for a
+            # catalog fast-forward (dst is an ancestor of src). FALSE
+            # for a diverged catalog three-way-merge claim, whose
+            # recorded `to` is the merge SOURCE head (a manifest that
+            # always exists), not the merged version the owner's replay
+            # would create: rolling forward there would fast-forward
+            # `into` to src and silently drop the target branch's
+            # divergent commits (ADVICE r07 #1). Such claims are
+            # released instead; the dead owner's replayed manifests (if
+            # any) are unreferenced orphans that expire_versions sweeps.
+            if expected is None or expected in self._ancestors(int(to)):
+                # finish the dead writer's publish; our own transition
+                # away from `expected` is thereby consumed — caller must
+                # re-read
+                self._write_ref("branch", name, int(to), overwrite=True)
+                return False
         self._cas_release(claim)
         return True
 
@@ -2798,6 +2829,7 @@ class VersionedTable:
         dst_head: int,
         keys: list[str],
         _claim_held: bool = False,
+        _claim: str | None = None,
     ) -> int:
         by_v = {m["version"]: m for m in self._manifests()}
         common = self._ancestors(src_head) & self._ancestors(dst_head)
@@ -2855,9 +2887,24 @@ class VersionedTable:
         # CAS from the dst head the three-way diff was computed against;
         # a loser unwinds its replayed manifests (referenced by nothing).
         # _claim_held: the catalog merge already claimed this transition
-        # in its all-tables phase — just move the pointer.
+        # in its all-tables phase — re-verify the claim file still
+        # exists before the blind overwrite: a repair raid that fired
+        # past CLAIM_REPAIR_AGE_S on this still-live merge releases the
+        # claim (merge claims are never rolled forward — ADVICE r07 #1),
+        # and a subsequent writer may have moved the pointer; publishing
+        # anyway would silently orphan that commit. Aborting here joins
+        # the ConcurrentWriteError unwind (replayed manifests deleted).
         try:
             if _claim_held:
+                if _claim is not None:
+                    cfs, cp, _ = _fs(self.spark, _claim)
+                    if not cfs.exists(cp):
+                        raise ConcurrentWriteError(
+                            f"merge claim on branch {into!r} of {self.path} "
+                            "was repaired away (owner presumed dead past "
+                            "CLAIM_REPAIR_AGE_S); nothing was published — "
+                            "re-read and retry"
+                        )
                 self._write_ref("branch", into, new_head, overwrite=True)
             else:
                 self._cas_ref_move(into, dst_head, new_head)
@@ -3431,7 +3478,8 @@ class VersionedCatalog:
                 else:
                     kind, src, dst = plan
                     out[t] = vt._merge_three_way(
-                        branch, src, into, dst, list(keys[t]), _claim_held=True
+                        branch, src, into, dst, list(keys[t]),
+                        _claim_held=True, _claim=claims[t][1],
                     )
                 if plan[0] == "ff":
                     out[t] = plan[1]
