@@ -107,7 +107,65 @@ def main() -> None:
         rows.append(r)
         print(json.dumps(r))
 
+    # ---- retained-files axis (VERDICT r07 #3): the checkpoint embeds
+    # every published manifest INCLUDING per-file footer stats, so at
+    # long retention × high file counts the single blob's size/parse
+    # becomes the new cold-read cost. Probe n_commits × files_per with
+    # realistic entries (80-char paths, 2 stats columns) and record
+    # checkpoint bytes + cold-through-checkpoint parse time.
+    for n_commits, files_per in [(200, 100), (1000, 100)]:
+        root = tempfile.mkdtemp(prefix=f"walden_mdprobe_f{n_commits}x{files_per}_")
+        t = VersionedTable(spark, f"{root}/t")
+        t.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))
+        base = t._manifests()[0]
+        fake_files = [
+            {
+                "path": f"{base['data_dir']}/part-{i:05d}-0f6c2b8a-4d3e-4b2a-"
+                f"9c1d-{i:012d}-c000.snappy.parquet",
+                "rows": 1_000_000 + i,
+                "stats": {
+                    "id": [i * 1_000_000, (i + 1) * 1_000_000],
+                    "v": [float(i), float(i + 1)],
+                },
+            }
+            for i in range(files_per)
+        ]
+        for v in range(1, n_commits):
+            m = {
+                "version": v,
+                "parent": v - 1,
+                "branch": "main",
+                "timestamp": time.time(),
+                "operation": "append",
+                "data_dir": base["data_dir"],
+                "files": fake_files,
+            }
+            t._write_manifest(m, overwrite=False)
+        t._write_ref("branch", "main", n_commits - 1, overwrite=True)
+        name = t.checkpoint()
+        assert name is not None
+        ckpt_path = os.path.join(t.path, "_versions", name.split("/")[-1])
+        r = {
+            "commits": n_commits,
+            "files_per_commit": files_per,
+            "checkpoint_bytes": os.path.getsize(ckpt_path),
+        }
+
+        def cold_ckpt_files():
+            tt._MANIFEST_CACHE.clear()
+            assert len(t._manifests()) == n_commits
+
+        def warm_files():
+            assert len(t._manifests()) == n_commits
+
+        r["cold_ckpt_s"] = timed(cold_ckpt_files, reps=3)
+        r["warm_s"] = timed(warm_files, reps=10)
+        r["head_s"] = timed(lambda: t.head("main"), reps=10)
+        rows.append(r)
+        print(json.dumps(r))
+
     # the scaling verdict: steady-state costs must be ~flat in commits
+    rows = [r for r in rows if "poll_x100_s" in r]  # commits-axis only
     if len(rows) >= 2:
         a, b = rows[0], rows[-1]
         scale = b["commits"] / a["commits"]
