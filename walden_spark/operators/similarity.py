@@ -188,6 +188,11 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~2^planes vs brute force. Recall is tunable with multi-probe /
     more tables; determinism makes the oracle reproduce results
     exactly.
+
+    Tuned recipe (tools/ann_tuning_probe.py, clustered 64-d corpus):
+    the demo 6-plane/1-table point is for oracle cheapness; production
+    runs 8 tables x ~14 planes with hamming-1 multiprobe ->
+    recall@10 = 0.94 scanning 2.8% of the corpus (SCALING.md).
     """
     t = Tables(spark, sf_dir)
     e = (
@@ -243,7 +248,12 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector), assign each vector to its nearest centroid (broadcast
     centroids — map-only), report cluster sizes + worst member
     similarity. The probe stage of an IVF ANN index, built without
-    iterative k-means so it stays deterministic."""
+    iterative k-means so it stays deterministic.
+
+    Tuned recipe (tools/ann_tuning_probe.py, clustered 64-d corpus):
+    cells ~ corpus/target-cell-size with probes ~ cells/32 — 256
+    cells x 4 probes -> recall@10 = 0.92 at 1.8% scanned; x 8 probes
+    -> 0.999 at 3.2% (SCALING.md)."""
     t = Tables(spark, sf_dir)
     e = t.embeddings.select("vec_id", "embedding")
     cent = e.filter(F.col("vec_id") % 100 == 7).select(
@@ -538,7 +548,12 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     true float vectors are fetched by id and scored with exact cosine.
     At 100 TB the float fetch is R rows per query — the corpus stays
     in codes; the re-rank join is broadcast-query × id-keyed fetch,
-    and the final top-K window is the only shuffle."""
+    and the final top-K window is the only shuffle.
+
+    Tuned recipe (tools/ann_tuning_probe.py, clustered 64-d corpus):
+    R is the recall lever at constant memory — R ~ 40x k (e.g. R=400
+    for top-10) over 128 cells x 8 probes reaches recall@10 = 1.00
+    with only 2% of the corpus ever fetched as floats (SCALING.md)."""
     surv = ann_ivf_pq(spark, sf_dir, top_k=PQ_RERANK_R).select(
         "query_id", "neighbor_id"
     )
