@@ -509,6 +509,81 @@ def test_streaming_minhash_dedup_is_incremental(spark, sf_dir):
     assert got == {(d, n) for d, n in pair_counts.items()}
 
 
+def test_streaming_minhash_dedup_restart_after_maintenance(spark, sf_dir, tmp_path):
+    """VERDICT r07 #5: the 24/7-ingest combination — the stream dies
+    AFTER mid-stream compact+expire rewrote the state tables, then a
+    NEW stream resumes from the Spark checkpoint + the versioned state
+    and must produce the same flags as the closed-input oracle (the
+    single-run batch detector)."""
+    from collections import Counter
+
+    from walden_spark.operators.dedup import dedup_minhash_lsh
+    from walden_spark.streaming.sinks import (
+        _minhash_ingest_run,
+        _stage_id_ranges,
+    )
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    stage, ckpt = str(tmp_path / "stage"), str(tmp_path / "ckpt")
+    band = VersionedTable(spark, str(tmp_path / "bands"))
+    shingle = VersionedTable(spark, str(tmp_path / "shingles"))
+    flagged = VersionedTable(spark, str(tmp_path / "flagged"))
+    # run 1: batches 0-2 only; maintenance fires in batch 2, then the
+    # stream terminates (the kill point — all state is on disk)
+    _stage_id_ranges(spark, docs, "doc_id", stage, which=range(3))
+    _minhash_ingest_run(spark, stage, band, shingle, flagged, checkpoint=ckpt)
+    for vt in (band, shingle):
+        assert [m.get("operation") for m in vt._manifests()] == ["compact"]
+    # run 2: batch 3 lands; a FRESH stream over the same checkpoint
+    # resumes — the file source skips b0-b2, the state tables continue
+    # from their post-maintenance snapshots
+    _stage_id_ranges(spark, docs, "doc_id", stage, which=[3])
+    _minhash_ingest_run(spark, stage, band, shingle, flagged, checkpoint=ckpt)
+    for vt in (band, shingle):
+        ops = [m.get("operation") for m in vt._manifests()]
+        assert ops == ["compact", "append"], ops  # ONE commit for batch 3
+    got = {(r.doc_id, r.n_prior_dups) for r in flagged.read().collect()}
+    pair_counts = Counter(
+        r.b_id for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    )
+    assert got == {(d, n) for d, n in pair_counts.items()}
+
+
+def test_streaming_ivf_ingest_restart_after_maintenance(spark, sf_dir, tmp_path):
+    """VERDICT r07 #5 for the IVF ingest: kill after the batch-2
+    compact+expire, resume a fresh stream from the checkpoint, and the
+    probe over the resumed index must match the single-run operator
+    (which is itself oracle-verified)."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.streaming.sinks import (
+        _ivf_ingest_run,
+        _ivf_probe,
+        _stage_id_ranges,
+        streaming_ivf_ingest,
+    )
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    stage, ckpt = str(tmp_path / "stage"), str(tmp_path / "ckpt")
+    index = VersionedTable(spark, str(tmp_path / "index"))
+    _stage_id_ranges(spark, e, "vec_id", stage, which=range(3))
+    _ivf_ingest_run(spark, stage, cent, index, checkpoint=ckpt)
+    assert [m.get("operation") for m in index._manifests()] == ["compact"]
+    _stage_id_ranges(spark, e, "vec_id", stage, which=[3])
+    _ivf_ingest_run(spark, stage, cent, index, checkpoint=ckpt)
+    assert [m.get("operation") for m in index._manifests()] == ["compact", "append"]
+    resumed = {tuple(r) for r in _ivf_probe(spark, e, cent, index).collect()}
+    single_run = {tuple(r) for r in streaming_ivf_ingest(spark, sf_dir).collect()}
+    assert resumed == single_run
+
+
 def test_streaming_ivf_ingest_builds_bucketed_index(spark, sf_dir):
     """The IVF stream must build its index incrementally (one bucket-
     partitioned snapshot commit per micro-batch) and serve probes from

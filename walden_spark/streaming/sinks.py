@@ -463,34 +463,38 @@ GROUP BY b_id ORDER BY doc_id
 """
 
 
-@query(
-    "streaming_minhash_dedup",
-    oracle=_streaming_minhash_oracle(),
-    category="streaming",
-)
-def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental near-dup dedup over a DOCUMENT STREAM — the corpus-
-    ingest shape: each arriving micro-batch is checked against every
-    previously ingested document via a persisted MinHash band index,
-    and newly detected near-dups are flagged with how many prior docs
-    they duplicate. Semantically: doc d is flagged iff some doc p with
-    p.doc_id < d.doc_id shares an LSH band AND exact Jaccard ≥ 0.8 —
-    batch boundaries don't change the answer (intra-batch pairs use
-    the same earlier-id rule), which is what makes the closed-input
-    run oracle-exact while the mechanism is genuinely incremental.
+def _stage_id_ranges(spark, df: DataFrame, id_col: str, stage: str, which=range(4)) -> None:
+    """Stage quartile id-ranges of ``df`` as one parquet file each under
+    ``stage/b{i}`` — the replayable micro-batch fixture both streaming
+    state operators ingest. Bounds always come from the FULL frame so a
+    later call staging only b3 (the restart test) cuts identical
+    ranges."""
+    qs = df.approxQuantile(id_col, [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in which:
+        part = df
+        if bounds[i] is not None:
+            part = part.filter(F.col(id_col) > int(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col(id_col) <= int(bounds[i + 1]))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
 
-    Scale shape per micro-batch (the 100 TB-ingest argument): the
-    batch's signatures are per-row array math; the candidate join is
-    (batch bands) ⋈ (band index) on (band, bucket) — key-partitioned,
-    touching only colliding ids, never all prior docs; the verify
-    joins fetch only candidate shingle sets by id from the persisted
-    shingle store. State grows APPEND-ONLY as two snapshot commits per
-    batch (band index rows: ids + 4-number buckets; shingle store:
-    the arrays the verify stage needs), so per-batch cost is
-    O(batch + collisions), never O(corpus). The same versioned-table
-    state survives restarts — a resumed stream continues the index."""
-    import tempfile
 
+def _minhash_ingest_run(
+    spark: SparkSession,
+    stage: str,
+    band_state,
+    shingle_state,
+    flagged,
+    checkpoint: str | None = None,
+    maintain_at: int = 2,
+) -> None:
+    """One availableNow pass of the MinHash-dedup ingest over whatever
+    files sit (unseen) in ``stage``. With ``checkpoint`` set, a second
+    call after more files land RESUMES: the file source skips
+    checkpoint-seen files and batch ids continue — the restart path a
+    24/7 ingest exercises (state lives in the versioned tables, not
+    executor memory)."""
     from walden_spark.operators.dedup import (
         _md5int,
         _minhash_sig,
@@ -499,27 +503,6 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         N_BANDS,
         ROWS_PER_BAND,
     )
-    from walden_spark.tables import load_table
-    from walden_spark.timetravel import VersionedTable
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # stage 4 contiguous doc_id ranges: the file source replays them in
-    # order, so "previously ingested" = lower doc_id (arrival order)
-    stage = tempfile.mkdtemp(prefix="walden_mh_stream_")
-    qs = docs.approxQuantile("doc_id", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = docs
-        if bounds[i] is not None:
-            part = part.filter(F.col("doc_id") > int(bounds[i]))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("doc_id") <= int(bounds[i + 1]))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-
-    root = tempfile.mkdtemp(prefix="walden_mh_state_")
-    band_state = VersionedTable(spark, f"{root}/bands")
-    shingle_state = VersionedTable(spark, f"{root}/shingles")
-    flagged = VersionedTable(spark, f"{root}/flagged")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sh = batch_df.select(
@@ -584,7 +567,7 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             except FileNotFoundError:
                 flagged.write(hits, operation=f"batch_{batch_id}")
         sh.unpersist()
-        if batch_id == 2:
+        if batch_id == maintain_at:
             # state maintenance DURING ingest (same cadence as the IVF
             # stream): collapse the append chains and expire old
             # versions while the stream keeps committing — content-
@@ -602,8 +585,57 @@ def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
-    q = stream.writeStream.foreachBatch(process).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(process)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
+
+
+@query(
+    "streaming_minhash_dedup",
+    oracle=_streaming_minhash_oracle(),
+    category="streaming",
+)
+def streaming_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup over a DOCUMENT STREAM — the corpus-
+    ingest shape: each arriving micro-batch is checked against every
+    previously ingested document via a persisted MinHash band index,
+    and newly detected near-dups are flagged with how many prior docs
+    they duplicate. Semantically: doc d is flagged iff some doc p with
+    p.doc_id < d.doc_id shares an LSH band AND exact Jaccard ≥ 0.8 —
+    batch boundaries don't change the answer (intra-batch pairs use
+    the same earlier-id rule), which is what makes the closed-input
+    run oracle-exact while the mechanism is genuinely incremental.
+
+    Scale shape per micro-batch (the 100 TB-ingest argument): the
+    batch's signatures are per-row array math; the candidate join is
+    (batch bands) ⋈ (band index) on (band, bucket) — key-partitioned,
+    touching only colliding ids, never all prior docs; the verify
+    joins fetch only candidate shingle sets by id from the persisted
+    shingle store. State grows APPEND-ONLY as two snapshot commits per
+    batch (band index rows: ids + 4-number buckets; shingle store:
+    the arrays the verify stage needs), so per-batch cost is
+    O(batch + collisions), never O(corpus). The same versioned-table
+    state survives restarts — a resumed stream continues the index
+    (pinned, including restart AFTER mid-stream compact+expire, by
+    test_streaming_minhash_dedup_restart_after_maintenance)."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # stage 4 contiguous doc_id ranges: the file source replays them in
+    # order, so "previously ingested" = lower doc_id (arrival order)
+    stage = tempfile.mkdtemp(prefix="walden_mh_stream_")
+    _stage_id_ranges(spark, docs, "doc_id", stage)
+
+    root = tempfile.mkdtemp(prefix="walden_mh_state_")
+    band_state = VersionedTable(spark, f"{root}/bands")
+    shingle_state = VersionedTable(spark, f"{root}/shingles")
+    flagged = VersionedTable(spark, f"{root}/flagged")
+    _minhash_ingest_run(spark, stage, band_state, shingle_state, flagged)
 
     try:
         out = flagged.read()
@@ -648,50 +680,20 @@ ORDER BY query_id, cos_sim DESC, neighbor_id
 """
 
 
-@query(
-    "streaming_ivf_ingest",
-    oracle=_streaming_ivf_oracle(),
-    category="streaming",
-)
-def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental ANN index build — the vector-ingest shape: arriving
-    embedding micro-batches are assigned to their nearest (pre-trained,
-    broadcast) IVF centroid MAP-SIDE and appended to a versioned index
-    table BUCKET-PARTITIONED on the cell id, one snapshot commit per
-    batch. Queries then probe their 2 nearest cells and rank only the
-    vectors stored in those cells — scan() prunes the index read to
-    the probed cells' buckets, so probe cost is O(probed cells), never
-    O(index), and ingest cost is O(batch): nothing is ever rebuilt.
-    Deterministic seed centroids (every 100th vector, no Lloyd
-    iterations) keep the closed-input run oracle-exact; dot products
-    left-fold so both engines emit bit-identical scores."""
-    import tempfile
-
+def _ivf_ingest_run(
+    spark: SparkSession,
+    stage: str,
+    cent: DataFrame,
+    index,
+    checkpoint: str | None = None,
+    maintain_at: int = 2,
+) -> None:
+    """One availableNow pass of the IVF ingest over unseen files in
+    ``stage`` (see _minhash_ingest_run for the checkpoint/resume
+    contract)."""
     from pyspark.sql import Window
 
-    from walden_spark.operators.similarity import TOP_K, _cos
-    from walden_spark.tables import load_table
-    from walden_spark.timetravel import VersionedTable
-
-    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    cent = e.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
-    )
-
-    stage = tempfile.mkdtemp(prefix="walden_ivf_stream_")
-    qs = e.approxQuantile("vec_id", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = e
-        if bounds[i] is not None:
-            part = part.filter(F.col("vec_id") > int(bounds[i]))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("vec_id") <= int(bounds[i + 1]))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-
-    index = VersionedTable(
-        spark, tempfile.mkdtemp(prefix="walden_ivf_state_") + "/index"
-    )
+    from walden_spark.operators.similarity import _cos
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         pairs = batch_df.crossJoin(F.broadcast(cent)).withColumn(
@@ -709,7 +711,7 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             index.write(
                 assigned, operation=f"batch_{batch_id}", partition_bucket=("cid", 8)
             )
-        if batch_id == 2:
+        if batch_id == maintain_at:
             # maintenance DURING ingest — the production cadence: the
             # MoR layer stack compacts into one bucketed snapshot and
             # old versions expire, all while the stream keeps
@@ -724,11 +726,20 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(stage)
     )
-    q = stream.writeStream.foreachBatch(ingest).trigger(availableNow=True).start()
+    writer = stream.writeStream.foreachBatch(ingest)
+    if checkpoint is not None:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
-    # probe: each query ranks only the vectors in its 2 nearest cells;
-    # the index scan prunes to those cells' buckets
+
+def _ivf_probe(spark: SparkSession, e: DataFrame, cent: DataFrame, index) -> DataFrame:
+    """Probe each query's 2 nearest cells against the persisted index;
+    the scan prunes to those cells' buckets."""
+    from pyspark.sql import Window
+
+    from walden_spark.operators.similarity import TOP_K, _cos
+
     queries = e.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -749,7 +760,6 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cos_sim", _cos(F.col("qe"), F.col("embedding"))
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
-    streaming_ivf_ingest.last_table = index  # type: ignore[attr-defined]
     return (
         scored.withColumn("rn2", F.row_number().over(wr))
         .filter(F.col("rn2") <= TOP_K)
@@ -760,3 +770,44 @@ def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
     )
+
+
+@query(
+    "streaming_ivf_ingest",
+    oracle=_streaming_ivf_oracle(),
+    category="streaming",
+)
+def streaming_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index build — the vector-ingest shape: arriving
+    embedding micro-batches are assigned to their nearest (pre-trained,
+    broadcast) IVF centroid MAP-SIDE and appended to a versioned index
+    table BUCKET-PARTITIONED on the cell id, one snapshot commit per
+    batch. Queries then probe their 2 nearest cells and rank only the
+    vectors stored in those cells — scan() prunes the index read to
+    the probed cells' buckets, so probe cost is O(probed cells), never
+    O(index), and ingest cost is O(batch): nothing is ever rebuilt.
+    Deterministic seed centroids (every 100th vector, no Lloyd
+    iterations) keep the closed-input run oracle-exact; dot products
+    left-fold so both engines emit bit-identical scores. Restart after
+    mid-stream maintenance is pinned by
+    test_streaming_ivf_ingest_restart_after_maintenance."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+    from walden_spark.timetravel import VersionedTable
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+
+    stage = tempfile.mkdtemp(prefix="walden_ivf_stream_")
+    _stage_id_ranges(spark, e, "vec_id", stage)
+    index = VersionedTable(
+        spark, tempfile.mkdtemp(prefix="walden_ivf_state_") + "/index"
+    )
+    _ivf_ingest_run(spark, stage, cent, index)
+    streaming_ivf_ingest.last_table = index  # type: ignore[attr-defined]
+    # probe: each query ranks only the vectors in its 2 nearest cells;
+    # the index scan prunes to those cells' buckets
+    return _ivf_probe(spark, e, cent, index)
