@@ -83,19 +83,53 @@ def ddl_ctas_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-@query("ddl_introspection", oracle=None, category="ddl")
+@query(
+    "ddl_introspection",
+    oracle="""
+SELECT 'default' AS name, 'database' AS kind, '' AS dtype
+UNION ALL
+SELECT 'introspect_nation' AS name, 'table' AS kind, '' AS dtype
+UNION ALL
+SELECT column_name AS name, 'column' AS kind,
+       CASE data_type
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'DOUBLE' THEN 'double'
+         ELSE lower(data_type)
+       END AS dtype
+FROM information_schema.columns WHERE table_name = 'nation'
+ORDER BY kind, name
+""",
+    category="ddl",
+)
 def ddl_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SHOW SCHEMAS / SHOW TABLES / DESCRIBE — information_schema-style
-    introspection (reference: README.md:110-117,412-413). Output shape
-    is engine-specific → rows-only."""
+    introspection (reference: README.md:110-117,412-413), emitted as a
+    CANONICALIZED projection (VERDICT r07 #8): the session-dependent
+    catalog listing is filtered to the entities this query itself
+    guarantees ('default' database, the registered view) and column
+    rows carry engine-canonical lowercase type names, so the output is
+    version-independent and the oracle is a true cross-engine check —
+    DuckDB introspects ITS catalog's view of the same parquet via
+    information_schema and must agree modulo the documented type-name
+    mapping (INTEGER→int, VARCHAR→string)."""
     t = Tables(spark, sf_dir)
     t.nation.createOrReplaceTempView("introspect_nation")
-    dbs = spark.sql("SHOW DATABASES").selectExpr("namespace AS name", "'database' AS kind")
-    tabs = spark.sql("SHOW TABLES").selectExpr("tableName AS name", "'table' AS kind")
-    cols = spark.sql("DESCRIBE TABLE introspect_nation").selectExpr(
-        "col_name AS name", "'column' AS kind"
+    dbs = (
+        spark.sql("SHOW DATABASES")
+        .filter("namespace = 'default'")
+        .selectExpr("namespace AS name", "'database' AS kind", "'' AS dtype")
     )
-    return dbs.unionByName(tabs).unionByName(cols)
+    tabs = (
+        spark.sql("SHOW TABLES")
+        .filter("tableName = 'introspect_nation'")
+        .selectExpr("tableName AS name", "'table' AS kind", "'' AS dtype")
+    )
+    cols = spark.sql("DESCRIBE TABLE introspect_nation").selectExpr(
+        "col_name AS name", "'column' AS kind", "lower(data_type) AS dtype"
+    )
+    return dbs.unionByName(tabs).unionByName(cols).orderBy("kind", "name")
 
 
 @query(

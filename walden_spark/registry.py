@@ -72,9 +72,11 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # re-witnessing. agg_collect_sorted is now IN (r07 reworked it to
 # serialize its arrays; the r07 exclusion is stale — VERDICT r07
 # "What's wrong"). If this window goes green, cumulative
-# driver-verified reaches 220/234 — every driver-verifiable query
-# witnessed at least once; only the 14 rows-only names remain outside
+# driver-verified reaches 221/234 — every driver-verifiable query
+# witnessed at least once; only the 13 rows-only names remain outside
 # (nondeterministic by nature, weaker rows-only driver check).
+# ddl_introspection gained a cross-engine oracle in r08 (VERDICT r07
+# #8) and joins the window in place of the values_inline re-witness.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py) uses it to stay green
@@ -111,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_corpus_report",
     "streaming_minhash_dedup",
     "streaming_ivf_ingest",
+    "ddl_introspection",  # oracle-backed as of r08 (VERDICT r07 #8)
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -127,7 +130,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_basic",
     "agg_count_distinct",
     "agg_unpivot",
-    "values_inline",
     "fn_datetime",
     "fn_regex",
     "dedup_exact",
