@@ -254,3 +254,16 @@ def test_q15_no_single_partition_exchange(spark, sf_dir, registry):
     plan = _plan(spark, registry["tpch_q15"].fn(spark, sf_dir))
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
+
+
+def test_jdbc_scan_pushes_filters_and_partitions(spark, sf_dir, registry):
+    """Federated JDBC read (r08): the predicate must push into the
+    remote WHERE clause (starred = source-evaluated, not re-checked)
+    and the bounded scan must plan 4 parallel range queries — a serial
+    single-cursor federated read is wrong at any scale."""
+    df = registry["source_jdbc_roundtrip"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "JDBCRelation" in plan and "numPartitions=4" in plan
+    assert "*LessThanOrEqual(n_regionkey,2)" in plan.replace(" ", ""), plan
+    # the SOURCE fans out 4 range queries (numPartitions=4 above); the
+    # final partition count may differ (orderBy + AQE coalesce)

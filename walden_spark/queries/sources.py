@@ -177,6 +177,34 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_jdbc_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation "
+    "WHERE n_regionkey <= 2 ORDER BY n_nationkey",
+    category="scan",
+)
+def source_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC federation (r08; reference federates operational stores via
+    Trino connector catalogs — tf/main.tf wires catalogs the same way):
+    land a dim into an embedded Derby database through the JDBC sink,
+    then read it back as a BOUNDED PARTITIONED scan (4 parallel range
+    queries on the key) with a predicate that must push into the remote
+    WHERE clause (plan-gated in test_plans: `PushedFilters: [*...]`).
+    Embedded Derby stands in for Postgres/MySQL offline — same option
+    surface, different URL (sources/jdbc.py)."""
+    from walden_spark.sources import jdbc
+
+    t = Tables(spark, sf_dir)
+    url = jdbc.derby_url(tempfile.mkdtemp(prefix="walden_jdbc_") + "/fed")
+    jdbc.write_jdbc(t.nation.select("n_nationkey", "n_name", "n_regionkey"), url, "NATION_FED")
+    back = jdbc.read_jdbc(
+        spark, url, "NATION_FED",
+        partition_column="n_nationkey", lower_bound=0, upper_bound=25,
+        num_partitions=4,
+    )
+    return back.filter(F.col("n_regionkey") <= 2).orderBy("n_nationkey")
+
+
 @query("source_xml_roundtrip", oracle=_NATION_ORACLE, category="scan")
 def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """XML sink → XML source with explicit schema (Spark 4 ships the

@@ -114,6 +114,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_minhash_dedup",
     "streaming_ivf_ingest",
     "ddl_introspection",  # oracle-backed as of r08 (VERDICT r07 #8)
+    # -- new in r08 (window-joined immediately so the guard's
+    # every-rotatable-name-in-window invariant holds mid-round) --
+    "source_jdbc_roundtrip",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -122,7 +125,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lateral_topn",
     "sql_recursive_cte",
     "subquery_correlated_scalar",
-    "topk_with_ties",
     "sort_nulls_ordering",
     "distinct_pairs",
     "filter_null_semantics",
