@@ -267,3 +267,34 @@ def test_jdbc_scan_pushes_filters_and_partitions(spark, sf_dir, registry):
     assert "*LessThanOrEqual(n_regionkey,2)" in plan.replace(" ", ""), plan
     # the SOURCE fans out 4 range queries (numPartitions=4 above); the
     # final partition count may differ (orderBy + AQE coalesce)
+
+
+def test_zorder_prunes_files_on_both_dims(spark, sf_dir, tmp_path):
+    """cluster_zorder's reason to exist, measured: after the Morton
+    rewrite, scan()'s footer-stat pruning must skip files for a
+    predicate on EITHER z-dimension — 1-D sort clustering only ever
+    skips on its leading column."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.timetravel import VersionedTable
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .orderBy(F.rand(7))
+    )
+    t = VersionedTable(spark, str(tmp_path / "z"))
+    t.write(ev.repartition(8))
+    t.cluster_zorder(["user_id", "value"], n_files=16)
+    total = len(t.read().inputFiles())
+    assert total >= 12  # the rewrite actually fanned out
+    by_user = len(t.scan(filters=[("user_id", "=", 7)]).inputFiles())
+    by_value = len(t.scan(filters=[("value", ">=", 250.0)]).inputFiles())
+    assert by_user * 2 <= total, f"user_id dim not selective: {by_user}/{total}"
+    assert by_value * 2 <= total, f"value dim not selective: {by_value}/{total}"
+    # answers are layout-invariant
+    assert (
+        t.scan(filters=[("user_id", "=", 7)]).count()
+        == ev.filter("user_id = 7").count()
+    )

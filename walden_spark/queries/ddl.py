@@ -1195,3 +1195,40 @@ def ddl_add_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.col("n_regionkey").cast("bigint").alias("region_id"),
     ).orderBy("key_id")
+
+
+@query(
+    "ddl_zorder_cluster",
+    oracle="""
+SELECT event_id, user_id, floor(value * 1000000.0) / 1000000.0 AS value
+FROM events WHERE user_id = 7 AND value >= 50.0 ORDER BY event_id
+""",
+    category="ddl",
+)
+def ddl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER analog (r08): ingest events shuffled (worst-case
+    layout), rewrite with cluster_zorder(user_id, value) — Morton
+    interleave of uniform-binned grid cells, timetravel.py
+    cluster_zorder — then serve a BOTH-dimension predicate through
+    scan()'s footer-stat file pruning. Content is layout-invariant, so
+    the oracle is the plain selection; the file-skipping win itself is
+    pinned by test_zorder_prunes_files_on_both_dims."""
+    from walden_spark.timetravel import VersionedTable
+
+    ev = (
+        Tables(spark, sf_dir)
+        .events.select("event_id", "user_id", "value")
+        .orderBy(F.rand(7))
+    )
+    vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_zorder_") + "/t")
+    vt.write(ev.repartition(8))
+    vt.cluster_zorder(["user_id", "value"], n_files=16)
+    return (
+        vt.scan(filters=[("user_id", "=", 7), ("value", ">=", 50.0)])
+        .select(
+            "event_id",
+            "user_id",
+            (F.floor(F.col("value") * 1000000.0) / 1000000.0).alias("value"),
+        )
+        .orderBy("event_id")
+    )

@@ -117,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- new in r08 (window-joined immediately so the guard's
     # every-rotatable-name-in-window invariant holds mid-round) --
     "source_jdbc_roundtrip",
+    "ddl_zorder_cluster",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -126,7 +127,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sql_recursive_cte",
     "subquery_correlated_scalar",
     "sort_nulls_ordering",
-    "distinct_pairs",
     "filter_null_semantics",
     "explode_words",
     "agg_basic",
