@@ -270,10 +270,12 @@ def test_jdbc_scan_pushes_filters_and_partitions(spark, sf_dir, registry):
 
 
 def test_zorder_prunes_files_on_both_dims(spark, sf_dir, tmp_path):
-    """cluster_zorder's reason to exist, measured: after the Morton
-    rewrite, scan()'s footer-stat pruning must skip files for a
-    predicate on EITHER z-dimension — 1-D sort clustering only ever
-    skips on its leading column."""
+    """rewrite_zorder through the SNAPSHOT SCAN path, measured: after
+    the Morton rewrite, scan()'s manifest footer-stat pruning must
+    skip files for a predicate on EITHER z-dimension — 1-D sort
+    clustering only ever skips on its leading column. (The parquet
+    row-group-level complement lives in
+    test_zorder_rewrite_skips_on_every_dimension.)"""
     from pyspark.sql import functions as F
 
     from walden_spark.timetravel import VersionedTable
@@ -286,7 +288,7 @@ def test_zorder_prunes_files_on_both_dims(spark, sf_dir, tmp_path):
     )
     t = VersionedTable(spark, str(tmp_path / "z"))
     t.write(ev.repartition(8))
-    t.cluster_zorder(["user_id", "value"], n_files=16)
+    t.rewrite_zorder(["user_id", "value"], n_files=16)
     total = len(t.read().inputFiles())
     assert total >= 12  # the rewrite actually fanned out
     by_user = len(t.scan(filters=[("user_id", "=", 7)]).inputFiles())

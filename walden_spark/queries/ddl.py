@@ -1206,13 +1206,15 @@ FROM events WHERE user_id = 7 AND value >= 50.0 ORDER BY event_id
     category="ddl",
 )
 def ddl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OPTIMIZE ZORDER analog (r08): ingest events shuffled (worst-case
-    layout), rewrite with cluster_zorder(user_id, value) — Morton
-    interleave of uniform-binned grid cells, timetravel.py
-    cluster_zorder — then serve a BOTH-dimension predicate through
-    scan()'s footer-stat file pruning. Content is layout-invariant, so
-    the oracle is the plain selection; the file-skipping win itself is
-    pinned by test_zorder_prunes_files_on_both_dims."""
+    """OPTIMIZE ZORDER served end-to-end (r08): ingest events shuffled
+    (worst-case layout), rewrite with rewrite_zorder(user_id, value) —
+    the existing quantile-bucketed Morton rewrite,
+    timetravel.py:rewrite_zorder — then serve a BOTH-dimension
+    predicate through scan()'s footer-stat file pruning. Content is
+    layout-invariant, so the oracle is the plain selection; the
+    file-skipping win itself is pinned by
+    test_zorder_prunes_files_on_both_dims (snapshot scan path) and
+    test_zorder_rewrite_skips_on_every_dimension (row-group path)."""
     from walden_spark.timetravel import VersionedTable
 
     ev = (
@@ -1222,7 +1224,7 @@ def ddl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_zorder_") + "/t")
     vt.write(ev.repartition(8))
-    vt.cluster_zorder(["user_id", "value"], n_files=16)
+    vt.rewrite_zorder(["user_id", "value"], n_files=16)
     return (
         vt.scan(filters=[("user_id", "=", 7), ("value", ">=", 50.0)])
         .select(

@@ -2310,6 +2310,20 @@ class VersionedTable:
                 F.lit(0),
                 lambda acc, b: acc + F.when(dcol > b, 1).otherwise(0),
             )
+            # Normalize to the FULL grid (r08): under heavy duplicate
+            # collapse a low-cardinality column's buckets occupy only
+            # [0, len(uniq)] — i.e. only the LOW Morton bits — and the
+            # curve degenerates to a 1-D sort on the other columns, so
+            # that dimension never prunes (seen: user_id with 15
+            # distinct values skipped 0/16 files). Scaling bucket ids
+            # across [0, n_buckets) gives every dimension its high
+            # bits regardless of cardinality — the same normalization
+            # Delta gets from fixed-count range_partition_id. Identity
+            # when boundaries didn't collapse.
+            if uniq and len(uniq) < n_buckets - 1:
+                bucket = F.floor(
+                    bucket * F.lit(n_buckets - 1) / F.lit(len(uniq))
+                ).cast("int")
             # interleave this column's bits into the Morton code:
             # bit k of the bucket lands at position k*len(cols)+ci
             contrib = None
@@ -2486,84 +2500,6 @@ class VersionedTable:
         return self.write(
             cur, operation="compact", branch=branch, sort_by=sort_by, **partition_kwargs
         )
-
-    def cluster_zorder(
-        self,
-        cols: list[str],
-        branch: str = "main",
-        n_files: int | None = None,
-        bits: int = 8,
-    ) -> int:
-        """Delta ``OPTIMIZE ... ZORDER BY`` / Iceberg
-        ``rewrite_data_files(strategy => 'sort', sort_order => zorder(...))``
-        analog: rewrite the snapshot ordered by the MORTON INTERLEAVE of
-        the named columns, so per-file footer min/max ranges become
-        selective on EVERY z-dimension at once — ``sort_by`` clustering
-        only ever skips on its leading column; z-order is the
-        multi-column data-skipping answer (files form hypercubes in
-        value space instead of slabs).
-
-        Mechanics (all JVM-side expressions, one extra pass over the
-        data — the same cost class as compact): each column maps to a
-        ``bits``-bit grid cell by uniform min/max binning (one tiny agg
-        for the bounds, broadcast as literals), the cells' bits are
-        interleaved into one z-key, and the rewrite range-partitions +
-        sorts on that key. Uniform binning keeps the key a pure
-        expression; heavily skewed columns would want quantile
-        boundaries (the sampling RangePartitioner refinement Delta
-        uses) — documented trade, same plan shape. Timestamp columns
-        bin via their epoch micros; strings are unsupported (hash
-        destroys locality — bucket-partition those instead)."""
-        from pyspark.sql import types as T
-
-        df = self.read(branch=branch)
-        schema = {f.name: f.dataType for f in df.schema.fields}
-        exprs = []
-        for c in cols:
-            dt = schema[c]
-            if isinstance(dt, T.TimestampType):
-                col = F.unix_micros(F.col(c)).cast("double")
-            elif isinstance(
-                dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-                     T.FloatType, T.DoubleType)
-            ):
-                col = F.col(c).cast("double")
-            else:
-                raise ValueError(
-                    f"zorder unsupported for {dt.simpleString()} column {c!r}"
-                )
-            exprs.append((c, col))
-        bounds = df.agg(
-            *[F.min(e).alias(f"lo_{c}") for c, e in exprs],
-            *[F.max(e).alias(f"hi_{c}") for c, e in exprs],
-        ).collect()[0]
-        grid = (1 << bits) - 1
-        cells = []
-        for c, e in exprs:
-            lo, hi = float(bounds[f"lo_{c}"]), float(bounds[f"hi_{c}"])
-            span = (hi - lo) or 1.0
-            cell = F.least(
-                F.lit(grid),
-                F.floor((e - F.lit(lo)) / F.lit(span) * F.lit(grid + 1)),
-            ).cast("long")
-            cells.append(F.coalesce(cell, F.lit(0)))  # nulls → cell 0
-        z = F.lit(0).cast("long")
-        for b in range(bits):
-            for i, cell in enumerate(cells):
-                z = z.bitwiseOR(
-                    F.shiftleft(
-                        F.shiftright(cell, b).bitwiseAND(F.lit(1)),
-                        b * len(cells) + i,
-                    )
-                )
-        n_files = n_files or self.spark.sparkContext.defaultParallelism
-        clustered = (
-            df.withColumn("__wz", z)
-            .repartitionByRange(n_files, "__wz")
-            .sortWithinPartitions("__wz")
-            .drop("__wz")
-        )
-        return self.write(clustered, operation="cluster", branch=branch)
 
     def manifests(self) -> DataFrame:
         """Iceberg ``$manifests`` metadata-table analog, extended with
