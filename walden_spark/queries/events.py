@@ -464,3 +464,131 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.floor(z * 1e6) / 1e6).alias("zscore"),
     )
+
+
+@query(
+    "events_interpolate",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+),
+types AS (SELECT DISTINCT event_type FROM events),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+  FROM types, bounds
+),
+agg AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS tv
+  FROM events GROUP BY 1, 2
+),
+cells AS (
+  SELECT s.event_type, s.h, a.n, a.tv,
+         row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS rn
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.h = a.h
+),
+nbr AS (
+  SELECT event_type, h, n, tv, rn,
+         last_value(tv IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_tv,
+         last_value(CASE WHEN tv IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+         first_value(tv IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_tv,
+         first_value(CASE WHEN tv IS NOT NULL THEN rn END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY rn
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn
+  FROM cells
+)
+SELECT event_type,
+       strftime(h, '%Y-%m-%d %H:%M:%S') AS bucket,
+       CAST(COALESCE(n, 0) AS BIGINT) AS n,
+       floor(
+         (CASE WHEN tv IS NOT NULL THEN tv
+               ELSE prev_tv + (next_tv - prev_tv)
+                    * (CAST(rn - prev_rn AS DOUBLE) / CAST(next_rn - prev_rn AS DOUBLE))
+          END) * 1000000.0) / 1000000.0 AS filled_value
+FROM nbr
+ORDER BY event_type, h
+""",
+    category="events",
+)
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation over time-series gaps (r08) — TimescaleDB
+    ``interpolate()`` beside events_gapfill's LOCF: empty hourly cells
+    get prev + (next − prev) · gap_fraction between the nearest
+    observed points on each side; leading/trailing gaps (no neighbor)
+    stay NULL, observed cells pass through.
+
+    Determinism: the gap fraction is ROW-POSITION arithmetic on the
+    dense hour spine (row_number deltas — no epoch/timezone math), the
+    observed values are decimal sums cast to double, and both engines
+    evaluate the identical prev + (next−prev)·(Δrn/Δrn) expression
+    before floor-quantization, so the doubles are bit-identical.
+
+    Scale shape: same as gapfill — the aggregate is partial/final
+    hourly groupBy, the spine is report-sized, and the neighbor lookups
+    are two frames over one window sort per event_type (a single
+    shuffle on the partition key)."""
+    t = Tables(spark, sf_dir)
+    b = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    ).collect()[0]
+    spine = (
+        t.events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.lit(b.h0).cast("timestamp_ntz"),
+                    F.lit(b.h1).cast("timestamp_ntz"),
+                    F.expr("interval 1 hour"),
+                )
+            ).alias("h"),
+        )
+    )
+    agg = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("tv"),
+    )
+    wall = Window.partitionBy("event_type").orderBy("h")
+    cells = (
+        spine.join(agg, ["event_type", "h"], "left")
+        .withColumn("rn", F.row_number().over(wall))
+    )
+    wrn = Window.partitionBy("event_type").orderBy("rn")
+    wprev = wrn.rowsBetween(Window.unboundedPreceding, -1)
+    wnext = wrn.rowsBetween(1, Window.unboundedFollowing)
+    prev_tv = F.last("tv", ignorenulls=True).over(wprev)
+    prev_rn = F.last(
+        F.when(F.col("tv").isNotNull(), F.col("rn")), ignorenulls=True
+    ).over(wprev)
+    next_tv = F.first("tv", ignorenulls=True).over(wnext)
+    next_rn = F.first(
+        F.when(F.col("tv").isNotNull(), F.col("rn")), ignorenulls=True
+    ).over(wnext)
+    frac = (F.col("rn") - prev_rn).cast("double") / (next_rn - prev_rn).cast(
+        "double"
+    )
+    filled = F.when(F.col("tv").isNotNull(), F.col("tv")).otherwise(
+        prev_tv + (next_tv - prev_tv) * frac
+    )
+    return (
+        cells.withColumn("prev_tv", prev_tv)
+        .withColumn("next_tv", next_tv)
+        .select(
+            "event_type",
+            F.date_format("h", _FMT).alias("bucket"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            (F.floor(filled * 1000000.0) / 1000000.0).alias("filled_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )

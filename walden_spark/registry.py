@@ -118,6 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # every-rotatable-name-in-window invariant holds mid-round) --
     "source_jdbc_roundtrip",
     "ddl_zorder_cluster",
+    "events_interpolate",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -130,7 +131,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_null_semantics",
     "explode_words",
     "agg_basic",
-    "agg_count_distinct",
     "agg_unpivot",
     "fn_datetime",
     "fn_regex",
