@@ -965,3 +965,182 @@ def dedup_semantic_cluster(
         "b_id",
         (F.floor(F.col("cs") * 1e6) / 1e6).alias("cos_sim"),
     )
+
+
+# ---- Corpus-overlap matrix via KMV sketches (r08) ----
+# K-minimum-values parameters, mirrored in the oracle SQL. The KMV
+# Jaccard estimator (Beyer et al., "On synopses for distinct-value
+# estimation under multiset operations", SIGMOD 2007; Bar-Yossef et
+# al.'s bottom-k sketches): keep the K smallest hash values of each
+# set; for a pair, take the K smallest of the union of both signatures
+# and count how many live in BOTH — that fraction estimates Jaccard.
+# Signatures are MERGEABLE (union-of-mins), so a corpus-wide
+# source-overlap matrix costs one shingle pass + O(pairs * K) — no
+# pairwise document join, the way you ask "how much does source A
+# duplicate source B" at 100 TB.
+KMV_K = 64
+_OVERLAP_SOURCES = tuple(f"src{i}" for i in range(6))
+
+
+@query(
+    "dedup_source_overlap",
+    oracle=f"""
+WITH docs AS (
+  SELECT source, string_split(text, ' ') AS w FROM documents
+  WHERE source IN {_OVERLAP_SOURCES!r}
+),
+ds AS (
+  SELECT DISTINCT source, s
+  FROM docs, unnest({_SHINGLES_SQL.strip()}) AS t(s)
+),
+hs AS (
+  SELECT DISTINCT source, ('0x' || substr(md5(s),1,15))::BIGINT % {_P} AS h
+  FROM ds
+),
+sigs AS (
+  SELECT source, h FROM (
+    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+    FROM hs
+  ) WHERE rn <= {KMV_K}
+),
+srcs AS (SELECT DISTINCT source FROM ds),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+),
+pm AS (
+  SELECT src_a, src_b, m.source
+  FROM pairs, unnest([src_a, src_b]) AS u(sname)
+  JOIN (SELECT source FROM srcs) m ON m.source = u.sname
+),
+u AS (
+  SELECT p.src_a, p.src_b, s.h, s.source
+  FROM pm p JOIN sigs s ON s.source = p.source
+),
+perh AS (
+  SELECT src_a, src_b, h, COUNT(DISTINCT source) AS nsrc
+  FROM u GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT src_a, src_b, nsrc FROM (
+    SELECT src_a, src_b, nsrc,
+           row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+    FROM perh
+  ) WHERE rn <= {KMV_K}
+),
+est AS (
+  SELECT src_a, src_b,
+         SUM(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS est_cnt,
+         COUNT(*) AS kk
+  FROM topk GROUP BY 1, 2
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM ds GROUP BY 1),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS ninter
+  FROM ds a JOIN ds b ON a.s = b.s AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b,
+       floor(CAST(e.est_cnt AS DOUBLE) / CAST(e.kk AS DOUBLE) * 1000000.0)
+         / 1000000.0 AS est_jaccard,
+       floor(CAST(COALESCE(i.ninter, 0) AS DOUBLE)
+             / CAST(sa.n + sb.n - COALESCE(i.ninter, 0) AS DOUBLE)
+             * 1000000.0) / 1000000.0 AS exact_jaccard,
+       CAST(COALESCE(i.ninter, 0) AS BIGINT) AS inter_shingles,
+       CAST(sa.n + sb.n - COALESCE(i.ninter, 0) AS BIGINT) AS union_shingles
+FROM est e
+JOIN sizes sa ON sa.source = e.src_a
+JOIN sizes sb ON sb.source = e.src_b
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+ORDER BY e.src_a, e.src_b
+""",
+    category="dedup",
+)
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap matrix: KMV (bottom-k) sketch estimate of the
+    shingle-set Jaccard between every source pair, beside the exact
+    number so sketch accuracy is visible in the output (r08).
+
+    Scale shape: ONE pass builds per-source signatures (distinct
+    shingle hash → K smallest per source, a groupBy + windowed top-K —
+    mergeable, O(K) state per source); the pair stage touches only
+    signatures (pairs × 2K rows), never documents. The exact columns
+    exist for verification at fixture scale — production drops them
+    (that self-join on shingles is the cost the sketch avoids).
+    Determinism: the same md5-derived integer hash as the MinHash
+    family, inlined in both engines."""
+    t = Tables(spark, sf_dir)
+    docs = t.documents.filter(F.col("source").isin(*_OVERLAP_SOURCES)).select(
+        "source", _shingles(F.col("text")).alias("sh")
+    )
+    ds = docs.select("source", F.explode("sh").alias("s")).distinct().persist()
+    hs = ds.select("source", _md5int(F.col("s")).alias("h")).distinct()
+    wsig = Window.partitionBy("source").orderBy("h")
+    sigs = (
+        hs.withColumn("rn", F.row_number().over(wsig))
+        .filter(F.col("rn") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = ds.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    pm = pairs.select(
+        "src_a", "src_b", F.explode(F.array("src_a", "src_b")).alias("source")
+    )
+    u = pm.join(sigs, "source")
+    perh = u.groupBy("src_a", "src_b", "h").agg(
+        F.countDistinct("source").alias("nsrc")
+    )
+    wp = Window.partitionBy("src_a", "src_b").orderBy("h")
+    topk = perh.withColumn("rn", F.row_number().over(wp)).filter(
+        F.col("rn") <= KMV_K
+    )
+    est = topk.groupBy("src_a", "src_b").agg(
+        F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).alias("est_cnt"),
+        F.count(F.lit(1)).alias("kk"),
+    )
+    sizes = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ds.select(F.col("source").alias("src_a"), "s")
+        .join(ds.select(F.col("source").alias("src_b"), "s"), "s")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    out = (
+        est.join(sizes.select(F.col("source").alias("src_a"), F.col("n").alias("na")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("n").alias("nb")), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (
+                F.floor(
+                    F.col("est_cnt").cast("double")
+                    / F.col("kk").cast("double")
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("est_jaccard"),
+            (
+                F.floor(
+                    F.coalesce(F.col("ninter"), F.lit(0)).cast("double")
+                    / (
+                        F.col("na") + F.col("nb")
+                        - F.coalesce(F.col("ninter"), F.lit(0))
+                    ).cast("double")
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("exact_jaccard"),
+            F.coalesce(F.col("ninter"), F.lit(0)).cast("bigint").alias("inter_shingles"),
+            (
+                F.col("na") + F.col("nb") - F.coalesce(F.col("ninter"), F.lit(0))
+            ).cast("bigint").alias("union_shingles"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+    return out

@@ -119,12 +119,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_jdbc_roundtrip",
     "ddl_zorder_cluster",
     "events_interpolate",
+    "dedup_source_overlap",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
     "join_asof",
     "join_anti_null_aware",
-    "lateral_topn",
     "sql_recursive_cte",
     "subquery_correlated_scalar",
     "sort_nulls_ordering",
