@@ -301,3 +301,42 @@ def test_zorder_prunes_files_on_both_dims(spark, sf_dir, tmp_path):
         t.scan(filters=[("user_id", "=", 7)]).count()
         == ev.filter("user_id = 7").count()
     )
+
+
+def test_parquet_bloom_skips_row_groups(spark, tmp_path):
+    """write_parquet_bloom's reason to exist, measured: an equality
+    probe on a hash-valued column (min/max stats span the domain in
+    every row group — range skipping impossible) must scan far fewer
+    rows when the file carries blooms than without."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.sources.files import write_parquet_bloom
+
+    df = spark.range(400_000).select(
+        F.md5(F.col("id").cast("string")).alias("k"), F.col("id").alias("v")
+    )
+    write_parquet_bloom(
+        df.coalesce(1), str(tmp_path / "bloom"), ["k"], block_size=256 * 1024
+    )
+    df.coalesce(1).write.option("parquet.block.size", str(256 * 1024)).parquet(
+        str(tmp_path / "plain")
+    )
+    target = df.filter("v = 123456").select("k").collect()[0].k
+
+    def scan_rows(path: str) -> tuple[int, int]:
+        q = spark.read.parquet(path).filter(F.col("k") == target)
+        n = len(q.collect())
+        leaf = q._jdf.queryExecution().executedPlan().collectLeaves().head()
+        it = leaf.metrics().iterator()
+        out = {}
+        while it.hasNext():
+            kv = it.next()
+            out[kv._1()] = kv._2().value()
+        return n, out["numOutputRows"]
+
+    n_b, scan_b = scan_rows(str(tmp_path / "bloom"))
+    n_p, scan_p = scan_rows(str(tmp_path / "plain"))
+    assert n_b == n_p == 1          # same answer
+    assert scan_b * 10 <= scan_p, (  # measured 67x; assert a safe 10x
+        f"bloom should skip row groups: {scan_b} vs {scan_p}"
+    )
