@@ -54,3 +54,43 @@ def test_sql_text_equals_dataframe_q1(spark, sf_dir):
         """
     )
     assert _rows(df_result) == _rows(sql_result)
+
+
+def test_agg_mv_rollup_serves_from_mv(spark, sf_dir, tmp_path):
+    """ddl_mv_rollup_rewrite's serving evidence: a derivable coarser
+    aggregate must READ THE MV's files (never the base parquet), an
+    underivable request must fall back to the base, and the MV answer
+    must equal the direct aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    base = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base.createOrReplaceTempView("mvt_base")
+    spark.sql("DROP TABLE IF EXISTS walden_mvt_rollup")
+    dec_q = "CAST(l_quantity AS DECIMAL(18,2))"
+    cat.create_agg_mv(
+        "walden_mvt_rollup",
+        "mvt_base",
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"sum_q": ("sum", dec_q), "n_rows": ("count", "*")},
+    )
+    try:
+        served = cat.serve_agg(
+            "mvt_base", ["l_returnflag"], {"sum_qty": ("sum", dec_q), "n": ("count", "*")}
+        )
+        mv_files = set(spark.table("walden_mvt_rollup").inputFiles())
+        base_files = set(base.inputFiles())
+        got = set(served.inputFiles())
+        assert got <= mv_files and not (got & base_files), "must serve from the MV"
+        direct = base.groupBy("l_returnflag").agg(
+            F.sum(F.expr(dec_q)).alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        assert sorted(map(tuple, served.collect())) == sorted(map(tuple, direct.collect()))
+        # underivable (min not in MV) -> falls back to the base scan
+        fb = cat.serve_agg("mvt_base", ["l_returnflag"], {"m": ("min", "l_quantity")})
+        assert set(fb.inputFiles()) <= base_files
+    finally:
+        spark.sql("DROP TABLE walden_mvt_rollup")

@@ -166,6 +166,142 @@ class Catalog:
             raise ValueError(f"{name} is not a materialized view")
         return row.value
 
+    # ---- aggregate MVs with automatic rollup serving (r08) ----
+    # The Trino/Calcite materialized-view-rewrite idea in its robust,
+    # declarative form: an agg MV registers (base, group keys, agg
+    # specs) as structured metadata, and serve_agg() answers any
+    # aggregate whose keys are a SUBSET of the MV's keys and whose
+    # aggregates are derivable (SUM/COUNT re-sum, MIN/MAX re-min/max,
+    # AVG = derived SUM/COUNT) by RE-AGGREGATING THE MV instead of
+    # scanning the base — the Druid/Pinot rollup-serving model. At
+    # 100 TB the MV is |distinct key combos| rows vs |base| rows; a
+    # dashboard family over one fact shares one rollup. Metadata lives
+    # in TBLPROPERTIES, so a fresh session re-attaches from the
+    # catalog, not process memory. SUM columns should be exact types
+    # (decimal/integer): two-level decimal sums equal one-level sums
+    # exactly, which is what keeps rollup serving oracle-identical.
+
+    def create_agg_mv(
+        self,
+        name: str,
+        base: str,
+        keys: Sequence[str],
+        aggs: Mapping[str, tuple],
+    ) -> None:
+        """``aggs``: out_col -> (fn, src_col) with fn in
+        sum|count|min|max; count's src is ignored ('*')."""
+        import json as _json
+
+        exprs = []
+        for out, (fn, src) in aggs.items():
+            if fn == "count":
+                exprs.append(f"CAST(COUNT(*) AS BIGINT) AS {out}")
+            elif fn == "sum":
+                exprs.append(f"SUM({src}) AS {out}")
+            elif fn in ("min", "max"):
+                exprs.append(f"{fn.upper()}({src}) AS {out}")
+            else:
+                raise ValueError(f"underivable agg fn {fn!r}")
+        self.spark.sql(
+            f"CREATE TABLE {_q(name)} USING parquet AS "
+            f"SELECT {', '.join(keys)}, {', '.join(exprs)} "
+            f"FROM {_q(base)} GROUP BY {', '.join(keys)}"
+        )
+        meta = _json.dumps(
+            {"base": base, "keys": list(keys), "aggs": {k: list(v) for k, v in aggs.items()}}
+        )
+        self.spark.sql(
+            f"ALTER TABLE {_q(name)} SET TBLPROPERTIES "
+            f"('walden.mv.agg' = {_qs(meta)})"
+        )
+        self._agg_mvs = getattr(self, "_agg_mvs", set()) | {name}
+
+    def _agg_mv_meta(self, name: str) -> dict | None:
+        import json as _json
+
+        row = self.spark.sql(
+            f"SHOW TBLPROPERTIES {_q(name)} ('walden.mv.agg')"
+        ).collect()[0]
+        if "does not have property" in row.value:
+            return None
+        return _json.loads(row.value)
+
+    def serve_agg(
+        self,
+        base: str,
+        keys: Sequence[str],
+        aggs: Mapping[str, tuple],
+    ) -> DataFrame:
+        """Answer ``SELECT keys, aggs FROM base GROUP BY keys`` from the
+        cheapest registered agg MV that can derive it; falls back to
+        the base table when none matches. ``aggs`` adds fn 'avg'
+        (derived as SUM/COUNT — requires the MV to carry both)."""
+        best = None
+        for name in sorted(getattr(self, "_agg_mvs", set())):
+            meta = self._agg_mv_meta(name)
+            if meta is None or meta["base"] != base:
+                continue
+            if not set(keys) <= set(meta["keys"]):
+                continue
+            if self._derive_exprs(meta, aggs) is None:
+                continue
+            nrows = self.spark.table(name).count()
+            if best is None or nrows < best[1]:
+                best = (name, nrows, meta)
+        if best is None:
+            return self._agg_direct(self.spark.table(base), keys, aggs)
+        name, _, meta = best
+        exprs = self._derive_exprs(meta, aggs)
+        return (
+            self.spark.table(name)
+            .groupBy(*keys)
+            .agg(*[e.alias(out) for out, e in exprs])
+        )
+
+    @staticmethod
+    def _derive_exprs(meta: dict, aggs: Mapping[str, tuple]):
+        """Map each requested agg onto the MV's pre-aggregates; None if
+        any is underivable."""
+        by_spec = {}  # (fn, src) -> mv col
+        count_col = None
+        for out, (fn, src) in meta["aggs"].items():
+            by_spec[(fn, src)] = out
+            if fn == "count":
+                count_col = out
+        exprs = []
+        for out, (fn, src) in aggs.items():
+            if fn in ("sum", "min", "max") and (fn, src) in by_spec:
+                mv_col = by_spec[(fn, src)]
+                agg_fn = {"sum": F.sum, "min": F.min, "max": F.max}[fn]
+                exprs.append((out, agg_fn(mv_col)))
+            elif fn == "count" and count_col is not None:
+                exprs.append((out, F.sum(count_col).cast("bigint")))
+            elif fn == "avg" and ("sum", src) in by_spec and count_col is not None:
+                exprs.append(
+                    (
+                        out,
+                        F.sum(by_spec[("sum", src)]).cast("double")
+                        / F.sum(count_col).cast("double"),
+                    )
+                )
+            else:
+                return None
+        return exprs
+
+    @staticmethod
+    def _agg_direct(df: DataFrame, keys: Sequence[str], aggs: Mapping[str, tuple]):
+        exprs = []
+        for out, (fn, src) in aggs.items():
+            if fn == "count":
+                exprs.append(F.count(F.lit(1)).cast("bigint").alias(out))
+            elif fn == "avg":
+                exprs.append(
+                    (F.sum(src).cast("double") / F.count(F.lit(1)).cast("double")).alias(out)
+                )
+            else:
+                exprs.append({"sum": F.sum, "min": F.min, "max": F.max}[fn](src).alias(out))
+        return df.groupBy(*keys).agg(*exprs)
+
     def refresh_materialized_view(self, name: str) -> None:
         select_sql = self.materialized_view_query(name)
         staging = _staging_dir(self.spark)

@@ -1234,3 +1234,67 @@ def ddl_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "ddl_mv_rollup_rewrite",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       floor(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000.0) / 1000000.0 AS avg_qty,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_qty
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    category="ddl",
+)
+def ddl_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view ROLLUP SERVING (r08) — the Trino/Calcite MV
+    query-rewrite idea in its declarative form (catalog.py
+    create_agg_mv/serve_agg): an agg MV over lineitem keyed by
+    (returnflag, linestatus, linenumber) answers the COARSER
+    (returnflag, linestatus) aggregate by re-aggregation — SUM/COUNT
+    re-sum, MIN re-mins, AVG derives as SUM/COUNT — never rescanning
+    the base. The oracle aggregates the base directly: rollup serving
+    must be value-identical (decimal sums make two-level == one-level
+    exactly). The serving-path evidence (the plan reads MV files, not
+    the base) is pinned by test_agg_mv_rollup_serves_from_mv."""
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    t = Tables(spark, sf_dir)
+    t.lineitem.createOrReplaceTempView("mv_li_base")
+    spark.sql("DROP TABLE IF EXISTS walden_mv_li_rollup")
+    dec_q = "CAST(l_quantity AS DECIMAL(18,2))"
+    cat.create_agg_mv(
+        "walden_mv_li_rollup",
+        "mv_li_base",
+        keys=["l_returnflag", "l_linestatus", "l_linenumber"],
+        aggs={
+            "sum_q": ("sum", dec_q),
+            "n_rows": ("count", "*"),
+            "min_q": ("min", "l_quantity"),
+        },
+    )
+    served = cat.serve_agg(
+        "mv_li_base",
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": ("sum", dec_q),
+            "n": ("count", "*"),
+            "avg_qty": ("avg", dec_q),
+            "min_qty": ("min", "l_quantity"),
+        },
+    )
+    out = served.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        "n",
+        (F.floor(F.col("avg_qty") * 1000000.0) / 1000000.0).alias("avg_qty"),
+        F.col("min_qty").cast("double").alias("min_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")
+    rows = out.collect()
+    spark.sql("DROP TABLE walden_mv_li_rollup")
+    return spark.createDataFrame(rows, out.schema)

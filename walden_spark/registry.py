@@ -120,13 +120,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ddl_zorder_cluster",
     "events_interpolate",
     "dedup_source_overlap",
+    "ddl_mv_rollup_rewrite",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
     "join_asof",
     "join_anti_null_aware",
     "sql_recursive_cte",
-    "subquery_correlated_scalar",
     "sort_nulls_ordering",
     "filter_null_semantics",
     "explode_words",
