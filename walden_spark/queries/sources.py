@@ -222,3 +222,42 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(path)
         .orderBy("n_nationkey")
     )
+
+
+@query(
+    "source_python_batch",
+    oracle="""
+SELECT CAST(h % 1000 AS INTEGER) % 10 AS bucket_mod, COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(h % 10000 AS DOUBLE) / 100.0 AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM (SELECT (i * 2654435761 + 42) % 2147483648 AS h
+      FROM (SELECT unnest(range(0, 2000)) AS i))
+GROUP BY 1
+ORDER BY 1
+""",
+    category="scan",
+)
+def source_python_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom BATCH connector in pure Python (r08; Spark 4 DataSource
+    API, the batch sibling of source_python_stream): walden_seq plans
+    REAL input partitions (4 range splits, each generated
+    executor-side — no driver data path) and the aggregate proves the
+    rows; the oracle replays the generator formula in SQL. This is the
+    template for wrapping any Python-reachable system (REST APIs,
+    custom binary formats) as a parallel Spark source."""
+    from walden_spark.sources.pyds import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("walden_seq")
+        .option("n", "2000")
+        .option("partitions", "4")
+        .load()
+    )
+    return (
+        df.groupBy((F.col("bucket") % 10).alias("bucket_mod"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .orderBy("bucket_mod")
+    )

@@ -121,15 +121,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_interpolate",
     "dedup_source_overlap",
     "ddl_mv_rollup_rewrite",
+    "source_python_batch",
+    "join_interval_overlap",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
     "join_asof",
     "join_anti_null_aware",
-    "sql_recursive_cte",
     "sort_nulls_ordering",
     "filter_null_semantics",
-    "explode_words",
     "agg_basic",
     "agg_unpivot",
     "fn_datetime",
