@@ -333,3 +333,73 @@ def test_embedding_lsh_arrow_verify_same_pairs(spark, sf_dir):
     }
     assert set(arrow) == set(fold)
     assert all(abs(arrow[k] - fold[k]) < 2e-6 for k in arrow)
+
+
+# intervals with negative/zero-length cases: (id, lo, length>=0)
+_interval = st.tuples(
+    st.integers(min_value=-40, max_value=40), st.integers(min_value=0, max_value=25)
+)
+_intervals = st.lists(_interval, min_size=0, max_size=10)
+
+
+@SETTINGS
+@given(xs=_intervals, ys=_intervals, w=st.sampled_from([3.0, 7.0, 10.0]))
+def test_interval_overlap_join_matches_theta(spark, xs, ys, w):
+    """interval_overlap_join (r08): the binned rewrite with
+    first-shared-bin dedup must return EXACTLY the naive theta-join
+    pair set on arbitrary intervals — including zero-length, negative
+    coordinates, and bin-boundary-straddling cases."""
+    from walden_spark.operators.rangejoin import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(xs)] or [],
+        "a_id int, a_lo double, a_hi double",
+    )
+    b = spark.createDataFrame(
+        [(i, float(lo), float(lo + ln)) for i, (lo, ln) in enumerate(ys)] or [],
+        "b_id int, b_lo double, b_hi double",
+    )
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            a, b, "a_lo", "a_hi", "b_lo", "b_hi", bin_width=w
+        ).collect()
+    }
+    want = {
+        (i, j)
+        for i, (alo, aln) in enumerate(xs)
+        for j, (blo, bln) in enumerate(ys)
+        if alo < blo + bln and blo < alo + aln
+    }
+    assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),      # LOW-cardinality dim
+            st.integers(min_value=-1000, max_value=1000),  # high-cardinality dim
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_zorder_rewrite_preserves_content(spark, tmp_path_factory, rows):
+    """rewrite_zorder (r08 normalization fix): the clustering rewrite
+    is layout-only — multiset content identical on arbitrary frames,
+    including the low-cardinality columns whose quantile boundaries
+    collapse (the degeneracy the r08 fix addressed)."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(
+        spark, str(tmp_path_factory.mktemp("zprop") / "t")
+    )
+    df = spark.createDataFrame(
+        [(i, a, float(b)) for i, (a, b) in enumerate(rows)], "id long, x int, y double"
+    )
+    t.write(df)
+    t.rewrite_zorder(["x", "y"], bits=4, n_files=4)
+    got = sorted((r.id, r.x, r.y) for r in t.read().collect())
+    want = sorted((i, a, float(b)) for i, (a, b) in enumerate(rows))
+    assert got == want
