@@ -340,3 +340,50 @@ def test_parquet_bloom_skips_row_groups(spark, tmp_path):
     assert scan_b * 10 <= scan_p, (  # measured 67x; assert a safe 10x
         f"bloom should skip row groups: {scan_b} vs {scan_p}"
     )
+
+
+def test_cbo_reorders_pessimal_join(spark, tmp_path):
+    """Stats-driven join reordering (the Trino-CBO behavior; r08):
+    with ANALYZE'd tables, a query written in a pessimal order —
+    fact JOIN fact first, tiny selective dim last — must be reordered
+    so the dim joins the fact BEFORE the fact-fact join. cbo.enabled
+    alone never does this (the reorder rule has its own flag, now a
+    session default)."""
+    import re
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("cb_fact", "cb_mid", "cb_dim"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    spark.range(200_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("d")
+    ).write.saveAsTable("cb_fact")
+    spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 1000).alias("m")
+    ).write.saveAsTable("cb_mid")
+    spark.range(100).select(
+        F.col("id").alias("d"), F.lit("x").alias("nm")
+    ).write.saveAsTable("cb_dim")
+    try:
+        for t in ("cb_fact", "cb_mid", "cb_dim"):
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        q = (
+            "SELECT f.k FROM cb_fact f JOIN cb_mid m ON f.k = m.k "
+            "JOIN cb_dim d ON f.d = d.d WHERE d.d < 5"
+        )
+        assert spark.conf.get("spark.sql.cbo.joinReorder.enabled") == "true"
+        plan = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+        order = []
+        for r in re.findall(r"cb_(fact|mid|dim)", plan):
+            if r not in order:
+                order.append(r)
+        assert order.index("dim") < order.index("mid"), (
+            f"selective dim should join before the fact-fact join: {order}"
+        )
+    finally:
+        for t in ("cb_fact", "cb_mid", "cb_dim"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -80,7 +80,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.ansi.enabled", "true")
-        .config("spark.sql.cbo.enabled", "true")  # use ANALYZE stats (join reorder, EXPLAIN COST)
+        .config("spark.sql.cbo.enabled", "true")  # use ANALYZE stats (EXPLAIN COST)
+        # cbo.enabled alone never reorders joins — the reorder rule has
+        # its own flag (r08; verified: a pessimal fact⋈fact⋈dim order
+        # only flips to fact⋈dim-first with this on). This is the
+        # stats-driven join ordering Trino's CBO gives the reference;
+        # plan-gated in test_plans.py::test_cbo_reorders_pessimal_join.
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
