@@ -71,12 +71,16 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # stalest previously-witnessed names (mostly first seen r01/r02) for
 # re-witnessing. agg_collect_sorted is now IN (r07 reworked it to
 # serialize its arrays; the r07 exclusion is stale — VERDICT r07
-# "What's wrong"). If this window goes green, cumulative
-# driver-verified reaches 221/234 — every driver-verifiable query
-# witnessed at least once; only the 13 rows-only names remain outside
-# (nondeterministic by nature, weaker rows-only driver check).
-# ddl_introspection gained a cross-engine oracle in r08 (VERDICT r07
-# #8) and joins the window in place of the values_inline re-witness.
+# "What's wrong"). Queries ADDED during r08 (source_jdbc_roundtrip,
+# ddl_zorder_cluster, events_interpolate, dedup_source_overlap,
+# ddl_mv_rollup_rewrite, source_python_batch, join_interval_overlap,
+# plus ddl_introspection's new oracle) joined the window immediately,
+# each displacing one re-witness anchor, so the drift guard's
+# every-rotatable-name-in-window invariant holds mid-round. If this
+# window goes green, cumulative driver-verified reaches 228/241 —
+# every driver-verifiable query witnessed at least once; only the 13
+# rows-only names remain outside (nondeterministic by nature, weaker
+# rows-only driver check).
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py) uses it to stay green
