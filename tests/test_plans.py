@@ -387,3 +387,47 @@ def test_cbo_reorders_pessimal_join(spark, tmp_path):
     finally:
         for t in ("cb_fact", "cb_mid", "cb_dim"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """SCALING.md's skew story leans on AQE skew-join; this pins that
+    the machinery actually engages: a hot-key join under observation-
+    friendly thresholds must show SortMergeJoin(skew=true) with an
+    AQEShuffleRead skewed split in the EXECUTED adaptive plan.
+    (Detection is on post-compression shuffle bytes — a constant-key
+    partition RLE-compresses below any threshold, which is why the
+    payload is random and why production thresholds are byte-based.)"""
+    from pyspark.sql import functions as F
+
+    left = spark.range(600_000).select(
+        F.when(F.col("id") < 500_000, 0).otherwise(F.col("id")).alias("k"),
+        F.rand(7).alias("v"),
+    )
+    right = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        j = left.join(right, "k").groupBy().count()
+        # hot key (500k rows) matches right key 0; ids >= 500k miss
+        assert j.collect()[0][0] == 500_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
