@@ -94,3 +94,43 @@ def test_agg_mv_rollup_serves_from_mv(spark, sf_dir, tmp_path):
         assert set(fb.inputFiles()) <= base_files
     finally:
         spark.sql("DROP TABLE walden_mvt_rollup")
+
+
+def test_agg_mv_refresh_catches_up_with_base(spark, tmp_path):
+    """Agg-MV freshness contract: serve_agg answers as-at the last
+    refresh (the Trino MV grace semantics); refresh_agg_mv re-runs the
+    stored definition and the next serve reflects the new base."""
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "g int, x double"
+    ).createOrReplaceTempView("mvr_base")
+    spark.sql("DROP TABLE IF EXISTS walden_mvr")
+    cat.create_agg_mv(
+        "walden_mvr", "mvr_base",
+        keys=["g"], aggs={"s": ("sum", "x"), "n": ("count", "*")},
+    )
+    try:
+        first = {
+            r.g: (r.s, r.n)
+            for r in cat.serve_agg("mvr_base", ["g"], {"s": ("sum", "x"), "n": ("count", "*")}).collect()
+        }
+        assert first == {1: (30.0, 2), 2: (5.0, 1)}
+        # base moves; the MV serves the stale-but-consistent snapshot
+        spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0), (2, 95.0)], "g int, x double"
+        ).createOrReplaceTempView("mvr_base")
+        stale = {
+            r.g: (r.s, r.n)
+            for r in cat.serve_agg("mvr_base", ["g"], {"s": ("sum", "x"), "n": ("count", "*")}).collect()
+        }
+        assert stale == first
+        cat.refresh_agg_mv("walden_mvr")
+        fresh = {
+            r.g: (r.s, r.n)
+            for r in cat.serve_agg("mvr_base", ["g"], {"s": ("sum", "x"), "n": ("count", "*")}).collect()
+        }
+        assert fresh == {1: (30.0, 2), 2: (100.0, 2)}
+    finally:
+        spark.sql("DROP TABLE walden_mvr")

@@ -226,6 +226,35 @@ class Catalog:
             return None
         return _json.loads(row.value)
 
+    def refresh_agg_mv(self, name: str) -> None:
+        """Full refresh from the stored definition. Freshness is
+        EXPLICIT, as with ``refresh_materialized_view``: serve_agg
+        answers from the MV as-at its last refresh (the Trino
+        MV contract — a grace-period-stale read); pair the base with a
+        versioned table + incremental MV when continuous freshness is
+        needed (timetravel.py)."""
+        meta = self._agg_mv_meta(name)
+        if meta is None:
+            raise ValueError(f"{name} is not an agg MV")
+        exprs = []
+        for out, (fn, src) in meta["aggs"].items():
+            if fn == "count":
+                exprs.append(f"CAST(COUNT(*) AS BIGINT) AS {out}")
+            else:
+                exprs.append(f"{fn.upper()}({src}) AS {out}")
+        keys = meta["keys"]
+        staging = _staging_dir(self.spark)
+        self.spark.sql(
+            f"SELECT {', '.join(keys)}, {', '.join(exprs)} "
+            f"FROM {_q(meta['base'])} GROUP BY {', '.join(keys)}"
+        ).write.mode("overwrite").parquet(staging)
+        try:
+            self.spark.read.parquet(staging).write.mode("overwrite").insertInto(
+                name, overwrite=True
+            )
+        finally:
+            _rm_path(self.spark, staging)
+
     def serve_agg(
         self,
         base: str,
