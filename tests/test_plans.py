@@ -431,3 +431,13 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_jdbc_catalog_pushes_aggregates(spark, sf_dir, registry):
+    """Federated aggregate pushdown: the GROUP BY must execute inside
+    the remote engine — PushedAggregates/PushedGroupByExpressions in
+    the scan, so only group rows cross the wire."""
+    df = registry["source_jdbc_agg_pushdown"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "PushedAggregates:" in plan and "COUNT(" in plan, plan[:1500]
+    assert "PushedGroupByExpressions:" in plan

@@ -261,3 +261,40 @@ def source_python_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_mod")
     )
+
+
+@query(
+    "source_jdbc_agg_pushdown",
+    oracle="""
+SELECT n_regionkey, COUNT(*) AS n, CAST(SUM(n_nationkey) AS BIGINT) AS key_sum
+FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    category="scan",
+)
+def source_jdbc_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Federated AGGREGATE pushdown (r08) — the full Trino-connector
+    behavior: the remote RDBMS is mounted as a DSv2 catalog
+    (sources/jdbc.py register_jdbc_catalog) and the GROUP BY executes
+    INSIDE the remote engine — the plan carries PushedAggregates /
+    PushedGroupByExpressions (gated in
+    test_plans.py::test_jdbc_catalog_pushes_aggregates) and only group
+    rows cross the wire. Embedded Derby stands in for the remote."""
+    import uuid as _uuid
+
+    from walden_spark.sources import jdbc
+
+    t = Tables(spark, sf_dir)
+    cat = "fedcat"
+    db = tempfile.mkdtemp(prefix="walden_jdbccat_") + "/fed"
+    jdbc.register_jdbc_catalog(spark, cat, jdbc.derby_url(db))
+    tbl = f"{cat}.NATION_AGG_{_uuid.uuid4().hex[:6].upper()}"
+    t.nation.select("n_nationkey", "n_regionkey").writeTo(tbl).create()
+    return (
+        spark.table(tbl)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("n_regionkey")
+    )

@@ -127,6 +127,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ddl_mv_rollup_rewrite",
     "source_python_batch",
     "join_interval_overlap",
+    "source_jdbc_agg_pushdown",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sort_nulls_ordering",
     "filter_null_semantics",
     "agg_basic",
-    "agg_unpivot",
     "fn_datetime",
     "fn_regex",
     "dedup_exact",

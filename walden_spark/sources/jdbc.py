@@ -27,6 +27,30 @@ def derby_url(db_path: str, create: bool = True) -> str:
     return f"jdbc:derby:{db_path}{';create=true' if create else ''}"
 
 
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    driver: str = DERBY_DRIVER,
+    push_agg: bool = True,
+) -> None:
+    """Mount a remote RDBMS as a Spark CATALOG (DSv2 JDBCTableCatalog)
+    — the full Trino-connector-catalog analog: `spark.table("name.T")`
+    plans against the remote table and Spark pushes FILTERS,
+    AGGREGATES, GROUP BY, and LIMIT into the remote SQL (plan shows
+    `PushedAggregates` / `PushedGroupByExpressions`), so a federated
+    `GROUP BY` ships back only group rows, not the table. Catalogs are
+    instantiated lazily, so runtime conf registration works."""
+    spark.conf.set(
+        f"spark.sql.catalog.{name}",
+        "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog",
+    )
+    spark.conf.set(f"spark.sql.catalog.{name}.url", url)
+    spark.conf.set(f"spark.sql.catalog.{name}.driver", driver)
+    spark.conf.set(f"spark.sql.catalog.{name}.pushDownAggregate", str(push_agg).lower())
+    spark.conf.set(f"spark.sql.catalog.{name}.pushDownLimit", "true")
+
+
 def write_jdbc(
     df: DataFrame, url: str, table: str, driver: str = DERBY_DRIVER,
     mode: str = "error",
