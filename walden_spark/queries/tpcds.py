@@ -1171,3 +1171,79 @@ def tpcds_fx_dim_filter_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
             lineitem="fx3_lineitem", orders="fx3_orders", part="fx3_part"
         )
     )
+
+
+@_tpcds(
+    "tpcds_q97_channel_overlap",
+    """
+WITH ssc AS (SELECT DISTINCT ss_customer_sk AS ck FROM store_sales),
+wsc AS (SELECT DISTINCT ws_customer_sk AS ck FROM web_sales)
+SELECT CAST(SUM(CASE WHEN s.ck IS NOT NULL AND w.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS store_only,
+       CAST(SUM(CASE WHEN s.ck IS NULL AND w.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS web_only,
+       CAST(SUM(CASE WHEN s.ck IS NOT NULL AND w.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+FROM ssc s FULL OUTER JOIN wsc w ON s.ck = w.ck
+""",
+)
+def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97 shape (r08): customer-overlap census between two
+    sales channels — DISTINCT per channel, FULL OUTER on the customer
+    key, one-row store-only/web-only/both counts. Scale shape: the
+    distincts reduce each fact to its customer set before the join,
+    so the outer join runs on |customers|, not |sales|."""
+    g = _gen(spark)
+    ssc = g.store_sales().select(F.col("ss_customer_sk").alias("s_ck")).distinct()
+    wsc = g.web_sales().select(F.col("ws_customer_sk").alias("w_ck")).distinct()
+    j = ssc.join(wsc, F.col("s_ck") == F.col("w_ck"), "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("s_ck").isNotNull() & F.col("w_ck").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("store_only"),
+        F.sum(
+            F.when(F.col("s_ck").isNull() & F.col("w_ck").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("web_only"),
+        F.sum(
+            F.when(F.col("s_ck").isNotNull() & F.col("w_ck").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("both_channels"),
+    )
+
+
+@query(
+    "tpcds_fx_channel_overlap",
+    oracle="""
+WITH ec AS (SELECT DISTINCT o_custkey AS ck FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+sc AS (SELECT DISTINCT o_custkey AS ck FROM orders
+       WHERE o_orderpriority IN ('4-NOT SPECIFIED', '5-LOW'))
+SELECT CAST(SUM(CASE WHEN e.ck IS NOT NULL AND s.ck IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS express_only,
+       CAST(SUM(CASE WHEN e.ck IS NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS economy_only,
+       CAST(SUM(CASE WHEN e.ck IS NOT NULL AND s.ck IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_channels
+FROM ec e FULL OUTER JOIN sc s ON e.ck = s.ck
+""",
+    category="tpcds",
+)
+def tpcds_fx_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q97's overlap census on the fixture tables (hash-verified
+    companion of tpcds_q97_channel_overlap): express vs economy
+    priority channels from orders, FULL OUTER on custkey, one row of
+    exclusive/both counts."""
+    t = Tables(spark, sf_dir)
+    ec = (
+        t.orders.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(F.col("o_custkey").alias("e_ck")).distinct()
+    )
+    sc = (
+        t.orders.filter(F.col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"))
+        .select(F.col("o_custkey").alias("s_ck")).distinct()
+    )
+    j = ec.join(sc, F.col("e_ck") == F.col("s_ck"), "full_outer")
+    return j.agg(
+        F.sum(
+            F.when(F.col("e_ck").isNotNull() & F.col("s_ck").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("express_only"),
+        F.sum(
+            F.when(F.col("e_ck").isNull() & F.col("s_ck").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("economy_only"),
+        F.sum(
+            F.when(F.col("e_ck").isNotNull() & F.col("s_ck").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("both_channels"),
+    )

@@ -128,6 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "source_python_batch",
     "join_interval_overlap",
     "source_jdbc_agg_pushdown",
+    "tpcds_fx_channel_overlap",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -137,7 +138,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_null_semantics",
     "agg_basic",
     "fn_datetime",
-    "fn_regex",
     "dedup_exact",
     "text_quality_score",
     "range_join_binned",
