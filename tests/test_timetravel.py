@@ -3051,3 +3051,22 @@ def test_show_stats_for(spark, tmp_path):
     assert stats["id"].low_value == "0" and stats["id"].high_value == "500"
     assert stats["v"].low_value == "-1.0" and stats["v"].high_value == "198.0"
     assert stats["id"].row_count == 101
+
+
+def test_maybe_compact_policy(spark, vt):
+    """Auto-compaction fires only past the layer/file thresholds, is a
+    cheap no-op on a healthy table, and preserves content."""
+    assert vt.maybe_compact(max_layers=8, max_files=64) is None  # healthy
+    for i in range(4):
+        vt.append(
+            spark.createDataFrame([(100 + i, 1.0)], "id long, v double")
+        )
+    # 5 layers (base + 4 MoR appends) <= 8: still a no-op
+    assert vt.maybe_compact(max_layers=8, max_files=64) is None
+    before = sorted(r.id for r in vt.read().collect())
+    v = vt.maybe_compact(max_layers=3, max_files=64)
+    assert v is not None and vt.head("main") == v
+    assert vt._manifests()[-1]["operation"] == "compact"
+    assert sorted(r.id for r in vt.read().collect()) == before
+    # freshly compacted: healthy again
+    assert vt.maybe_compact(max_layers=3, max_files=64) is None

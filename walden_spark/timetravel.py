@@ -2501,6 +2501,39 @@ class VersionedTable:
             cur, operation="compact", branch=branch, sort_by=sort_by, **partition_kwargs
         )
 
+    def maybe_compact(
+        self,
+        branch: str = "main",
+        max_layers: int = 8,
+        max_files: int = 64,
+        **compact_kwargs,
+    ) -> int | None:
+        """Policy-driven auto-compaction (Delta auto-compact / Iceberg
+        maintenance-scheduler analog, r08): compact ONLY when the head's
+        merge-on-read chain is deeper than ``max_layers`` or its total
+        file count exceeds ``max_files`` — both read from manifests, no
+        data scan, so calling this after every ingest batch costs
+        microseconds until it actually fires. Returns the new version
+        when compaction ran, None when the table is already healthy.
+        A 24/7 ingest calls this per batch instead of hand-picking a
+        cadence; expire_versions stays a separate retention decision."""
+        head = self.head(branch)
+        if head is None:
+            return None
+        by_v = {m["version"]: m for m in self._manifests()}
+        layers = files = 0
+        v = head
+        while v is not None and v in by_v:
+            m = by_v[v]
+            layers += 1
+            files += len(m.get("files") or [])
+            if not m.get("mor"):
+                break
+            v = m.get("parent")
+        if layers <= max_layers and files <= max_files:
+            return None
+        return self.compact(branch=branch, **compact_kwargs)
+
     def manifests(self) -> DataFrame:
         """Iceberg ``$manifests`` metadata-table analog, extended with
         the r07 checkpoint plane: one row per retained snapshot
