@@ -76,11 +76,12 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # ddl_mv_rollup_rewrite, source_python_batch, join_interval_overlap,
 # plus ddl_introspection's new oracle) joined the window immediately,
 # each displacing one re-witness anchor, so the drift guard's
-# every-rotatable-name-in-window invariant holds mid-round. If this
-# window goes green, cumulative driver-verified reaches 228/241 —
-# every driver-verifiable query witnessed at least once; only the 13
-# rows-only names remain outside (nondeterministic by nature, weaker
-# rows-only driver check).
+# every-rotatable-name-in-window invariant holds mid-round (final
+# r08 window: 13 flagships + 13 rotation queue + 10 r08-new + 14
+# stale re-witnesses). If this window goes green, cumulative
+# driver-verified reaches 230/244 — every driver-verifiable query
+# witnessed at least once; only the 14 rows-only names remain outside
+# (nondeterministic by nature, weaker rows-only driver check).
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py) uses it to stay green
