@@ -403,3 +403,55 @@ def test_zorder_rewrite_preserves_content(spark, tmp_path_factory, rows):
     got = sorted((r.id, r.x, r.y) for r in t.read().collect())
     want = sorted((i, a, float(b)) for i, (a, b) in enumerate(rows))
     assert got == want
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # key a
+            st.integers(min_value=0, max_value=2),   # key b
+            st.integers(min_value=-50, max_value=50),  # measure (int: exact sums)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    ask_keys=st.sampled_from([["ka"], ["kb"], ["ka", "kb"]]),
+)
+def test_agg_mv_rollup_matches_direct(spark, tmp_path_factory, rows, ask_keys):
+    """MV rollup serving (r08): for ANY base frame and ANY requested
+    key subset, re-aggregating the (ka, kb) MV must equal aggregating
+    the base directly — sum/count/min/max/avg all derivable."""
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    spark.createDataFrame(rows, "ka int, kb int, x int").createOrReplaceTempView(
+        "mvp_base"
+    )
+    spark.sql("DROP TABLE IF EXISTS walden_mvp")
+    cat.create_agg_mv(
+        "walden_mvp", "mvp_base",
+        keys=["ka", "kb"],
+        aggs={
+            "s": ("sum", "x"), "n": ("count", "*"),
+            "mn": ("min", "x"), "mx": ("max", "x"),
+        },
+    )
+    try:
+        aggs = {
+            "s": ("sum", "x"), "n": ("count", "*"),
+            "mn": ("min", "x"), "mx": ("max", "x"), "a": ("avg", "x"),
+        }
+        served = cat.serve_agg("mvp_base", ask_keys, aggs)
+        # serving evidence: reads the MV, not the base
+        assert set(served.inputFiles()) <= set(
+            spark.table("walden_mvp").inputFiles()
+        )
+        direct = cat._agg_direct(spark.table("mvp_base"), ask_keys, aggs)
+        canon = lambda df: sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.select(*ask_keys, "s", "n", "mn", "mx", "a").collect()
+        )
+        assert canon(served) == canon(direct)
+    finally:
+        spark.sql("DROP TABLE walden_mvp")
