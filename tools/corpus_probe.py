@@ -43,6 +43,7 @@ PROBE_QUERIES = (
     "text_weighted_sample",
     "knn_lsh_bucketed",
     "ann_ivf_pq",
+    "dedup_source_overlap",
 )
 
 
@@ -129,6 +130,14 @@ def main() -> None:
 
             df = dedup_embedding_lsh(
                 spark, out, n_tables=4, n_planes=planes, arrow_verify=True
+            )
+        elif n == "dedup_source_overlap":
+            # sketch-only production shape on this corpus's 3 sources:
+            # the exact self-join is the cost the sketch exists to avoid
+            from walden_spark.operators.dedup import dedup_source_overlap
+
+            df = dedup_source_overlap(
+                spark, out, sources=("web", "book", "code"), include_exact=False
             )
         else:
             df = reg[n].fn(spark, out)

@@ -1056,7 +1056,12 @@ ORDER BY e.src_a, e.src_b
 """,
     category="dedup",
 )
-def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_source_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    sources: tuple = _OVERLAP_SOURCES,
+    include_exact: bool = True,
+) -> DataFrame:
     """Corpus-overlap matrix: KMV (bottom-k) sketch estimate of the
     shingle-set Jaccard between every source pair, beside the exact
     number so sketch accuracy is visible in the output (r08).
@@ -1068,20 +1073,34 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     exist for verification at fixture scale — production drops them
     (that self-join on shingles is the cost the sketch avoids).
     Determinism: the same md5-derived integer hash as the MinHash
-    family, inlined in both engines."""
+    family, inlined in both engines. ``include_exact=False`` is the
+    production/probe shape — signatures only, no exact columns (the
+    corpus probe times it at 10x the fixture)."""
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("source").isin(*_OVERLAP_SOURCES)).select(
+    docs = t.documents.filter(F.col("source").isin(*sources)).select(
         "source", _shingles(F.col("text")).alias("sh")
     )
-    ds = docs.select("source", F.explode("sh").alias("s")).distinct().persist()
-    hs = ds.select("source", _md5int(F.col("s")).alias("h")).distinct()
+    exploded = docs.select("source", F.explode("sh").alias("s"))
+    if include_exact:
+        # the exact branch reuses the distinct string shingles 3×
+        ds = exploded.distinct().persist()
+        hs = ds.select("source", _md5int(F.col("s")).alias("h")).distinct()
+    else:
+        # sketch-only (production/probe): hash FIRST and distinct once
+        # on (source, 8-byte h) — no string-shingle distinct at all
+        ds = None
+        hs = exploded.select(
+            "source", _md5int(F.col("s")).alias("h")
+        ).distinct()
     wsig = Window.partitionBy("source").orderBy("h")
     sigs = (
         hs.withColumn("rn", F.row_number().over(wsig))
         .filter(F.col("rn") <= KMV_K)
         .select("source", "h")
     )
-    srcs = ds.select("source").distinct()
+    # sources straight off the doc table — NOT via the exploded frame,
+    # whose whole shingle lineage would recompute just to list sources
+    srcs = docs.select("source").distinct()
     pairs = (
         srcs.select(F.col("source").alias("src_a"))
         .join(srcs.select(F.col("source").alias("src_b")))
@@ -1102,6 +1121,19 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).alias("est_cnt"),
         F.count(F.lit(1)).alias("kk"),
     )
+    if not include_exact:
+        return est.select(
+            "src_a",
+            "src_b",
+            (
+                F.floor(
+                    F.col("est_cnt").cast("double")
+                    / F.col("kk").cast("double")
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("est_jaccard"),
+        ).orderBy("src_a", "src_b")
     sizes = ds.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         ds.select(F.col("source").alias("src_a"), "s")
