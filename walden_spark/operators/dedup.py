@@ -1061,6 +1061,7 @@ def dedup_source_overlap(
     sf_dir: str,
     sources: tuple = _OVERLAP_SOURCES,
     include_exact: bool = True,
+    kmv_k: int = KMV_K,
 ) -> DataFrame:
     """Corpus-overlap matrix: KMV (bottom-k) sketch estimate of the
     shingle-set Jaccard between every source pair, beside the exact
@@ -1095,7 +1096,7 @@ def dedup_source_overlap(
     wsig = Window.partitionBy("source").orderBy("h")
     sigs = (
         hs.withColumn("rn", F.row_number().over(wsig))
-        .filter(F.col("rn") <= KMV_K)
+        .filter(F.col("rn") <= kmv_k)
         .select("source", "h")
     )
     # sources straight off the doc table — NOT via the exploded frame,
@@ -1115,7 +1116,7 @@ def dedup_source_overlap(
     )
     wp = Window.partitionBy("src_a", "src_b").orderBy("h")
     topk = perh.withColumn("rn", F.row_number().over(wp)).filter(
-        F.col("rn") <= KMV_K
+        F.col("rn") <= kmv_k
     )
     est = topk.groupBy("src_a", "src_b").agg(
         F.sum(F.when(F.col("nsrc") == 2, 1).otherwise(0)).alias("est_cnt"),
