@@ -1085,3 +1085,74 @@ def text_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang_g", "source_g")
     )
+
+
+@query(
+    "text_temperature_mix",
+    oracle="""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+         CAST(MAX(tokens) AS BIGINT) AS max_tokens
+  FROM per
+)
+SELECT source, n_docs, tokens,
+       CAST(floor(tokens * 1000000 / total_tokens) AS BIGINT) AS nat_share_ppm,
+       floor(sqrt(CAST(max_tokens AS DOUBLE) / CAST(tokens AS DOUBLE))
+             * 1000000.0) / 1000000.0 AS temp_upsample6
+FROM per, tot
+ORDER BY source
+""",
+    category="text",
+)
+def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing weights (r08) — the data-mixing
+    step every multi-source pretraining corpus goes through (GPT-3 /
+    PaLM style): at temperature alpha = 0.5 a source's sampling weight
+    is proportional to its token share raised to alpha, which means a
+    source gets upsampled relative to the LARGEST source by
+    sqrt(max_tokens / tokens). The report emits per-source doc/token
+    counts, the natural token share (exact integer ppm), and that
+    relative upsample factor.
+
+    Determinism: the only float op is ONE division + ONE sqrt on exact
+    bigint token counts — both IEEE-correctly-rounded and identical
+    cross-engine (libm pow(x, 0.5) is NOT guaranteed correctly rounded,
+    and normalizing by sum-of-doubles would be summation-order-
+    dependent, so the factor normalizes by max instead). Scale shape:
+    one partial/final groupBy over the corpus + a broadcast one-row
+    total."""
+    t = Tables(spark, sf_dir)
+    per = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").cast("bigint").alias("total_tokens"),
+        F.max("tokens").cast("bigint").alias("max_tokens"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "tokens",
+            F.floor(F.col("tokens") * 1000000 / F.col("total_tokens"))
+            .cast("bigint")
+            .alias("nat_share_ppm"),
+            (
+                F.floor(
+                    F.sqrt(
+                        F.col("max_tokens").cast("double")
+                        / F.col("tokens").cast("double")
+                    )
+                    * 1000000.0
+                )
+                / 1000000.0
+            ).alias("temp_upsample6"),
+        )
+        .orderBy("source")
+    )

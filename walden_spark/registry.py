@@ -130,6 +130,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "join_interval_overlap",
     "source_jdbc_agg_pushdown",
     "tpcds_fx_channel_overlap",
+    "text_temperature_mix",
     # -- re-witness anchors: stalest previously-verified names --
     "tpch_q5",
     "tpch_q18",
@@ -140,7 +141,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_basic",
     "fn_datetime",
     "dedup_exact",
-    "text_quality_score",
     "range_join_binned",
     "events_hypertable_rollup",
     "source_csv_roundtrip",
