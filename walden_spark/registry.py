@@ -77,9 +77,9 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # plus ddl_introspection's new oracle) joined the window immediately,
 # each displacing one re-witness anchor, so the drift guard's
 # every-rotatable-name-in-window invariant holds mid-round (final
-# r08 window: 13 flagships + 13 rotation queue + 10 r08-new + 14
+# r08 window: 13 flagships + 13 rotation queue + 11 r08-new + 13
 # stale re-witnesses). If this window goes green, cumulative
-# driver-verified reaches 230/244 — every driver-verifiable query
+# driver-verified reaches 231/245 — every driver-verifiable query
 # witnessed at least once; only the 14 rows-only names remain outside
 # (nondeterministic by nature, weaker rows-only driver check).
 #
