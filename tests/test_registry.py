@@ -81,65 +81,49 @@ def test_driver_window_emits_hashable_types(spark, sf_dir):
 
 
 def test_rotation_queue_cannot_drift():
-    """VERDICT r06 #7 / r07 "What's wrong": the rotation queue is
-    DERIVED from the recorded CORRECTNESS files
-    (tools/rotation_queue.py), never hand-counted, and the guard is
-    ROUND-BOUNDARY-AWARE. Three states, keyed by DRIVER_WINDOW_ROUND
-    vs the newest CORRECTNESS_r*.json round:
+    """VERDICT r06 #7 / r07 / r08 #2: the rotation guard is derived
+    from the recorded CORRECTNESS files and round-boundary-aware; the
+    three-state logic lives in tools/rotation_queue.py
+    (window_guard_violations) so each arm is unit-testable against
+    synthetic correctness files (negative tests below)."""
+    import os
+    import sys
 
-    * window round > newest file round (mid-round, window rotated):
-      the window must hold at least min(37, len(queue)) of the
-      never-driver-verified oracle-backed names — the r06 tripwire.
-    * window round == newest file round (the handover boundary: the
-      driver just landed THIS window's results): the window already
-      ran; queries added during the round are allowed to be
-      un-rotated for exactly one boundary. Require instead that the
-      window itself is green in its own round's file — proof the
-      rotation happened and worked. (The r07 guard lacked this arm
-      and was guaranteed-red at every handover.)
-    * window round < newest file round: the window is more than one
-      rotation behind — hard fail, rotate now.
-    """
-    import glob
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from rotation_queue import window_guard_violations
+
+    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_ROUND
+
+    assert window_guard_violations(DRIVER_WINDOW, DRIVER_WINDOW_ROUND) == []
+
+
+def test_rotation_guard_boundary_rejects_hash_mismatch(tmp_path):
+    """VERDICT r08 #2 (negative test): a window entry that is err-free
+    but hash-mismatched must FAIL the boundary arm — merely err-free
+    was the r08 loophole the guard exists to catch."""
     import json
     import os
     import sys
 
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from rotation_queue import never_driver_verified
+    from rotation_queue import window_guard_violations
 
-    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_ROUND
+    synthetic = {
+        "good_q": {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None},
+        "bad_q": {"rows_match": True, "schema_match": True,
+                  "hash_match": False, "err": None},
+    }
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps(synthetic))
 
-    repo = os.path.join(os.path.dirname(__file__), "..")
-    rounds = {}
-    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rounds[int(f.rsplit("_r", 1)[1].split(".")[0])] = f
-    newest_round = max(rounds)
-
-    assert DRIVER_WINDOW_ROUND >= newest_round, (
-        f"DRIVER_WINDOW was cut for round {DRIVER_WINDOW_ROUND} but "
-        f"CORRECTNESS_r{newest_round:02d}.json exists — the window is more "
-        "than one rotation behind; regenerate via python tools/rotation_queue.py"
-    )
-
-    if DRIVER_WINDOW_ROUND > newest_round:
-        oracle_backed, _rows_only = never_driver_verified()
-        in_window = [n for n in oracle_backed if n in DRIVER_WINDOW]
-        assert len(in_window) >= min(37, len(oracle_backed)), (
-            f"DRIVER_WINDOW rotates only {len(in_window)} of "
-            f"{len(oracle_backed)} never-driver-verified oracle-backed "
-            "names; regenerate via python tools/rotation_queue.py"
-        )
-    else:  # boundary: this window's own results just landed
-        data = json.load(open(rounds[newest_round]))
-        not_green = [
-            n for n in DRIVER_WINDOW
-            if not (isinstance(data.get(n), dict) and not data[n].get("err"))
-        ]
-        assert not not_green, (
-            f"window round {DRIVER_WINDOW_ROUND} results landed but these "
-            f"window queries aren't green in it: {not_green}"
-        )
+    v = window_guard_violations(("good_q", "bad_q"), 99, str(tmp_path))
+    assert v and "bad_q" in v[0] and "'good_q'" not in v[0]
+    # fully-green window passes the same boundary
+    assert window_guard_violations(("good_q",), 99, str(tmp_path)) == []
+    # a window name absent from the round's file is equally red
+    assert window_guard_violations(("missing_q",), 99, str(tmp_path))
+    # stale window (more than one rotation behind) hard-fails
+    assert window_guard_violations(("good_q",), 98, str(tmp_path))
 
 
 def test_entry_schema_stable(spark):

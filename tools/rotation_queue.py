@@ -48,6 +48,72 @@ def never_driver_verified(repo_root: str = REPO) -> tuple[list[str], list[str]]:
     return oracle_backed, rows_only
 
 
+def window_guard_violations(
+    window, window_round: int, repo_root: str = REPO
+) -> list[str]:
+    """Three-state rotation drift guard (VERDICT r06 #7 / r07 / r08 #2),
+    keyed on ``window_round`` vs the newest CORRECTNESS_r*.json round.
+    Returns a list of human-readable violations (empty = green):
+
+    * window round > newest file round (mid-round, window rotated): the
+      window must hold at least min(37, len(queue)) of the
+      never-driver-verified oracle-backed names — the r06 tripwire.
+    * window round == newest file round (handover boundary: the driver
+      just landed THIS window's results): require the window FULLY
+      green in its own round's file — ``rows_match and schema_match
+      and hash_match`` all true, not merely err-free (the r08 arm
+      accepted a hash-mismatched entry, the exact failure the guard
+      exists to catch — VERDICT r08 #2).
+    * window round < newest file round: more than one rotation behind —
+      hard fail, rotate now.
+    """
+    rounds = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        rounds[int(f.rsplit("_r", 1)[1].split(".")[0])] = f
+    if not rounds:
+        return []
+    newest = max(rounds)
+
+    if window_round < newest:
+        return [
+            f"DRIVER_WINDOW was cut for round {window_round} but "
+            f"CORRECTNESS_r{newest:02d}.json exists — the window is more "
+            "than one rotation behind; regenerate via "
+            "python tools/rotation_queue.py"
+        ]
+    if window_round > newest:
+        oracle_backed, _rows_only = never_driver_verified(repo_root)
+        in_window = [n for n in oracle_backed if n in window]
+        if len(in_window) < min(37, len(oracle_backed)):
+            return [
+                f"DRIVER_WINDOW rotates only {len(in_window)} of "
+                f"{len(oracle_backed)} never-driver-verified oracle-backed "
+                "names; regenerate via python tools/rotation_queue.py"
+            ]
+        return []
+
+    # Boundary: this window's own results just landed. Full green only.
+    data = json.load(open(rounds[newest]))
+    not_green = [
+        n
+        for n in window
+        if not (
+            isinstance(data.get(n), dict)
+            and not data[n].get("err")
+            and data[n].get("rows_match") is True
+            and data[n].get("schema_match") is True
+            and data[n].get("hash_match") is True
+        )
+    ]
+    if not_green:
+        return [
+            f"window round {window_round} results landed but these window "
+            f"queries aren't FULLY green (rows+schema+hash) in "
+            f"CORRECTNESS_r{newest:02d}.json: {not_green}"
+        ]
+    return []
+
+
 if __name__ == "__main__":
     ob, ro = never_driver_verified()
     print(f"# never driver-verified: {len(ob)} oracle-backed, {len(ro)} rows-only")

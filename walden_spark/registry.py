@@ -64,31 +64,23 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r08 ROTATION (VERDICT r07 next-round #1): all 13 remaining
-# never-driver-verified oracle-backed names (auto-derived by
-# tools/rotation_queue.py from the CORRECTNESS_r*.json files) plus 37
-# anchors — the 13 flagships that spanned every family in r07, plus 24
-# stalest previously-witnessed names (mostly first seen r01/r02) for
-# re-witnessing. agg_collect_sorted is now IN (r07 reworked it to
-# serialize its arrays; the r07 exclusion is stale — VERDICT r07
-# "What's wrong"). Queries ADDED during r08 (source_jdbc_roundtrip,
-# ddl_zorder_cluster, events_interpolate, dedup_source_overlap,
-# ddl_mv_rollup_rewrite, source_python_batch, join_interval_overlap,
-# plus ddl_introspection's new oracle) joined the window immediately,
-# each displacing one re-witness anchor, so the drift guard's
-# every-rotatable-name-in-window invariant holds mid-round (final
-# r08 window: 13 flagships + 13 rotation queue + 11 r08-new + 13
-# stale re-witnesses). If this window goes green, cumulative
-# driver-verified reaches 231/245 — every driver-verifiable query
-# witnessed at least once; only the 14 rows-only names remain outside
-# (nondeterministic by nature, weaker rows-only driver check).
+# r09 ROTATION (VERDICT r08 next-round #2): the never-driver-verified
+# oracle-backed queue is EMPTY (cumulative driver-verified = 231/231
+# as of r08), so this window is pure re-witness + r09-new: the 13
+# family-spanning flagships, the 35 STALEST previously-witnessed
+# names (everything last seen r01/r03 — the full r01 tail plus the
+# oldest r03 cohort), and events_funnel / multimodal_decode (stalest
+# of their families, keeping the every-family coverage property).
+# Queries ADDED during r09 join the window immediately, each
+# displacing the least-stale re-witness anchor, so the drift guard's
+# every-rotatable-name-in-window invariant holds mid-round.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
-# rotation drift-guard (tests/test_registry.py) uses it to stay green
-# at the round boundary when the driver lands this round's
-# CORRECTNESS file (the r07 guard was guaranteed-red at every
-# handover — VERDICT r07 "What's wrong").
-DRIVER_WINDOW_ROUND = 8
+# rotation drift-guard (tests/test_registry.py +
+# tools/rotation_queue.py::window_guard_violations) uses it to stay
+# green at the round boundary, and as of r09 the boundary arm demands
+# FULL green (rows+schema+hash), not merely err-free.
+DRIVER_WINDOW_ROUND = 9
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- flagship anchors: one per SURVEY family --
     "tpch_q1",
@@ -104,47 +96,46 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_predicates",
     "posexplode_ordinality",
     "setop_union_distinct",
-    # -- rotated in: the 13 never-driver-verified oracle-backed names --
-    "agg_collect_sorted",
-    "ddl_export_snapshot",
-    "ddl_add_files",
-    "tpcds_fx_returns_above_avg",
-    "tpcds_fx_loyalty_growth",
-    "tpcds_fx_three_channel_brand",
-    "tpcds_fx_low_revenue_items",
-    "tpcds_fx_dim_filter_topn",
-    "ann_pq_rerank",
-    "text_bigram_lm_score",
-    "text_corpus_report",
-    "streaming_minhash_dedup",
-    "streaming_ivf_ingest",
-    "ddl_introspection",  # oracle-backed as of r08 (VERDICT r07 #8)
-    # -- new in r08 (window-joined immediately so the guard's
-    # every-rotatable-name-in-window invariant holds mid-round) --
-    "source_jdbc_roundtrip",
-    "ddl_zorder_cluster",
-    "events_interpolate",
-    "dedup_source_overlap",
-    "ddl_mv_rollup_rewrite",
-    "source_python_batch",
-    "join_interval_overlap",
-    "source_jdbc_agg_pushdown",
-    "tpcds_fx_channel_overlap",
-    "text_temperature_mix",
-    # -- re-witness anchors: stalest previously-verified names --
-    "tpch_q5",
-    "tpch_q18",
-    "join_asof",
-    "join_anti_null_aware",
-    "sort_nulls_ordering",
-    "filter_null_semantics",
-    "agg_basic",
-    "fn_datetime",
-    "dedup_exact",
-    "range_join_binned",
-    "events_hypertable_rollup",
-    "source_csv_roundtrip",
-    "multimodal_meta",
+    # -- re-witness: the full r01-stale tail --
+    "agg_unpivot",
+    "topk_offset",
+    "tpch_q2",
+    "tpch_q4_exists",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9_profit",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+    # -- re-witness: oldest r03 cohort --
+    "agg_approx_distinct",
+    "agg_count_distinct",
+    "agg_grouping_sets",
+    "ann_ivf_probe",
+    "dedup_cluster_components",
+    "dedup_embedding_lsh",
+    "distinct_pairs",
+    "explode_words",
+    "fn_hash",
+    "fn_json",
+    "join_full_outer",
+    "join_theta_nonequi",
+    "lateral_topn",
+    "sample_bernoulli",
+    "skew_salted_agg",
+    "source_orc_roundtrip",
+    "subquery_correlated_scalar",
+    "text_quality_score",
+    # -- family-coverage re-witnesses (stalest events / multimodal) --
+    "events_funnel",
+    "multimodal_decode",
 )
 
 
