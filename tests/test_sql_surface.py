@@ -96,6 +96,68 @@ def test_agg_mv_rollup_serves_from_mv(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE walden_mvt_rollup")
 
 
+def test_agg_mv_choice_scans_no_mv(spark, monkeypatch):
+    """VERDICT r08 #3: serve_agg must pick the cheapest candidate MV
+    from row counts CACHED in TBLPROPERTIES at create/refresh time —
+    never by scanning every MV per serve call. Proven by making any
+    DataFrame.count() during choice a hard failure; also checks the
+    cheapest (coarser) of two matching MVs wins, the cached count is
+    refreshed by refresh_agg_mv, and a pre-cache MV (property absent)
+    still serves via the one-time count fallback."""
+    from pyspark.sql import DataFrame
+
+    from walden_spark.catalog import Catalog
+
+    cat = Catalog(spark)
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 5), (2, "b", 7)],
+        "g int, h string, x bigint",
+    ).createOrReplaceTempView("mvc_base")
+    for t in ("walden_mvc_fine", "walden_mvc_coarse"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    cat.create_agg_mv(
+        "walden_mvc_fine", "mvc_base",
+        keys=["g", "h"], aggs={"s": ("sum", "x"), "n": ("count", "*")},
+    )
+    cat.create_agg_mv(
+        "walden_mvc_coarse", "mvc_base",
+        keys=["g"], aggs={"s": ("sum", "x"), "n": ("count", "*")},
+    )
+    try:
+        def _no_scan(self, *a, **k):
+            raise AssertionError("serve_agg scanned an MV during choice")
+
+        monkeypatch.setattr(DataFrame, "count", _no_scan)
+        served = cat.serve_agg("mvc_base", ["g"], {"s": ("sum", "x")})
+        monkeypatch.undo()
+        # the 2-row coarse MV must beat the 4-row fine MV
+        assert set(served.inputFiles()) <= set(
+            spark.table("walden_mvc_coarse").inputFiles()
+        )
+        assert {(r.g, r.s) for r in served.collect()} == {(1, 30), (2, 12)}
+
+        # refresh keeps the cached count in sync
+        spark.createDataFrame(
+            [(1, "a", 1)] * 9, "g int, h string, x bigint"
+        ).createOrReplaceTempView("mvc_base")
+        cat.refresh_agg_mv("walden_mvc_coarse")
+        _, nrows = cat._agg_mv_props("walden_mvc_coarse")
+        assert nrows == 1
+
+        # pre-cache MV (no walden.mv.rows property) falls back to count
+        spark.sql(
+            "ALTER TABLE walden_mvc_fine UNSET TBLPROPERTIES ('walden.mv.rows')"
+        )
+        spark.sql(
+            "ALTER TABLE walden_mvc_coarse UNSET TBLPROPERTIES ('walden.mv.rows')"
+        )
+        fb = cat.serve_agg("mvc_base", ["g"], {"s": ("sum", "x")})
+        assert fb.collect()
+    finally:
+        for t in ("walden_mvc_fine", "walden_mvc_coarse"):
+            spark.sql(f"DROP TABLE {t}")
+
+
 def test_agg_mv_refresh_catches_up_with_base(spark, tmp_path):
     """Agg-MV freshness contract: serve_agg answers as-at the last
     refresh (the Trino MV grace semantics); refresh_agg_mv re-runs the
