@@ -33,6 +33,72 @@ HEADLINE = [
     "tpch_q13",
     "tpch_q18",
 ]
+# ---------------------------------------------------------------------------
+# PINNED CALIBRATION QUERIES (VERDICT r08 #1) — DO NOT EDIT.
+#
+# Three frozen probes defined HERE (not in the evolving registry) using
+# only pyspark builtins, so their physical plans are byte-stable across
+# rounds regardless of engine changes. They run interleaved with the
+# headline sweep, sampling the same host conditions, and every headline
+# number is additionally reported as a RATIO to the calibration total.
+# Comparing ratios round-over-round cancels host drift (three straight
+# rounds burned effort adjudicating 10-40% absolute swings that were
+# pure environment noise — BENCH_NOTES.md).
+# ---------------------------------------------------------------------------
+def _cal_scan_agg(spark, sf_dir):
+    # scan + hash-agg: parquet read bandwidth and partial aggregation
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("l_extendedprice").alias("a"),
+        )
+    )
+
+
+def _cal_shuffle_join(spark, sf_dir):
+    # fact-fact shuffle join: exchange + sort-merge machinery
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+
+
+def _cal_cpu_hash(spark, sf_dir):
+    # CPU-bound codegen: wide hashing inside whole-stage codegen
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.sha2(
+                F.concat_ws("|", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+                256,
+            ).alias("h")
+        )
+        .agg(F.count(F.when(F.substring("h", 1, 1) == "0", 1)).alias("n"))
+    )
+
+
+CALIBRATION = {
+    "cal_scan_agg": _cal_scan_agg,
+    "cal_shuffle_join": _cal_shuffle_join,
+    "cal_cpu_hash": _cal_cpu_hash,
+}
+
 # Extended set appended when the operators land (kept in registry order).
 EXTRA_PREFIXES = (
     "dedup_exact",
@@ -111,33 +177,47 @@ def main() -> None:
 
     spark = get_spark(app_name="walden_bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
 
+    def _run(name):
+        fn = CALIBRATION.get(name) or registry[name].fn
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    sweep = names + list(CALIBRATION)
+
     # Steady-state methodology: one untimed warm-up run per query (JVM
     # JIT + whole-stage-codegen compilation are one-time costs a long-
     # running engine amortizes), then two timed runs keeping the best —
     # GC pauses in a shared JVM otherwise add 10-30% run-to-run noise.
-    for name in names:
-        registry[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    for name in sweep:
+        _run(name)
 
     # Three interleaved timed rounds (full sweep per round, not 3× per
     # query back-to-back) keeping per-query best: interleaving spreads
     # GC/compaction pauses across queries instead of pinning them to
     # whichever query they land under, and the min over 3 is a
     # stable steady-state estimate (r03's +9.8% drift was uniform
-    # environment noise — VERDICT r03 perf section).
-    runs: dict[str, list[float]] = {n: [] for n in names}
+    # environment noise — VERDICT r03 perf section). The pinned
+    # CALIBRATION probes ride the same rounds so they sample the same
+    # host conditions as the queries they normalize.
+    runs: dict[str, list[float]] = {n: [] for n in sweep}
     for _ in range(3):
-        for name in names:
+        for name in sweep:
             t0 = time.perf_counter()
-            df = registry[name].fn(spark, SF_DIR)
             # force full execution without driver-side collection of data
-            df.write.format("noop").mode("overwrite").save()
+            _run(name)
             runs[name].append(time.perf_counter() - t0)
 
-    timings = {n: round(min(ts), 3) for n, ts in runs.items()}
+    timings = {n: round(min(ts), 3) for n, ts in runs.items() if n in names}
+    calibration = {n: round(min(ts), 3) for n, ts in runs.items() if n in CALIBRATION}
+    cal_total = sum(calibration.values())
+    # host-independent column: each headline number as a ratio to the
+    # frozen calibration total — compare THESE round-over-round
+    ratios = {n: round(t / cal_total, 3) for n, t in timings.items()}
     # per-query run-to-run spread — the noise floor readers should use
     # before calling a round-over-round delta a regression
     spread_pct = {
-        n: round(100.0 * (max(ts) - min(ts)) / min(ts), 1) for n, ts in runs.items()
+        n: round(100.0 * (max(ts) - min(ts)) / min(ts), 1)
+        for n, ts in runs.items()
+        if n in names
     }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -151,8 +231,17 @@ def main() -> None:
                 "sf": float(sf) if sf else None,
                 "timed_rounds": 3,
                 "spread_pct": spread_pct,
+                "calibration": calibration,
+                "calibration_total": round(cal_total, 3),
+                "ratio_to_calibration": ratios,
+                "value_ratio": round(total / cal_total, 3),
                 "notes": "value=sum of per-query min over 3 interleaved rounds "
-                "(1 untimed warm-up); deltas smaller than spread_pct are noise",
+                "(1 untimed warm-up); deltas smaller than spread_pct are noise. "
+                "calibration = pinned engine-independent probes (frozen in "
+                "bench.py, plans byte-stable across rounds) run interleaved "
+                "with the sweep; compare ratio_to_calibration / value_ratio "
+                "round-over-round — absolute seconds drift with the host, "
+                "ratios do not",
             }
         )
     )
