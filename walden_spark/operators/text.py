@@ -1156,3 +1156,135 @@ def text_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def apply_mixture(docs: DataFrame, plan: DataFrame) -> DataFrame:
+    """Materialize a temperature-mixed corpus from a per-source plan
+    (VERDICT r08 #7 — closes the loop from text_temperature_mix's
+    "compute the mix" to "produce the mixture").
+
+    ``plan`` carries (source, upsample_ppm) with upsample_ppm =
+    floor(sqrt(max_tokens / tokens) * 1e6) >= 1e6. Each document is
+    emitted ``upsample_ppm DIV 1e6`` times (whole epochs, epoch index
+    0..k-1), and the fractional remainder ``upsample_ppm % 1e6`` is
+    realized by deterministic hash-threshold selection: a doc joins
+    the extra epoch iff md5('mix:' || doc_id) % 1e6 < frac_ppm —
+    reproducible across reruns, engines, and layouts (no rand()), with
+    the realized fractional count within binomial O(sqrt(n)) of
+    n * frac_ppm / 1e6.
+
+    Scale shape: the plan is one-row-per-source (broadcast); whole-
+    epoch replication is a map-side explode and the fractional pick a
+    map-side filter — ZERO shuffles, no per-source sort (an exact-rank
+    top-frac pick would need a row_number partitioned by source, a
+    single-task sort on the largest source at corpus scale; the hash
+    threshold is the 100 TB path)."""
+    joined = docs.join(F.broadcast(plan), "source")
+    epochs = joined.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), (F.expr("upsample_ppm DIV 1000000") - 1).cast("int"))
+        ).alias("epoch"),
+    )
+    hash_ppm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    extras = joined.filter(hash_ppm < F.col("upsample_ppm") % 1000000).select(
+        "source",
+        "doc_id",
+        F.expr("upsample_ppm DIV 1000000").cast("int").alias("epoch"),
+    )
+    return epochs.unionByName(extras)
+
+
+@query(
+    "text_apply_mixture",
+    oracle="""
+WITH per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(MAX(tokens) AS BIGINT) AS max_tokens FROM per
+), plan AS (
+  SELECT source, n_docs,
+         CAST(floor(sqrt(CAST(max_tokens AS DOUBLE) / CAST(tokens AS DOUBLE))
+                    * 1000000.0) AS BIGINT) AS upsample_ppm
+  FROM per, tot
+), ext AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_extra
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+        % 1000000 < p.upsample_ppm % 1000000
+  GROUP BY d.source
+)
+SELECT p.source, p.n_docs, p.upsample_ppm,
+       p.upsample_ppm // 1000000 AS full_epochs,
+       (p.n_docs * p.upsample_ppm) // 1000000 AS planned_docs,
+       p.n_docs * (p.upsample_ppm // 1000000) + COALESCE(e.n_extra, 0) AS emitted_docs
+FROM plan p LEFT JOIN ext e ON p.source = e.source
+ORDER BY p.source
+""",
+    category="text",
+)
+def text_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the temperature-mixing plan (r09): build the per-source
+    integer-ppm plan exactly as text_temperature_mix does, MATERIALIZE
+    the mixed corpus via apply_mixture (whole-epoch explode + hash-
+    threshold fractional pick), and report per-source planned vs
+    actually-emitted document counts. The oracle derives emitted_docs
+    arithmetically (n_docs * full_epochs + |{hash < frac}|), so a
+    hash match proves the materialization realizes the plan exactly.
+
+    Determinism: upsample_ppm uses one correctly-rounded sqrt on exact
+    bigint token counts, then everything downstream is integer
+    arithmetic (DIV / %% / md5-derived ppm buckets) — no float sums,
+    no rand(). Scale shape: plan = one partial/final groupBy + a
+    broadcast one-row max; materialization is shuffle-free (see
+    apply_mixture); the final per-source count is a partial agg over
+    the mixture."""
+    t = Tables(spark, sf_dir)
+    per = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("tokens"),
+    )
+    tot = per.agg(F.max("tokens").cast("bigint").alias("max_tokens"))
+    plan = (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.floor(
+                F.sqrt(F.col("max_tokens").cast("double") / F.col("tokens").cast("double"))
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("upsample_ppm"),
+        )
+    )
+    mixture = apply_mixture(t.documents, plan.select("source", "upsample_ppm"))
+    emitted = mixture.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("emitted_docs")
+    )
+    return (
+        plan.join(emitted, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "upsample_ppm",
+            F.expr("upsample_ppm DIV 1000000").alias("full_epochs"),
+            F.expr("(n_docs * upsample_ppm) DIV 1000000").alias("planned_docs"),
+            F.coalesce(F.col("emitted_docs"), F.lit(0).cast("bigint")).alias(
+                "emitted_docs"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -121,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_probe",
     "dedup_cluster_components",
     "dedup_embedding_lsh",
-    "distinct_pairs",
     "explode_words",
     "fn_hash",
     "fn_json",
@@ -136,6 +135,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- family-coverage re-witnesses (stalest events / multimodal) --
     "events_funnel",
     "multimodal_decode",
+    # -- new in r09 (window-joined immediately, displacing re-witness
+    # anchors, so the drift guard's invariant holds mid-round) --
+    "text_apply_mixture",
 )
 
 
