@@ -48,14 +48,14 @@ SEED = 7
 NOISE = 0.06
 
 
-def make_corpus(rng):
+def make_corpus(rng, n=N, n_queries=N_QUERIES):
     centers = rng.standard_normal((K_CLUSTERS, DIM))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, K_CLUSTERS, size=N)
-    x = centers[labels] + NOISE * rng.standard_normal((N, DIM))
+    labels = rng.integers(0, K_CLUSTERS, size=n)
+    x = centers[labels] + NOISE * rng.standard_normal((n, DIM))
     x /= np.linalg.norm(x, axis=1, keepdims=True)
-    qlab = rng.integers(0, K_CLUSTERS, size=N_QUERIES)
-    q = centers[qlab] + NOISE * rng.standard_normal((N_QUERIES, DIM))
+    qlab = rng.integers(0, K_CLUSTERS, size=n_queries)
+    q = centers[qlab] + NOISE * rng.standard_normal((n_queries, DIM))
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return x, q
 
@@ -157,7 +157,7 @@ def ivf_sweep(x, q, truth, rng, out):
 def pq_rerank_sweep(x, q, truth, rng, out, m=8, codes=256):
     sub = DIM // m
     books = []
-    codes_x = np.empty((N, m), dtype=np.int64)
+    codes_x = np.empty((len(x), m), dtype=np.int64)
     for j in range(m):
         seg = x[:, j * sub : (j + 1) * sub]
         cb = seg[rng.choice(len(x), codes, replace=False)]
