@@ -3070,3 +3070,92 @@ def test_maybe_compact_policy(spark, vt):
     assert sorted(r.id for r in vt.read().collect()) == before
     # freshly compacted: healthy again
     assert vt.maybe_compact(max_layers=3, max_files=64) is None
+
+
+def test_claim_heartbeat_resets_repair_clock(spark, vt, monkeypatch):
+    """VERDICT r08 #6 (unit arm): without a heartbeat an aged claim is
+    repairable; after the owner heartbeats, the same claim is young
+    again and a repairer leaves it alone."""
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable
+
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.25)
+    head = vt.head("main")
+    # claim whose `to` manifest doesn't exist: a stale one is RELEASED
+    # by the repairer (the roll-forward arm needs the manifest)
+    claim = f"{vt._refs_dir}/_cas/branch=main/from={vt._cas_token(head)}.json"
+    vt._write_json(claim, {"to": 9999, "claimed": _time.time()}, overwrite=False)
+    fs, cp, _ = __import__("walden_spark.timetravel", fromlist=["_fs"])._fs(
+        vt.spark, claim
+    )
+    _time.sleep(0.3)
+    vt._claim_heartbeat(claim)  # owner is alive: refresh
+    rival = VersionedTable(spark, vt.path)
+    assert rival._repair_stale_claim("main", head, claim) is False
+    assert fs.exists(cp), "heartbeated claim must survive the repairer"
+    _time.sleep(0.3)  # now let it genuinely go stale: repair releases
+    assert rival._repair_stale_claim("main", head, claim) is True
+    assert not fs.exists(cp)
+    # heartbeat on a vanished claim is a no-op, not an error
+    vt._claim_heartbeat(claim)
+    assert not fs.exists(cp)
+
+
+def test_slow_merge_outlives_repair_age_and_publishes(spark, vt, monkeypatch):
+    """VERDICT r08 #6 (integration arm): a three-way merge whose TOTAL
+    publish outlives CLAIM_REPAIR_AGE_S — but whose individual replay
+    stages don't — must still publish, because the owner heartbeats the
+    held claim between stages and a concurrently hammering repairer
+    never sees it stale. (Before the heartbeat, CLAIM_REPAIR_AGE_S had
+    to exceed the longest whole publish — the r08 sizing footgun.)"""
+    import threading
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable
+
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 2.5)
+    vt.create_branch("b")
+    for i in range(3):  # 3 MoR layers on b => 3 replay stages
+        vt.append(
+            spark.createDataFrame([(100 + i, -1.0)], "id long, v double"),
+            branch="b",
+        )
+    vt.delete_where("id >= 9", mode="mor")  # disjoint divergence on main
+    src_head, dst_head = vt.head("b"), vt.head("main")
+
+    orig = VersionedTable._write_manifest
+
+    def slow_write(self, manifest, overwrite=True):
+        if "merged_from" in manifest:  # each replay stage: 1.2 s < 2.5 s
+            _time.sleep(1.2)           # total publish: >3.6 s > 2.5 s
+        return orig(self, manifest, overwrite)
+
+    monkeypatch.setattr(VersionedTable, "_write_manifest", slow_write)
+
+    claim = vt._cas_claim("main", dst_head, src_head)
+    rival = VersionedTable(spark, vt.path)
+    stop = threading.Event()
+    raids: list[bool] = []
+
+    def hammer():
+        while not stop.is_set():
+            raids.append(rival._repair_stale_claim("main", dst_head, claim))
+            _time.sleep(0.15)
+
+    th = threading.Thread(target=hammer, daemon=True)
+    th.start()
+    try:
+        new_head = vt._merge_three_way(
+            "b", src_head, "main", dst_head, ["id"],
+            _claim_held=True, _claim=claim,
+        )
+    finally:
+        stop.set()
+        th.join(timeout=10)
+    assert vt.head("main") == new_head
+    merged = vt.read(branch="main")
+    assert merged.filter("id >= 100").count() == 3  # b's commits landed
+    assert merged.filter("id >= 9 and id < 100").count() == 0
+    assert len(raids) >= 5, "repairer must actually have raced the merge"
+    assert not any(raids), "no repair may fire on a heartbeated live claim"

@@ -810,9 +810,11 @@ class VersionedTable:
         #1).
 
         Sizing note for multi-table publishes: a catalog three-way
-        merge holds claims while its replay runs Spark jobs, so
-        :attr:`CLAIM_REPAIR_AGE_S` must exceed the longest such
-        publish (raise it on deployments doing huge merges). Even if a
+        merge holds claims while its replay runs Spark jobs, but the
+        owner HEARTBEATS every held claim between replay stages
+        (:meth:`_claim_heartbeat`), so :attr:`CLAIM_REPAIR_AGE_S` only
+        has to exceed the longest single stage (one touched-keys join
+        or one manifest write), not the whole publish. Even if a
         raid fires on a LIVE held claim it cannot corrupt state: for
         commit claims it performs the exact pointer move the owner
         would make; for merge claims it releases the claim, and the
@@ -935,6 +937,34 @@ class VersionedTable:
         pointer)."""
         fs, p, _ = _fs(self.spark, claim)
         fs.delete(p, False)
+
+    def _claim_heartbeat(self, claim: str) -> None:
+        """Refresh a HELD claim's ``claimed`` timestamp (VERDICT r08
+        #6). Long publishes — a catalog three-way merge replays Spark
+        jobs between claim and pointer move — previously required
+        :attr:`CLAIM_REPAIR_AGE_S` to exceed the LONGEST publish or a
+        repairer could raid a live claim; with the owner heartbeating
+        between replay stages, the age only has to exceed the longest
+        single STAGE, removing the sizing footgun. The rewrite is
+        atomic (temp + replace) and preserves ``to``; a claim that has
+        already vanished (raided despite the heartbeat) is left alone —
+        the publish-time claim re-check in :meth:`_merge_three_way`
+        stays the abort-on-raid backstop."""
+        fs, cpath, jvm = _fs(self.spark, claim)
+        try:
+            stream = fs.open(cpath)
+            try:
+                payload = json.loads(
+                    bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                    ).decode("utf-8")
+                )
+            finally:
+                stream.close()
+        except Exception:
+            return  # claim gone — the publish re-check will abort
+        payload["claimed"] = time.time()
+        self._write_json(claim, payload, overwrite=True)
 
     def _cas_ref_move(self, name: str, expected: int | None, version: int) -> None:
         """Compare-and-swap publish: claim the transition away from
@@ -2878,6 +2908,10 @@ class VersionedTable:
         _claim_held: bool = False,
         _claim: str | None = None,
     ) -> int:
+        if _claim_held and _claim is not None:
+            # the catalog merge may have spent a while claiming other
+            # tables since this claim was created — refresh at entry
+            self._claim_heartbeat(_claim)
         by_v = {m["version"]: m for m in self._manifests()}
         common = self._ancestors(src_head) & self._ancestors(dst_head)
         if not common:
@@ -2909,6 +2943,10 @@ class VersionedTable:
             )
         # disjoint: replay source's layers onto into's head — new
         # manifests SHARING the source layers' data files (no rewrite)
+        if _claim_held and _claim is not None:
+            # the touched-keys clash check above ran Spark jobs while
+            # the claim aged — refresh it before (and during) replay
+            self._claim_heartbeat(_claim)
         new_head = dst_head
         for m in src_path:
             v_new = max(by_v) + 1
@@ -2931,6 +2969,8 @@ class VersionedTable:
                 raise
             by_v[v_new] = nm
             new_head = v_new
+            if _claim_held and _claim is not None:
+                self._claim_heartbeat(_claim)  # between replay stages
         # CAS from the dst head the three-way diff was computed against;
         # a loser unwinds its replayed manifests (referenced by nothing).
         # _claim_held: the catalog merge already claimed this transition
@@ -3520,6 +3560,13 @@ class VersionedCatalog:
                 if plan[0] == "noop":
                     out[t] = plan[1]
                     continue
+                # claims held for NOT-yet-applied tables age while
+                # earlier tables replay Spark jobs — refresh them all
+                # at each table boundary so a repairer never mistakes
+                # this live merge for a dead owner (VERDICT r08 #6)
+                for t2, (cvt, c) in claims.items():
+                    if t2 not in applied:
+                        cvt._claim_heartbeat(c)
                 if plan[0] == "ff":
                     vt._write_ref("branch", into, plan[1], overwrite=True)
                 else:
