@@ -123,7 +123,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "explode_words",
     "fn_hash",
-    "fn_json",
     "join_full_outer",
     "join_theta_nonequi",
     "lateral_topn",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- new in r09 (window-joined immediately, displacing re-witness
     # anchors, so the drift guard's invariant holds mid-round) --
     "text_apply_mixture",
+    "source_datagen_tpch",  # digest form: oracle-backed as of r09
 )
 
 
