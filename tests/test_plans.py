@@ -442,3 +442,18 @@ def test_jdbc_catalog_pushes_aggregates(spark, sf_dir, registry):
     plan = _plan(spark, df)
     assert "PushedAggregates:" in plan and "COUNT(" in plan, plan[:1500]
     assert "PushedGroupByExpressions:" in plan
+
+
+def test_q18_bucketed_no_fact_exchange(spark, sf_dir, registry):
+    """tpch_q18_bucketed (r09): with lineitem+orders bucketed on
+    orderkey, the HAVING groupBy, semi join, and fact-fact join must
+    all consume the bucketing distribution — zero hashpartitioning
+    exchanges anywhere in the plan (broadcast exchanges for the tiny
+    customer dim are fine). This is the shuffle the plain q18 pays
+    twice per run and the bucketed layout pays once at write time."""
+    df = registry["tpch_q18_bucketed"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    assert "Exchange hashpartitioning" not in plan, (
+        "bucketed q18 must not shuffle the fact tables"
+    )
+    assert "CartesianProduct" not in plan

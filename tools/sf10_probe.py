@@ -1,0 +1,184 @@
+"""sf10-equivalent scale probe (VERDICT r08 #4).
+
+Extends the standing sf1 curve (facts ×10) to facts ×100 over sf0.1
+for the two DATA-BOUND headline queries — `tpch_q18` (3.6× at ×10, the
+fact-fact semi-join) and `dedup_minhash_lsh` (2.6× at ×10, candidate
+growth) — and A/Bs the bucketed-table variant of q18: lineitem+orders
+bucketed on orderkey turn both the HAVING-subquery groupBy and the
+fact-fact joins into exchange-free operations (bucketing IS the
+pre-shuffle, paid once at write time — the 1000-executor strategy for
+a repeatedly-joined fact pair).
+
+Replication mirrors tools/sf1_probe.py exactly (key offsets preserve
+the orders⋈lineitem relation; per-word replica tags keep near-dup
+structure linear); only the three fact tables are scaled, dims copied.
+
+    python tools/sf10_probe.py [--rebuild]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/walden_sf10"
+REPLICAS = 100
+REPS = 2
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    okey_span = (
+        spark.read.parquet(f"{SRC}/orders.parquet")
+        .agg(F.max("o_orderkey")).collect()[0][0] + 1
+    )
+    did_span = (
+        spark.read.parquet(f"{SRC}/documents.parquet")
+        .agg(F.max("doc_id")).collect()[0][0] + 1
+    )
+
+    def replicate(table: str, offsets: dict[str, int], perturb_text: bool = False):
+        df = spark.read.parquet(f"{SRC}/{table}.parquet")
+        # one explode per source row beats a 100-way union plan
+        rep = df.withColumn("_k", F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))))
+        for col, span in offsets.items():
+            rep = rep.withColumn(col, F.col(col) + F.col("_k").cast("bigint") * span)
+        if perturb_text:
+            rep = rep.withColumn(
+                "text",
+                F.when(F.col("_k") == 0, F.col("text")).otherwise(
+                    F.concat_ws(
+                        " ",
+                        F.transform(
+                            F.split(F.col("text"), " "),
+                            lambda w: F.concat(
+                                F.lit("k"), F.col("_k").cast("string"), w
+                            ),
+                        ),
+                    )
+                ),
+            )
+        (
+            rep.drop("_k")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(f"{DST}/{table}.parquet")
+        )
+
+    replicate("orders", {"o_orderkey": okey_span})
+    replicate("lineitem", {"l_orderkey": okey_span})
+    replicate("documents", {"doc_id": did_span}, perturb_text=True)
+    for t in ("customer", "supplier", "part", "nation", "region", "events", "embeddings"):
+        shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+
+
+def bucket_tables(spark, buckets: int = 32) -> None:
+    """Write lineitem+orders as orderkey-bucketed managed tables —
+    the one-time pre-shuffle the bucketed q18 variant amortizes."""
+    for tbl in ("sf10_lineitem_b", "sf10_orders_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    t0 = time.perf_counter()
+    (
+        spark.read.parquet(f"{DST}/lineitem.parquet")
+        .write.bucketBy(buckets, "l_orderkey")
+        .sortBy("l_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("sf10_lineitem_b")
+    )
+    (
+        spark.read.parquet(f"{DST}/orders.parquet")
+        .write.bucketBy(buckets, "o_orderkey")
+        .sortBy("o_orderkey")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable("sf10_orders_b")
+    )
+    print(f"bucket build: {time.perf_counter() - t0:.1f}s", flush=True)
+
+
+def q18_on(spark, lineitem, orders, customer):
+    from pyspark.sql import functions as F
+
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(
+            big.withColumnRenamed("l_orderkey", "big_key"),
+            F.col("o_orderkey") == F.col("big_key"),
+            "left_semi",
+        )
+        .join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"), "o_totalprice",
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def main() -> None:
+    from walden_spark.registry import load_all
+    from walden_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="sf10_probe", master=f"local[{cpus}]", shuffle_partitions=int(cpus)
+    )
+    if "--rebuild" in sys.argv or not os.path.isdir(f"{DST}/lineitem.parquet"):
+        build(spark)
+    reg = load_all()
+    floors: dict[str, float] = {}
+    for name in ("tpch_q18", "dedup_minhash_lsh"):
+        best = None
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            reg[name].fn(spark, DST).write.format("noop").mode("overwrite").save()
+            best_t = time.perf_counter() - t0
+            best = best_t if best is None else min(best, best_t)
+        floors[name] = round(best, 3)
+        print(name, floors[name], flush=True)
+
+    # bucketed q18 A/B: same query shape, orderkey-bucketed tables
+    bucket_tables(spark)
+    cust = spark.read.parquet(f"{DST}/customer.parquet")
+    li_b, od_b = spark.table("sf10_lineitem_b"), spark.table("sf10_orders_b")
+    plan = q18_on(spark, li_b, od_b, cust)._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        q18_on(spark, li_b, od_b, cust).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        floors["tpch_q18_bucketed"] = min(
+            floors.get("tpch_q18_bucketed", dt), round(dt, 3)
+        )
+    print("tpch_q18_bucketed", floors["tpch_q18_bucketed"], flush=True)
+    print(
+        json.dumps(
+            {
+                "sf": "sf10-equivalent (facts x100 over sf0.1)",
+                "floors": floors,
+                "q18_bucketed_fact_exchanges": n_exchanges,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -121,7 +121,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_probe",
     "dedup_cluster_components",
     "dedup_embedding_lsh",
-    "explode_words",
     "fn_hash",
     "join_full_outer",
     "join_theta_nonequi",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # anchors, so the drift guard's invariant holds mid-round) --
     "text_apply_mixture",
     "source_datagen_tpch",  # digest form: oracle-backed as of r09
+    "tpch_q18_bucketed",
 )
 
 
