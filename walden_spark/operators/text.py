@@ -1288,3 +1288,198 @@ def text_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_quality_filter_per_source",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         floor((0.4 * least(n_words / 100.0, 1.0)
+               + 0.3 * least(stopword_ratio * 5, 1.0)
+               + 0.3 * least(mean_word_len / 8.0, 1.0)) * 1000000.0)
+           / 1000000.0 AS quality
+  FROM (
+    SELECT doc_id, source,
+           len(string_split(text, ' ')) AS n_words,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')) AS mean_word_len,
+           CAST(len(list_filter(string_split(text, ' '),
+                                w -> list_contains({_STOPWORDS!r}, w))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS stopword_ratio
+    FROM documents
+  )
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY quality, doc_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+  FROM scored
+), med AS (
+  SELECT source, n_docs, quality AS med_quality
+  FROM ranked WHERE rn = (n_docs + 1) // 2
+)
+SELECT m.source, m.n_docs, m.med_quality,
+       CAST(COUNT(*) FILTER (WHERE s.quality >= m.med_quality) AS BIGINT)
+         AS n_kept,
+       (CAST(COUNT(*) FILTER (WHERE s.quality >= m.med_quality) AS BIGINT)
+         * 1000000) // m.n_docs AS kept_ppm
+FROM scored s JOIN med m ON s.source = m.source
+GROUP BY m.source, m.n_docs, m.med_quality
+ORDER BY m.source
+""",
+    category="text",
+)
+def text_quality_filter_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality filtering (r09) — the CCNet-style
+    move: instead of one global quality cutoff (which empties
+    low-resource sources and barely touches clean ones), each source
+    is thresholded at ITS OWN median quality and the filter keeps its
+    upper half. The threshold is the rank-based LOWER median (the
+    value at row (n+1) DIV 2 ordered by (quality, doc_id)) — pure
+    order statistics, zero float interpolation, so it is bit-identical
+    cross-engine where percentile interpolation arithmetic would be a
+    liability.
+
+    Scale shape: scoring is map-side (JVM higher-order functions);
+    the median needs a per-source ordered row_number — fine while
+    sources are shard-sized, and the documented 100 TB path swaps the
+    exact rank for approx_percentile (mergeable sketch, no per-source
+    sort) with an epsilon-rank guarantee. Keep-counting reuses the
+    scored frame with a tiny broadcast threshold join."""
+    t = Tables(spark, sf_dir)
+    w = _words()
+    n_words = F.size(w)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    mean_word_len = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    )
+    stopword_ratio = (
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).cast("double")
+        / n_words
+    )
+    quality = _q6(
+        0.4 * F.least(n_words / 100.0, F.lit(1.0))
+        + 0.3 * F.least(stopword_ratio * 5, F.lit(1.0))
+        + 0.3 * F.least(mean_word_len / 8.0, F.lit(1.0))
+    )
+    scored = t.documents.select("doc_id", "source", quality.alias("quality"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = scored.withColumn("rn", F.row_number().over(win)).withColumn(
+        "n_docs",
+        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.expr("(n_docs + 1) DIV 2")
+    ).select("source", "n_docs", F.col("quality").alias("med_quality"))
+    return (
+        scored.join(F.broadcast(med), "source")
+        .groupBy("source", "n_docs", "med_quality")
+        .agg(
+            F.count(F.when(F.col("quality") >= F.col("med_quality"), 1))
+            .cast("bigint")
+            .alias("n_kept")
+        )
+        .select(
+            "source",
+            "n_docs",
+            "med_quality",
+            "n_kept",
+            F.expr("(n_kept * 1000000) DIV n_docs").alias("kept_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_normalize_dedup",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         upper(text) || '!!! ' || upper(text)
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         '  ' || replace(text, ' ', '   ') || ', ' || replace(text, ' ', '   ') || '.'
+  FROM documents WHERE doc_id % 4 = 0
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g')) AS norm_text
+  FROM corpus
+)
+SELECT md5(norm_text) AS norm_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS variant_ids
+FROM norm
+GROUP BY md5(norm_text)
+HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+""",
+    category="dedup",
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (r09): documents that differ
+    only in case, punctuation, or whitespace runs are the cheapest
+    near-dups a corpus carries, and catching them with a canonical-form
+    hash (lowercase -> strip non-alphanumerics -> collapse spaces ->
+    md5) costs ONE digest shuffle — no shingles, no bands. Run it
+    before MinHash so the LSH stage spends its candidate budget on
+    real paraphrases instead of trivial variants. Emits one row per
+    surviving cluster (keeper = min doc_id, Iceberg-style pick).
+
+    Scale shape: normalization is map-side JVM regex inside codegen;
+    the groupBy shuffles 32-char digests + doc ids only (never text);
+    identical to dedup_exact's digest-shuffle bound.
+
+    The fixture corpus is already lowercase/punctuation-free, so the
+    query derives the adversarial input itself: every 4th doc gains an
+    UPPERCASED '!!!'-doubled variant and a whitespace-exploded
+    comma/period variant (same derivation in the oracle) — each must
+    collapse... except doubling changes content: the uppercase variant
+    doubles the text and the whitespace variant doubles it too, so the
+    two VARIANTS pair with each other while the original stays
+    distinct, a sharper check than variant==original."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    quarter = base.filter(F.col("doc_id") % 4 == 0)
+    v_upper = quarter.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!! "), F.upper("text")).alias("text"),
+    )
+    v_space = quarter.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+            F.lit(", "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+            F.lit("."),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(v_upper).unionByName(v_space)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        corpus.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id")).cast("array<string>"))
+            .alias("variant_ids"),
+        )
+        .filter(F.col("n_variants") > 1)
+        .select("norm_hash", "keeper_doc_id", "n_variants", "variant_ids")
+        .orderBy("keeper_doc_id")
+    )

@@ -724,3 +724,71 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "agg_weighted_percentile",
+    oracle="""
+WITH per AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+  FROM lineitem GROUP BY l_returnflag, l_extendedprice
+), cum AS (
+  SELECT l_returnflag, price, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM per
+)
+SELECT l_returnflag,
+       MIN(price) FILTER (WHERE cw * 2 >= tot) AS weighted_median,
+       CAST(MAX(tot) AS DOUBLE) AS total_weight
+FROM cum
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    category="aggregate",
+)
+def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (r09) — the aggregate Spark lacks natively
+    (percentile() is unweighted; Trino ships approx_percentile(x, w)):
+    the smallest value whose CUMULATIVE weight reaches half the total,
+    here price weighted by quantity per return flag. Composed from
+    relational pieces: pre-aggregate weights per (group, value) — an
+    exact-decimal partial agg, so the float-summation-order hazard is
+    engineered out — then one ordered window whose default RANGE frame
+    includes value-peers in both engines, then a conditional MIN.
+
+    Scale shape: the pre-agg collapses the corpus to distinct values
+    per group before the window; the window sorts only that collapsed
+    set. The 100 TB path for high-cardinality value domains is the
+    same query over binned values (floor(price/step)) — epsilon-exact
+    with a fixed memory bound, no per-group full sort."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    per = (
+        t.lineitem.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").cast("decimal(18,2)").alias("wt"),
+        )
+        .groupBy("l_returnflag", "price")
+        .agg(F.sum("wt").alias("w"))
+    )
+    win = Window.partitionBy("l_returnflag").orderBy("price")
+    cum = per.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(Window.partitionBy("l_returnflag")).alias("tot"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.col("cw") * 2 >= F.col("tot"), F.col("price"))).alias(
+                "weighted_median"
+            ),
+            F.max("tot").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

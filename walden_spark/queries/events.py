@@ -592,3 +592,76 @@ def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "events_retention_cohorts",
+    oracle="""
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week
+  FROM events
+), cohorts AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM weeks GROUP BY user_id
+), sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+  FROM cohorts GROUP BY cohort_week
+)
+SELECT w.week - c.cohort_week AS week_offset, c.cohort_week,
+       s.cohort_size,
+       CAST(COUNT(DISTINCT w.user_id) AS BIGINT) AS active_users,
+       (CAST(COUNT(DISTINCT w.user_id) AS BIGINT) * 1000000) // s.cohort_size
+         AS retention_ppm
+FROM weeks w
+JOIN cohorts c ON w.user_id = c.user_id
+JOIN sizes s ON c.cohort_week = s.cohort_week
+GROUP BY c.cohort_week, w.week - c.cohort_week, s.cohort_size
+ORDER BY c.cohort_week, week_offset
+""",
+    category="events",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (r09) — the canonical product-analytics
+    triangle: users are cohorted by the week of their first event
+    (week = integer days-since-epoch-anchor DIV 7, engine-neutral
+    integer arithmetic — date_trunc('week') ISO rules are a cross-
+    engine liability), then each (cohort, offset) cell counts the
+    cohort's users active that many weeks later, with retention as an
+    exact integer ppm of cohort size.
+
+    Scale shape: (user, week) dedup is one partial-agg shuffle on
+    user_id; cohort min() reuses the same key so the join is
+    co-partitioned; cohort sizes are a tiny broadcast. No window
+    functions, no per-cohort sort."""
+    t = Tables(spark, sf_dir)
+    weeks = t.events.select(
+        "user_id",
+        (
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            / F.lit(7)
+        )
+        .cast("int")
+        .alias("week"),
+    ).distinct()
+    cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    return (
+        weeks.join(cohorts, "user_id")
+        .join(F.broadcast(sizes), "cohort_week")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+            "cohort_size",
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active_users"))
+        .select(
+            "week_offset",
+            "cohort_week",
+            "cohort_size",
+            "active_users",
+            F.expr("(active_users * 1000000) DIV cohort_size").alias("retention_ppm"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -123,12 +123,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_embedding_lsh",
     "fn_hash",
     "join_full_outer",
-    "join_theta_nonequi",
-    "lateral_topn",
-    "sample_bernoulli",
     "skew_salted_agg",
     "source_orc_roundtrip",
-    "subquery_correlated_scalar",
     "text_quality_score",
     # -- family-coverage re-witnesses (stalest events / multimodal) --
     "events_funnel",
@@ -138,6 +134,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_apply_mixture",
     "source_datagen_tpch",  # digest form: oracle-backed as of r09
     "tpch_q18_bucketed",
+    "events_retention_cohorts",
+    "text_quality_filter_per_source",
+    "text_normalize_dedup",
+    "agg_weighted_percentile",
 )
 
 
