@@ -577,3 +577,128 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "knn_graph",
+    oracle=f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings)
+SELECT vec_id, neighbor_id,
+       floor(cos_sim * 1000000.0) / 1000000.0 AS cos_sim,
+       CAST(rn AS INT) AS rn
+FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         {_COS_SQL.format(a='a.embedding', b='b.embedding')} AS cos_sim,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY {_COS_SQL.format(a='a.embedding', b='b.embedding')} DESC,
+                                     b.vec_id) AS rn
+  FROM e a JOIN e b ON a.vec_id <> b.vec_id
+)
+WHERE rn <= 3
+""",
+    category="similarity",
+)
+def knn_graph(spark: SparkSession, sf_dir: str, rows_per_block: int = 8192, k: int = 3) -> DataFrame:
+    """kNN-GRAPH construction (r09): exact top-k cosine neighbors for
+    EVERY vector — the primitive under semantic clustering, label
+    propagation, and graph-based dedup, distinct from knn_brute_force
+    (neighbors for a small probe set only). Built on the same
+    distributed block-pair matmul as dedup_embedding_cosine
+    (operators/dedup.py:471): vectors hash into blocks, each (i<=j)
+    block pair becomes one numpy tile task, and each tile emits BOTH
+    directions' LOCAL top-k (rows of i scored against j and vice
+    versa), so the global shuffle carries at most k rows per (vector,
+    block) — never the O(n^2) score matrix. A final per-vector window
+    over <= k * n_blocks candidates picks the true top-k (local top-k
+    per block provably contains the global top-k).
+
+    Exact all-pairs is the oracle-checked tier; at 100 TB the same
+    reduce shape runs over LSH/IVF candidate buckets instead of all
+    block pairs (similarity.py's bucketed operators). Float note: tile
+    matmul drift vs the oracle's sequential fold is absorbed by
+    floor-quantization, as in knn_brute_force."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..tables import fast_row_count
+
+    t = Tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    n = fast_row_count(sf_dir, "embeddings")
+    par_blocks = math.ceil((2 * spark.sparkContext.defaultParallelism) ** 0.5)
+    n_blocks = max(
+        math.ceil(n / rows_per_block),
+        min(par_blocks, math.ceil(n / 64)),
+        1,
+    )
+    blocked = e.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    pairs = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(n_blocks) if i <= j],
+        "bi int, bj int",
+    )
+    left = blocked.join(F.broadcast(pairs), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", "vec_id", "embedding", F.lit("L").alias("role")
+    )
+    right = blocked.join(
+        F.broadcast(pairs.filter(F.col("bi") != F.col("bj"))), F.col("blk") == F.col("bj")
+    ).select("bi", "bj", "vec_id", "embedding", F.lit("R").alias("role"))
+    fanout = left.unionByName(right)
+
+    empty = pd.DataFrame(
+        {
+            "vec_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        }
+    )
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        bi_key, bj_key = key
+        lp = pdf[pdf["role"] == "L"]
+        rp = lp if bi_key == bj_key else pdf[pdf["role"] == "R"]
+        if not len(lp) or not len(rp):
+            return empty
+        ids_a, ids_b = lp["vec_id"].to_numpy(), rp["vec_id"].to_numpy()
+        A = np.stack(lp["embedding"].to_numpy()).astype(np.float64)
+        B = np.stack(rp["embedding"].to_numpy()).astype(np.float64)
+        S = (A @ B.T) / np.sqrt((A * A).sum(1))[:, None] / np.sqrt((B * B).sum(1))[None, :]
+        if bi_key == bj_key:
+            np.fill_diagonal(S, -np.inf)  # no self-neighbors
+        directions = [(ids_a, ids_b, S)]
+        if bi_key != bj_key:  # diagonal tile: both directions identical
+            directions.append((ids_b, ids_a, S.T))
+        out = []
+        for ids_q, ids_c, M in directions:
+            kk = min(k, M.shape[1])
+            # local top-k per row: argpartition then exact order
+            part = np.argpartition(-M, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(M.shape[0]), kk)
+            cols = part.ravel()
+            mask = np.isfinite(M[rows, cols])
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": ids_q[rows[mask]],
+                        "neighbor_id": ids_c[cols[mask]],
+                        "cos_sim": M[rows[mask], cols[mask]],
+                    }
+                )
+            )
+        return pd.concat(out) if out else empty
+
+    cand = fanout.groupBy("bi", "bj").applyInPandas(
+        tile, schema="vec_id long, neighbor_id long, cos_sim double"
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "vec_id",
+            "neighbor_id",
+            (F.floor(F.col("cos_sim") * 1000000.0) / 1000000.0).alias("cos_sim"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

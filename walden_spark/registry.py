@@ -118,7 +118,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_count_distinct",
     "agg_grouping_sets",
-    "ann_ivf_probe",
     "dedup_cluster_components",
     "dedup_embedding_lsh",
     "fn_hash",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_quality_filter_per_source",
     "text_normalize_dedup",
     "agg_weighted_percentile",
+    "knn_graph",
 )
 
 
