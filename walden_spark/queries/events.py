@@ -665,3 +665,77 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_activity_streaks",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), islands AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+  FROM days
+), streaks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak,
+         CAST(MIN(day) AS BIGINT) AS streak_start
+  FROM islands GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(MAX(streak) AS BIGINT) AS longest_streak,
+       CAST(MIN(streak_start) FILTER (
+         WHERE streak = (SELECT MAX(s2.streak) FROM streaks s2
+                         WHERE s2.user_id = streaks.user_id)) AS BIGINT)
+         AS first_best_start,
+       CAST(SUM(streak) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks
+GROUP BY user_id
+ORDER BY longest_streak DESC, user_id
+""",
+    category="events",
+)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (r09): longest run of CONSECUTIVE active days
+    per user — the classic sequential-SQL shape (session streaks,
+    SLA-uptime runs, habit analytics) built on the row_number-delta
+    trick: within a user, day - row_number(day) is constant exactly on
+    consecutive-day islands, so one window plus two aggregations
+    replaces any iterative scan. Engine-neutral integer day indexes
+    (days since an anchor date), no timestamps in flight.
+
+    Scale shape: (user, day) dedup and the window shuffle on user_id
+    once each; islands never materialize wider than the deduped
+    activity table. Per-user day counts are bounded (days, not
+    events), so window partitions stay small even for hot users."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    days = t.events.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islands = days.withColumn("grp", F.col("day") - F.row_number().over(w))
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("streak"),
+        F.min("day").cast("bigint").alias("streak_start"),
+    )
+    best = Window.partitionBy("user_id")
+    return (
+        streaks.withColumn("max_streak", F.max("streak").over(best))
+        .groupBy("user_id")
+        .agg(
+            F.max("streak").cast("bigint").alias("longest_streak"),
+            F.min(F.when(F.col("streak") == F.col("max_streak"), F.col("streak_start")))
+            .cast("bigint")
+            .alias("first_best_start"),
+            F.sum("streak").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        )
+        .orderBy(F.desc("longest_streak"), "user_id")
+    )

@@ -117,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- re-witness: oldest r03 cohort --
     "agg_approx_distinct",
     "agg_count_distinct",
-    "agg_grouping_sets",
     "dedup_cluster_components",
     "dedup_embedding_lsh",
     "fn_hash",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_normalize_dedup",
     "agg_weighted_percentile",
     "knn_graph",
+    "events_activity_streaks",
 )
 
 
