@@ -154,6 +154,7 @@ _CARTESIAN_OK = {
     "text_tfidf_topk",     # corpus-size N: BNLJ against a 1-row aggregate, O(n)
     "text_bigram_lm_score",  # vocab-size V: BNLJ against a 1-row aggregate, O(n)
     "text_temperature_mix",  # per-source totals vs a broadcast 1-row aggregate, O(sources)
+    "text_apply_mixture",  # same shape: plan arithmetic vs a broadcast 1-row max, O(sources)
     "dedup_semantic_cluster",  # intentional broadcast-cross against the bounded seed-centroid table (nearest-seed assign is map-only by design)
     "dedup_source_overlap",  # pair enumeration over the bounded DISTINCT-sources relation (|sources|^2 rows, not data); every data-touching join is equi
 }

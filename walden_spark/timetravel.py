@@ -745,15 +745,34 @@ class VersionedTable:
             name = st.getPath().getName()
             if not name.endswith(".json") or "=" not in name:
                 continue
-            stream = fs.open(st.getPath())
-            try:
-                raw = bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode(
-                    "utf-8"
-                )
-            finally:
-                stream.close()
-            ref = json.loads(raw)
-            out[(ref["type"], ref["name"])] = ref
+            # Same torn-read retry as the local branch: HDFS
+            # create(overwrite=true) truncates before the new content
+            # lands, so a ref read racing a pointer move can observe an
+            # empty/partial file (caught live by the forced-JVM commit
+            # storm). One short retry always sees the completed write —
+            # ref payloads are a single small buffer. On S3A objects
+            # publish whole, so only the filesystem path can tear.
+            ref = None
+            for attempt in (0, 1):
+                try:
+                    stream = fs.open(st.getPath())
+                    try:
+                        raw = bytes(
+                            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                        ).decode("utf-8")
+                    finally:
+                        stream.close()
+                    ref = json.loads(raw)
+                    break
+                except ValueError:
+                    if attempt == 1:
+                        raise  # genuinely corrupt — surface it
+                    time.sleep(0.01)  # torn mid-overwrite: retry once
+                except Exception:
+                    ref = None  # deleted between listing and read
+                    break
+            if ref is not None:
+                out[(ref["type"], ref["name"])] = ref
         return out
 
     def _write_ref(self, ref_type: str, name: str, version: int, overwrite: bool) -> None:
