@@ -739,3 +739,88 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("longest_streak"), "user_id")
     )
+
+
+@query(
+    "events_anomaly_mad",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, n AS med FROM (
+    SELECT event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS c
+    FROM daily
+  ) WHERE rn = (c + 1) // 2
+), dev AS (
+  SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS dv
+  FROM daily d JOIN med m ON d.event_type = m.event_type
+), mad AS (
+  SELECT event_type, dv AS mad FROM (
+    SELECT event_type, dv, day,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS c
+    FROM dev
+  ) WHERE rn = (c + 1) // 2
+)
+SELECT d.event_type, CAST(d.day AS BIGINT) AS day, d.n, d.med,
+       CAST(m.mad AS BIGINT) AS mad
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+WHERE d.dv > 3 * m.mad
+ORDER BY d.event_type, d.day
+""",
+    category="events",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection (r09): flag days whose per-type event
+    count deviates from the type's median by more than 3× the median
+    absolute deviation — the MAD rule that survives the outliers a
+    mean/stddev z-score is wrecked by. Every statistic is a rank-based
+    LOWER median over integer counts (two windows per type), so the
+    whole query is integer order statistics: zero float ops, bit-equal
+    cross-engine, no distributional assumptions. mad=0 (a perfectly
+    flat type) flags any deviating day, the conventional degenerate
+    reading.
+
+    Scale shape: the daily pre-agg collapses the corpus to
+    |types|×|days| rows before any window; both medians sort only that
+    collapsed set, partitioned by type. The 100 TB path for huge
+    day-ranges is approx_percentile over the same pre-agg."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.groupBy(
+            "event_type",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+    def lower_median(df, val_col, out_col):
+        w = Window.partitionBy("event_type").orderBy(val_col, "day")
+        c = Window.partitionBy("event_type")
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .withColumn("c", F.count(F.lit(1)).over(c))
+            .filter(F.col("rn") == F.expr("(c + 1) DIV 2"))
+            .select("event_type", F.col(val_col).alias(out_col))
+        )
+
+    med = lower_median(daily, "n", "med")
+    dev = daily.join(F.broadcast(med), "event_type").withColumn(
+        "dv", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = lower_median(dev, "dv", "mad")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("dv") > 3 * F.col("mad"))
+        .select("event_type", "day", "n", "med", F.col("mad").cast("bigint").alias("mad"))
+        .orderBy("event_type", "day")
+    )

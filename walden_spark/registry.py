@@ -120,7 +120,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "dedup_cluster_components",
     "dedup_embedding_lsh",
     "fn_hash",
-    "join_full_outer",
     "skew_salted_agg",
     "source_orc_roundtrip",
     "text_quality_score",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_weighted_percentile",
     "knn_graph",
     "events_activity_streaks",
+    "events_anomaly_mad",
 )
 
 
