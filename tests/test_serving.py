@@ -193,3 +193,45 @@ def test_thrift_metadata_operations(spark, sf_dir):
         assert cols["r_name"].upper() == "STRING"
     finally:
         conn.close()
+
+
+def test_prepared_statement_protocol(spark):
+    """Trino PREPARE / EXECUTE ... USING / DEALLOCATE PREPARE (r09) —
+    the wire surface JDBC/BI clients drive for parameterized queries.
+    Binding goes through Spark's parameterized SQL (positional ?), so
+    literals are bound, never string-spliced: the quoted-quote case
+    proves injection-safety."""
+    import pytest as _pytest
+
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "a", 30.0)], "id int, g string, v double"
+    ).createOrReplaceTempView("prep_t")
+    assert ws.sql(
+        "PREPARE q1 FROM SELECT g, SUM(v) AS s FROM prep_t WHERE id > ? "
+        "GROUP BY g ORDER BY g"
+    ).collect()[0].result == "PREPARE"
+    assert [tuple(r) for r in ws.sql("EXECUTE q1 USING 1").collect()] == [
+        ("a", 30.0), ("b", 20.0),
+    ]
+    assert [tuple(r) for r in ws.sql("EXECUTE q1 USING 2").collect()] == [("a", 30.0)]
+    # literal taxonomy: escaped-quote string, float, bool, NULL
+    ws.sql("PREPARE q2 FROM SELECT ? AS a, ? AS b, ? AS c, ? AS d")
+    row = ws.sql("EXECUTE q2 USING 'it''s', 2.5, TRUE, NULL").collect()[0]
+    assert (row.a, row.b, row.c, row.d) == ("it's", 2.5, True, None)
+    # a malicious "literal" stays a literal under bound parameters
+    evil = ws.sql("PREPARE q3 FROM SELECT ? AS s")
+    out = ws.sql("EXECUTE q3 USING '1; DROP TABLE prep_t'").collect()[0].s
+    assert out == "1; DROP TABLE prep_t"
+    assert spark.table("prep_t").count() == 3
+    # lifecycle: deallocate, then execute/deallocate of a missing name raise
+    assert ws.sql("DEALLOCATE PREPARE q1").collect()[0].result == "DEALLOCATE"
+    with _pytest.raises(ValueError, match="q1"):
+        ws.sql("EXECUTE q1 USING 1")
+    with _pytest.raises(ValueError, match="q1"):
+        ws.sql("DEALLOCATE PREPARE q1")
+    # history records the protocol statements
+    hist = [r.query for r in ws.system_queries().collect()]
+    assert any(q.startswith("PREPARE q1") for q in hist)

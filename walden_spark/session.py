@@ -23,6 +23,7 @@ Design-for-100TB notes
 from __future__ import annotations
 
 import os
+import re as _re_mod
 from typing import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -847,10 +848,20 @@ class WaldenSession:
 
     def sql(self, query: str) -> DataFrame:
         """Serve a SQL statement, recording it in the query history
-        (the reference's system.runtime.queries surface)."""
+        (the reference's system.runtime.queries surface). Supports
+        Trino's prepared-statement protocol (the wire surface JDBC/BI
+        clients drive): ``PREPARE name FROM <stmt>`` stores the
+        statement, ``EXECUTE name [USING lit, ...]`` binds positional
+        ``?`` parameters through Spark's parameterized SQL (literals
+        never string-spliced — injection-safe binding), ``DEALLOCATE
+        PREPARE name`` drops it."""
         import time
 
         t0 = time.perf_counter()
+        prepared = self._maybe_prepared_statement(query)
+        if prepared is not None:
+            self.query_log.record(query, time.perf_counter() - t0, None)
+            return prepared
         if self._versioned:
             try:
                 dml = self._maybe_versioned_dml(query)
@@ -873,6 +884,98 @@ class WaldenSession:
             raise
         self.query_log.record(query, time.perf_counter() - t0, None)
         return out
+
+    # Trino prepared-statement protocol (PREPARE / EXECUTE / DEALLOCATE
+    # PREPARE — reference: Trino's client wire protocol, which Superset/
+    # JDBC drive for every parameterized dashboard query).
+    _PREPARE_RE = _re_mod.compile(
+        r"^\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+(.+)$",
+        _re_mod.IGNORECASE | _re_mod.DOTALL,
+    )
+    _EXECUTE_RE = _re_mod.compile(
+        r"^\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:USING\s+(.+))?$",
+        _re_mod.IGNORECASE | _re_mod.DOTALL,
+    )
+    _DEALLOC_RE = _re_mod.compile(
+        r"^\s*DEALLOCATE\s+PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s*$",
+        _re_mod.IGNORECASE,
+    )
+
+    @staticmethod
+    def _parse_using_literals(text: str) -> list:
+        """Comma-split USING literals (quote-aware) into Python values
+        for Spark's parameterized binding: numbers, 'strings' (with ''
+        escapes), TRUE/FALSE, NULL."""
+        parts, depth, buf, i, in_str = [], 0, [], 0, False
+        while i < len(text):
+            ch = text[i]
+            if in_str:
+                buf.append(ch)
+                if ch == "'":
+                    if i + 1 < len(text) and text[i + 1] == "'":
+                        buf.append("'")
+                        i += 1
+                    else:
+                        in_str = False
+            elif ch == "'":
+                in_str = True
+                buf.append(ch)
+            elif ch == "(":
+                depth += 1
+                buf.append(ch)
+            elif ch == ")":
+                depth -= 1
+                buf.append(ch)
+            elif ch == "," and depth == 0:
+                parts.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+            i += 1
+        if buf:
+            parts.append("".join(buf))
+        out = []
+        for raw in (p.strip() for p in parts):
+            up = raw.upper()
+            if up == "NULL":
+                out.append(None)
+            elif up in ("TRUE", "FALSE"):
+                out.append(up == "TRUE")
+            elif raw.startswith("'") and raw.endswith("'"):
+                out.append(raw[1:-1].replace("''", "'"))
+            else:
+                try:
+                    out.append(int(raw))
+                except ValueError:
+                    out.append(float(raw))
+        return out
+
+    def _maybe_prepared_statement(self, query: str) -> DataFrame | None:
+        m = self._PREPARE_RE.match(query)
+        if m:
+            name, stmt = m.group(1).lower(), m.group(2).strip().rstrip(";")
+            self._prepared = getattr(self, "_prepared", {})
+            self._prepared[name] = stmt
+            return self.spark.createDataFrame([("PREPARE",)], "result string")
+        m = self._DEALLOC_RE.match(query)
+        if m:
+            name = m.group(1).lower()
+            prepared = getattr(self, "_prepared", {})
+            if name not in prepared:
+                raise ValueError(f"prepared statement {name!r} does not exist")
+            del prepared[name]
+            return self.spark.createDataFrame([("DEALLOCATE",)], "result string")
+        m = self._EXECUTE_RE.match(query.strip().rstrip(";"))
+        if m and m.group(1).upper() != "IMMEDIATE":  # Spark's own EXECUTE IMMEDIATE passes through
+            name = m.group(1).lower()
+            prepared = getattr(self, "_prepared", {})
+            if name not in prepared:
+                raise ValueError(f"prepared statement {name!r} does not exist")
+            args = self._parse_using_literals(m.group(2)) if m.group(2) else []
+            # positional ? binding via Spark parameterized SQL — the
+            # values travel as literals in the plan, never spliced text
+            return self.spark.sql(prepared[name], args=args or None)
+        return None
 
     def system_queries(self) -> DataFrame:
         """Query history as a DataFrame (register as a temp view for BI)."""
