@@ -235,3 +235,55 @@ def win_groups_frame_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return groups_frame_count(
         src, "odate", -1, 0, partition_by=("o_orderpriority",), alias="n_same_and_prev_day"
     ).select("o_orderkey", "o_orderpriority", "odate", "n_same_and_prev_day")
+
+
+@query(
+    "win_exclude_current",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         AS neighbor_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS neighbor_n
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    category="window",
+)
+def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 frame exclusion (r09): `EXCLUDE CURRENT ROW` — each
+    row's ±2-row neighborhood WITHOUT itself, the leave-one-out shape
+    smoothing/anomaly baselines use ("how do my neighbors look,
+    ignoring me"). Trino supports frame exclusion natively; Spark has
+    no EXCLUDE clause, so this emulates it exactly: aggregate over the
+    full ROWS frame, then subtract the current row's contribution
+    (sum − value, count − 1) — algebraically identical for any
+    group-invertible aggregate, and the DuckDB oracle runs the NATIVE
+    EXCLUDE CURRENT ROW syntax, cross-validating the emulation against
+    a real implementation rather than a re-emulation. Decimal sums
+    keep the subtraction exact (float sum−value would reorder
+    roundings). Unique (ts, event_id) ordering makes the ROWS frame
+    deterministic. Documented beside the GROUPS emulation in
+    DEVIATIONS.md."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 2)
+    )
+    dec = F.col("value").cast("decimal(18,2)")
+    return (
+        t.events.filter(F.col("user_id") < 20)
+        .select(
+            "user_id",
+            "event_id",
+            ((F.sum(dec).over(w) - dec).cast("double")).alias("neighbor_sum"),
+            (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("neighbor_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -118,7 +118,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_approx_distinct",
     "agg_count_distinct",
     "dedup_cluster_components",
-    "dedup_embedding_lsh",
     "fn_hash",
     "skew_salted_agg",
     "source_orc_roundtrip",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "knn_graph",
     "events_activity_streaks",
     "events_anomaly_mad",
+    "win_exclude_current",
 )
 
 
