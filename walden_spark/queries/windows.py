@@ -287,3 +287,136 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "win_pattern_vshape",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN prev_n IS NULL THEN 0
+                 WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs WHERE dir <> 0
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS first_prev_day,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS anchor_n,
+         MAX(day) AS last_day,
+         CAST(arg_max(n, pos) AS BIGINT) AS last_n
+  FROM runs GROUP BY user_id, dir, grp
+)
+SELECT d.user_id,
+       CAST(d.first_prev_day AS BIGINT) AS anchor_day, d.anchor_n,
+       CAST(d.last_day AS BIGINT) AS bottom_day, d.last_n AS bottom_n,
+       CAST(u.last_day AS BIGINT) AS end_day, u.last_n AS end_n,
+       d.anchor_n - d.last_n AS depth, u.last_n - d.last_n AS rebound
+FROM isl d JOIN isl u
+  ON d.user_id = u.user_id AND d.dir = -1 AND u.dir = 1
+ AND u.first_prev_day = d.last_day
+ORDER BY d.user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row pattern matching (r09) — Trino ships SQL:2016
+    MATCH_RECOGNIZE; Spark has no equivalent, so the canonical V-shape
+    pattern (``PATTERN (STRT DOWN+ UP+)`` over per-user daily counts,
+    one row per match, ``AFTER MATCH SKIP TO LAST UP`` semantics — a
+    match's last row may anchor the next descent) is emulated with the
+    relational pieces pattern matching compiles to anyway: a direction
+    column (sign of the day-over-day delta; plateaus break runs, the
+    strict </> of DOWN/UP), run-length islands via the two-row_number
+    trick, and an adjacency join pairing each maximal descent with the
+    ascent that starts exactly where it bottomed
+    (up.first_prev_day = down.last_day). Emits anchor/bottom/end days
+    and counts, depth, and rebound — all integer order statistics,
+    bit-equal cross-engine.
+
+    Scale shape: the daily pre-agg collapses events to |users|×|days|
+    rows; every window and the island groupBy key on user_id, so the
+    whole match pipeline is one user-partitioned shuffle; the
+    adjacency join is equi on (user_id, day). Documented beside the
+    GROUPS / EXCLUDE emulations in DEVIATIONS.md."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    daily = (
+        t.events.filter(F.col("user_id") < 30)
+        .groupBy(
+            "user_id",
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = daily.select(
+        "user_id",
+        "day",
+        "n",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lag("n").over(w).alias("prev_n"),
+        F.row_number().over(w).alias("pos"),
+    )
+    dirs = seq.withColumn(
+        "dir",
+        F.when(F.col("prev_n").isNull(), 0)
+        .when(F.col("n") < F.col("prev_n"), -1)
+        .when(F.col("n") > F.col("prev_n"), 1)
+        .otherwise(0),
+    ).filter(F.col("dir") != 0)
+    wd = Window.partitionBy("user_id", "dir").orderBy("pos")
+    runs = dirs.withColumn("grp", F.col("pos") - F.row_number().over(wd))
+    isl = runs.groupBy("user_id", "dir", "grp").agg(
+        F.min("prev_day").alias("first_prev_day"),
+        F.min_by("prev_n", "pos").cast("bigint").alias("anchor_n"),
+        F.max("day").alias("last_day"),
+        F.max_by("n", "pos").cast("bigint").alias("last_n"),
+    )
+    d = isl.filter(F.col("dir") == -1).select(
+        "user_id",
+        F.col("first_prev_day").alias("anchor_day"),
+        "anchor_n",
+        F.col("last_day").alias("bottom_day"),
+        F.col("last_n").alias("bottom_n"),
+    )
+    u = isl.filter(F.col("dir") == 1).select(
+        F.col("user_id").alias("u_user"),
+        F.col("first_prev_day").alias("u_start"),
+        F.col("last_day").alias("end_day"),
+        F.col("last_n").alias("end_n"),
+    )
+    return (
+        d.join(
+            u,
+            (F.col("user_id") == F.col("u_user"))
+            & (F.col("u_start") == F.col("bottom_day")),
+        )
+        .select(
+            "user_id",
+            F.col("anchor_day").cast("bigint").alias("anchor_day"),
+            "anchor_n",
+            F.col("bottom_day").cast("bigint").alias("bottom_day"),
+            "bottom_n",
+            F.col("end_day").cast("bigint").alias("end_day"),
+            "end_n",
+            (F.col("anchor_n") - F.col("bottom_n")).alias("depth"),
+            (F.col("end_n") - F.col("bottom_n")).alias("rebound"),
+        )
+        .orderBy("user_id", "anchor_day")
+    )

@@ -116,7 +116,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q22",
     # -- re-witness: oldest r03 cohort --
     "agg_approx_distinct",
-    "agg_count_distinct",
     "dedup_cluster_components",
     "fn_hash",
     "skew_salted_agg",
@@ -138,6 +137,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_activity_streaks",
     "events_anomaly_mad",
     "win_exclude_current",
+    "win_pattern_vshape",
 )
 
 
