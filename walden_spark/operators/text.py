@@ -1270,6 +1270,10 @@ def text_apply_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("upsample_ppm"),
         )
     )
+    # plan is consumed twice (mixture join + final report join); persist
+    # the per-source frame or the full-corpus groupBy behind it runs
+    # once per consumer (the multi-consumer recompute rule)
+    plan = plan.persist()
     mixture = apply_mixture(t.documents, plan.select("source", "upsample_ppm"))
     emitted = mixture.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("emitted_docs")

@@ -642,7 +642,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("week"),
-    ).distinct()
+    ).distinct().persist()  # weeks feeds cohorts AND the retention join
     cohorts = weeks.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sizes = cohorts.groupBy("cohort_week").agg(
         F.count(F.lit(1)).cast("bigint").alias("cohort_size")
@@ -801,6 +801,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()  # daily feeds med AND dev — one events scan, not two
     )
 
     def lower_median(df, val_col, out_col):
@@ -816,7 +817,7 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = lower_median(daily, "n", "med")
     dev = daily.join(F.broadcast(med), "event_type").withColumn(
         "dv", F.abs(F.col("n") - F.col("med"))
-    )
+    ).persist()  # dev feeds mad AND the final filter
     mad = lower_median(dev, "dv", "mad")
     return (
         dev.join(F.broadcast(mad), "event_type")
