@@ -455,3 +455,60 @@ def test_agg_mv_rollup_matches_direct(spark, tmp_path_factory, rows, ask_keys):
         assert canon(served) == canon(direct)
     finally:
         spark.sql("DROP TABLE walden_mvp")
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),                  # group
+            st.integers(min_value=0, max_value=50),       # value
+            st.integers(min_value=1, max_value=9),        # weight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_weighted_median_matches_reference(spark, data):
+    """agg_weighted_percentile's composition (exact-decimal pre-agg +
+    peer-inclusive cumulative window + conditional MIN) must equal the
+    definitional weighted median: the smallest value v with
+    sum(weight | value <= v) * 2 >= total_weight — checked against a
+    brute-force reference on random integer data."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(g, float(v), float(w)) for g, v, w in data], "g string, v double, w double"
+    )
+    per = (
+        df.select("g", "v", F.col("w").cast("decimal(18,2)").alias("wt"))
+        .groupBy("g", "v")
+        .agg(F.sum("wt").alias("sw"))
+    )
+    win = Window.partitionBy("g").orderBy("v")
+    cum = per.select(
+        "g", "v",
+        F.sum("sw").over(win).alias("cw"),
+        F.sum("sw").over(Window.partitionBy("g")).alias("tot"),
+    )
+    got = {
+        r.g: r.m
+        for r in cum.groupBy("g")
+        .agg(F.min(F.when(F.col("cw") * 2 >= F.col("tot"), F.col("v"))).alias("m"))
+        .collect()
+    }
+    # brute-force reference
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v, w in data:
+        groups[g].append((v, w))
+    for g, pairs in groups.items():
+        total = sum(w for _, w in pairs)
+        acc, want = 0, None
+        for v, w in sorted(pairs):
+            acc += w
+            if acc * 2 >= total:
+                want = v
+                break
+        assert got[g] == float(want), (g, pairs, got[g], want)
