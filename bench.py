@@ -221,28 +221,54 @@ def main() -> None:
     }
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    full_payload = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+        "timed_rounds": 3,
+        "spread_pct": spread_pct,
+        "calibration": calibration,
+        "calibration_total": round(cal_total, 3),
+        "ratio_to_calibration": ratios,
+        "value_ratio": round(total / cal_total, 3),
+        "notes": "value=sum of per-query min over 3 interleaved rounds "
+        "(1 untimed warm-up); deltas smaller than spread_pct are noise. "
+        "calibration = pinned engine-independent probes (frozen in "
+        "bench.py, plans byte-stable across rounds) run interleaved "
+        "with the sweep; compare ratio_to_calibration / value_ratio "
+        "round-over-round — absolute seconds drift with the host, "
+        "ratios do not",
+    }
+    # Full per-query payload: printed for humans AND persisted to a file
+    # so no detail is lost if stdout is truncated.
+    print(json.dumps(full_payload))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as f:
+            json.dump(full_payload, f, indent=1)
+    except OSError:
+        pass
+    # FINAL compact line (VERDICT r09 #1): the r09 full payload grew past
+    # the driver's ~2.2 KB tail capture and the stored line was cut
+    # mid-dict ("parsed": null). The LAST line printed is this <200-byte
+    # summary so any tail capture, however short, still machine-parses;
+    # per-query detail lives on the previous line and in BENCH_FULL.json.
+    sys.stdout.flush()
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-                "timed_rounds": 3,
-                "spread_pct": spread_pct,
-                "calibration": calibration,
-                "calibration_total": round(cal_total, 3),
-                "ratio_to_calibration": ratios,
                 "value_ratio": round(total / cal_total, 3),
-                "notes": "value=sum of per-query min over 3 interleaved rounds "
-                "(1 untimed warm-up); deltas smaller than spread_pct are noise. "
-                "calibration = pinned engine-independent probes (frozen in "
-                "bench.py, plans byte-stable across rounds) run interleaved "
-                "with the sweep; compare ratio_to_calibration / value_ratio "
-                "round-over-round — absolute seconds drift with the host, "
-                "ratios do not",
-            }
+                "calibration_total": round(cal_total, 3),
+                "sf": float(sf) if sf else None,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

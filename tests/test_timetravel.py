@@ -3118,8 +3118,7 @@ def test_claim_heartbeat_resets_repair_clock(spark, vt, monkeypatch):
     head = vt.head("main")
     # claim whose `to` manifest doesn't exist: a stale one is RELEASED
     # by the repairer (the roll-forward arm needs the manifest)
-    claim = f"{vt._refs_dir}/_cas/branch=main/from={vt._cas_token(head)}.json"
-    vt._write_json(claim, {"to": 9999, "claimed": _time.time()}, overwrite=False)
+    claim = vt._cas_claim("main", head, 9999)
     fs, cp, _ = __import__("walden_spark.timetravel", fromlist=["_fs"])._fs(
         vt.spark, claim
     )
@@ -3133,6 +3132,99 @@ def test_claim_heartbeat_resets_repair_clock(spark, vt, monkeypatch):
     assert not fs.exists(cp)
     # heartbeat on a vanished claim is a no-op, not an error
     vt._claim_heartbeat(claim)
+    assert not fs.exists(cp)
+
+
+def test_claim_heartbeat_cannot_resurrect_or_clobber(spark, vt, monkeypatch):
+    """ADVICE r09 #2 (TOCTOU): after a legitimate raid releases a stale
+    claim and a RIVAL re-claims the same transition, the original
+    owner's heartbeat must be a no-op — it may neither resurrect its
+    deleted claim nor refresh/clobber the rival's — and the original
+    owner's merge publish re-check must abort on the token mismatch."""
+    import json as _json
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable, _fs
+
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.2)
+    head = vt.head("main")
+    claim = vt._cas_claim("main", head, 9999)
+    fs, cp, jvm = _fs(spark, claim)
+    _time.sleep(0.3)  # owner stalls past the repair age
+    repairer = VersionedTable(spark, vt.path)
+    assert repairer._repair_stale_claim("main", head, claim) is True
+    assert not fs.exists(cp)
+    # heartbeat on the raided (deleted) claim must NOT resurrect it
+    vt._claim_heartbeat(claim)
+    assert not fs.exists(cp), "heartbeat resurrected a raided claim"
+    # a rival re-claims the same transition
+    rival = VersionedTable(spark, vt.path)
+    rival_claim = rival._cas_claim("main", head, 9999)
+    assert rival_claim == claim  # same slot, new owner token
+    # the original owner's heartbeat must leave the rival's claim alone
+    vt._claim_heartbeat(claim)
+    stream = fs.open(cp)
+    try:
+        payload = _json.loads(
+            bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode(
+                "utf-8"
+            )
+        )
+    finally:
+        stream.close()
+    assert payload["owner"] == rival._owned_claims[rival_claim]
+    assert payload["owner"] != vt._owned_claims[claim]
+    hb_path = jvm.org.apache.hadoop.fs.Path(claim + ".hb")
+    if fs.exists(hb_path):  # any sidecar present must not be the old owner's
+        hstream = fs.open(hb_path)
+        try:
+            hb = _json.loads(
+                bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(hstream)
+                ).decode("utf-8")
+            )
+        finally:
+            hstream.close()
+        assert hb["owner"] != vt._owned_claims[claim]
+
+
+def test_torn_heartbeat_sidecar_reads_as_live(spark, vt, monkeypatch):
+    """ADVICE r09 #1: an unparsable heartbeat sidecar means a heartbeat
+    is being written at this instant — the repairer must treat the
+    claim as LIVE, never as a free slot. And an unparsable-but-present
+    CLAIM file (torn read) is likewise live, not vanished."""
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable, _fs
+
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.2)
+    head = vt.head("main")
+    claim = vt._cas_claim("main", head, 9999)
+    fs, cp, jvm = _fs(spark, claim)
+    _time.sleep(0.3)  # aged past the repair horizon
+    # torn sidecar: half-written JSON (what a truncate-then-write
+    # fs.create(overwrite=true) exposes mid-heartbeat)
+    local_hb = claim + ".hb"
+    with open(local_hb, "w", encoding="utf-8") as f:
+        f.write('{"owner": "abc", "clai')
+    rival = VersionedTable(spark, vt.path)
+    assert rival._repair_stale_claim("main", head, claim) is False
+    assert fs.exists(cp), "repairer raided a claim with an in-flight heartbeat"
+    # torn CLAIM file: present but unparsable — live, not free
+    import os as _os
+
+    _os.unlink(local_hb)
+    with open(claim, "w", encoding="utf-8") as f:
+        f.write('{"to": 9999, "claim')
+    assert rival._repair_stale_claim("main", head, claim) is False
+    assert fs.exists(cp)
+    # restore a well-formed stale claim: now the raid legitimately fires
+    vt._write_json(
+        claim,
+        {"to": 9999, "claimed": _time.time() - 10, "owner": "dead"},
+        overwrite=True,
+    )
+    assert rival._repair_stale_claim("main", head, claim) is True
     assert not fs.exists(cp)
 
 

@@ -672,10 +672,21 @@ def knn_graph(spark: SparkSession, sf_dir: str, rows_per_block: int = 8192, k: i
         out = []
         for ids_q, ids_c, M in directions:
             kk = min(k, M.shape[1])
-            # local top-k per row: argpartition then exact order
-            part = np.argpartition(-M, kk - 1, axis=1)[:, :kk]
+            # local top-k per row with a DETERMINISTIC tie-break
+            # (ADVICE r09 #5): raw argpartition keeps boundary ties in
+            # shuffle-dependent pandas row order, so a tied candidate
+            # with the smaller neighbor_id could be dropped inside the
+            # tile before the global (cos_sim desc, neighbor_id)
+            # window ever sees it — duplicate embeddings made runs
+            # diverge. lexsort (last key primary) orders each row by
+            # score desc then candidate id asc, matching the global
+            # window's order exactly, so per-tile truncation keeps
+            # precisely the candidates the global top-k would keep.
+            order = np.lexsort(
+                (np.broadcast_to(ids_c, M.shape), -M), axis=1
+            )[:, :kk]
             rows = np.repeat(np.arange(M.shape[0]), kk)
-            cols = part.ravel()
+            cols = order.ravel()
             mask = np.isfinite(M[rows, cols])
             out.append(
                 pd.DataFrame(

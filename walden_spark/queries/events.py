@@ -636,7 +636,11 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     weeks = t.events.select(
         "user_id",
-        (
+        # F.floor, not cast('int'): cast truncates toward zero while the
+        # oracle's `//` floors, so a pre-anchor event would land in week
+        # 0 here but week -1 there (ADVICE r09 #3; sibling at
+        # events_streaks uses floor for the same reason)
+        F.floor(
             F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
             / F.lit(7)
         )

@@ -265,7 +265,12 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXCLUDE CURRENT ROW syntax, cross-validating the emulation against
     a real implementation rather than a re-emulation. Decimal sums
     keep the subtraction exact (float sum−value would reorder
-    roundings). Unique (ts, event_id) ordering makes the ROWS frame
+    roundings). NULL safety (ADVICE r09 #4): a NULL current value
+    contributes nothing to SUM, so the subtraction must subtract
+    COALESCE(value, 0) — `sum − NULL` would wrongly NULL the whole
+    neighborhood where native EXCLUDE returns the neighbors' sum;
+    COUNT(*) − 1 is already NULL-safe (COUNT(*) counts the row either
+    way). Unique (ts, event_id) ordering makes the ROWS frame
     deterministic. Documented beside the GROUPS emulation in
     DEVIATIONS.md."""
     from pyspark.sql import Window
@@ -277,12 +282,19 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-2, 2)
     )
     dec = F.col("value").cast("decimal(18,2)")
+    dec0 = F.coalesce(dec, F.lit(0).cast("decimal(18,2)"))
+    # non-null NEIGHBOR count: when it is 0, native EXCLUDE's SUM over
+    # an all-NULL (or empty) remainder is NULL — guard the subtraction
+    # so `value − value = 0` can't masquerade as a real neighbor sum
+    nn = F.count(dec).over(w) - F.when(dec.isNotNull(), 1).otherwise(0)
     return (
         t.events.filter(F.col("user_id") < 20)
         .select(
             "user_id",
             "event_id",
-            ((F.sum(dec).over(w) - dec).cast("double")).alias("neighbor_sum"),
+            F.when(nn > 0, (F.sum(dec).over(w) - dec0))
+            .cast("double")
+            .alias("neighbor_sum"),
             (F.count(F.lit(1)).over(w) - 1).cast("bigint").alias("neighbor_n"),
         )
         .orderBy("user_id", "event_id")

@@ -381,6 +381,12 @@ class VersionedTable:
         # highest version the newest checkpoint covers, refreshed by
         # every _manifest_entries() call — drives auto-checkpointing
         self._last_ckpt_upto: int | None = None
+        # claim path -> owner token for claims THIS instance created
+        # via _cas_claim (ADVICE r09 #2): heartbeats and publish
+        # re-checks prove ownership with the token instead of trusting
+        # mere file existence, so a raided-then-re-claimed slot can
+        # never be resurrected or clobbered by the original owner
+        self._owned_claims: dict[str, str] = {}
 
     # ---- manifest plumbing ----
 
@@ -842,25 +848,62 @@ class VersionedTable:
         manifests) rather than blind-overwriting a pointer a new
         writer may have moved."""
         fs, cpath, jvm = _fs(self.spark, claim)
-        try:
-            stream = fs.open(cpath)
+        payload = None
+        for attempt in (0, 1):
             try:
-                payload = json.loads(
-                    bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream)).decode(
-                        "utf-8"
+                stream = fs.open(cpath)
+                try:
+                    payload = json.loads(
+                        bytes(
+                            jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                        ).decode("utf-8")
                     )
-                )
-            finally:
-                stream.close()
-        except Exception:
-            return True  # claim vanished (owner released it) — slot is free
+                finally:
+                    stream.close()
+                break
+            except ValueError:
+                # Claim files are create-once (heartbeats live in a
+                # sidecar — ADVICE r09 #1), so an unparsable-but-present
+                # claim means a torn read, not a free slot: retry once,
+                # then treat it as LIVE ("come back later") rather than
+                # raiding what may be an active writer's claim.
+                if attempt == 1:
+                    return False
+                time.sleep(0.01)
+            except Exception:
+                return True  # claim vanished (owner released it) — slot free
         try:
             now = self.head(name)
         except ValueError:
             now = None
         if now != expected:
             return False  # pointer moved: genuine CAS loss, not a wedge
-        if time.time() - float(payload.get("claimed", 0)) < self.CLAIM_REPAIR_AGE_S:
+        claimed = float(payload.get("claimed", 0))
+        # Heartbeats refresh a SIDECAR (<claim>.hb), never the claim
+        # itself: the effective age is max(claim, matching-owner
+        # sidecar). A torn sidecar read means a heartbeat is being
+        # written at this very instant — the strongest possible
+        # liveness signal — so treat it as live, not free (the exact
+        # failure mode of the old in-place heartbeat rewrite, where a
+        # torn read during fs.create(overwrite=true) truncation let a
+        # rival raid a live claim — ADVICE r09 #1).
+        try:
+            hstream = fs.open(jvm.org.apache.hadoop.fs.Path(claim + ".hb"))
+            try:
+                hb = json.loads(
+                    bytes(
+                        jvm.org.apache.commons.io.IOUtils.toByteArray(hstream)
+                    ).decode("utf-8")
+                )
+            finally:
+                hstream.close()
+            if hb.get("owner") == payload.get("owner"):
+                claimed = max(claimed, float(hb.get("claimed", 0)))
+        except ValueError:
+            return False  # heartbeat in flight — owner is alive
+        except Exception:
+            pass  # no sidecar yet — the claim's own timestamp governs
+        if time.time() - claimed < self.CLAIM_REPAIR_AGE_S:
             return False  # presumed live owner — let it finish
         to = payload.get("to")
         if to is None:  # malformed/legacy claim: free the slot (ADVICE r07 #2
@@ -909,11 +952,20 @@ class VersionedTable:
             f"{self._refs_dir}/_cas/branch={name}/"
             f"from={self._cas_token(expected)}.json"
         )
+        # owner token (ADVICE r09 #2): heartbeats and the merge publish
+        # re-check verify THIS token against the claim file, so if the
+        # slot is ever raided and re-claimed by a rival, the original
+        # owner can neither refresh the rival's claim nor pass the
+        # publish re-check on the strength of mere file existence
+        token = uuid.uuid4().hex
         for attempt in (0, 1):
             try:
                 self._write_json(
-                    claim, {"to": to, "claimed": time.time()}, overwrite=False
+                    claim,
+                    {"to": to, "claimed": time.time(), "owner": token},
+                    overwrite=False,
                 )
+                self._owned_claims[claim] = token
                 break
             except Exception as exc:
                 if not _is_commit_conflict(exc):
@@ -953,22 +1005,40 @@ class VersionedTable:
     def _cas_release(self, claim: str) -> None:
         """Release an UNUSED claim (abort path of a multi-table publish
         — safe because the releasing writer owns it and never moved the
-        pointer)."""
-        fs, p, _ = _fs(self.spark, claim)
+        pointer). The heartbeat sidecar goes with it so a later claim
+        of the same slot never inherits a stale timestamp file."""
+        fs, p, jvm = _fs(self.spark, claim)
         fs.delete(p, False)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(claim + ".hb"), False)
 
     def _claim_heartbeat(self, claim: str) -> None:
-        """Refresh a HELD claim's ``claimed`` timestamp (VERDICT r08
-        #6). Long publishes — a catalog three-way merge replays Spark
-        jobs between claim and pointer move — previously required
+        """Refresh a HELD claim's liveness (VERDICT r08 #6). Long
+        publishes — a catalog three-way merge replays Spark jobs
+        between claim and pointer move — previously required
         :attr:`CLAIM_REPAIR_AGE_S` to exceed the LONGEST publish or a
         repairer could raid a live claim; with the owner heartbeating
         between replay stages, the age only has to exceed the longest
-        single STAGE, removing the sizing footgun. The rewrite is
-        atomic (temp + replace) and preserves ``to``; a claim that has
-        already vanished (raided despite the heartbeat) is left alone —
-        the publish-time claim re-check in :meth:`_merge_three_way`
-        stays the abort-on-raid backstop."""
+        single STAGE, removing the sizing footgun.
+
+        Redesigned for ADVICE r09 #1/#2: the claim file itself is
+        create-once and NEVER rewritten (the old in-place rewrite went
+        through ``fs.create(overwrite=true)`` on the JVM path, which
+        truncates before the new bytes land — a racing repairer read
+        the empty window as "claim vanished, slot free" and could raid
+        a live claim). The heartbeat instead overwrites a SIDECAR file
+        (``<claim>.hb``) stamped with the owner token minted at
+        :meth:`_cas_claim`; :meth:`_repair_stale_claim` takes
+        ``max(claim ts, matching-owner sidecar ts)`` and treats a torn
+        sidecar read as proof of life. Ownership is verified before
+        writing: if this instance never claimed the slot, or the claim
+        file now carries a different token (raided and re-claimed by a
+        rival), the heartbeat is a no-op — it can neither resurrect a
+        deleted claim nor refresh a rival's. A claim that has vanished
+        is likewise left alone; the publish-time token re-check in
+        :meth:`_merge_three_way` stays the abort-on-raid backstop."""
+        token = self._owned_claims.get(claim)
+        if token is None:
+            return  # not the claiming instance — cannot prove ownership
         fs, cpath, jvm = _fs(self.spark, claim)
         try:
             stream = fs.open(cpath)
@@ -982,8 +1052,11 @@ class VersionedTable:
                 stream.close()
         except Exception:
             return  # claim gone — the publish re-check will abort
-        payload["claimed"] = time.time()
-        self._write_json(claim, payload, overwrite=True)
+        if payload.get("owner") != token:
+            return  # slot was raided and re-claimed by a rival — hands off
+        self._write_json(
+            claim + ".hb", {"owner": token, "claimed": time.time()}, overwrite=True
+        )
 
     def _cas_ref_move(self, name: str, expected: int | None, version: int) -> None:
         """Compare-and-swap publish: claim the transition away from
@@ -3003,13 +3076,39 @@ class VersionedTable:
         try:
             if _claim_held:
                 if _claim is not None:
-                    cfs, cp, _ = _fs(self.spark, _claim)
-                    if not cfs.exists(cp):
+                    # Token re-check, not mere existence (ADVICE r09
+                    # #2): after a raid, a RIVAL may have re-claimed
+                    # this very transition — its claim file exists, but
+                    # publishing over it would blind-overwrite a
+                    # pointer the rival is about to move (or already
+                    # moved). Only a claim still carrying OUR owner
+                    # token authorizes the overwrite-publish.
+                    token = self._owned_claims.get(_claim)
+                    owner_ok = False
+                    cfs, cp, cjvm = _fs(self.spark, _claim)
+                    try:
+                        cstream = cfs.open(cp)
+                        try:
+                            cpayload = json.loads(
+                                bytes(
+                                    cjvm.org.apache.commons.io.IOUtils.toByteArray(
+                                        cstream
+                                    )
+                                ).decode("utf-8")
+                            )
+                        finally:
+                            cstream.close()
+                        owner_ok = (
+                            token is None or cpayload.get("owner") == token
+                        )
+                    except Exception:
+                        owner_ok = False  # missing or unreadable — abort
+                    if not owner_ok:
                         raise ConcurrentWriteError(
                             f"merge claim on branch {into!r} of {self.path} "
-                            "was repaired away (owner presumed dead past "
-                            "CLAIM_REPAIR_AGE_S); nothing was published — "
-                            "re-read and retry"
+                            "was repaired away or re-claimed by a rival "
+                            "(owner presumed dead past CLAIM_REPAIR_AGE_S); "
+                            "nothing was published — re-read and retry"
                         )
                 self._write_ref("branch", into, new_head, overwrite=True)
             else:
