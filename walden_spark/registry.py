@@ -64,23 +64,25 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r09 ROTATION (VERDICT r08 next-round #2): the never-driver-verified
-# oracle-backed queue is EMPTY (cumulative driver-verified = 231/231
-# as of r08), so this window is pure re-witness + r09-new: the 13
-# family-spanning flagships, the 35 STALEST previously-witnessed
-# names (everything last seen r01/r03 — the full r01 tail plus the
-# oldest r03 cohort), and events_funnel / multimodal_decode (stalest
-# of their families, keeping the every-family coverage property).
-# Queries ADDED during r09 join the window immediately, each
-# displacing the least-stale re-witness anchor, so the drift guard's
-# every-rotatable-name-in-window invariant holds mid-round.
+# r10 ROTATION (VERDICT r09 next-round #2): the never-driver-verified
+# oracle-backed queue is still EMPTY (cumulative 243/243 as of r09),
+# so this window is pure re-witness: the 13 family-spanning
+# flagships; the 10-name r03/r04 cohort the r09 news displaced
+# (fn_regex … agg_grouping_sets — prescribed by VERDICT r09 #2); the
+# stalest previously-witnessed names by last-hash-verified round
+# (computed from the CORRECTNESS_r*.json history, r03/r04 vintage);
+# and multimodal_dedup_exact / events_gapfill (stalest of their
+# families, keeping the every-family coverage property). Queries
+# ADDED during r10 join the window immediately, each displacing the
+# least-stale re-witness anchor (the r04 tail), so the drift guard's
+# invariant holds mid-round.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py +
 # tools/rotation_queue.py::window_guard_violations) uses it to stay
 # green at the round boundary, and as of r09 the boundary arm demands
 # FULL green (rows+schema+hash), not merely err-free.
-DRIVER_WINDOW_ROUND = 9
+DRIVER_WINDOW_ROUND = 10
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- flagship anchors: one per SURVEY family --
     "tpch_q1",
@@ -96,48 +98,47 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_predicates",
     "posexplode_ordinality",
     "setop_union_distinct",
-    # -- re-witness: the full r01-stale tail --
-    "agg_unpivot",
-    "topk_offset",
-    "tpch_q2",
-    "tpch_q4_exists",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9_profit",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q22",
-    # -- re-witness: oldest r03 cohort --
-    "agg_approx_distinct",
-    "dedup_cluster_components",
-    "fn_hash",
-    "skew_salted_agg",
-    "source_orc_roundtrip",
-    "text_quality_score",
-    # -- family-coverage re-witnesses (stalest events / multimodal) --
-    "events_funnel",
-    "multimodal_decode",
-    # -- new in r09 (window-joined immediately, displacing re-witness
-    # anchors, so the drift guard's invariant holds mid-round) --
-    "text_apply_mixture",
-    "source_datagen_tpch",  # digest form: oracle-backed as of r09
-    "tpch_q18_bucketed",
-    "events_retention_cohorts",
-    "text_quality_filter_per_source",
-    "text_normalize_dedup",
-    "agg_weighted_percentile",
-    "knn_graph",
-    "events_activity_streaks",
-    "events_anomaly_mad",
-    "win_exclude_current",
-    "win_pattern_vshape",
+    # -- re-witness: the r03/r04 cohort displaced by r09's news --
+    "fn_regex",
+    "fn_json",
+    "distinct_pairs",
+    "explode_words",
+    "sample_bernoulli",
+    "lateral_topn",
+    "join_theta_nonequi",
+    "subquery_correlated_scalar",
+    "ann_ivf_probe",
+    "agg_grouping_sets",
+    # -- re-witness: stalest remaining (last hash-verified r03) --
+    "agg_count_distinct",
+    "dedup_embedding_lsh",
+    "join_full_outer",
+    "setop_except_all",
+    "topk_with_ties",
+    "tpch_q12",
+    "tpch_q16",
+    "udf_python_udtf",
+    "values_inline",
+    "win_range_interval",
+    # -- re-witness: stalest remaining (last hash-verified r04) --
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_stats_formula",
+    "ann_ivf_pq",
+    "ddl_branch_merge",
+    "fn_bitwise",
+    "fn_math",
+    "fn_string",
+    "fn_struct",
+    "fn_url",
+    "fn_variant",
+    "join_cross",
+    "join_left_outer",
+    "join_right_outer",
+    # -- family-coverage re-witnesses (stalest text/events/multimodal) --
+    "text_span_dedup",
+    "events_gapfill",
+    "multimodal_dedup_exact",
 )
 
 
