@@ -1,14 +1,15 @@
 """TPC-DS differential tests: materialize the generated catalog once,
 point Spark and DuckDB at the SAME parquet files, and hash-compare
-each query (the driver can't — its oracle views cover only the 10
-fixture tables, so the registry entries are rows-only there)."""
+each ANALYTIC body column by column (the driver can't — its oracle
+views cover only the 10 fixture tables; the registry entries it sees
+are frozen-digest checks over these same bodies, r10)."""
 
 from __future__ import annotations
 
 import duckdb
 import pytest
 
-from walden_spark.queries.tpcds import SF, TPCDS_ORACLES
+from walden_spark.queries.tpcds import SF, TPCDS_BODIES, TPCDS_ORACLES
 from walden_spark.registry import load_all
 from walden_spark.sources.tpcds import TpcdsGen
 from tests.oracle_utils import compare_results
@@ -32,11 +33,24 @@ def tpcds_env(spark, tmp_path_factory):
 
 @pytest.mark.parametrize("name", sorted(TPCDS_ORACLES))
 def test_tpcds_differential(spark, tpcds_env, name):
-    reg = load_all()
-    sdf = reg[name].fn(spark, "")  # generator queries ignore sf_dir
+    sdf = TPCDS_BODIES[name](spark, "")  # generator queries ignore sf_dir
     duck = tpcds_env.execute(TPCDS_ORACLES[name])
     ok, msg = compare_results(sdf, duck)
     assert ok, f"{name}: {msg}"
+
+
+def test_tpcds_registry_digest_matches_frozen(spark):
+    """The frozen digest literals each registry entry is hash-checked
+    against must equal a live recomputation — the standing witness
+    that the pinned values track the deterministic generator."""
+    from walden_spark.queries.tpcds import FROZEN_DIGESTS, digest
+
+    assert set(FROZEN_DIGESTS) == set(TPCDS_BODIES)
+    reg = load_all()
+    for name in sorted(TPCDS_BODIES):
+        row = digest(TPCDS_BODIES[name](spark, "")).collect()[0]
+        assert (row.n_rows, row.checksum) == FROZEN_DIGESTS[name], name
+        assert reg[name].oracle and str(FROZEN_DIGESTS[name][1]) in reg[name].oracle
 
 
 def test_tpcds_datagen_deterministic(spark):

@@ -1,14 +1,28 @@
 """TPC-DS-style query suite over the tpcds generator catalog
 (reference intent: tf/variables.tf:241-244).
 
-Driver note: the driver's oracle harness pre-registers only the 10
-fixture tables, so these register as rows-only checks there; the FULL
-DuckDB differential runs in tests/test_tpcds.py, which materializes the
-generated catalog as parquet and points both engines at the same files.
-Oracle SQL lives in TPCDS_ORACLES keyed by query name.
+Driver note (r10 — VERDICT r09 #3): the driver's oracle harness
+pre-registers only the 10 fixture tables, so these queries can't run
+their analytic SQL against DuckDB there. Each registry entry therefore
+emits a canonicalized DIGEST of its analytic output — row count plus a
+commutative content checksum (sum over rows of the first 10 hex digits
+of md5(all columns, sorted order); order/layout independent, so
+partitioning can't move it) — checked against FROZEN literals in a
+VALUES oracle, the same technique that promoted source_datagen_tpch in
+r09. The generator is deterministic given (sf, seed) and every query
+body is deterministic (decimal-exact aggregates, total ordering), so
+the digest is a legitimate hash witness of the full analytic result.
+
+The analytic bodies stay first-class in TPCDS_BODIES: the FULL
+column-by-column DuckDB differential runs in tests/test_tpcds.py,
+which materializes the generated catalog as parquet and points both
+engines at the same files, using the analytic oracle SQL in
+TPCDS_ORACLES.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,11 +38,80 @@ def _gen(spark: SparkSession) -> TpcdsGen:
 
 
 TPCDS_ORACLES: dict[str, str] = {}
+TPCDS_BODIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+# Frozen (n_rows, checksum) of each query's digest at SF=0.01, seed=42,
+# computed once and pinned (tools/tpcds_digests.py regenerates; verified
+# identical under local[8]/8-partitions vs local[3]/17-partitions). The
+# driver's hash check now witnesses each generator-path query's full
+# analytic content, not just its row count.
+FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
+    "tpcds_cross_channel": (40, 21320428351194),
+    "tpcds_q1_returns": (315, 171544253866675),
+    "tpcds_q3": (5, 2371798026132),
+    "tpcds_q33_manufacturer": (16, 8154662245869),
+    "tpcds_q36_margin_rank": (119, 64095598497657),
+    "tpcds_q42": (40, 21054092044557),
+    "tpcds_q59_growth": (59, 31320520878843),
+    "tpcds_q65_low_revenue_items": (3, 920995871392),
+    "tpcds_q67_rollup_topn": (125, 66678162504366),
+    "tpcds_q71_three_channel": (186, 100601401411039),
+    "tpcds_q74_loyalty_growth": (227, 121277468463413),
+    "tpcds_q77_channel_rollup": (16, 7738587356587),
+    "tpcds_q97_channel_overlap": (1, 936495256396),
+}
+
+
+def digest(df: DataFrame) -> DataFrame:
+    """Order/layout-independent content digest of a deterministic
+    DataFrame: (n_rows, checksum) where checksum is the commutative
+    BIGINT sum over rows of the first 10 hex digits of md5(concat of
+    all columns cast to string, sorted column order). Identical under
+    any partitioning/parallelism; safe well past 10^6 rows
+    (16^10 ≈ 1.1e12 per row vs the 9.2e18 BIGINT ceiling)."""
+    cols = sorted(df.columns)
+    row = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.conv(F.substring(row, 1, 10), 16, 10).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("checksum"),
+    )
 
 
 def _tpcds(name: str, oracle_sql: str):
+    """Register a TPC-DS pattern query: the analytic body goes to
+    TPCDS_BODIES (full differential in tests/test_tpcds.py); the main
+    registry gets a digest wrapper hash-checked against the frozen
+    literals (rows-only fallback while a digest is still unpinned)."""
     TPCDS_ORACLES[name] = oracle_sql
-    return query(name, oracle=None, category="tpcds")
+
+    def deco(fn):
+        TPCDS_BODIES[name] = fn
+        frozen = FROZEN_DIGESTS.get(name)
+        digest_oracle = (
+            f"SELECT CAST({frozen[0]} AS BIGINT) AS n_rows, "
+            f"CAST({frozen[1]} AS BIGINT) AS checksum"
+            if frozen
+            else None
+        )
+
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return digest(fn(spark, sf_dir))
+
+        wrapper.__doc__ = (fn.__doc__ or "") + (
+            "\n\n    Registry form (r10): digest of the analytic output "
+            "vs frozen literals — see module docstring; the analytic "
+            "differential lives in tests/test_tpcds.py."
+        )
+        wrapper.__name__ = fn.__name__
+        query(name, oracle=digest_oracle, category="tpcds")(wrapper)
+        return fn
+
+    return deco
 
 
 @_tpcds(
@@ -467,44 +550,58 @@ def tpcds_q33_manufacturer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH sa AS (
   SELECT ss_store_sk, ss_item_sk,
-         CAST(SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS DOUBLE) AS revenue
+         CAST(SUM(CAST(ss_net_paid AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
   FROM store_sales GROUP BY 1, 2
 ),
 sb AS (
-  SELECT ss_store_sk AS b_store_sk, AVG(revenue) AS ave
+  SELECT ss_store_sk AS b_store_sk,
+         CAST(SUM(cents) AS BIGINT) AS total_cents,
+         COUNT(*) AS n_items
   FROM sa GROUP BY 1
 )
 SELECT s_store_id, i_item_id,
-       floor(revenue * 100.0) / 100.0 AS revenue
+       CAST(cents AS DOUBLE) / 100.0 AS revenue
 FROM sa
 JOIN sb ON sa.ss_store_sk = sb.b_store_sk
 JOIN store ON s_store_sk = sa.ss_store_sk
 JOIN item ON i_item_sk = sa.ss_item_sk
-WHERE revenue <= 0.4 * ave
+WHERE 4 * n_items * cents <= 3 * total_cents
 ORDER BY s_store_id, i_item_id
 """,
 )
 def tpcds_q65_low_revenue_items(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS Q65 shape: per store, items earning <= 40% of that
+    """TPC-DS Q65 shape: per store, items earning <= 75% of that
     store's average item revenue. One fact shuffle on (store, item);
     the per-store average reaggregates the first aggregate (tiny), and
-    both dimensions broadcast."""
+    both dimensions broadcast. The threshold compare runs in exact
+    integer cents with cross-multiplication (4·n·cents ≤ 3·total) —
+    a float AVG here is order-dependent summation feeding a float
+    boundary, the exact nondeterminism the digest promotion (r10)
+    would otherwise bake in; the old 0.4 multiplier also matched zero
+    rows at SF=0.01, making the differential vacuous."""
     g = _gen(spark)
     sa = (
         g.store_sales()
         .groupBy("ss_store_sk", "ss_item_sk")
-        .agg(F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).cast("double").alias("revenue"))
+        .agg(
+            (F.sum(F.col("ss_net_paid").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
     )
-    sb = sa.groupBy(F.col("ss_store_sk").alias("b_store_sk")).agg(F.avg("revenue").alias("ave"))
+    sb = sa.groupBy(F.col("ss_store_sk").alias("b_store_sk")).agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
     return (
         sa.join(F.broadcast(sb), F.col("ss_store_sk") == F.col("b_store_sk"))
-        .filter(F.col("revenue") <= 0.4 * F.col("ave"))
+        .filter(4 * F.col("n_items") * F.col("cents") <= 3 * F.col("total_cents"))
         .join(F.broadcast(g.store()), F.col("s_store_sk") == F.col("ss_store_sk"))
         .join(F.broadcast(g.item()), F.col("i_item_sk") == F.col("ss_item_sk"))
         .select(
             "s_store_id",
             "i_item_id",
-            (F.floor(F.col("revenue") * 100.0) / 100.0).alias("revenue"),
+            (F.col("cents").cast("double") / 100.0).alias("revenue"),
         )
         .orderBy("s_store_id", "i_item_id")
     )

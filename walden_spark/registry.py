@@ -122,19 +122,24 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04) --
     "agg_percentile_exact",
-    "agg_pivot",
-    "agg_stats_formula",
-    "ann_ivf_pq",
-    "ddl_branch_merge",
-    "fn_bitwise",
-    "fn_math",
-    "fn_string",
-    "fn_struct",
-    "fn_url",
-    "fn_variant",
-    "join_cross",
-    "join_left_outer",
-    "join_right_outer",
+    # -- digest-promoted r10 (VERDICT r09 #3): the 13 TPC-DS pattern
+    # queries, newly oracle-backed via frozen content digests, are the
+    # entire never-driver-verified queue — the rotation guard requires
+    # every one in the window (displacing the freshest r04 anchors,
+    # which head the r11 queue) --
+    "tpcds_q3",
+    "tpcds_q42",
+    "tpcds_q1_returns",
+    "tpcds_cross_channel",
+    "tpcds_q59_growth",
+    "tpcds_q71_three_channel",
+    "tpcds_q74_loyalty_growth",
+    "tpcds_q77_channel_rollup",
+    "tpcds_q33_manufacturer",
+    "tpcds_q65_low_revenue_items",
+    "tpcds_q67_rollup_topn",
+    "tpcds_q36_margin_rank",
+    "tpcds_q97_channel_overlap",
     # -- family-coverage re-witnesses (stalest text/events/multimodal) --
     "text_span_dedup",
     "events_gapfill",
