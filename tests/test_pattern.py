@@ -1,0 +1,110 @@
+"""Unit tests for the row-pattern compiler (operators/pattern.py) on
+hand-computable sequences — the oracle queries check it against DuckDB
+on real data; these pin the exact MATCH_RECOGNIZE-subset semantics:
+maximal runs, greedy +, AFTER MATCH SKIP TO LAST overlap, min_len
+bounds, and the FLAT class breaking UP/DOWN runs."""
+
+from __future__ import annotations
+
+import pytest
+
+from walden_spark.operators.pattern import (
+    DOWN,
+    FLAT,
+    UP,
+    Step,
+    classify_islands,
+    match_pattern,
+)
+
+
+def _series(spark, values, pid=1):
+    rows = [(pid, day, float(v)) for day, v in enumerate(values)]
+    return spark.createDataFrame(rows, "pid int, day long, v double")
+
+
+def test_islands_maximal_runs(spark):
+    # values: 5 3 2 4 4 6 1  → transitions: D D U F U D
+    df = _series(spark, [5, 3, 2, 4, 4, 6, 1])
+    isl = {
+        (r.dir, r.start_prev, r.end, r.len, r.anchor_val, r.end_val)
+        for r in classify_islands(df, "pid", "day", "v").collect()
+    }
+    assert isl == {
+        (DOWN, 0, 2, 2, 5.0, 2.0),  # 5→3→2
+        (UP, 2, 3, 1, 2.0, 4.0),    # 2→4
+        (FLAT, 3, 4, 1, 4.0, 4.0),  # 4→4
+        (UP, 4, 5, 1, 4.0, 6.0),    # 4→6
+        (DOWN, 5, 6, 1, 6.0, 1.0),  # 6→1
+    }
+
+
+def test_vshape_match_and_flat_breaks_adjacency(spark):
+    # 5 3 2 4 4 6 1: DOWN(0..2) then UP(2..3) is a V; the FLAT at 3..4
+    # breaks adjacency so UP(4..5) does NOT extend or re-anchor it.
+    df = _series(spark, [5, 3, 2, 4, 4, 6, 1])
+    m = match_pattern(df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP)])
+    rows = m.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.anchor_day, r.anchor_val, r.d_end, r.d_val, r.u_end, r.u_val) == (
+        0, 5.0, 2, 2.0, 3, 4.0,
+    )
+
+
+def test_skip_to_last_overlap(spark):
+    # 4 2 5 1 6: DOWN(0..1) UP(1..2) DOWN(2..3) UP(3..4) — two V's
+    # sharing row 2 (end of first match anchors the second descent):
+    # AFTER MATCH SKIP TO LAST UP semantics.
+    df = _series(spark, [4, 2, 5, 1, 6])
+    m = match_pattern(df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP)])
+    got = sorted((r.anchor_day, r.d_end, r.u_end) for r in m.collect())
+    assert got == [(0, 1, 2), (2, 3, 4)]
+    # and the same sequence is exactly one W
+    w = match_pattern(
+        df, "pid", "day", "v",
+        [Step("d1", DOWN), Step("u1", UP), Step("d2", DOWN), Step("u2", UP)],
+    )
+    rows = w.collect()
+    assert len(rows) == 1
+    assert (rows[0].anchor_day, rows[0].u2_end) == (0, 4)
+
+
+def test_min_len_quantifier(spark):
+    # 1 2 3 4 0: one UP island of len 3, one DOWN of len 1
+    df = _series(spark, [1, 2, 3, 4, 0])
+    long_up = match_pattern(df, "pid", "day", "v", [Step("u", UP, min_len=3)])
+    assert [(r.anchor_day, r.u_end, r.u_len) for r in long_up.collect()] == [(0, 3, 3)]
+    assert match_pattern(
+        df, "pid", "day", "v", [Step("u", UP, min_len=4)]
+    ).count() == 0
+
+
+def test_partitions_do_not_mix(spark):
+    a = _series(spark, [3, 1, 5], pid=1)
+    b = _series(spark, [2, 9], pid=2)  # UP only — no V
+    m = match_pattern(
+        a.unionByName(b), "pid", "day", "v", [Step("d", DOWN), Step("u", UP)]
+    )
+    assert [r.pid for r in m.collect()] == [1]
+
+
+def test_flat_step_matches_plateau(spark):
+    # 2 2 2 5: FLAT(len 2) then UP — a plateau surge
+    df = _series(spark, [2, 2, 2, 5])
+    m = match_pattern(
+        df, "pid", "day", "v", [Step("p", FLAT, min_len=2), Step("s", UP)]
+    )
+    rows = m.collect()
+    assert len(rows) == 1
+    assert (rows[0].anchor_day, rows[0].p_len, rows[0].s_end, rows[0].s_val) == (
+        0, 2, 3, 5.0,
+    )
+
+
+def test_bad_patterns_rejected(spark):
+    df = _series(spark, [1, 2])
+    with pytest.raises(ValueError, match="at least one step"):
+        match_pattern(df, "pid", "day", "v", [])
+    with pytest.raises(ValueError, match="duplicate"):
+        match_pattern(df, "pid", "day", "v", [Step("x", UP), Step("x", DOWN)])

@@ -1,0 +1,149 @@
+"""Row-pattern matching compiler — the SQL:2016 MATCH_RECOGNIZE subset
+Trino ships (reference: Trino 468 via tf/main.tf:82-114; walden itself
+adds no engine code).
+
+Spark has no MATCH_RECOGNIZE, but the pattern class that covers the
+canonical analytics uses — ``PATTERN (STRT X1+ X2+ … Xk+)`` where each
+``Xj`` is DEFINEd by a predicate over the current and previous row
+(direction classes: value rose / fell / held) — compiles to relational
+pieces Spark executes natively:
+
+1. classify every adjacent-row transition into exactly one class
+   (UP / DOWN / FLAT: the sign of the delta),
+2. collapse maximal same-class runs into islands with the
+   two-row-number trick (gaps in ``pos`` split runs, so an interleaved
+   other-class row breaks a run exactly as strict DEFINE predicates
+   would),
+3. chain-join islands on adjacency — island ``j+1`` starts on the row
+   where island ``j`` ended (``start_prev == end``) — one equi-join
+   per pattern step beyond the first.
+
+Because every transition belongs to exactly one class, maximal islands
+of consecutive distinct-class steps reproduce greedy ``+`` quantifier
+semantics with ``AFTER MATCH SKIP TO LAST`` overlap (a match's last row
+may anchor the next match), matching the r09 ``win_pattern_vshape``
+hand build, which this module generalizes (VERDICT r09 #4).
+
+Scale shape: the classify/window stages are one partition-key shuffle;
+islands are at most one row per input transition and usually far fewer,
+so the (k−1) adjacency self-joins run on a frame that is orders of
+magnitude smaller than the input, each equi on (partition, order) keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# direction classes: sign of (value - prev_value)
+UP = 1
+DOWN = -1
+FLAT = 0
+
+
+@dataclass(frozen=True)
+class Step:
+    """One ``Xj+`` pattern step: a maximal run of transitions of
+    direction ``dir`` (UP / DOWN / FLAT), at least ``min_len`` long."""
+
+    name: str
+    dir: int
+    min_len: int = 1
+
+
+def classify_islands(
+    df: DataFrame, partition_col: str, order_col: str, value_col: str
+) -> DataFrame:
+    """Stages 1+2: per-partition transition classes and maximal
+    same-class islands.
+
+    Returns one row per island: ``(partition, dir, start_prev,
+    anchor_val, end, end_val, len)`` where ``start_prev``/``anchor_val``
+    are the order/value of the row the island's first transition rose
+    or fell FROM (the match anchor), ``end``/``end_val`` the island's
+    last row, and ``len`` the number of transitions in the run."""
+    w = Window.partitionBy(partition_col).orderBy(order_col)
+    seq = df.select(
+        partition_col,
+        order_col,
+        value_col,
+        F.lag(order_col).over(w).alias("_prev_ord"),
+        F.lag(value_col).over(w).alias("_prev_val"),
+        F.row_number().over(w).alias("_pos"),
+    ).filter(F.col("_prev_val").isNotNull())
+    dirs = seq.withColumn(
+        "dir",
+        F.when(F.col(value_col) < F.col("_prev_val"), F.lit(DOWN))
+        .when(F.col(value_col) > F.col("_prev_val"), F.lit(UP))
+        .otherwise(F.lit(FLAT)),
+    )
+    wd = Window.partitionBy(partition_col, "dir").orderBy("_pos")
+    runs = dirs.withColumn("_grp", F.col("_pos") - F.row_number().over(wd))
+    return runs.groupBy(partition_col, "dir", "_grp").agg(
+        F.min("_prev_ord").alias("start_prev"),
+        F.min_by("_prev_val", "_pos").alias("anchor_val"),
+        F.max(order_col).alias("end"),
+        F.max_by(value_col, "_pos").alias("end_val"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    ).drop("_grp")
+
+
+def match_pattern(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    steps: list[Step],
+) -> DataFrame:
+    """Stage 3: compile ``PATTERN (STRT steps[0]+ steps[1]+ …)`` into
+    an adjacency chain join over the islands.
+
+    Output: one row per match — ``partition_col``, the match anchor
+    (``anchor_<order>``, ``anchor_val``: the row the first step moved
+    away from), and per step ``<name>_end``, ``<name>_val``,
+    ``<name>_len`` (its last row's order/value and its run length).
+    Overlap follows AFTER MATCH SKIP TO LAST: a match's final row may
+    anchor the next match."""
+    if not steps:
+        raise ValueError("pattern needs at least one step")
+    names = [s.name for s in steps]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate step names: {names}")
+    isl = classify_islands(df, partition_col, order_col, value_col)
+
+    def step_frame(step: Step) -> DataFrame:
+        out = isl.filter(
+            (F.col("dir") == step.dir) & (F.col("len") >= step.min_len)
+        )
+        return out.select(
+            F.col(partition_col).alias(f"_p_{step.name}"),
+            F.col("start_prev").alias(f"{step.name}_start_prev"),
+            F.col("anchor_val").alias(f"{step.name}_anchor_val"),
+            F.col("end").alias(f"{step.name}_end"),
+            F.col("end_val").alias(f"{step.name}_val"),
+            F.col("len").alias(f"{step.name}_len"),
+        )
+
+    chain = step_frame(steps[0])
+    for prev, step in zip(steps, steps[1:]):
+        nxt = step_frame(step)
+        chain = chain.join(
+            nxt,
+            (F.col(f"_p_{prev.name}") == F.col(f"_p_{step.name}"))
+            & (F.col(f"{step.name}_start_prev") == F.col(f"{prev.name}_end")),
+        )
+    first = steps[0].name
+    keep = [
+        F.col(f"_p_{first}").alias(partition_col),
+        F.col(f"{first}_start_prev").alias(f"anchor_{order_col}"),
+        F.col(f"{first}_anchor_val").alias("anchor_val"),
+    ]
+    for s in steps:
+        keep += [
+            F.col(f"{s.name}_end"),
+            F.col(f"{s.name}_val"),
+            F.col(f"{s.name}_len"),
+        ]
+    return chain.select(*keep)

@@ -302,6 +302,132 @@ def win_exclude_current(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_exclude_group",
+    oracle="""
+SELECT user_id, event_id, CAST(day AS BIGINT) AS day,
+       CAST(SUM(dec) OVER w AS DOUBLE) AS other_days_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS other_days_n
+FROM (
+  SELECT user_id, event_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(value AS DECIMAL(18,2)) AS dec
+  FROM events WHERE user_id < 20
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE GROUP)
+ORDER BY user_id, event_id
+""",
+    category="window",
+)
+def win_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 frame exclusion, `EXCLUDE GROUP` (r10, VERDICT r09
+    #5): drop the current row AND its ORDER BY peers from the frame —
+    "my ±2-day neighborhood, ignoring everything that happened on MY
+    day". Spark has no EXCLUDE clause; on a RANGE frame the peer group
+    is itself a window frame (RANGE BETWEEN CURRENT ROW AND CURRENT
+    ROW), so EXCLUDE GROUP is frame_agg − peer_agg — two window
+    aggregates over the same sort, one shuffle, both group-invertible.
+    RANGE (not ROWS) makes this exact: a RANGE frame always contains
+    the entire peer group, so the subtraction can never remove rows
+    the frame didn't include. The DuckDB oracle runs the NATIVE
+    EXCLUDE GROUP syntax. NULL-safe like win_exclude_current: when no
+    non-null values remain after exclusion, native EXCLUDE returns
+    NULL — the emulation guards on the excluded non-null count."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("dec"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rangeBetween(-2, 2)
+    wp = Window.partitionBy("user_id").orderBy("day").rangeBetween(0, 0)
+    nn = F.count("dec").over(wf) - F.count("dec").over(wp)
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "day",
+            F.when(nn > 0, F.sum("dec").over(wf) - F.sum("dec").over(wp))
+            .cast("double")
+            .alias("other_days_sum"),
+            (F.count(F.lit(1)).over(wf) - F.count(F.lit(1)).over(wp))
+            .cast("bigint")
+            .alias("other_days_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "win_exclude_ties",
+    oracle="""
+SELECT user_id, event_id, CAST(day AS BIGINT) AS day,
+       CAST(SUM(dec) OVER w AS DOUBLE) AS no_ties_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS no_ties_n
+FROM (
+  SELECT user_id, event_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(value AS DECIMAL(18,2)) AS dec
+  FROM events WHERE user_id < 20
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING
+             EXCLUDE TIES)
+ORDER BY user_id, event_id
+""",
+    category="window",
+)
+def win_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2016 frame exclusion, `EXCLUDE TIES` (r10, VERDICT r09 #5):
+    drop the current row's ORDER BY peers but KEEP the current row —
+    "my neighborhood plus me, but not the other events of my day".
+    Emulated as frame_agg − peer_agg + current (the EXCLUDE GROUP
+    subtraction, then the current row added back); COUNT adds back a
+    constant 1, SUM adds back COALESCE(value, 0) with the same
+    no-non-null-remainder NULL guard the other exclusions use. Oracle
+    is DuckDB's NATIVE EXCLUDE TIES."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    base = t.events.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        F.col("value").cast("decimal(18,2)").alias("dec"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("day").rangeBetween(-2, 2)
+    wp = Window.partitionBy("user_id").orderBy("day").rangeBetween(0, 0)
+    dec0 = F.coalesce(F.col("dec"), F.lit(0).cast("decimal(18,2)"))
+    nn = (
+        F.count("dec").over(wf)
+        - F.count("dec").over(wp)
+        + F.when(F.col("dec").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        base.select(
+            "user_id",
+            "event_id",
+            "day",
+            F.when(nn > 0, F.sum("dec").over(wf) - F.sum("dec").over(wp) + dec0)
+            .cast("double")
+            .alias("no_ties_sum"),
+            (F.count(F.lit(1)).over(wf) - F.count(F.lit(1)).over(wp) + 1)
+            .cast("bigint")
+            .alias("no_ties_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
     "win_pattern_vshape",
     oracle="""
 WITH daily AS (
@@ -358,16 +484,49 @@ def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     and counts, depth, and rebound — all integer order statistics,
     bit-equal cross-engine.
 
+    r10: the hand build is re-expressed on the general pattern
+    compiler (``operators/pattern.py``, VERDICT r09 #4) — same oracle,
+    same hash, proving the compiler reproduces the r09 semantics
+    exactly for ``PATTERN (STRT DOWN+ UP+)``.
+
     Scale shape: the daily pre-agg collapses events to |users|×|days|
     rows; every window and the island groupBy key on user_id, so the
     whole match pipeline is one user-partitioned shuffle; the
     adjacency join is equi on (user_id, day). Documented beside the
     GROUPS / EXCLUDE emulations in DEVIATIONS.md."""
-    from pyspark.sql import Window
+    from walden_spark.operators.pattern import DOWN, UP, Step, match_pattern
 
+    m = match_pattern(
+        _daily_counts(spark, sf_dir, max_user=30),
+        "user_id",
+        "day",
+        "n",
+        [Step("down", DOWN), Step("up", UP)],
+    )
+    return (
+        m.select(
+            "user_id",
+            F.col("anchor_day").cast("bigint").alias("anchor_day"),
+            F.col("anchor_val").cast("bigint").alias("anchor_n"),
+            F.col("down_end").cast("bigint").alias("bottom_day"),
+            F.col("down_val").cast("bigint").alias("bottom_n"),
+            F.col("up_end").cast("bigint").alias("end_day"),
+            F.col("up_val").cast("bigint").alias("end_n"),
+            (F.col("anchor_val") - F.col("down_val"))
+            .cast("bigint")
+            .alias("depth"),
+            (F.col("up_val") - F.col("down_val")).cast("bigint").alias("rebound"),
+        )
+        .orderBy("user_id", "anchor_day")
+    )
+
+
+def _daily_counts(spark: SparkSession, sf_dir: str, max_user: int) -> DataFrame:
+    """Per-user daily event counts — the shared input of the row
+    pattern queries (a MATCH_RECOGNIZE input relation)."""
     t = Tables(spark, sf_dir)
-    daily = (
-        t.events.filter(F.col("user_id") < 30)
+    return (
+        t.events.filter(F.col("user_id") < max_user)
         .groupBy(
             "user_id",
             F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
@@ -376,59 +535,184 @@ def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    w = Window.partitionBy("user_id").orderBy("day")
-    seq = daily.select(
+
+
+# shared oracle CTE prologue: daily counts → transition classes →
+# maximal same-class islands, mirroring operators/pattern.py (DuckDB
+# gotcha: window fns aren't allowed inside WINDOW definitions — grp
+# needs its own CTE). Parameterized only by the user filter.
+_ISLANDS_CTE = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < {max_user} GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+)
+"""
+
+
+@query(
+    "win_pattern_wshape",
+    oracle=_ISLANDS_CTE.format(max_user=30)
+    + """
+SELECT d1.user_id,
+       CAST(d1.sp AS BIGINT) AS anchor_day, d1.av AS anchor_n,
+       CAST(d1.ed AS BIGINT) AS dip1_day, d1.ev AS dip1_n,
+       CAST(u1.ed AS BIGINT) AS peak_day, u1.ev AS peak_n,
+       CAST(d2.ed AS BIGINT) AS dip2_day, d2.ev AS dip2_n,
+       CAST(u2.ed AS BIGINT) AS end_day, u2.ev AS end_n
+FROM isl d1
+JOIN isl u1 ON u1.user_id = d1.user_id AND d1.dir = -1 AND u1.dir = 1
+           AND u1.sp = d1.ed
+JOIN isl d2 ON d2.user_id = d1.user_id AND d2.dir = -1 AND d2.sp = u1.ed
+JOIN isl u2 ON u2.user_id = d1.user_id AND u2.dir = 1 AND u2.sp = d2.ed
+ORDER BY d1.user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_wshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row pattern matching, W-shape double-dip (r10, VERDICT r09 #4):
+    ``PATTERN (STRT DOWN+ UP+ DOWN+ UP+)`` — two descents separated by
+    a partial recovery, the classic double-bottom. Compiled by
+    ``operators/pattern.py`` into islands + a 3-fold adjacency chain
+    join; the DuckDB oracle builds the same islands and chains them in
+    SQL, so the compiler's k-step generalization is hash-verified, not
+    just the r09 two-step case. All outputs are integer order
+    statistics — bit-equal cross-engine."""
+    from walden_spark.operators.pattern import DOWN, UP, Step, match_pattern
+
+    m = match_pattern(
+        _daily_counts(spark, sf_dir, max_user=30),
         "user_id",
         "day",
         "n",
-        F.lag("day").over(w).alias("prev_day"),
-        F.lag("n").over(w).alias("prev_n"),
-        F.row_number().over(w).alias("pos"),
-    )
-    dirs = seq.withColumn(
-        "dir",
-        F.when(F.col("prev_n").isNull(), 0)
-        .when(F.col("n") < F.col("prev_n"), -1)
-        .when(F.col("n") > F.col("prev_n"), 1)
-        .otherwise(0),
-    ).filter(F.col("dir") != 0)
-    wd = Window.partitionBy("user_id", "dir").orderBy("pos")
-    runs = dirs.withColumn("grp", F.col("pos") - F.row_number().over(wd))
-    isl = runs.groupBy("user_id", "dir", "grp").agg(
-        F.min("prev_day").alias("first_prev_day"),
-        F.min_by("prev_n", "pos").cast("bigint").alias("anchor_n"),
-        F.max("day").alias("last_day"),
-        F.max_by("n", "pos").cast("bigint").alias("last_n"),
-    )
-    d = isl.filter(F.col("dir") == -1).select(
-        "user_id",
-        F.col("first_prev_day").alias("anchor_day"),
-        "anchor_n",
-        F.col("last_day").alias("bottom_day"),
-        F.col("last_n").alias("bottom_n"),
-    )
-    u = isl.filter(F.col("dir") == 1).select(
-        F.col("user_id").alias("u_user"),
-        F.col("first_prev_day").alias("u_start"),
-        F.col("last_day").alias("end_day"),
-        F.col("last_n").alias("end_n"),
+        [
+            Step("dip1", DOWN),
+            Step("rise1", UP),
+            Step("dip2", DOWN),
+            Step("rise2", UP),
+        ],
     )
     return (
-        d.join(
-            u,
-            (F.col("user_id") == F.col("u_user"))
-            & (F.col("u_start") == F.col("bottom_day")),
+        m.select(
+            "user_id",
+            F.col("anchor_day").cast("bigint").alias("anchor_day"),
+            F.col("anchor_val").cast("bigint").alias("anchor_n"),
+            F.col("dip1_end").cast("bigint").alias("dip1_day"),
+            F.col("dip1_val").cast("bigint").alias("dip1_n"),
+            F.col("rise1_end").cast("bigint").alias("peak_day"),
+            F.col("rise1_val").cast("bigint").alias("peak_n"),
+            F.col("dip2_end").cast("bigint").alias("dip2_day"),
+            F.col("dip2_val").cast("bigint").alias("dip2_n"),
+            F.col("rise2_end").cast("bigint").alias("end_day"),
+            F.col("rise2_val").cast("bigint").alias("end_n"),
+        )
+        .orderBy("user_id", "anchor_day")
+    )
+
+
+@query(
+    "win_pattern_breakout",
+    oracle=_ISLANDS_CTE.format(max_user=100)
+    + """
+SELECT user_id, CAST(sp AS BIGINT) AS start_day, av AS start_n,
+       CAST(ed AS BIGINT) AS end_day, ev AS end_n, ln AS n_rises
+FROM isl
+WHERE dir = 1 AND ln >= 2 AND ev >= 2 * av
+ORDER BY user_id, start_day
+""",
+    category="window",
+)
+def win_pattern_breakout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row pattern matching, rising-streak breakout (r10, VERDICT r09
+    #4): ``PATTERN (STRT UP{2,})`` with a MEASURES-style predicate —
+    a maximal strictly-rising run of ≥2 day-over-day climbs whose end
+    count at least DOUBLES the anchor. Exercises the compiler's
+    min_len quantifier bound and single-step (no-join) path; the
+    ratio predicate is exact integer arithmetic (ev ≥ 2·av)."""
+    from walden_spark.operators.pattern import UP, classify_islands
+
+    isl = classify_islands(
+        _daily_counts(spark, sf_dir, max_user=100), "user_id", "day", "n"
+    )
+    return (
+        isl.filter(
+            (F.col("dir") == UP)
+            & (F.col("len") >= 2)
+            & (F.col("end_val") >= 2 * F.col("anchor_val"))
         )
         .select(
             "user_id",
-            F.col("anchor_day").cast("bigint").alias("anchor_day"),
-            "anchor_n",
-            F.col("bottom_day").cast("bigint").alias("bottom_day"),
-            "bottom_n",
-            F.col("end_day").cast("bigint").alias("end_day"),
-            "end_n",
-            (F.col("anchor_n") - F.col("bottom_n")).alias("depth"),
-            (F.col("end_n") - F.col("bottom_n")).alias("rebound"),
+            F.col("start_prev").cast("bigint").alias("start_day"),
+            F.col("anchor_val").cast("bigint").alias("start_n"),
+            F.col("end").cast("bigint").alias("end_day"),
+            F.col("end_val").cast("bigint").alias("end_n"),
+            F.col("len").alias("n_rises"),
         )
-        .orderBy("user_id", "anchor_day")
+        .orderBy("user_id", "start_day")
+    )
+
+
+@query(
+    "win_pattern_plateau_surge",
+    oracle=_ISLANDS_CTE.format(max_user=100)
+    + """
+SELECT p.user_id,
+       CAST(p.sp AS BIGINT) AS plateau_start, p.ev AS plateau_n,
+       p.ln AS plateau_len,
+       CAST(s.ed AS BIGINT) AS surge_end, s.ev AS surge_n
+FROM isl p
+JOIN isl s ON s.user_id = p.user_id AND p.dir = 0 AND s.dir = 1
+          AND p.ln >= 2 AND s.sp = p.ed
+ORDER BY p.user_id, plateau_start
+""",
+    category="window",
+)
+def win_pattern_plateau_surge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row pattern matching, plateau-then-surge (r10, VERDICT r09 #4):
+    ``PATTERN (STRT FLAT{2,} UP+)`` — activity holds exactly level for
+    ≥2 transitions, then climbs. Exercises the compiler's third
+    transition class (FLAT: delta = 0), which the r09 V-shape build
+    discarded — proving the island machinery handles the full
+    UP/DOWN/FLAT partition of transitions, not just the sign pair."""
+    from walden_spark.operators.pattern import FLAT, UP, Step, match_pattern
+
+    m = match_pattern(
+        _daily_counts(spark, sf_dir, max_user=100),
+        "user_id",
+        "day",
+        "n",
+        [Step("plateau", FLAT, min_len=2), Step("surge", UP)],
+    )
+    return (
+        m.select(
+            "user_id",
+            F.col("anchor_day").cast("bigint").alias("plateau_start"),
+            F.col("plateau_val").cast("bigint").alias("plateau_n"),
+            F.col("plateau_len").alias("plateau_len"),
+            F.col("surge_end").cast("bigint").alias("surge_end"),
+            F.col("surge_val").cast("bigint").alias("surge_n"),
+        )
+        .orderBy("user_id", "plateau_start")
     )

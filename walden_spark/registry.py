@@ -112,16 +112,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- re-witness: stalest remaining (last hash-verified r03) --
     "agg_count_distinct",
     "dedup_embedding_lsh",
-    "join_full_outer",
     "setop_except_all",
     "topk_with_ties",
-    "tpch_q12",
-    "tpch_q16",
-    "udf_python_udtf",
     "values_inline",
     "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04) --
-    "agg_percentile_exact",
     # -- digest-promoted r10 (VERDICT r09 #3): the 13 TPC-DS pattern
     # queries, newly oracle-backed via frozen content digests, are the
     # entire never-driver-verified queue — the rotation guard requires
@@ -144,6 +139,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_span_dedup",
     "events_gapfill",
     "multimodal_dedup_exact",
+    # -- new in r10 (window-joined immediately, displacing the
+    # least-stale re-witness anchors whose families stay covered) --
+    "win_pattern_wshape",
+    "win_pattern_breakout",
+    "win_pattern_plateau_surge",
+    "win_exclude_group",
+    "win_exclude_ties",
 )
 
 
