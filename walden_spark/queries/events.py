@@ -443,26 +443,21 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that type's mean/stddev (z-score from exact integer sums —
     identical IEEE arithmetic on both engines), keeping |z| > 1.5
     days. Two slim aggregations plus a per-type broadcast join; at
-    100 TB the daily rollup is the only pass over raw events."""
+    100 TB the daily rollup is the only pass over raw events. r10:
+    re-expressed on the shared anomaly operator (moment estimator) —
+    same oracle, same hash."""
+    from walden_spark.operators.anomaly import moment_anomalies
+
     t = Tables(spark, sf_dir)
     daily = (
         t.events.groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("double").alias("d"),
-        F.sum("n").cast("double").alias("s"),
-        F.sum(F.col("n") * F.col("n")).cast("double").alias("ss"),
-    )
-    j = daily.join(F.broadcast(stats), "event_type")
-    z = (F.col("n") - F.col("s") / F.col("d")) / F.sqrt(
-        (F.col("ss") - F.col("s") * F.col("s") / F.col("d")) / (F.col("d") - 1)
-    )
-    return j.filter(F.abs(z) > 1.5).select(
+    return moment_anomalies(daily, ["event_type"], "n", threshold=1.5).select(
         "event_type",
         F.col("day").cast("string").alias("day"),
         F.col("n").cast("long").alias("n"),
-        (F.floor(z * 1e6) / 1e6).alias("zscore"),
+        (F.floor(F.col("score") * 1e6) / 1e6).alias("zscore"),
     )
 
 
@@ -793,39 +788,102 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the daily pre-agg collapses the corpus to
     |types|×|days| rows before any window; both medians sort only that
     collapsed set, partitioned by type. The 100 TB path for huge
-    day-ranges is approx_percentile over the same pre-agg."""
-    from pyspark.sql import Window
+    day-ranges is approx_percentile over the same pre-agg. r10:
+    re-expressed on the shared anomaly operator (robust estimator) —
+    same oracle, same hash."""
+    from walden_spark.operators.anomaly import robust_anomalies
 
     t = Tables(spark, sf_dir)
-    daily = (
-        t.events.groupBy(
+    daily = t.events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        robust_anomalies(daily, ["event_type"], ["day"], "n", threshold=3)
+        .select(
             "event_type",
-            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
-            .cast("bigint")
-            .alias("day"),
+            "day",
+            "n",
+            F.col("center").alias("med"),
+            F.col("spread").cast("bigint").alias("mad"),
         )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .persist()  # daily feeds med AND dev — one events scan, not two
+        .orderBy("event_type", "day")
     )
 
-    def lower_median(df, val_col, out_col):
-        w = Window.partitionBy("event_type").orderBy(val_col, "day")
-        c = Window.partitionBy("event_type")
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .withColumn("c", F.count(F.lit(1)).over(c))
-            .filter(F.col("rn") == F.expr("(c + 1) DIV 2"))
-            .select("event_type", F.col(val_col).alias(out_col))
-        )
 
-    med = lower_median(daily, "n", "med")
-    dev = daily.join(F.broadcast(med), "event_type").withColumn(
-        "dv", F.abs(F.col("n") - F.col("med"))
-    ).persist()  # dev feeds mad AND the final filter
-    mad = lower_median(dev, "dv", "mad")
+@query(
+    "events_anomaly_weekly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7 AS dow,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), med AS (
+  SELECT event_type, dow, n AS med FROM (
+    SELECT event_type, dow, n,
+           ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY n, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, dow) AS c
+    FROM daily
+  ) WHERE rn = (c + 1) // 2
+), dev AS (
+  SELECT d.event_type, d.dow, d.day, d.n, m.med, abs(d.n - m.med) AS dv
+  FROM daily d JOIN med m ON d.event_type = m.event_type AND d.dow = m.dow
+), mad AS (
+  SELECT event_type, dow, dv AS mad FROM (
+    SELECT event_type, dow, dv, day,
+           ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY dv, day) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type, dow) AS c
+    FROM dev
+  ) WHERE rn = (c + 1) // 2
+)
+SELECT d.event_type, CAST(d.dow AS BIGINT) AS dow, CAST(d.day AS BIGINT) AS day,
+       d.n, d.med, CAST(m.mad AS BIGINT) AS mad
+FROM dev d JOIN mad m ON d.event_type = m.event_type AND d.dow = m.dow
+WHERE d.dv > 3 * m.mad
+ORDER BY d.event_type, d.day
+""",
+    category="events",
+)
+def events_anomaly_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-split anomaly detection (r10, VERDICT r09 #7):
+    weekly-periodic traffic makes a busy Saturday look anomalous
+    against an all-days baseline, so each day is scored ONLY against
+    its weekday cohort — MAD statistics per (event_type, day-of-week),
+    the shared robust-anomaly operator with a two-column cohort key.
+    dow = day % 7 from the 2024-01-01 anchor (a Monday): pure integer
+    arithmetic, engine-neutral (ISO DOW functions are a cross-engine
+    liability). All statistics are integer order statistics — bit-
+    equal cross-engine.
+
+    Scale shape: identical to events_anomaly_mad — one pass over raw
+    events into the |types|×|days| pre-agg; the cohort split only
+    changes the (tiny) statistic key space from |types| to
+    |types|×7."""
+    from walden_spark.operators.anomaly import robust_anomalies
+
+    t = Tables(spark, sf_dir)
+    day = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("bigint")
+    )
+    daily = t.events.groupBy(
+        "event_type",
+        day.alias("day"),
+        F.pmod(day, F.lit(7)).cast("bigint").alias("dow"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     return (
-        dev.join(F.broadcast(mad), "event_type")
-        .filter(F.col("dv") > 3 * F.col("mad"))
-        .select("event_type", "day", "n", "med", F.col("mad").cast("bigint").alias("mad"))
+        robust_anomalies(daily, ["event_type", "dow"], ["day"], "n", threshold=3)
+        .select(
+            "event_type",
+            "dow",
+            "day",
+            "n",
+            F.col("center").alias("med"),
+            F.col("spread").cast("bigint").alias("mad"),
+        )
         .orderBy("event_type", "day")
     )

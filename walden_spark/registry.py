@@ -113,7 +113,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_count_distinct",
     "dedup_embedding_lsh",
     "setop_except_all",
-    "topk_with_ties",
     "values_inline",
     "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04) --
@@ -146,6 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_plateau_surge",
     "win_exclude_group",
     "win_exclude_ties",
+    "events_anomaly_weekly",
 )
 
 
