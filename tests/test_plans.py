@@ -445,6 +445,56 @@ def test_jdbc_catalog_pushes_aggregates(spark, sf_dir, registry):
     assert "PushedGroupByExpressions:" in plan
 
 
+def test_q21_bucketed_no_fact_exchange(spark, sf_dir, registry):
+    """tpch_q21_bucketed (r10, VERDICT r09 #6): on the maintained
+    orderkey-bucketed layout, the l1 fact-fact join, both distincts,
+    and both semi joins consume the bucket distribution — no
+    hashpartitioning on any fact key anywhere in the plan; the only
+    exchange allowed is the final tiny per-supplier-name aggregate."""
+    df = registry["tpch_q21_bucketed"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    for key in ("l_orderkey", "o_orderkey", "k_orderkey", "m_orderkey", "s_orderkey"):
+        assert f"Exchange hashpartitioning({key}" not in plan, (
+            f"bucketed q21 must not shuffle the facts on {key}"
+        )
+    assert plan.count("Exchange hashpartitioning") <= 1  # s_name agg only
+    assert "CartesianProduct" not in plan
+
+
+def test_ensure_bucketed_table_reuses_and_rebuilds(spark, sf_dir):
+    """The maintained bucketed-ingest contract: matching layout+source
+    is reused without invoking the builder; a changed source triggers
+    a rebuild; TBLPROPERTIES record the contract."""
+    from walden_spark.catalog import ensure_bucketed_table, table_properties
+
+    calls = []
+
+    def builder():
+        calls.append(1)
+        return spark.range(10).selectExpr("id AS k", "id * 2 AS v")
+
+    name = "walden_test_bkt_reuse"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ensure_bucketed_table(spark, name, builder, ["k"], 4, ["k"], source="src_a")
+    assert calls == [1]
+    props = table_properties(spark, name)
+    assert props["walden.bucket.cols"] == "k"
+    assert props["walden.bucket.n"] == "4"
+    assert props["walden.ingest.source"] == "src_a"
+    # same contract: reused, builder NOT invoked again
+    df = ensure_bucketed_table(spark, name, builder, ["k"], 4, ["k"], source="src_a")
+    assert calls == [1]
+    assert df.count() == 10
+    # different source (e.g. another sf dir): rebuilt
+    ensure_bucketed_table(spark, name, builder, ["k"], 4, ["k"], source="src_b")
+    assert calls == [1, 1]
+    assert table_properties(spark, name)["walden.ingest.source"] == "src_b"
+    # different bucket count: rebuilt too
+    ensure_bucketed_table(spark, name, builder, ["k"], 8, ["k"], source="src_b")
+    assert calls == [1, 1, 1]
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_q18_bucketed_no_fact_exchange(spark, sf_dir, registry):
     """tpch_q18_bucketed (r09): with lineitem+orders bucketed on
     orderkey, the HAVING groupBy, semi join, and fact-fact join must

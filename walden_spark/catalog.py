@@ -667,6 +667,62 @@ def write_bucketed_table(
     w.saveAsTable(name)
 
 
+def table_properties(spark: SparkSession, name: str) -> dict[str, str]:
+    """SHOW TBLPROPERTIES as a plain dict."""
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {_q(name)}").collect()
+    }
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    builder,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    source: str = "",
+) -> DataFrame:
+    """Maintained bucketed-layout ingest (VERDICT r09 #6): make the
+    "pay the shuffle once at write time" story real in the engine, not
+    just in a per-query CTAS probe.
+
+    If ``name`` already exists with the SAME layout contract — bucket
+    columns, bucket count, sort columns, and ``source`` (the dataset
+    identity, e.g. the sf dir; two scale factors must never reuse each
+    other's layout), all recorded as ``walden.bucket.*`` /
+    ``walden.ingest.source`` TBLPROPERTIES at ingest — it is reused
+    as-is and ``builder`` is never invoked. Otherwise the table is
+    (re)built: a mismatched table is dropped, and a stale managed dir
+    left behind by a PREVIOUS session whose in-memory catalog forgot
+    the table is cleared first (LOCATION_ALREADY_EXISTS otherwise —
+    the r09 footgun). Under the persistent Derby metastore
+    (session.py) the layout survives across sessions, so repeat
+    sessions pay nothing; under the default in-memory catalog it is
+    paid once per session instead of once per query.
+
+    ``builder`` is a zero-arg callable returning the DataFrame to
+    ingest — lazy, so the reuse path never touches the source data."""
+    want = {
+        "walden.bucket.cols": ",".join(bucket_cols),
+        "walden.bucket.n": str(n_buckets),
+        "walden.bucket.sort": ",".join(sort_cols or ()),
+        "walden.ingest.source": source,
+    }
+    if spark.catalog.tableExists(name):
+        have = table_properties(spark, name)
+        if all(have.get(k) == v for k, v in want.items()):
+            return spark.table(name)
+        spark.sql(f"DROP TABLE IF EXISTS {_q(name)}")
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    _rm_path(spark, f"{wh}/{name}")
+    write_bucketed_table(builder(), name, bucket_cols, n_buckets, sort_cols)
+    props_sql = ", ".join(f"'{k}'='{v}'" for k, v in want.items())
+    spark.sql(f"ALTER TABLE {_q(name)} SET TBLPROPERTIES ({props_sql})")
+    return spark.table(name)
+
+
 def analyze_table(spark: SparkSession, name: str, columns: Sequence[str] | None = None) -> None:
     """ANALYZE TABLE — populate CBO statistics (row counts, sizes, and
     per-column NDV/min/max) so EXPLAIN COST and join reordering have
