@@ -140,16 +140,22 @@ def main_sf1() -> None:
         sf1_probe.build(spark)
     registry = load_all()
     floors: dict[str, float] = {}
-    for name in sf1_probe.QUERIES:
+    # The pinned calibration probes ride the sf1 sweep too (reading the
+    # UNSCALED sf0.1 inputs, so their work is byte-stable like the main
+    # bench) — sf1 floors then carry host-independent ratios and the
+    # sub-linearity trend survives host drift (VERDICT r09 #8).
+    sweep = list(sf1_probe.QUERIES) + list(CALIBRATION)
+    for name in sweep:
         best = None
         for _ in range(sf1_probe.REPS):
             t0 = time.perf_counter()
-            registry[name].fn(spark, sf1_probe.DST).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            fn = CALIBRATION.get(name) or registry[name].fn
+            sf = SF_DIR if name in CALIBRATION else sf1_probe.DST
+            fn(spark, sf).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         floors[name] = round(best, 3)
+    cal_total = sum(floors.pop(n) for n in CALIBRATION)
     print(
         json.dumps(
             {
@@ -157,9 +163,15 @@ def main_sf1() -> None:
                 "value": round(sum(floors.values()), 3),
                 "unit": "sec",
                 "queries": floors,
+                "calibration_total": round(cal_total, 3),
+                "ratio_to_calibration": {
+                    n: round(t / cal_total, 3) for n, t in floors.items()
+                },
                 "sf": "sf1-equivalent (facts x10 over sf0.1)",
                 "notes": "min of 3 runs per query; compare per-query vs the "
-                "sf0.1 line — sub-linear (<10x) is the pass bar",
+                "sf0.1 line — sub-linear (<10x) is the pass bar; calibration "
+                "probes read the unscaled sf0.1 inputs, so ratios compare "
+                "across rounds and hosts",
             }
         )
     )

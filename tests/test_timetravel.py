@@ -3188,6 +3188,52 @@ def test_claim_heartbeat_cannot_resurrect_or_clobber(spark, vt, monkeypatch):
         assert hb["owner"] != vt._owned_claims[claim]
 
 
+def test_jvm_path_heartbeat_storm_never_raided(spark, tmp_path, monkeypatch):
+    """ADVICE r09 #1, forced-JVM arm: on the Hadoop path the old
+    in-place heartbeat rewrite went through fs.create(overwrite=true),
+    which truncates before the new bytes land — a hammering repairer
+    could read the empty window as 'claim vanished' and raid a LIVE
+    claim. With the create-once claim + sidecar design, a repairer
+    hammering through the JVM IO path while the owner heartbeats
+    through the same path must never raid."""
+    import threading
+    import time as _time
+
+    from walden_spark import timetravel as tt
+    from walden_spark.timetravel import VersionedTable
+
+    t = VersionedTable(spark, str(tmp_path / "jvmheartbeat"))
+    t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
+    monkeypatch.setattr(tt, "_local_fs_path", lambda p: None)
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.3)
+    owner = VersionedTable(spark, t.path)
+    head = owner.head("main")
+    claim = owner._cas_claim("main", head, 9999)
+    rival = VersionedTable(spark, t.path)
+    stop = threading.Event()
+    raids: list[bool] = []
+
+    def hammer():
+        while not stop.is_set():
+            raids.append(rival._repair_stale_claim("main", head, claim))
+
+    th = threading.Thread(target=hammer, daemon=True)
+    th.start()
+    try:
+        deadline = _time.time() + 2.5
+        while _time.time() < deadline:  # heartbeat well inside the age
+            owner._claim_heartbeat(claim)
+            _time.sleep(0.1)
+    finally:
+        stop.set()
+        th.join(timeout=10)
+    assert len(raids) >= 20, "repairer must actually have hammered"
+    assert not any(raids), "a live heartbeated claim was raided on the JVM path"
+    fs, cp, _ = tt._fs(spark, claim)
+    assert fs.exists(cp)
+    owner._cas_release(claim)
+
+
 def test_torn_heartbeat_sidecar_reads_as_live(spark, vt, monkeypatch):
     """ADVICE r09 #1: an unparsable heartbeat sidecar means a heartbeat
     is being written at this instant — the repairer must treat the

@@ -132,6 +132,47 @@ def q18_on(spark, lineitem, orders, customer):
     )
 
 
+def q21_on(spark, lineitem, orders, supplier):
+    """Q21 shape (suppliers who kept orders waiting) — mirrors
+    queries/tpch.py::tpch_q21_bucketed so the probe A/Bs the exact
+    engine plan: every orderkey stage consumes the bucketing."""
+    from pyspark.sql import functions as F
+
+    l1 = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1_keys = l1.select(F.col("l_orderkey").alias("k_orderkey")).distinct()
+    multi_supp = (
+        lineitem.join(l1_keys, F.col("k_orderkey") == F.col("l_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey").distinct()
+        .groupBy(F.col("l_orderkey").alias("m_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .filter(F.col("n_supp") > 1)
+        .select("m_orderkey")
+    )
+    single_late = (
+        l1.distinct()
+        .groupBy(F.col("l_orderkey").alias("s_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n_late"))
+        .filter(F.col("n_late") == 1)
+        .select("s_orderkey")
+    )
+    return (
+        l1.join(multi_supp, F.col("m_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(single_late, F.col("s_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
 def main() -> None:
     from walden_spark.registry import load_all
     from walden_spark.session import get_spark
@@ -144,7 +185,7 @@ def main() -> None:
         build(spark)
     reg = load_all()
     floors: dict[str, float] = {}
-    for name in ("tpch_q18", "dedup_minhash_lsh"):
+    for name in ("tpch_q18", "tpch_q21", "dedup_minhash_lsh"):
         best = None
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -154,26 +195,32 @@ def main() -> None:
         floors[name] = round(best, 3)
         print(name, floors[name], flush=True)
 
-    # bucketed q18 A/B: same query shape, orderkey-bucketed tables
+    # bucketed A/B: same query shapes, orderkey-bucketed tables shared
+    # by BOTH fact-pair queries (the maintained-layout story)
     bucket_tables(spark)
     cust = spark.read.parquet(f"{DST}/customer.parquet")
+    supp = spark.read.parquet(f"{DST}/supplier.parquet")
     li_b, od_b = spark.table("sf10_lineitem_b"), spark.table("sf10_orders_b")
-    plan = q18_on(spark, li_b, od_b, cust)._jdf.queryExecution().executedPlan().toString()
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        q18_on(spark, li_b, od_b, cust).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        floors["tpch_q18_bucketed"] = min(
-            floors.get("tpch_q18_bucketed", dt), round(dt, 3)
-        )
-    print("tpch_q18_bucketed", floors["tpch_q18_bucketed"], flush=True)
+    exchanges: dict[str, int] = {}
+    for name, mk in (
+        ("tpch_q18_bucketed", lambda: q18_on(spark, li_b, od_b, cust)),
+        ("tpch_q21_bucketed", lambda: q21_on(spark, li_b, od_b, supp)),
+    ):
+        plan = mk()._jdf.queryExecution().executedPlan().toString()
+        exchanges[name] = plan.count("Exchange hashpartitioning")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            mk().write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            floors[name] = min(floors.get(name, dt), round(dt, 3))
+        print(name, floors[name], flush=True)
     print(
         json.dumps(
             {
                 "sf": "sf10-equivalent (facts x100 over sf0.1)",
                 "floors": floors,
-                "q18_bucketed_fact_exchanges": n_exchanges,
+                "q18_bucketed_fact_exchanges": exchanges["tpch_q18_bucketed"],
+                "q21_bucketed_exchanges": exchanges["tpch_q21_bucketed"],
             }
         )
     )

@@ -1487,3 +1487,128 @@ def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("norm_hash", "keeper_doc_id", "n_variants", "variant_ids")
         .orderBy("keeper_doc_id")
     )
+
+
+@query(
+    "text_split_leakage_safe",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         upper(text) || '!!! ' || upper(text)
+  FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         '  ' || replace(text, ' ', '   ') || ', ' || replace(text, ' ', '   ') || '.'
+  FROM documents WHERE doc_id % 4 = 0
+), norm AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+           ' +', ' ', 'g'))) AS norm_hash
+  FROM corpus
+), labeled AS (
+  SELECT doc_id, norm_hash,
+         CASE WHEN ('0x' || substr(md5('split:' || norm_hash), 1, 15))::BIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5('split:' || norm_hash), 1, 15))::BIGINT % 100 < 90
+              THEN 'val' ELSE 'test' END AS split,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80
+              THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90
+              THEN 'val' ELSE 'test' END AS naive_split
+  FROM norm
+), naive_leaks AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS naive_leaky_clusters FROM (
+    SELECT norm_hash FROM labeled
+    GROUP BY norm_hash HAVING COUNT(DISTINCT naive_split) > 1
+  )
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT norm_hash) AS BIGINT) AS n_clusters,
+       naive_leaky_clusters
+FROM labeled, naive_leaks
+GROUP BY split, naive_leaky_clusters
+ORDER BY split
+""",
+    category="text",
+)
+def text_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (r10): assigning splits by a
+    hash of the DOCUMENT ID puts trivial variants of the same content
+    on both sides of the train/eval fence — the classic contamination
+    path benchmark-decontamination papers warn about. Splitting by the
+    CANONICAL-CONTENT hash instead (the text_normalize_dedup canonical
+    form) pins every normalization-equivalent variant to one split by
+    construction. The query builds the same adversarial variant corpus
+    as text_normalize_dedup, emits per-split doc/cluster counts under
+    the content split, and carries `naive_leaky_clusters` — how many
+    clusters the doc-id split would have TORN ACROSS splits (non-zero
+    on this corpus; exactly zero by construction for the content
+    split, which is why the per-split n_clusters sum equals the global
+    cluster count the oracle hashes).
+
+    Scale shape: one map-side normalize+md5 pass, one digest-grain
+    shuffle for the leak audit, one split-grain aggregate — same
+    digest-shuffle bound as dedup_exact; no text moves after the hash.
+    For real pipelines the split hash ('split:' salt) is independent
+    of the dedup hash, so re-salting re-rolls splits without touching
+    cluster identity."""
+    t = Tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    quarter = base.filter(F.col("doc_id") % 4 == 0)
+    v_upper = quarter.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("!!! "), F.upper("text")).alias("text"),
+    )
+    v_space = quarter.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+            F.lit(", "),
+            F.replace(F.col("text"), F.lit(" "), F.lit("   ")),
+            F.lit("."),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(v_upper).unionByName(v_space)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+
+    def ppm_split(key_col):
+        raw = F.conv(F.substring(F.md5(key_col), 1, 15), 16, 10).cast("bigint") % 100
+        return (
+            F.when(raw < 80, "train").when(raw < 90, "val").otherwise("test")
+        )
+
+    labeled = corpus.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+    ).select(
+        "doc_id",
+        "norm_hash",
+        ppm_split(F.concat(F.lit("split:"), F.col("norm_hash"))).alias("split"),
+        ppm_split(F.col("doc_id").cast("string")).alias("naive_split"),
+    ).persist()  # feeds the leak audit AND the per-split aggregate
+    naive_leaks = (
+        labeled.groupBy("norm_hash")
+        .agg(F.countDistinct("naive_split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("naive_leaky_clusters"))
+    )
+    return (
+        labeled.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("norm_hash").cast("bigint").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(naive_leaks))
+        .select("split", "n_docs", "n_clusters", "naive_leaky_clusters")
+        .orderBy("split")
+    )

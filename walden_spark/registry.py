@@ -111,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_grouping_sets",
     # -- re-witness: stalest remaining (last hash-verified r03) --
     "agg_count_distinct",
-    "dedup_embedding_lsh",
     "values_inline",
     "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04) --
@@ -146,6 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_exclude_ties",
     "events_anomaly_weekly",
     "tpch_q21_bucketed",
+    "text_split_leakage_safe",
 )
 
 
