@@ -112,6 +112,11 @@ def match_pattern(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
     isl = classify_islands(df, partition_col, order_col, value_col)
+    if len(steps) > 1:
+        # every step's frame filters the SAME islands pipeline — without
+        # a persist the k-way chain join recomputes the classify/window
+        # lineage k times (the standing multi-consumer rule)
+        isl = isl.persist()
 
     def step_frame(step: Step) -> DataFrame:
         out = isl.filter(
