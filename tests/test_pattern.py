@@ -108,3 +108,67 @@ def test_bad_patterns_rejected(spark):
         match_pattern(df, "pid", "day", "v", [])
     with pytest.raises(ValueError, match="duplicate"):
         match_pattern(df, "pid", "day", "v", [Step("x", UP), Step("x", DOWN)])
+
+
+# ---- property test: compiler vs a brute-force reference matcher ----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _brute_matches(values, steps):
+    """Reference matcher in plain Python: classify transitions, find
+    maximal same-class runs, chain adjacent runs per the pattern."""
+    trans = []  # (pos, prev_idx, idx, dir)
+    for i in range(1, len(values)):
+        d = (values[i] > values[i - 1]) - (values[i] < values[i - 1])
+        trans.append((i, d))
+    runs = []  # (dir, start_prev_idx, end_idx, length)
+    for i, d in trans:
+        if runs and runs[-1][0] == d and runs[-1][2] == i - 1:
+            runs[-1][2], runs[-1][3] = i, runs[-1][3] + 1
+        else:
+            runs.append([d, i - 1, i, 1])
+    matches = []
+    for r0 in runs:
+        if r0[0] != steps[0].dir or r0[3] < steps[0].min_len:
+            continue
+        chain, cur = [r0], r0
+        ok = True
+        for s in steps[1:]:
+            nxt = next(
+                (r for r in runs if r[1] == cur[2] and r[0] == s.dir), None
+            )
+            if nxt is None or nxt[3] < s.min_len:
+                ok = False
+                break
+            chain.append(nxt)
+            cur = nxt
+        if ok:
+            matches.append((chain[0][1], tuple(c[2] for c in chain)))
+    return sorted(matches)
+
+
+@settings(
+    max_examples=8,  # each example runs Spark jobs — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=14),
+    pattern=st.sampled_from(
+        [
+            [Step("d", DOWN), Step("u", UP)],
+            [Step("u", UP, min_len=2)],
+            [Step("d1", DOWN), Step("u1", UP), Step("d2", DOWN)],
+            [Step("p", FLAT), Step("s", UP)],
+        ]
+    ),
+)
+def test_compiler_matches_brute_force(spark, values, pattern):
+    df = _series(spark, values)
+    got = sorted(
+        (r["anchor_day"], tuple(r[f"{s.name}_end"] for s in pattern))
+        for r in match_pattern(df, "pid", "day", "v", pattern).collect()
+    )
+    assert got == _brute_matches([float(v) for v in values], pattern)
