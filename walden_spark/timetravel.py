@@ -3235,6 +3235,11 @@ class VersionedTable:
                 for bdir in fs.listStatus(cas_root):
                     for st in fs.listStatus(bdir.getPath()):
                         name = st.getPath().getName()
+                        # heartbeat sidecars (<claim>.hb) expire with
+                        # their claim — stale ones are harmless (owner
+                        # tokens mismatch) but needn't accumulate
+                        if name.endswith(".json.hb"):
+                            name = name[: -len(".hb")]
                         if name.startswith("from=") and name.endswith(".json"):
                             token = name[len("from="):-len(".json")]
                             if token != "empty" and int(token) < horizon:
