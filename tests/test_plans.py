@@ -157,6 +157,7 @@ _CARTESIAN_OK = {
     "text_apply_mixture",  # same shape: plan arithmetic vs a broadcast 1-row max, O(sources)
     "dedup_semantic_cluster",  # intentional broadcast-cross against the bounded seed-centroid table (nearest-seed assign is map-only by design)
     "dedup_source_overlap",  # pair enumeration over the bounded DISTINCT-sources relation (|sources|^2 rows, not data); every data-touching join is equi
+    "text_split_leakage_safe",  # leak-audit scalar: BNLJ against a broadcast 1-row aggregate, O(splits)=3 rows
 }
 
 
