@@ -82,25 +82,29 @@ def build(spark) -> None:
 
 def bucket_tables(spark, buckets: int = 32) -> None:
     """Write lineitem+orders as orderkey-bucketed managed tables —
-    the one-time pre-shuffle the bucketed q18 variant amortizes."""
-    for tbl in ("sf10_lineitem_b", "sf10_orders_b"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    the one-time pre-shuffle the bucketed variants amortize. Goes
+    through the maintained-ingest API (r10), which also clears the
+    stale managed dirs a previous session's run leaves behind."""
+    from walden_spark.catalog import ensure_bucketed_table
+
     t0 = time.perf_counter()
-    (
-        spark.read.parquet(f"{DST}/lineitem.parquet")
-        .write.bucketBy(buckets, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable("sf10_lineitem_b")
+    ensure_bucketed_table(
+        spark,
+        "sf10_lineitem_b",
+        lambda: spark.read.parquet(f"{DST}/lineitem.parquet"),
+        ["l_orderkey"],
+        n_buckets=buckets,
+        sort_cols=["l_orderkey"],
+        source=DST,
     )
-    (
-        spark.read.parquet(f"{DST}/orders.parquet")
-        .write.bucketBy(buckets, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .format("parquet")
-        .saveAsTable("sf10_orders_b")
+    ensure_bucketed_table(
+        spark,
+        "sf10_orders_b",
+        lambda: spark.read.parquet(f"{DST}/orders.parquet"),
+        ["o_orderkey"],
+        n_buckets=buckets,
+        sort_cols=["o_orderkey"],
+        source=DST,
     )
     print(f"bucket build: {time.perf_counter() - t0:.1f}s", flush=True)
 
