@@ -110,7 +110,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_probe",
     "agg_grouping_sets",
     # -- re-witness: stalest remaining (last hash-verified r03) --
-    "agg_count_distinct",
     "values_inline",
     "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04) --
@@ -146,6 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_anomaly_weekly",
     "tpch_q21_bucketed",
     "text_split_leakage_safe",
+    "streaming_pattern_vshape",
 )
 
 

@@ -206,3 +206,213 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_events_stream(spark, sf_dir)
     out = _run_to_memory(running_user_totals(ev), "update")
     return out.select("user_id", "n", "total")
+
+
+# ---- streaming row-pattern detection (r10) ----
+
+_PAT_STATE = (
+    "last_day BIGINT, last_n BIGINT, open_day BIGINT, open_n BIGINT, "
+    "phase INT, anchor_day BIGINT, anchor_n BIGINT, "
+    "bottom_day BIGINT, bottom_n BIGINT, up_day BIGINT, up_n BIGINT"
+)
+_PAT_OUT = (
+    "user_id BIGINT, anchor_day BIGINT, anchor_n BIGINT, "
+    "bottom_day BIGINT, bottom_n BIGINT, end_day BIGINT, end_n BIGINT, "
+    "depth BIGINT, rebound BIGINT"
+)
+_PHASE_NONE, _PHASE_DOWN, _PHASE_UP = 0, 1, 2
+_DAY0 = pd.Timestamp("2024-01-01")
+
+
+def _pattern_user(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Incremental V-shape matcher (PATTERN (STRT DOWN+ UP+), AFTER
+    MATCH SKIP TO LAST UP) with CONSTANT per-key state — the streaming
+    dual of operators/pattern.py. State tracks only the last closed
+    day, the day currently filling, and the open descent/ascent run; a
+    match emits the moment its ascent run is maximal (next transition
+    is down or flat, or the stream flushes). A day closes when a later
+    day arrives for the key; the far-future sentinel closes the final
+    day and flushes any open ascent."""
+    vals = state.get if state.exists else (None,) * 4 + (_PHASE_NONE,) + (None,) * 6
+    (last_day, last_n, open_day, open_n, phase,
+     anchor_day, anchor_n, bottom_day, bottom_n, up_day, up_n) = vals
+    rows: list[tuple] = []
+
+    def emit():
+        rows.append(
+            (key[0], anchor_day, anchor_n, bottom_day, bottom_n,
+             up_day, up_n, anchor_n - bottom_n, up_n - bottom_n)
+        )
+
+    def close_day(d, n):
+        nonlocal last_day, last_n, phase
+        nonlocal anchor_day, anchor_n, bottom_day, bottom_n, up_day, up_n
+        if last_day is not None:
+            if n < last_n:  # DOWN transition
+                if phase == _PHASE_UP:
+                    emit()  # ascent just proved maximal
+                    # SKIP TO LAST UP: the match's last row anchors the
+                    # next descent
+                    anchor_day, anchor_n = last_day, last_n
+                    bottom_day, bottom_n = d, n
+                    phase = _PHASE_DOWN
+                elif phase == _PHASE_DOWN:
+                    bottom_day, bottom_n = d, n  # extend descent
+                else:
+                    anchor_day, anchor_n = last_day, last_n
+                    bottom_day, bottom_n = d, n
+                    phase = _PHASE_DOWN
+            elif n > last_n:  # UP transition
+                if phase == _PHASE_DOWN:
+                    phase = _PHASE_UP
+                    up_day, up_n = d, n
+                elif phase == _PHASE_UP:
+                    up_day, up_n = d, n  # extend ascent
+                # ascent without a preceding adjacent descent: no-op
+            else:  # FLAT breaks any run (strict </> DEFINEs)
+                if phase == _PHASE_UP:
+                    emit()
+                phase = _PHASE_NONE
+        last_day, last_n = d, n
+
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    saw_sentinel = bool((batch["event_id"] < 0).any())
+    real = batch[batch["event_id"] >= 0]
+    if len(real):
+        days = (real["ts"].dt.normalize() - _DAY0).dt.days
+        for d in days:
+            d = int(d)
+            if open_day is None:
+                open_day, open_n = d, 1
+            elif d == open_day:
+                open_n += 1
+            else:
+                close_day(open_day, open_n)
+                open_day, open_n = d, 1
+    if saw_sentinel:
+        if open_day is not None:
+            close_day(open_day, open_n)
+        if phase == _PHASE_UP:
+            emit()
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (last_day, last_n, open_day, open_n, phase,
+             anchor_day, anchor_n, bottom_day, bottom_n, up_day, up_n)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "anchor_day", "anchor_n", "bottom_day", "bottom_n",
+            "end_day", "end_n", "depth", "rebound",
+        ],
+    )
+
+
+@query(
+    "streaming_pattern_vshape",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 30 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN prev_n IS NULL THEN 0
+                 WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs WHERE dir <> 0
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS first_prev_day,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS anchor_n,
+         MAX(day) AS last_day,
+         CAST(arg_max(n, pos) AS BIGINT) AS last_n
+  FROM runs GROUP BY user_id, dir, grp
+)
+SELECT d.user_id,
+       CAST(d.first_prev_day AS BIGINT) AS anchor_day, d.anchor_n,
+       CAST(d.last_day AS BIGINT) AS bottom_day, d.last_n AS bottom_n,
+       CAST(u.last_day AS BIGINT) AS end_day, u.last_n AS end_n,
+       d.anchor_n - d.last_n AS depth, u.last_n - d.last_n AS rebound
+FROM isl d JOIN isl u
+  ON d.user_id = u.user_id AND d.dir = -1 AND u.dir = 1
+ AND u.first_prev_day = d.last_day
+ORDER BY d.user_id, anchor_day
+""",
+    category="streaming",
+)
+def streaming_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE (r10): the V-shape pattern detected
+    incrementally over the event stream with applyInPandasWithState —
+    Trino's MATCH_RECOGNIZE is batch-only; Flink's CEP is the
+    streaming analog, and this is its Spark-idiomatic build. The input
+    replays as five time-ordered micro-batches (quartile-staged files
+    + a sentinel flush, same harness as the timeout sessions), so day
+    boundaries and pattern runs genuinely SPAN batches; per-key state
+    is CONSTANT-size (last closed day + the open runs — not the
+    series), which is what makes the operator viable on an unbounded
+    stream. Emission is latency-optimal for the semantics: each match
+    fires the moment its ascent is provably maximal. The oracle is the
+    BATCH vshape SQL — on a closed input the incremental matcher must
+    reproduce the batch compiler's output exactly."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 30)
+        .select("event_id", "user_id", "ts")
+    )
+    stage = tempfile.mkdtemp(prefix="walden_pat_stream_")
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev_us
+        if bounds[i] is not None:
+            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
+        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "user_id",
+        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
+        .cast("long")
+        .alias("us"),
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    matches = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_user,
+            outputStructType=_PAT_OUT,
+            stateStructType=_PAT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(matches, "update")
+    return out.orderBy("user_id", "anchor_day")
