@@ -172,3 +172,44 @@ def test_compiler_matches_brute_force(spark, values, pattern):
         for r in match_pattern(df, "pid", "day", "v", pattern).collect()
     )
     assert got == _brute_matches([float(v) for v in values], pattern)
+
+
+def test_max_len_quantifier(spark):
+    # 1 2 3 4 0 1: UP island len 3, DOWN len 1, UP len 1 — {1,2} keeps
+    # only runs of 1-2 transitions; maximal-run semantics means the
+    # 3-long climb is NOT truncated into a shorter match.
+    from walden_spark.operators.pattern import match_pattern
+
+    df = _series(spark, [1, 2, 3, 4, 0, 1])
+    m = match_pattern(df, "pid", "day", "v", [Step("u", UP, min_len=1, max_len=2)])
+    assert [(r.anchor_day, r.u_end, r.u_len) for r in m.collect()] == [(4, 5, 1)]
+
+
+def test_match_any_alternation(spark):
+    # 4 2 5 5 6: DOWN(0..1) UP(1..2) FLAT(2..3) UP(3..4)
+    # branch "v" = DOWN+ UP+ → one match (0..2)
+    # branch "plateau" = FLAT+ UP+ → one match (2..4)
+    from walden_spark.operators.pattern import match_any
+
+    df = _series(spark, [4, 2, 5, 5, 6])
+    out = match_any(
+        df, "pid", "day", "v",
+        {
+            "v": [Step("d", DOWN), Step("u", UP)],
+            "plateau": [Step("p", FLAT), Step("s", UP)],
+        },
+    )
+    got = sorted(
+        (r.pattern, r.anchor_day, r.step0_end, r.step1_end) for r in out.collect()
+    )
+    assert got == [("plateau", 2, 3, 4), ("v", 0, 1, 2)]
+    # branches share the anchor columns and positional step columns
+    assert set(out.columns) == {
+        "pattern", "pid", "anchor_day", "anchor_val",
+        "step0_end", "step0_val", "step0_len",
+        "step1_end", "step1_val", "step1_len",
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one pattern"):
+        match_any(df, "pid", "day", "v", {})

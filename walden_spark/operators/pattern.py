@@ -45,12 +45,17 @@ FLAT = 0
 
 @dataclass(frozen=True)
 class Step:
-    """One ``Xj+`` pattern step: a maximal run of transitions of
-    direction ``dir`` (UP / DOWN / FLAT), at least ``min_len`` long."""
+    """One ``Xj{m,n}`` pattern step: a maximal run of transitions of
+    direction ``dir`` (UP / DOWN / FLAT), at least ``min_len`` and —
+    when ``max_len`` is set — at most ``max_len`` transitions long.
+    Because islands are MAXIMAL runs, ``max_len`` bounds the run
+    itself (greedy semantics), not a prefix of it: a 5-long descent
+    does not contain a 3-long match."""
 
     name: str
     dir: int
     min_len: int = 1
+    max_len: int | None = None
 
 
 def classify_islands(
@@ -122,6 +127,8 @@ def match_pattern(
         out = isl.filter(
             (F.col("dir") == step.dir) & (F.col("len") >= step.min_len)
         )
+        if step.max_len is not None:
+            out = out.filter(F.col("len") <= step.max_len)
         return out.select(
             F.col(partition_col).alias(f"_p_{step.name}"),
             F.col("start_prev").alias(f"{step.name}_start_prev"),
@@ -152,3 +159,54 @@ def match_pattern(
             F.col(f"{s.name}_len"),
         ]
     return chain.select(*keep)
+
+
+def match_any(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    patterns: dict[str, list[Step]],
+) -> DataFrame:
+    """Top-level pattern ALTERNATION — ``PATTERN ((P1) | (P2) | …)``
+    reported per branch: each named pattern matches independently and
+    the outputs union with a ``pattern`` label column. Branches may
+    have different lengths, so the per-step measure columns are
+    normalized positionally to ``step<i>_end`` / ``step<i>_val`` /
+    ``step<i>_len`` (NULL-padded to the longest branch) — the anchor
+    columns stay shared. This is the alternation subset that stays
+    relational: each branch compiles independently over the SAME
+    islands frame, so the input is classified once."""
+    if not patterns:
+        raise ValueError("alternation needs at least one pattern")
+    width = max(len(steps) for steps in patterns.values())
+    ord_t = df.schema[order_col].dataType
+    val_t = df.schema[value_col].dataType
+    parts = []
+    for label, steps in patterns.items():
+        m = match_pattern(df, partition_col, order_col, value_col, steps)
+        cols = [
+            F.lit(label).alias("pattern"),
+            F.col(partition_col),
+            F.col(f"anchor_{order_col}"),
+            F.col("anchor_val"),
+        ]
+        for i in range(width):
+            if i < len(steps):
+                s = steps[i].name
+                cols += [
+                    F.col(f"{s}_end").alias(f"step{i}_end"),
+                    F.col(f"{s}_val").alias(f"step{i}_val"),
+                    F.col(f"{s}_len").alias(f"step{i}_len"),
+                ]
+            else:
+                cols += [
+                    F.lit(None).cast(ord_t).alias(f"step{i}_end"),
+                    F.lit(None).cast(val_t).alias(f"step{i}_val"),
+                    F.lit(None).cast("bigint").alias(f"step{i}_len"),
+                ]
+        parts.append(m.select(*cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
