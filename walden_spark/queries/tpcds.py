@@ -48,6 +48,7 @@ TPCDS_BODIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
     "tpcds_cross_channel": (40, 21320428351194),
     "tpcds_q1_returns": (315, 171544253866675),
+    "tpcds_q29_repurchase": (88, 46922673552434),
     "tpcds_q3": (5, 2371798026132),
     "tpcds_q33_manufacturer": (16, 8154662245869),
     "tpcds_q36_margin_rank": (119, 64095598497657),
@@ -58,6 +59,7 @@ FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
     "tpcds_q71_three_channel": (186, 100601401411039),
     "tpcds_q74_loyalty_growth": (227, 121277468463413),
     "tpcds_q77_channel_rollup": (16, 7738587356587),
+    "tpcds_q88_count_bands": (12, 8232203871902),
     "tpcds_q97_channel_overlap": (1, 936495256396),
 }
 
@@ -1343,4 +1345,110 @@ def tpcds_fx_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("e_ck").isNotNull() & F.col("s_ck").isNotNull(), 1).otherwise(0)
         ).cast("bigint").alias("both_channels"),
+    )
+
+
+@_tpcds(
+    "tpcds_q88_count_bands",
+    """
+SELECT s_store_id, d_moy,
+       CAST(SUM(CASE WHEN ss_quantity BETWEEN 1  AND 20  THEN 1 ELSE 0 END) AS BIGINT) AS band_1_20,
+       CAST(SUM(CASE WHEN ss_quantity BETWEEN 21 AND 40  THEN 1 ELSE 0 END) AS BIGINT) AS band_21_40,
+       CAST(SUM(CASE WHEN ss_quantity BETWEEN 41 AND 60  THEN 1 ELSE 0 END) AS BIGINT) AS band_41_60,
+       CAST(SUM(CASE WHEN ss_quantity BETWEEN 61 AND 80  THEN 1 ELSE 0 END) AS BIGINT) AS band_61_80,
+       CAST(SUM(CASE WHEN ss_quantity BETWEEN 81 AND 100 THEN 1 ELSE 0 END) AS BIGINT) AS band_81_100,
+       CAST(SUM(CASE WHEN ss_quantity BETWEEN 81 AND 100
+                     THEN CAST(ss_net_paid AS DECIMAL(14,2)) END) AS DOUBLE) AS bulk_revenue
+FROM store_sales
+JOIN store ON s_store_sk = ss_store_sk
+JOIN date_dim ON d_date_sk = ss_sold_date_sk
+GROUP BY s_store_id, d_moy
+ORDER BY s_store_id, d_moy
+""",
+)
+def tpcds_q88_count_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q88 shape: N predicate bands counted in ONE fact scan —
+    the conditional-aggregation pattern (SUM(CASE WHEN …)) that
+    replaces Q88's 8-way self-join of subqueries with a single
+    pass. One scan, one (store, month)-grain aggregate, both dims
+    broadcast; the bulk band's revenue stays decimal-exact."""
+    g = _gen(spark)
+
+    def band(lo, hi):
+        return F.sum(
+            F.when(F.col("ss_quantity").between(lo, hi), 1).otherwise(0)
+        ).cast("bigint").alias(f"band_{lo}_{hi}")
+
+    return (
+        g.store_sales()
+        .join(F.broadcast(g.store()), F.col("s_store_sk") == F.col("ss_store_sk"))
+        .join(F.broadcast(g.date_dim()), F.col("d_date_sk") == F.col("ss_sold_date_sk"))
+        .groupBy("s_store_id", "d_moy")
+        .agg(
+            band(1, 20),
+            band(21, 40),
+            band(41, 60),
+            band(61, 80),
+            band(81, 100),
+            F.sum(
+                F.when(
+                    F.col("ss_quantity").between(81, 100),
+                    F.col("ss_net_paid").cast("decimal(14,2)"),
+                )
+            ).cast("double").alias("bulk_revenue"),
+        )
+        .orderBy("s_store_id", "d_moy")
+    )
+
+
+@_tpcds(
+    "tpcds_q29_repurchase",
+    """
+SELECT i_item_id,
+       CAST(SUM(ss_quantity) AS BIGINT) AS sold_qty,
+       CAST(SUM(sr_return_quantity) AS BIGINT) AS returned_qty,
+       CAST(SUM(cs_quantity) AS BIGINT) AS repurchased_qty
+FROM store_sales
+JOIN store_returns ON sr_ticket_number = ss_ticket_number
+JOIN catalog_sales ON cs_customer_sk = sr_customer_sk
+                  AND cs_item_sk = sr_item_sk
+                  AND cs_sold_date_sk > sr_returned_date_sk
+JOIN item ON i_item_sk = ss_item_sk
+GROUP BY i_item_id
+ORDER BY i_item_id
+""",
+)
+def tpcds_q29_repurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q29 shape: the buy → return → repurchase chain — THREE
+    fact tables joined in sequence (store_sales ⋈ store_returns on
+    ticket, then catalog_sales on (customer, item) with a residual
+    date-after-return range predicate), aggregated to item grain. The
+    only multi-fact 3-chain in the suite; quantities are integer-exact
+    BIGINT sums. Scale: returns are ~10% of sales and the chain keys
+    narrow left-to-right, so each join's left side shrinks; the item
+    dim broadcasts."""
+    g = _gen(spark)
+    sold = g.store_sales().select(
+        "ss_ticket_number", "ss_item_sk", "ss_quantity"
+    )
+    ret = g.store_returns()
+    cat = g.catalog_sales().select(
+        "cs_customer_sk", "cs_item_sk", "cs_sold_date_sk", "cs_quantity"
+    )
+    return (
+        sold.join(ret, F.col("sr_ticket_number") == F.col("ss_ticket_number"))
+        .join(
+            cat,
+            (F.col("cs_customer_sk") == F.col("sr_customer_sk"))
+            & (F.col("cs_item_sk") == F.col("sr_item_sk"))
+            & (F.col("cs_sold_date_sk") > F.col("sr_returned_date_sk")),
+        )
+        .join(F.broadcast(g.item()), F.col("i_item_sk") == F.col("ss_item_sk"))
+        .groupBy("i_item_id")
+        .agg(
+            F.sum("ss_quantity").cast("bigint").alias("sold_qty"),
+            F.sum("sr_return_quantity").cast("bigint").alias("returned_qty"),
+            F.sum("cs_quantity").cast("bigint").alias("repurchased_qty"),
+        )
+        .orderBy("i_item_id")
     )

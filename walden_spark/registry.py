@@ -111,7 +111,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_grouping_sets",
     # -- re-witness: stalest remaining (last hash-verified r03) --
     "values_inline",
-    "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04) --
     # -- digest-promoted r10 (VERDICT r09 #3): the 13 TPC-DS pattern
     # queries, newly oracle-backed via frozen content digests, are the
@@ -131,8 +130,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpcds_q67_rollup_topn",
     "tpcds_q36_margin_rank",
     "tpcds_q97_channel_overlap",
+    "tpcds_q88_count_bands",
+    "tpcds_q29_repurchase",
     # -- family-coverage re-witnesses (stalest text/events/multimodal) --
-    "text_span_dedup",
     "events_gapfill",
     "multimodal_dedup_exact",
     # -- new in r10 (window-joined immediately, displacing the
