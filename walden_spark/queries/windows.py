@@ -348,12 +348,16 @@ def win_exclude_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = Window.partitionBy("user_id").orderBy("day").rangeBetween(-2, 2)
     wp = Window.partitionBy("user_id").orderBy("day").rangeBetween(0, 0)
     nn = F.count("dec").over(wf) - F.count("dec").over(wp)
+    # the peer-group sum must coalesce to 0: an all-NULL peer group
+    # sums to NULL and would poison the subtraction even when non-null
+    # neighbors remain (caught by tests/test_exclude_props.py)
+    psum = F.coalesce(F.sum("dec").over(wp), F.lit(0).cast("decimal(18,2)"))
     return (
         base.select(
             "user_id",
             "event_id",
             "day",
-            F.when(nn > 0, F.sum("dec").over(wf) - F.sum("dec").over(wp))
+            F.when(nn > 0, F.sum("dec").over(wf) - psum)
             .cast("double")
             .alias("other_days_sum"),
             (F.count(F.lit(1)).over(wf) - F.count(F.lit(1)).over(wp))
@@ -411,12 +415,14 @@ def win_exclude_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.count("dec").over(wp)
         + F.when(F.col("dec").isNotNull(), 1).otherwise(0)
     )
+    # same all-NULL-peer-group coalesce as win_exclude_group
+    psum = F.coalesce(F.sum("dec").over(wp), F.lit(0).cast("decimal(18,2)"))
     return (
         base.select(
             "user_id",
             "event_id",
             "day",
-            F.when(nn > 0, F.sum("dec").over(wf) - F.sum("dec").over(wp) + dec0)
+            F.when(nn > 0, F.sum("dec").over(wf) - psum + dec0)
             .cast("double")
             .alias("no_ties_sum"),
             (F.count(F.lit(1)).over(wf) - F.count(F.lit(1)).over(wp) + 1)
