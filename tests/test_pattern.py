@@ -213,3 +213,39 @@ def test_match_any_alternation(spark):
 
     with _pytest.raises(ValueError, match="at least one pattern"):
         match_any(df, "pid", "day", "v", {})
+
+
+def test_custom_classifier_magnitude_classes(spark):
+    """DEFINE generality: a magnitude classifier (crash / drift-down /
+    flat / drift-up / surge) replaces the sign classes — PATTERN
+    (STRT CRASH+ SURGE+) over 9 7 1 2 3 9: crash 9→1 (two transitions
+    -2,-6 both < -1 → class -2), drift 1→2→3 (class 1), surge 3→9
+    (class 2). Crash island is not adjacent to the surge (drift
+    intervenes) → no match; 9 4 1 8: crash(0..2) then surge(2..3) →
+    one match."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.operators.pattern import match_pattern
+
+    def magnitude(cur, prev):
+        d = cur - prev
+        return (
+            F.when(d <= -2, F.lit(-2))
+            .when(d < 0, F.lit(-1))
+            .when(d == 0, F.lit(0))
+            .when(d >= 3, F.lit(2))
+            .otherwise(F.lit(1))
+        )
+
+    steps = [Step("crash", -2), Step("surge", 2)]
+    no_match = match_pattern(
+        _series(spark, [9, 7, 1, 2, 3, 9]), "pid", "day", "v", steps,
+        classifier=magnitude,
+    )
+    assert no_match.count() == 0
+    m = match_pattern(
+        _series(spark, [9, 4, 1, 8]), "pid", "day", "v", steps,
+        classifier=magnitude,
+    ).collect()
+    assert len(m) == 1
+    assert (m[0].anchor_day, m[0].crash_end, m[0].surge_end) == (0, 2, 3)

@@ -59,10 +59,21 @@ class Step:
 
 
 def classify_islands(
-    df: DataFrame, partition_col: str, order_col: str, value_col: str
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    classifier=None,
 ) -> DataFrame:
     """Stages 1+2: per-partition transition classes and maximal
     same-class islands.
+
+    ``classifier`` generalizes the DEFINE clause beyond delta sign: a
+    callable ``(cur, prev) -> Column`` mapping each transition to an
+    integer class (classes must PARTITION the transitions — every
+    transition gets exactly one class — or maximal-run semantics no
+    longer mirror greedy quantifiers). Default: sign classes
+    UP/DOWN/FLAT.
 
     Returns one row per island: ``(partition, dir, start_prev,
     anchor_val, end, end_val, len)`` where ``start_prev``/``anchor_val``
@@ -78,12 +89,15 @@ def classify_islands(
         F.lag(value_col).over(w).alias("_prev_val"),
         F.row_number().over(w).alias("_pos"),
     ).filter(F.col("_prev_val").isNotNull())
-    dirs = seq.withColumn(
-        "dir",
-        F.when(F.col(value_col) < F.col("_prev_val"), F.lit(DOWN))
-        .when(F.col(value_col) > F.col("_prev_val"), F.lit(UP))
-        .otherwise(F.lit(FLAT)),
-    )
+    if classifier is None:
+        cls = (
+            F.when(F.col(value_col) < F.col("_prev_val"), F.lit(DOWN))
+            .when(F.col(value_col) > F.col("_prev_val"), F.lit(UP))
+            .otherwise(F.lit(FLAT))
+        )
+    else:
+        cls = classifier(F.col(value_col), F.col("_prev_val"))
+    dirs = seq.withColumn("dir", cls)
     wd = Window.partitionBy(partition_col, "dir").orderBy("_pos")
     runs = dirs.withColumn("_grp", F.col("_pos") - F.row_number().over(wd))
     return runs.groupBy(partition_col, "dir", "_grp").agg(
@@ -101,6 +115,7 @@ def match_pattern(
     order_col: str,
     value_col: str,
     steps: list[Step],
+    classifier=None,
 ) -> DataFrame:
     """Stage 3: compile ``PATTERN (STRT steps[0]+ steps[1]+ …)`` into
     an adjacency chain join over the islands.
@@ -116,7 +131,7 @@ def match_pattern(
     names = [s.name for s in steps]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
-    isl = classify_islands(df, partition_col, order_col, value_col)
+    isl = classify_islands(df, partition_col, order_col, value_col, classifier)
     if len(steps) > 1:
         # every step's frame filters the SAME islands pipeline — without
         # a persist the k-way chain join recomputes the classify/window
