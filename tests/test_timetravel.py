@@ -3220,8 +3220,13 @@ def test_jvm_path_heartbeat_storm_never_raided(spark, tmp_path, monkeypatch):
     th = threading.Thread(target=hammer, daemon=True)
     th.start()
     try:
-        deadline = _time.time() + 2.5
-        while _time.time() < deadline:  # heartbeat well inside the age
+        # attempt-driven, not wall-clock-driven: under host load each
+        # py4j repair round-trip can take hundreds of ms, so a fixed
+        # 2.5 s window sometimes saw <20 attempts (flaked 1-in-~14);
+        # heartbeat every 0.1 s (well inside the 0.3 s age) until the
+        # hammer has genuinely hammered, with a generous safety cap
+        deadline = _time.time() + 30
+        while len(raids) < 20 and _time.time() < deadline:
             owner._claim_heartbeat(claim)
             _time.sleep(0.1)
     finally:
