@@ -722,3 +722,64 @@ def win_pattern_plateau_surge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "plateau_start")
     )
+
+
+@query(
+    "win_pattern_alternation",
+    oracle=_ISLANDS_CTE.format(max_user=30)
+    + """
+SELECT 'v' AS pattern, d.user_id,
+       CAST(d.sp AS BIGINT) AS anchor_day, d.av AS anchor_n,
+       CAST(d.ed AS BIGINT) AS step0_end, d.ev AS step0_val, d.ln AS step0_len,
+       CAST(u.ed AS BIGINT) AS step1_end, u.ev AS step1_val, u.ln AS step1_len
+FROM isl d
+JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+          AND u.sp = d.ed
+UNION ALL
+SELECT 'surge' AS pattern, p.user_id,
+       CAST(p.sp AS BIGINT) AS anchor_day, p.av AS anchor_n,
+       CAST(p.ed AS BIGINT) AS step0_end, p.ev AS step0_val, p.ln AS step0_len,
+       CAST(s.ed AS BIGINT) AS step1_end, s.ev AS step1_val, s.ln AS step1_len
+FROM isl p
+JOIN isl s ON s.user_id = p.user_id AND p.dir = 0 AND s.dir = 1
+          AND p.ln >= 2 AND s.sp = p.ed
+ORDER BY pattern, user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern ALTERNATION (r10): ``PATTERN ((STRT DOWN+ UP+) |
+    (STRT FLAT{2,} UP+))`` — the V-shape and the plateau-surge matched
+    in ONE call via :func:`match_any`, each row labeled with its
+    branch. Both branches compile over the SAME islands classification
+    (the input is classified once) and union with positionally-
+    normalized step columns. Oracle: the same islands CTE with the two
+    chain joins UNION ALLed — the alternation surface is hash-checked,
+    not just unit-tested."""
+    from walden_spark.operators.pattern import DOWN, FLAT, UP, Step, match_any
+
+    out = match_any(
+        _daily_counts(spark, sf_dir, max_user=30),
+        "user_id",
+        "day",
+        "n",
+        {
+            "v": [Step("d", DOWN), Step("u", UP)],
+            "surge": [Step("p", FLAT, min_len=2), Step("s", UP)],
+        },
+    )
+    return (
+        out.select(
+            "pattern",
+            "user_id",
+            F.col("anchor_day").cast("bigint").alias("anchor_day"),
+            F.col("anchor_val").cast("bigint").alias("anchor_n"),
+            F.col("step0_end").cast("bigint").alias("step0_end"),
+            F.col("step0_val").cast("bigint").alias("step0_val"),
+            F.col("step0_len").cast("bigint").alias("step0_len"),
+            F.col("step1_end").cast("bigint").alias("step1_end"),
+            F.col("step1_val").cast("bigint").alias("step1_val"),
+            F.col("step1_len").cast("bigint").alias("step1_len"),
+        )
+        .orderBy("pattern", "user_id", "anchor_day")
+    )

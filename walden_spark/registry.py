@@ -133,7 +133,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpcds_q88_count_bands",
     "tpcds_q29_repurchase",
     # -- family-coverage re-witnesses (stalest text/events/multimodal) --
-    "events_gapfill",
     "multimodal_dedup_exact",
     # -- new in r10 (window-joined immediately, displacing the
     # least-stale re-witness anchors whose families stay covered) --
@@ -146,6 +145,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q21_bucketed",
     "text_split_leakage_safe",
     "streaming_pattern_vshape",
+    "win_pattern_alternation",
 )
 
 
