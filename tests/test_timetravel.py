@@ -3205,7 +3205,15 @@ def test_jvm_path_heartbeat_storm_never_raided(spark, tmp_path, monkeypatch):
     t = VersionedTable(spark, str(tmp_path / "jvmheartbeat"))
     t.write(spark.createDataFrame([(0, 0.0)], "id long, v double"))
     monkeypatch.setattr(tt, "_local_fs_path", lambda p: None)
-    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.3)
+    # age >> heartbeat interval: the protocol's liveness guarantee is
+    # "no raid while heartbeats land inside the age", and the age must
+    # absorb heartbeat-call stalls (each heartbeat is two py4j round
+    # trips that stretch to hundreds of ms under suite load — a 0.3 s
+    # age with 0.1 s beats raided legitimately when the full suite ran
+    # alongside). Production sizes this in minutes; 2 s vs 0.1 s keeps
+    # the same ratio discipline without faking tightness the protocol
+    # never promises.
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 2.0)
     owner = VersionedTable(spark, t.path)
     head = owner.head("main")
     claim = owner._cas_claim("main", head, 9999)
