@@ -3287,6 +3287,51 @@ def test_torn_heartbeat_sidecar_reads_as_live(spark, vt, monkeypatch):
     assert not fs.exists(cp)
 
 
+def test_permanently_torn_sidecar_or_claim_eventually_repairs(spark, vt, monkeypatch):
+    """ADVICE r10 #1: the torn-read-is-live grace is BOUNDED. A sidecar
+    or claim file that stays unparsable past CLAIM_REPAIR_AGE_S was
+    torn by a crash mid-write, not by an in-flight write — the slot
+    must eventually repair instead of wedging forever (liveness). Age
+    is judged by the file's own modification time, so a LIVE owner —
+    whose heartbeats keep refreshing the sidecar — is never raided."""
+    import os as _os
+    import time as _time
+
+    from walden_spark.timetravel import VersionedTable, _fs
+
+    monkeypatch.setattr(VersionedTable, "CLAIM_REPAIR_AGE_S", 0.2)
+    head = vt.head("main")
+    rival = VersionedTable(spark, vt.path)
+    # --- arm 1: permanently torn SIDECAR on an aged claim ---
+    claim = vt._cas_claim("main", head, 9999)
+    fs, cp, jvm = _fs(spark, claim)
+    _time.sleep(0.3)  # claim itself aged past the horizon
+    local_hb = claim + ".hb"
+    with open(local_hb, "w", encoding="utf-8") as f:
+        f.write('{"owner": "abc", "clai')  # crash mid-heartbeat
+    # fresh torn sidecar: still the in-flight grace — NOT raided
+    assert rival._repair_stale_claim("main", head, claim) is False
+    old = _time.time() - 10
+    _os.utime(local_hb, (old, old))  # now it's been torn for 10 s
+    assert rival._repair_stale_claim("main", head, claim) is True
+    assert not fs.exists(cp), "aged torn sidecar must not wedge the slot"
+    assert not fs.exists(jvm.org.apache.hadoop.fs.Path(local_hb))
+    # --- arm 2: permanently torn CLAIM file ---
+    claim2 = vt._cas_claim("main", head, 9999)
+    fs2, cp2, _ = _fs(spark, claim2)
+    with open(claim2, "w", encoding="utf-8") as f:
+        f.write('{"to": 9999, "claim')  # crash mid-create
+    # fresh torn claim: in-flight grace
+    assert rival._repair_stale_claim("main", head, claim2) is False
+    _os.utime(claim2, (old, old))
+    assert rival._repair_stale_claim("main", head, claim2) is True
+    assert not fs2.exists(cp2), "aged torn claim must not wedge the slot"
+    # the freed slot is genuinely claimable again
+    claim3 = rival._cas_claim("main", head, 9999)
+    assert claim3 == claim2
+    rival._cas_release(claim3)
+
+
 def test_slow_merge_outlives_repair_age_and_publishes(spark, vt, monkeypatch):
     """VERDICT r08 #6 (integration arm): a three-way merge whose TOTAL
     publish outlives CLAIM_REPAIR_AGE_S — but whose individual replay

@@ -718,7 +718,12 @@ def ensure_bucketed_table(
     wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
     _rm_path(spark, f"{wh}/{name}")
     write_bucketed_table(builder(), name, bucket_cols, n_buckets, sort_cols)
-    props_sql = ", ".join(f"'{k}'='{v}'" for k, v in want.items())
+    # SQL-escape the property values: `source` is a caller path and may
+    # carry single quotes — unescaped they break the statement after
+    # the rebuild already ran, or smuggle extra properties (ADVICE r10
+    # #5). Keys are our own literals but get the same treatment.
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    props_sql = ", ".join(f"'{esc(k)}'='{esc(v)}'" for k, v in want.items())
     spark.sql(f"ALTER TABLE {_q(name)} SET TBLPROPERTIES ({props_sql})")
     return spark.table(name)
 

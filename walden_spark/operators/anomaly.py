@@ -60,16 +60,19 @@ def robust_anomalies(
 
     ``key_cols`` make the median tie-break total (and the output
     deterministic). Returns the input columns plus ``center`` (median)
-    and ``spread`` (MAD). Input should already be at scoring grain;
-    it is persisted here because it feeds both median passes and the
-    final filter (fixture-scoped caching — callers owning a long-lived
-    pipeline should manage persistence themselves)."""
-    df = df.persist()
+    and ``spread`` (MAD). Input should already be at scoring grain; it
+    is materialized here (localCheckpoint, NOT persist — ADVICE r10
+    #4: a .persist() with no reachable unpersist point accumulates in
+    the session CacheManager across bench loops and oracle re-checks,
+    while checkpointed blocks are freed by the ContextCleaner once the
+    result is garbage-collected) because it feeds both median passes
+    and the final filter."""
+    df = df.localCheckpoint(eager=True)
     med = _lower_median(df, group_cols, [value_col, *key_cols], value_col, "center")
     dev = (
         df.join(F.broadcast(med), group_cols)
         .withColumn("_dv", F.abs(F.col(value_col) - F.col("center")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     mad = _lower_median(dev, group_cols, ["_dv", *key_cols], "_dv", "spread")
     return (

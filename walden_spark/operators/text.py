@@ -1595,7 +1595,10 @@ def text_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "norm_hash",
         ppm_split(F.concat(F.lit("split:"), F.col("norm_hash"))).alias("split"),
         ppm_split(F.col("doc_id").cast("string")).alias("naive_split"),
-    ).persist()  # feeds the leak audit AND the per-split aggregate
+    ).localCheckpoint(eager=True)  # feeds the leak audit AND the
+    # per-split aggregate; localCheckpoint not persist (ADVICE r10 #4)
+    # so repeated invocations don't accumulate in the CacheManager —
+    # blocks are ContextCleaner-freed once the result is GC'd
     naive_leaks = (
         labeled.groupBy("norm_hash")
         .agg(F.countDistinct("naive_split").alias("k"))

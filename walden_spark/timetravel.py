@@ -100,6 +100,19 @@ def _fs(spark: SparkSession, path: str):
     return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
 
 
+def _path_age_s(fs, jvm, path: str) -> float | None:
+    """Seconds since ``path`` was last modified, or None if it does not
+    exist (or the filesystem can't stat it). Used to bound the
+    torn-read-is-live grace in claim repair (ADVICE r10 #1): a file
+    that has sat unparsable longer than the repair age was torn by a
+    crash, not by an in-flight write."""
+    try:
+        st = fs.getFileStatus(jvm.org.apache.hadoop.fs.Path(path))
+        return max(0.0, time.time() - st.getModificationTime() / 1000.0)
+    except Exception:
+        return None
+
+
 # Process-wide parse cache for manifest files, keyed by versions-dir →
 # {filename: (mtime_ms, length, parsed_dict)}. Sound because manifest
 # files are create-once (overwrite=False claims) and only ever DELETED
@@ -864,11 +877,33 @@ class VersionedTable:
             except ValueError:
                 # Claim files are create-once (heartbeats live in a
                 # sidecar — ADVICE r09 #1), so an unparsable-but-present
-                # claim means a torn read, not a free slot: retry once,
-                # then treat it as LIVE ("come back later") rather than
-                # raiding what may be an active writer's claim.
+                # claim usually means a torn read, not a free slot:
+                # retry once, then treat it as LIVE ("come back later")
+                # rather than raiding what may be an active writer's
+                # claim — UNLESS the file has sat unparsable past the
+                # repair age (ADVICE r10 #1): a claim create is a
+                # single small atomic-ish write that completes in
+                # milliseconds, so a still-torn claim OLDER than
+                # CLAIM_REPAIR_AGE_S is a writer that crashed mid-create
+                # and will never finish it. Without this age escape the
+                # slot would wedge forever — a liveness regression vs
+                # the always-eventually-repairable design. Its `to` is
+                # unreadable so nothing can be rolled forward; free the
+                # slot (after the head re-check) like a to-less claim.
                 if attempt == 1:
-                    return False
+                    age = _path_age_s(fs, jvm, claim)
+                    if age is None:
+                        return True  # vanished between read and stat
+                    if age < self.CLAIM_REPAIR_AGE_S:
+                        return False  # presumed in-flight create
+                    try:
+                        if self.head(name) != expected:
+                            return False  # pointer moved — not a wedge
+                    except ValueError:
+                        if expected is not None:
+                            return False
+                    self._cas_release(claim)
+                    return True
                 time.sleep(0.01)
             except Exception:
                 return True  # claim vanished (owner released it) — slot free
@@ -881,14 +916,21 @@ class VersionedTable:
         claimed = float(payload.get("claimed", 0))
         # Heartbeats refresh a SIDECAR (<claim>.hb), never the claim
         # itself: the effective age is max(claim, matching-owner
-        # sidecar). A torn sidecar read means a heartbeat is being
-        # written at this very instant — the strongest possible
+        # sidecar). A torn sidecar read usually means a heartbeat is
+        # being written at this very instant — the strongest possible
         # liveness signal — so treat it as live, not free (the exact
         # failure mode of the old in-place heartbeat rewrite, where a
         # torn read during fs.create(overwrite=true) truncation let a
-        # rival raid a live claim — ADVICE r09 #1).
+        # rival raid a live claim — ADVICE r09 #1). But bound that
+        # grace by the sidecar's OWN modification age (ADVICE r10 #1):
+        # a live owner rewrites the sidecar on every heartbeat, so a
+        # sidecar that is both unparsable and UNTOUCHED for longer
+        # than CLAIM_REPAIR_AGE_S is a heartbeat torn by a crash, not
+        # one in flight — fall through to the claim's own timestamp
+        # instead of returning "live" forever.
         try:
-            hstream = fs.open(jvm.org.apache.hadoop.fs.Path(claim + ".hb"))
+            hpath = jvm.org.apache.hadoop.fs.Path(claim + ".hb")
+            hstream = fs.open(hpath)
             try:
                 hb = json.loads(
                     bytes(
@@ -900,7 +942,14 @@ class VersionedTable:
             if hb.get("owner") == payload.get("owner"):
                 claimed = max(claimed, float(hb.get("claimed", 0)))
         except ValueError:
-            return False  # heartbeat in flight — owner is alive
+            age = _path_age_s(fs, jvm, claim + ".hb")
+            if age is not None and age < self.CLAIM_REPAIR_AGE_S:
+                return False  # heartbeat in flight — owner is alive
+            # permanently torn sidecar: its last-touch time is itself
+            # the owner's final sign of life — count it toward the
+            # claim age so the stale-claim repair below can proceed
+            if age is not None:
+                claimed = max(claimed, time.time() - age)
         except Exception:
             pass  # no sidecar yet — the claim's own timestamp governs
         if time.time() - claimed < self.CLAIM_REPAIR_AGE_S:
@@ -3098,8 +3147,15 @@ class VersionedTable:
                             )
                         finally:
                             cstream.close()
+                        # token MUST be present: _cas_claim records it
+                        # before _claim_held is ever set, so a missing
+                        # entry means this publish never claimed the
+                        # transition — mere claim-file existence (some
+                        # OTHER writer's claim) must not authorize the
+                        # blind overwrite (ADVICE r10 #3)
                         owner_ok = (
-                            token is None or cpayload.get("owner") == token
+                            token is not None
+                            and cpayload.get("owner") == token
                         )
                     except Exception:
                         owner_ok = False  # missing or unreadable — abort
