@@ -1,0 +1,143 @@
+"""SQL-surface MATCH_RECOGNIZE (plans/matchrec.py, VERDICT r10 #2):
+the in-class clause compiles onto operators/pattern.py and splices
+back as a temp view; every out-of-class construct raises
+MatchRecognizeError naming both the construct and the supported class
+(the documented limits in DEVIATIONS.md)."""
+
+from __future__ import annotations
+
+import pytest
+
+from walden_spark.plans.matchrec import MatchRecognizeError, rewrite_match_recognize
+from walden_spark.session import WaldenSession
+
+
+@pytest.fixture()
+def ws(spark):
+    rows = [
+        (1, d, float(v))
+        for d, v in enumerate([5, 3, 2, 4, 6, 6, 1])
+    ] + [(2, d, float(v)) for d, v in enumerate([1, 2, 3])]
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_input"
+    )
+    return WaldenSession(spark)
+
+
+_VSHAPE = """
+SELECT pid, anchor_day, bottom_day, end_day, n_down
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(d.day) AS bottom_day,
+           LAST(u.day) AS end_day, COUNT(d.*) AS n_down
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, anchor_day
+"""
+
+
+def test_sql_vshape_end_to_end(ws):
+    """pid 1 = 5 3 2 4 6 6 1: DOWN(0..2) UP(2..4) — one V (the FLAT at
+    4..5 breaks adjacency with DOWN(5..6)); pid 2 is all-UP, no V."""
+    rows = ws.sql(_VSHAPE).collect()
+    assert [(r.pid, r.anchor_day, r.bottom_day, r.end_day, r.n_down) for r in rows] == [
+        (1, 0, 2, 4, 2)
+    ]
+
+
+def test_sql_matches_python_api(spark, ws):
+    """The SQL path and the Python API must be the same engine: the
+    rewritten query's rows equal match_pattern's on the same input."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.operators.pattern import DOWN, UP, Step, match_pattern
+
+    via_sql = {tuple(r) for r in ws.sql(_VSHAPE).collect()}
+    m = match_pattern(spark.table("mr_input"), "pid", "day", "v",
+                      [Step("d", DOWN), Step("u", UP)])
+    via_api = {
+        tuple(r)
+        for r in m.select(
+            "pid", F.col("anchor_day"), F.col("d_end"), F.col("u_end"), F.col("d_len")
+        ).collect()
+    }
+    assert via_sql == via_api
+
+
+def test_outer_sql_composes_over_the_view(ws):
+    """The splice leaves the outer statement to Catalyst: arithmetic
+    over measures, WHERE, and aggregation all work unmodified."""
+    row = ws.sql(
+        """
+SELECT pid, SUM(end_day - anchor_day) AS total_span
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(u.day) AS end_day
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) WHERE anchor_day >= 0 GROUP BY pid
+"""
+    ).collect()
+    assert [(r.pid, r.total_span) for r in row] == [(1, 4)]
+
+
+def test_quantifier_bounds_reach_the_compiler(ws):
+    """{2,} on the descent drops the 2-transition V when bounded to
+    {3,}; {1,2} keeps it."""
+    q = _VSHAPE.replace("PATTERN (STRT d+ u+)", "PATTERN (STRT d{3,} u+)")
+    assert ws.sql(q).collect() == []
+    q = _VSHAPE.replace("PATTERN (STRT d+ u+)", "PATTERN (STRT d{1,2} u+)")
+    assert len(ws.sql(q).collect()) == 1
+
+
+@pytest.mark.parametrize(
+    "mutate, needle",
+    [
+        # reluctant quantifier
+        (lambda q: q.replace("STRT d+ u+", "STRT d+? u+"), "reluctant"),
+        # zero-width quantifiers
+        (lambda q: q.replace("STRT d+ u+", "STRT d* u+"), "empty step"),
+        (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "reluctant/optional"),
+        # alternation at the SQL surface
+        (lambda q: q.replace("STRT d+ u+", "STRT d+ | u+"), "alternation"),
+        # grouping
+        (lambda q: q.replace("STRT d+ u+", "STRT (d u)+"), "grouped"),
+        # missing anchor
+        (lambda q: q.replace("STRT d+ u+", "d+ u+"), "STRT anchor"),
+        # ALL ROWS PER MATCH
+        (lambda q: q.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"),
+         "ALL ROWS PER MATCH is out of class"),
+        # missing AFTER MATCH
+        (lambda q: q.replace("AFTER MATCH SKIP TO LAST u\n", ""),
+         "AFTER MATCH SKIP TO LAST"),
+        # wrong skip target (not the final step)
+        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO LAST d"),
+         "only SKIP TO LAST U"),
+        # undefined pattern variable
+        (lambda q: q.replace(", u AS u.v > PREV(u.v)", ""), "no DEFINE"),
+        # out-of-class DEFINE (full-match aggregate)
+        (lambda q: q.replace("d AS d.v < PREV(d.v)",
+                             "d AS d.v < AVG(STRT.v)"), "span_measures"),
+        # measure outside the carried columns
+        (lambda q: q.replace("STRT.day AS anchor_day",
+                             "FIRST(d.day) AS anchor_day"), "out of class"),
+        # DEFINEs disagreeing on the value column
+        (lambda q: q.replace("u AS u.v > PREV(u.v)",
+                             "u AS u.day > PREV(u.day)"), "one value column"),
+    ],
+)
+def test_out_of_class_raises_named_limit(ws, mutate, needle):
+    with pytest.raises(MatchRecognizeError) as ei:
+        ws.sql(mutate(_VSHAPE))
+    msg = str(ei.value)
+    assert needle.lower() in msg.lower(), msg
+    assert "supported class" in msg  # every error names the class
+
+
+def test_rewrite_is_identity_without_the_clause(spark):
+    q = "SELECT 1 AS x"
+    assert rewrite_match_recognize(spark, q) == q

@@ -215,6 +215,62 @@ def test_match_any_alternation(spark):
         match_any(df, "pid", "day", "v", {})
 
 
+def test_match_any_classifies_once(spark, monkeypatch):
+    """VERDICT r10 nit #1: an N-branch alternation must run the
+    classify/window shuffle ONCE, not once per branch — match_any
+    builds the islands frame itself and hands it to every branch's
+    chain build. Counted at the classify_islands call site (the plan
+    is opaque past the localCheckpoint cut, so a plan-text assert
+    can't see the stage count)."""
+    import walden_spark.operators.pattern as P
+
+    calls: list[int] = []
+    orig = P.classify_islands
+
+    def counting(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(P, "classify_islands", counting)
+    df = _series(spark, [4, 2, 5, 5, 6])
+    out = P.match_any(
+        df, "pid", "day", "v",
+        {
+            "v": [Step("d", DOWN), Step("u", UP)],
+            "plateau": [Step("p", FLAT), Step("s", UP)],
+            "climb": [Step("u1", UP)],
+        },
+    )
+    got = sorted((r.pattern, r.anchor_day) for r in out.collect())
+    assert got == [("climb", 1), ("climb", 3), ("plateau", 2), ("v", 0)]
+    assert len(calls) == 1, f"classified {len(calls)} times for 3 branches"
+
+
+def test_span_measures_full_match_aggregates(spark):
+    """VERDICT r10 #4: aggregates over the WHOLE matched span — anchor
+    row through last step's end, inclusive — and a boundary row shared
+    by two overlapping matches (SKIP TO LAST) counts in BOTH spans."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.operators.pattern import span_measures
+
+    # 4 2 5 1 6: V1 rows 0..2 (4+2+5=11), V2 rows 2..4 (5+1+6=12) —
+    # row 2 (value 5) belongs to both spans
+    df = _series(spark, [4, 2, 5, 1, 6])
+    out = span_measures(
+        df, "pid", "day", "v",
+        [Step("d", DOWN), Step("u", UP)],
+        {"total": F.sum("v"), "rows": F.count(F.lit(1)), "peak": F.max("v")},
+        bin_width=2,  # spans straddle bin boundaries on purpose
+    )
+    got = sorted(
+        (r.anchor_day, r.u_end, r.total, r.rows, r.peak) for r in out.collect()
+    )
+    assert got == [(0, 2, 11.0, 3, 5.0), (2, 4, 12.0, 3, 6.0)]
+    with pytest.raises(ValueError, match="at least one aggregate"):
+        span_measures(df, "pid", "day", "v", [Step("d", DOWN)], {})
+
+
 def test_custom_classifier_magnitude_classes(spark):
     """DEFINE generality: a magnitude classifier (crash / drift-down /
     flat / drift-up / surge) replaces the sign classes — PATTERN

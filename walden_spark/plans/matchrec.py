@@ -1,0 +1,352 @@
+"""SQL surface for row-pattern matching (VERDICT r10 #2).
+
+Trino's MATCH_RECOGNIZE is a SQL clause, not a library call — the
+reference serves it as plain Trino SQL (Trino 468 via
+/root/reference/tf/main.tf:82-114; walden ships no engine code). Spark
+has no MATCH_RECOGNIZE grammar at all, so ``WaldenSession.sql`` routes
+the clause here: the ``FROM <table> MATCH_RECOGNIZE (...)`` fragment is
+parsed, compiled through :mod:`walden_spark.operators.pattern` (the
+same classify → islands → adjacency-chain pipeline the Python API
+uses), registered as a temp view, and spliced back into the statement
+— so the surrounding SELECT list, WHERE, ORDER BY, CTEs, and joins all
+remain ordinary Spark SQL and go through Catalyst untouched.
+
+Supported class (exactly what the compiler serves; everything else
+raises :class:`MatchRecognizeError` naming the limit — the documented
+out-of-class surface lives in DEVIATIONS.md):
+
+* ``PARTITION BY <col>`` and ``ORDER BY <col>`` — single columns.
+* ``MEASURES`` items over ``STRT.<col>`` (the match anchor row),
+  ``LAST(X.<col>)`` (a step's final row), and ``COUNT(X.*)`` (a
+  step's row count), each ``AS`` an alias; ``<col>`` is the ORDER BY
+  or the DEFINE value column. Arithmetic over measures belongs in the
+  outer SELECT (the clause compiles to a relation, so any Spark SQL
+  expression works there).
+* ``ONE ROW PER MATCH`` (the default; ``ALL ROWS`` is out of class).
+* ``AFTER MATCH SKIP TO LAST <laststep>`` — REQUIRED and checked: the
+  compiler's maximal-island semantics let a match's final row anchor
+  the next match, which is exactly SKIP TO LAST of the final step;
+  Trino's default (SKIP PAST LAST ROW) would drop such matches, so
+  omitting the clause is an error rather than a silent semantic swap.
+* ``PATTERN (STRT X1<q> X2<q> …)`` — the STRT anchor followed by
+  steps, each quantified ``+`` / ``{m}`` / ``{m,}`` / ``{m,n}`` (greedy;
+  a bare name means exactly one). Reluctant quantifiers (``+?``),
+  ``*``/``?`` (empty steps), alternation, PERMUTE, grouping, and
+  anchors are out of class.
+* ``DEFINE Xj AS Xj.<v> <op> PREV(Xj.<v>)`` with ``<op>`` one of
+  ``<``/``>``/``=`` — the direction classes (DOWN/UP/FLAT) over one
+  shared value column. Every step must be DEFINEd (an undefined
+  variable matches any row — out of class); STRT must stay undefined
+  (it is the anchor). DEFINEs over full-match aggregates are served by
+  :func:`walden_spark.operators.pattern.span_measures`, not this
+  clause.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from walden_spark.operators.pattern import DOWN, FLAT, UP, Step, match_pattern
+
+_LIMITS = (
+    " — supported class: PARTITION BY <col> ORDER BY <col>, MEASURES of "
+    "STRT.<col> / LAST(X.<col>) / COUNT(X.*), ONE ROW PER MATCH, "
+    "AFTER MATCH SKIP TO LAST <last step>, PATTERN (STRT X1+ X2{m,n} …), "
+    "DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md (row-pattern "
+    "class) for the documented out-of-class surface"
+)
+
+
+class MatchRecognizeError(ValueError):
+    """An out-of-class MATCH_RECOGNIZE clause; the message names both
+    the offending construct and the supported class."""
+
+    def __init__(self, msg: str):
+        super().__init__(msg + _LIMITS)
+
+
+_MR_FROM = re.compile(
+    r"\bFROM\s+([A-Za-z_][\w.]*)\s+MATCH_RECOGNIZE\s*\(", re.IGNORECASE
+)
+_ALIAS = re.compile(r"^\s*(?:AS\s+)?([A-Za-z_]\w*)", re.IGNORECASE)
+# clause heads inside the body, in Trino's fixed order
+_CLAUSES = re.compile(
+    r"\bPARTITION\s+BY\b|\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\s+PER\s+MATCH\b"
+    r"|\bALL\s+ROWS\s+PER\s+MATCH\b|\bAFTER\s+MATCH\b|\bPATTERN\b|\bSUBSET\b"
+    r"|\bDEFINE\b",
+    re.IGNORECASE,
+)
+_STEP_TOKEN = re.compile(r"([A-Za-z_]\w*)\s*(\+\??|\{\s*(\d+)\s*(,\s*(\d*))?\s*\})?\s*")
+_DEFINE_ITEM = re.compile(
+    r"^([A-Za-z_]\w*)\s+AS\s+\1\s*\.\s*([A-Za-z_]\w*)\s*(<=|>=|<>|!=|<|>|=)\s*"
+    r"PREV\s*\(\s*\1\s*\.\s*([A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+_MEASURE_ANCHOR = re.compile(r"^STRT\s*\.\s*([A-Za-z_]\w*)$", re.IGNORECASE)
+_MEASURE_LAST = re.compile(
+    r"^LAST\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE
+)
+_MEASURE_COUNT = re.compile(
+    r"^COUNT\s*\(\s*([A-Za-z_]\w*)\s*\.\s*\*\s*\)$", re.IGNORECASE
+)
+
+_DIR_BY_OP = {"<": DOWN, ">": UP, "=": FLAT}
+_VIEW_SEQ = [0]
+
+
+def _balanced_span(text: str, open_idx: int) -> int:
+    """Index just past the ')' matching the '(' at ``open_idx``."""
+    depth = 0
+    for i in range(open_idx, len(text)):
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+    raise MatchRecognizeError("unbalanced parentheses in MATCH_RECOGNIZE")
+
+
+def _split_clauses(body: str) -> list[tuple[str, str]]:
+    """(clause-head, clause-text) pairs — heads only at paren depth 0,
+    so a column named ``pattern`` inside MEASURES can't split a clause."""
+    heads = []
+    depth = 0
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if depth == 0:
+            m = _CLAUSES.match(body, i)
+            if m:
+                heads.append((m.group(0).upper(), m.start(), m.end()))
+                i = m.end()
+                continue
+        i += 1
+    out = []
+    for j, (head, _, body_start) in enumerate(heads):
+        body_end = heads[j + 1][1] if j + 1 < len(heads) else len(body)
+        out.append((re.sub(r"\s+", " ", head), body[body_start:body_end].strip()))
+    return out
+
+
+def _split_top_commas(text: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _parse_pattern(text: str) -> list[tuple[str, int, int | None]]:
+    """``(STRT X1<q> …)`` → [(name, min_len, max_len), …] (STRT
+    stripped). Rejects everything outside the compiled class."""
+    text = text.strip()
+    if not (text.startswith("(") and text.endswith(")")):
+        raise MatchRecognizeError("PATTERN must be parenthesized")
+    inner = text[1:-1].strip()
+    for bad, why in (
+        ("|", "alternation is out of class at the SQL surface (the Python "
+              "API serves it via operators.pattern.match_any)"),
+        ("(", "grouped sub-patterns are out of class"),
+        ("*", "'*' allows an empty step — islands are maximal non-empty runs"),
+        ("?", "reluctant/optional quantifiers are out of class (islands are "
+              "maximal, i.e. greedy)"),
+        ("^", "partition anchors are out of class"),
+        ("$", "partition anchors are out of class"),
+    ):
+        if bad in inner:
+            raise MatchRecognizeError(f"PATTERN {text!r}: {why}")
+    pos = 0
+    toks: list[tuple[str, int, int | None]] = []
+    while pos < len(inner):
+        m = _STEP_TOKEN.match(inner, pos)
+        if not m or not m.group(1):
+            raise MatchRecognizeError(f"cannot parse PATTERN at {inner[pos:]!r}")
+        name, quant, lo, _, hi = m.groups()
+        if quant is None:
+            toks.append((name, 1, 1))
+        elif quant.startswith("+"):
+            toks.append((name, 1, None))
+        else:
+            lo_i = int(lo)
+            if lo_i < 1:
+                raise MatchRecognizeError(
+                    f"step {name}{{{lo},…}}: zero-width steps are out of class"
+                )
+            hi_i = None if hi == "" else (int(hi) if hi is not None else lo_i)
+            if hi_i is not None and hi_i < lo_i:
+                raise MatchRecognizeError(f"step {name}: empty bound {{{lo},{hi}}}")
+            toks.append((name, lo_i, hi_i))
+        pos = m.end()
+    if not toks or toks[0][0].upper() != "STRT" or toks[0][1:] != (1, 1):
+        raise MatchRecognizeError("PATTERN must begin with the bare STRT anchor")
+    if len(toks) < 2:
+        raise MatchRecognizeError("PATTERN needs at least one step after STRT")
+    return toks[1:]
+
+
+def compile_match_recognize(
+    spark: SparkSession, source: DataFrame, body: str
+) -> DataFrame:
+    """Compile one MATCH_RECOGNIZE body over ``source`` into the
+    measures-projected one-row-per-match DataFrame."""
+    clauses = dict(_split_clauses(body))
+    if "ALL ROWS PER MATCH" in clauses:
+        raise MatchRecognizeError("ALL ROWS PER MATCH is out of class")
+    for need in ("PARTITION BY", "ORDER BY", "MEASURES", "PATTERN", "DEFINE"):
+        if need not in clauses:
+            raise MatchRecognizeError(f"missing {need} clause")
+    if "SUBSET" in clauses:
+        raise MatchRecognizeError("SUBSET union variables are out of class")
+    part = clauses["PARTITION BY"].strip()
+    order = clauses["ORDER BY"].strip()
+    for label, col in (("PARTITION BY", part), ("ORDER BY", order)):
+        if not re.fullmatch(r"[A-Za-z_]\w*", col):
+            raise MatchRecognizeError(
+                f"{label} {col!r}: a single plain column is required"
+            )
+    # pattern + defines → compiler steps
+    toks = _parse_pattern(clauses["PATTERN"])
+    defines: dict[str, tuple[int, str]] = {}
+    for item in _split_top_commas(clauses["DEFINE"]):
+        m = _DEFINE_ITEM.match(item.strip())
+        if not m:
+            raise MatchRecognizeError(
+                f"DEFINE {item!r}: only X AS X.<v> <|>|= PREV(X.<v>) is in "
+                "class (full-match aggregates are served by "
+                "operators.pattern.span_measures)"
+            )
+        name, vcol, op, vcol2 = m.group(1), m.group(2), m.group(3), m.group(4)
+        if vcol.lower() != vcol2.lower():
+            raise MatchRecognizeError(
+                f"DEFINE {name}: value columns differ ({vcol} vs {vcol2})"
+            )
+        if op not in _DIR_BY_OP:
+            raise MatchRecognizeError(
+                f"DEFINE {name}: operator {op!r} is out of class"
+            )
+        if name.upper() == "STRT":
+            raise MatchRecognizeError("STRT is the anchor and must stay undefined")
+        if name.lower() in defines:
+            raise MatchRecognizeError(f"duplicate DEFINE for {name}")
+        defines[name.lower()] = (_DIR_BY_OP[op], vcol)
+    value_cols = {v for _, v in defines.values()}
+    if len(value_cols) != 1:
+        raise MatchRecognizeError(
+            f"DEFINEs must share one value column, got {sorted(value_cols)}"
+        )
+    value = value_cols.pop()
+    steps = []
+    for name, lo, hi in toks:
+        if name.lower() not in defines:
+            raise MatchRecognizeError(
+                f"pattern variable {name} has no DEFINE — an undefined "
+                "variable matches any row, which is out of class"
+            )
+        steps.append(Step(name.lower(), defines[name.lower()][0], lo, hi))
+    if extra := set(defines) - {s.name for s in steps}:
+        raise MatchRecognizeError(f"DEFINEd but not in PATTERN: {sorted(extra)}")
+    # AFTER MATCH: required, and must name the final step
+    after = clauses.get("AFTER MATCH")
+    if after is None:
+        raise MatchRecognizeError(
+            "AFTER MATCH SKIP TO LAST <last step> is required: maximal-island "
+            "compilation lets a match's final row anchor the next match, and "
+            "the engine must not silently substitute that for Trino's SKIP "
+            "PAST LAST ROW default"
+        )
+    m = re.fullmatch(r"SKIP\s+TO\s+LAST\s+([A-Za-z_]\w*)", after.strip(), re.IGNORECASE)
+    if not m or m.group(1).lower() != steps[-1].name:
+        raise MatchRecognizeError(
+            f"AFTER MATCH {after!r}: only SKIP TO LAST {steps[-1].name.upper()} "
+            "(the final step) matches the compiled overlap semantics"
+        )
+    # measures → columns of the match_pattern output
+    matched = match_pattern(source, part, order, value, steps)
+
+    def measure_col(expr: str):
+        if am := _MEASURE_ANCHOR.match(expr):
+            col = am.group(1).lower()
+            if col == order.lower():
+                return F.col(f"anchor_{order}")
+            if col == value.lower():
+                return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"STRT.{am.group(1)}: only the ORDER BY ({order}) or DEFINE "
+                f"value ({value}) column is available on the anchor"
+            )
+        if lm := _MEASURE_LAST.match(expr):
+            step_name, col = lm.group(1).lower(), lm.group(2).lower()
+            if step_name not in {s.name for s in steps}:
+                raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
+            if col == order.lower():
+                return F.col(f"{step_name}_end")
+            if col == value.lower():
+                return F.col(f"{step_name}_val")
+            raise MatchRecognizeError(
+                f"LAST({lm.group(1)}.{lm.group(2)}): only the ORDER BY or "
+                "DEFINE value column is carried per step"
+            )
+        if cm := _MEASURE_COUNT.match(expr):
+            step_name = cm.group(1).lower()
+            if step_name not in {s.name for s in steps}:
+                raise MatchRecognizeError(f"COUNT({cm.group(1)}.*): unknown step")
+            return F.col(f"{step_name}_len")
+        raise MatchRecognizeError(
+            f"measure {expr!r} is out of class (compose arithmetic over "
+            "aliased measures in the outer SELECT instead)"
+        )
+
+    out_cols = [F.col(part)]
+    for item in _split_top_commas(clauses["MEASURES"]):
+        mm = re.fullmatch(r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
+        if not mm:
+            raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+        out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
+    return matched.select(*out_cols)
+
+
+def rewrite_match_recognize(spark: SparkSession, query: str) -> str:
+    """Replace every ``FROM <table> MATCH_RECOGNIZE (…) [AS alias]``
+    fragment with a temp view holding the compiled relation; the rest
+    of the statement is untouched Spark SQL. Returns the rewritten
+    query (identity when no clause is present)."""
+    while True:
+        m = _MR_FROM.search(query)
+        if m is None:
+            return query
+        table = m.group(1)
+        end = _balanced_span(query, m.end() - 1)
+        body = query[m.end(): end - 1]
+        df = compile_match_recognize(spark, spark.table(table), body)
+        _VIEW_SEQ[0] += 1
+        view = f"walden_mr_{_VIEW_SEQ[0]}"
+        df.createOrReplaceTempView(view)
+        rest = query[end:]
+        alias = _ALIAS.match(rest)
+        keep_alias = ""
+        if alias and alias.group(1).upper() not in (
+            "WHERE", "GROUP", "ORDER", "LIMIT", "HAVING", "UNION", "JOIN",
+            "LEFT", "RIGHT", "FULL", "CROSS", "INNER", "ON", "QUALIFY",
+        ):
+            keep_alias = f" AS {alias.group(1)}"
+            rest = rest[alias.end():]
+        query = f"{query[:m.start()]}FROM {view}{keep_alias}{rest}"

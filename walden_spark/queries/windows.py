@@ -783,3 +783,123 @@ def win_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern", "user_id", "anchor_day")
     )
+
+
+@query(
+    "win_pattern_span_sum",
+    oracle=_ISLANDS_CTE.format(max_user=30)
+    + """
+SELECT m.user_id,
+       CAST(m.anchor_day AS BIGINT) AS anchor_day,
+       CAST(m.end_day AS BIGINT) AS end_day,
+       CAST(SUM(dd.n) AS BIGINT) AS span_total,
+       CAST(COUNT(*) AS BIGINT) AS span_days,
+       CAST(MAX(dd.n) AS BIGINT) AS span_peak
+FROM (SELECT d.user_id, d.sp AS anchor_day, u.ed AS end_day
+      FROM isl d
+      JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+                AND u.sp = d.ed) m
+JOIN daily dd ON dd.user_id = m.user_id
+             AND dd.day BETWEEN m.anchor_day AND m.end_day
+GROUP BY 1, 2, 3
+ORDER BY 1, 2
+""",
+    category="window",
+)
+def win_pattern_span_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURES over the FULL matched span (r11, VERDICT r10 #4):
+    for every V-shape match, aggregates computed across ALL rows of
+    the match — total events, day count, and peak count from anchor
+    through rebound end, inclusive — via
+    :func:`walden_spark.operators.pattern.span_measures`, which joins
+    matches back to the input rows on (partition, order BETWEEN anchor
+    AND end) through the binned range-join technique (equi on
+    (partition, bin), BETWEEN as residual — no nested loop). The
+    DuckDB oracle rebuilds the matches with the islands CTE and runs
+    the literal BETWEEN join. A boundary row shared by two overlapping
+    matches (SKIP TO LAST) counts in both spans — pinned by the oracle
+    hash. All outputs are integer order statistics/sums — bit-equal
+    cross-engine."""
+    from walden_spark.operators.pattern import DOWN, UP, Step, span_measures
+
+    m = span_measures(
+        _daily_counts(spark, sf_dir, max_user=30),
+        "user_id",
+        "day",
+        "n",
+        [Step("down", DOWN), Step("up", UP)],
+        {
+            "span_total": F.sum("n").cast("bigint"),
+            "span_days": F.count(F.lit(1)).cast("bigint"),
+            "span_peak": F.max("n").cast("bigint"),
+        },
+        bin_width=16,
+    )
+    return (
+        m.select(
+            "user_id",
+            F.col("anchor_day").cast("bigint").alias("anchor_day"),
+            F.col("up_end").cast("bigint").alias("end_day"),
+            "span_total",
+            "span_days",
+            "span_peak",
+        )
+        .orderBy("user_id", "anchor_day")
+    )
+
+
+@query(
+    "win_pattern_sql_vshape",
+    oracle=_ISLANDS_CTE.format(max_user=60)
+    + """
+SELECT d.user_id,
+       CAST(d.sp AS BIGINT) AS anchor_day, d.av AS anchor_n,
+       CAST(d.ed AS BIGINT) AS bottom_day, d.ev AS bottom_n,
+       CAST(u.ed AS BIGINT) AS end_day, u.ev AS end_n,
+       d.ln AS n_down, u.ln AS n_up,
+       d.av - d.ev AS depth
+FROM isl d
+JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+          AND u.sp = d.ed
+ORDER BY d.user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE at the SQL surface (r11, VERDICT r10 #2):
+    the query text enters through ``WaldenSession.sql`` carrying a
+    literal ``FROM … MATCH_RECOGNIZE (PARTITION BY … ORDER BY …
+    MEASURES … AFTER MATCH SKIP TO LAST … PATTERN (STRT DOWN+ UP+)
+    DEFINE …)`` clause — Trino's row-pattern surface is SQL, not a
+    Python API (reference: Trino 468 via tf/main.tf:82-114). The
+    fragment compiles through plans/matchrec.py onto the same
+    operators/pattern.py pipeline; the outer SELECT (arithmetic over
+    the aliased measures, ORDER BY) stays ordinary Catalyst SQL over
+    the spliced temp view. Distinct slice from win_pattern_vshape
+    (user_id < 60) plus COUNT(step.*) run-length measures, so this
+    hash-checks the SQL path on its own data, not a repeat."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=60).createOrReplaceTempView(
+        "walden_mr_daily_v"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, bottom_day, bottom_n,
+       end_day, end_n, n_down, n_up, anchor_n - bottom_n AS depth
+FROM walden_mr_daily_v MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(down.day) AS bottom_day, LAST(down.n) AS bottom_n,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n,
+           COUNT(down.*) AS n_down, COUNT(up.*) AS n_up
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT down+ up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
