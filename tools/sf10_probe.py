@@ -27,9 +27,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/walden_sf10"
-REPLICAS = 100
-REPS = 2
+# REPLICAS=100 over sf0.1 = the standing facts-×100 probe; r11 adds a
+# ×1000 stretch decade (WALDEN_PROBE_REPLICAS=1000, ~600M lineitem
+# rows — TPC-H SF100-equivalent in the 128 GiB sandbox)
+REPLICAS = int(os.environ.get("WALDEN_PROBE_REPLICAS", "100"))
+DST = f"/tmp/walden_sf10" if REPLICAS == 100 else f"/tmp/walden_x{REPLICAS}"
+REPS = int(os.environ.get("WALDEN_PROBE_REPS", "2"))
 
 
 def build(spark) -> None:
@@ -75,7 +78,10 @@ def build(spark) -> None:
 
     replicate("orders", {"o_orderkey": okey_span})
     replicate("lineitem", {"l_orderkey": okey_span})
-    replicate("documents", {"doc_id": did_span}, perturb_text=True)
+    if REPLICAS <= 100:
+        replicate("documents", {"doc_id": did_span}, perturb_text=True)
+    else:  # ×1000 stretch probes only the fact-pair queries
+        shutil.copy(f"{SRC}/documents.parquet", f"{DST}/documents.parquet")
     for t in ("customer", "supplier", "part", "nation", "region", "events", "embeddings"):
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
 
@@ -189,7 +195,12 @@ def main() -> None:
         build(spark)
     reg = load_all()
     floors: dict[str, float] = {}
-    for name in ("tpch_q18", "tpch_q21", "dedup_minhash_lsh"):
+    headliners = (
+        ("tpch_q18", "tpch_q21", "dedup_minhash_lsh")
+        if REPLICAS <= 100
+        else ("tpch_q18", "tpch_q21")
+    )
+    for name in headliners:
         best = None
         for _ in range(REPS):
             t0 = time.perf_counter()
@@ -221,7 +232,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "sf": "sf10-equivalent (facts x100 over sf0.1)",
+                "sf": f"facts x{REPLICAS} over sf0.1",
                 "floors": floors,
                 "q18_bucketed_fact_exchanges": exchanges["tpch_q18_bucketed"],
                 "q21_bucketed_exchanges": exchanges["tpch_q21_bucketed"],

@@ -64,25 +64,26 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r10 ROTATION (VERDICT r09 next-round #2): the never-driver-verified
-# oracle-backed queue is still EMPTY (cumulative 243/243 as of r09),
-# so this window is pure re-witness: the 13 family-spanning
-# flagships; the 10-name r03/r04 cohort the r09 news displaced
-# (fn_regex … agg_grouping_sets — prescribed by VERDICT r09 #2); the
-# stalest previously-witnessed names by last-hash-verified round
-# (computed from the CORRECTNESS_r*.json history, r03/r04 vintage);
-# and multimodal_dedup_exact / events_gapfill (stalest of their
-# families, keeping the every-family coverage property). Queries
-# ADDED during r10 join the window immediately, each displacing the
-# least-stale re-witness anchor (the r04 tail), so the drift guard's
-# invariant holds mid-round.
+# r11 ROTATION (VERDICT r10 next-round #1): the cumulative queue was
+# drained in r10 (268/268 driver-hash-verified at least once), so this
+# window is the 13 family-spanning flagships; the 4 queries ADDED in
+# r11 (window-joined immediately — they are the entire
+# never-driver-verified set, and the mid-round guard arm requires all
+# of them); the stalest name of each family the flagships+news leave
+# uncovered (events/scan/multimodal, keeping the every-family
+# property); and then the stalest-by-last-hash-verified re-witnesses —
+# all 9 remaining r03-vintage names and the r04 cohort in order
+# (the r04 anchors the r10 digest promotions displaced head this
+# queue per the r10 verdict; the rest of the r04 vintage follows in
+# r12). Staleness computed from the CORRECTNESS_r*.json history via
+# tools/rotation_queue.py.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py +
 # tools/rotation_queue.py::window_guard_violations) uses it to stay
 # green at the round boundary, and as of r09 the boundary arm demands
 # FULL green (rows+schema+hash), not merely err-free.
-DRIVER_WINDOW_ROUND = 10
+DRIVER_WINDOW_ROUND = 11
 DRIVER_WINDOW: tuple[str, ...] = (
     # -- flagship anchors: one per SURVEY family --
     "tpch_q1",
@@ -98,54 +99,50 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "filter_predicates",
     "posexplode_ordinality",
     "setop_union_distinct",
-    # -- re-witness: the r03/r04 cohort displaced by r09's news --
-    "fn_regex",
-    "fn_json",
-    "distinct_pairs",
-    "explode_words",
-    "sample_bernoulli",
-    "lateral_topn",
-    "join_theta_nonequi",
-    "subquery_correlated_scalar",
-    "ann_ivf_probe",
-    "agg_grouping_sets",
+    # -- new in r11 (window-joined immediately; the entire
+    # never-driver-verified set) --
+    "win_pattern_sql_vshape",
+    "win_pattern_span_sum",
+    "tpcds_q29_bucketed",
+    "streaming_anomaly_weekly",
+    # -- family coverage: stalest of events/scan/multimodal --
+    "events_gapfill",
+    "source_json_roundtrip",
+    "multimodal_frame_sample",
     # -- re-witness: stalest remaining (last hash-verified r03) --
-    "values_inline",
-    # -- re-witness: stalest remaining (last hash-verified r04) --
-    # -- digest-promoted r10 (VERDICT r09 #3): the 13 TPC-DS pattern
-    # queries, newly oracle-backed via frozen content digests, are the
-    # entire never-driver-verified queue — the rotation guard requires
-    # every one in the window (displacing the freshest r04 anchors,
-    # which head the r11 queue) --
-    "tpcds_q3",
-    "tpcds_q42",
-    "tpcds_q1_returns",
-    "tpcds_cross_channel",
-    "tpcds_q59_growth",
-    "tpcds_q71_three_channel",
-    "tpcds_q74_loyalty_growth",
-    "tpcds_q77_channel_rollup",
-    "tpcds_q33_manufacturer",
-    "tpcds_q65_low_revenue_items",
-    "tpcds_q67_rollup_topn",
-    "tpcds_q36_margin_rank",
-    "tpcds_q97_channel_overlap",
-    "tpcds_q88_count_bands",
-    "tpcds_q29_repurchase",
-    # -- family-coverage re-witnesses (stalest text/events/multimodal) --
-    "multimodal_dedup_exact",
-    # -- new in r10 (window-joined immediately, displacing the
-    # least-stale re-witness anchors whose families stay covered) --
-    "win_pattern_wshape",
-    "win_pattern_breakout",
-    "win_pattern_plateau_surge",
-    "win_exclude_group",
-    "win_exclude_ties",
-    "events_anomaly_weekly",
-    "tpch_q21_bucketed",
-    "text_split_leakage_safe",
-    "streaming_pattern_vshape",
-    "win_pattern_alternation",
+    "agg_count_distinct",
+    "dedup_embedding_lsh",
+    "join_full_outer",
+    "setop_except_all",
+    "topk_with_ties",
+    "tpch_q12",
+    "tpch_q16",
+    "udf_python_udtf",
+    "win_range_interval",
+    # -- re-witness: stalest remaining (last hash-verified r04; the
+    # remainder of this vintage rotates in r12) --
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_stats_formula",
+    "ann_ivf_pq",
+    "ddl_branch_merge",
+    "fn_bitwise",
+    "fn_math",
+    "fn_string",
+    "fn_struct",
+    "fn_url",
+    "fn_variant",
+    "join_cross",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_union_all",
+    "sql_recursive_cte",
+    "streaming_foreachbatch_upsert",
+    # -- family coverage: stalest text (r04) --
+    "text_span_dedup",
 )
 
 
