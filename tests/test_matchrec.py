@@ -108,15 +108,19 @@ def test_quantifier_bounds_reach_the_compiler(ws):
         (lambda q: q.replace("STRT d+ u+", "STRT (d u)+"), "grouped"),
         # missing anchor
         (lambda q: q.replace("STRT d+ u+", "d+ u+"), "STRT anchor"),
-        # ALL ROWS PER MATCH
-        (lambda q: q.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"),
-         "ALL ROWS PER MATCH is out of class"),
-        # missing AFTER MATCH
-        (lambda q: q.replace("AFTER MATCH SKIP TO LAST u\n", ""),
-         "AFTER MATCH SKIP TO LAST"),
+        # both per-match row modes at once
+        (lambda q: q.replace("ONE ROW PER MATCH",
+                             "ONE ROW PER MATCH ALL ROWS PER MATCH"),
+         "both ONE ROW and ALL ROWS"),
         # wrong skip target (not the final step)
         (lambda q: q.replace("SKIP TO LAST u", "SKIP TO LAST d"),
-         "only SKIP TO LAST U"),
+         "SKIP TO LAST U"),
+        # unsupported skip mode
+        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO NEXT ROW"),
+         "SKIP TO LAST U"),
+        # per-step measure under ALL ROWS mode
+        (lambda q: q.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"),
+         "out of class under ALL ROWS PER MATCH"),
         # undefined pattern variable
         (lambda q: q.replace(", u AS u.v > PREV(u.v)", ""), "no DEFINE"),
         # out-of-class DEFINE (full-match aggregate)
@@ -141,3 +145,84 @@ def test_out_of_class_raises_named_limit(ws, mutate, needle):
 def test_rewrite_is_identity_without_the_clause(spark):
     q = "SELECT 1 AS x"
     assert rewrite_match_recognize(spark, q) == q
+
+
+def test_all_rows_per_match_sql(ws):
+    """ALL ROWS mode (r11): every covered row of pid 1's single V is
+    emitted with MATCH_NUMBER / CLASSIFIER / STRT measures — 'STRT' on
+    the anchor row, the covering step's name elsewhere."""
+    rows = ws.sql(
+        """
+SELECT pid, mn, cls, anchor_day, day, v
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, STRT.day AS anchor_day
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, day
+"""
+    ).collect()
+    assert [(r.pid, r.mn, r.cls, r.anchor_day, r.day, r.v) for r in rows] == [
+        (1, 1, "STRT", 0, 0, 5.0),
+        (1, 1, "d", 0, 1, 3.0),
+        (1, 1, "d", 0, 2, 2.0),
+        (1, 1, "u", 0, 3, 4.0),
+        (1, 1, "u", 0, 4, 6.0),
+    ]
+
+
+@pytest.fixture()
+def ws_overlap(spark):
+    """pid 9 = 5 3 1 4 2 0 3: two V matches sharing a boundary row —
+    m1 (anchor 0, end 3) and m2 (anchor 3, end 6)."""
+    rows = [(9, d, float(v)) for d, v in enumerate([5, 3, 1, 4, 2, 0, 3])]
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_overlap"
+    )
+    return WaldenSession(spark)
+
+
+_SKIP_BODY = """
+SELECT pid, anchor_day, end_day
+FROM mr_overlap MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(u.day) AS end_day
+  ONE ROW PER MATCH{after}
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, anchor_day
+"""
+
+
+def test_skip_past_last_row_drops_boundary_anchored_match(ws_overlap):
+    """SKIP TO LAST keeps both overlapping V's; SKIP PAST LAST ROW —
+    spelled out or as the omitted-clause default — greedily keeps only
+    the first (the second anchors ON its last row)."""
+    both = ws_overlap.sql(_SKIP_BODY.format(after="\n  AFTER MATCH SKIP TO LAST u"))
+    assert [(r.anchor_day, r.end_day) for r in both.collect()] == [(0, 3), (3, 6)]
+    for after in ("\n  AFTER MATCH SKIP PAST LAST ROW", ""):
+        got = ws_overlap.sql(_SKIP_BODY.format(after=after))
+        assert [(r.anchor_day, r.end_day) for r in got.collect()] == [(0, 3)]
+
+
+def test_select_skip_past_general_greedy(spark):
+    """The pandas selection is the general greedy, not just the
+    boundary-overlap case: intervals that overlap mid-span (the W-shape
+    situation) are dropped until the first anchor strictly past the
+    last kept end."""
+    from walden_spark.operators.pattern import select_skip_past
+
+    m = spark.createDataFrame(
+        [
+            ("a", 0, 5), ("a", 5, 9), ("a", 9, 12), ("a", 11, 14), ("a", 20, 25),
+            ("b", 1, 2),
+        ],
+        "pid string, anchor_day long, end_day long",
+    )
+    got = sorted(
+        (r.pid, r.anchor_day, r.end_day)
+        for r in select_skip_past(m, "pid", "anchor_day", "end_day").collect()
+    )
+    assert got == [("a", 0, 5), ("a", 9, 12), ("a", 20, 25), ("b", 1, 2)]

@@ -263,6 +263,112 @@ def span_measures(
     return out.select(partition_col, *match_cols, *aggs.keys())
 
 
+def select_skip_past(
+    matches: DataFrame,
+    partition_col: str,
+    anchor_col: str,
+    end_col: str,
+) -> DataFrame:
+    """``AFTER MATCH SKIP PAST LAST ROW`` over the compiled match set:
+    keep, per partition in anchor order, every match whose anchor lies
+    strictly after the previous KEPT match's last row — the greedy
+    non-overlapping selection Trino's default skip mode performs while
+    scanning. Semantics note (documented in DEVIATIONS.md): candidates
+    are the compiler's maximal-run matches, so a suffix of a maximal
+    run never re-anchors a match after a skip — SKIP PAST LAST ROW here
+    selects among the same matches SKIP TO LAST enumerates.
+
+    The selection is inherently sequential per partition (each keep
+    decision depends on the previous one), so it runs as a per-group
+    pandas pass — over the MATCHES frame, which is orders of magnitude
+    smaller than the input (one row per match), never over the rows.
+    For single-step-overlap patterns (e.g. V-shapes, where a candidate
+    can only anchor on the previous match's final row) an equivalent
+    fully-relational plan exists — chain matches on
+    ``anchor == lag(end)`` and keep odd chain positions — which is
+    exactly what the DuckDB oracle of ``win_pattern_skip_past`` runs,
+    hash-pinning this general implementation against it."""
+    schema = matches.schema
+
+    def pick(pdf):
+        pdf = pdf.sort_values(anchor_col, kind="mergesort")
+        keep = []
+        last_end = None
+        for tup in pdf.itertuples(index=True):
+            anchor, end = getattr(tup, anchor_col), getattr(tup, end_col)
+            if last_end is None or anchor > last_end:
+                keep.append(tup.Index)
+                last_end = end
+        return pdf.loc[keep]
+
+    return matches.groupBy(partition_col).applyInPandas(pick, schema)
+
+
+def expand_all_rows(
+    df: DataFrame,
+    matches: DataFrame,
+    partition_col: str,
+    order_col: str,
+    steps: list[Step],
+    bin_width: int = 32,
+) -> DataFrame:
+    """``ALL ROWS PER MATCH``: one output row per input row per match —
+    every row from the match anchor through the final step's last row,
+    inclusive, carrying all of ``df``'s columns plus
+
+    * ``match_no`` — MATCH_NUMBER(): 1-based rank of the match by
+      anchor within its partition,
+    * ``anchor_<order>`` — the match's anchor row order value,
+    * ``classifier`` — CLASSIFIER(): ``'STRT'`` on the anchor row, else
+      the name of the pattern step whose run covers the row.
+
+    A row shared by two overlapping matches (SKIP TO LAST) is emitted
+    once per match, with that match's ``match_no``/``anchor``, per
+    SQL:2016. Mechanism: the same binned range-join as
+    :func:`span_measures` — spans explode into ``floor(order/bin)``
+    bins, the join is EQUI on (partition, bin) with the BETWEEN as a
+    residual, never a nested loop. The classifier is a CASE over the
+    match's per-step end boundaries (step ends are strictly increasing
+    along the chain, so the first satisfied bound names the step).
+
+    Scale shape: output is bounded by total matched-span length; the
+    only new shuffle beyond ``match_pattern`` is the (partition, bin)
+    equi join, keyed on the same partition column."""
+    anchor = f"anchor_{order_col}"
+    last_end = f"{steps[-1].name}_end"
+    wm = Window.partitionBy(partition_col).orderBy(anchor)
+    m = matches.withColumn("match_no", F.row_number().over(wm).cast("bigint"))
+    spans = m.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(anchor) / bin_width),
+                F.floor(F.col(last_end) / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    row_cols = [c for c in df.columns if c != partition_col]
+    rows = df.select(
+        F.col(partition_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        *[F.col(c) for c in row_cols],
+    ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") >= F.col(anchor)) & (F.col("__o") <= F.col(last_end))
+    )
+    cls = F.when(F.col("__o") == F.col(anchor), F.lit("STRT"))
+    for s in steps:
+        cls = cls.when(F.col("__o") <= F.col(f"{s.name}_end"), F.lit(s.name))
+    return joined.select(
+        F.col("__p").alias(partition_col),
+        F.col("match_no"),
+        F.col(anchor),
+        F.col("anchor_val"),
+        *[F.col(c) for c in row_cols],
+        cls.alias("classifier"),
+    )
+
+
 def match_any(
     df: DataFrame,
     partition_col: str,

@@ -863,6 +863,74 @@ def text_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    k: int,
+    key_col: str,
+    salt: str = "strat:",
+) -> DataFrame:
+    """Deterministic stratified sampling — exactly ``min(k, |stratum|)``
+    rows per stratum (the training-data curation staple: cap every
+    (lang, source) cell so no stratum dominates the mixture), chosen by
+    salted-md5 order of the key so the sample is reproducible across
+    reruns, engines, and partition layouts (no ``rand()``), and
+    re-salting draws an independent sample.
+
+    Scale shape: one shuffle on the strata columns; within each stratum
+    ``row_number`` needs the stratum sorted, which is the exact-k price.
+    At 100 TB with million-row strata, pre-filter candidates with a
+    generous hash threshold first (keep rows whose md5 is below
+    ~(k/|stratum|)·2 of the key space via approximate stratum counts),
+    then run this exact pass over the survivors — the same
+    two-phase trick the ANN operators use; k ≪ stratum keeps phase two
+    trivial."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+@query(
+    "text_stratum_cap",
+    oracle="""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY md5('strat:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= 7
+ORDER BY lang, source, doc_id
+""",
+    category="text",
+)
+def text_stratum_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) deterministic stratum cap over documents —
+    7 docs per stratum via :func:`stratified_sample` (salted-md5 order,
+    fully deterministic; the DuckDB oracle runs the identical
+    row_number-over-md5 plan, so the hash pins both the stratum
+    partitioning and the tie-broken selection order bit-for-bit)."""
+    t = Tables(spark, sf_dir)
+    return (
+        stratified_sample(
+            t.documents.select("doc_id", "lang", "source", "n_chars"),
+            ["lang", "source"],
+            7,
+            "doc_id",
+        )
+        .orderBy("lang", "source", "doc_id")
+    )
+
+
 @query(
     "text_tfidf_topk",
     oracle="""

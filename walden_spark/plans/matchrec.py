@@ -22,12 +22,18 @@ out-of-class surface lives in DEVIATIONS.md):
   or the DEFINE value column. Arithmetic over measures belongs in the
   outer SELECT (the clause compiles to a relation, so any Spark SQL
   expression works there).
-* ``ONE ROW PER MATCH`` (the default; ``ALL ROWS`` is out of class).
-* ``AFTER MATCH SKIP TO LAST <laststep>`` — REQUIRED and checked: the
-  compiler's maximal-island semantics let a match's final row anchor
-  the next match, which is exactly SKIP TO LAST of the final step;
-  Trino's default (SKIP PAST LAST ROW) would drop such matches, so
-  omitting the clause is an error rather than a silent semantic swap.
+* ``ONE ROW PER MATCH`` (the default) or ``ALL ROWS PER MATCH`` (r11):
+  all-rows mode emits every covered input row per match with the
+  measure class CLASSIFIER() / MATCH_NUMBER() / STRT.<col>, via
+  :func:`walden_spark.operators.pattern.expand_all_rows`.
+* ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL-standard default, also
+  what an omitted clause means — served as the greedy non-overlap
+  selection over the compiled match set,
+  :func:`walden_spark.operators.pattern.select_skip_past`) or
+  ``AFTER MATCH SKIP TO LAST <laststep>`` (the compiler's native
+  overlap semantics: a match's final row may anchor the next match).
+  Other skip modes (TO NEXT ROW, TO FIRST/LAST of a non-final step)
+  stay out of class.
 * ``PATTERN (STRT X1<q> X2<q> …)`` — the STRT anchor followed by
   steps, each quantified ``+`` / ``{m}`` / ``{m,}`` / ``{m,n}`` (greedy;
   a bare name means exactly one). Reluctant quantifiers (``+?``),
@@ -49,12 +55,23 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from walden_spark.operators.pattern import DOWN, FLAT, UP, Step, match_pattern
+from walden_spark.operators.pattern import (
+    DOWN,
+    FLAT,
+    UP,
+    Step,
+    expand_all_rows,
+    match_pattern,
+    select_skip_past,
+)
 
 _LIMITS = (
     " — supported class: PARTITION BY <col> ORDER BY <col>, MEASURES of "
-    "STRT.<col> / LAST(X.<col>) / COUNT(X.*), ONE ROW PER MATCH, "
-    "AFTER MATCH SKIP TO LAST <last step>, PATTERN (STRT X1+ X2{m,n} …), "
+    "STRT.<col> / LAST(X.<col>) / COUNT(X.*) (ONE ROW PER MATCH) or "
+    "CLASSIFIER() / MATCH_NUMBER() / STRT.<col> (ALL ROWS PER MATCH), "
+    "ONE ROW PER MATCH or ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST "
+    "ROW (the default) or SKIP TO LAST <last step>, "
+    "PATTERN (STRT X1+ X2{m,n} …), "
     "DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md (row-pattern "
     "class) for the documented out-of-class surface"
 )
@@ -202,14 +219,73 @@ def _parse_pattern(text: str) -> list[tuple[str, int, int | None]]:
     return toks[1:]
 
 
+_MEASURE_CLASSIFIER = re.compile(r"^CLASSIFIER\s*\(\s*\)$", re.IGNORECASE)
+_MEASURE_MATCHNO = re.compile(r"^MATCH_NUMBER\s*\(\s*\)$", re.IGNORECASE)
+
+
+def _project_all_rows(
+    source: DataFrame,
+    matched: DataFrame,
+    part: str,
+    order: str,
+    value: str,
+    steps: list[Step],
+    measures_text: str,
+) -> DataFrame:
+    """ALL ROWS PER MATCH projection: expand the (possibly
+    skip-selected) matches back to every covered input row via
+    :func:`walden_spark.operators.pattern.expand_all_rows`, then project
+    ``partition, <measures>, <input row columns>``. The all-rows measure
+    class is CLASSIFIER() (the step name covering the row, ``'STRT'``
+    on the anchor), MATCH_NUMBER() (1-based per-partition match rank by
+    anchor), and STRT.<col> (anchor-row order/value — constant over the
+    match); per-step LAST/COUNT measures belong to ONE ROW PER MATCH
+    (use the outer SELECT over that mode instead)."""
+    expanded = expand_all_rows(source, matched, part, order, steps)
+    row_cols = [c for c in source.columns if c != part]
+
+    def measure_col(expr: str):
+        if _MEASURE_CLASSIFIER.match(expr):
+            return F.col("classifier")
+        if _MEASURE_MATCHNO.match(expr):
+            return F.col("match_no")
+        if am := _MEASURE_ANCHOR.match(expr):
+            col = am.group(1).lower()
+            if col == order.lower():
+                return F.col(f"anchor_{order}")
+            if col == value.lower():
+                return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"STRT.{am.group(1)}: only the ORDER BY ({order}) or DEFINE "
+                f"value ({value}) column is available on the anchor"
+            )
+        raise MatchRecognizeError(
+            f"measure {expr!r} is out of class under ALL ROWS PER MATCH "
+            "(CLASSIFIER() / MATCH_NUMBER() / STRT.<col> only; per-step "
+            "LAST/COUNT measures are the ONE ROW PER MATCH surface)"
+        )
+
+    out_cols = [F.col(part)]
+    for item in _split_top_commas(measures_text):
+        mm = re.fullmatch(
+            r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(), re.IGNORECASE | re.DOTALL
+        )
+        if not mm:
+            raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+        out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
+    out_cols += [F.col(c) for c in row_cols]
+    return expanded.select(*out_cols)
+
+
 def compile_match_recognize(
     spark: SparkSession, source: DataFrame, body: str
 ) -> DataFrame:
     """Compile one MATCH_RECOGNIZE body over ``source`` into the
     measures-projected one-row-per-match DataFrame."""
     clauses = dict(_split_clauses(body))
-    if "ALL ROWS PER MATCH" in clauses:
-        raise MatchRecognizeError("ALL ROWS PER MATCH is out of class")
+    all_rows = "ALL ROWS PER MATCH" in clauses
+    if all_rows and "ONE ROW PER MATCH" in clauses:
+        raise MatchRecognizeError("both ONE ROW and ALL ROWS PER MATCH given")
     for need in ("PARTITION BY", "ORDER BY", "MEASURES", "PATTERN", "DEFINE"):
         if need not in clauses:
             raise MatchRecognizeError(f"missing {need} clause")
@@ -263,23 +339,36 @@ def compile_match_recognize(
         steps.append(Step(name.lower(), defines[name.lower()][0], lo, hi))
     if extra := set(defines) - {s.name for s in steps}:
         raise MatchRecognizeError(f"DEFINEd but not in PATTERN: {sorted(extra)}")
-    # AFTER MATCH: required, and must name the final step
+    # AFTER MATCH: SKIP PAST LAST ROW (Trino's default — served since
+    # r11 as the greedy non-overlap selection over the compiled match
+    # set, operators/pattern.select_skip_past) or SKIP TO LAST <final
+    # step> (the compiler's native overlap semantics). Omitting the
+    # clause means the SQL-standard default, SKIP PAST LAST ROW.
     after = clauses.get("AFTER MATCH")
-    if after is None:
-        raise MatchRecognizeError(
-            "AFTER MATCH SKIP TO LAST <last step> is required: maximal-island "
-            "compilation lets a match's final row anchor the next match, and "
-            "the engine must not silently substitute that for Trino's SKIP "
-            "PAST LAST ROW default"
-        )
-    m = re.fullmatch(r"SKIP\s+TO\s+LAST\s+([A-Za-z_]\w*)", after.strip(), re.IGNORECASE)
-    if not m or m.group(1).lower() != steps[-1].name:
-        raise MatchRecognizeError(
-            f"AFTER MATCH {after!r}: only SKIP TO LAST {steps[-1].name.upper()} "
-            "(the final step) matches the compiled overlap semantics"
-        )
+    skip_past = True
+    if after is not None:
+        s = after.strip()
+        if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", s, re.IGNORECASE):
+            skip_past = True
+        else:
+            m = re.fullmatch(r"SKIP\s+TO\s+LAST\s+([A-Za-z_]\w*)", s, re.IGNORECASE)
+            if not m or m.group(1).lower() != steps[-1].name:
+                raise MatchRecognizeError(
+                    f"AFTER MATCH {after!r}: only SKIP PAST LAST ROW or "
+                    f"SKIP TO LAST {steps[-1].name.upper()} (the final step) "
+                    "match the compiled overlap semantics"
+                )
+            skip_past = False
     # measures → columns of the match_pattern output
     matched = match_pattern(source, part, order, value, steps)
+    if skip_past:
+        matched = select_skip_past(
+            matched, part, f"anchor_{order}", f"{steps[-1].name}_end"
+        )
+    if all_rows:
+        return _project_all_rows(
+            source, matched, part, order, value, steps, clauses["MEASURES"]
+        )
 
     def measure_col(expr: str):
         if am := _MEASURE_ANCHOR.match(expr):

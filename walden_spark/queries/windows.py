@@ -849,6 +849,142 @@ def win_pattern_span_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "win_pattern_all_rows",
+    oracle=_ISLANDS_CTE.format(max_user=40)
+    + """
+, m AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.ed AS bottom_day, u.ed AS end_day
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), mn AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 AS BIGINT) AS match_no
+  FROM m
+)
+SELECT mn.user_id, mn.match_no,
+       CAST(mn.anchor_day AS BIGINT) AS anchor_day,
+       CAST(dd.day AS BIGINT) AS day, dd.n,
+       CASE WHEN dd.day = mn.anchor_day THEN 'STRT'
+            WHEN dd.day <= mn.bottom_day THEN 'down'
+            ELSE 'up' END AS cls
+FROM mn JOIN daily dd
+  ON dd.user_id = mn.user_id AND dd.day BETWEEN mn.anchor_day AND mn.end_day
+ORDER BY mn.user_id, anchor_day, day
+""",
+    category="window",
+)
+def win_pattern_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ALL ROWS PER MATCH`` at the SQL surface (r11): every covered
+    input row of every V-shape match is emitted with MATCH_NUMBER()
+    (per-partition match rank by anchor), CLASSIFIER() ('STRT' on the
+    anchor row, else the covering step's name), and the STRT.day anchor
+    measure — compiled through
+    :func:`walden_spark.operators.pattern.expand_all_rows`: matches
+    join back to rows on (partition, order BETWEEN anchor AND end) via
+    the binned equi join, and the classifier is a CASE over the match's
+    per-step end boundaries. A boundary row shared by two overlapping
+    SKIP TO LAST matches appears once per match, per SQL:2016 — pinned
+    by the oracle hash (the DuckDB side rebuilds matches with the
+    islands CTE and runs the literal BETWEEN join + CASE). Distinct
+    slice (user_id < 40) from the other pattern queries."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=40).createOrReplaceTempView(
+        "walden_mr_daily_ar"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, anchor_day, day, n, cls
+FROM walden_mr_daily_ar MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS cls,
+           STRT.day AS anchor_day
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT down+ up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day, day
+"""
+    )
+
+
+@query(
+    "win_pattern_skip_past",
+    oracle=_ISLANDS_CTE.format(max_user=50)
+    + """
+, m AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.av AS anchor_n,
+         d.ed AS bottom_day, d.ev AS bottom_n,
+         u.ed AS end_day, u.ev AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(end_day)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM m
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(bottom_day AS BIGINT) AS bottom_day, bottom_n,
+       CAST(end_day AS BIGINT) AS end_day, end_n
+FROM r WHERE pos % 2 = 1
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_skip_past(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP PAST LAST ROW`` — the SQL-standard default
+    skip mode, served since r11 (closes the "SKIP semantics other than
+    TO LAST" out-of-class row): matches whose anchor falls inside (or
+    on the last row of) the previous kept match are dropped by the
+    greedy per-partition selection
+    :func:`walden_spark.operators.pattern.select_skip_past`, which runs
+    over the MATCHES frame (orders of magnitude smaller than the
+    input). The clause is OMITTED in the query text below — exercising
+    the default — over a fresh slice (user_id < 50). Oracle: for
+    V-shapes a candidate can only anchor on the previous match's final
+    row, so greedy selection is exactly "chain matches on
+    anchor = lag(end), keep odd chain positions" — plain SQL in DuckDB;
+    hash equality pins the general pandas selection against the
+    relational form."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=50).createOrReplaceTempView(
+        "walden_mr_daily_sp"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, bottom_day, bottom_n, end_day, end_n
+FROM walden_mr_daily_sp MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(down.day) AS bottom_day, LAST(down.n) AS bottom_n,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)
     + """

@@ -103,6 +103,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-driver-verified set) --
     "win_pattern_sql_vshape",
     "win_pattern_span_sum",
+    "win_pattern_all_rows",
+    "win_pattern_skip_past",
+    "text_stratum_cap",
     "tpcds_q29_bucketed",
     "streaming_anomaly_weekly",
     # -- family coverage: stalest of events/scan/multimodal --
@@ -131,14 +134,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_string",
     "fn_struct",
     "fn_url",
-    "fn_variant",
-    "join_cross",
+    # (fn_variant / join_cross / setop_union_all displaced to r12 by the
+    # three late-r11 additions above — new names join immediately, and
+    # their families stay window-covered by the entries kept here)
     "join_left_outer",
     "join_right_outer",
     "join_semi",
     "setop_except",
     "setop_intersect_all",
-    "setop_union_all",
     "sql_recursive_cte",
     "streaming_foreachbatch_upsert",
     # -- family coverage: stalest text (r04) --
