@@ -207,6 +207,92 @@ def test_skip_past_last_row_drops_boundary_anchored_match(ws_overlap):
         assert [(r.anchor_day, r.end_day) for r in got.collect()] == [(0, 3)]
 
 
+@pytest.fixture()
+def ws_alt(spark):
+    """pid 4 = 6 4 2 3 5 / pid 5 = 6 4 2 2 2: descent then rebound (V)
+    vs descent then plateau; pid 6 = 9 7 5 6 4 2 3: two V matches where
+    the second anchors ON the first's last row (day 3) — dropped under
+    the default SKIP PAST LAST ROW."""
+    rows = (
+        [(4, d, float(v)) for d, v in enumerate([6, 4, 2, 3, 5])]
+        + [(5, d, float(v)) for d, v in enumerate([6, 4, 2, 2, 2])]
+        + [(6, d, float(v)) for d, v in enumerate([9, 7, 5, 6, 4, 2, 3])]
+    )
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_alt"
+    )
+    return WaldenSession(spark)
+
+
+_ALT = """
+SELECT pid, shape, anchor_day, n_down, rise_day, plateau_day
+FROM mr_alt MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, CLASSIFIER() AS shape,
+           COUNT(d.*) AS n_down, LAST(u.day) AS rise_day,
+           LAST(f.day) AS plateau_day
+  ONE ROW PER MATCH
+  PATTERN ((STRT d+ u+) | (STRT d+ f+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), f AS f.v = PREV(f.v)
+) ORDER BY pid, anchor_day
+"""
+
+
+def test_sql_alternation_classifies_branches(ws_alt):
+    """pid 4 matches the V branch (classifier 'u', plateau NULL),
+    pid 5 the plateau branch ('f', rise NULL); pid 6's second V anchors
+    on the first V's last row and the default SKIP PAST LAST ROW drops
+    it."""
+    rows = ws_alt.sql(_ALT).collect()
+    assert [
+        (r.pid, r.shape, r.anchor_day, r.n_down, r.rise_day, r.plateau_day)
+        for r in rows
+    ] == [
+        (4, "u", 0, 2, 4, None),
+        (5, "f", 0, 2, None, 4),
+        (6, "u", 0, 2, 3, None),
+    ]
+
+
+def test_sql_alternation_leftmost_preference(spark):
+    """Where two branches match at the same anchor, the leftmost listed
+    branch wins: with identical branch bodies in both orders, the
+    classifier flips accordingly."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, float(v)) for d, v in enumerate([5, 3, 4])]
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_pref"
+    )
+    q = """
+SELECT pid, shape FROM mr_pref MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS shape
+  PATTERN ((STRT d+ {a}+) | (STRT d+ {b}+))
+  DEFINE d AS d.v < PREV(d.v), ua AS ua.v > PREV(ua.v),
+         ub AS ub.v > PREV(ub.v)
+) ORDER BY pid
+"""
+    first = ws.sql(q.format(a="ua", b="ub")).collect()
+    assert [(r.pid, r.shape) for r in first] == [(1, "ua")]
+    second = ws.sql(q.format(a="ub", b="ua")).collect()
+    assert [(r.pid, r.shape) for r in second] == [(1, "ub")]
+
+
+def test_sql_alternation_out_of_class(ws_alt):
+    """Alternation-specific named limits: SKIP TO LAST, ALL ROWS, and
+    non-distinct branch finals all raise."""
+    with pytest.raises(MatchRecognizeError, match="match_any"):
+        ws_alt.sql(_ALT.replace("ONE ROW PER MATCH",
+                                "ONE ROW PER MATCH\n  AFTER MATCH SKIP TO LAST u"))
+    with pytest.raises(MatchRecognizeError, match="out of class"):
+        ws_alt.sql(_ALT.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"))
+    with pytest.raises(MatchRecognizeError, match="DISTINCT"):
+        ws_alt.sql(
+            _ALT.replace("(STRT d+ u+) | (STRT d+ f+)",
+                         "(STRT d+ u+) | (STRT f+ u+)")
+        )
+
+
 def test_select_skip_past_general_greedy(spark):
     """The pandas selection is the general greedy, not just the
     boundary-overlap case: intervals that overlap mid-span (the W-shape

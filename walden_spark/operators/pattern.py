@@ -291,15 +291,18 @@ def select_skip_past(
     schema = matches.schema
 
     def pick(pdf):
+        # positional access: itertuples/getattr would mangle helper
+        # columns like __end (leading-underscore rename in pandas)
         pdf = pdf.sort_values(anchor_col, kind="mergesort")
+        anchors = pdf[anchor_col].to_numpy()
+        ends = pdf[end_col].to_numpy()
         keep = []
         last_end = None
-        for tup in pdf.itertuples(index=True):
-            anchor, end = getattr(tup, anchor_col), getattr(tup, end_col)
-            if last_end is None or anchor > last_end:
-                keep.append(tup.Index)
-                last_end = end
-        return pdf.loc[keep]
+        for i in range(len(pdf)):
+            if last_end is None or anchors[i] > last_end:
+                keep.append(i)
+                last_end = ends[i]
+        return pdf.iloc[keep]
 
     return matches.groupBy(partition_col).applyInPandas(pick, schema)
 

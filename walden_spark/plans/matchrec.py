@@ -61,6 +61,7 @@ from walden_spark.operators.pattern import (
     UP,
     Step,
     expand_all_rows,
+    match_any,
     match_pattern,
     select_skip_past,
 )
@@ -171,16 +172,50 @@ def _split_top_commas(text: str) -> list[str]:
     return parts
 
 
-def _parse_pattern(text: str) -> list[tuple[str, int, int | None]]:
-    """``(STRT X1<q> …)`` → [(name, min_len, max_len), …] (STRT
-    stripped). Rejects everything outside the compiled class."""
+def _split_top_pipes(text: str) -> list[str]:
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "|" and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    return parts
+
+
+def _parse_pattern(text: str) -> list[list[tuple[str, int, int | None]]]:
+    """``(STRT X1<q> …)`` → one branch; ``((STRT …) | (STRT …) …)`` →
+    one branch per top-level alternative (r11 — each tried in order,
+    leftmost preferred, per SQL:2016 alternation preference). Each
+    branch is [(name, min_len, max_len), …] with the STRT anchor
+    stripped. Rejects everything outside the compiled class."""
     text = text.strip()
     if not (text.startswith("(") and text.endswith(")")):
         raise MatchRecognizeError("PATTERN must be parenthesized")
     inner = text[1:-1].strip()
+    alts = _split_top_pipes(inner)
+    if len(alts) > 1:
+        branches = []
+        for alt in alts:
+            if not (alt.startswith("(") and alt.endswith(")")):
+                raise MatchRecognizeError(
+                    "each alternation branch must be parenthesized — "
+                    "PATTERN ((STRT …) | (STRT …))"
+                )
+            branches.append(_parse_steps(alt[1:-1].strip()))
+        return branches
+    return [_parse_steps(inner)]
+
+
+def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
     for bad, why in (
-        ("|", "alternation is out of class at the SQL surface (the Python "
-              "API serves it via operators.pattern.match_any)"),
+        ("|", "nested alternation is out of class (top-level "
+              "(…) | (…) branches are the supported alternation form)"),
         ("(", "grouped sub-patterns are out of class"),
         ("*", "'*' allows an empty step — islands are maximal non-empty runs"),
         ("?", "reluctant/optional quantifiers are out of class (islands are "
@@ -189,7 +224,7 @@ def _parse_pattern(text: str) -> list[tuple[str, int, int | None]]:
         ("$", "partition anchors are out of class"),
     ):
         if bad in inner:
-            raise MatchRecognizeError(f"PATTERN {text!r}: {why}")
+            raise MatchRecognizeError(f"PATTERN fragment {inner!r}: {why}")
     pos = 0
     toks: list[tuple[str, int, int | None]] = []
     while pos < len(inner):
@@ -277,6 +312,131 @@ def _project_all_rows(
     return expanded.select(*out_cols)
 
 
+def _compile_alternation(
+    source: DataFrame,
+    part: str,
+    order: str,
+    value: str,
+    branches: list[list[Step]],
+    clauses: dict[str, str],
+    all_rows: bool,
+) -> DataFrame:
+    """Top-level PATTERN alternation at the SQL surface (r11):
+    ``PATTERN ((STRT …) | (STRT …) …)`` compiles every branch through
+    :func:`walden_spark.operators.pattern.match_any` (ONE shared
+    classification shuffle), then applies SQL:2016 alternation
+    preference — where two branches match at the same anchor, the
+    LEFTMOST listed branch wins — and the AFTER MATCH skip selection.
+
+    Supported class under alternation: ONE ROW PER MATCH with AFTER
+    MATCH SKIP PAST LAST ROW (or omitted — the default); overlapping
+    (SKIP TO LAST) alternation output is the Python API's ``match_any``
+    (which reports every branch's matches, a different relation than
+    the scan semantics). Measures: STRT.<col>, CLASSIFIER() (the
+    winning branch's final step name — branch final steps must be
+    distinct), and LAST(X.<col>) / COUNT(X.*) for any variable X (NULL
+    on rows won by a branch not containing X)."""
+    from pyspark.sql import Window
+
+    if all_rows:
+        raise MatchRecognizeError(
+            "ALL ROWS PER MATCH with alternation is out of class"
+        )
+    after = clauses.get("AFTER MATCH")
+    if after is not None and not re.fullmatch(
+        r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
+    ):
+        raise MatchRecognizeError(
+            f"AFTER MATCH {after!r} with alternation: only SKIP PAST LAST "
+            "ROW (or omitting the clause) is in class — overlapping "
+            "alternation matches are the Python API's "
+            "operators.pattern.match_any"
+        )
+    labels = [b[-1].name for b in branches]
+    if len(set(labels)) != len(labels):
+        raise MatchRecognizeError(
+            "alternation branches must end in DISTINCT variables — "
+            "CLASSIFIER() under ONE ROW PER MATCH is the final step's name"
+        )
+    patterns = dict(zip(labels, branches))
+    m = match_any(source, part, order, value, patterns)
+    anchor = f"anchor_{order}"
+    bidx = None
+    endc = None
+    for i, (lab, steps) in enumerate(patterns.items()):
+        cond = F.col("pattern") == lab
+        last = F.col(f"step{len(steps) - 1}_end")
+        bidx = F.when(cond, F.lit(i)) if bidx is None else bidx.when(cond, F.lit(i))
+        endc = F.when(cond, last) if endc is None else endc.when(cond, last)
+    m = m.withColumn("__bidx", bidx).withColumn("__end", endc)
+    # leftmost-branch preference at a shared anchor, then greedy skip
+    wp = Window.partitionBy(part, anchor).orderBy("__bidx")
+    m = (
+        m.withColumn("__rn", F.row_number().over(wp))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    m = select_skip_past(m, part, anchor, "__end")
+
+    def measure_col(expr: str):
+        if _MEASURE_CLASSIFIER.match(expr):
+            return F.col("pattern")
+        if am := _MEASURE_ANCHOR.match(expr):
+            col = am.group(1).lower()
+            if col == order.lower():
+                return F.col(anchor)
+            if col == value.lower():
+                return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"STRT.{am.group(1)}: only the ORDER BY ({order}) or DEFINE "
+                f"value ({value}) column is available on the anchor"
+            )
+
+        def over_branches(var: str, kind: str):
+            out = None
+            for lab, steps in patterns.items():
+                for i, s in enumerate(steps):
+                    if s.name == var:
+                        c = F.col(f"step{i}_{kind}")
+                        cond = F.col("pattern") == lab
+                        out = (
+                            F.when(cond, c) if out is None else out.when(cond, c)
+                        )
+                        break
+            if out is None:
+                raise MatchRecognizeError(
+                    f"measure variable {var!r} appears in no branch"
+                )
+            return out
+
+        if lm := _MEASURE_LAST.match(expr):
+            var, col = lm.group(1).lower(), lm.group(2).lower()
+            if col == order.lower():
+                return over_branches(var, "end")
+            if col == value.lower():
+                return over_branches(var, "val")
+            raise MatchRecognizeError(
+                f"LAST({lm.group(1)}.{lm.group(2)}): only the ORDER BY or "
+                "DEFINE value column is carried per step"
+            )
+        if cm := _MEASURE_COUNT.match(expr):
+            return over_branches(cm.group(1).lower(), "len")
+        raise MatchRecognizeError(
+            f"measure {expr!r} is out of class under alternation "
+            "(STRT.<col> / CLASSIFIER() / LAST(X.<col>) / COUNT(X.*))"
+        )
+
+    out_cols = [F.col(part)]
+    for item in _split_top_commas(clauses["MEASURES"]):
+        mm = re.fullmatch(
+            r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(), re.IGNORECASE | re.DOTALL
+        )
+        if not mm:
+            raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+        out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
+    return m.select(*out_cols)
+
+
 def compile_match_recognize(
     spark: SparkSession, source: DataFrame, body: str
 ) -> DataFrame:
@@ -329,16 +489,25 @@ def compile_match_recognize(
             f"DEFINEs must share one value column, got {sorted(value_cols)}"
         )
     value = value_cols.pop()
-    steps = []
-    for name, lo, hi in toks:
-        if name.lower() not in defines:
-            raise MatchRecognizeError(
-                f"pattern variable {name} has no DEFINE — an undefined "
-                "variable matches any row, which is out of class"
-            )
-        steps.append(Step(name.lower(), defines[name.lower()][0], lo, hi))
-    if extra := set(defines) - {s.name for s in steps}:
+    branches: list[list[Step]] = []
+    for branch_toks in toks:
+        steps = []
+        for name, lo, hi in branch_toks:
+            if name.lower() not in defines:
+                raise MatchRecognizeError(
+                    f"pattern variable {name} has no DEFINE — an undefined "
+                    "variable matches any row, which is out of class"
+                )
+            steps.append(Step(name.lower(), defines[name.lower()][0], lo, hi))
+        branches.append(steps)
+    used = {s.name for b in branches for s in b}
+    if extra := set(defines) - used:
         raise MatchRecognizeError(f"DEFINEd but not in PATTERN: {sorted(extra)}")
+    if len(branches) > 1:
+        return _compile_alternation(
+            source, part, order, value, branches, clauses, all_rows
+        )
+    steps = branches[0]
     # AFTER MATCH: SKIP PAST LAST ROW (Trino's default — served since
     # r11 as the greedy non-overlap selection over the compiled match
     # set, operators/pattern.select_skip_past) or SKIP TO LAST <final

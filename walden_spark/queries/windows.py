@@ -985,6 +985,88 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_alternation",
+    oracle=_ISLANDS_CTE.format(max_user=70)
+    + """
+, mm AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.av AS anchor_n,
+         u.ed AS end_day, 'up' AS shape, d.ln AS n_down,
+         CAST(u.ed AS BIGINT) AS rise_day,
+         CAST(NULL AS BIGINT) AS plateau_day,
+         u.ev AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+  UNION ALL
+  SELECT d.user_id, d.sp, d.av, f.ed, 'flat', d.ln,
+         CAST(NULL AS BIGINT), CAST(f.ed AS BIGINT), f.ev
+  FROM isl d
+  JOIN isl f ON f.user_id = d.user_id AND d.dir = -1 AND f.dir = 0
+            AND f.sp = d.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(end_day)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM mm
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       shape, n_down, rise_day, plateau_day, end_n
+FROM r WHERE pos % 2 = 1
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PATTERN alternation at the SQL surface (r11 — closes the
+    "SQL-surface alternation" out-of-class row):
+    ``PATTERN ((STRT down+ up+) | (STRT down+ flat+))`` classifies each
+    descent by what follows it — a rebound (V) or a plateau — through
+    ONE shared classification (``match_any``), with SQL:2016 leftmost
+    branch preference at shared anchors and the default SKIP PAST LAST
+    ROW greedy selection. CLASSIFIER() names the winning branch (its
+    final step), per-branch measures are NULL on the other branch's
+    rows, and the outer SELECT COALESCEs them — ordinary Catalyst SQL
+    over the spliced view. Here second steps are distinct transition
+    classes, so anchors are branch-disjoint and the DuckDB oracle is a
+    plain UNION ALL of both adjacency joins + the chain/odd-position
+    greedy filter (boundary-only overlap, as in win_pattern_skip_past).
+    Fresh slice: user_id < 70."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=70).createOrReplaceTempView(
+        "walden_mr_daily_alt"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, shape, n_down, rise_day, plateau_day,
+       COALESCE(rise_n, plateau_n) AS end_n
+FROM walden_mr_daily_alt MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n, CLASSIFIER() AS shape,
+           COUNT(down.*) AS n_down, LAST(up.day) AS rise_day,
+           LAST(flat.day) AS plateau_day, LAST(up.n) AS rise_n,
+           LAST(flat.n) AS plateau_n
+  ONE ROW PER MATCH
+  PATTERN ((STRT down+ up+) | (STRT down+ flat+))
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat AS flat.n = PREV(flat.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)
     + """

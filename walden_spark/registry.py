@@ -105,6 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_span_sum",
     "win_pattern_all_rows",
     "win_pattern_skip_past",
+    "win_pattern_sql_alternation",
     "text_stratum_cap",
     "tpcds_q29_bucketed",
     "streaming_anomaly_weekly",
@@ -134,11 +135,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_string",
     "fn_struct",
     "fn_url",
-    # (fn_variant / join_cross / setop_union_all displaced to r12 by the
-    # three late-r11 additions above — new names join immediately, and
-    # their families stay window-covered by the entries kept here)
+    # (fn_variant / join_cross / join_right_outer / setop_union_all
+    # displaced to r12 by the four late-r11 additions above — new names
+    # join immediately, and their families stay window-covered by the
+    # entries kept here)
     "join_left_outer",
-    "join_right_outer",
     "join_semi",
     "setop_except",
     "setop_intersect_all",
