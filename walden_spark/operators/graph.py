@@ -1,0 +1,82 @@
+"""Graph analytics over DataFrame edge lists (north-star extension).
+
+The reference stack serves graph-shaped questions as SQL over Trino
+(reference: tf/main.tf:82-114 deploys plain Trino 468 — no graph
+engine); the canonical lakehouse idiom is the same one used here:
+an edge list as a table and iterative algorithms as a fixed number of
+join+aggregate rounds, each of which Catalyst plans like any other
+relational query (cf. connected-components in operators/dedup.py).
+
+PageRank arithmetic contract (cross-engine bit-exactness): scores are
+BIGINT fixed-point at ``scale`` (default 1e9). Every operation is
+integer — ``base = ((100-d)·scale) DIV (100·N)`` and per-edge
+contribution ``(d·s·w) DIV (100·W_src)`` — so sums are
+order-independent and a DuckDB oracle running the same chained CTEs
+emits identical bits (the float formulation would drift by summation
+order). Dangling-node mass is NOT redistributed (documented contract;
+with it the result stops being expressible as one aggregate per
+iteration). Overflow headroom: d·s·w ≤ 85·1e9·w — safe for per-edge
+weights to ~1e8 in int64.
+
+Scale shape: the edge list is built map-side + one groupBy; each
+iteration is one join of edges to the score table and one groupBy on
+dst. Scores are |nodes| rows — broadcast when the node set is small
+(event-type graphs, category graphs); for web-scale node sets drop the
+broadcast hint and the same plan runs as a shuffle join on src, still
+one shuffle per iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    node_col: str = "node",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """Weighted PageRank, ``iterations`` exact-integer power steps.
+
+    ``edges``: (src, dst, weight) rows; ``nodes``: one row per node
+    (pass the full node set — isolated and dangling nodes keep the
+    teleport base score). Returns ``(node, pr_scaled)`` with
+    ``pr_scaled`` the BIGINT fixed-point score at ``scale``.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").cast("bigint").alias("tw"))
+    # reused every iteration — cut the lineage once (checkpointed blocks
+    # are ContextCleaner-freed with the result; see match_pattern note)
+    e = e.join(outw, "src").localCheckpoint(eager=True)
+    nd = nodes.select(F.col(node_col).alias("node")).localCheckpoint(eager=True)
+    n = nd.count()  # bounded driver scalar: |node vocabulary|
+    if n == 0:
+        return nd.withColumn("pr_scaled", F.lit(0).cast("bigint"))
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    s = nd.withColumn("s", F.lit(scale // n).cast("bigint"))
+    contrib_expr = f"({damping_pct} * s * w) DIV (100 * tw)"
+    for _ in range(iterations):
+        sc = F.broadcast(s) if broadcast_scores else s
+        contrib = e.join(sc, e["src"] == sc["node"]).select(
+            F.col("dst"), F.expr(contrib_expr).alias("c")
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("c").cast("bigint").alias("c"))
+        s = nd.join(agg, nd["node"] == agg["dst"], "left").select(
+            "node",
+            (F.lit(base) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("bigint")
+            .alias("s"),
+        )
+    return s.select("node", F.col("s").alias("pr_scaled"))

@@ -887,3 +887,96 @@ def events_anomaly_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "events_type_pagerank",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+  FROM events
+), edges AS (
+  SELECT src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM seq WHERE src IS NOT NULL GROUP BY 1, 2
+), outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM edges GROUP BY 1
+), e AS (
+  SELECT edges.src, edges.dst, edges.w, outw.tw
+  FROM edges JOIN outw USING (src)
+), nodes AS (
+  SELECT DISTINCT event_type AS node FROM events
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+it0 AS (
+  SELECT node, CAST(1000000000 // nn.n AS BIGINT) AS s FROM nodes, nn
+),
+it1 AS (
+  SELECT nodes.node,
+         CAST(15000000000 // (100 * nn.n)
+              + COALESCE(SUM((85 * it0.s * e.w) // (100 * e.tw)), 0)
+              AS BIGINT) AS s
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN it0 ON it0.node = e.src
+  GROUP BY nodes.node, nn.n
+),
+it2 AS (
+  SELECT nodes.node,
+         CAST(15000000000 // (100 * nn.n)
+              + COALESCE(SUM((85 * it1.s * e.w) // (100 * e.tw)), 0)
+              AS BIGINT) AS s
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN it1 ON it1.node = e.src
+  GROUP BY nodes.node, nn.n
+),
+it3 AS (
+  SELECT nodes.node,
+         CAST(15000000000 // (100 * nn.n)
+              + COALESCE(SUM((85 * it2.s * e.w) // (100 * e.tw)), 0)
+              AS BIGINT) AS s
+  FROM nodes CROSS JOIN nn
+  LEFT JOIN e ON e.dst = nodes.node
+  LEFT JOIN it2 ON it2.node = e.src
+  GROUP BY nodes.node, nn.n
+)
+SELECT node AS event_type, s AS pr_scaled FROM it3 ORDER BY node
+""",
+    category="events",
+)
+def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics (r11): weighted PageRank over the event-type
+    transition graph — nodes = event types, edges = consecutive
+    per-user transitions (ordered by ts, event_id) weighted by count,
+    3 power iterations at damping 0.85 via
+    :func:`walden_spark.operators.graph.pagerank`. All arithmetic is
+    BIGINT fixed-point (scale 1e9): base ``(15·1e9) DIV (100·N)`` plus
+    per-edge ``(85·s·w) DIV (100·W_src)`` — order-independent integer
+    sums, so the DuckDB oracle running the same three chained CTEs
+    emits identical bits (a float formulation would drift with
+    summation order). Dangling mass is not redistributed — documented
+    operator contract.
+
+    Scale shape: the transition edge list is one user-partitioned
+    window pass + a slim groupBy; each iteration broadcasts the
+    |types|-row score table to the edges and aggregates on dst — for
+    web-scale node sets the same plan runs as a shuffle join
+    (broadcast_scores=False)."""
+    from walden_spark.operators.graph import pagerank
+
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        t.events.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("src"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    nodes = t.events.select(F.col("event_type").alias("node")).distinct()
+    pr = pagerank(edges, nodes, iterations=3)
+    return pr.select(
+        F.col("node").alias("event_type"), "pr_scaled"
+    ).orderBy("event_type")

@@ -107,6 +107,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_skip_past",
     "win_pattern_sql_alternation",
     "text_stratum_cap",
+    "events_type_pagerank",
     "tpcds_q29_bucketed",
     "streaming_anomaly_weekly",
     # -- family coverage: stalest of events/scan/multimodal --
@@ -135,14 +136,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_string",
     "fn_struct",
     "fn_url",
-    # (fn_variant / join_cross / join_right_outer / setop_union_all
-    # displaced to r12 by the four late-r11 additions above — new names
-    # join immediately, and their families stay window-covered by the
-    # entries kept here)
+    # (fn_variant / join_cross / join_right_outer / setop_union_all /
+    # setop_intersect_all displaced to r12 by the five late-r11
+    # additions above — new names join immediately, and their families
+    # stay window-covered by the entries kept here)
     "join_left_outer",
     "join_semi",
     "setop_except",
-    "setop_intersect_all",
     "sql_recursive_cte",
     "streaming_foreachbatch_upsert",
     # -- family coverage: stalest text (r04) --
