@@ -97,11 +97,13 @@ def test_quantifier_bounds_reach_the_compiler(ws):
 @pytest.mark.parametrize(
     "mutate, needle",
     [
-        # reluctant quantifier
-        (lambda q: q.replace("STRT d+ u+", "STRT d+? u+"), "reluctant"),
+        # reluctant quantifier on the FINAL step (non-final is served —
+        # see test_reluctant_equals_greedy)
+        (lambda q: q.replace("STRT d+ u+", "STRT d+ u+?"), "reluctant"),
+        (lambda q: q.replace("STRT d+ u+", "STRT d+ u{1,2}?"), "reluctant"),
         # zero-width quantifiers
         (lambda q: q.replace("STRT d+ u+", "STRT d* u+"), "empty step"),
-        (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "reluctant/optional"),
+        (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "optional"),
         # alternation at the SQL surface
         (lambda q: q.replace("STRT d+ u+", "STRT d+ | u+"), "alternation"),
         # grouping
@@ -291,6 +293,43 @@ def test_sql_alternation_out_of_class(ws_alt):
             _ALT.replace("(STRT d+ u+) | (STRT d+ f+)",
                          "(STRT d+ u+) | (STRT f+ u+)")
         )
+
+
+def test_reluctant_equals_greedy_on_non_final_steps(ws):
+    """Within the compiled class, adjacent steps carry distinct
+    transition classes, so a non-final step's continuation can never
+    match mid-run — reluctant quantifiers are provably equivalent to
+    greedy and are accepted: same rows, bit for bit."""
+    greedy = ws.sql(_VSHAPE).collect()
+    for reluctant in ("STRT d+? u+", "STRT d{1,2}? u+"):
+        got = ws.sql(_VSHAPE.replace("STRT d+ u+", reluctant)).collect()
+        assert got == greedy
+
+
+def test_all_rows_final_measures(ws):
+    """FINAL LAST / FINAL COUNT under ALL ROWS: match-level constants
+    repeated on every covered row."""
+    rows = ws.sql(
+        """
+SELECT pid, day, cls, end_day, n_down
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, FINAL LAST(u.day) AS end_day,
+           FINAL COUNT(d.*) AS n_down
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, day
+"""
+    ).collect()
+    assert [(r.pid, r.day, r.cls, r.end_day, r.n_down) for r in rows] == [
+        (1, 0, "STRT", 4, 2),
+        (1, 1, "d", 4, 2),
+        (1, 2, "d", 4, 2),
+        (1, 3, "u", 4, 2),
+        (1, 4, "u", 4, 2),
+    ]
 
 
 def test_select_skip_past_general_greedy(spark):

@@ -321,7 +321,9 @@ def expand_all_rows(
 
     * ``match_no`` — MATCH_NUMBER(): 1-based rank of the match by
       anchor within its partition,
-    * ``anchor_<order>`` — the match's anchor row order value,
+    * every match-level column of the ``matches`` frame (the anchor
+      pair plus each step's ``_end``/``_val``/``_len`` — these are the
+      FINAL-semantics per-step measures, constant over the match),
     * ``classifier`` — CLASSIFIER(): ``'STRT'`` on the anchor row, else
       the name of the pattern step whose run covers the row.
 
@@ -362,11 +364,11 @@ def expand_all_rows(
     cls = F.when(F.col("__o") == F.col(anchor), F.lit("STRT"))
     for s in steps:
         cls = cls.when(F.col("__o") <= F.col(f"{s.name}_end"), F.lit(s.name))
+    match_cols = [c for c in matches.columns if c != partition_col]
     return joined.select(
         F.col("__p").alias(partition_col),
         F.col("match_no"),
-        F.col(anchor),
-        F.col("anchor_val"),
+        *[F.col(c) for c in match_cols],
         *[F.col(c) for c in row_cols],
         cls.alias("classifier"),
     )

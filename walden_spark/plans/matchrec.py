@@ -97,7 +97,9 @@ _CLAUSES = re.compile(
     r"|\bDEFINE\b",
     re.IGNORECASE,
 )
-_STEP_TOKEN = re.compile(r"([A-Za-z_]\w*)\s*(\+\??|\{\s*(\d+)\s*(,\s*(\d*))?\s*\})?\s*")
+_STEP_TOKEN = re.compile(
+    r"([A-Za-z_]\w*)\s*(\+\??|\{\s*(\d+)\s*(,\s*(\d*))?\s*\}\??)?\s*"
+)
 _DEFINE_ITEM = re.compile(
     r"^([A-Za-z_]\w*)\s+AS\s+\1\s*\.\s*([A-Za-z_]\w*)\s*(<=|>=|<>|!=|<|>|=)\s*"
     r"PREV\s*\(\s*\1\s*\.\s*([A-Za-z_]\w*)\s*\)$",
@@ -218,8 +220,6 @@ def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
               "(…) | (…) branches are the supported alternation form)"),
         ("(", "grouped sub-patterns are out of class"),
         ("*", "'*' allows an empty step — islands are maximal non-empty runs"),
-        ("?", "reluctant/optional quantifiers are out of class (islands are "
-              "maximal, i.e. greedy)"),
         ("^", "partition anchors are out of class"),
         ("$", "partition anchors are out of class"),
     ):
@@ -232,10 +232,24 @@ def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
         if not m or not m.group(1):
             raise MatchRecognizeError(f"cannot parse PATTERN at {inner[pos:]!r}")
         name, quant, lo, _, hi = m.groups()
+        if quant is None and m.end() < len(inner) and inner[m.end()] == "?":
+            raise MatchRecognizeError(
+                f"step {name}?: optional (zero-width) quantifiers are out of "
+                "class — islands are maximal non-empty runs"
+            )
+        # Reluctant suffix (+? / {m,n}?): within this compiler's class —
+        # adjacent steps carry DISTINCT transition classes, and classes
+        # PARTITION the transitions — a non-final step's continuation can
+        # never match mid-run, so backtracking has no freedom and
+        # reluctant ≡ greedy (proved by test_reluctant_equals_greedy).
+        # On the FINAL step the equivalence breaks (nothing follows, so
+        # reluctance would select a strict prefix of the maximal run) —
+        # rejected below once branch position is known.
+        reluctant = quant is not None and quant.endswith("?")
         if quant is None:
-            toks.append((name, 1, 1))
+            toks.append((name, 1, 1, False))
         elif quant.startswith("+"):
-            toks.append((name, 1, None))
+            toks.append((name, 1, None, reluctant))
         else:
             lo_i = int(lo)
             if lo_i < 1:
@@ -245,17 +259,32 @@ def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
             hi_i = None if hi == "" else (int(hi) if hi is not None else lo_i)
             if hi_i is not None and hi_i < lo_i:
                 raise MatchRecognizeError(f"step {name}: empty bound {{{lo},{hi}}}")
-            toks.append((name, lo_i, hi_i))
+            toks.append((name, lo_i, hi_i, reluctant))
         pos = m.end()
-    if not toks or toks[0][0].upper() != "STRT" or toks[0][1:] != (1, 1):
+    if not toks or toks[0][0].upper() != "STRT" or toks[0][1:] != (1, 1, False):
         raise MatchRecognizeError("PATTERN must begin with the bare STRT anchor")
     if len(toks) < 2:
         raise MatchRecognizeError("PATTERN needs at least one step after STRT")
-    return toks[1:]
+    if toks[-1][3]:
+        raise MatchRecognizeError(
+            f"step {toks[-1][0]}: a reluctant quantifier on the FINAL step "
+            "selects a strict prefix of the maximal run — out of class "
+            "(reluctant quantifiers on non-final steps are accepted: the "
+            "next step's distinct transition class cannot match mid-run, "
+            "so reluctant ≡ greedy there)"
+        )
+    return [(n, lo, hi) for n, lo, hi, _ in toks[1:]]
 
 
 _MEASURE_CLASSIFIER = re.compile(r"^CLASSIFIER\s*\(\s*\)$", re.IGNORECASE)
 _MEASURE_MATCHNO = re.compile(r"^MATCH_NUMBER\s*\(\s*\)$", re.IGNORECASE)
+_MEASURE_FINAL_LAST = re.compile(
+    r"^FINAL\s+LAST\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)$",
+    re.IGNORECASE,
+)
+_MEASURE_FINAL_COUNT = re.compile(
+    r"^FINAL\s+COUNT\s*\(\s*([A-Za-z_]\w*)\s*\.\s*\*\s*\)$", re.IGNORECASE
+)
 
 
 def _project_all_rows(
@@ -273,17 +302,41 @@ def _project_all_rows(
     ``partition, <measures>, <input row columns>``. The all-rows measure
     class is CLASSIFIER() (the step name covering the row, ``'STRT'``
     on the anchor), MATCH_NUMBER() (1-based per-partition match rank by
-    anchor), and STRT.<col> (anchor-row order/value — constant over the
-    match); per-step LAST/COUNT measures belong to ONE ROW PER MATCH
-    (use the outer SELECT over that mode instead)."""
+    anchor), STRT.<col> (anchor-row order/value — constant over the
+    match), and FINAL-semantics per-step measures ``FINAL LAST(X.<col>)``
+    / ``FINAL COUNT(X.*)`` (constant over the match — the per-step
+    columns ``expand_all_rows`` carries through the span join). Bare
+    LAST/COUNT under ALL ROWS mean RUNNING semantics per SQL:2016
+    (per-row prefix aggregates), which stays out of class — the error
+    names FINAL as the supported spelling."""
     expanded = expand_all_rows(source, matched, part, order, steps)
     row_cols = [c for c in source.columns if c != part]
+    step_names = {s.name for s in steps}
+
+    def final_col(var_raw: str, col: str | None):
+        var = var_raw.lower()
+        if var not in step_names:
+            raise MatchRecognizeError(f"FINAL measure: unknown step {var_raw}")
+        if col is None:
+            return F.col(f"{var}_len")
+        if col == order.lower():
+            return F.col(f"{var}_end")
+        if col == value.lower():
+            return F.col(f"{var}_val")
+        raise MatchRecognizeError(
+            f"FINAL LAST({var_raw}.{col}): only the ORDER BY or DEFINE "
+            "value column is carried per step"
+        )
 
     def measure_col(expr: str):
         if _MEASURE_CLASSIFIER.match(expr):
             return F.col("classifier")
         if _MEASURE_MATCHNO.match(expr):
             return F.col("match_no")
+        if fl := _MEASURE_FINAL_LAST.match(expr):
+            return final_col(fl.group(1), fl.group(2).lower())
+        if fc := _MEASURE_FINAL_COUNT.match(expr):
+            return final_col(fc.group(1), None)
         if am := _MEASURE_ANCHOR.match(expr):
             col = am.group(1).lower()
             if col == order.lower():
@@ -296,8 +349,9 @@ def _project_all_rows(
             )
         raise MatchRecognizeError(
             f"measure {expr!r} is out of class under ALL ROWS PER MATCH "
-            "(CLASSIFIER() / MATCH_NUMBER() / STRT.<col> only; per-step "
-            "LAST/COUNT measures are the ONE ROW PER MATCH surface)"
+            "(CLASSIFIER() / MATCH_NUMBER() / STRT.<col> / FINAL "
+            "LAST(X.<col>) / FINAL COUNT(X.*); bare LAST/COUNT mean "
+            "RUNNING semantics, which is out of class — spell FINAL)"
         )
 
     out_cols = [F.col(part)]

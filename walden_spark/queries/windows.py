@@ -913,6 +913,70 @@ ORDER BY user_id, anchor_day, day
 
 
 @query(
+    "win_pattern_all_rows_final",
+    oracle=_ISLANDS_CTE.format(max_user=35)
+    + """
+, m AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.ed AS bottom_day,
+         u.ed AS end_day, d.ln AS n_down
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), mn AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 AS BIGINT) AS match_no
+  FROM m
+)
+SELECT mn.user_id, mn.match_no,
+       CAST(mn.anchor_day AS BIGINT) AS anchor_day,
+       CAST(mn.end_day AS BIGINT) AS end_day, mn.n_down,
+       CAST(dd.day AS BIGINT) AS day, dd.n,
+       CASE WHEN dd.day = mn.anchor_day THEN 'STRT'
+            WHEN dd.day <= mn.bottom_day THEN 'down'
+            ELSE 'up' END AS cls
+FROM mn JOIN daily dd
+  ON dd.user_id = mn.user_id AND dd.day BETWEEN mn.anchor_day AND mn.end_day
+ORDER BY mn.user_id, anchor_day, day
+""",
+    category="window",
+)
+def win_pattern_all_rows_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL per-step measures under ALL ROWS PER MATCH plus a
+    reluctant non-final quantifier (late r11): ``FINAL LAST(up.day)``
+    and ``FINAL COUNT(down.*)`` are match-level constants repeated on
+    every covered row (the per-step columns ``expand_all_rows`` carries
+    through the span join); the pattern spells the descent ``down+?``
+    — within this compiler's class a non-final reluctant quantifier is
+    provably equivalent to greedy (the next step's distinct transition
+    class cannot match mid-run), so the oracle is the same islands
+    join-back as the greedy form. Bare (RUNNING) LAST/COUNT stays out
+    of class. Fresh slice: user_id < 35."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=35).createOrReplaceTempView(
+        "walden_mr_daily_arf"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, anchor_day, end_day, n_down, day, n, cls
+FROM walden_mr_daily_arf MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS cls,
+           STRT.day AS anchor_day, FINAL LAST(up.day) AS end_day,
+           FINAL COUNT(down.*) AS n_down
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT down+? up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day, day
+"""
+    )
+
+
+@query(
     "win_pattern_skip_past",
     oracle=_ISLANDS_CTE.format(max_user=50)
     + """

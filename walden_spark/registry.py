@@ -104,6 +104,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_vshape",
     "win_pattern_span_sum",
     "win_pattern_all_rows",
+    "win_pattern_all_rows_final",
     "win_pattern_skip_past",
     "win_pattern_sql_alternation",
     "text_stratum_cap",
@@ -137,14 +138,14 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_struct",
     "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
-    # setop_intersect_all displaced to r12 by the five late-r11
-    # additions above — new names join immediately, and their families
-    # stay window-covered by the entries kept here)
+    # setop_intersect_all / streaming_foreachbatch_upsert displaced to
+    # r12 by the six late-r11 additions above — new names join
+    # immediately, and their families stay window-covered by the
+    # entries kept here)
     "join_left_outer",
     "join_semi",
     "setop_except",
     "sql_recursive_cte",
-    "streaming_foreachbatch_upsert",
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
