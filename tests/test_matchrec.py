@@ -114,12 +114,15 @@ def test_quantifier_bounds_reach_the_compiler(ws):
         (lambda q: q.replace("ONE ROW PER MATCH",
                              "ONE ROW PER MATCH ALL ROWS PER MATCH"),
          "both ONE ROW and ALL ROWS"),
-        # wrong skip target (not the final step)
-        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO LAST d"),
-         "SKIP TO LAST U"),
-        # unsupported skip mode
+        # skip target not a pattern variable
+        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO LAST z"),
+         "supported modes"),
+        # unsupported skip mode (suffix re-anchor hazard)
         (lambda q: q.replace("SKIP TO LAST u", "SKIP TO NEXT ROW"),
-         "SKIP TO LAST U"),
+         "out of class"),
+        # resuming on the match's own anchor
+        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO FIRST d"),
+         "never advances"),
         # per-step measure under ALL ROWS mode
         (lambda q: q.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"),
          "out of class under ALL ROWS PER MATCH"),
@@ -293,6 +296,42 @@ def test_sql_alternation_out_of_class(ws_alt):
             _ALT.replace("(STRT d+ u+) | (STRT d+ f+)",
                          "(STRT d+ u+) | (STRT f+ u+)")
         )
+
+
+def test_skip_to_semantics_on_w_shapes(spark):
+    """pid 7 = 9 7 8 6 7 5 6 yields two W candidates — anchor 0
+    (end 4) and anchor 2 (end 6), the second anchored INSIDE the
+    first's span. SKIP TO LAST of the FINAL step resumes at day 4 and
+    drops it (Trino-exact; the keep-all relation is the Python API);
+    SKIP TO LAST of the 2nd step (or the equivalent SKIP TO FIRST of
+    the 3rd) resumes at day 2 and keeps both; SKIP PAST LAST ROW
+    demands strictly past day 4 and keeps one."""
+    ws = WaldenSession(spark)
+    rows = [(7, d, float(v)) for d, v in enumerate([9, 7, 8, 6, 7, 5, 6])]
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_w"
+    )
+    q = """
+SELECT pid, anchor_day, end_day FROM mr_w MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(u2.day) AS end_day
+  {after}
+  PATTERN (STRT d1+ u1+ d2+ u2+)
+  DEFINE d1 AS d1.v < PREV(d1.v), u1 AS u1.v > PREV(u1.v),
+         d2 AS d2.v < PREV(d2.v), u2 AS u2.v > PREV(u2.v)
+) ORDER BY pid, anchor_day
+"""
+
+    def anchors(after):
+        return [
+            (r.anchor_day, r.end_day)
+            for r in ws.sql(q.format(after=after)).collect()
+        ]
+
+    assert anchors("AFTER MATCH SKIP TO LAST u2") == [(0, 4)]
+    assert anchors("AFTER MATCH SKIP PAST LAST ROW") == [(0, 4)]
+    assert anchors("AFTER MATCH SKIP TO LAST u1") == [(0, 4), (2, 6)]
+    assert anchors("AFTER MATCH SKIP TO FIRST d2") == [(0, 4), (2, 6)]
 
 
 def test_reluctant_equals_greedy_on_non_final_steps(ws):

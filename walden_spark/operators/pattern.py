@@ -263,6 +263,42 @@ def span_measures(
     return out.select(partition_col, *match_cols, *aggs.keys())
 
 
+def _greedy_select(
+    matches: DataFrame,
+    partition_col: str,
+    anchor_col: str,
+    resume_col: str,
+    inclusive: bool,
+) -> DataFrame:
+    """Greedy AFTER MATCH selection over the compiled match set: walk
+    each partition's matches in anchor order, keep a match when its
+    anchor is past the previous KEPT match's resume point
+    (``resume_col``; ``inclusive`` keeps an anchor ON the resume row —
+    SKIP TO semantics — while exclusive demands strictly after — SKIP
+    PAST). Sequential per partition by nature, so it runs as a pandas
+    pass over the MATCHES frame (orders of magnitude smaller than the
+    input, one row per match), never over the rows."""
+    schema = matches.schema
+
+    def pick(pdf):
+        # positional access: itertuples/getattr would mangle helper
+        # columns like __end (leading-underscore rename in pandas)
+        pdf = pdf.sort_values(anchor_col, kind="mergesort")
+        anchors = pdf[anchor_col].to_numpy()
+        resumes = pdf[resume_col].to_numpy()
+        keep = []
+        bound = None
+        for i in range(len(pdf)):
+            if bound is None or (
+                anchors[i] >= bound if inclusive else anchors[i] > bound
+            ):
+                keep.append(i)
+                bound = resumes[i]
+        return pdf.iloc[keep]
+
+    return matches.groupBy(partition_col).applyInPandas(pick, schema)
+
+
 def select_skip_past(
     matches: DataFrame,
     partition_col: str,
@@ -278,33 +314,36 @@ def select_skip_past(
     run never re-anchors a match after a skip — SKIP PAST LAST ROW here
     selects among the same matches SKIP TO LAST enumerates.
 
-    The selection is inherently sequential per partition (each keep
-    decision depends on the previous one), so it runs as a per-group
-    pandas pass — over the MATCHES frame, which is orders of magnitude
-    smaller than the input (one row per match), never over the rows.
     For single-step-overlap patterns (e.g. V-shapes, where a candidate
     can only anchor on the previous match's final row) an equivalent
     fully-relational plan exists — chain matches on
     ``anchor == lag(end)`` and keep odd chain positions — which is
     exactly what the DuckDB oracle of ``win_pattern_skip_past`` runs,
     hash-pinning this general implementation against it."""
-    schema = matches.schema
+    return _greedy_select(matches, partition_col, anchor_col, end_col, False)
 
-    def pick(pdf):
-        # positional access: itertuples/getattr would mangle helper
-        # columns like __end (leading-underscore rename in pandas)
-        pdf = pdf.sort_values(anchor_col, kind="mergesort")
-        anchors = pdf[anchor_col].to_numpy()
-        ends = pdf[end_col].to_numpy()
-        keep = []
-        last_end = None
-        for i in range(len(pdf)):
-            if last_end is None or anchors[i] > last_end:
-                keep.append(i)
-                last_end = ends[i]
-        return pdf.iloc[keep]
 
-    return matches.groupBy(partition_col).applyInPandas(pick, schema)
+def select_skip_to(
+    matches: DataFrame,
+    partition_col: str,
+    anchor_col: str,
+    resume_col: str,
+) -> DataFrame:
+    """``AFTER MATCH SKIP TO LAST <step>`` (any step) over the compiled
+    match set: the scan resumes AT the named step's final row —
+    ``resume_col`` is that step's ``_end`` column — so the next kept
+    match may anchor ON it (inclusive greedy walk). A non-final step's
+    end is an island boundary (the next island starts there), so the
+    resume point always lands on a boundary and the compiled candidate
+    set contains every match the rescan could find — no suffix-anchor
+    gap. ``SKIP TO FIRST <step_j>`` (j ≥ 2) is served by the identity
+    ``first row of step j == last row of step j−1``; TO FIRST of the
+    first step would resume on the match's own anchor (the standard's
+    infinite-loop error case). For the FINAL step this reproduces the
+    historical overlap behavior on boundary-overlap patterns (V-shapes:
+    every chained match kept) while correctly dropping inside-anchored
+    matches for ≥3-step patterns (W-shapes), per Trino."""
+    return _greedy_select(matches, partition_col, anchor_col, resume_col, True)
 
 
 def expand_all_rows(

@@ -64,6 +64,7 @@ from walden_spark.operators.pattern import (
     match_any,
     match_pattern,
     select_skip_past,
+    select_skip_to,
 )
 
 _LIMITS = (
@@ -562,31 +563,51 @@ def compile_match_recognize(
             source, part, order, value, branches, clauses, all_rows
         )
     steps = branches[0]
-    # AFTER MATCH: SKIP PAST LAST ROW (Trino's default — served since
-    # r11 as the greedy non-overlap selection over the compiled match
-    # set, operators/pattern.select_skip_past) or SKIP TO LAST <final
-    # step> (the compiler's native overlap semantics). Omitting the
-    # clause means the SQL-standard default, SKIP PAST LAST ROW.
+    # AFTER MATCH: SKIP PAST LAST ROW (Trino's default, also what an
+    # omitted clause means — greedy exclusive selection,
+    # operators/pattern.select_skip_past), SKIP TO LAST <any step>
+    # (inclusive greedy selection resuming AT that step's final row —
+    # an island boundary, so the compiled candidate set is complete),
+    # or SKIP TO FIRST <step_j> for j ≥ 2 (first row of step j ==
+    # last row of step j−1). SKIP TO NEXT ROW stays out of class (a
+    # row-by-row rescan can re-anchor on a SUFFIX of a maximal run).
     after = clauses.get("AFTER MATCH")
-    skip_past = True
+    resume_step = None  # None → SKIP PAST LAST ROW
     if after is not None:
         s = after.strip()
-        if re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", s, re.IGNORECASE):
-            skip_past = True
-        else:
-            m = re.fullmatch(r"SKIP\s+TO\s+LAST\s+([A-Za-z_]\w*)", s, re.IGNORECASE)
-            if not m or m.group(1).lower() != steps[-1].name:
+        if not re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", s, re.IGNORECASE):
+            m = re.fullmatch(
+                r"SKIP\s+TO\s+(LAST|FIRST)\s+([A-Za-z_]\w*)", s, re.IGNORECASE
+            )
+            names = [st.name for st in steps]
+            if not m or m.group(2).lower() not in names:
                 raise MatchRecognizeError(
-                    f"AFTER MATCH {after!r}: only SKIP PAST LAST ROW or "
-                    f"SKIP TO LAST {steps[-1].name.upper()} (the final step) "
-                    "match the compiled overlap semantics"
+                    f"AFTER MATCH {after!r}: SKIP PAST LAST ROW, SKIP TO "
+                    "LAST <step>, or SKIP TO FIRST <non-first step> over the "
+                    "pattern's variables are the supported modes (SKIP TO "
+                    "NEXT ROW can re-anchor on a suffix of a maximal run — "
+                    "out of class)"
                 )
-            skip_past = False
+            j = names.index(m.group(2).lower())
+            if m.group(1).upper() == "FIRST":
+                if j == 0:
+                    raise MatchRecognizeError(
+                        f"AFTER MATCH SKIP TO FIRST {m.group(2)}: the first "
+                        "step begins on the match anchor — resuming there "
+                        "never advances (the standard's error case)"
+                    )
+                resume_step = steps[j - 1].name
+            else:
+                resume_step = steps[j].name
     # measures → columns of the match_pattern output
     matched = match_pattern(source, part, order, value, steps)
-    if skip_past:
+    if resume_step is None:
         matched = select_skip_past(
             matched, part, f"anchor_{order}", f"{steps[-1].name}_end"
+        )
+    else:
+        matched = select_skip_to(
+            matched, part, f"anchor_{order}", f"{resume_step}_end"
         )
     if all_rows:
         return _project_all_rows(

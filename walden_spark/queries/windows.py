@@ -1049,6 +1049,59 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_skip_to_first",
+    oracle=_ISLANDS_CTE.format(max_user=45)
+    + """
+SELECT d.user_id,
+       CAST(d.sp AS BIGINT) AS anchor_day, d.av AS anchor_n,
+       CAST(d.ed AS BIGINT) AS bottom_day,
+       CAST(u.ed AS BIGINT) AS end_day, u.ev AS end_n
+FROM isl d
+JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+          AND u.sp = d.ed
+ORDER BY d.user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_skip_to_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO FIRST <step>`` (late r11 — the skip-mode
+    surface is now complete except TO NEXT ROW): served by the island
+    identity *first row of step j == last row of step j−1*, so TO FIRST
+    up resumes on the descent's bottom. On two-step V patterns every
+    candidate anchors on or after the previous match's END (> bottom),
+    so the inclusive greedy walk keeps every candidate and the oracle
+    is the plain adjacency join — the hash pins the full parse →
+    resume-mapping → selection path as a no-drop identity on this
+    shape, while the W-shape drop semantics (inside-anchored matches
+    dropped under TO LAST of the final step, kept under TO LAST of the
+    2nd) are pinned by ``test_skip_to_semantics_on_w_shapes``. Fresh
+    slice: user_id < 45."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=45).createOrReplaceTempView(
+        "walden_mr_daily_stf"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, bottom_day, end_day, end_n
+FROM walden_mr_daily_stf MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(down.day) AS bottom_day,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO FIRST up
+  PATTERN (STRT down+ up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_alternation",
     oracle=_ISLANDS_CTE.format(max_user=70)
     + """

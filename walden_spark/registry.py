@@ -106,6 +106,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_all_rows",
     "win_pattern_all_rows_final",
     "win_pattern_skip_past",
+    "win_pattern_skip_to_first",
     "win_pattern_sql_alternation",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -138,14 +139,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_struct",
     "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
-    # setop_intersect_all / streaming_foreachbatch_upsert displaced to
-    # r12 by the six late-r11 additions above — new names join
-    # immediately, and their families stay window-covered by the
-    # entries kept here)
+    # setop_intersect_all / streaming_foreachbatch_upsert /
+    # sql_recursive_cte displaced to r12 by the seven late-r11
+    # additions above — new names join immediately, and their families
+    # stay window-covered by the entries kept here)
     "join_left_outer",
     "join_semi",
     "setop_except",
-    "sql_recursive_cte",
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
