@@ -123,8 +123,9 @@ def test_quantifier_bounds_reach_the_compiler(ws):
         # resuming on the match's own anchor
         (lambda q: q.replace("SKIP TO LAST u", "SKIP TO FIRST d"),
          "never advances"),
-        # per-step measure under ALL ROWS mode
-        (lambda q: q.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"),
+        # aggregate measure under ALL ROWS mode
+        (lambda q: q.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")
+                    .replace("STRT.day AS anchor_day", "SUM(d.v) AS anchor_day"),
          "out of class under ALL ROWS PER MATCH"),
         # undefined pattern variable
         (lambda q: q.replace(", u AS u.v > PREV(u.v)", ""), "no DEFINE"),
@@ -368,6 +369,33 @@ FROM mr_input MATCH_RECOGNIZE (
         (1, 2, "d", 4, 2),
         (1, 3, "u", 4, 2),
         (1, 4, "u", 4, 2),
+    ]
+
+
+def test_all_rows_running_measures(ws):
+    """Bare LAST/COUNT under ALL ROWS are the standard's RUNNING
+    semantics: per-row prefix aggregates — NULL/0 on the anchor row
+    (classified STRT), frozen once the step's rows are passed."""
+    rows = ws.sql(
+        """
+SELECT pid, day, cls, r_nd, r_dday, r_uv
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, COUNT(d.*) AS r_nd,
+           LAST(d.day) AS r_dday, LAST(u.v) AS r_uv
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, day
+"""
+    ).collect()
+    assert [(r.pid, r.day, r.cls, r.r_nd, r.r_dday, r.r_uv) for r in rows] == [
+        (1, 0, "STRT", 0, None, None),
+        (1, 1, "d", 1, 1, None),
+        (1, 2, "d", 2, 2, None),
+        (1, 3, "u", 2, 2, 4.0),
+        (1, 4, "u", 2, 2, 6.0),
     ]
 
 

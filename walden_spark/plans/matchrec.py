@@ -304,15 +304,51 @@ def _project_all_rows(
     class is CLASSIFIER() (the step name covering the row, ``'STRT'``
     on the anchor), MATCH_NUMBER() (1-based per-partition match rank by
     anchor), STRT.<col> (anchor-row order/value — constant over the
-    match), and FINAL-semantics per-step measures ``FINAL LAST(X.<col>)``
+    match), FINAL-semantics per-step measures ``FINAL LAST(X.<col>)``
     / ``FINAL COUNT(X.*)`` (constant over the match — the per-step
-    columns ``expand_all_rows`` carries through the span join). Bare
-    LAST/COUNT under ALL ROWS mean RUNNING semantics per SQL:2016
-    (per-row prefix aggregates), which stays out of class — the error
-    names FINAL as the supported spelling."""
+    columns ``expand_all_rows`` carries through the span join), and
+    bare ``LAST(X.<col>)`` / ``COUNT(X.*)`` with the standard's RUNNING
+    semantics (late r11): per-row prefix aggregates over the match —
+    a window over (partition, match_no) ordered by the row order,
+    filtered to rows CLASSIFIER()-mapped to X ('STRT' never maps, so
+    the anchor row reads NULL / 0, per SQL:2016)."""
+    from pyspark.sql import Window
+
     expanded = expand_all_rows(source, matched, part, order, steps)
     row_cols = [c for c in source.columns if c != part]
     step_names = {s.name for s in steps}
+    w_run = (
+        Window.partitionBy(part, "match_no")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def running_col(var_raw: str, col: str | None):
+        var = var_raw.lower()
+        if var not in step_names:
+            raise MatchRecognizeError(
+                f"RUNNING measure: unknown step {var_raw}"
+            )
+        if col is None:
+            return (
+                F.sum(
+                    F.when(F.col("classifier") == var, F.lit(1)).otherwise(0)
+                )
+                .over(w_run)
+                .cast("bigint")
+            )
+        if col == order.lower():
+            src = F.col(order)
+        elif col == value.lower():
+            src = F.col(value)
+        else:
+            raise MatchRecognizeError(
+                f"LAST({var_raw}.{col}): only the ORDER BY or DEFINE value "
+                "column is carried per step"
+            )
+        return F.last(
+            F.when(F.col("classifier") == var, src), ignorenulls=True
+        ).over(w_run)
 
     def final_col(var_raw: str, col: str | None):
         var = var_raw.lower()
@@ -338,6 +374,10 @@ def _project_all_rows(
             return final_col(fl.group(1), fl.group(2).lower())
         if fc := _MEASURE_FINAL_COUNT.match(expr):
             return final_col(fc.group(1), None)
+        if rl := _MEASURE_LAST.match(expr):
+            return running_col(rl.group(1), rl.group(2).lower())
+        if rc := _MEASURE_COUNT.match(expr):
+            return running_col(rc.group(1), None)
         if am := _MEASURE_ANCHOR.match(expr):
             col = am.group(1).lower()
             if col == order.lower():
@@ -350,9 +390,8 @@ def _project_all_rows(
             )
         raise MatchRecognizeError(
             f"measure {expr!r} is out of class under ALL ROWS PER MATCH "
-            "(CLASSIFIER() / MATCH_NUMBER() / STRT.<col> / FINAL "
-            "LAST(X.<col>) / FINAL COUNT(X.*); bare LAST/COUNT mean "
-            "RUNNING semantics, which is out of class — spell FINAL)"
+            "(CLASSIFIER() / MATCH_NUMBER() / STRT.<col> / FINAL or bare "
+            "RUNNING LAST(X.<col>) / COUNT(X.*))"
         )
 
     out_cols = [F.col(part)]

@@ -977,6 +977,72 @@ ORDER BY user_id, anchor_day, day
 
 
 @query(
+    "win_pattern_all_rows_running",
+    oracle=_ISLANDS_CTE.format(max_user=55)
+    + """
+, m AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.ed AS bottom_day, u.ed AS end_day
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), mn AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 AS BIGINT) AS match_no
+  FROM m
+), x AS (
+  SELECT mn.user_id, mn.match_no, dd.day, dd.n,
+         CASE WHEN dd.day = mn.anchor_day THEN 'STRT'
+              WHEN dd.day <= mn.bottom_day THEN 'down'
+              ELSE 'up' END AS cls
+  FROM mn JOIN daily dd
+    ON dd.user_id = mn.user_id AND dd.day BETWEEN mn.anchor_day AND mn.end_day
+)
+SELECT user_id, match_no, CAST(day AS BIGINT) AS day, cls,
+       CAST(COUNT(CASE WHEN cls = 'down' THEN 1 END)
+              OVER w AS BIGINT) AS r_nd,
+       LAST_VALUE(CASE WHEN cls = 'down' THEN n END IGNORE NULLS)
+              OVER w AS r_lastdn
+FROM x
+WINDOW w AS (PARTITION BY user_id, match_no ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY user_id, match_no, day
+""",
+    category="window",
+)
+def win_pattern_all_rows_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RUNNING per-step measures under ALL ROWS PER MATCH (late r11 —
+    closes the last measure-semantics row): bare ``COUNT(down.*)`` /
+    ``LAST(down.n)`` are per-row prefix aggregates over the match, per
+    SQL:2016 — compiled to a window over (partition, MATCH_NUMBER)
+    ordered by the row order, filtered to CLASSIFIER()-mapped rows;
+    the anchor row (STRT) reads 0 / NULL. The DuckDB oracle runs the
+    identical windowed CASE + LAST_VALUE IGNORE NULLS over the islands
+    join-back. Fresh slice: user_id < 55."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=55).createOrReplaceTempView(
+        "walden_mr_daily_arr"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, day, cls, r_nd, r_lastdn
+FROM walden_mr_daily_arr MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS cls,
+           COUNT(down.*) AS r_nd, LAST(down.n) AS r_lastdn
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT down+ up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, match_no, day
+"""
+    )
+
+
+@query(
     "win_pattern_skip_past",
     oracle=_ISLANDS_CTE.format(max_user=50)
     + """

@@ -105,6 +105,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_span_sum",
     "win_pattern_all_rows",
     "win_pattern_all_rows_final",
+    "win_pattern_all_rows_running",
     "win_pattern_skip_past",
     "win_pattern_skip_to_first",
     "win_pattern_sql_alternation",
@@ -140,12 +141,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
-    # sql_recursive_cte displaced to r12 by the seven late-r11
-    # additions above — new names join immediately, and their families
-    # stay window-covered by the entries kept here)
+    # sql_recursive_cte / setop_except displaced to r12 by the eight
+    # late-r11 additions above — new names join immediately, and their
+    # families stay window-covered by the entries kept here)
     "join_left_outer",
     "join_semi",
-    "setop_except",
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
