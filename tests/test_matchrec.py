@@ -399,6 +399,33 @@ FROM mr_input MATCH_RECOGNIZE (
     ]
 
 
+def test_all_rows_with_alternation(ws_alt):
+    """ALL ROWS + alternation: per-row expansion with branch-specific
+    classifiers, match numbering across branches, default skip-past
+    (pid 6's boundary-anchored second V dropped)."""
+    rows = ws_alt.sql(
+        """
+SELECT pid, mn, cls, anchor_day, day, v
+FROM mr_alt MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls, STRT.day AS anchor_day
+  ALL ROWS PER MATCH
+  PATTERN ((STRT d+ u+) | (STRT d+ f+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), f AS f.v = PREV(f.v)
+) ORDER BY pid, day
+"""
+    ).collect()
+    got = [(r.pid, r.mn, r.cls, r.anchor_day, r.day) for r in rows]
+    assert got == [
+        (4, 1, "STRT", 0, 0), (4, 1, "d", 0, 1), (4, 1, "d", 0, 2),
+        (4, 1, "u", 0, 3), (4, 1, "u", 0, 4),
+        (5, 1, "STRT", 0, 0), (5, 1, "d", 0, 1), (5, 1, "d", 0, 2),
+        (5, 1, "f", 0, 3), (5, 1, "f", 0, 4),
+        (6, 1, "STRT", 0, 0), (6, 1, "d", 0, 1), (6, 1, "d", 0, 2),
+        (6, 1, "u", 0, 3),
+    ]
+
+
 def test_select_skip_past_general_greedy(spark):
     """The pandas selection is the general greedy, not just the
     boundary-overlap case: intervals that overlap mid-span (the W-shape

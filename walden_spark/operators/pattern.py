@@ -353,6 +353,7 @@ def expand_all_rows(
     order_col: str,
     steps: list[Step],
     bin_width: int = 32,
+    match_no_col: str | None = None,
 ) -> DataFrame:
     """``ALL ROWS PER MATCH``: one output row per input row per match —
     every row from the match anchor through the final step's last row,
@@ -380,8 +381,15 @@ def expand_all_rows(
     equi join, keyed on the same partition column."""
     anchor = f"anchor_{order_col}"
     last_end = f"{steps[-1].name}_end"
-    wm = Window.partitionBy(partition_col).orderBy(anchor)
-    m = matches.withColumn("match_no", F.row_number().over(wm).cast("bigint"))
+    if match_no_col is not None:
+        # caller-assigned numbering (alternation: ranks span branches,
+        # so each branch's expansion must not renumber its own subset)
+        m = matches.withColumnRenamed(match_no_col, "match_no")
+    else:
+        wm = Window.partitionBy(partition_col).orderBy(anchor)
+        m = matches.withColumn(
+            "match_no", F.row_number().over(wm).cast("bigint")
+        )
     spans = m.withColumn(
         "__bin",
         F.explode(
@@ -403,7 +411,9 @@ def expand_all_rows(
     cls = F.when(F.col("__o") == F.col(anchor), F.lit("STRT"))
     for s in steps:
         cls = cls.when(F.col("__o") <= F.col(f"{s.name}_end"), F.lit(s.name))
-    match_cols = [c for c in matches.columns if c != partition_col]
+    match_cols = [
+        c for c in matches.columns if c not in (partition_col, match_no_col)
+    ]
     return joined.select(
         F.col("__p").alias(partition_col),
         F.col("match_no"),

@@ -422,20 +422,19 @@ def _compile_alternation(
     preference — where two branches match at the same anchor, the
     LEFTMOST listed branch wins — and the AFTER MATCH skip selection.
 
-    Supported class under alternation: ONE ROW PER MATCH with AFTER
-    MATCH SKIP PAST LAST ROW (or omitted — the default); overlapping
-    (SKIP TO LAST) alternation output is the Python API's ``match_any``
-    (which reports every branch's matches, a different relation than
-    the scan semantics). Measures: STRT.<col>, CLASSIFIER() (the
-    winning branch's final step name — branch final steps must be
-    distinct), and LAST(X.<col>) / COUNT(X.*) for any variable X (NULL
-    on rows won by a branch not containing X)."""
+    Supported class under alternation: AFTER MATCH SKIP PAST LAST ROW
+    (or omitted — the default); overlapping (SKIP TO LAST) alternation
+    output is the Python API's ``match_any`` (which reports every
+    branch's matches, a different relation than the scan semantics).
+    ONE ROW PER MATCH measures: STRT.<col>, CLASSIFIER() (the winning
+    branch's final step name — branch final steps must be distinct),
+    and LAST(X.<col>) / COUNT(X.*) for any variable X (NULL on rows won
+    by a branch not containing X). ALL ROWS PER MATCH (late r11):
+    matches are numbered across branches, each branch's matches expand
+    with its own steps, and the expansions union — measures there are
+    CLASSIFIER() (per-row step name) / MATCH_NUMBER() / STRT.<col>."""
     from pyspark.sql import Window
 
-    if all_rows:
-        raise MatchRecognizeError(
-            "ALL ROWS PER MATCH with alternation is out of class"
-        )
     after = clauses.get("AFTER MATCH")
     if after is not None and not re.fullmatch(
         r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
@@ -471,6 +470,66 @@ def _compile_alternation(
         .drop("__rn")
     )
     m = select_skip_past(m, part, anchor, "__end")
+    if all_rows:
+        # number ACROSS branches (post-selection anchors are unique per
+        # partition), then expand each branch's matches with its own
+        # steps — the positional step{i} columns rename back to that
+        # branch's named columns so the classifier CASE and the span
+        # bounds resolve — and union the expansions.
+        wn = Window.partitionBy(part).orderBy(anchor)
+        m = m.withColumn("match_no", F.row_number().over(wn).cast("bigint"))
+        parts_out = []
+        for lab, steps in patterns.items():
+            sel = [
+                F.col(part),
+                F.col("match_no"),
+                F.col(anchor),
+                F.col("anchor_val"),
+            ]
+            for i, st in enumerate(steps):
+                sel += [
+                    F.col(f"step{i}_end").alias(f"{st.name}_end"),
+                    F.col(f"step{i}_val").alias(f"{st.name}_val"),
+                    F.col(f"step{i}_len").alias(f"{st.name}_len"),
+                ]
+            mb = m.filter(F.col("pattern") == lab).select(*sel)
+            parts_out.append(
+                expand_all_rows(
+                    source, mb, part, order, steps, match_no_col="match_no"
+                )
+            )
+        expanded = parts_out[0]
+        for p in parts_out[1:]:
+            expanded = expanded.unionByName(p, allowMissingColumns=True)
+
+        def ar_measure(expr: str):
+            if _MEASURE_CLASSIFIER.match(expr):
+                return F.col("classifier")
+            if _MEASURE_MATCHNO.match(expr):
+                return F.col("match_no")
+            if am := _MEASURE_ANCHOR.match(expr):
+                col = am.group(1).lower()
+                if col == order.lower():
+                    return F.col(anchor)
+                if col == value.lower():
+                    return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"measure {expr!r} is out of class under ALL ROWS with "
+                "alternation (CLASSIFIER() / MATCH_NUMBER() / STRT.<col>)"
+            )
+
+        out_cols = [F.col(part)]
+        for item in _split_top_commas(clauses["MEASURES"]):
+            mm = re.fullmatch(
+                r"(.+?)\s+AS\s+([A-Za-z_]\w*)",
+                item.strip(),
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not mm:
+                raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+            out_cols.append(ar_measure(mm.group(1).strip()).alias(mm.group(2)))
+        row_cols = [c for c in source.columns if c != part]
+        return expanded.select(*out_cols, *[F.col(c) for c in row_cols])
 
     def measure_col(expr: str):
         if _MEASURE_CLASSIFIER.match(expr):

@@ -1250,6 +1250,87 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_alt_all_rows",
+    oracle=_ISLANDS_CTE.format(max_user=65)
+    + """
+, mm AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.ed AS bottom_day,
+         u.ed AS end_day, 'up' AS shape
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+  UNION ALL
+  SELECT d.user_id, d.sp, d.ed, f.ed, 'flat'
+  FROM isl d
+  JOIN isl f ON f.user_id = d.user_id AND d.dir = -1 AND f.dir = 0
+            AND f.sp = d.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(end_day)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM mm
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+), kept AS (
+  SELECT * FROM r WHERE pos % 2 = 1
+), mn AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 AS BIGINT) AS match_no
+  FROM kept
+)
+SELECT mn.user_id, mn.match_no,
+       CASE WHEN dd.day = mn.anchor_day THEN 'STRT'
+            WHEN dd.day <= mn.bottom_day THEN 'down'
+            ELSE mn.shape END AS cls,
+       CAST(mn.anchor_day AS BIGINT) AS anchor_day,
+       CAST(dd.day AS BIGINT) AS day, dd.n
+FROM mn JOIN daily dd
+  ON dd.user_id = mn.user_id AND dd.day BETWEEN mn.anchor_day AND mn.end_day
+ORDER BY mn.user_id, mn.match_no, day
+""",
+    category="window",
+)
+def win_pattern_sql_alt_all_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL ROWS PER MATCH combined with PATTERN alternation (late r11 —
+    the last row of the mode × alternation matrix): matches are
+    selected with the default skip-past greedy walk, numbered ACROSS
+    branches, then each branch's matches expand with their own steps
+    (branch-specific CLASSIFIER names: down/up vs down/flat) and the
+    expansions union. Oracle: UNION ALL of both adjacency joins, the
+    chain/odd greedy filter (boundary-only overlap), global
+    ROW_NUMBER, then the literal BETWEEN join-back with a
+    shape-dependent CASE classifier. Fresh slice: user_id < 65."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=65).createOrReplaceTempView(
+        "walden_mr_daily_ara"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, cls, anchor_day, day, n
+FROM walden_mr_daily_ara MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES MATCH_NUMBER() AS match_no, CLASSIFIER() AS cls,
+           STRT.day AS anchor_day
+  ALL ROWS PER MATCH
+  PATTERN ((STRT down+ up+) | (STRT down+ flat+))
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat AS flat.n = PREV(flat.n)
+)
+ORDER BY user_id, match_no, day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)
     + """

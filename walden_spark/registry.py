@@ -109,6 +109,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_skip_past",
     "win_pattern_skip_to_first",
     "win_pattern_sql_alternation",
+    "win_pattern_sql_alt_all_rows",
     "text_stratum_cap",
     "events_type_pagerank",
     "tpcds_q29_bucketed",
@@ -141,11 +142,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
-    # sql_recursive_cte / setop_except displaced to r12 by the eight
-    # late-r11 additions above — new names join immediately, and their
-    # families stay window-covered by the entries kept here)
+    # sql_recursive_cte / setop_except / join_semi displaced to r12 by
+    # the nine late-r11 additions above — new names join immediately,
+    # and their families stay window-covered by the entries kept here)
     "join_left_outer",
-    "join_semi",
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
