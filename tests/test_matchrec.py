@@ -426,6 +426,51 @@ FROM mr_alt MATCH_RECOGNIZE (
     ]
 
 
+def test_subset_union_variables(ws):
+    """SUBSET U = (d, u): LAST(U.col) resolves to the latest member in
+    pattern order, COUNT(U.*) to the member length sum — statically, in
+    this linear class every member is present in every match. Works in
+    one-row, FINAL, and RUNNING forms."""
+    row = ws.sql(
+        """
+SELECT pid, total, end_day FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(vu.*) AS total, LAST(vu.day) AS end_day
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  SUBSET vu = (d, u)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid
+"""
+    ).collect()
+    assert [(r.pid, r.total, r.end_day) for r in row] == [(1, 4, 4)]
+    # RUNNING over the union under ALL ROWS: counts every non-anchor row
+    rows = ws.sql(
+        """
+SELECT pid, day, r_n FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(vu.*) AS r_n
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO LAST u
+  PATTERN (STRT d+ u+)
+  SUBSET vu = (d, u)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, day
+"""
+    ).collect()
+    assert [(r.day, r.r_n) for r in rows] == [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]
+    # named limits: unknown member / name collision / with alternation
+    for mutate, needle in (
+        ("SUBSET vu = (d, z)", "unknown members"),
+        ("SUBSET u = (d)", "collides"),
+    ):
+        with pytest.raises(MatchRecognizeError, match=needle):
+            ws.sql(
+                _VSHAPE.replace("PATTERN (STRT d+ u+)",
+                                f"PATTERN (STRT d+ u+)\n  {mutate}")
+            )
+
+
 def test_select_skip_past_general_greedy(spark):
     """The pandas selection is the general greedy, not just the
     boundary-overlap case: intervals that overlap mid-span (the W-shape

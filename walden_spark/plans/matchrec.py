@@ -296,6 +296,7 @@ def _project_all_rows(
     value: str,
     steps: list[Step],
     measures_text: str,
+    subsets: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH projection: expand the (possibly
     skip-selected) matches back to every covered input row via
@@ -317,6 +318,8 @@ def _project_all_rows(
     expanded = expand_all_rows(source, matched, part, order, steps)
     row_cols = [c for c in source.columns if c != part]
     step_names = {s.name for s in steps}
+    subs = subsets or {}
+    step_order = [s.name for s in steps]
     w_run = (
         Window.partitionBy(part, "match_no")
         .orderBy(order)
@@ -325,15 +328,17 @@ def _project_all_rows(
 
     def running_col(var_raw: str, col: str | None):
         var = var_raw.lower()
-        if var not in step_names:
+        if var in subs:
+            is_var = F.col("classifier").isin(subs[var])
+        elif var in step_names:
+            is_var = F.col("classifier") == var
+        else:
             raise MatchRecognizeError(
                 f"RUNNING measure: unknown step {var_raw}"
             )
         if col is None:
             return (
-                F.sum(
-                    F.when(F.col("classifier") == var, F.lit(1)).otherwise(0)
-                )
+                F.sum(F.when(is_var, F.lit(1)).otherwise(0))
                 .over(w_run)
                 .cast("bigint")
             )
@@ -346,12 +351,18 @@ def _project_all_rows(
                 f"LAST({var_raw}.{col}): only the ORDER BY or DEFINE value "
                 "column is carried per step"
             )
-        return F.last(
-            F.when(F.col("classifier") == var, src), ignorenulls=True
-        ).over(w_run)
+        return F.last(F.when(is_var, src), ignorenulls=True).over(w_run)
 
     def final_col(var_raw: str, col: str | None):
         var = var_raw.lower()
+        if var in subs:
+            if col is None:
+                out = None
+                for mname in subs[var]:
+                    c = F.col(f"{mname}_len")
+                    out = c if out is None else out + c
+                return out.cast("bigint")
+            var = max(subs[var], key=step_order.index)
         if var not in step_names:
             raise MatchRecognizeError(f"FINAL measure: unknown step {var_raw}")
         if col is None:
@@ -602,8 +613,6 @@ def compile_match_recognize(
     for need in ("PARTITION BY", "ORDER BY", "MEASURES", "PATTERN", "DEFINE"):
         if need not in clauses:
             raise MatchRecognizeError(f"missing {need} clause")
-    if "SUBSET" in clauses:
-        raise MatchRecognizeError("SUBSET union variables are out of class")
     part = clauses["PARTITION BY"].strip()
     order = clauses["ORDER BY"].strip()
     for label, col in (("PARTITION BY", part), ("ORDER BY", order)):
@@ -656,6 +665,44 @@ def compile_match_recognize(
     used = {s.name for b in branches for s in b}
     if extra := set(defines) - used:
         raise MatchRecognizeError(f"DEFINEd but not in PATTERN: {sorted(extra)}")
+    # SUBSET union variables (late r11): ``SUBSET U = (A, B), …`` — in
+    # this linear class every pattern variable is present in every
+    # match, so a union variable resolves STATICALLY: LAST(U.col) is
+    # the member latest in pattern order, COUNT(U.*) the sum of member
+    # run lengths, and under ALL ROWS a row maps to U iff its
+    # classifier is a member.
+    subsets: dict[str, list[str]] = {}
+    if "SUBSET" in clauses:
+        if len(branches) > 1:
+            raise MatchRecognizeError(
+                "SUBSET with alternation is out of class (a union variable "
+                "cannot span branch-dependent step sets)"
+            )
+        step_set = {s.name for s in branches[0]}
+        for item in _split_top_commas(clauses["SUBSET"]):
+            m = re.fullmatch(
+                r"([A-Za-z_]\w*)\s*=\s*\(\s*([A-Za-z_]\w*"
+                r"(?:\s*,\s*[A-Za-z_]\w*)*)\s*\)",
+                item.strip(),
+            )
+            if not m:
+                raise MatchRecognizeError(
+                    f"SUBSET {item!r}: expected U = (A, B, …)"
+                )
+            uname = m.group(1).lower()
+            members = [x.strip().lower() for x in m.group(2).split(",")]
+            if uname in step_set or uname == "strt":
+                raise MatchRecognizeError(
+                    f"SUBSET {m.group(1)}: union name collides with a "
+                    "pattern variable"
+                )
+            if uname in subsets:
+                raise MatchRecognizeError(f"duplicate SUBSET {m.group(1)}")
+            if bad := [x for x in members if x not in step_set]:
+                raise MatchRecognizeError(
+                    f"SUBSET {m.group(1)}: unknown members {bad}"
+                )
+            subsets[uname] = members
     if len(branches) > 1:
         return _compile_alternation(
             source, part, order, value, branches, clauses, all_rows
@@ -709,8 +756,10 @@ def compile_match_recognize(
         )
     if all_rows:
         return _project_all_rows(
-            source, matched, part, order, value, steps, clauses["MEASURES"]
+            source, matched, part, order, value, steps,
+            clauses["MEASURES"], subsets,
         )
+    step_order = [s.name for s in steps]
 
     def measure_col(expr: str):
         if am := _MEASURE_ANCHOR.match(expr):
@@ -725,7 +774,11 @@ def compile_match_recognize(
             )
         if lm := _MEASURE_LAST.match(expr):
             step_name, col = lm.group(1).lower(), lm.group(2).lower()
-            if step_name not in {s.name for s in steps}:
+            if step_name in subsets:
+                # union variable: in this linear class every member is
+                # present, so LAST is the member latest in pattern order
+                step_name = max(subsets[step_name], key=step_order.index)
+            if step_name not in step_order:
                 raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
             if col == order.lower():
                 return F.col(f"{step_name}_end")
@@ -737,7 +790,13 @@ def compile_match_recognize(
             )
         if cm := _MEASURE_COUNT.match(expr):
             step_name = cm.group(1).lower()
-            if step_name not in {s.name for s in steps}:
+            if step_name in subsets:
+                out = None
+                for mname in subsets[step_name]:
+                    c = F.col(f"{mname}_len")
+                    out = c if out is None else out + c
+                return out.cast("bigint")
+            if step_name not in step_order:
                 raise MatchRecognizeError(f"COUNT({cm.group(1)}.*): unknown step")
             return F.col(f"{step_name}_len")
         raise MatchRecognizeError(

@@ -1331,6 +1331,55 @@ ORDER BY user_id, match_no, day
 
 
 @query(
+    "win_pattern_sql_subset",
+    oracle=_ISLANDS_CTE.format(max_user=75)
+    + """
+SELECT d.user_id,
+       CAST(d.sp AS BIGINT) AS anchor_day,
+       d.ln AS n_down,
+       d.ln + u.ln AS span_steps,
+       CAST(u.ed AS BIGINT) AS end_day, u.ev AS end_n
+FROM isl d
+JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+          AND u.sp = d.ed
+ORDER BY d.user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET union variables (late r11 — closes the SUBSET row):
+    ``SUBSET vu = (down, up)`` makes ``COUNT(vu.*)`` the member
+    run-length sum and ``LAST(vu.day)`` the latest member's final row —
+    resolved STATICALLY, since in this linear pattern class every
+    variable is present in every match. The oracle computes the same
+    sums from the islands directly. Fresh slice: user_id < 75."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=75).createOrReplaceTempView(
+        "walden_mr_daily_sub"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, n_down, span_steps, end_day, end_n
+FROM walden_mr_daily_sub MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, COUNT(down.*) AS n_down,
+           COUNT(vu.*) AS span_steps, LAST(vu.day) AS end_day,
+           LAST(vu.n) AS end_n
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT down+ up+)
+  SUBSET vu = (down, up)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)
     + """

@@ -110,6 +110,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_skip_to_first",
     "win_pattern_sql_alternation",
     "win_pattern_sql_alt_all_rows",
+    "win_pattern_sql_subset",
     "text_stratum_cap",
     "events_type_pagerank",
     "tpcds_q29_bucketed",
@@ -142,10 +143,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
-    # sql_recursive_cte / setop_except / join_semi displaced to r12 by
-    # the nine late-r11 additions above — new names join immediately,
-    # and their families stay window-covered by the entries kept here)
-    "join_left_outer",
+    # sql_recursive_cte / setop_except / join_semi / join_left_outer
+    # displaced to r12 by the ten late-r11 additions above — new names
+    # join immediately, and their families stay window-covered by the
+    # entries kept here)
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
