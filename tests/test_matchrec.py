@@ -292,11 +292,13 @@ def test_sql_alternation_out_of_class(ws_alt):
                                 "ONE ROW PER MATCH\n  AFTER MATCH SKIP TO LAST u"))
     with pytest.raises(MatchRecognizeError, match="out of class"):
         ws_alt.sql(_ALT.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH"))
-    with pytest.raises(MatchRecognizeError, match="DISTINCT"):
-        ws_alt.sql(
-            _ALT.replace("(STRT d+ u+) | (STRT d+ f+)",
-                         "(STRT d+ u+) | (STRT f+ u+)")
-        )
+    # branches sharing a final variable are fine (labels are synthetic;
+    # CLASSIFIER maps back to the final step name)
+    rows = ws_alt.sql(
+        _ALT.replace("(STRT d+ u+) | (STRT d+ f+)",
+                     "(STRT d+ u+) | (STRT f+ u+)")
+    ).collect()
+    assert all(r.shape == "u" for r in rows) and len(rows) >= 1
 
 
 def test_skip_to_semantics_on_w_shapes(spark):
@@ -469,6 +471,48 @@ SELECT pid, day, r_n FROM mr_input MATCH_RECOGNIZE (
                 _VSHAPE.replace("PATTERN (STRT d+ u+)",
                                 f"PATTERN (STRT d+ u+)\n  {mutate}")
             )
+
+
+def test_permute_expands_to_alternation(spark):
+    """PERMUTE(d+, u+) tries both orderings: pid 8 (5 3 6 4) matches
+    d-then-u at anchor 0; the u-then-d candidate anchored INSIDE that
+    span (day 1) is dropped by the default skip-past walk. pid 9
+    (3 5 2) only matches u-then-d — CLASSIFIER maps back to that
+    branch's final variable 'd' even though branches share variables."""
+    ws = WaldenSession(spark)
+    rows = [(8, d, float(v)) for d, v in enumerate([5, 3, 6, 4])] + [
+        (9, d, float(v)) for d, v in enumerate([3, 5, 2])
+    ]
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_perm"
+    )
+    got = ws.sql(
+        """
+SELECT pid, cls, anchor_day, n_d, n_u FROM mr_perm MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, STRT.day AS anchor_day,
+           COUNT(d.*) AS n_d, COUNT(u.*) AS n_u
+  PATTERN (STRT PERMUTE(d+, u+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, anchor_day
+"""
+    ).collect()
+    assert [(r.pid, r.cls, r.anchor_day, r.n_d, r.n_u) for r in got] == [
+        (8, "u", 0, 1, 1),
+        (9, "d", 0, 1, 1),
+    ]
+    with pytest.raises(MatchRecognizeError, match="out of class"):
+        ws.sql(
+            """
+SELECT * FROM mr_perm MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls
+  PATTERN (STRT PERMUTE(a+, b+, c+, e+, f+))
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), e AS e.v < PREV(e.v), f AS f.v > PREV(f.v)
+)
+"""
+        )
 
 
 def test_select_skip_past_general_greedy(spark):

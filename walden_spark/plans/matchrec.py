@@ -175,6 +175,29 @@ def _split_top_commas(text: str) -> list[str]:
     return parts
 
 
+_PERMUTE = re.compile(r"^STRT\s+PERMUTE\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
+
+
+def _split_quantified(text: str) -> list[str]:
+    """Split PERMUTE's element list on commas outside braces/parens —
+    ``d+, u{2,3}`` must not split inside the bound."""
+    parts, depth, cur = [], 0, []
+    for ch in text:
+        if ch in "({":
+            depth += 1
+        elif ch in ")}":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 def _split_top_pipes(text: str) -> list[str]:
     parts, depth, cur = [], 0, []
     for ch in text:
@@ -212,6 +235,24 @@ def _parse_pattern(text: str) -> list[list[tuple[str, int, int | None]]]:
                 )
             branches.append(_parse_steps(alt[1:-1].strip()))
         return branches
+    if pm := _PERMUTE.match(inner):
+        # PERMUTE(e1, e2, …) ≡ the alternation of every ordering, tried
+        # lexicographically by listed position (SQL:2016 / Trino
+        # preference) — expanded here into match_any branches
+        from itertools import permutations
+
+        elems = _split_quantified(pm.group(1))
+        if len(elems) < 2:
+            raise MatchRecognizeError("PERMUTE needs at least two elements")
+        if len(elems) > 4:
+            raise MatchRecognizeError(
+                f"PERMUTE over {len(elems)} elements expands to "
+                f"{len(elems)}! > 24 alternation branches — out of class"
+            )
+        return [
+            _parse_steps("STRT " + " ".join(perm))
+            for perm in permutations(elems)
+        ]
     return [_parse_steps(inner)]
 
 
@@ -456,12 +497,13 @@ def _compile_alternation(
             "alternation matches are the Python API's "
             "operators.pattern.match_any"
         )
-    labels = [b[-1].name for b in branches]
-    if len(set(labels)) != len(labels):
-        raise MatchRecognizeError(
-            "alternation branches must end in DISTINCT variables — "
-            "CLASSIFIER() under ONE ROW PER MATCH is the final step's name"
-        )
+    # branch labels are synthetic (PERMUTE expansions routinely share
+    # final variables); CLASSIFIER() maps the winning label back to the
+    # branch's final step name, per ONE ROW PER MATCH semantics
+    labels = [f"__b{i}" for i in range(len(branches))]
+    final_by_label = {
+        lab: b[-1].name for lab, b in zip(labels, branches)
+    }
     patterns = dict(zip(labels, branches))
     m = match_any(source, part, order, value, patterns)
     anchor = f"anchor_{order}"
@@ -544,7 +586,12 @@ def _compile_alternation(
 
     def measure_col(expr: str):
         if _MEASURE_CLASSIFIER.match(expr):
-            return F.col("pattern")
+            out = None
+            for lab, fname in final_by_label.items():
+                cond = F.col("pattern") == lab
+                lit = F.lit(fname)
+                out = F.when(cond, lit) if out is None else out.when(cond, lit)
+            return out
         if am := _MEASURE_ANCHOR.match(expr):
             col = am.group(1).lower()
             if col == order.lower():

@@ -1380,6 +1380,85 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_permute",
+    oracle=_ISLANDS_CTE.format(max_user=80).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, cand AS (
+  SELECT d.user_id, d.sp AS anchor_day, u.ed AS end_day, 0 AS bidx,
+         'up' AS cls, d.ln AS n_down, u.ln AS n_up,
+         CAST(d.ed AS BIGINT) AS d_end, CAST(u.ed AS BIGINT) AS u_end
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+  UNION ALL
+  SELECT u.user_id, u.sp, d.ed, 1, 'down', d.ln, u.ln,
+         CAST(d.ed AS BIGINT), CAST(u.ed AS BIGINT)
+  FROM isl u
+  JOIN isl d ON d.user_id = u.user_id AND u.dir = 1 AND d.dir = -1
+            AND d.sp = u.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND (c2.anchor_day < c.anchor_day
+           OR (c2.anchor_day = c.anchor_day AND c2.bidx < c.bidx)))
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND (m.anchor_day < n.anchor_day
+           OR (m.anchor_day = n.anchor_day AND m.bidx < n.bidx)))
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, cls,
+       n_down, n_up, d_end, u_end
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMUTE at the SQL surface (late r11): ``PATTERN (STRT
+    PERMUTE(down+, up+))`` expands to the alternation of both orderings
+    (lexicographic listed-position preference, per the standard),
+    classifying every maximal two-island descent↔rebound sequence by
+    which came first — with the default skip-past greedy walk, which
+    here exercises INSIDE-anchored drops (an up-then-down candidate
+    anchors mid-span of a down-then-up match). The DuckDB oracle
+    reproduces exactly that sequential selection with a RECURSIVE
+    walk CTE: base = earliest candidate per partition (min anchor, min
+    branch at ties), step = unique next candidate past the kept end —
+    the first recursive oracle in the registry, proving the greedy
+    selection against real SQL rather than a relational special case.
+    Fresh slice: user_id < 80."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=80).createOrReplaceTempView(
+        "walden_mr_daily_perm"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, cls, n_down, n_up, d_end, u_end
+FROM walden_mr_daily_perm MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, CLASSIFIER() AS cls,
+           COUNT(down.*) AS n_down, COUNT(up.*) AS n_up,
+           LAST(down.day) AS d_end, LAST(up.day) AS u_end
+  ONE ROW PER MATCH
+  PATTERN (STRT PERMUTE(down+, up+))
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)
     + """

@@ -111,6 +111,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_alternation",
     "win_pattern_sql_alt_all_rows",
     "win_pattern_sql_subset",
+    "win_pattern_sql_permute",
     "text_stratum_cap",
     "events_type_pagerank",
     "tpcds_q29_bucketed",
@@ -128,7 +129,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tpch_q12",
     "tpch_q16",
     "udf_python_udtf",
-    "win_range_interval",
     # -- re-witness: stalest remaining (last hash-verified r04; the
     # remainder of this vintage rotates in r12) --
     "agg_percentile_exact",
@@ -143,10 +143,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
-    # sql_recursive_cte / setop_except / join_semi / join_left_outer
-    # displaced to r12 by the ten late-r11 additions above — new names
-    # join immediately, and their families stay window-covered by the
-    # entries kept here)
+    # sql_recursive_cte / setop_except / join_semi / join_left_outer —
+    # plus win_range_interval from the r03 block above — displaced to
+    # r12 by the eleven late-r11 additions; new names join immediately,
+    # and their families stay window-covered by the entries kept here)
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
