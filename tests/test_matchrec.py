@@ -106,8 +106,8 @@ def test_quantifier_bounds_reach_the_compiler(ws):
         (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "optional"),
         # alternation at the SQL surface
         (lambda q: q.replace("STRT d+ u+", "STRT d+ | u+"), "alternation"),
-        # grouping
-        (lambda q: q.replace("STRT d+ u+", "STRT (d u)+"), "grouped"),
+        # grouping anywhere but the repeated tail
+        (lambda q: q.replace("STRT d+ u+", "STRT d+ (d u)+"), "grouped"),
         # missing anchor
         (lambda q: q.replace("STRT d+ u+", "d+ u+"), "STRT anchor"),
         # both per-match row modes at once
@@ -513,6 +513,50 @@ SELECT * FROM mr_perm MATCH_RECOGNIZE (
 )
 """
         )
+
+
+def test_repeated_group_cycles(spark):
+    """PATTERN (STRT (d+ u+)+): maximal zigzag runs. pid 11 =
+    5 3 6 2 7 7 4 8 → islands d u d u f d u: one 2-cycle run (days
+    0..4, the flat breaks it) and one 1-cycle run (days 5..7); the
+    {2,} group bound keeps only the first."""
+    ws = WaldenSession(spark)
+    rows = [(11, d, float(v)) for d, v in enumerate([5, 3, 6, 2, 7, 7, 4, 8])]
+    spark.createDataFrame(rows, "pid int, day long, v double").createOrReplaceTempView(
+        "mr_cyc"
+    )
+    q = """
+SELECT pid, anchor_day, end_day, n_rows, n_d FROM mr_cyc MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(u.day) AS end_day,
+           COUNT(*) AS n_rows, COUNT(d.*) AS n_d
+  PATTERN (STRT (d+ u+){q})
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, anchor_day
+"""
+    got = ws.sql(q.format(q="+")).collect()
+    assert [(r.anchor_day, r.end_day, r.n_rows, r.n_d) for r in got] == [
+        (0, 4, 5, 2),
+        (5, 7, 3, 1),
+    ]
+    got2 = ws.sql(q.replace("{q}", "{2,}")).collect()
+    assert [(r.anchor_day, r.end_day, r.n_rows, r.n_d) for r in got2] == [
+        (0, 4, 5, 2)
+    ]
+    # bordered cycle class sequence → named error
+    with pytest.raises(MatchRecognizeError, match="border"):
+        ws.sql(
+            q.format(q="+").replace(
+                "(STRT (d+ u+){q})".format(q="+"), "(STRT (d+ u+ d2+ u2+)+)"
+            ).replace(
+                "DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)",
+                "DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), "
+                "d2 AS d2.v < PREV(d2.v), u2 AS u2.v > PREV(u2.v)",
+            )
+        )
+    # reluctant inside a group → named error
+    with pytest.raises(MatchRecognizeError, match="repeated group"):
+        ws.sql(q.format(q="+").replace("(d+ u+)", "(d+? u+)"))
 
 
 def test_select_skip_past_general_greedy(spark):

@@ -100,13 +100,18 @@ def classify_islands(
     dirs = seq.withColumn("dir", cls)
     wd = Window.partitionBy(partition_col, "dir").orderBy("_pos")
     runs = dirs.withColumn("_grp", F.col("_pos") - F.row_number().over(wd))
-    return runs.groupBy(partition_col, "dir", "_grp").agg(
+    isl = runs.groupBy(partition_col, "dir", "_grp").agg(
         F.min("_prev_ord").alias("start_prev"),
         F.min_by("_prev_val", "_pos").alias("anchor_val"),
         F.max(order_col).alias("end"),
         F.max_by(value_col, "_pos").alias("end_val"),
         F.count(F.lit(1)).cast("bigint").alias("len"),
     ).drop("_grp")
+    # island sequence number within the partition — consecutive islands
+    # are adjacent by construction, so iseq arithmetic expresses
+    # adjacency at the ISLAND level (match_cycles builds on this)
+    wi = Window.partitionBy(partition_col).orderBy("start_prev")
+    return isl.withColumn("iseq", F.row_number().over(wi).cast("bigint"))
 
 
 def match_pattern(
@@ -169,6 +174,7 @@ def match_pattern(
             F.col("end").alias(f"{step.name}_end"),
             F.col("end_val").alias(f"{step.name}_val"),
             F.col("len").alias(f"{step.name}_len"),
+            F.col("iseq").alias(f"{step.name}_iseq"),
         )
 
     chain = step_frame(steps[0])
@@ -184,6 +190,7 @@ def match_pattern(
         F.col(f"_p_{first}").alias(partition_col),
         F.col(f"{first}_start_prev").alias(f"anchor_{order_col}"),
         F.col(f"{first}_anchor_val").alias("anchor_val"),
+        F.col(f"{first}_iseq").alias("anchor_iseq"),
     ]
     for s in steps:
         keep += [
@@ -421,6 +428,91 @@ def expand_all_rows(
         *[F.col(c) for c in row_cols],
         cls.alias("classifier"),
     )
+
+
+def match_cycles(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    cycle_steps: list[Step],
+    min_cycles: int = 1,
+    max_cycles: int | None = None,
+    classifier=None,
+) -> DataFrame:
+    """Repeated-group patterns — ``PATTERN (STRT (X1+ X2+ … Xk+)+)``
+    (late r11): one row per MAXIMAL run of consecutive cycle matches.
+
+    Mechanism: compile one cycle with :func:`match_pattern` (each unit
+    match carries ``anchor_iseq``, its first island's sequence number),
+    then group CONSECUTIVE units with the islands trick one level up —
+    two chainable units sit exactly ``k`` islands apart (the next
+    cycle's first island starts on the previous cycle's last row), so
+    ``anchor_iseq − k·row_number()`` is constant along a run and jumps
+    at every break. Runs never overlap, even on boundary rows: the
+    island after a maximal run's end cannot start a unit (the run would
+    have continued), so every AFTER MATCH skip mode yields this same
+    relation.
+
+    Output per run: ``partition``, ``anchor_<order>``/``anchor_val``
+    (first cycle's anchor), ``n_cycles``, ``end``/``end_val`` (last
+    cycle's final row), and per step ``<name>_total_len`` (transitions
+    summed across cycles) and ``<name>_last_end``/``<name>_last_val``
+    (the step's final row in the LAST cycle — SQL:2016 LAST semantics).
+
+    Constraint (validated): the cycle's class sequence must be
+    UNBORDERED — no proper prefix of the classes equals a suffix
+    (e.g. ``(DOWN, UP, DOWN, UP)`` has border length 2). A border lets
+    two unit matches overlap at an offset smaller than ``k``, which
+    would make "maximal consecutive run" ill-defined; every bordered
+    cycle is a repetition of its shorter primitive cycle anyway, so the
+    error tells the caller to write that instead. (The border check
+    subsumes first-class == last-class, the length-1 border.)
+
+    Scale shape: everything after :func:`classify_islands` operates on
+    islands and unit matches (≪ rows); the run grouping is one window +
+    groupBy on the partition key already in hand."""
+    if not cycle_steps:
+        raise ValueError("cycle needs at least one step")
+    classes = [s.dir for s in cycle_steps]
+    k0 = len(classes)
+    for d in range(1, k0):
+        if classes[:k0 - d] == classes[d:]:
+            raise ValueError(
+                f"cycle class sequence {classes} has a border at offset "
+                f"{d} — unit matches could overlap and the maximal run "
+                "would be ill-defined; rewrite with the primitive "
+                "(unbordered) cycle"
+            )
+    if min_cycles < 1:
+        raise ValueError("min_cycles must be >= 1")
+    k = len(cycle_steps)
+    units = match_pattern(
+        df, partition_col, order_col, value_col, cycle_steps, classifier
+    )
+    wu = Window.partitionBy(partition_col).orderBy("anchor_iseq")
+    runs = units.withColumn(
+        "_grp", F.col("anchor_iseq") - k * F.row_number().over(wu)
+    )
+    last = cycle_steps[-1].name
+    aggs = [
+        F.min(f"anchor_{order_col}").alias(f"anchor_{order_col}"),
+        F.min_by("anchor_val", "anchor_iseq").alias("anchor_val"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cycles"),
+        F.max(f"{last}_end").alias("end"),
+        F.max_by(f"{last}_val", "anchor_iseq").alias("end_val"),
+    ]
+    for s in cycle_steps:
+        aggs += [
+            F.sum(f"{s.name}_len").cast("bigint").alias(f"{s.name}_total_len"),
+            F.max_by(f"{s.name}_end", "anchor_iseq").alias(f"{s.name}_last_end"),
+            F.max_by(f"{s.name}_val", "anchor_iseq").alias(f"{s.name}_last_val"),
+        ]
+    out = runs.groupBy(partition_col, "_grp").agg(*aggs).drop("_grp")
+    out = out.filter(F.col("n_cycles") >= min_cycles)
+    if max_cycles is not None:
+        out = out.filter(F.col("n_cycles") <= max_cycles)
+    return out
 
 
 def match_any(

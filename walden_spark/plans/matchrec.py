@@ -62,6 +62,7 @@ from walden_spark.operators.pattern import (
     Step,
     expand_all_rows,
     match_any,
+    match_cycles,
     match_pattern,
     select_skip_past,
     select_skip_to,
@@ -256,11 +257,15 @@ def _parse_pattern(text: str) -> list[list[tuple[str, int, int | None]]]:
     return [_parse_steps(inner)]
 
 
-def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
+def _parse_tokens(inner: str) -> list[tuple[str, int, int | None, bool]]:
+    """Quantified step tokens ``X<q> Y<q> …`` →
+    [(name, min, max, reluctant), …] — shared by plain patterns (which
+    prepend the STRT anchor) and group-cycle bodies (which don't)."""
     for bad, why in (
         ("|", "nested alternation is out of class (top-level "
               "(…) | (…) branches are the supported alternation form)"),
-        ("(", "grouped sub-patterns are out of class"),
+        ("(", "grouped sub-patterns are out of class (the served group "
+              "form is the repeated tail PATTERN (STRT (X+ Y+ …)<q>))"),
         ("*", "'*' allows an empty step — islands are maximal non-empty runs"),
         ("^", "partition anchors are out of class"),
         ("$", "partition anchors are out of class"),
@@ -303,6 +308,11 @@ def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
                 raise MatchRecognizeError(f"step {name}: empty bound {{{lo},{hi}}}")
             toks.append((name, lo_i, hi_i, reluctant))
         pos = m.end()
+    return toks
+
+
+def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
+    toks = _parse_tokens(inner)
     if not toks or toks[0][0].upper() != "STRT" or toks[0][1:] != (1, 1, False):
         raise MatchRecognizeError("PATTERN must begin with the bare STRT anchor")
     if len(toks) < 2:
@@ -456,6 +466,108 @@ def _project_all_rows(
         out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
     out_cols += [F.col(c) for c in row_cols]
     return expanded.select(*out_cols)
+
+
+_GROUP_CYCLE = re.compile(
+    r"^STRT\s+\((.+)\)\s*(\+|\{\s*(\d+)\s*(,\s*(\d*))?\s*\})$", re.DOTALL
+)
+_MEASURE_COUNT_STAR = re.compile(r"^COUNT\s*\(\s*\*\s*\)$", re.IGNORECASE)
+
+
+def _compile_cycles(
+    source: DataFrame,
+    part: str,
+    order: str,
+    value: str,
+    steps: list[Step],
+    bounds: tuple[int, int | None],
+    clauses: dict[str, str],
+    all_rows: bool,
+    subsets: dict[str, list[str]],
+) -> DataFrame:
+    """Repeated group tail ``PATTERN (STRT (X+ Y+ …)<q>)`` (late r11):
+    one row per MAXIMAL run of consecutive cycle matches, compiled by
+    :func:`walden_spark.operators.pattern.match_cycles` (cycle matches
+    grouped with the islands trick one level up; the group quantifier
+    bounds the cycle count). Maximal runs never overlap — even on
+    boundary rows — so AFTER MATCH is restricted to SKIP PAST LAST ROW
+    / omitted (every mode would yield the same relation). Measures:
+    STRT.<col>, LAST(X.<col>) (the step's final row in the LAST
+    cycle), COUNT(X.*) (the step's transitions summed across cycles),
+    and COUNT(*) (all rows of the match: 1 + total transitions)."""
+    if all_rows:
+        raise MatchRecognizeError(
+            "ALL ROWS PER MATCH with a repeated group is out of class"
+        )
+    if subsets:
+        raise MatchRecognizeError(
+            "SUBSET with a repeated group is out of class"
+        )
+    after = clauses.get("AFTER MATCH")
+    if after is not None and not re.fullmatch(
+        r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
+    ):
+        raise MatchRecognizeError(
+            f"AFTER MATCH {after!r} with a repeated group: maximal cycle "
+            "runs never overlap, so only SKIP PAST LAST ROW (or omitting "
+            "the clause) is in class"
+        )
+    try:
+        matched = match_cycles(
+            source, part, order, value, steps,
+            min_cycles=bounds[0], max_cycles=bounds[1],
+        )
+    except ValueError as ex:
+        raise MatchRecognizeError(str(ex)) from ex
+    step_names = {s.name for s in steps}
+    total_rows = F.lit(1)
+    for s in steps:
+        total_rows = total_rows + F.col(f"{s.name}_total_len")
+
+    def measure_col(expr: str):
+        if _MEASURE_COUNT_STAR.match(expr):
+            return total_rows.cast("bigint")
+        if am := _MEASURE_ANCHOR.match(expr):
+            col = am.group(1).lower()
+            if col == order.lower():
+                return F.col(f"anchor_{order}")
+            if col == value.lower():
+                return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"STRT.{am.group(1)}: only the ORDER BY ({order}) or DEFINE "
+                f"value ({value}) column is available on the anchor"
+            )
+        if lm := _MEASURE_LAST.match(expr):
+            var, col = lm.group(1).lower(), lm.group(2).lower()
+            if var not in step_names:
+                raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
+            if col == order.lower():
+                return F.col(f"{var}_last_end")
+            if col == value.lower():
+                return F.col(f"{var}_last_val")
+            raise MatchRecognizeError(
+                f"LAST({lm.group(1)}.{lm.group(2)}): only the ORDER BY or "
+                "DEFINE value column is carried per step"
+            )
+        if cm := _MEASURE_COUNT.match(expr):
+            var = cm.group(1).lower()
+            if var not in step_names:
+                raise MatchRecognizeError(f"COUNT({cm.group(1)}.*): unknown step")
+            return F.col(f"{var}_total_len")
+        raise MatchRecognizeError(
+            f"measure {expr!r} is out of class under a repeated group "
+            "(STRT.<col> / LAST(X.<col>) / COUNT(X.*) / COUNT(*))"
+        )
+
+    out_cols = [F.col(part)]
+    for item in _split_top_commas(clauses["MEASURES"]):
+        mm = re.fullmatch(
+            r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(), re.IGNORECASE | re.DOTALL
+        )
+        if not mm:
+            raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+        out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
+    return matched.select(*out_cols)
 
 
 def _compile_alternation(
@@ -667,8 +779,39 @@ def compile_match_recognize(
             raise MatchRecognizeError(
                 f"{label} {col!r}: a single plain column is required"
             )
-    # pattern + defines → compiler steps
-    toks = _parse_pattern(clauses["PATTERN"])
+    # pattern + defines → compiler steps. A repeated group tail —
+    # PATTERN (STRT (X+ Y+ …)<q>) — routes to the cycle compiler.
+    cycle_bounds = None
+    ptext = clauses["PATTERN"].strip()
+    gm = None
+    if ptext.startswith("(") and ptext.endswith(")"):
+        gm = _GROUP_CYCLE.match(ptext[1:-1].strip())
+    if gm:
+        gtoks = _parse_tokens(gm.group(1).strip())
+        if not gtoks:
+            raise MatchRecognizeError("empty repeated group")
+        if any(t[3] for t in gtoks):
+            raise MatchRecognizeError(
+                "reluctant quantifiers inside a repeated group are out of "
+                "class"
+            )
+        if gm.group(2) == "+":
+            cycle_bounds = (1, None)
+        else:
+            lo_i = int(gm.group(3))
+            if lo_i < 1:
+                raise MatchRecognizeError(
+                    "group quantifier {0,…} allows an empty match — out of "
+                    "class"
+                )
+            hi = gm.group(5)
+            hi_i = None if hi == "" else (int(hi) if hi is not None else lo_i)
+            if hi_i is not None and hi_i < lo_i:
+                raise MatchRecognizeError("empty group bound")
+            cycle_bounds = (lo_i, hi_i)
+        toks = [[(n, lo, hi2) for n, lo, hi2, _ in gtoks]]
+    else:
+        toks = _parse_pattern(clauses["PATTERN"])
     defines: dict[str, tuple[int, str]] = {}
     for item in _split_top_commas(clauses["DEFINE"]):
         m = _DEFINE_ITEM.match(item.strip())
@@ -753,6 +896,11 @@ def compile_match_recognize(
     if len(branches) > 1:
         return _compile_alternation(
             source, part, order, value, branches, clauses, all_rows
+        )
+    if cycle_bounds is not None:
+        return _compile_cycles(
+            source, part, order, value, branches[0], cycle_bounds,
+            clauses, all_rows, subsets,
         )
     steps = branches[0]
     # AFTER MATCH: SKIP PAST LAST ROW (Trino's default, also what an

@@ -1459,6 +1459,71 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_cycles",
+    oracle=_ISLANDS_CTE.format(max_user=85)
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id, d.iseq AS useq, d.sp AS a_day, d.av AS a_n,
+         d.ln AS d_ln, u.ln AS u_ln, u.ed AS u_end, u.ev AS u_ev
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+)
+SELECT user_id,
+       CAST(MIN(a_day) AS BIGINT) AS anchor_day,
+       CAST(MAX(u_end) AS BIGINT) AS end_day,
+       CAST(1 + SUM(d_ln) + SUM(u_ln) AS BIGINT) AS span_rows,
+       CAST(SUM(d_ln) AS BIGINT) AS total_down,
+       CAST(arg_max(u_ev, useq) AS BIGINT) AS end_n
+FROM cruns GROUP BY user_id, grp
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated group patterns (late r11 — the grouped-sub-pattern row,
+    repetition case): ``PATTERN (STRT (down+ up+)+)`` emits one row per
+    MAXIMAL zigzag run — consecutive descent→rebound cycles — via
+    :func:`walden_spark.operators.pattern.match_cycles`: cycle matches
+    carry their first island's sequence number and group with the
+    islands trick one level up (consecutive units sit exactly k islands
+    apart). Measures: run anchor/end, COUNT(*) (all rows of the match),
+    COUNT(down.*) (descent transitions across cycles), LAST(up.n) (the
+    final cycle's last value). The DuckDB oracle runs the identical
+    island-level construction (iseq adjacency join + useq−2·row_number
+    grouping). Fresh slice: user_id < 85."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=85).createOrReplaceTempView(
+        "walden_mr_daily_cyc"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, end_day,
+       span_rows, n_d AS total_down, end_n
+FROM walden_mr_daily_cyc MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(up.day) AS end_day,
+           COUNT(*) AS span_rows, COUNT(down.*) AS n_d,
+           LAST(up.n) AS end_n
+  PATTERN (STRT (down+ up+)+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)
     + """
