@@ -16,29 +16,39 @@ raises :class:`MatchRecognizeError` naming the limit — the documented
 out-of-class surface lives in DEVIATIONS.md):
 
 * ``PARTITION BY <col>`` and ``ORDER BY <col>`` — single columns.
-* ``MEASURES`` items over ``STRT.<col>`` (the match anchor row),
-  ``LAST(X.<col>)`` (a step's final row), and ``COUNT(X.*)`` (a
-  step's row count), each ``AS`` an alias; ``<col>`` is the ORDER BY
-  or the DEFINE value column. Arithmetic over measures belongs in the
-  outer SELECT (the clause compiles to a relation, so any Spark SQL
-  expression works there).
-* ``ONE ROW PER MATCH`` (the default) or ``ALL ROWS PER MATCH`` (r11):
-  all-rows mode emits every covered input row per match with the
-  measure class CLASSIFIER() / MATCH_NUMBER() / STRT.<col>, via
-  :func:`walden_spark.operators.pattern.expand_all_rows`.
-* ``AFTER MATCH SKIP PAST LAST ROW`` (the SQL-standard default, also
-  what an omitted clause means — served as the greedy non-overlap
-  selection over the compiled match set,
-  :func:`walden_spark.operators.pattern.select_skip_past`) or
-  ``AFTER MATCH SKIP TO LAST <laststep>`` (the compiler's native
-  overlap semantics: a match's final row may anchor the next match).
-  Other skip modes (TO NEXT ROW, TO FIRST/LAST of a non-final step)
-  stay out of class.
-* ``PATTERN (STRT X1<q> X2<q> …)`` — the STRT anchor followed by
-  steps, each quantified ``+`` / ``{m}`` / ``{m,}`` / ``{m,n}`` (greedy;
-  a bare name means exactly one). Reluctant quantifiers (``+?``),
-  ``*``/``?`` (empty steps), alternation, PERMUTE, grouping, and
-  anchors are out of class.
+* ``MEASURES`` (ONE ROW PER MATCH): ``STRT.<col>`` (the anchor row),
+  ``LAST(X.<col>)`` (a step's final row), ``COUNT(X.*)`` (a step's
+  run length), with X a pattern variable or a SUBSET union variable;
+  each ``AS`` an alias; ``<col>`` is the ORDER BY or the DEFINE value
+  column. Arithmetic over measures belongs in the outer SELECT (the
+  clause compiles to a relation, so any Spark SQL expression works
+  there).
+* ``ONE ROW PER MATCH`` (the default) or ``ALL ROWS PER MATCH``:
+  all-rows mode emits every covered input row per match via
+  :func:`walden_spark.operators.pattern.expand_all_rows`; measures
+  there are CLASSIFIER() / MATCH_NUMBER() / STRT.<col>, plus per-step
+  ``FINAL LAST/COUNT`` (match constants) and bare ``LAST``/``COUNT``
+  with the standard's RUNNING semantics (per-row prefix aggregates).
+* ``AFTER MATCH``: ``SKIP PAST LAST ROW`` (the SQL-standard default,
+  also what an omitted clause means — the greedy non-overlap walk,
+  :func:`walden_spark.operators.pattern.select_skip_past`), ``SKIP TO
+  LAST <any step>`` (inclusive walk resuming at that step's final row,
+  :func:`walden_spark.operators.pattern.select_skip_to`), or ``SKIP TO
+  FIRST <non-first step>`` (≡ TO LAST of the previous step). SKIP TO
+  NEXT ROW stays out of class (it can re-anchor on a suffix of a
+  maximal run — outside the compiled candidate set).
+* ``PATTERN``: ``(STRT X1<q> X2<q> …)`` with quantifiers ``+`` /
+  ``{m}`` / ``{m,}`` / ``{m,n}`` (greedy maximal-run; a bare name means
+  exactly one) and reluctant spellings on NON-final steps (provably ≡
+  greedy in this class); top-level alternation ``((STRT …) | (STRT
+  …))`` with leftmost preference; ``(STRT PERMUTE(e1, …, ek))`` for
+  k ≤ 4 (alternation of all orderings); and the repeated group tail
+  ``(STRT (X+ Y+ …)<q>)`` (maximal consecutive-cycle runs,
+  :func:`walden_spark.operators.pattern.match_cycles`). Zero-width
+  quantifiers, anchors, mid-pattern/nested groups, and reluctant
+  final steps are out of class.
+* ``SUBSET U = (A, B, …)`` — union variables, resolved statically
+  (single-branch patterns).
 * ``DEFINE Xj AS Xj.<v> <op> PREV(Xj.<v>)`` with ``<op>`` one of
   ``<``/``>``/``=`` — the direction classes (DOWN/UP/FLAT) over one
   shared value column. Every step must be DEFINEd (an undefined
@@ -69,14 +79,16 @@ from walden_spark.operators.pattern import (
 )
 
 _LIMITS = (
-    " — supported class: PARTITION BY <col> ORDER BY <col>, MEASURES of "
-    "STRT.<col> / LAST(X.<col>) / COUNT(X.*) (ONE ROW PER MATCH) or "
-    "CLASSIFIER() / MATCH_NUMBER() / STRT.<col> (ALL ROWS PER MATCH), "
-    "ONE ROW PER MATCH or ALL ROWS PER MATCH, AFTER MATCH SKIP PAST LAST "
-    "ROW (the default) or SKIP TO LAST <last step>, "
-    "PATTERN (STRT X1+ X2{m,n} …), "
-    "DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md (row-pattern "
-    "class) for the documented out-of-class surface"
+    " — supported class: PARTITION BY <col> ORDER BY <col>; MEASURES "
+    "STRT.<col> / LAST(X.<col>) / COUNT(X.*) (one-row; X may be a SUBSET "
+    "union) or CLASSIFIER() / MATCH_NUMBER() / STRT.<col> / FINAL or "
+    "RUNNING LAST/COUNT (all-rows); ONE ROW or ALL ROWS PER MATCH; AFTER "
+    "MATCH SKIP PAST LAST ROW (default) / SKIP TO LAST <step> / SKIP TO "
+    "FIRST <non-first step>; PATTERN (STRT X1+ X2{m,n} …) with non-final "
+    "reluctant spellings, ((STRT …) | (STRT …)) alternation, "
+    "PERMUTE(≤4), and the repeated tail (STRT (X+ Y+ …)<q>); SUBSET "
+    "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
+    "(row-pattern class) for the documented out-of-class surface"
 )
 
 
