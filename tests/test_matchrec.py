@@ -559,6 +559,31 @@ SELECT pid, anchor_day, end_day, n_rows, n_d FROM mr_cyc MATCH_RECOGNIZE (
         ws.sql(q.format(q="+").replace("(d+ u+)", "(d+? u+)"))
 
 
+def test_threshold_defines(ws):
+    """Constant-comparison DEFINEs (threshold classes): pid 1 =
+    5 3 2 4 6 6 1 with hi = v >= 4 / lo = v < 4 classifies rows into
+    bands; PATTERN (STRT lo+ hi+) finds the dip-then-band-recovery at
+    anchor day 0 (rows 1-2 lo, rows 3-5 hi). Overlapping intervals and
+    mixed PREV/constant sets raise named limits."""
+    q = """
+SELECT pid, anchor_day, lo_end, hi_end, n_lo, n_hi
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(lo.day) AS lo_end,
+           LAST(hi.day) AS hi_end, COUNT(lo.*) AS n_lo, COUNT(hi.*) AS n_hi
+  PATTERN (STRT lo+ hi+)
+  DEFINE lo AS lo.v < 4, hi AS hi.v >= 4
+) ORDER BY pid, anchor_day
+"""
+    rows = ws.sql(q).collect()
+    assert [(r.pid, r.anchor_day, r.lo_end, r.hi_end, r.n_lo, r.n_hi)
+            for r in rows] == [(1, 0, 2, 5, 2, 3)]
+    with pytest.raises(MatchRecognizeError, match="overlap"):
+        ws.sql(q.replace("hi AS hi.v >= 4", "hi AS hi.v >= 2"))
+    with pytest.raises(MatchRecognizeError, match="mixed|ALL"):
+        ws.sql(q.replace("hi AS hi.v >= 4", "hi AS hi.v > PREV(hi.v)"))
+
+
 def test_select_skip_past_general_greedy(spark):
     """The pandas selection is the general greedy, not just the
     boundary-overlap case: intervals that overlap mid-span (the W-shape

@@ -49,11 +49,15 @@ out-of-class surface lives in DEVIATIONS.md):
   final steps are out of class.
 * ``SUBSET U = (A, B, …)`` — union variables, resolved statically
   (single-branch patterns).
-* ``DEFINE Xj AS Xj.<v> <op> PREV(Xj.<v>)`` with ``<op>`` one of
-  ``<``/``>``/``=`` — the direction classes (DOWN/UP/FLAT) over one
-  shared value column. Every step must be DEFINEd (an undefined
-  variable matches any row — out of class); STRT must stay undefined
-  (it is the anchor). DEFINEs over full-match aggregates are served by
+* ``DEFINE``: either ALL items ``Xj AS Xj.<v> <op> PREV(Xj.<v>)`` with
+  ``<op>`` of ``<``/``>``/``=`` (the direction classes DOWN/UP/FLAT),
+  or ALL items ``Xj AS Xj.<v> <op> <number>`` with ``<op>`` of
+  ``<``/``<=``/``>``/``>=``/``=`` whose intervals are pairwise DISJOINT
+  (threshold classes — spikes/outages/bands; validated, since classes
+  must partition the rows) — over one shared value column either way.
+  Every step must be DEFINEd (an undefined variable matches any row —
+  out of class); STRT must stay undefined (it is the anchor). DEFINEs
+  over full-match aggregates are served by
   :func:`walden_spark.operators.pattern.span_measures`, not this
   clause.
 """
@@ -119,6 +123,39 @@ _DEFINE_ITEM = re.compile(
     r"PREV\s*\(\s*\1\s*\.\s*([A-Za-z_]\w*)\s*\)$",
     re.IGNORECASE,
 )
+_DEFINE_CONST = re.compile(
+    r"^([A-Za-z_]\w*)\s+AS\s+\1\s*\.\s*([A-Za-z_]\w*)\s*(<=|>=|<|>|=)\s*"
+    r"(-?\d+(?:\.\d+)?)$",
+    re.IGNORECASE,
+)
+
+
+def _const_interval(op: str, k: float):
+    """(lo, lo_closed, hi, hi_closed) with None = unbounded."""
+    return {
+        "<": (None, False, k, False),
+        "<=": (None, False, k, True),
+        ">": (k, False, None, False),
+        ">=": (k, True, None, False),
+        "=": (k, True, k, True),
+    }[op]
+
+
+def _strictly_before(x, y) -> bool:
+    """Interval x ends before y begins (no shared point)."""
+    xhi, xhic = x[2], x[3]
+    ylo, yloc = y[0], y[1]
+    if xhi is None or ylo is None:
+        return False
+    if xhi < ylo:
+        return True
+    return xhi == ylo and not (xhic and yloc)
+
+
+def _intervals_overlap(a, b) -> bool:
+    return not (_strictly_before(a, b) or _strictly_before(b, a))
+
+
 _MEASURE_ANCHOR = re.compile(r"^STRT\s*\.\s*([A-Za-z_]\w*)$", re.IGNORECASE)
 _MEASURE_LAST = re.compile(
     r"^LAST\s*\(\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*\)$", re.IGNORECASE
@@ -496,6 +533,7 @@ def _compile_cycles(
     clauses: dict[str, str],
     all_rows: bool,
     subsets: dict[str, list[str]],
+    classifier=None,
 ) -> DataFrame:
     """Repeated group tail ``PATTERN (STRT (X+ Y+ …)<q>)`` (late r11):
     one row per MAXIMAL run of consecutive cycle matches, compiled by
@@ -528,6 +566,7 @@ def _compile_cycles(
         matched = match_cycles(
             source, part, order, value, steps,
             min_cycles=bounds[0], max_cycles=bounds[1],
+            classifier=classifier,
         )
     except ValueError as ex:
         raise MatchRecognizeError(str(ex)) from ex
@@ -590,6 +629,7 @@ def _compile_alternation(
     branches: list[list[Step]],
     clauses: dict[str, str],
     all_rows: bool,
+    classifier=None,
 ) -> DataFrame:
     """Top-level PATTERN alternation at the SQL surface (r11):
     ``PATTERN ((STRT …) | (STRT …) …)`` compiles every branch through
@@ -629,7 +669,7 @@ def _compile_alternation(
         lab: b[-1].name for lab, b in zip(labels, branches)
     }
     patterns = dict(zip(labels, branches))
-    m = match_any(source, part, order, value, patterns)
+    m = match_any(source, part, order, value, patterns, classifier=classifier)
     anchor = f"anchor_{order}"
     bidx = None
     endc = None
@@ -825,34 +865,87 @@ def compile_match_recognize(
     else:
         toks = _parse_pattern(clauses["PATTERN"])
     defines: dict[str, tuple[int, str]] = {}
+    const_defs: dict[str, tuple[str, float, str]] = {}
     for item in _split_top_commas(clauses["DEFINE"]):
-        m = _DEFINE_ITEM.match(item.strip())
-        if not m:
+        it = item.strip()
+        if m := _DEFINE_ITEM.match(it):
+            name, vcol, op, vcol2 = m.group(1), m.group(2), m.group(3), m.group(4)
+            if vcol.lower() != vcol2.lower():
+                raise MatchRecognizeError(
+                    f"DEFINE {name}: value columns differ ({vcol} vs {vcol2})"
+                )
+            if op not in _DIR_BY_OP:
+                raise MatchRecognizeError(
+                    f"DEFINE {name}: operator {op!r} is out of class"
+                )
+            kind = "prev"
+        elif m := _DEFINE_CONST.match(it):
+            name, vcol, op = m.group(1), m.group(2), m.group(3)
+            kind = "const"
+        else:
             raise MatchRecognizeError(
-                f"DEFINE {item!r}: only X AS X.<v> <|>|= PREV(X.<v>) is in "
-                "class (full-match aggregates are served by "
-                "operators.pattern.span_measures)"
-            )
-        name, vcol, op, vcol2 = m.group(1), m.group(2), m.group(3), m.group(4)
-        if vcol.lower() != vcol2.lower():
-            raise MatchRecognizeError(
-                f"DEFINE {name}: value columns differ ({vcol} vs {vcol2})"
-            )
-        if op not in _DIR_BY_OP:
-            raise MatchRecognizeError(
-                f"DEFINE {name}: operator {op!r} is out of class"
+                f"DEFINE {it!r}: only X AS X.<v> <|>|= PREV(X.<v>) "
+                "(direction classes) or X AS X.<v> <op> <number> "
+                "(threshold classes) are in class (full-match aggregates "
+                "are served by operators.pattern.span_measures)"
             )
         if name.upper() == "STRT":
             raise MatchRecognizeError("STRT is the anchor and must stay undefined")
-        if name.lower() in defines:
+        if name.lower() in defines or name.lower() in const_defs:
             raise MatchRecognizeError(f"duplicate DEFINE for {name}")
-        defines[name.lower()] = (_DIR_BY_OP[op], vcol)
-    value_cols = {v for _, v in defines.values()}
-    if len(value_cols) != 1:
+        if kind == "prev":
+            defines[name.lower()] = (_DIR_BY_OP[op], vcol)
+        else:
+            const_defs[name.lower()] = (op, float(m.group(4)), vcol)
+    if defines and const_defs:
         raise MatchRecognizeError(
-            f"DEFINEs must share one value column, got {sorted(value_cols)}"
+            "DEFINEs must be ALL PREV comparisons (direction classes) or "
+            "ALL constant comparisons (threshold classes) — a mixed set "
+            "cannot partition the transitions"
         )
-    value = value_cols.pop()
+    clf = None  # None → the default delta-sign classifier
+    if const_defs:
+        # threshold classes (late r11): classes are disjoint intervals of
+        # the value column, routed through the compiler's pluggable
+        # classifier — class i = "the CURRENT row's value lies in
+        # interval i", matching DEFINE X AS X.<v> <op> <k> row semantics
+        # (the anchor row stays unconstrained, STRT being undefined)
+        value_cols = {v for _, _, v in const_defs.values()}
+        if len(value_cols) != 1:
+            raise MatchRecognizeError(
+                f"DEFINEs must share one value column, got {sorted(value_cols)}"
+            )
+        value = value_cols.pop()
+        items = list(const_defs.items())
+        ivs = [(n, _const_interval(op, k)) for n, (op, k, _) in items]
+        for i in range(len(ivs)):
+            for j in range(i + 1, len(ivs)):
+                if _intervals_overlap(ivs[i][1], ivs[j][1]):
+                    raise MatchRecognizeError(
+                        f"DEFINE {ivs[i][0]} and {ivs[j][0]}: threshold "
+                        "predicates overlap — classes must PARTITION the "
+                        "rows (make the intervals disjoint)"
+                    )
+
+        def clf(cur, prev, _items=tuple(items)):
+            out = None
+            for i, (_n, (op, k, _v)) in enumerate(_items):
+                cond = {
+                    "<": cur < k, "<=": cur <= k,
+                    ">": cur > k, ">=": cur >= k, "=": cur == k,
+                }[op]
+                lit = F.lit(i)
+                out = F.when(cond, lit) if out is None else out.when(cond, lit)
+            return out.otherwise(F.lit(-1))
+
+        defines = {n: (i, value) for i, (n, _spec) in enumerate(items)}
+    else:
+        value_cols = {v for _, v in defines.values()}
+        if len(value_cols) != 1:
+            raise MatchRecognizeError(
+                f"DEFINEs must share one value column, got {sorted(value_cols)}"
+            )
+        value = value_cols.pop()
     branches: list[list[Step]] = []
     for branch_toks in toks:
         steps = []
@@ -907,12 +1000,13 @@ def compile_match_recognize(
             subsets[uname] = members
     if len(branches) > 1:
         return _compile_alternation(
-            source, part, order, value, branches, clauses, all_rows
+            source, part, order, value, branches, clauses, all_rows,
+            classifier=clf,
         )
     if cycle_bounds is not None:
         return _compile_cycles(
             source, part, order, value, branches[0], cycle_bounds,
-            clauses, all_rows, subsets,
+            clauses, all_rows, subsets, classifier=clf,
         )
     steps = branches[0]
     # AFTER MATCH: SKIP PAST LAST ROW (Trino's default, also what an
@@ -952,7 +1046,7 @@ def compile_match_recognize(
             else:
                 resume_step = steps[j].name
     # measures → columns of the match_pattern output
-    matched = match_pattern(source, part, order, value, steps)
+    matched = match_pattern(source, part, order, value, steps, classifier=clf)
     if resume_step is None:
         matched = select_skip_past(
             matched, part, f"anchor_{order}", f"{steps[-1].name}_end"

@@ -1523,6 +1523,103 @@ ORDER BY user_id, anchor_day
     )
 
 
+_THRESHOLD_CTE = """
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 90 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n >= 5 THEN 1 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+)
+"""
+
+
+@query(
+    "win_pattern_sql_threshold",
+    oracle=_THRESHOLD_CTE
+    + """
+, m AS (
+  SELECT h.user_id, h.sp AS anchor_day, h.av AS anchor_n,
+         h.ed AS burst_end, h.ln AS n_hi,
+         l.ed AS quiet_end, l.ln AS n_lo
+  FROM isl h
+  JOIN isl l ON l.user_id = h.user_id AND h.dir = 1 AND l.dir = 0
+            AND l.sp = h.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(quiet_end)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM m
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(burst_end AS BIGINT) AS burst_end, n_hi,
+       CAST(quiet_end AS BIGINT) AS quiet_end, n_lo
+FROM r WHERE pos % 2 = 1
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-class DEFINEs (late r11 — DEFINE beyond PREV
+    comparisons): ``DEFINE hi AS hi.n >= 5, lo AS lo.n < 5`` classifies
+    each row into disjoint value bands (validated pairwise-disjoint —
+    classes must partition the rows), routed through the compiler's
+    pluggable classifier; ``PATTERN (STRT hi+ lo+)`` finds burst→quiet
+    transitions (the canonical spike/outage detection shape) under the
+    default skip-past greedy walk. The DuckDB oracle classifies on the
+    same CASE, builds the same maximal band islands, and applies the
+    chain/odd greedy filter (binary band classes ⇒ boundary-only
+    overlap). Fresh slice: user_id < 90."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=90).createOrReplaceTempView(
+        "walden_mr_daily_thr"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, burst_end, n_hi, quiet_end, n_lo
+FROM walden_mr_daily_thr MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(hi.day) AS burst_end, COUNT(hi.*) AS n_hi,
+           LAST(lo.day) AS quiet_end, COUNT(lo.*) AS n_lo
+  PATTERN (STRT hi+ lo+)
+  DEFINE hi AS hi.n >= 5, lo AS lo.n < 5
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
 @query(
     "win_pattern_sql_vshape",
     oracle=_ISLANDS_CTE.format(max_user=60)

@@ -113,6 +113,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_subset",
     "win_pattern_sql_permute",
     "win_pattern_sql_cycles",
+    "win_pattern_sql_threshold",
     "text_stratum_cap",
     "events_type_pagerank",
     "tpcds_q29_bucketed",
@@ -125,7 +126,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_count_distinct",
     "dedup_embedding_lsh",
     "join_full_outer",
-    "setop_except_all",
     "topk_with_ties",
     "tpch_q16",
     "udf_python_udtf",
@@ -144,10 +144,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
     # sql_recursive_cte / setop_except / join_semi / join_left_outer —
-    # plus win_range_interval and tpch_q12 from the r03 block above —
-    # displaced to r12 by the twelve late-r11 additions; new names join
-    # immediately, and their families stay window-covered by the
-    # entries kept here)
+    # plus win_range_interval, tpch_q12, and setop_except_all from the
+    # r03 block above — displaced to r12 by the thirteen late-r11
+    # additions; new names join immediately, and their families stay
+    # window-covered by the entries kept here)
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
