@@ -282,28 +282,46 @@ def _greedy_select(
     anchor is past the previous KEPT match's resume point
     (``resume_col``; ``inclusive`` keeps an anchor ON the resume row —
     SKIP TO semantics — while exclusive demands strictly after — SKIP
-    PAST). Sequential per partition by nature, so it runs as a pandas
-    pass over the MATCHES frame (orders of magnitude smaller than the
-    input, one row per match), never over the rows."""
+    PAST). Sequential per partition KEY by nature, so it runs as a
+    pandas pass over the MATCHES frame (orders of magnitude smaller
+    than the input, one row per match), never over the rows.
+
+    Batching (late-r11 probe finding): grouping the Arrow exchange by
+    the partition key itself costs one Python-worker round trip per
+    KEY — a few ms each, which dominated everything at 10^4+ keys
+    (tools/pattern_scale_probe.py measured the walk at 10.3 s for 7.7k
+    matches, 4x the whole classify+chain pipeline, growing linearly in
+    keys). The exchange is therefore grouped by a 64-bucket HASH of
+    the key and the per-key walk runs INSIDE the pandas function
+    (pandas groupby) — same result, bounded worker invocations, and
+    still parallel across buckets at any key count."""
+    import pandas as pd
+
     schema = matches.schema
 
     def pick(pdf):
-        # positional access: itertuples/getattr would mangle helper
-        # columns like __end (leading-underscore rename in pandas)
-        pdf = pdf.sort_values(anchor_col, kind="mergesort")
-        anchors = pdf[anchor_col].to_numpy()
-        resumes = pdf[resume_col].to_numpy()
-        keep = []
-        bound = None
-        for i in range(len(pdf)):
-            if bound is None or (
-                anchors[i] >= bound if inclusive else anchors[i] > bound
-            ):
-                keep.append(i)
-                bound = resumes[i]
-        return pdf.iloc[keep]
+        # column access throughout: itertuples/getattr would mangle
+        # helper columns like __end (leading-underscore rename)
+        out = []
+        for _, g in pdf.groupby(partition_col, sort=False):
+            g = g.sort_values(anchor_col, kind="mergesort")
+            anchors = g[anchor_col].to_numpy()
+            resumes = g[resume_col].to_numpy()
+            keep = []
+            bound = None
+            for i in range(len(g)):
+                if bound is None or (
+                    anchors[i] >= bound if inclusive else anchors[i] > bound
+                ):
+                    keep.append(i)
+                    bound = resumes[i]
+            out.append(g.iloc[keep])
+        return pd.concat(out) if out else pdf.iloc[0:0]
 
-    return matches.groupBy(partition_col).applyInPandas(pick, schema)
+    bucket = F.pmod(F.hash(F.col(partition_col)), F.lit(64))
+    return matches.groupBy(bucket.alias("__skip_bkt")).applyInPandas(
+        pick, schema
+    )
 
 
 def select_skip_past(
