@@ -97,10 +97,22 @@ def test_quantifier_bounds_reach_the_compiler(ws):
 @pytest.mark.parametrize(
     "mutate, needle",
     [
-        # reluctant quantifier on the FINAL step (non-final is served —
-        # see test_reluctant_equals_greedy)
-        (lambda q: q.replace("STRT d+ u+", "STRT d+ u+?"), "reluctant"),
-        (lambda q: q.replace("STRT d+ u+", "STRT d+ u{1,2}?"), "reluctant"),
+        # reluctant FINAL step whose class matches the first step's —
+        # a truncated match's tail could re-anchor a rescan match
+        # outside the compiled candidate set (the served reluctant
+        # final — distinct classes — is test_sql_reluctant_final)
+        (lambda q: q.replace("PATTERN (STRT d+ u+)",
+                             "PATTERN (STRT u+ d+ w+?)")
+                    .replace("u AS u.v > PREV(u.v)",
+                             "u AS u.v > PREV(u.v), w AS w.v > PREV(w.v)")
+                    .replace("SKIP TO LAST u", "SKIP PAST LAST ROW")
+                    .replace("LAST(u.day) AS end_day",
+                             "LAST(w.day) AS end_day"),
+         "share a transition class"),
+        # SKIP TO NEXT ROW composed with a reluctant FINAL step
+        (lambda q: q.replace("STRT d+ u+", "STRT d+ u{1,2}?")
+                    .replace("SKIP TO LAST u", "SKIP TO NEXT ROW"),
+         "served alone"),
         # zero-width quantifiers
         (lambda q: q.replace("STRT d+ u+", "STRT d* u+"), "empty step"),
         (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "optional"),
@@ -117,9 +129,9 @@ def test_quantifier_bounds_reach_the_compiler(ws):
         # skip target not a pattern variable
         (lambda q: q.replace("SKIP TO LAST u", "SKIP TO LAST z"),
          "supported modes"),
-        # unsupported skip mode (suffix re-anchor hazard)
-        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO NEXT ROW"),
-         "out of class"),
+        # misspelled skip mode still names the supported set
+        (lambda q: q.replace("SKIP TO LAST u", "SKIP TO NEXT MATCH"),
+         "supported modes"),
         # resuming on the match's own anchor
         (lambda q: q.replace("SKIP TO LAST u", "SKIP TO FIRST d"),
          "never advances"),
@@ -603,3 +615,70 @@ def test_select_skip_past_general_greedy(spark):
         for r in select_skip_past(m, "pid", "anchor_day", "end_day").collect()
     )
     assert got == [("a", 0, 5), ("a", 9, 12), ("a", 20, 25), ("b", 1, 2)]
+
+
+def test_sql_skip_to_next_row(ws):
+    """SKIP TO NEXT ROW (this session): pid 1 = 5 3 2 4 6 6 1 — the
+    rescan anchors a V at day 0 (full descent) AND day 1 (its one-
+    transition suffix); no selection drops either."""
+    rows = ws.sql(
+        _VSHAPE.replace("SKIP TO LAST u", "SKIP TO NEXT ROW")
+    ).collect()
+    assert [
+        (r.pid, r.anchor_day, r.bottom_day, r.end_day, r.n_down) for r in rows
+    ] == [(1, 0, 2, 4, 2), (1, 1, 2, 4, 1)]
+
+
+def test_sql_skip_next_matches_python_api(spark, ws):
+    from walden_spark.operators.pattern import DOWN, UP, Step, match_skip_next
+
+    via_sql = {
+        (r.pid, r.anchor_day, r.bottom_day, r.end_day, r.n_down)
+        for r in ws.sql(
+            _VSHAPE.replace("SKIP TO LAST u", "SKIP TO NEXT ROW")
+        ).collect()
+    }
+    m = match_skip_next(
+        spark.table("mr_input"), "pid", "day", "v",
+        [Step("d", DOWN), Step("u", UP)],
+    )
+    via_api = {
+        (r.pid, r.anchor_day, r.d_end, r.u_end, r.d_len) for r in m.collect()
+    }
+    assert via_sql == via_api
+
+
+def test_sql_reluctant_final(ws):
+    """u+? truncates the match at the FIRST ascent row: pid 1's V ends
+    at day 3 (one up transition) instead of the day-4 peak."""
+    rows = ws.sql(
+        _VSHAPE.replace("STRT d+ u+", "STRT d+ u+?")
+               .replace("SKIP TO LAST u", "SKIP PAST LAST ROW")
+    ).collect()
+    assert [
+        (r.pid, r.anchor_day, r.bottom_day, r.end_day, r.n_down) for r in rows
+    ] == [(1, 0, 2, 3, 2)]
+
+
+def test_sql_all_rows_with_skip_next(ws):
+    """ALL ROWS PER MATCH under SKIP TO NEXT ROW: both overlapping
+    V's expand; the shared rows carry each match's own number."""
+    rows = ws.sql(
+        """
+SELECT pid, mn, cls, day
+FROM mr_input MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT d+ u+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, mn, day
+"""
+    ).collect()
+    got = [(r.pid, r.mn, r.cls, r.day) for r in rows]
+    assert got == [
+        (1, 1, "STRT", 0), (1, 1, "d", 1), (1, 1, "d", 2),
+        (1, 1, "u", 3), (1, 1, "u", 4),
+        (1, 2, "STRT", 1), (1, 2, "d", 2), (1, 2, "u", 3), (1, 2, "u", 4),
+    ]

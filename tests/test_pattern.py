@@ -305,3 +305,144 @@ def test_custom_classifier_magnitude_classes(spark):
     ).collect()
     assert len(m) == 1
     assert (m[0].anchor_day, m[0].crash_end, m[0].surge_end) == (0, 2, 3)
+
+
+# ---- SKIP TO NEXT ROW: suffix-anchor expansion (this session) ----
+
+
+def test_skip_next_emits_every_suffix_anchor(spark):
+    """5 4 3 2 5: one DOWN island of 3 transitions then UP — a rescan
+    anchors a V at offsets 0, 1, 2 into the descent, each with the
+    remaining suffix as its down count, sharing bottom and end."""
+    from walden_spark.operators.pattern import match_skip_next
+
+    df = _series(spark, [5, 4, 3, 2, 5])
+    m = match_skip_next(
+        df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP)]
+    )
+    got = sorted(
+        (r.anchor_day, r.anchor_val, r.d_len, r.d_end, r.u_end)
+        for r in m.collect()
+    )
+    assert got == [
+        (0, 5.0, 3, 3, 4),
+        (1, 4.0, 2, 3, 4),
+        (2, 3.0, 1, 3, 4),
+    ]
+
+
+def test_skip_next_suffix_of_overlong_island(spark):
+    """First step d{2,2} against a 3-long descent: the MAXIMAL match
+    fails (run of 3 > bound 2) but the rescan finds the suffix anchored
+    one row in — the case the maximal-run compilation cannot see, and
+    the reason match_skip_next compiles the first step lower-bound
+    only."""
+    from walden_spark.operators.pattern import match_skip_next
+
+    df = _series(spark, [5, 4, 3, 2, 5])
+    none = match_pattern(
+        df, "pid", "day", "v",
+        [Step("d", DOWN, 2, 2), Step("u", UP)],
+    )
+    assert none.count() == 0
+    m = match_skip_next(
+        df, "pid", "day", "v", [Step("d", DOWN, 2, 2), Step("u", UP)]
+    )
+    got = [(r.anchor_day, r.d_len) for r in m.collect()]
+    assert got == [(1, 2)]
+
+
+def _brute_skip_next(values, steps):
+    """Reference row-by-row rescan: try a greedy anchor at EVERY row
+    (SKIP TO NEXT ROW advances one row after a match or a failure) —
+    step bounds apply to the forward maximal run from the current
+    point, per the compiler's documented greedy-run semantics."""
+
+    def run_from(i, d):
+        j = i
+        while j + 1 < len(values):
+            delta = (values[j + 1] > values[j]) - (values[j + 1] < values[j])
+            if delta != d:
+                break
+            j += 1
+        return j - i
+
+    out = []
+    for a in range(len(values)):
+        pos, ok, ends = a, True, []
+        for s in steps:
+            r = run_from(pos, s.dir)
+            if r < s.min_len or (s.max_len is not None and r > s.max_len):
+                ok = False
+                break
+            pos += r
+            ends.append(pos)
+        if ok:
+            out.append((a, tuple(ends)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=14),
+    pattern=st.sampled_from(
+        [
+            [Step("d", DOWN), Step("u", UP)],
+            [Step("d", DOWN, 1, 2), Step("u", UP)],
+            [Step("u", UP, min_len=2)],
+            [Step("d1", DOWN), Step("u1", UP), Step("d2", DOWN)],
+        ]
+    ),
+)
+def test_skip_next_matches_brute_rescan(spark, values, pattern):
+    from walden_spark.operators.pattern import match_skip_next
+
+    df = _series(spark, values)
+    got = sorted(
+        (r["anchor_day"], tuple(r[f"{s.name}_end"] for s in pattern))
+        for r in match_skip_next(df, "pid", "day", "v", pattern).collect()
+    )
+    assert got == _brute_skip_next([float(v) for v in values], pattern)
+
+
+# ---- reluctant quantifier on the FINAL step (this session) ----
+
+
+def test_reluctant_final_truncates_to_min(spark):
+    """5 3 2 4 6 5 7 with PATTERN (STRT d+ u+?): the first ascent is 2
+    transitions long but reluctance stops after 1 — end re-points at
+    day 3 (value 4), u_len 1; the second V (6 5 7) is untouched."""
+    from walden_spark.operators.pattern import match_reluctant_final
+
+    df = _series(spark, [5, 3, 2, 4, 6, 5, 7])
+    m = match_reluctant_final(
+        df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP)]
+    )
+    got = sorted(
+        (r.anchor_day, r.d_end, r.u_end, r.u_val, r.u_len) for r in m.collect()
+    )
+    assert got == [(0, 2, 3, 4.0, 1), (4, 5, 6, 7.0, 1)]
+
+
+def test_reluctant_final_min_bound_and_same_class_rejected(spark):
+    from walden_spark.operators.pattern import match_reluctant_final
+
+    # u{2,9}? takes exactly 2 transitions of the 4-long ascent
+    df = _series(spark, [5, 2, 3, 4, 5, 6])
+    m = match_reluctant_final(
+        df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP, 2, 9)]
+    ).collect()
+    assert [(r.anchor_day, r.u_end, r.u_val, r.u_len) for r in m] == [
+        (0, 3, 4.0, 2)
+    ]
+    with pytest.raises(ValueError, match="share a transition class"):
+        match_reluctant_final(
+            df, "pid", "day", "v",
+            [Step("u1", UP), Step("d", DOWN), Step("u2", UP)],
+        )
+    with pytest.raises(ValueError, match="at least two steps"):
+        match_reluctant_final(df, "pid", "day", "v", [Step("u", UP)])

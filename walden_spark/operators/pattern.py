@@ -448,6 +448,195 @@ def expand_all_rows(
     )
 
 
+def match_skip_next(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    steps: list[Step],
+    classifier=None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """``AFTER MATCH SKIP TO NEXT ROW`` (this session — closes the
+    first-named out-of-class row in DEVIATIONS.md): the full match set a
+    row-by-row rescan finds, emitted with no greedy selection at all.
+
+    Under SKIP TO NEXT ROW the scan attempts an anchor at EVERY row
+    (each match advances the scan by exactly one row, and failed
+    attempts advance it too), so the output is simply "every row where
+    a greedy match succeeds". Within this linear class that set has a
+    closed relational form: a match anchored at row ``p`` exists iff
+    ``p`` sits inside a maximal first-step island with a remaining
+    suffix of ``len1 − o`` transitions (``o`` = p's offset from the
+    island's own anchor) inside the first step's ``{m,n}`` bounds, and
+    the rest of the island chain completes the pattern — i.e. it is a
+    SUFFIX-ANCHORED variant of a chain match. Anchors inside LATER
+    islands never match (the first step's class differs from the next
+    step's by the partition property, so the transition following such
+    a row has the wrong class until the next island boundary — which is
+    a compiled anchor already). This makes the relation Trino-EXACT for
+    this skip mode — unlike SKIP PAST LAST ROW, whose greedy selection
+    over maximal-run candidates keeps the documented suffix-re-anchor
+    delta, TO NEXT ROW needs no selection and the candidate set here is
+    complete by construction.
+
+    Note the first step is compiled with its LOWER bound only: a
+    maximal first island longer than ``max_len`` anchors no maximal
+    match, but its in-bound suffixes do — exactly what the rescan
+    finds (pinned by ``test_skip_next_suffix_of_overlong_island``).
+
+    Output: the ``match_pattern`` schema, one row per successful
+    anchor; ``anchor_<order>``/``anchor_val`` are the re-anchored row
+    and the first step's ``_len`` is its remaining suffix length.
+
+    Scale shape: one binned (partition, bin) equi join of the small
+    match frame against the first-island spans (same technique as
+    :func:`span_measures`), plus one window over (partition, anchor) on
+    the joined frame — no new fact-sized shuffle, no selection pass."""
+    if not steps:
+        raise ValueError("pattern needs at least one step")
+    s1 = steps[0]
+    relaxed = [Step(s1.name, s1.dir, s1.min_len, None)] + list(steps[1:])
+    m = match_pattern(
+        df, partition_col, order_col, value_col, relaxed, classifier
+    )
+    anchor = f"anchor_{order_col}"
+    first_end = f"{s1.name}_end"
+    spans = m.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(anchor) / bin_width),
+                F.floor(F.col(first_end) / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    rows = df.select(
+        F.col(partition_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
+    # rows of the first island's span EXCLUDING its last row (a suffix
+    # needs at least one transition; the min_len filter below tightens)
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") >= F.col(anchor)) & (F.col("__o") < F.col(first_end))
+    )
+    wo = Window.partitionBy("__p", anchor).orderBy("__o")
+    joined = joined.withColumn(
+        "__off", F.row_number().over(wo).cast("bigint") - 1
+    )
+    suffix = F.col(f"{s1.name}_len") - F.col("__off")
+    joined = joined.filter(suffix >= s1.min_len)
+    if s1.max_len is not None:
+        joined = joined.filter(suffix <= s1.max_len)
+    keep = [
+        F.col("__p").alias(partition_col),
+        F.col("__o").alias(anchor),
+        F.col("__v").alias("anchor_val"),
+        F.col("anchor_iseq"),
+    ]
+    for s in steps:
+        keep += [
+            F.col(f"{s.name}_end"),
+            F.col(f"{s.name}_val"),
+            (suffix if s.name == s1.name else F.col(f"{s.name}_len")).alias(
+                f"{s.name}_len"
+            ),
+        ]
+    return joined.select(*keep)
+
+
+def match_reluctant_final(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    steps: list[Step],
+    classifier=None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """Reluctant quantifier on the FINAL step (this session — closes
+    the "reluctant final step" out-of-class row): ``Xk+?`` /
+    ``Xk{m,n}?`` consumes exactly ``min_len`` transitions — nothing
+    follows the final step, so a reluctant quantifier never extends
+    past its lower bound, per regex semantics (Trino's
+    MATCH_RECOGNIZE uses the same preferment rules).
+
+    The match is compiled with the final step bounded BELOW only (the
+    upper bound is unreachable under reluctance), then each match's end
+    is re-pointed at the row ``min_len`` transitions into the final
+    island via the binned span join, with ``<name>_len`` set to
+    ``min_len``. All earlier steps are untouched.
+
+    Candidate-set completeness constraint (validated): the FIRST step's
+    class must differ from the FINAL step's. A truncated match ends
+    mid-island; rows between the truncated end and the island's end
+    could re-anchor a new match only if the first step's class matched
+    the final island's class — rejected here so the compiled anchors
+    stay rescan-complete under the greedy skip selections.
+
+    Scale shape: identical to :func:`match_skip_next` — one binned equi
+    join of matches to the final island's span plus one window."""
+    if len(steps) < 2:
+        raise ValueError(
+            "a reluctant FINAL step needs at least two steps — on a "
+            "single-step pattern it composes with the anchor itself"
+        )
+    sk = steps[-1]
+    if sk.dir == steps[0].dir:
+        raise ValueError(
+            "reluctant final step: the first and final steps share a "
+            "transition class, so a truncated match's tail could "
+            "re-anchor a rescan match outside the compiled candidate "
+            "set — out of class"
+        )
+    relaxed = list(steps[:-1]) + [Step(sk.name, sk.dir, sk.min_len, None)]
+    m = match_pattern(
+        df, partition_col, order_col, value_col, relaxed, classifier
+    )
+    anchor = f"anchor_{order_col}"
+    prev_end = f"{steps[-2].name}_end"
+    last_end = f"{sk.name}_end"
+    spans = m.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(prev_end) / bin_width),
+                F.floor(F.col(last_end) / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    rows = df.select(
+        F.col(partition_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") > F.col(prev_end)) & (F.col("__o") <= F.col(last_end))
+    )
+    wo = Window.partitionBy("__p", anchor).orderBy("__o")
+    joined = joined.withColumn("__off", F.row_number().over(wo).cast("bigint"))
+    joined = joined.filter(F.col("__off") == sk.min_len)
+    keep = [
+        F.col("__p").alias(partition_col),
+        F.col(anchor),
+        F.col("anchor_val"),
+        F.col("anchor_iseq"),
+    ]
+    for s in steps[:-1]:
+        keep += [
+            F.col(f"{s.name}_end"),
+            F.col(f"{s.name}_val"),
+            F.col(f"{s.name}_len"),
+        ]
+    keep += [
+        F.col("__o").alias(f"{sk.name}_end"),
+        F.col("__v").alias(f"{sk.name}_val"),
+        F.lit(sk.min_len).cast("bigint").alias(f"{sk.name}_len"),
+    ]
+    return joined.select(*keep)
+
+
 def match_cycles(
     df: DataFrame,
     partition_col: str,

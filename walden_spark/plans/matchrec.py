@@ -33,20 +33,28 @@ out-of-class surface lives in DEVIATIONS.md):
   also what an omitted clause means — the greedy non-overlap walk,
   :func:`walden_spark.operators.pattern.select_skip_past`), ``SKIP TO
   LAST <any step>`` (inclusive walk resuming at that step's final row,
-  :func:`walden_spark.operators.pattern.select_skip_to`), or ``SKIP TO
-  FIRST <non-first step>`` (≡ TO LAST of the previous step). SKIP TO
-  NEXT ROW stays out of class (it can re-anchor on a suffix of a
-  maximal run — outside the compiled candidate set).
+  :func:`walden_spark.operators.pattern.select_skip_to`), ``SKIP TO
+  FIRST <non-first step>`` (≡ TO LAST of the previous step), or —
+  since this session — ``SKIP TO NEXT ROW``: the full rescan match set
+  via suffix-anchor expansion
+  (:func:`walden_spark.operators.pattern.match_skip_next`; every
+  successful anchor is a match, no greedy selection — Trino-exact for
+  this mode, single-branch patterns).
 * ``PATTERN``: ``(STRT X1<q> X2<q> …)`` with quantifiers ``+`` /
   ``{m}`` / ``{m,}`` / ``{m,n}`` (greedy maximal-run; a bare name means
-  exactly one) and reluctant spellings on NON-final steps (provably ≡
-  greedy in this class); top-level alternation ``((STRT …) | (STRT
-  …))`` with leftmost preference; ``(STRT PERMUTE(e1, …, ek))`` for
-  k ≤ 4 (alternation of all orderings); and the repeated group tail
-  ``(STRT (X+ Y+ …)<q>)`` (maximal consecutive-cycle runs,
+  exactly one) and reluctant spellings — on NON-final steps provably ≡
+  greedy in this class; on the FINAL step (since this session) the
+  match truncates to the lower bound
+  (:func:`walden_spark.operators.pattern.match_reluctant_final`;
+  requires the final step's class to differ from the first step's, and
+  composes with every skip mode except TO NEXT ROW); top-level
+  alternation ``((STRT …) | (STRT …))`` with leftmost preference;
+  ``(STRT PERMUTE(e1, …, ek))`` for k ≤ 4 (alternation of all
+  orderings); and the repeated group tail ``(STRT (X+ Y+ …)<q>)``
+  (maximal consecutive-cycle runs,
   :func:`walden_spark.operators.pattern.match_cycles`). Zero-width
-  quantifiers, anchors, mid-pattern/nested groups, and reluctant
-  final steps are out of class.
+  quantifiers, anchors, and mid-pattern/nested groups are out of
+  class.
 * ``SUBSET U = (A, B, …)`` — union variables, resolved statically
   (single-branch patterns).
 * ``DEFINE``: either ALL items ``Xj AS Xj.<v> <op> PREV(Xj.<v>)`` with
@@ -78,6 +86,8 @@ from walden_spark.operators.pattern import (
     match_any,
     match_cycles,
     match_pattern,
+    match_reluctant_final,
+    match_skip_next,
     select_skip_past,
     select_skip_to,
 )
@@ -87,9 +97,11 @@ _LIMITS = (
     "STRT.<col> / LAST(X.<col>) / COUNT(X.*) (one-row; X may be a SUBSET "
     "union) or CLASSIFIER() / MATCH_NUMBER() / STRT.<col> / FINAL or "
     "RUNNING LAST/COUNT (all-rows); ONE ROW or ALL ROWS PER MATCH; AFTER "
-    "MATCH SKIP PAST LAST ROW (default) / SKIP TO LAST <step> / SKIP TO "
-    "FIRST <non-first step>; PATTERN (STRT X1+ X2{m,n} …) with non-final "
-    "reluctant spellings, ((STRT …) | (STRT …)) alternation, "
+    "MATCH SKIP PAST LAST ROW (default) / SKIP TO NEXT ROW / SKIP TO LAST "
+    "<step> / SKIP TO FIRST <non-first step>; PATTERN (STRT X1+ X2{m,n} …) "
+    "with reluctant spellings (a reluctant FINAL step truncates to its "
+    "lower bound; its class must differ from the first step's), "
+    "((STRT …) | (STRT …)) alternation, "
     "PERMUTE(≤4), and the repeated tail (STRT (X+ Y+ …)<q>); SUBSET "
     "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
     "(row-pattern class) for the documented out-of-class surface"
@@ -360,21 +372,23 @@ def _parse_tokens(inner: str) -> list[tuple[str, int, int | None, bool]]:
     return toks
 
 
-def _parse_steps(inner: str) -> list[tuple[str, int, int | None]]:
+def _parse_steps(inner: str) -> list[tuple[str, int, int | None, bool]]:
+    """Steps as (name, min, max, final_reluctant) — the reluctant flag
+    is only meaningful on the LAST tuple: non-final reluctant spellings
+    are provably ≡ greedy in this class (see _parse_tokens) and are
+    normalized away; a reluctant FINAL step truncates the match to its
+    lower bound (served since this session by
+    :func:`walden_spark.operators.pattern.match_reluctant_final`)."""
     toks = _parse_tokens(inner)
     if not toks or toks[0][0].upper() != "STRT" or toks[0][1:] != (1, 1, False):
         raise MatchRecognizeError("PATTERN must begin with the bare STRT anchor")
     if len(toks) < 2:
         raise MatchRecognizeError("PATTERN needs at least one step after STRT")
+    steps = [(n, lo, hi, False) for n, lo, hi, _ in toks[1:]]
     if toks[-1][3]:
-        raise MatchRecognizeError(
-            f"step {toks[-1][0]}: a reluctant quantifier on the FINAL step "
-            "selects a strict prefix of the maximal run — out of class "
-            "(reluctant quantifiers on non-final steps are accepted: the "
-            "next step's distinct transition class cannot match mid-run, "
-            "so reluctant ≡ greedy there)"
-        )
-    return [(n, lo, hi) for n, lo, hi, _ in toks[1:]]
+        n, lo, hi, _ = steps[-1]
+        steps[-1] = (n, lo, hi, True)
+    return steps
 
 
 _MEASURE_CLASSIFIER = re.compile(r"^CLASSIFIER\s*\(\s*\)$", re.IGNORECASE)
@@ -861,7 +875,7 @@ def compile_match_recognize(
             if hi_i is not None and hi_i < lo_i:
                 raise MatchRecognizeError("empty group bound")
             cycle_bounds = (lo_i, hi_i)
-        toks = [[(n, lo, hi2) for n, lo, hi2, _ in gtoks]]
+        toks = [[(n, lo, hi2, False) for n, lo, hi2, _ in gtoks]]
     else:
         toks = _parse_pattern(clauses["PATTERN"])
     defines: dict[str, tuple[int, str]] = {}
@@ -947,16 +961,24 @@ def compile_match_recognize(
             )
         value = value_cols.pop()
     branches: list[list[Step]] = []
+    final_reluctant = False
     for branch_toks in toks:
         steps = []
-        for name, lo, hi in branch_toks:
+        for name, lo, hi, _rel in branch_toks:
             if name.lower() not in defines:
                 raise MatchRecognizeError(
                     f"pattern variable {name} has no DEFINE — an undefined "
                     "variable matches any row, which is out of class"
                 )
             steps.append(Step(name.lower(), defines[name.lower()][0], lo, hi))
+        if branch_toks[-1][3]:
+            final_reluctant = True
         branches.append(steps)
+    if final_reluctant and len(branches) > 1:
+        raise MatchRecognizeError(
+            "a reluctant FINAL step combined with alternation is out of "
+            "class (serve each branch separately)"
+        )
     used = {s.name for b in branches for s in b}
     if extra := set(defines) - used:
         raise MatchRecognizeError(f"DEFINEd but not in PATTERN: {sorted(extra)}")
@@ -1014,14 +1036,19 @@ def compile_match_recognize(
     # operators/pattern.select_skip_past), SKIP TO LAST <any step>
     # (inclusive greedy selection resuming AT that step's final row —
     # an island boundary, so the compiled candidate set is complete),
-    # or SKIP TO FIRST <step_j> for j ≥ 2 (first row of step j ==
-    # last row of step j−1). SKIP TO NEXT ROW stays out of class (a
-    # row-by-row rescan can re-anchor on a SUFFIX of a maximal run).
+    # SKIP TO FIRST <step_j> for j ≥ 2 (first row of step j == last
+    # row of step j−1), or SKIP TO NEXT ROW (this session — the full
+    # rescan match set via suffix-anchor expansion,
+    # operators/pattern.match_skip_next; no greedy selection at all,
+    # Trino-exact for this mode).
     after = clauses.get("AFTER MATCH")
     resume_step = None  # None → SKIP PAST LAST ROW
+    skip_next = False
     if after is not None:
         s = after.strip()
-        if not re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", s, re.IGNORECASE):
+        if re.fullmatch(r"SKIP\s+TO\s+NEXT\s+ROW", s, re.IGNORECASE):
+            skip_next = True
+        elif not re.fullmatch(r"SKIP\s+PAST\s+LAST\s+ROW", s, re.IGNORECASE):
             m = re.fullmatch(
                 r"SKIP\s+TO\s+(LAST|FIRST)\s+([A-Za-z_]\w*)", s, re.IGNORECASE
             )
@@ -1029,10 +1056,9 @@ def compile_match_recognize(
             if not m or m.group(2).lower() not in names:
                 raise MatchRecognizeError(
                     f"AFTER MATCH {after!r}: SKIP PAST LAST ROW, SKIP TO "
-                    "LAST <step>, or SKIP TO FIRST <non-first step> over the "
-                    "pattern's variables are the supported modes (SKIP TO "
-                    "NEXT ROW can re-anchor on a suffix of a maximal run — "
-                    "out of class)"
+                    "NEXT ROW, SKIP TO LAST <step>, or SKIP TO FIRST "
+                    "<non-first step> over the pattern's variables are the "
+                    "supported modes"
                 )
             j = names.index(m.group(2).lower())
             if m.group(1).upper() == "FIRST":
@@ -1046,15 +1072,37 @@ def compile_match_recognize(
             else:
                 resume_step = steps[j].name
     # measures → columns of the match_pattern output
-    matched = match_pattern(source, part, order, value, steps, classifier=clf)
-    if resume_step is None:
-        matched = select_skip_past(
-            matched, part, f"anchor_{order}", f"{steps[-1].name}_end"
+    if skip_next:
+        if final_reluctant:
+            raise MatchRecognizeError(
+                "SKIP TO NEXT ROW combined with a reluctant FINAL step is "
+                "out of class (each is served alone)"
+            )
+        # the rescan-complete match set needs no selection: every
+        # successful anchor IS a kept match under this mode
+        matched = match_skip_next(
+            source, part, order, value, steps, classifier=clf
         )
     else:
-        matched = select_skip_to(
-            matched, part, f"anchor_{order}", f"{resume_step}_end"
-        )
+        if final_reluctant:
+            try:
+                matched = match_reluctant_final(
+                    source, part, order, value, steps, classifier=clf
+                )
+            except ValueError as ex:
+                raise MatchRecognizeError(str(ex)) from ex
+        else:
+            matched = match_pattern(
+                source, part, order, value, steps, classifier=clf
+            )
+        if resume_step is None:
+            matched = select_skip_past(
+                matched, part, f"anchor_{order}", f"{steps[-1].name}_end"
+            )
+        else:
+            matched = select_skip_to(
+                matched, part, f"anchor_{order}", f"{resume_step}_end"
+            )
     if all_rows:
         return _project_all_rows(
             source, matched, part, order, value, steps,

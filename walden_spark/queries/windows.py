@@ -1168,6 +1168,171 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_skip_next",
+    oracle=_ISLANDS_CTE.format(max_user=33)
+    + """
+, m AS (
+  SELECT d.user_id, d.sp AS a0, d.ed AS bottom_day, d.ev AS bottom_n,
+         d.ln AS dlen, u.ed AS end_day, u.ev AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), x AS (
+  SELECT m.user_id, dd.day AS anchor_day, dd.n AS anchor_n,
+         m.bottom_day, m.bottom_n, m.end_day, m.end_n,
+         m.dlen - (ROW_NUMBER() OVER (PARTITION BY m.user_id, m.a0
+                                      ORDER BY dd.day) - 1) AS n_down
+  FROM m JOIN daily dd
+    ON dd.user_id = m.user_id
+   AND dd.day >= m.a0 AND dd.day < m.bottom_day
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(bottom_day AS BIGINT) AS bottom_day, bottom_n,
+       CAST(end_day AS BIGINT) AS end_day, end_n,
+       CAST(n_down AS BIGINT) AS n_down
+FROM x ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``AFTER MATCH SKIP TO NEXT ROW`` (this session — closes the
+    FIRST-named out-of-class skip mode, completing the AFTER MATCH
+    surface): the rescan re-anchors one row after each match, so every
+    row of a descent with at least one remaining DOWN transition
+    anchors its own V — the suffix-anchor expansion
+    :func:`walden_spark.operators.pattern.match_skip_next` computes
+    relationally (binned span join of matches to their first-island
+    rows; NO greedy selection, since every successful anchor is kept
+    under this mode — Trino-exact, unlike the maximal-candidate
+    selections of the other skip modes). The DuckDB oracle joins each
+    maximal V back to its descent rows and emits one match per suffix
+    anchor with ``n_down = remaining transitions``. Fresh slice:
+    user_id < 33."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=33).createOrReplaceTempView(
+        "walden_mr_daily_sn"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, bottom_day, bottom_n, end_day, end_n,
+       n_down
+FROM walden_mr_daily_sn MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(down.day) AS bottom_day, LAST(down.n) AS bottom_n,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n,
+           COUNT(down.*) AS n_down
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT down+ up+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
+    "win_pattern_reluctant_final",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 43 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MIN(day) AS fd,
+         CAST(arg_min(n, pos) AS BIGINT) AS fv,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev
+  FROM runs GROUP BY user_id, dir, grp
+), m AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.av AS anchor_n,
+         d.ed AS bottom_day, d.ev AS bottom_n,
+         u.fd AS end_day, u.fv AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(end_day)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM m
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(bottom_day AS BIGINT) AS bottom_day, bottom_n,
+       CAST(end_day AS BIGINT) AS end_day, end_n
+FROM r WHERE pos % 2 = 1
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_reluctant_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reluctant quantifier on the FINAL step (this session — closes
+    the "reluctant final step" out-of-class row): ``up+?`` stops after
+    ONE ascent transition, so each match ends on the first rebound row
+    rather than the recovery's peak —
+    :func:`walden_spark.operators.pattern.match_reluctant_final`
+    re-points the match end at the row ``min_len`` transitions into the
+    final island (binned span join; the first/final steps' classes must
+    differ, keeping the compiled anchors rescan-complete). The omitted
+    AFTER MATCH defaults to SKIP PAST LAST ROW over the TRUNCATED ends,
+    so chained V's whose rebound is a single transition drop the
+    boundary-anchored follower — the DuckDB oracle reproduces exactly
+    that with the chain trick on the islands' FIRST-row fields. Fresh
+    slice: user_id < 43."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=43).createOrReplaceTempView(
+        "walden_mr_daily_rf"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, bottom_day, bottom_n, end_day, end_n
+FROM walden_mr_daily_rf MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(down.day) AS bottom_day, LAST(down.n) AS bottom_n,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ up+?)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_alternation",
     oracle=_ISLANDS_CTE.format(max_user=70)
     + """

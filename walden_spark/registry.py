@@ -114,6 +114,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_permute",
     "win_pattern_sql_cycles",
     "win_pattern_sql_threshold",
+    "win_pattern_skip_next",
+    "win_pattern_reluctant_final",
     "text_stratum_cap",
     "events_type_pagerank",
     "tpcds_q29_bucketed",
@@ -139,15 +141,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_bitwise",
     "fn_math",
     "fn_string",
-    "fn_struct",
-    "fn_url",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
     # sql_recursive_cte / setop_except / join_semi / join_left_outer —
     # plus win_range_interval, tpch_q12, and setop_except_all from the
-    # r03 block above — displaced to r12 by the thirteen late-r11
-    # additions; new names join immediately, and their families stay
-    # window-covered by the entries kept here)
+    # r03 block above, and fn_struct / fn_url displaced by the
+    # session-3 additions win_pattern_skip_next /
+    # win_pattern_reluctant_final — all queue for r12; new names join
+    # immediately, and their families stay window-covered by the
+    # entries kept here)
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
