@@ -50,3 +50,41 @@ def test_apply_mixture_realizes_plan(spark, sf_dir):
     assert all(row["count"] in (eps[row.source], eps[row.source] + 1) for row in mult)
     dup = mix.groupBy("source", "doc_id", "epoch").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_dsir_select_enriches_target_domain(spark, sf_dir):
+    """text_dsir_select (r11 session 3): the kept quarter must be
+    ENRICHED in the target domain (lang='en') relative to the corpus —
+    the whole point of importance resampling — sized at exactly
+    floor(N/4) of scorable docs, ranked contiguously from 1 with
+    deterministic (score DESC, doc_id) ordering."""
+    from pyspark.sql import functions as F
+
+    from walden_spark.registry import load_all
+    from walden_spark.tables import Tables
+
+    reg = load_all()
+    sel = reg["text_dsir_select"].fn(spark, sf_dir).collect()
+    assert sel
+    ranks = [r.rnk for r in sel]
+    assert ranks == list(range(1, len(ranks) + 1))
+    scores = [r.score_q for r in sel]
+    assert scores == sorted(scores, reverse=True)
+
+    docs = Tables(spark, sf_dir).documents
+    n_scorable = docs.filter(
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda w: F.length(w) > 0,
+            )
+        )
+        >= 2
+    ).count()
+    assert len(sel) == n_scorable // 4
+
+    corpus_en = (
+        docs.filter(F.col("lang") == "en").count() / docs.count()
+    )
+    sel_en = sum(1 for r in sel if r.lang == "en") / len(sel)
+    assert sel_en > corpus_en + 0.1, (sel_en, corpus_en)

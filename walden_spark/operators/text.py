@@ -1683,3 +1683,156 @@ def text_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("split", "n_docs", "n_clusters", "naive_leaky_clusters")
         .orderBy("split")
     )
+
+
+@query(
+    "text_dsir_select",
+    oracle="""
+WITH wl AS (
+  SELECT doc_id, lang,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(ws[i] || ' ' || ws[i + 1]), 1, 15))::BIGINT
+           % 512 AS b
+  FROM wl CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+  ) gs
+), raw_c AS (
+  SELECT b, COUNT(*) AS cr FROM bg GROUP BY b
+), tgt_c AS (
+  SELECT b, COUNT(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b
+), tot AS (
+  SELECT (SELECT COUNT(*) FROM bg) AS r_tot,
+         (SELECT COUNT(*) FROM bg WHERE lang = 'en') AS t_tot
+), w AS (
+  SELECT raw_c.b,
+         ((COALESCE(tgt_c.ct, 0) + 1) * 1000000) // (tot.t_tot + 512)
+       - ((raw_c.cr + 1) * 1000000) // (tot.r_tot + 512) AS wq
+  FROM raw_c LEFT JOIN tgt_c ON raw_c.b = tgt_c.b CROSS JOIN tot
+), scored AS (
+  SELECT bg.doc_id, bg.lang,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         CAST(SUM(w.wq) AS BIGINT) AS score_q
+  FROM bg JOIN w ON bg.b = w.b
+  GROUP BY bg.doc_id, bg.lang
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS rnk,
+         COUNT(*) OVER () AS n
+  FROM scored
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, doc_id, lang, n_grams, score_q
+FROM ranked WHERE rnk <= n // 4
+ORDER BY rnk
+""",
+    category="text",
+)
+def text_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling") — the pretrain-pipeline stage that picks raw documents
+    resembling a target domain: hash each document's bag of word
+    bigrams into B=512 buckets, fit target (lang='en') and raw (whole
+    corpus) bucket unigram models with add-one smoothing, weight each
+    bucket by its likelihood ratio, score every document by the sum of
+    its occurrences' weights, and keep the top quarter.
+
+    Determinism posture: the paper's log-likelihood ratio is replaced
+    by the LINEAR ratio difference in exact BIGINT fixed-point — each
+    bucket contributes floor(1e6·(ct+1)/(T+B)) − floor(1e6·(cr+1)/(R+B))
+    — because float log sums are ulp-unstable across engines while
+    integer multiply/divide is bit-exact (the text_bigram_lm_score
+    rule); log would only compress the same per-bucket ordering. The
+    feature hash is the portable md5→int60 bridge the hash-split and
+    MinHash paths use, so Spark and DuckDB bucket identically.
+
+    Scale shape: tokenize + hash are per-row map work inside codegen;
+    the two models are B-bucket aggregates (tiny); the weight table is
+    a BROADCAST join back onto the n-gram stream (B=512 rows — no
+    shuffle); per-doc scoring is one doc-keyed aggregate. The global
+    top-fraction window is doc-grain (one row per document, orders of
+    magnitude under the token stream); at 100 TB replace it with a
+    score threshold from approx_percentile — the scoring pipeline
+    upstream is unchanged. Reference surface: Trino serves this as
+    plain SQL over the same hash/agg primitives
+    (/root/reference/tf/main.tf:82-114)."""
+    from pyspark.sql import Window
+
+    t = Tables(spark, sf_dir)
+    docs = t.documents.select(
+        "doc_id",
+        "lang",
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda w: F.length(w) > 0,
+        ).alias("ws"),
+    )
+    bg = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+                    "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+                    "(a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10)
+                .cast("bigint")
+                % 512
+            ).alias("b"),
+        )
+        # four consumers (raw counts, target counts, totals, scoring
+        # join) — persist or each recomputes tokenize+explode+md5
+        .persist()
+    )
+    raw_c = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt_c = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = bg.agg(
+        F.count(F.lit(1)).alias("r_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("t_tot"),
+    )
+    w = (
+        raw_c.join(tgt_c, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                F.expr("((coalesce(ct, 0) + 1) * 1000000) DIV (t_tot + 512)")
+                - F.expr("((cr + 1) * 1000000) DIV (r_tot + 512)")
+            ).alias("wq"),
+        )
+    )
+    scored = (
+        bg.join(F.broadcast(w), "b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("wq").cast("bigint").alias("score_q"),
+        )
+    )
+    n = scored.agg(F.count(F.lit(1)).alias("n"))
+    ranked = scored.withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_q"), F.asc("doc_id")))
+        .cast("bigint"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("rnk") <= F.expr("n DIV 4"))
+        .select("rnk", "doc_id", "lang", "n_grams", "score_q")
+        .orderBy("rnk")
+    )

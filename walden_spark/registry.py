@@ -116,6 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_threshold",
     "win_pattern_skip_next",
     "win_pattern_reluctant_final",
+    "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
     "tpcds_q29_bucketed",
@@ -135,7 +136,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # remainder of this vintage rotates in r12) --
     "agg_percentile_exact",
     "agg_pivot",
-    "agg_stats_formula",
     "ann_ivf_pq",
     "ddl_branch_merge",
     "fn_bitwise",
@@ -145,11 +145,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # setop_intersect_all / streaming_foreachbatch_upsert /
     # sql_recursive_cte / setop_except / join_semi / join_left_outer —
     # plus win_range_interval, tpch_q12, and setop_except_all from the
-    # r03 block above, and fn_struct / fn_url displaced by the
-    # session-3 additions win_pattern_skip_next /
-    # win_pattern_reluctant_final — all queue for r12; new names join
-    # immediately, and their families stay window-covered by the
-    # entries kept here)
+    # r03 block above, and fn_struct / fn_url / agg_stats_formula
+    # displaced by the session-3 additions win_pattern_skip_next /
+    # win_pattern_reluctant_final / text_dsir_select — all queue for
+    # r12; new names join immediately, and their families stay
+    # window-covered by the entries kept here)
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
 )
