@@ -80,3 +80,90 @@ def pagerank(
             .alias("s"),
         )
     return s.select("node", F.col("s").alias("pr_scaled"))
+
+
+def triangle_counts(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Per-vertex triangle counts over an undirected simple graph
+    (this session — widens the graph family beyond PageRank and the
+    connected components in operators/dedup.py).
+
+    ``edges``: one row per undirected edge, endpoints in either order,
+    no self-loops, no duplicates. Returns ``(node, triangles)`` — one
+    row per node incident to at least one edge; nodes in no triangle
+    report 0.
+
+    Algorithm (the standard relational triangle join with DEGREE
+    ORIENTATION): orient every edge toward the endpoint higher in the
+    total order (degree, node); enumerate wedges by self-joining the
+    oriented edges on their shared source with the two targets ordered;
+    close each wedge against the oriented edge set. Orientation does
+    not change WHICH triangles exist — each is found exactly once, as
+    (x, a, b) with x lowest in the order — but it bounds the wedge
+    fan-out of any vertex by its oriented out-degree, which degree
+    ordering caps near the graph degeneracy (~sqrt(m) for real graphs)
+    instead of the raw max degree. That is the difference between a
+    hot celebrity vertex exploding the wedge join and the same plan
+    running flat at 100 TB: the wedge count is Σ out_deg², minimized
+    by pointing edges at the high-degree side.
+
+    Scale shape: degree = one groupBy on node; orientation = two
+    broadcast-or-shuffle joins of edges to the degree table; wedges =
+    one self-equi-join on the shared source; closure = one equi-join
+    on the (lo, hi) edge key; counting = one groupBy on node. Every
+    join is equi; nothing is quadratic in a partition beyond the
+    oriented fan-out the orientation just bounded."""
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    deg = (
+        e.select(F.col("u").alias("n"))
+        .unionAll(e.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("n").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("n").alias("v"), F.col("deg").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o = (
+        e.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("hideg"),
+        )
+        # three consumers: two wedge sides + the closure probe
+        .localCheckpoint(eager=True)
+    )
+    w1 = o.select(
+        F.col("lo").alias("x"), F.col("hi").alias("a"), F.col("hideg").alias("da")
+    )
+    w2 = o.select(
+        F.col("lo").alias("x"), F.col("hi").alias("b"), F.col("hideg").alias("db")
+    )
+    wedges = w1.join(w2, "x").filter(
+        (F.col("da") < F.col("db"))
+        | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    )
+    closed = wedges.join(
+        o.select(F.col("lo").alias("a"), F.col("hi").alias("b")), ["a", "b"]
+    )
+    corners = (
+        closed.select(F.col("x").alias("n"))
+        .unionAll(closed.select(F.col("a").alias("n")))
+        .unionAll(closed.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("triangles"))
+    )
+    return (
+        deg.select("n")
+        .join(corners, "n", "left")
+        .select(
+            F.col("n").alias("node"),
+            F.coalesce(F.col("triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("triangles"),
+        )
+    )

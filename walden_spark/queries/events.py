@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from walden_spark.operators.graph import triangle_counts
 from walden_spark.registry import query
 from walden_spark.tables import Tables
 
@@ -980,3 +981,118 @@ def events_type_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("event_type"), "pr_scaled"
     ).orderBy("event_type")
+
+
+@query(
+    "events_user_triangles",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d,
+         EXTRACT(hour FROM ts) AS h
+  FROM events WHERE user_id < 150
+), pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS w
+  FROM act a
+  JOIN act b ON a.event_type = b.event_type AND a.d = b.d AND a.h = b.h
+            AND a.user_id < b.user_id
+  GROUP BY 1, 2
+), e AS (
+  SELECT ua, ub FROM pairs WHERE w >= 4
+), tri AS (
+  SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+  FROM e e1
+  JOIN e e2 ON e2.ua = e1.ub
+  JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+), corners AS (
+  SELECT a AS u FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+), tcnt AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY 1
+), deg AS (
+  SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT ua AS u FROM e UNION ALL SELECT ub AS u FROM e
+  ) x GROUP BY 1
+)
+SELECT deg.u AS user_id, deg.deg,
+       COALESCE(tcnt.t, 0) AS triangles,
+       CASE WHEN deg.deg >= 2
+            THEN (2000 * COALESCE(tcnt.t, 0)) // (deg.deg * (deg.deg - 1))
+            ELSE 0 END AS clust_permille
+FROM deg LEFT JOIN tcnt ON tcnt.u = deg.u
+ORDER BY user_id
+""",
+    category="events",
+)
+def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient (this session
+    — second graph-analytics operator after PageRank): build a user
+    co-occurrence graph — an edge when two users are active in the
+    same (event_type, day, hour) bucket at least 4 times — then count
+    per-user triangles via
+    :func:`walden_spark.operators.graph.triangle_counts` (degree-
+    oriented wedge join) and report degree, triangle count, and the
+    local clustering coefficient in exact integer permille
+    ``(2000·T) DIV (deg·(deg−1))`` — no float division, so the DuckDB
+    oracle (plain id-ordered a<b<c triangle join) emits identical bits
+    even though the engine enumerates with the degree orientation.
+
+    Scale shape: co-occurrence pairing is an equi self-join on the
+    bucket key — the bucket IS the blocking key, so fan-out is bounded
+    by per-bucket activity (a production path caps hot buckets exactly
+    like dedup's LSH max_bucket_size); the pair aggregate shuffles on
+    the (ua, ub) key; everything downstream operates on the edge list
+    (≪ events) with the degree orientation bounding the wedge join.
+    The explicit repartition on the bucket key keeps the exploding
+    join parallel instead of letting AQE coalesce it to one task."""
+    t = Tables(spark, sf_dir)
+    act = (
+        t.events.filter(F.col("user_id") < 150)
+        .select(
+            "user_id",
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .distinct()
+        .repartition(
+            spark.sparkContext.defaultParallelism, "event_type", "d", "h"
+        )
+    )
+    a = act.select(
+        F.col("user_id").alias("ua"), "event_type", "d", "h"
+    )
+    b = act.select(
+        F.col("user_id").alias("ub"), "event_type", "d", "h"
+    )
+    edges = (
+        a.join(b, ["event_type", "d", "h"])
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 4)
+        .select("ua", "ub")
+    )
+    tri = triangle_counts(edges, "ua", "ub")
+    deg = (
+        edges.select(F.col("ua").alias("n"))
+        .unionAll(edges.select(F.col("ub").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    return (
+        deg.join(tri.withColumnRenamed("node", "n"), "n")
+        .select(
+            F.col("n").alias("user_id"),
+            "deg",
+            "triangles",
+            F.when(
+                F.col("deg") >= 2,
+                F.expr("(2000 * triangles) DIV (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("clust_permille"),
+        )
+        .orderBy("user_id")
+    )

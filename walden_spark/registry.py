@@ -119,6 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
+    "events_user_triangles",
     "tpcds_q29_bucketed",
     "streaming_anomaly_weekly",
     # -- family coverage: stalest of events/scan/multimodal --
@@ -139,16 +140,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_pq",
     "ddl_branch_merge",
     "fn_bitwise",
-    "fn_math",
     "fn_string",
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
     # sql_recursive_cte / setop_except / join_semi / join_left_outer —
     # plus win_range_interval, tpch_q12, and setop_except_all from the
-    # r03 block above, and fn_struct / fn_url / agg_stats_formula
-    # displaced by the session-3 additions win_pattern_skip_next /
-    # win_pattern_reluctant_final / text_dsir_select — all queue for
-    # r12; new names join immediately, and their families stay
+    # r03 block above, and fn_struct / fn_url / agg_stats_formula /
+    # fn_math displaced by the session-3 additions
+    # win_pattern_skip_next / win_pattern_reluctant_final /
+    # text_dsir_select / events_user_triangles — all queue for r12;
+    # new names join immediately, and their families stay
     # window-covered by the entries kept here)
     # -- family coverage: stalest text (r04) --
     "text_span_dedup",
