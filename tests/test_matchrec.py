@@ -682,3 +682,40 @@ FROM mr_input MATCH_RECOGNIZE (
         (1, 1, "u", 3), (1, 1, "u", 4),
         (1, 2, "STRT", 1), (1, 2, "d", 2), (1, 2, "u", 3), (1, 2, "u", 4),
     ]
+
+
+def test_subset_with_alternation(spark):
+    """SUBSET × alternation (this session — closes the named limit): a
+    union variable resolves per WINNING branch — LAST(tail.col) is the
+    latest member in that branch, COUNT(tail.*) the member length sum
+    there. pid 8 (5 3 2 4 6) is a V (tail = u); pid 9 (4 2 2 2) is a
+    descent into a plateau (tail = f)."""
+    ws = WaldenSession(spark)
+    rows = [(8, d, float(v)) for d, v in enumerate([5, 3, 2, 4, 6])] + [
+        (9, d, float(v)) for d, v in enumerate([4, 2, 2, 2])
+    ]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_alt_sub")
+    got = ws.sql(
+        """
+SELECT pid, shape, anchor_day, tail_day, tail_v, n_tail, n_down
+FROM mr_alt_sub MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, CLASSIFIER() AS shape,
+           LAST(tail.day) AS tail_day, LAST(tail.v) AS tail_v,
+           COUNT(tail.*) AS n_tail, COUNT(d.*) AS n_down
+  ONE ROW PER MATCH
+  PATTERN ((STRT d+ u+) | (STRT d+ f+))
+  SUBSET tail = (u, f)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), f AS f.v = PREV(f.v)
+) ORDER BY pid
+"""
+    ).collect()
+    assert [
+        (r.pid, r.shape, r.anchor_day, r.tail_day, r.tail_v, r.n_tail, r.n_down)
+        for r in got
+    ] == [
+        (8, "u", 0, 4, 6.0, 2, 2),
+        (9, "f", 0, 3, 2.0, 2, 1),
+    ]

@@ -644,6 +644,7 @@ def _compile_alternation(
     clauses: dict[str, str],
     all_rows: bool,
     classifier=None,
+    subsets: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Top-level PATTERN alternation at the SQL surface (r11):
     ``PATTERN ((STRT …) | (STRT …) …)`` compiles every branch through
@@ -782,20 +783,43 @@ def _compile_alternation(
             )
 
         def over_branches(var: str, kind: str):
+            # a SUBSET union variable resolves PER BRANCH (this session
+            # — closes the SUBSET×alternation named limit): in the
+            # winning branch, LAST(U.col) is the member latest in THAT
+            # branch's step order, COUNT(U.*) the sum of its members'
+            # run lengths there — 0 when the branch contains no member
+            # (per SQL:2016 COUNT over an empty mapping), while
+            # LAST(U.col) reads NULL, like any per-branch measure.
+            subs = subsets or {}
+            is_subset = var in subs
             out = None
             for lab, steps in patterns.items():
-                for i, s in enumerate(steps):
-                    if s.name == var:
-                        c = F.col(f"step{i}_{kind}")
-                        cond = F.col("pattern") == lab
-                        out = (
-                            F.when(cond, c) if out is None else out.when(cond, c)
-                        )
-                        break
+                names = [s.name for s in steps]
+                if is_subset:
+                    members = [m for m in subs[var] if m in names]
+                    if not members:
+                        continue
+                    if kind == "len":
+                        c = None
+                        for mname in members:
+                            cc = F.col(f"step{names.index(mname)}_len")
+                            c = cc if c is None else c + cc
+                        c = c.cast("bigint")
+                    else:
+                        mname = max(members, key=names.index)
+                        c = F.col(f"step{names.index(mname)}_{kind}")
+                elif var in names:
+                    c = F.col(f"step{names.index(var)}_{kind}")
+                else:
+                    continue
+                cond = F.col("pattern") == lab
+                out = F.when(cond, c) if out is None else out.when(cond, c)
             if out is None:
                 raise MatchRecognizeError(
                     f"measure variable {var!r} appears in no branch"
                 )
+            if is_subset and kind == "len":
+                out = out.otherwise(F.lit(0).cast("bigint"))
             return out
 
         if lm := _MEASURE_LAST.match(expr):
@@ -990,12 +1014,10 @@ def compile_match_recognize(
     # classifier is a member.
     subsets: dict[str, list[str]] = {}
     if "SUBSET" in clauses:
-        if len(branches) > 1:
-            raise MatchRecognizeError(
-                "SUBSET with alternation is out of class (a union variable "
-                "cannot span branch-dependent step sets)"
-            )
-        step_set = {s.name for s in branches[0]}
+        # members validate against the UNION of branch step sets (this
+        # session — SUBSET×alternation is in class: a union variable
+        # resolves per winning branch in _compile_alternation)
+        step_set = {s.name for b in branches for s in b}
         for item in _split_top_commas(clauses["SUBSET"]):
             m = re.fullmatch(
                 r"([A-Za-z_]\w*)\s*=\s*\(\s*([A-Za-z_]\w*"
@@ -1023,7 +1045,7 @@ def compile_match_recognize(
     if len(branches) > 1:
         return _compile_alternation(
             source, part, order, value, branches, clauses, all_rows,
-            classifier=clf,
+            classifier=clf, subsets=subsets,
         )
     if cycle_bounds is not None:
         return _compile_cycles(

@@ -1333,6 +1333,82 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_alt_subset",
+    oracle=_ISLANDS_CTE.format(max_user=67)
+    + """
+, mm AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.av AS anchor_n,
+         u.ed AS end_day, 'up' AS shape, d.ln AS n_down,
+         CAST(u.ed AS BIGINT) AS tail_day, u.ev AS tail_n, u.ln AS n_tail
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+  UNION ALL
+  SELECT d.user_id, d.sp, d.av, f.ed, 'flat', d.ln,
+         CAST(f.ed AS BIGINT), f.ev, f.ln
+  FROM isl d
+  JOIN isl f ON f.user_id = d.user_id AND d.dir = -1 AND f.dir = 0
+            AND f.sp = d.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(end_day)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM mm
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       shape, n_down, tail_day, tail_n, n_tail
+FROM r WHERE pos % 2 = 1
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_alt_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET × alternation (this session — closes the named limit):
+    ``SUBSET tail = (up, flat)`` spans branch-dependent step sets, so
+    the union variable resolves PER WINNING BRANCH — ``LAST(tail.day)``
+    / ``LAST(tail.n)`` read the V branch's ascent end or the plateau
+    branch's plateau end, and ``COUNT(tail.*)`` the winning tail's run
+    length — one uniform measure over what each descent resolved into,
+    where the plain alternation query needed an outer COALESCE over
+    per-branch NULLs. Selection and classification are unchanged
+    (shared classification, leftmost preference, skip-past walk).
+    Fresh slice: user_id < 67."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=67).createOrReplaceTempView(
+        "walden_mr_daily_asb"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, shape, n_down, tail_day, tail_n, n_tail
+FROM walden_mr_daily_asb MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           CLASSIFIER() AS shape, COUNT(down.*) AS n_down,
+           LAST(tail.day) AS tail_day, LAST(tail.n) AS tail_n,
+           COUNT(tail.*) AS n_tail
+  ONE ROW PER MATCH
+  PATTERN ((STRT down+ up+) | (STRT down+ flat+))
+  SUBSET tail = (up, flat)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat AS flat.n = PREV(flat.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_alternation",
     oracle=_ISLANDS_CTE.format(max_user=70)
     + """

@@ -116,6 +116,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_threshold",
     "win_pattern_skip_next",
     "win_pattern_reluctant_final",
+    "win_pattern_sql_alt_subset",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -151,8 +152,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # text_dsir_select / events_user_triangles — all queue for r12;
     # new names join immediately, and their families stay
     # window-covered by the entries kept here)
-    # -- family coverage: stalest text (r04) --
-    "text_span_dedup",
+    # (text_span_dedup — the former stalest-text slot — also queues for
+    # r12, displaced by win_pattern_sql_alt_subset; the text family
+    # stays covered by text_dsir_select / text_stratum_cap)
 )
 
 
