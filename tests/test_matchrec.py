@@ -719,3 +719,56 @@ FROM mr_alt_sub MATCH_RECOGNIZE (
         (8, "u", 0, 4, 6.0, 2, 2),
         (9, "f", 0, 3, 2.0, 2, 1),
     ]
+
+
+def test_permute_mid_pattern(spark):
+    """Mid-pattern PERMUTE (this session — closes the 'embedded
+    mid-pattern' limit): STRT d+ PERMUTE(u+, f+) d2+ shares the descent
+    prefix and the final-descent suffix across both interleavings.
+    pid 11 (5 3 4 4 2) is d-u-f-d2; pid 12 (5 3 3 4 2) is d-f-u-d2."""
+    ws = WaldenSession(spark)
+    rows = [(11, d, float(v)) for d, v in enumerate([5, 3, 4, 4, 2])] + [
+        (12, d, float(v)) for d, v in enumerate([5, 3, 3, 4, 2])
+    ]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_perm_mid")
+    got = ws.sql(
+        """
+SELECT pid, cls, anchor_day, end_day FROM mr_perm_mid MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, CLASSIFIER() AS cls,
+           LAST(d2.day) AS end_day
+  ONE ROW PER MATCH
+  PATTERN (STRT d+ PERMUTE(u+, f+) d2+)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
+         f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
+) ORDER BY pid
+"""
+    ).collect()
+    assert [(r.pid, r.cls, r.anchor_day, r.end_day) for r in got] == [
+        (11, "d2", 0, 4),
+        (12, "d2", 0, 4),
+    ]
+    # named limits: quantified group / multiple PERMUTEs
+    with pytest.raises(MatchRecognizeError, match="quantifier on the PERMUTE"):
+        ws.sql(
+            """
+SELECT pid FROM mr_perm_mid MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a ONE ROW PER MATCH
+  PATTERN (STRT d+ PERMUTE(u+, f+){2})
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), f AS f.v = PREV(f.v)
+)"""
+        )
+    with pytest.raises(MatchRecognizeError, match="multiple PERMUTE"):
+        ws.sql(
+            """
+SELECT pid FROM mr_perm_mid MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a ONE ROW PER MATCH
+  PATTERN (STRT PERMUTE(d+, u+) PERMUTE(f+, d2+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
+         f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
+)"""
+        )

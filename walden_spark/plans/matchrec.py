@@ -237,9 +237,6 @@ def _split_top_commas(text: str) -> list[str]:
     return parts
 
 
-_PERMUTE = re.compile(r"^STRT\s+PERMUTE\s*\((.*)\)$", re.IGNORECASE | re.DOTALL)
-
-
 def _split_quantified(text: str) -> list[str]:
     """Split PERMUTE's element list on commas outside braces/parens —
     ``d+, u{2,3}`` must not split inside the bound."""
@@ -297,13 +294,35 @@ def _parse_pattern(text: str) -> list[list[tuple[str, int, int | None]]]:
                 )
             branches.append(_parse_steps(alt[1:-1].strip()))
         return branches
-    if pm := _PERMUTE.match(inner):
+    if pm := re.search(r"\bPERMUTE\s*\(", inner, re.IGNORECASE):
         # PERMUTE(e1, e2, …) ≡ the alternation of every ordering, tried
         # lexicographically by listed position (SQL:2016 / Trino
-        # preference) — expanded here into match_any branches
+        # preference) — expanded here into match_any branches. Since
+        # this session PERMUTE may sit ANYWHERE in the pattern (the
+        # former whole-tail restriction): the surrounding prefix/suffix
+        # steps are shared verbatim across every expanded branch, so
+        # "STRT d+ PERMUTE(u+, f+) d2+" is the alternation of the two
+        # interleavings — mid-pattern PERMUTE is just alternation with
+        # a shared context.
         from itertools import permutations
 
-        elems = _split_quantified(pm.group(1))
+        end = _balanced_span(inner, pm.end() - 1)
+        prefix = inner[: pm.start()].strip()
+        suffix = inner[end:].strip()
+        if re.search(r"\bPERMUTE\s*\(", suffix, re.IGNORECASE):
+            raise MatchRecognizeError(
+                "multiple PERMUTE groups in one pattern are out of class"
+            )
+        if suffix[:1] in ("{", "+", "*", "?"):
+            raise MatchRecognizeError(
+                "a quantifier on the PERMUTE group itself is out of class "
+                "(quantify the elements inside it)"
+            )
+        if not prefix:
+            raise MatchRecognizeError(
+                "PATTERN must begin with the bare STRT anchor"
+            )
+        elems = _split_quantified(inner[pm.end(): end - 1])
         if len(elems) < 2:
             raise MatchRecognizeError("PERMUTE needs at least two elements")
         if len(elems) > 4:
@@ -312,7 +331,7 @@ def _parse_pattern(text: str) -> list[list[tuple[str, int, int | None]]]:
                 f"{len(elems)}! > 24 alternation branches — out of class"
             )
         return [
-            _parse_steps("STRT " + " ".join(perm))
+            _parse_steps(" ".join(filter(None, [prefix, *perm, suffix])))
             for perm in permutations(elems)
         ]
     return [_parse_steps(inner)]

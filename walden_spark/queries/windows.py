@@ -1333,6 +1333,94 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_permute_mid",
+    oracle=_ISLANDS_CTE.format(max_user=63).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, cand AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.av AS anchor_n, d.ln AS n_down,
+         CAST(u.ed AS BIGINT) AS rise_day, CAST(f.ed AS BIGINT) AS plateau_day,
+         CAST(d2.ed AS BIGINT) AS end_day, d2.ev AS end_n, 0 AS bidx
+  FROM isl d
+  JOIN isl u  ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.sp = d.ed
+  JOIN isl f  ON f.user_id = d.user_id AND f.dir = 0 AND f.sp = u.ed
+  JOIN isl d2 ON d2.user_id = d.user_id AND d2.dir = -1 AND d2.sp = f.ed
+  UNION ALL
+  SELECT d.user_id, d.sp, d.av, d.ln,
+         CAST(u.ed AS BIGINT), CAST(f.ed AS BIGINT),
+         CAST(d2.ed AS BIGINT), d2.ev, 1
+  FROM isl d
+  JOIN isl f  ON f.user_id = d.user_id AND d.dir = -1 AND f.dir = 0
+             AND f.sp = d.ed
+  JOIN isl u  ON u.user_id = d.user_id AND u.dir = 1 AND u.sp = f.ed
+  JOIN isl d2 ON d2.user_id = d.user_id AND d2.dir = -1 AND d2.sp = u.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND (c2.anchor_day < c.anchor_day
+           OR (c2.anchor_day = c.anchor_day AND c2.bidx < c.bidx)))
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND (m.anchor_day < n.anchor_day
+           OR (m.anchor_day = n.anchor_day AND m.bidx < n.bidx)))
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n, n_down,
+       rise_day, plateau_day, end_day, end_n
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_permute_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-pattern PERMUTE (this session — closes the 'PERMUTE embedded
+    mid-pattern' limit): ``PATTERN (STRT down+ PERMUTE(up+, flat+)
+    down2+)`` — a descent, then a rebound and a plateau in EITHER
+    order, then a second descent. The parser expands the group into an
+    alternation of the two interleavings sharing the prefix/suffix
+    steps verbatim, so the existing alternation machinery (one shared
+    classification, leftmost preference, skip-past walk) serves it;
+    both permuted variables appear in every branch, so LAST(up.day) /
+    LAST(flat.day) are non-NULL on every match and their order tells
+    which interleaving won. Oracle: the two 4-step adjacency chains
+    UNION ALL + the RECURSIVE greedy-walk CTE (4-step spans overlap
+    more deeply than boundary rows, so inside-anchored candidates must
+    drop — the chain-odd trick undercounts drops here, exactly the
+    win_pattern_sql_permute lesson). Fresh slice: user_id < 63."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=63).createOrReplaceTempView(
+        "walden_mr_daily_pm"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_down, rise_day, plateau_day,
+       end_day, end_n
+FROM walden_mr_daily_pm MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(down.*) AS n_down,
+           LAST(up.day) AS rise_day, LAST(flat.day) AS plateau_day,
+           LAST(down2.day) AS end_day, LAST(down2.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ PERMUTE(up+, flat+) down2+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat AS flat.n = PREV(flat.n), down2 AS down2.n < PREV(down2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_alt_subset",
     oracle=_ISLANDS_CTE.format(max_user=67)
     + """

@@ -117,6 +117,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_skip_next",
     "win_pattern_reluctant_final",
     "win_pattern_sql_alt_subset",
+    "win_pattern_sql_permute_mid",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -141,7 +142,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "ann_ivf_pq",
     "ddl_branch_merge",
     "fn_bitwise",
-    "fn_string",
+    # (fn_string also queues for r12, displaced by
+    # win_pattern_sql_permute_mid; the fn family stays window-covered
+    # by fn_bitwise)
     # (fn_variant / join_cross / join_right_outer / setop_union_all /
     # setop_intersect_all / streaming_foreachbatch_upsert /
     # sql_recursive_cte / setop_except / join_semi / join_left_outer —
