@@ -582,3 +582,38 @@ def test_q18_bucketed_no_fact_exchange(spark, sf_dir, registry):
         "bucketed q18 must not shuffle the fact tables"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_weight_join_broadcasts_and_no_quadratic_joins(spark, sf_dir):
+    """text_dsir_select plan contract (r11 session 3): the B=512-row
+    weight table must reach the n-gram stream as a BroadcastHashJoin
+    (never a shuffle of the token stream on the bucket key), and the
+    only nested-loop joins allowed are the scalar Cross joins against
+    the single-row totals frames — anything else quadratic fails."""
+    from walden_spark.registry import load_all
+
+    reg = load_all()
+    plan = _plan(spark, reg["text_dsir_select"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    import re as _re
+
+    for line in plan.splitlines():
+        if _re.match(r"^\(\d+\) ", line.strip()):
+            continue  # detail-block header repeats the bare node name
+        if "NestedLoopJoin" in line or "CartesianProduct" in line:
+            assert "Cross" in line, line  # scalar totals joins only
+    # the token stream must not hash-shuffle on the bucket key b — the
+    # weight join is broadcast; only model aggregates key on b
+    assert "SortMergeJoin" not in plan
+
+
+def test_triangles_plan_all_equi_joins(spark, sf_dir):
+    """events_user_triangles plan contract: the co-occurrence pairing,
+    orientation, wedge, and closure joins are all EQUI joins — no
+    nested loop, no cartesian anywhere in the tree."""
+    from walden_spark.registry import load_all
+
+    reg = load_all()
+    plan = _plan(spark, reg["events_user_triangles"].fn(spark, sf_dir))
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
