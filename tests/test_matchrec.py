@@ -772,3 +772,31 @@ SELECT pid FROM mr_perm_mid MATCH_RECOGNIZE (
          f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
 )"""
         )
+
+
+def test_skip_next_with_alternation_leftmost_preference(spark):
+    """SKIP TO NEXT ROW × alternation (this session): every branch's
+    suffix-anchor expansion is kept, and where two branches match at
+    the SAME anchor the leftmost listed wins. 5 4 3 2 6: the bounded
+    branch d{1,2} u2+ matches at anchors 1, 2 (and wins there, listed
+    first); the unbounded branch d+ u+ alone reaches anchor 0."""
+    ws = WaldenSession(spark)
+    rows = [(21, d, float(v)) for d, v in enumerate([5, 4, 3, 2, 6])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_alt_sn")
+    got = ws.sql(
+        """
+SELECT pid, cls, anchor_day, n_down FROM mr_alt_sn MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, CLASSIFIER() AS cls, COUNT(d.*) AS n_down
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((STRT d{1,2} u2+) | (STRT d+ u+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), u2 AS u2.v > PREV(u2.v)
+) ORDER BY pid, anchor_day
+"""
+    ).collect()
+    assert [(r.cls, r.anchor_day, r.n_down) for r in got] == [
+        ("u", 0, 3), ("u2", 1, 2), ("u2", 2, 1),
+    ]

@@ -456,6 +456,7 @@ def match_skip_next(
     steps: list[Step],
     classifier=None,
     bin_width: int = 32,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """``AFTER MATCH SKIP TO NEXT ROW`` (this session — closes the
     first-named out-of-class row in DEVIATIONS.md): the full match set a
@@ -498,7 +499,8 @@ def match_skip_next(
     s1 = steps[0]
     relaxed = [Step(s1.name, s1.dir, s1.min_len, None)] + list(steps[1:])
     m = match_pattern(
-        df, partition_col, order_col, value_col, relaxed, classifier
+        df, partition_col, order_col, value_col, relaxed, classifier,
+        islands=islands,
     )
     anchor = f"anchor_{order_col}"
     first_end = f"{s1.name}_end"

@@ -82,6 +82,7 @@ from walden_spark.operators.pattern import (
     FLAT,
     UP,
     Step,
+    classify_islands,
     expand_all_rows,
     match_any,
     match_cycles,
@@ -686,13 +687,16 @@ def _compile_alternation(
     from pyspark.sql import Window
 
     after = clauses.get("AFTER MATCH")
-    if after is not None and not re.fullmatch(
+    skip_next = after is not None and re.fullmatch(
+        r"SKIP\s+TO\s+NEXT\s+ROW", after.strip(), re.IGNORECASE
+    )
+    if after is not None and not skip_next and not re.fullmatch(
         r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
     ):
         raise MatchRecognizeError(
-            f"AFTER MATCH {after!r} with alternation: only SKIP PAST LAST "
-            "ROW (or omitting the clause) is in class — overlapping "
-            "alternation matches are the Python API's "
+            f"AFTER MATCH {after!r} with alternation: SKIP PAST LAST ROW "
+            "(or omitting the clause) and SKIP TO NEXT ROW are the in-class "
+            "modes — overlapping alternation matches are the Python API's "
             "operators.pattern.match_any"
         )
     # branch labels are synthetic (PERMUTE expansions routinely share
@@ -703,8 +707,59 @@ def _compile_alternation(
         lab: b[-1].name for lab, b in zip(labels, branches)
     }
     patterns = dict(zip(labels, branches))
-    m = match_any(source, part, order, value, patterns, classifier=classifier)
     anchor = f"anchor_{order}"
+    if skip_next:
+        # SKIP TO NEXT ROW × alternation (this session): each branch's
+        # rescan match set is its suffix-anchor expansion on ONE shared
+        # classification; where two branches match at the same anchor
+        # the leftmost wins (the rescan attempts branches in listed
+        # order at every row) — and that per-anchor preference is the
+        # ONLY selection, since every successful anchor is kept.
+        if all_rows:
+            raise MatchRecognizeError(
+                "ALL ROWS PER MATCH with SKIP TO NEXT ROW under "
+                "alternation is out of class"
+            )
+        isl = classify_islands(
+            source, part, order, value, classifier
+        ).localCheckpoint(eager=True)
+        width = max(len(b) for b in branches)
+        ord_t = source.schema[order].dataType
+        val_t = source.schema[value].dataType
+        parts_sn = []
+        for lab, steps_b in patterns.items():
+            mb = match_skip_next(
+                source, part, order, value, steps_b,
+                classifier=classifier, islands=isl,
+            )
+            cols = [
+                F.lit(lab).alias("pattern"),
+                F.col(part),
+                F.col(anchor),
+                F.col("anchor_val"),
+            ]
+            for j in range(width):
+                if j < len(steps_b):
+                    s = steps_b[j].name
+                    cols += [
+                        F.col(f"{s}_end").alias(f"step{j}_end"),
+                        F.col(f"{s}_val").alias(f"step{j}_val"),
+                        F.col(f"{s}_len").alias(f"step{j}_len"),
+                    ]
+                else:
+                    cols += [
+                        F.lit(None).cast(ord_t).alias(f"step{j}_end"),
+                        F.lit(None).cast(val_t).alias(f"step{j}_val"),
+                        F.lit(None).cast("bigint").alias(f"step{j}_len"),
+                    ]
+            parts_sn.append(mb.select(*cols))
+        m = parts_sn[0]
+        for p in parts_sn[1:]:
+            m = m.unionByName(p)
+    else:
+        m = match_any(
+            source, part, order, value, patterns, classifier=classifier
+        )
     bidx = None
     endc = None
     for i, (lab, steps) in enumerate(patterns.items()):
@@ -713,14 +768,16 @@ def _compile_alternation(
         bidx = F.when(cond, F.lit(i)) if bidx is None else bidx.when(cond, F.lit(i))
         endc = F.when(cond, last) if endc is None else endc.when(cond, last)
     m = m.withColumn("__bidx", bidx).withColumn("__end", endc)
-    # leftmost-branch preference at a shared anchor, then greedy skip
+    # leftmost-branch preference at a shared anchor, then (for the
+    # skip-past modes only) the greedy skip walk
     wp = Window.partitionBy(part, anchor).orderBy("__bidx")
     m = (
         m.withColumn("__rn", F.row_number().over(wp))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    m = select_skip_past(m, part, anchor, "__end")
+    if not skip_next:
+        m = select_skip_past(m, part, anchor, "__end")
     if all_rows:
         # number ACROSS branches (post-selection anchors are unique per
         # partition), then expand each branch's matches with its own

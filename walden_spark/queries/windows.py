@@ -1333,6 +1333,79 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_alt_skip_next",
+    oracle=_ISLANDS_CTE.format(max_user=47)
+    + """
+, mm AS (
+  SELECT d.user_id, d.sp AS a0, d.ln AS dlen, 'up' AS shape,
+         d.ed AS bottom_day, CAST(t.ed AS BIGINT) AS end_day, t.ev AS end_n
+  FROM isl d
+  JOIN isl t ON t.user_id = d.user_id AND d.dir = -1 AND t.dir = 1
+            AND t.sp = d.ed
+  UNION ALL
+  SELECT d.user_id, d.sp, d.ln, 'flat', d.ed, CAST(f.ed AS BIGINT), f.ev
+  FROM isl d
+  JOIN isl f ON f.user_id = d.user_id AND d.dir = -1 AND f.dir = 0
+            AND f.sp = d.ed
+), x AS (
+  SELECT mm.user_id, dd.day AS anchor_day, dd.n AS anchor_n, mm.shape,
+         mm.bottom_day, mm.end_day, mm.end_n,
+         mm.dlen - (ROW_NUMBER() OVER (PARTITION BY mm.user_id, mm.a0, mm.shape
+                                       ORDER BY dd.day) - 1) AS n_down
+  FROM mm JOIN daily dd
+    ON dd.user_id = mm.user_id
+   AND dd.day >= mm.a0 AND dd.day < mm.bottom_day
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n, shape,
+       CAST(bottom_day AS BIGINT) AS bottom_day,
+       CAST(n_down AS BIGINT) AS n_down, end_day, end_n
+FROM x ORDER BY user_id, anchor_day, shape
+""",
+    category="window",
+)
+def win_pattern_sql_alt_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP TO NEXT ROW × alternation (this session — closes the
+    composition row): every descent's suffix anchors each emit a match
+    classified by what follows the descent — a rebound or a plateau —
+    through ONE shared classification; the only selection is the
+    per-anchor leftmost-branch preference (unexercised on this shape,
+    where a descent is followed by exactly one island — the preference
+    arm is pinned by
+    ``test_skip_next_with_alternation_leftmost_preference``). Composes
+    with SUBSET: ``LAST(tail.day)`` / ``LAST(tail.n)`` read the winning
+    branch's end uniformly. Oracle: both adjacency chains UNION ALL,
+    suffix-expanded by joining descent rows — no walk, the rescan keeps
+    every anchor. Fresh slice: user_id < 47."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=47).createOrReplaceTempView(
+        "walden_mr_daily_asn"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, shape, bottom_day, n_down,
+       end_day, end_n
+FROM walden_mr_daily_asn MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           CLASSIFIER() AS shape,
+           LAST(down.day) AS bottom_day, COUNT(down.*) AS n_down,
+           LAST(tail.day) AS end_day, LAST(tail.n) AS end_n
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((STRT down+ up+) | (STRT down+ flat+))
+  SUBSET tail = (up, flat)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat AS flat.n = PREV(flat.n)
+)
+ORDER BY user_id, anchor_day, shape
+"""
+    )
+
+
+@query(
     "win_pattern_sql_permute_mid",
     oracle=_ISLANDS_CTE.format(max_user=63).replace(
         "\nWITH daily", "\nWITH RECURSIVE daily", 1

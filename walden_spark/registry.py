@@ -118,6 +118,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_reluctant_final",
     "win_pattern_sql_alt_subset",
     "win_pattern_sql_permute_mid",
+    "win_pattern_sql_alt_skip_next",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -138,7 +139,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- re-witness: stalest remaining (last hash-verified r04; the
     # remainder of this vintage rotates in r12) --
     "agg_percentile_exact",
-    "agg_pivot",
+    # (agg_pivot also queues for r12, displaced by
+    # win_pattern_sql_alt_skip_next; agg stays covered by
+    # agg_count_distinct / agg_percentile_exact)
     "ann_ivf_pq",
     "ddl_branch_merge",
     "fn_bitwise",
