@@ -800,3 +800,32 @@ SELECT pid, cls, anchor_day, n_down FROM mr_alt_sn MATCH_RECOGNIZE (
     assert [(r.cls, r.anchor_day, r.n_down) for r in got] == [
         ("u", 0, 3), ("u2", 1, 2), ("u2", 2, 1),
     ]
+
+
+def test_subset_with_repeated_group(spark):
+    """SUBSET × repeated group (this session — closes the last SUBSET
+    composition row): over PATTERN (STRT (d+ u+)+), COUNT(b.*) with
+    b = (d, u) sums transitions across ALL cycles and LAST(b.day)
+    reads the run's final row (the latest member in cycle order, last
+    cycle). 5 3 6 2 7 = two chained cycles in one maximal run."""
+    ws = WaldenSession(spark)
+    rows = [(31, d, float(v)) for d, v in enumerate([5, 3, 6, 2, 7])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_cyc_sub")
+    got = ws.sql(
+        """
+SELECT pid, anchor_day, n_moves, end_day FROM mr_cyc_sub MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, COUNT(b.*) AS n_moves,
+           LAST(b.day) AS end_day
+  ONE ROW PER MATCH
+  PATTERN (STRT (d+ u+)+)
+  SUBSET b = (d, u)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid
+"""
+    ).collect()
+    assert [(r.pid, r.anchor_day, r.n_moves, r.end_day) for r in got] == [
+        (31, 0, 4, 4)
+    ]

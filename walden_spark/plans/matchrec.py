@@ -583,10 +583,6 @@ def _compile_cycles(
         raise MatchRecognizeError(
             "ALL ROWS PER MATCH with a repeated group is out of class"
         )
-    if subsets:
-        raise MatchRecognizeError(
-            "SUBSET with a repeated group is out of class"
-        )
     after = clauses.get("AFTER MATCH")
     if after is not None and not re.fullmatch(
         r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
@@ -605,6 +601,8 @@ def _compile_cycles(
     except ValueError as ex:
         raise MatchRecognizeError(str(ex)) from ex
     step_names = {s.name for s in steps}
+    step_order = [s.name for s in steps]
+    subs = subsets or {}
     total_rows = F.lit(1)
     for s in steps:
         total_rows = total_rows + F.col(f"{s.name}_total_len")
@@ -624,6 +622,12 @@ def _compile_cycles(
             )
         if lm := _MEASURE_LAST.match(expr):
             var, col = lm.group(1).lower(), lm.group(2).lower()
+            if var in subs:
+                # SUBSET over a repeated group (this session): LAST(U.c)
+                # = the member latest in CYCLE step order, in the LAST
+                # cycle — the run's latest U-mapped row, since cycles
+                # repeat the step sequence in order
+                var = max(subs[var], key=step_order.index)
             if var not in step_names:
                 raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
             if col == order.lower():
@@ -636,6 +640,12 @@ def _compile_cycles(
             )
         if cm := _MEASURE_COUNT.match(expr):
             var = cm.group(1).lower()
+            if var in subs:
+                out = None
+                for mname in subs[var]:
+                    c = F.col(f"{mname}_total_len")
+                    out = c if out is None else out + c
+                return out.cast("bigint")
             if var not in step_names:
                 raise MatchRecognizeError(f"COUNT({cm.group(1)}.*): unknown step")
             return F.col(f"{var}_total_len")

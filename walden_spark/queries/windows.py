@@ -1333,6 +1333,70 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_cycles_subset",
+    oracle=_ISLANDS_CTE.format(max_user=57)
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id, d.iseq AS useq, d.sp AS a_day, d.av AS a_n,
+         d.ln AS d_ln, u.ln AS u_ln, u.ed AS u_end, u.ev AS u_ev
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+)
+SELECT user_id,
+       CAST(MIN(a_day) AS BIGINT) AS anchor_day,
+       CAST(SUM(d_ln) + SUM(u_ln) AS BIGINT) AS n_moves,
+       CAST(MAX(u_end) AS BIGINT) AS end_day,
+       CAST(arg_max(u_ev, useq) AS BIGINT) AS end_n,
+       CAST(1 + SUM(d_ln) + SUM(u_ln) AS BIGINT) AS span_rows
+FROM cruns GROUP BY user_id, grp
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUBSET over a repeated group (this session — closes the last
+    SUBSET composition row): over ``PATTERN (STRT (down+ up+)+)`` the
+    union variable ``move = (down, up)`` measures the WHOLE oscillation
+    run uniformly — ``COUNT(move.*)`` sums both steps' transitions
+    across every cycle, ``LAST(move.day)`` / ``LAST(move.n)`` read the
+    run's final row (the member latest in cycle order, last cycle) —
+    where the plain cycles query had to add per-step totals in the
+    outer SELECT. Oracle: the same island-level run grouping with the
+    summed aggregates. Fresh slice: user_id < 57."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=57).createOrReplaceTempView(
+        "walden_mr_daily_cs"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, n_moves, end_day, end_n, span_rows
+FROM walden_mr_daily_cs MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, COUNT(move.*) AS n_moves,
+           LAST(move.day) AS end_day, LAST(move.n) AS end_n,
+           COUNT(*) AS span_rows
+  ONE ROW PER MATCH
+  PATTERN (STRT (down+ up+)+)
+  SUBSET move = (down, up)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_alt_skip_next",
     oracle=_ISLANDS_CTE.format(max_user=47)
     + """

@@ -119,6 +119,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_alt_subset",
     "win_pattern_sql_permute_mid",
     "win_pattern_sql_alt_skip_next",
+    "win_pattern_sql_cycles_subset",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -142,7 +143,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (agg_pivot also queues for r12, displaced by
     # win_pattern_sql_alt_skip_next; agg stays covered by
     # agg_count_distinct / agg_percentile_exact)
-    "ann_ivf_pq",
+    # (ann_ivf_pq also queues for r12, displaced by
+    # win_pattern_sql_cycles_subset; the ann/knn family stays covered
+    # by the knn_lsh_bucketed flagship and dedup_embedding_lsh)
     "ddl_branch_merge",
     "fn_bitwise",
     # (fn_string also queues for r12, displaced by
