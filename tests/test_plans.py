@@ -172,6 +172,7 @@ _CARTESIAN_OK = {
     "ann_ivf_probe",       # intentional broadcast-cross against the bounded centroid table (IVF assign is map-only by design)
     "text_tfidf_topk",     # corpus-size N: BNLJ against a 1-row aggregate, O(n)
     "text_bigram_lm_score",  # vocab-size V: BNLJ against a 1-row aggregate, O(n)
+    "text_dsir_select",    # model totals + doc count: BNLJ against 1-row aggregates, O(n)
     "text_temperature_mix",  # per-source totals vs a broadcast 1-row aggregate, O(sources)
     "text_apply_mixture",  # same shape: plan arithmetic vs a broadcast 1-row max, O(sources)
     "dedup_semantic_cluster",  # intentional broadcast-cross against the bounded seed-centroid table (nearest-seed assign is map-only by design)
@@ -617,3 +618,70 @@ def test_triangles_plan_all_equi_joins(spark, sf_dir):
     plan = _plan(spark, reg["events_user_triangles"].fn(spark, sf_dir))
     assert "NestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q3_bucketed_zero_fact_exchanges(spark, sf_dir, registry):
+    """tpch_q3_bucketed (r11 session 3): customer broadcasts, the
+    fact-fact join consumes the bucket distribution, and the final
+    (l_orderkey, orderdate, priority) aggregate reuses it — hash
+    partitioning on the orderkey satisfies any group set containing
+    it — so the plan carries ZERO hash exchanges."""
+    df = registry["tpch_q3_bucketed"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    exch = _hash_exchange_keys(plan)
+    assert exch == [], exch
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_bucketed_only_customer_grain_exchange(spark, sf_dir, registry):
+    """tpch_q10_bucketed: dims broadcast, the orders⋈lineitem join is
+    exchange-free on the bucket layout; the single remaining exchange
+    is the partial-aggregated customer-grain shuffle (group keys) —
+    never a fact key."""
+    df = registry["tpch_q10_bucketed"].fn(spark, sf_dir)
+    plan = _plan(spark, df)
+    exch = _hash_exchange_keys(plan)
+    for key in ("l_orderkey", "o_orderkey"):
+        assert not any(e.startswith(key) for e in exch), exch
+    assert len(exch) <= 1, exch  # customer-grain agg only
+    assert "CartesianProduct" not in plan
+
+
+def test_bucketed_contract_includes_projection(spark):
+    """ensure_bucketed_table (r11 session 3): the projected column
+    list is part of the layout contract — widening it must REBUILD
+    rather than silently reuse the narrower table."""
+    from walden_spark.catalog import ensure_bucketed_table, table_properties
+
+    calls = []
+
+    def make(cols):
+        def builder():
+            calls.append(cols)
+            return spark.range(10).selectExpr(
+                "id AS k", *[f"id * {i + 2} AS {c}" for i, c in enumerate(cols)]
+            )
+        return builder
+
+    name = "walden_test_bkt_cols"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    ensure_bucketed_table(
+        spark, name, make(["v"]), ["k"], 4, ["k"], source="s",
+        columns=["k", "v"],
+    )
+    assert calls == [["v"]]
+    assert table_properties(spark, name)["walden.ingest.cols"] == "k,v"
+    # same contract → reuse
+    ensure_bucketed_table(
+        spark, name, make(["v"]), ["k"], 4, ["k"], source="s",
+        columns=["k", "v"],
+    )
+    assert calls == [["v"]]
+    # widened projection → rebuild, and the new column is served
+    out = ensure_bucketed_table(
+        spark, name, make(["v", "w"]), ["k"], 4, ["k"], source="s",
+        columns=["k", "v", "w"],
+    )
+    assert calls == [["v"], ["v", "w"]]
+    assert "w" in out.columns
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -683,6 +683,7 @@ def ensure_bucketed_table(
     n_buckets: int = 8,
     sort_cols: Sequence[str] | None = None,
     source: str = "",
+    columns: Sequence[str] | None = None,
 ) -> DataFrame:
     """Maintained bucketed-layout ingest (VERDICT r09 #6): make the
     "pay the shuffle once at write time" story real in the engine, not
@@ -703,13 +704,23 @@ def ensure_bucketed_table(
     paid once per session instead of once per query.
 
     ``builder`` is a zero-arg callable returning the DataFrame to
-    ingest — lazy, so the reuse path never touches the source data."""
+    ingest — lazy, so the reuse path never touches the source data.
+
+    ``columns`` (r11 session 3) folds the PROJECTED column list into
+    the layout contract (``walden.ingest.cols``): without it, widening
+    a shared layout's projection in code would silently REUSE the
+    narrower table left by an earlier session and fail downstream on
+    missing columns. Callers sharing a layout across queries should
+    always pass it; the ingest columns are part of the layout's
+    identity exactly like the bucket spec."""
     want = {
         "walden.bucket.cols": ",".join(bucket_cols),
         "walden.bucket.n": str(n_buckets),
         "walden.bucket.sort": ",".join(sort_cols or ()),
         "walden.ingest.source": source,
     }
+    if columns is not None:
+        want["walden.ingest.cols"] = ",".join(columns)
     if spark.catalog.tableExists(name):
         have = table_properties(spark, name)
         if all(have.get(k) == v for k, v in want.items()):

@@ -583,31 +583,154 @@ def _bucketed_facts(spark: SparkSession, sf_dir: str):
     from walden_spark.catalog import ensure_bucketed_table
 
     t = Tables(spark, sf_dir)
+    # projection = the union of what the whole bucketed family (q3,
+    # q10, q18, q21) consumes; recorded in the layout contract via
+    # `columns` so widening it here rebuilds rather than silently
+    # reusing a narrower table from an earlier session
+    li_cols = [
+        "l_orderkey", "l_quantity", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_returnflag",
+    ]
+    od_cols = [
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+        "o_orderstatus", "o_orderpriority",
+    ]
     li = ensure_bucketed_table(
         spark,
         "walden_bkt_lineitem",
-        lambda: t.lineitem.select(
-            "l_orderkey", "l_quantity", "l_suppkey", "l_shipdate"
-        ),
+        lambda: t.lineitem.select(*li_cols),
         ["l_orderkey"],
         n_buckets=8,
         sort_cols=["l_orderkey"],
         source=sf_dir,
+        columns=li_cols,
     )
     od = ensure_bucketed_table(
         spark,
         "walden_bkt_orders",
-        lambda: t.orders.select(
-            "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
-            "o_orderstatus",
-        ),
+        lambda: t.orders.select(*od_cols),
         ["o_orderkey"],
         n_buckets=8,
         sort_cols=["o_orderkey"],
         source=sf_dir,
+        columns=od_cols,
     )
     return t, li, od
 
+
+
+@query(
+    "tpch_q3_bucketed",
+    oracle=f"""
+SELECT l_orderkey,
+       CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(o_orderdate AS DATE) AS orderdate,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+ORDER BY revenue DESC, orderdate, l_orderkey
+LIMIT 10
+""",
+    category="tpch",
+)
+def tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 consuming the SHARED orderkey-bucketed layout (this session —
+    the "pay the shuffle once EVER" story now amortizes across FOUR
+    queries): the fact-fact join (orders⋈lineitem) runs on the
+    maintained walden_bkt_* tables with zero exchanges, the filtered
+    BUILDING customers broadcast onto orders (dimension side), and the
+    final (l_orderkey, orderdate, priority) aggregate REUSES the bucket
+    distribution — hash partitioning on o_orderkey satisfies any group
+    set containing the orderkey, so the whole query plans with ZERO
+    fact-sized exchanges (plan-gated). Same oracle as tpch_q3: the
+    layout changes the plan, never the relation."""
+    t, li, od = _bucketed_facts(spark, sf_dir)
+    return (
+        F.broadcast(
+            t.customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+                "c_custkey"
+            )
+        )
+        .join(
+            od.filter(F.col("o_orderdate") < _TS("1998-03-15")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_shipdate") > _TS("1998-03-15")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(dsum(revenue()).alias("revenue"))
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q10_bucketed",
+    oracle=f"""
+SELECT c_custkey, c_name, CAST(SUM({REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+FROM customer JOIN orders ON c_custkey = o_custkey
+     JOIN lineitem ON l_orderkey = o_orderkey
+     JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    category="tpch",
+)
+def tpch_q10_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 on the shared orderkey-bucketed layout: the fact-fact
+    orders⋈lineitem join is exchange-free on the bucket distribution;
+    customer and nation broadcast; the only exchange left is the
+    partial-aggregated shuffle at CUSTOMER grain (the group keys — a
+    dimension-grain frame, shrunk map-side before it moves), the same
+    honest residual as q21_bucketed's s_name aggregate. At a scale
+    where customer outgrows the broadcast threshold, drop the hint and
+    the custkey join shuffles orders once — the orderkey layout still
+    removes the fact-fact exchange, which is the dominant one. Same
+    oracle as tpch_q10."""
+    t, li, od = _bucketed_facts(spark, sf_dir)
+    return (
+        F.broadcast(
+            t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+        )
+        .join(
+            od.filter(
+                (F.col("o_orderdate") >= _TS("1996-01-01"))
+                & (F.col("o_orderdate") < _TS("1996-04-01"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum(revenue()).alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
 
 
 @query(

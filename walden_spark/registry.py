@@ -125,6 +125,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "events_type_pagerank",
     "events_user_triangles",
     "tpcds_q29_bucketed",
+    "tpch_q3_bucketed",
+    "tpch_q10_bucketed",
     "streaming_anomaly_weekly",
     # -- family coverage: stalest of events/scan/multimodal --
     "events_gapfill",
@@ -139,14 +141,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "udf_python_udtf",
     # -- re-witness: stalest remaining (last hash-verified r04; the
     # remainder of this vintage rotates in r12) --
-    "agg_percentile_exact",
     # (agg_pivot also queues for r12, displaced by
     # win_pattern_sql_alt_skip_next; agg stays covered by
-    # agg_count_distinct / agg_percentile_exact)
+    # agg_count_distinct)
     # (ann_ivf_pq also queues for r12, displaced by
     # win_pattern_sql_cycles_subset; the ann/knn family stays covered
     # by the knn_lsh_bucketed flagship and dedup_embedding_lsh)
-    "ddl_branch_merge",
+    # (agg_percentile_exact / ddl_branch_merge also queue for r12,
+    # displaced by tpch_q3_bucketed / tpch_q10_bucketed; ddl stays
+    # covered by the ddl_lifecycle flagship)
     "fn_bitwise",
     # (fn_string also queues for r12, displaced by
     # win_pattern_sql_permute_mid; the fn family stays window-covered
