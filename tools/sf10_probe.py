@@ -183,6 +183,62 @@ def q21_on(spark, lineitem, orders, supplier):
     )
 
 
+def q3_on(spark, lineitem, orders, customer):
+    """Q3 shape — mirrors queries/tpch.py::tpch_q3_bucketed (r11
+    session 3): customer broadcasts, fact-fact join and the
+    orderkey-containing aggregate both consume the bucketing."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.broadcast(
+            customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        )
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.filter(
+                F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q10_on(spark, lineitem, orders, customer, nation):
+    """Q10 shape — mirrors queries/tpch.py::tpch_q10_bucketed."""
+    from pyspark.sql import functions as F
+
+    return (
+        F.broadcast(customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            lineitem.filter(F.col("l_returnflag") == "R"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 def main() -> None:
     from walden_spark.registry import load_all
     from walden_spark.session import get_spark
@@ -196,7 +252,7 @@ def main() -> None:
     reg = load_all()
     floors: dict[str, float] = {}
     headliners = (
-        ("tpch_q18", "tpch_q21", "dedup_minhash_lsh")
+        ("tpch_q18", "tpch_q21", "tpch_q3", "tpch_q10", "dedup_minhash_lsh")
         if REPLICAS <= 100
         else ("tpch_q18", "tpch_q21")
     )
@@ -215,12 +271,19 @@ def main() -> None:
     bucket_tables(spark)
     cust = spark.read.parquet(f"{DST}/customer.parquet")
     supp = spark.read.parquet(f"{DST}/supplier.parquet")
+    nat = spark.read.parquet(f"{DST}/nation.parquet")
     li_b, od_b = spark.table("sf10_lineitem_b"), spark.table("sf10_orders_b")
     exchanges: dict[str, int] = {}
-    for name, mk in (
+    bucketed_arms = [
         ("tpch_q18_bucketed", lambda: q18_on(spark, li_b, od_b, cust)),
         ("tpch_q21_bucketed", lambda: q21_on(spark, li_b, od_b, supp)),
-    ):
+    ]
+    if REPLICAS <= 100:
+        bucketed_arms += [
+            ("tpch_q3_bucketed", lambda: q3_on(spark, li_b, od_b, cust)),
+            ("tpch_q10_bucketed", lambda: q10_on(spark, li_b, od_b, cust, nat)),
+        ]
+    for name, mk in bucketed_arms:
         plan = mk()._jdf.queryExecution().executedPlan().toString()
         exchanges[name] = plan.count("Exchange hashpartitioning")
         for _ in range(REPS):
@@ -234,8 +297,7 @@ def main() -> None:
             {
                 "sf": f"facts x{REPLICAS} over sf0.1",
                 "floors": floors,
-                "q18_bucketed_fact_exchanges": exchanges["tpch_q18_bucketed"],
-                "q21_bucketed_exchanges": exchanges["tpch_q21_bucketed"],
+                "bucketed_exchange_counts": exchanges,
             }
         )
     )
