@@ -761,17 +761,47 @@ SELECT pid FROM mr_perm_mid MATCH_RECOGNIZE (
   DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), f AS f.v = PREV(f.v)
 )"""
         )
-    with pytest.raises(MatchRecognizeError, match="multiple PERMUTE"):
+    # combined expansion past 24 branches stays a named limit
+    with pytest.raises(MatchRecognizeError, match="exceeds 24"):
         ws.sql(
             """
 SELECT pid FROM mr_perm_mid MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
   MEASURES STRT.day AS a ONE ROW PER MATCH
+  PATTERN (STRT PERMUTE(d+, u+, f+) PERMUTE(d2+, u2+, f2+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
+         f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v),
+         u2 AS u2.v > PREV(u2.v), f2 AS f2.v = PREV(f2.v)
+)"""
+        )
+
+
+def test_multiple_permute_groups(spark):
+    """Several PERMUTE groups in one pattern (this session): each
+    expands independently and the branches are their cartesian product.
+    7 5 6 6 4 = D U F D → branch (d,u)(f,d2) matches anchored at 0;
+    CLASSIFIER names the winning branch's final step."""
+    ws = WaldenSession(spark)
+    rows = [(41, d, float(v)) for d, v in enumerate([7, 5, 6, 6, 4])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_two_perm")
+    got = ws.sql(
+        """
+SELECT pid, cls, anchor_day, end_day FROM mr_two_perm MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, CLASSIFIER() AS cls,
+           LAST(d2.day) AS end_day
+  ONE ROW PER MATCH
   PATTERN (STRT PERMUTE(d+, u+) PERMUTE(f+, d2+))
   DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
          f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
-)"""
-        )
+) ORDER BY pid
+"""
+    ).collect()
+    assert [(r.pid, r.cls, r.anchor_day, r.end_day) for r in got] == [
+        (41, "d2", 0, 4)
+    ]
 
 
 def test_skip_next_with_alternation_leftmost_preference(spark):

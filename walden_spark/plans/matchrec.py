@@ -295,47 +295,59 @@ def _parse_pattern(text: str) -> list[list[tuple[str, int, int | None]]]:
                 )
             branches.append(_parse_steps(alt[1:-1].strip()))
         return branches
-    if pm := re.search(r"\bPERMUTE\s*\(", inner, re.IGNORECASE):
-        # PERMUTE(e1, e2, …) ≡ the alternation of every ordering, tried
-        # lexicographically by listed position (SQL:2016 / Trino
-        # preference) — expanded here into match_any branches. Since
-        # this session PERMUTE may sit ANYWHERE in the pattern (the
-        # former whole-tail restriction): the surrounding prefix/suffix
-        # steps are shared verbatim across every expanded branch, so
-        # "STRT d+ PERMUTE(u+, f+) d2+" is the alternation of the two
-        # interleavings — mid-pattern PERMUTE is just alternation with
-        # a shared context.
-        from itertools import permutations
-
-        end = _balanced_span(inner, pm.end() - 1)
-        prefix = inner[: pm.start()].strip()
-        suffix = inner[end:].strip()
-        if re.search(r"\bPERMUTE\s*\(", suffix, re.IGNORECASE):
-            raise MatchRecognizeError(
-                "multiple PERMUTE groups in one pattern are out of class"
-            )
-        if suffix[:1] in ("{", "+", "*", "?"):
-            raise MatchRecognizeError(
-                "a quantifier on the PERMUTE group itself is out of class "
-                "(quantify the elements inside it)"
-            )
-        if not prefix:
+    if re.search(r"\bPERMUTE\s*\(", inner, re.IGNORECASE):
+        variants = _expand_permutes(inner)
+        if inner.strip().upper().startswith("PERMUTE"):
             raise MatchRecognizeError(
                 "PATTERN must begin with the bare STRT anchor"
             )
-        elems = _split_quantified(inner[pm.end(): end - 1])
-        if len(elems) < 2:
-            raise MatchRecognizeError("PERMUTE needs at least two elements")
-        if len(elems) > 4:
-            raise MatchRecognizeError(
-                f"PERMUTE over {len(elems)} elements expands to "
-                f"{len(elems)}! > 24 alternation branches — out of class"
-            )
-        return [
-            _parse_steps(" ".join(filter(None, [prefix, *perm, suffix])))
-            for perm in permutations(elems)
-        ]
+        return [_parse_steps(v) for v in variants]
     return [_parse_steps(inner)]
+
+
+def _expand_permutes(inner: str) -> list[str]:
+    """PERMUTE(e1, e2, …) ≡ the alternation of every ordering, tried
+    lexicographically by listed position (SQL:2016 / Trino preference)
+    — expanded into match_any branches. PERMUTE may sit ANYWHERE in
+    the pattern (the surrounding prefix/suffix steps are shared
+    verbatim across every expanded branch), and — since this session —
+    a pattern may hold SEVERAL PERMUTE groups: each expands
+    independently and the branch set is their cartesian product,
+    ordered first-group-first (the rescan tries orderings left to
+    right). The total expansion is capped at 24 branches (= one
+    PERMUTE(4)); anything larger is out of class."""
+    from itertools import permutations
+
+    pm = re.search(r"\bPERMUTE\s*\(", inner, re.IGNORECASE)
+    if not pm:
+        return [inner]
+    end = _balanced_span(inner, pm.end() - 1)
+    prefix = inner[: pm.start()].strip()
+    suffix = inner[end:].strip()
+    if suffix[:1] in ("{", "+", "*", "?"):
+        raise MatchRecognizeError(
+            "a quantifier on the PERMUTE group itself is out of class "
+            "(quantify the elements inside it)"
+        )
+    elems = _split_quantified(inner[pm.end(): end - 1])
+    if len(elems) < 2:
+        raise MatchRecognizeError("PERMUTE needs at least two elements")
+    if len(elems) > 4:
+        raise MatchRecognizeError(
+            f"PERMUTE over {len(elems)} elements expands to "
+            f"{len(elems)}! > 24 alternation branches — out of class"
+        )
+    tails = _expand_permutes(suffix)  # later PERMUTE groups, recursively
+    out = []
+    for perm in permutations(elems):
+        for tail in tails:
+            out.append(" ".join(filter(None, [prefix, *perm, tail])))
+            if len(out) > 24:
+                raise MatchRecognizeError(
+                    "combined PERMUTE expansion exceeds 24 alternation "
+                    "branches — out of class"
+                )
+    return out
 
 
 def _parse_tokens(inner: str) -> list[tuple[str, int, int | None, bool]]:
