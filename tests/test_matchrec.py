@@ -109,10 +109,17 @@ def test_quantifier_bounds_reach_the_compiler(ws):
                     .replace("LAST(u.day) AS end_day",
                              "LAST(w.day) AS end_day"),
          "share a transition class"),
-        # SKIP TO NEXT ROW composed with a reluctant FINAL step
-        (lambda q: q.replace("STRT d+ u+", "STRT d+ u{1,2}?")
-                    .replace("SKIP TO LAST u", "SKIP TO NEXT ROW"),
-         "served alone"),
+        # SKIP TO NEXT ROW × reluctant final whose class matches the
+        # first step's — the guard fires through the composition path
+        # (the served composition is test_sql_skip_next_reluctant_final)
+        (lambda q: q.replace("PATTERN (STRT d+ u+)",
+                             "PATTERN (STRT u+ d+ w+?)")
+                    .replace("u AS u.v > PREV(u.v)",
+                             "u AS u.v > PREV(u.v), w AS w.v > PREV(w.v)")
+                    .replace("SKIP TO LAST u", "SKIP TO NEXT ROW")
+                    .replace("LAST(u.day) AS end_day",
+                             "LAST(w.day) AS end_day"),
+         "share a transition class"),
         # zero-width quantifiers
         (lambda q: q.replace("STRT d+ u+", "STRT d* u+"), "empty step"),
         (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "optional"),
@@ -858,4 +865,33 @@ SELECT pid, anchor_day, n_moves, end_day FROM mr_cyc_sub MATCH_RECOGNIZE (
     ).collect()
     assert [(r.pid, r.anchor_day, r.n_moves, r.end_day) for r in got] == [
         (31, 0, 4, 4)
+    ]
+
+
+def test_sql_skip_next_reluctant_final(spark):
+    """SKIP TO NEXT ROW × reluctant FINAL step (this session — closes
+    the composition row): 5 4 3 2 5 6 under STRT d+ u+? — every
+    descent suffix anchors its own match, each truncated to the FIRST
+    rebound row (day 4), never the day-5 peak."""
+    ws = WaldenSession(spark)
+    rows = [(51, d, float(v)) for d, v in enumerate([5, 4, 3, 2, 5, 6])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_sn_rf")
+    got = ws.sql(
+        """
+SELECT pid, anchor_day, n_down, end_day, n_up
+FROM mr_sn_rf MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, COUNT(d.*) AS n_down,
+           LAST(u.day) AS end_day, COUNT(u.*) AS n_up
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT d+ u+?)
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+) ORDER BY pid, anchor_day
+"""
+    ).collect()
+    assert [(r.anchor_day, r.n_down, r.end_day, r.n_up) for r in got] == [
+        (0, 3, 4, 1), (1, 2, 4, 1), (2, 1, 4, 1),
     ]

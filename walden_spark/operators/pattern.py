@@ -457,6 +457,7 @@ def match_skip_next(
     classifier=None,
     bin_width: int = 32,
     islands: DataFrame | None = None,
+    reluctant_final: bool = False,
 ) -> DataFrame:
     """``AFTER MATCH SKIP TO NEXT ROW`` (this session — closes the
     first-named out-of-class row in DEVIATIONS.md): the full match set a
@@ -498,10 +499,24 @@ def match_skip_next(
         raise ValueError("pattern needs at least one step")
     s1 = steps[0]
     relaxed = [Step(s1.name, s1.dir, s1.min_len, None)] + list(steps[1:])
+    if reluctant_final:
+        # composition with a reluctant FINAL step (closes the "SKIP TO
+        # NEXT ROW × reluctant-final" row): relax the final bound too,
+        # truncate each match's end to min_len into the final island,
+        # THEN suffix-expand the first island — the transformations
+        # touch disjoint islands for k ≥ 2, so sequencing them is the
+        # per-anchor rescan semantics exactly
+        _reluctant_final_guard(steps)
+        sk = steps[-1]
+        relaxed[-1] = Step(sk.name, sk.dir, sk.min_len, None)
     m = match_pattern(
         df, partition_col, order_col, value_col, relaxed, classifier,
         islands=islands,
     )
+    if reluctant_final:
+        m = _truncate_final_join(
+            df, m, partition_col, order_col, value_col, steps, bin_width
+        )
     anchor = f"anchor_{order_col}"
     first_end = f"{s1.name}_end"
     spans = m.withColumn(
@@ -579,23 +594,47 @@ def match_reluctant_final(
 
     Scale shape: identical to :func:`match_skip_next` — one binned equi
     join of matches to the final island's span plus one window."""
+    _reluctant_final_guard(steps)
+    sk = steps[-1]
+    relaxed = list(steps[:-1]) + [Step(sk.name, sk.dir, sk.min_len, None)]
+    m = match_pattern(
+        df, partition_col, order_col, value_col, relaxed, classifier
+    )
+    return _truncate_final_join(
+        df, m, partition_col, order_col, value_col, steps, bin_width
+    )
+
+
+def _reluctant_final_guard(steps: list[Step]) -> None:
     if len(steps) < 2:
         raise ValueError(
             "a reluctant FINAL step needs at least two steps — on a "
             "single-step pattern it composes with the anchor itself"
         )
-    sk = steps[-1]
-    if sk.dir == steps[0].dir:
+    if steps[-1].dir == steps[0].dir:
         raise ValueError(
             "reluctant final step: the first and final steps share a "
             "transition class, so a truncated match's tail could "
             "re-anchor a rescan match outside the compiled candidate "
             "set — out of class"
         )
-    relaxed = list(steps[:-1]) + [Step(sk.name, sk.dir, sk.min_len, None)]
-    m = match_pattern(
-        df, partition_col, order_col, value_col, relaxed, classifier
-    )
+
+
+def _truncate_final_join(
+    df: DataFrame,
+    m: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    steps: list[Step],
+    bin_width: int,
+) -> DataFrame:
+    """Re-point each match's end at the row ``min_len`` transitions
+    into the FINAL island (the reluctant-final truncation) — shared by
+    :func:`match_reluctant_final` and the SKIP TO NEXT ROW composition
+    in :func:`match_skip_next` (the two transformations touch disjoint
+    islands for k ≥ 2, so they compose by sequencing)."""
+    sk = steps[-1]
     anchor = f"anchor_{order_col}"
     prev_end = f"{steps[-2].name}_end"
     last_end = f"{sk.name}_end"

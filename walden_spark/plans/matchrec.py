@@ -1193,16 +1193,17 @@ def compile_match_recognize(
                 resume_step = steps[j].name
     # measures → columns of the match_pattern output
     if skip_next:
-        if final_reluctant:
-            raise MatchRecognizeError(
-                "SKIP TO NEXT ROW combined with a reluctant FINAL step is "
-                "out of class (each is served alone)"
-            )
         # the rescan-complete match set needs no selection: every
-        # successful anchor IS a kept match under this mode
-        matched = match_skip_next(
-            source, part, order, value, steps, classifier=clf
-        )
+        # successful anchor IS a kept match under this mode; a
+        # reluctant FINAL step composes (truncate then suffix-expand —
+        # disjoint islands)
+        try:
+            matched = match_skip_next(
+                source, part, order, value, steps, classifier=clf,
+                reluctant_final=final_reluctant,
+            )
+        except ValueError as ex:
+            raise MatchRecognizeError(str(ex)) from ex
     else:
         if final_reluctant:
             try:

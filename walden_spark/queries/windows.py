@@ -1333,6 +1333,92 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_skip_next_reluctant",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 53 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         MIN(day) AS fd,
+         CAST(arg_min(n, pos) AS BIGINT) AS fv,
+         MAX(day) AS ed,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+), m AS (
+  SELECT d.user_id, d.sp AS a0, d.ed AS bottom_day, d.ln AS dlen,
+         CAST(u.fd AS BIGINT) AS end_day, u.fv AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), x AS (
+  SELECT m.user_id, dd.day AS anchor_day, dd.n AS anchor_n,
+         m.end_day, m.end_n,
+         m.dlen - (ROW_NUMBER() OVER (PARTITION BY m.user_id, m.a0
+                                      ORDER BY dd.day) - 1) AS n_down
+  FROM m JOIN daily dd
+    ON dd.user_id = m.user_id
+   AND dd.day >= m.a0 AND dd.day < m.bottom_day
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(n_down AS BIGINT) AS n_down, end_day, end_n
+FROM x ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_skip_next_reluctant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP TO NEXT ROW × reluctant FINAL step (this session — closes
+    the composition row): under ``PATTERN (STRT down+ up+?)`` with the
+    rescan skip mode, every descent suffix anchors its own match and
+    each truncates at the FIRST rebound row. The two transformations
+    touch disjoint islands (truncate the final, then suffix-expand the
+    first), so sequencing them reproduces the per-anchor rescan
+    exactly; the mode keeps needing NO greedy selection. Oracle: the
+    islands' first-row fields give the truncated end, the descent-row
+    join gives the suffix anchors — plain relational SQL, no walk.
+    Fresh slice: user_id < 53."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=53).createOrReplaceTempView(
+        "walden_mr_daily_snr"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_down, end_day, end_n
+FROM walden_mr_daily_snr MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(down.*) AS n_down,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT down+ up+?)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_cycles_subset",
     oracle=_ISLANDS_CTE.format(max_user=57)
     + """

@@ -120,6 +120,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_permute_mid",
     "win_pattern_sql_alt_skip_next",
     "win_pattern_sql_cycles_subset",
+    "win_pattern_skip_next_reluctant",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -135,7 +136,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- re-witness: stalest remaining (last hash-verified r03) --
     "agg_count_distinct",
     "dedup_embedding_lsh",
-    "join_full_outer",
+    # (join_full_outer also queues for r12, displaced by
+    # win_pattern_skip_next_reluctant; joins stay covered by the
+    # join_fuzzy_blocked flagship)
     "topk_with_ties",
     "tpch_q16",
     "udf_python_udtf",
