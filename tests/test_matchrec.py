@@ -895,3 +895,31 @@ FROM mr_sn_rf MATCH_RECOGNIZE (
     assert [(r.anchor_day, r.n_down, r.end_day, r.n_up) for r in got] == [
         (0, 3, 4, 1), (1, 2, 4, 1), (2, 1, 4, 1),
     ]
+
+
+def test_all_rows_skip_next_alternation(spark):
+    """ALL ROWS × SKIP TO NEXT ROW × alternation (this session): both
+    suffix anchors of the descent expand row-by-row, numbered across
+    branches, each with its branch's classifiers. 5 4 3 6: anchors at
+    day 0 (d d u) and day 1 (d u)."""
+    ws = WaldenSession(spark)
+    rows = [(61, d, float(v)) for d, v in enumerate([5, 4, 3, 6])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_ar_sn")
+    got = ws.sql(
+        """
+SELECT pid, mn, cls, day FROM mr_ar_sn MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES MATCH_NUMBER() AS mn, CLASSIFIER() AS cls
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN ((STRT d+ u+) | (STRT d+ f+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v), f AS f.v = PREV(f.v)
+) ORDER BY pid, mn, day
+"""
+    ).collect()
+    assert [(r.mn, r.cls, r.day) for r in got] == [
+        (1, "STRT", 0), (1, "d", 1), (1, "d", 2), (1, "u", 3),
+        (2, "STRT", 1), (2, "d", 2), (2, "u", 3),
+    ]

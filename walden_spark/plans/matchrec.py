@@ -737,11 +737,9 @@ def _compile_alternation(
         # the leftmost wins (the rescan attempts branches in listed
         # order at every row) — and that per-anchor preference is the
         # ONLY selection, since every successful anchor is kept.
-        if all_rows:
-            raise MatchRecognizeError(
-                "ALL ROWS PER MATCH with SKIP TO NEXT ROW under "
-                "alternation is out of class"
-            )
+        # ALL ROWS composes: the expansion block below numbers the
+        # post-preference matches by anchor (distinct per partition)
+        # and expands each branch's matches with its own steps.
         isl = classify_islands(
             source, part, order, value, classifier
         ).localCheckpoint(eager=True)
