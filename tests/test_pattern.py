@@ -446,3 +446,49 @@ def test_reluctant_final_min_bound_and_same_class_rejected(spark):
         )
     with pytest.raises(ValueError, match="at least two steps"):
         match_reluctant_final(df, "pid", "day", "v", [Step("u", UP)])
+
+
+# ---- SKIP TO NEXT ROW over repeated groups (this session) ----
+
+
+def test_cycles_skip_next_boundary_and_suffix_anchors(spark):
+    """6 4 2 5 1 3 = two chained (down+ up+) cycles: the rescan anchors
+    at day 0 (2 cycles, 2-long first descent), day 1 (its suffix), and
+    day 3 (the second cycle alone); suffix totals drop the skipped
+    offset."""
+    from walden_spark.operators.pattern import match_cycles_skip_next
+
+    df = _series(spark, [6, 4, 2, 5, 1, 3])
+    m = match_cycles_skip_next(
+        df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP)]
+    )
+    got = sorted(
+        (r.anchor_day, r.n_cycles, r.d_total_len, r.u_total_len, r.end)
+        for r in m.collect()
+    )
+    assert got == [
+        (0, 2, 3, 2, 5),
+        (1, 2, 2, 2, 5),
+        (3, 1, 1, 1, 5),
+    ]
+    strict = match_cycles_skip_next(
+        df, "pid", "day", "v", [Step("d", DOWN), Step("u", UP)],
+        min_cycles=2,
+    )
+    assert sorted(r.anchor_day for r in strict.collect()) == [0, 1]
+
+
+def test_cycles_skip_next_named_limits(spark):
+    from walden_spark.operators.pattern import match_cycles_skip_next
+
+    df = _series(spark, [4, 2, 5])
+    with pytest.raises(ValueError, match="unbounded above"):
+        match_cycles_skip_next(
+            df, "pid", "day", "v",
+            [Step("d", DOWN, 1, 2), Step("u", UP)],
+        )
+    with pytest.raises(ValueError, match="border"):
+        match_cycles_skip_next(
+            df, "pid", "day", "v",
+            [Step("d", DOWN), Step("u", UP), Step("d2", DOWN), Step("u2", UP)],
+        )

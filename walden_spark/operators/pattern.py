@@ -763,6 +763,149 @@ def match_cycles(
     return out
 
 
+def match_cycles_skip_next(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    cycle_steps: list[Step],
+    min_cycles: int = 1,
+    max_cycles: int | None = None,
+    classifier=None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """``AFTER MATCH SKIP TO NEXT ROW`` over a repeated group —
+    ``PATTERN (STRT (X+ Y+ …)<q>)`` under the rescan mode (this
+    session — the last skip-mode composition): one row per successful
+    anchor, where an anchor is (a) any CYCLE BOUNDARY inside a maximal
+    run with enough remaining cycles, or (b) any suffix offset into a
+    boundary unit's FIRST island with the remaining X-suffix in bounds.
+    Anchors anywhere else provably fail: a mid-cycle island whose class
+    equals X's would need the following islands to realize a proper
+    rotation of the cycle's class sequence, and an unbordered (i.e.
+    primitive) cycle has no self-equal proper rotation — so the
+    unit/run construction enumerates the complete rescan candidate
+    set, and (as for every TO NEXT ROW form) NO greedy selection runs.
+
+    Constraint (validated): the FIRST step must be UNBOUNDED above
+    (``X+`` / ``X{m,}``). With a bounded first step an over-long first
+    island would anchor suffix matches whose CONTINUATION is a strict
+    run the maximal-unit construction never built — that composition
+    stays a named limit.
+
+    Output: the :func:`match_cycles` schema plus ``n_cycles`` — per
+    anchor: the anchor row, remaining cycle count, run end fields, and
+    per step the SUFFIX totals (``<name>_total_len`` counts cycles
+    from the anchor onward; the anchored unit's first-step total drops
+    the skipped offset) and the run-final ``_last_end`` / ``_last_val``.
+
+    Scale shape: everything beyond :func:`classify_islands` operates on
+    units (≪ rows); suffix aggregates are one window over (partition,
+    run) with a current-row→end frame; the suffix expansion is the
+    same binned span join as :func:`match_skip_next`."""
+    if not cycle_steps:
+        raise ValueError("cycle needs at least one step")
+    s1 = cycle_steps[0]
+    if s1.max_len is not None:
+        raise ValueError(
+            "SKIP TO NEXT ROW over a repeated group: the first step must "
+            "be unbounded above (X+ / X{m,}) — an over-long first island "
+            "could anchor suffix matches continuing into runs the "
+            "maximal-unit construction never built — out of class"
+        )
+    classes = [s.dir for s in cycle_steps]
+    k = len(classes)
+    for d in range(1, k):
+        if classes[: k - d] == classes[d:]:
+            raise ValueError(
+                f"cycle class sequence {classes} has a border at offset "
+                f"{d} — unit matches could overlap and the maximal run "
+                "would be ill-defined; rewrite with the primitive "
+                "(unbordered) cycle"
+            )
+    if min_cycles < 1:
+        raise ValueError("min_cycles must be >= 1")
+    units = match_pattern(
+        df, partition_col, order_col, value_col, cycle_steps, classifier
+    )
+    anchor = f"anchor_{order_col}"
+    wu = Window.partitionBy(partition_col).orderBy("anchor_iseq")
+    runs = units.withColumn(
+        "_grp", F.col("anchor_iseq") - k * F.row_number().over(wu)
+    )
+    wrun = (
+        Window.partitionBy(partition_col, "_grp")
+        .orderBy("anchor_iseq")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    last = cycle_steps[-1].name
+    cols = [
+        F.col(partition_col),
+        F.col(anchor),
+        F.col("anchor_val"),
+        F.col(f"{s1.name}_end").alias("__first_end"),
+        F.col(f"{s1.name}_len").alias("__first_len"),
+        F.count(F.lit(1)).over(wrun).cast("bigint").alias("n_cycles"),
+        F.max(f"{last}_end").over(wrun).alias("end"),
+        F.last(f"{last}_val").over(wrun).alias("end_val"),
+    ]
+    for s in cycle_steps:
+        cols += [
+            F.sum(f"{s.name}_len").over(wrun).cast("bigint").alias(
+                f"{s.name}_total_len"
+            ),
+            F.last(f"{s.name}_end").over(wrun).alias(f"{s.name}_last_end"),
+            F.last(f"{s.name}_val").over(wrun).alias(f"{s.name}_last_val"),
+        ]
+    enriched = runs.select(*cols).filter(F.col("n_cycles") >= min_cycles)
+    if max_cycles is not None:
+        enriched = enriched.filter(F.col("n_cycles") <= max_cycles)
+    # suffix-anchor expansion over the anchored unit's FIRST island —
+    # offset 0 is the boundary anchor itself
+    spans = enriched.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(anchor) / bin_width),
+                F.floor(F.col("__first_end") / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    rows = df.select(
+        F.col(partition_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") >= F.col(anchor)) & (F.col("__o") < F.col("__first_end"))
+    )
+    wo = Window.partitionBy("__p", anchor).orderBy("__o")
+    joined = joined.withColumn(
+        "__off", F.row_number().over(wo).cast("bigint") - 1
+    )
+    joined = joined.filter(
+        F.col("__first_len") - F.col("__off") >= s1.min_len
+    )
+    keep = [
+        F.col("__p").alias(partition_col),
+        F.col("__o").alias(anchor),
+        F.col("__v").alias("anchor_val"),
+        F.col("n_cycles"),
+        F.col("end"),
+        F.col("end_val"),
+    ]
+    for s in cycle_steps:
+        total = F.col(f"{s.name}_total_len")
+        if s.name == s1.name:
+            total = total - F.col("__off")
+        keep += [
+            total.alias(f"{s.name}_total_len"),
+            F.col(f"{s.name}_last_end"),
+            F.col(f"{s.name}_last_val"),
+        ]
+    return joined.select(*keep)
+
+
 def match_any(
     df: DataFrame,
     partition_col: str,

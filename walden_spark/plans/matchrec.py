@@ -86,6 +86,7 @@ from walden_spark.operators.pattern import (
     expand_all_rows,
     match_any,
     match_cycles,
+    match_cycles_skip_next,
     match_pattern,
     match_reluctant_final,
     match_skip_next,
@@ -596,20 +597,33 @@ def _compile_cycles(
             "ALL ROWS PER MATCH with a repeated group is out of class"
         )
     after = clauses.get("AFTER MATCH")
-    if after is not None and not re.fullmatch(
+    skip_next = after is not None and re.fullmatch(
+        r"SKIP\s+TO\s+NEXT\s+ROW", after.strip(), re.IGNORECASE
+    )
+    if after is not None and not skip_next and not re.fullmatch(
         r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
     ):
         raise MatchRecognizeError(
             f"AFTER MATCH {after!r} with a repeated group: maximal cycle "
-            "runs never overlap, so only SKIP PAST LAST ROW (or omitting "
-            "the clause) is in class"
+            "runs never overlap, so SKIP PAST LAST ROW (or omitting the "
+            "clause) and the rescan mode SKIP TO NEXT ROW are the in-class "
+            "forms"
         )
     try:
-        matched = match_cycles(
-            source, part, order, value, steps,
-            min_cycles=bounds[0], max_cycles=bounds[1],
-            classifier=classifier,
-        )
+        if skip_next:
+            # the rescan over cycle runs (this session): boundary +
+            # first-island suffix anchors, no greedy selection
+            matched = match_cycles_skip_next(
+                source, part, order, value, steps,
+                min_cycles=bounds[0], max_cycles=bounds[1],
+                classifier=classifier,
+            )
+        else:
+            matched = match_cycles(
+                source, part, order, value, steps,
+                min_cycles=bounds[0], max_cycles=bounds[1],
+                classifier=classifier,
+            )
     except ValueError as ex:
         raise MatchRecognizeError(str(ex)) from ex
     step_names = {s.name for s in steps}

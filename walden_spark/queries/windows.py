@@ -1333,6 +1333,87 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_cycles_skip_next",
+    oracle=_ISLANDS_CTE.format(max_user=37)
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id, d.iseq AS useq, d.sp AS a_day, d.ed AS d_end,
+         d.ln AS d_ln, u.ln AS u_ln, u.ed AS u_end, u.ev AS u_ev
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+), suff AS (
+  SELECT user_id, a_day, d_end,
+         SUM(d_ln) OVER w AS t_down,
+         SUM(u_ln) OVER w AS t_up,
+         LAST_VALUE(u_end) OVER w AS e_day,
+         LAST_VALUE(u_ev) OVER w AS e_n
+  FROM cruns
+  WINDOW w AS (PARTITION BY user_id, grp ORDER BY useq
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), x AS (
+  SELECT s.user_id, dd.day AS anchor_day, dd.n AS anchor_n,
+         s.t_down - (ROW_NUMBER() OVER (PARTITION BY s.user_id, s.a_day
+                                        ORDER BY dd.day) - 1) AS total_down,
+         s.t_up, s.e_day, s.e_n
+  FROM suff s JOIN daily dd
+    ON dd.user_id = s.user_id
+   AND dd.day >= s.a_day AND dd.day < s.d_end
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(total_down AS BIGINT) AS total_down,
+       CAST(1 + total_down + t_up AS BIGINT) AS span_rows,
+       CAST(e_day AS BIGINT) AS end_day, CAST(e_n AS BIGINT) AS end_n
+FROM x ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKIP TO NEXT ROW over a repeated group (this session — the last
+    skip-mode composition): under ``PATTERN (STRT (down+ up+)+)`` the
+    rescan anchors at every cycle boundary of a maximal oscillation run
+    AND at every suffix offset into the anchored cycle's first descent
+    — mid-cycle anchors provably fail (an unbordered cycle has no
+    self-equal proper rotation), so the unit/run construction
+    enumerates the complete candidate set and no greedy selection runs.
+    Per-anchor measures are SUFFIX totals (COUNT(down.*) counts from
+    the anchor onward) with run-final LAST fields. First step must be
+    unbounded above (named limit otherwise). Oracle: the same unit/run
+    construction with current-row→end window frames plus the
+    descent-row suffix join. Fresh slice: user_id < 37."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=37).createOrReplaceTempView(
+        "walden_mr_daily_csn"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, total_down, span_rows, end_day, end_n
+FROM walden_mr_daily_csn MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(down.*) AS total_down, COUNT(*) AS span_rows,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT (down+ up+)+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_skip_next_reluctant",
     oracle="""
 WITH daily AS (

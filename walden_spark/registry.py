@@ -121,6 +121,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_alt_skip_next",
     "win_pattern_sql_cycles_subset",
     "win_pattern_skip_next_reluctant",
+    "win_pattern_sql_cycles_skip_next",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -139,7 +140,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (join_full_outer also queues for r12, displaced by
     # win_pattern_skip_next_reluctant; joins stay covered by the
     # join_fuzzy_blocked flagship)
-    "topk_with_ties",
+    # (topk_with_ties also queues for r12, displaced by
+    # win_pattern_sql_cycles_skip_next; topk stays covered by the
+    # topn_per_group flagship)
     "tpch_q16",
     "udf_python_udtf",
     # -- re-witness: stalest remaining (last hash-verified r04; the
