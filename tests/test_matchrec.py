@@ -109,17 +109,10 @@ def test_quantifier_bounds_reach_the_compiler(ws):
                     .replace("LAST(u.day) AS end_day",
                              "LAST(w.day) AS end_day"),
          "share a transition class"),
-        # SKIP TO NEXT ROW × reluctant final whose class matches the
-        # first step's — the guard fires through the composition path
-        # (the served composition is test_sql_skip_next_reluctant_final)
-        (lambda q: q.replace("PATTERN (STRT d+ u+)",
-                             "PATTERN (STRT u+ d+ w+?)")
-                    .replace("u AS u.v > PREV(u.v)",
-                             "u AS u.v > PREV(u.v), w AS w.v > PREV(w.v)")
-                    .replace("SKIP TO LAST u", "SKIP TO NEXT ROW")
-                    .replace("LAST(u.day) AS end_day",
-                             "LAST(w.day) AS end_day"),
-         "share a transition class"),
+        # (SKIP TO NEXT ROW × reluctant final tolerates a shared
+        # first/final class — no greedy selection runs, so the guard
+        # only binds the selection modes: see
+        # test_skip_next_reluctant_same_class_is_served)
         # zero-width quantifiers
         (lambda q: q.replace("STRT d+ u+", "STRT d* u+"), "empty step"),
         (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "optional"),
@@ -923,3 +916,30 @@ SELECT pid, mn, cls, day FROM mr_ar_sn MATCH_RECOGNIZE (
         (1, "STRT", 0), (1, "d", 1), (1, "d", 2), (1, "u", 3),
         (2, "STRT", 1), (2, "d", 2), (2, "u", 3),
     ]
+
+
+def test_skip_next_reluctant_same_class_is_served(spark):
+    """Under SKIP TO NEXT ROW a reluctant FINAL step may SHARE the
+    first step's class: the rescan keeps every anchor, and an anchor
+    inside a truncated final tail is enumerated as another match's
+    own first-island anchor. 1 3 2 4 3 5 under STRT u+ d+ w+? — the
+    second match anchors ON the first match's truncated w island."""
+    ws = WaldenSession(spark)
+    rows = [(71, d, float(v)) for d, v in enumerate([1, 3, 2, 4, 3, 5])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_sn_rf_same")
+    got = ws.sql(
+        """
+SELECT pid, anchor_day, w_end FROM mr_sn_rf_same MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, LAST(w.day) AS w_end
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT u+ d+ w+?)
+  DEFINE u AS u.v > PREV(u.v), d AS d.v < PREV(d.v),
+         w AS w.v > PREV(w.v)
+) ORDER BY pid, anchor_day
+"""
+    ).collect()
+    assert [(r.anchor_day, r.w_end) for r in got] == [(0, 3), (2, 5)]

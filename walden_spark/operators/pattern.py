@@ -505,8 +505,18 @@ def match_skip_next(
         # truncate each match's end to min_len into the final island,
         # THEN suffix-expand the first island — the transformations
         # touch disjoint islands for k ≥ 2, so sequencing them is the
-        # per-anchor rescan semantics exactly
-        _reluctant_final_guard(steps)
+        # per-anchor rescan semantics exactly. Unlike the greedy
+        # selection modes, the FIRST and FINAL steps may share a class
+        # here: the rescan keeps every anchor, and anchors inside a
+        # truncated final tail belong to OTHER matches' first islands —
+        # enumerated by their own suffix expansion, not by any resume
+        # bookkeeping, so candidate completeness never involves the
+        # truncated ends.
+        if len(steps) < 2:
+            raise ValueError(
+                "a reluctant FINAL step needs at least two steps — on a "
+                "single-step pattern it composes with the anchor itself"
+            )
         sk = steps[-1]
         relaxed[-1] = Step(sk.name, sk.dir, sk.min_len, None)
     m = match_pattern(
