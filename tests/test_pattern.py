@@ -482,13 +482,99 @@ def test_cycles_skip_next_named_limits(spark):
     from walden_spark.operators.pattern import match_cycles_skip_next
 
     df = _series(spark, [4, 2, 5])
-    with pytest.raises(ValueError, match="unbounded above"):
-        match_cycles_skip_next(
-            df, "pid", "day", "v",
-            [Step("d", DOWN, 1, 2), Step("u", UP)],
-        )
     with pytest.raises(ValueError, match="border"):
         match_cycles_skip_next(
             df, "pid", "day", "v",
             [Step("d", DOWN), Step("u", UP), Step("d2", DOWN), Step("u2", UP)],
         )
+
+
+def _brute_cycles_skip_next(values, steps, min_cycles=1, max_cycles=None):
+    """Reference row-by-row rescan for PATTERN (STRT (steps)<q>):
+    per-anchor greedy cycle matcher with bounds-the-run per-step
+    semantics (a forward run longer than a step's max fails)."""
+
+    def run_from(i, d):
+        j = i
+        while j + 1 < len(values):
+            delta = (values[j + 1] > values[j]) - (values[j + 1] < values[j])
+            if delta != d:
+                break
+            j += 1
+        return j - i
+
+    out = []
+    for a in range(len(values)):
+        pos, count = a, 0
+        while True:
+            p, ok = pos, True
+            for s in steps:
+                r = run_from(p, s.dir)
+                if r < s.min_len or (s.max_len is not None and r > s.max_len):
+                    ok = False
+                    break
+                p += r
+            if not ok:
+                break
+            count += 1
+            pos = p
+        if count >= min_cycles and (max_cycles is None or count <= max_cycles):
+            out.append((a, count, pos))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=14),
+    pattern=st.sampled_from(
+        [
+            [Step("d", DOWN), Step("u", UP)],
+            [Step("d", DOWN, 1, 2), Step("u", UP)],
+            [Step("d", DOWN, 1, 1), Step("u", UP, 1, 2)],
+            [Step("u", UP), Step("f", FLAT)],
+        ]
+    ),
+)
+def test_cycles_skip_next_matches_brute_rescan(spark, values, pattern):
+    """The unit/run construction (incl. the bounded-first-step overlong
+    arm) must equal a per-anchor rescan on anchors, cycle counts, and
+    run ends."""
+    from walden_spark.operators.pattern import match_cycles_skip_next
+
+    df = _series(spark, values)
+    got = sorted(
+        (r["anchor_day"], r["n_cycles"], r["end"])
+        for r in match_cycles_skip_next(
+            df, "pid", "day", "v", pattern
+        ).collect()
+    )
+    assert got == _brute_cycles_skip_next([float(v) for v in values], pattern)
+
+
+def test_cycles_skip_next_bounded_first_overlong_arm(spark):
+    """Bounded first step (this session, second pass): 9 8 7 6 8 5 7 =
+    a 3-long descent (overlong for d{1,2}) then two chained (d u)
+    cycles... anchors: offsets into the long descent with 1-2
+    remaining DOWN transitions continue into the strict run."""
+    from walden_spark.operators.pattern import match_cycles_skip_next
+
+    # values: 9 8 7 6 8 5 7 → D(0..3 len3) U(3..4) D(4..5) U(5..6)
+    df = _series(spark, [9, 8, 7, 6, 8, 5, 7])
+    m = match_cycles_skip_next(
+        df, "pid", "day", "v", [Step("d", DOWN, 1, 2), Step("u", UP)]
+    )
+    got = sorted(
+        (r.anchor_day, r.n_cycles, r.d_total_len, r.end) for r in m.collect()
+    )
+    # boundary anchor at day 0 fails (descent run 3 > 2); offsets 1, 2
+    # anchor with suffix 2, 1 and chain both cycles; day 4 anchors the
+    # second cycle alone
+    assert got == [
+        (1, 2, 3, 6),
+        (2, 2, 2, 6),
+        (4, 1, 1, 6),
+    ]

@@ -797,11 +797,16 @@ def match_cycles_skip_next(
     unit/run construction enumerates the complete rescan candidate
     set, and (as for every TO NEXT ROW form) NO greedy selection runs.
 
-    Constraint (validated): the FIRST step must be UNBOUNDED above
-    (``X+`` / ``X{m,}``). With a bounded first step an over-long first
-    island would anchor suffix matches whose CONTINUATION is a strict
-    run the maximal-unit construction never built — that composition
-    stays a named limit.
+    BOUNDED first steps (``X{m,n}``) are served too (this session,
+    second pass): a unit whose first island exceeds ``n`` anchors no
+    boundary match — per the bounds-the-run doctrine the forward run
+    from the boundary is too long — but its in-bound SUFFIXES do
+    anchor, continuing into the strict run that starts exactly one
+    cycle later; that run is necessarily a RUN HEAD (no strict unit
+    exists at the overlong position), so one left join of the overlong
+    units onto the per-unit aggregates closes the case. Mid-run cycles
+    always need their full first island inside the bounds, exactly as
+    :func:`match_cycles` compiles them.
 
     Output: the :func:`match_cycles` schema plus ``n_cycles`` — per
     anchor: the anchor row, remaining cycle count, run end fields, and
@@ -816,13 +821,6 @@ def match_cycles_skip_next(
     if not cycle_steps:
         raise ValueError("cycle needs at least one step")
     s1 = cycle_steps[0]
-    if s1.max_len is not None:
-        raise ValueError(
-            "SKIP TO NEXT ROW over a repeated group: the first step must "
-            "be unbounded above (X+ / X{m,}) — an over-long first island "
-            "could anchor suffix matches continuing into runs the "
-            "maximal-unit construction never built — out of class"
-        )
     classes = [s.dir for s in cycle_steps]
     k = len(classes)
     for d in range(1, k):
@@ -835,12 +833,24 @@ def match_cycles_skip_next(
             )
     if min_cycles < 1:
         raise ValueError("min_cycles must be >= 1")
-    units = match_pattern(
-        df, partition_col, order_col, value_col, cycle_steps, classifier
+    # units compiled with the FIRST step lower-bound-only: a unit whose
+    # first island exceeds max_len anchors no boundary match — but its
+    # in-bound SUFFIXES do, continuing into the strict run (if any)
+    # that starts exactly one cycle later (the overlong arm below)
+    relaxed = [Step(s1.name, s1.dir, s1.min_len, None)] + list(
+        cycle_steps[1:]
     )
+    units = match_pattern(
+        df, partition_col, order_col, value_col, relaxed, classifier
+    )
+    if s1.max_len is not None:
+        units = units.localCheckpoint(eager=True)  # strict + overlong arms
+        strict = units.filter(F.col(f"{s1.name}_len") <= s1.max_len)
+    else:
+        strict = units
     anchor = f"anchor_{order_col}"
     wu = Window.partitionBy(partition_col).orderBy("anchor_iseq")
-    runs = units.withColumn(
+    runs = strict.withColumn(
         "_grp", F.col("anchor_iseq") - k * F.row_number().over(wu)
     )
     wrun = (
@@ -853,6 +863,7 @@ def match_cycles_skip_next(
         F.col(partition_col),
         F.col(anchor),
         F.col("anchor_val"),
+        F.col("anchor_iseq"),
         F.col(f"{s1.name}_end").alias("__first_end"),
         F.col(f"{s1.name}_len").alias("__first_len"),
         F.count(F.lit(1)).over(wrun).cast("bigint").alias("n_cycles"),
@@ -867,7 +878,68 @@ def match_cycles_skip_next(
             F.last(f"{s.name}_end").over(wrun).alias(f"{s.name}_last_end"),
             F.last(f"{s.name}_val").over(wrun).alias(f"{s.name}_last_val"),
         ]
-    enriched = runs.select(*cols).filter(F.col("n_cycles") >= min_cycles)
+    per_unit = runs.select(*cols)
+    enriched = per_unit
+    if s1.max_len is not None:
+        # overlong arm: a unit whose first island exceeds max_len can
+        # only anchor via suffixes; its continuation is the strict run
+        # starting exactly k islands later — necessarily a RUN HEAD,
+        # since no strict unit exists at the overlong position itself.
+        per_unit = per_unit.localCheckpoint(eager=True)  # heads + arm 1
+        enriched = per_unit
+        head_cols = [
+            F.col(partition_col).alias("__hp"),
+            F.col("anchor_iseq").alias("__hseq"),
+            F.col("n_cycles").alias("__h_n"),
+            F.col("end").alias("__h_end"),
+            F.col("end_val").alias("__h_end_val"),
+        ]
+        for s in cycle_steps:
+            head_cols += [
+                F.col(f"{s.name}_total_len").alias(f"__h_{s.name}_tot"),
+                F.col(f"{s.name}_last_end").alias(f"__h_{s.name}_le"),
+                F.col(f"{s.name}_last_val").alias(f"__h_{s.name}_lv"),
+            ]
+        heads = per_unit.select(*head_cols)
+        over = units.filter(F.col(f"{s1.name}_len") > s1.max_len)
+        over = over.join(
+            heads,
+            (F.col(partition_col) == F.col("__hp"))
+            & (F.col("anchor_iseq") + k == F.col("__hseq")),
+            "left",
+        )
+        ocols = [
+            F.col(partition_col),
+            F.col(anchor),
+            F.col("anchor_val"),
+            F.col("anchor_iseq"),
+            F.col(f"{s1.name}_end").alias("__first_end"),
+            F.col(f"{s1.name}_len").alias("__first_len"),
+            (F.lit(1) + F.coalesce(F.col("__h_n"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_cycles"),
+            F.coalesce(F.col("__h_end"), F.col(f"{last}_end")).alias("end"),
+            F.coalesce(F.col("__h_end_val"), F.col(f"{last}_val")).alias(
+                "end_val"
+            ),
+        ]
+        for s in cycle_steps:
+            ocols += [
+                (
+                    F.col(f"{s.name}_len")
+                    + F.coalesce(F.col(f"__h_{s.name}_tot"), F.lit(0))
+                )
+                .cast("bigint")
+                .alias(f"{s.name}_total_len"),
+                F.coalesce(
+                    F.col(f"__h_{s.name}_le"), F.col(f"{s.name}_end")
+                ).alias(f"{s.name}_last_end"),
+                F.coalesce(
+                    F.col(f"__h_{s.name}_lv"), F.col(f"{s.name}_val")
+                ).alias(f"{s.name}_last_val"),
+            ]
+        enriched = per_unit.unionByName(over.select(*ocols))
+    enriched = enriched.filter(F.col("n_cycles") >= min_cycles)
     if max_cycles is not None:
         enriched = enriched.filter(F.col("n_cycles") <= max_cycles)
     # suffix-anchor expansion over the anchored unit's FIRST island —
@@ -896,6 +968,10 @@ def match_cycles_skip_next(
     joined = joined.filter(
         F.col("__first_len") - F.col("__off") >= s1.min_len
     )
+    if s1.max_len is not None:
+        joined = joined.filter(
+            F.col("__first_len") - F.col("__off") <= s1.max_len
+        )
     keep = [
         F.col("__p").alias(partition_col),
         F.col("__o").alias(anchor),
