@@ -405,6 +405,64 @@ def _parse_tokens(inner: str) -> list[tuple[str, int, int | None, bool]]:
     return toks
 
 
+_INLINE_GROUP = re.compile(r"\(\s*([^()]*?)\s*\)\s*\{\s*(\d+)\s*\}")
+
+
+def _quant_text(lo: int, hi: int | None) -> str:
+    if (lo, hi) == (1, 1):
+        return ""
+    if (lo, hi) == (1, None):
+        return "+"
+    return f"{{{lo},{'' if hi is None else hi}}}"
+
+
+def _expand_inline_groups(inner: str) -> tuple[str, dict[str, list[str]]]:
+    """Mid-pattern groups with an EXACT repetition count —
+    ``(X<q> Y<q> …){m}`` anywhere that is not the repeated TAIL form
+    (which keeps its maximal-cycle-run semantics via match_cycles) —
+    expand by inlining ``m`` clones of the body, clone ``i ≥ 2``
+    renaming each variable ``X`` to ``X__i`` (same DEFINE class).
+    Returns the flattened pattern text and the clone map
+    ``base → [base, base__2, …]`` the measure layer uses: LAST(X.c)
+    resolves to the LAST clone, COUNT(X.*) sums every clone's run
+    length. Unbounded or ranged group quantifiers stay the tail-cycle
+    form or out of class; a single-step group repeated > once can
+    never match (maximal runs cannot chain the same class) and is
+    rejected up front."""
+    clone_map: dict[str, list[str]] = {}
+    while m := _INLINE_GROUP.search(inner):
+        body, cnt = m.group(1), int(m.group(2))
+        if cnt < 1:
+            raise MatchRecognizeError(
+                "group repetition {0} allows an empty match — out of class"
+            )
+        toks = _parse_tokens(body)
+        if not toks:
+            raise MatchRecognizeError("empty inline group")
+        if len(toks) == 1 and cnt > 1:
+            raise MatchRecognizeError(
+                f"({body}){{{cnt}}}: repeating a single-step group never "
+                "matches — maximal runs cannot chain the same class "
+                "(a longer single run is ONE island)"
+            )
+        if any(t[3] for t in toks):
+            raise MatchRecognizeError(
+                "reluctant quantifiers inside an inline group are out of "
+                "class"
+            )
+        pieces = []
+        for i in range(1, cnt + 1):
+            for name, lo, hi, _rel in toks:
+                base = name.lower()
+                cname = base if i == 1 else f"{base}__{i}"
+                clone_map.setdefault(base, [base])
+                if i > 1:
+                    clone_map[base].append(cname)
+                pieces.append(cname + _quant_text(lo, hi))
+        inner = inner[: m.start()] + " ".join(pieces) + inner[m.end():]
+    return inner, clone_map
+
+
 def _parse_steps(inner: str) -> list[tuple[str, int, int | None, bool]]:
     """Steps as (name, min, max, final_reluctant) — the reluctant flag
     is only meaningful on the LAST tuple: non-final reluctant spellings
@@ -1010,8 +1068,28 @@ def compile_match_recognize(
                 raise MatchRecognizeError("empty group bound")
             cycle_bounds = (lo_i, hi_i)
         toks = [[(n, lo, hi2, False) for n, lo, hi2, _ in gtoks]]
+    clone_map: dict[str, list[str]] = {}
+    if gm:
+        pass
     else:
-        toks = _parse_pattern(clauses["PATTERN"])
+        inner0 = (
+            ptext[1:-1].strip()
+            if ptext.startswith("(") and ptext.endswith(")")
+            else None
+        )
+        if (
+            inner0 is not None
+            and _INLINE_GROUP.search(inner0)
+            and not re.search(r"\bPERMUTE\s*\(", inner0, re.IGNORECASE)
+            and len(_split_top_pipes(inner0)) == 1
+        ):
+            # mid-pattern group with an EXACT repetition count (this
+            # session): inline-expand clones; the clone map steers the
+            # measure layer (LAST → last clone, COUNT → clone sum)
+            expanded, clone_map = _expand_inline_groups(inner0)
+            toks = [_parse_steps(expanded)]
+        else:
+            toks = _parse_pattern(clauses["PATTERN"])
     defines: dict[str, tuple[int, str]] = {}
     const_defs: dict[str, tuple[str, float, str]] = {}
     for item in _split_top_commas(clauses["DEFINE"]):
@@ -1099,12 +1177,18 @@ def compile_match_recognize(
     for branch_toks in toks:
         steps = []
         for name, lo, hi, _rel in branch_toks:
-            if name.lower() not in defines:
+            lname = name.lower()
+            key = lname
+            if key not in defines and clone_map:
+                base = lname.split("__")[0]
+                if base in clone_map and base in defines:
+                    key = base  # clones share the base's DEFINE class
+            if key not in defines:
                 raise MatchRecognizeError(
                     f"pattern variable {name} has no DEFINE — an undefined "
                     "variable matches any row, which is out of class"
                 )
-            steps.append(Step(name.lower(), defines[name.lower()][0], lo, hi))
+            steps.append(Step(lname, defines[key][0], lo, hi))
         if branch_toks[-1][3]:
             final_reluctant = True
         branches.append(steps)
@@ -1123,6 +1207,10 @@ def compile_match_recognize(
     # run lengths, and under ALL ROWS a row maps to U iff its
     # classifier is a member.
     subsets: dict[str, list[str]] = {}
+    if "SUBSET" in clauses and clone_map:
+        raise MatchRecognizeError(
+            "SUBSET combined with an inline repeated group is out of class"
+        )
     if "SUBSET" in clauses:
         # members validate against the UNION of branch step sets (this
         # session — SUBSET×alternation is in class: a union variable
@@ -1192,7 +1280,12 @@ def compile_match_recognize(
                     "<non-first step> over the pattern's variables are the "
                     "supported modes"
                 )
-            j = names.index(m.group(2).lower())
+            tgt = m.group(2).lower()
+            if m.group(1).upper() == "LAST" and tgt in clone_map:
+                tgt = clone_map[tgt][-1]  # TO LAST of a grouped var =
+                # its final clone; TO FIRST keeps the first clone (the
+                # base name)
+            j = names.index(tgt)
             if m.group(1).upper() == "FIRST":
                 if j == 0:
                     raise MatchRecognizeError(
@@ -1237,6 +1330,11 @@ def compile_match_recognize(
                 matched, part, f"anchor_{order}", f"{resume_step}_end"
             )
     if all_rows:
+        if clone_map:
+            raise MatchRecognizeError(
+                "ALL ROWS PER MATCH with an inline repeated group is out "
+                "of class (CLASSIFIER() would name internal clones)"
+            )
         return _project_all_rows(
             source, matched, part, order, value, steps,
             clauses["MEASURES"], subsets,
@@ -1260,6 +1358,10 @@ def compile_match_recognize(
                 # union variable: in this linear class every member is
                 # present, so LAST is the member latest in pattern order
                 step_name = max(subsets[step_name], key=step_order.index)
+            if step_name in clone_map:
+                # grouped variable: LAST reads its FINAL clone (the last
+                # repetition), per SQL:2016 last-mapped-row semantics
+                step_name = clone_map[step_name][-1]
             if step_name not in step_order:
                 raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
             if col == order.lower():
@@ -1276,6 +1378,13 @@ def compile_match_recognize(
                 out = None
                 for mname in subsets[step_name]:
                     c = F.col(f"{mname}_len")
+                    out = c if out is None else out + c
+                return out.cast("bigint")
+            if step_name in clone_map:
+                # grouped variable: COUNT sums every clone's run length
+                out = None
+                for cname in clone_map[step_name]:
+                    c = F.col(f"{cname}_len")
                     out = c if out is None else out + c
                 return out.cast("bigint")
             if step_name not in step_order:

@@ -1333,6 +1333,80 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_inline_group",
+    oracle=_ISLANDS_CTE.format(max_user=27).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, cand AS (
+  SELECT d0.user_id, d0.sp AS anchor_day, d0.av AS anchor_n,
+         u1.ln + u2.ln AS n_up,
+         CAST(d2.ed AS BIGINT) AS last_dip_day,
+         CAST(u3.ed AS BIGINT) AS end_day, u3.ev AS end_n
+  FROM isl d0
+  JOIN isl u1 ON u1.user_id = d0.user_id AND d0.dir = -1 AND u1.dir = 1
+             AND u1.sp = d0.ed
+  JOIN isl d1 ON d1.user_id = d0.user_id AND d1.dir = -1 AND d1.sp = u1.ed
+  JOIN isl u2 ON u2.user_id = d0.user_id AND u2.dir = 1 AND u2.sp = d1.ed
+  JOIN isl d2 ON d2.user_id = d0.user_id AND d2.dir = -1 AND d2.sp = u2.ed
+  JOIN isl u3 ON u3.user_id = d0.user_id AND u3.dir = 1 AND u3.sp = d2.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(n_up AS BIGINT) AS n_up, last_dip_day, end_day, end_n
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_inline_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-pattern group with an exact repetition count (this session —
+    closes the embedded-group row for ``{m}``): ``PATTERN (STRT down+
+    (up+ dip+){2} up2+)`` — a descent, exactly two rise-then-dip
+    oscillations, a final rise. The parser inlines the group's clones
+    (``up__2``/``dip__2`` share the base DEFINEs); the measure layer
+    resolves ``LAST(dip.day)`` to the FINAL clone and ``COUNT(up.*)``
+    to the clone sum, per SQL:2016 mapped-row semantics. Default skip-past selection; the 6-step spans exercise
+    inside-anchored drops, so the oracle runs the RECURSIVE greedy-walk
+    CTE over the single 6-way adjacency chain. Fresh slice:
+    user_id < 27."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=27).createOrReplaceTempView(
+        "walden_mr_daily_ig"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_up, last_dip_day, end_day, end_n
+FROM walden_mr_daily_ig MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(up.*) AS n_up, LAST(dip.day) AS last_dip_day,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ (up+ dip+){2} up2+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         dip AS dip.n < PREV(dip.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_cycles_skip_next",
     oracle=_ISLANDS_CTE.format(max_user=37)
     + """

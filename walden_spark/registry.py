@@ -122,6 +122,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_cycles_subset",
     "win_pattern_skip_next_reluctant",
     "win_pattern_sql_cycles_skip_next",
+    "win_pattern_sql_inline_group",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -143,7 +144,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (topk_with_ties also queues for r12, displaced by
     # win_pattern_sql_cycles_skip_next; topk stays covered by the
     # topn_per_group flagship)
-    "tpch_q16",
+    # (tpch_q16 also queues for r12, displaced by
+    # win_pattern_sql_inline_group; tpch stays covered by the tpch_q1
+    # flagship and the q3/q10 bucketed entries)
     "udf_python_udtf",
     # -- re-witness: stalest remaining (last hash-verified r04; the
     # remainder of this vintage rotates in r12) --
