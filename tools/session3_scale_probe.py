@@ -48,7 +48,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     from walden_spark.operators.graph import triangle_counts
     from walden_spark.operators.pattern import (
-        DOWN, UP, Step, match_pattern, match_skip_next,
+        DOWN, UP, Step, match_cycles_skip_next, match_pattern,
+        match_skip_next,
     )
 
     events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
@@ -80,9 +81,14 @@ def main() -> None:
         t1 = time.time()
         sn = match_skip_next(daily, "user_id", "day", "n", steps).count()
         t2 = time.time()
+        csn = match_cycles_skip_next(
+            daily, "user_id", "day", "n", steps
+        ).count()
+        t3 = time.time()
         print(
             f"K={k:3d} rows={rows:9d} match={t1 - t0:6.2f}s "
-            f"({base} maximal) skip_next={t2 - t1:6.2f}s ({sn} anchors)"
+            f"({base} maximal) skip_next={t2 - t1:6.2f}s ({sn} anchors) "
+            f"cycles_skip_next={t3 - t2:6.2f}s ({csn} anchors)"
         )
 
     print("== probe 2: triangle_counts at N nodes (~6N synthetic edges) ==")
