@@ -123,6 +123,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_skip_next_reluctant",
     "win_pattern_sql_cycles_skip_next",
     "win_pattern_sql_inline_group",
+    "streaming_pattern_skip_next",
     "text_dsir_select",
     "text_stratum_cap",
     "events_type_pagerank",
@@ -147,7 +148,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # (tpch_q16 also queues for r12, displaced by
     # win_pattern_sql_inline_group; tpch stays covered by the tpch_q1
     # flagship and the q3/q10 bucketed entries)
-    "udf_python_udtf",
+    # (udf_python_udtf also queues for r12, displaced by
+    # streaming_pattern_skip_next; udf stays covered by the
+    # udf_pandas_scalar flagship)
     # -- re-witness: stalest remaining (last hash-verified r04; the
     # remainder of this vintage rotates in r12) --
     # (agg_pivot also queues for r12, displaced by

@@ -586,3 +586,224 @@ def streaming_anomaly_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run_to_memory(scored, "update")
     return out.orderBy("event_type", "day")
+
+
+# ---- streaming SKIP TO NEXT ROW matcher (r11 session 3) ----
+
+_PSN_STATE = (
+    "last_day BIGINT, last_n BIGINT, open_day BIGINT, open_n BIGINT, "
+    "phase INT, desc_days ARRAY<BIGINT>, desc_ns ARRAY<BIGINT>, "
+    "up_day BIGINT, up_n BIGINT"
+)
+_PSN_OUT = (
+    "user_id BIGINT, anchor_day BIGINT, anchor_n BIGINT, n_down BIGINT, "
+    "bottom_day BIGINT, bottom_n BIGINT, end_day BIGINT, end_n BIGINT"
+)
+
+
+def _pattern_user_skip_next(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Incremental V-shape matcher under AFTER MATCH SKIP TO NEXT ROW
+    — the streaming dual of operators/pattern.match_skip_next. When an
+    ascent proves maximal, EVERY suffix anchor of the preceding descent
+    emits its own match (the rescan keeps all of them; no selection).
+    State holds the open descent's row sequence — anchor row through
+    the current bottom — so state is bounded by the LENGTH OF THE OPEN
+    RUN (not constant like the skip-to-last matcher, and not the
+    series: a closed run's rows leave state the moment its matches
+    emit). Day-close/sentinel mechanics mirror _pattern_user."""
+    vals = (
+        state.get
+        if state.exists
+        else (None, None, None, None, _PHASE_NONE, [], [], None, None)
+    )
+    (last_day, last_n, open_day, open_n, phase,
+     desc_days, desc_ns, up_day, up_n) = vals
+    desc_days, desc_ns = list(desc_days), list(desc_ns)
+    rows: list[tuple] = []
+
+    def emit_all():
+        # one match per suffix anchor: descent rows 0..len-2 (the last
+        # row is the bottom — a suffix needs >= 1 DOWN transition)
+        bottom_day, bottom_n = desc_days[-1], desc_ns[-1]
+        total = len(desc_days) - 1
+        for i in range(total):
+            rows.append(
+                (key[0], desc_days[i], desc_ns[i], total - i,
+                 bottom_day, bottom_n, up_day, up_n)
+            )
+
+    def close_day(d, n):
+        nonlocal last_day, last_n, phase, desc_days, desc_ns, up_day, up_n
+        if last_day is not None:
+            if n < last_n:  # DOWN
+                if phase == _PHASE_UP:
+                    emit_all()
+                    desc_days, desc_ns = [last_day, d], [last_n, n]
+                    phase = _PHASE_DOWN
+                elif phase == _PHASE_DOWN:
+                    desc_days.append(d)
+                    desc_ns.append(n)
+                else:
+                    desc_days, desc_ns = [last_day, d], [last_n, n]
+                    phase = _PHASE_DOWN
+            elif n > last_n:  # UP
+                if phase == _PHASE_DOWN:
+                    phase = _PHASE_UP
+                    up_day, up_n = d, n
+                elif phase == _PHASE_UP:
+                    up_day, up_n = d, n
+            else:  # FLAT breaks runs
+                if phase == _PHASE_UP:
+                    emit_all()
+                phase = _PHASE_NONE
+                desc_days, desc_ns = [], []
+        last_day, last_n = d, n
+
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    saw_sentinel = bool((batch["event_id"] < 0).any())
+    real = batch[batch["event_id"] >= 0]
+    if len(real):
+        days = (real["ts"].dt.normalize() - _DAY0).dt.days
+        for d in days:
+            d = int(d)
+            if open_day is None:
+                open_day, open_n = d, 1
+            elif d == open_day:
+                open_n += 1
+            else:
+                close_day(open_day, open_n)
+                open_day, open_n = d, 1
+    if saw_sentinel:
+        if open_day is not None:
+            close_day(open_day, open_n)
+        if phase == _PHASE_UP:
+            emit_all()
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (last_day, last_n, open_day, open_n, phase,
+             desc_days, desc_ns, up_day, up_n)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "anchor_day", "anchor_n", "n_down",
+            "bottom_day", "bottom_n", "end_day", "end_n",
+        ],
+    )
+
+
+@query(
+    "streaming_pattern_skip_next",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 25 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+), m AS (
+  SELECT d.user_id, d.sp AS a0, d.ed AS bottom_day, d.ev AS bottom_n,
+         d.ln AS dlen, u.ed AS end_day, u.ev AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+), x AS (
+  SELECT m.user_id, dd.day AS anchor_day, dd.n AS anchor_n,
+         m.bottom_day, m.bottom_n, m.end_day, m.end_n,
+         m.dlen - (ROW_NUMBER() OVER (PARTITION BY m.user_id, m.a0
+                                      ORDER BY dd.day) - 1) AS n_down
+  FROM m JOIN daily dd
+    ON dd.user_id = m.user_id
+   AND dd.day >= m.a0 AND dd.day < m.bottom_day
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(n_down AS BIGINT) AS n_down,
+       CAST(bottom_day AS BIGINT) AS bottom_day, bottom_n,
+       CAST(end_day AS BIGINT) AS end_day, end_n
+FROM x ORDER BY user_id, anchor_day
+""",
+    category="streaming",
+)
+def streaming_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE under SKIP TO NEXT ROW (r11 session 3
+    — the rescan mode's streaming dual): every suffix anchor of a
+    descent emits its own V the moment the ascent proves maximal. The
+    replay harness matches streaming_pattern_vshape (quartile-staged
+    files + a sentinel flush, runs genuinely spanning micro-batches);
+    per-key state holds the OPEN descent's row sequence — bounded by
+    the open run's length, dropped at emission — which is the price of
+    per-anchor emission an unbounded stream pays regardless of engine.
+    Oracle: the batch suffix-anchor relation (win_pattern_skip_next's
+    SQL) on the closed input — the stream must reproduce it exactly.
+    Fresh slice: user_id < 25."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .select("event_id", "user_id", "ts")
+    )
+    stage = tempfile.mkdtemp(prefix="walden_patsn_stream_")
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev_us
+        if bounds[i] is not None:
+            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
+        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "user_id",
+        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
+        .cast("long")
+        .alias("us"),
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    matches = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_user_skip_next,
+            outputStructType=_PSN_OUT,
+            stateStructType=_PSN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(matches, "update")
+    return out.orderBy("user_id", "anchor_day")
