@@ -167,3 +167,60 @@ def triangle_counts(
             .alias("triangles"),
         )
     )
+
+
+def connected_components(
+    edges: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation (this session — promotes the dedup-cluster
+    machinery to a first-class graph operator): every node ends
+    labeled with its component's minimum node id.
+
+    The driver loop of join+aggregate rounds converges in O(graph
+    diameter) iterations, with ``localCheckpoint()`` truncating the
+    lineage between rounds (the iterative-algorithm template — cf.
+    label propagation in Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014); each round shuffles one frame
+    keyed by node id. Returns ``(node, component)`` for every node
+    incident to at least one edge."""
+    e = edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    und = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = und.select("u").distinct().withColumn("label", F.col("u"))
+    while True:
+        neigh = (
+            und.join(
+                labels.select(
+                    F.col("u").alias("v"), F.col("label").alias("vlabel")
+                ),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlabel").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "u", "left")
+            .select(
+                "u",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("u").alias("node"), F.col("label").alias("component")
+    )

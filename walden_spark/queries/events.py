@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from walden_spark.operators.graph import triangle_counts
+from walden_spark.operators.graph import connected_components, triangle_counts
 from walden_spark.registry import query
 from walden_spark.tables import Tables
 
@@ -1093,6 +1093,91 @@ def events_user_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("clust_permille"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "events_user_components",
+    oracle="""
+WITH RECURSIVE act AS (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS DATE) AS d,
+         EXTRACT(hour FROM ts) AS h
+  FROM events WHERE user_id < 150
+), pairs AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, CAST(COUNT(*) AS BIGINT) AS w
+  FROM act a
+  JOIN act b ON a.event_type = b.event_type AND a.d = b.d AND a.h = b.h
+            AND a.user_id < b.user_id
+  GROUP BY 1, 2
+), e AS (
+  SELECT ua, ub FROM pairs WHERE w >= 4
+), und AS (
+  SELECT ua AS u, ub AS v FROM e UNION SELECT ub, ua FROM e
+), reach AS (
+  SELECT u, u AS v FROM (SELECT DISTINCT u FROM und) n
+  UNION
+  SELECT r.u, und.v FROM reach r JOIN und ON und.u = r.v
+), lab AS (
+  SELECT u, MIN(v) AS component FROM reach GROUP BY u
+), sz AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS comp_size
+  FROM lab GROUP BY 1
+)
+SELECT lab.u AS user_id, lab.component, sz.comp_size
+FROM lab JOIN sz USING (component)
+ORDER BY user_id
+""",
+    category="events",
+)
+def events_user_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components as a first-class graph operator (this
+    session — third graph-analytics entry after PageRank and triangle
+    counting): label every user in the ≥4-shared-(type, day, hour)
+    co-occurrence graph with its component's minimum user id plus the
+    component size, via
+    :func:`walden_spark.operators.graph.connected_components` —
+    iterative min-label propagation, O(diameter) join+aggregate rounds
+    with localCheckpoint lineage cuts (the same 100 TB CC plan the
+    near-dup clusterer runs; here promoted to a generic edge-list
+    API). The DuckDB oracle replays it as a recursive transitive-
+    closure CTE — feasible because components are bounded at fixture
+    scale; the ENGINE path never materializes reachability, only
+    per-round labels. Same slice as events_user_triangles (one graph,
+    three operators)."""
+    t = Tables(spark, sf_dir)
+    act = (
+        t.events.filter(F.col("user_id") < 150)
+        .select(
+            "user_id",
+            "event_type",
+            F.to_date("ts").alias("d"),
+            F.hour("ts").alias("h"),
+        )
+        .distinct()
+        .repartition(
+            spark.sparkContext.defaultParallelism, "event_type", "d", "h"
+        )
+    )
+    a = act.select(F.col("user_id").alias("ua"), "event_type", "d", "h")
+    b = act.select(F.col("user_id").alias("ub"), "event_type", "d", "h")
+    edges = (
+        a.join(b, ["event_type", "d", "h"])
+        .filter(F.col("ua") < F.col("ub"))
+        .groupBy("ua", "ub")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 4)
+        .select("ua", "ub")
+    )
+    comp = connected_components(edges, "ua", "ub")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("comp_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("node").alias("user_id"), "component", "comp_size"
         )
         .orderBy("user_id")
     )

@@ -128,6 +128,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "text_stratum_cap",
     "events_type_pagerank",
     "events_user_triangles",
+    "events_user_components",
     "tpcds_q29_bucketed",
     "tpch_q3_bucketed",
     "tpch_q10_bucketed",
@@ -138,7 +139,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multimodal_frame_sample",
     # -- re-witness: stalest remaining (last hash-verified r03) --
     "agg_count_distinct",
-    "dedup_embedding_lsh",
+    # (dedup_embedding_lsh also queues for r12, displaced by
+    # events_user_components; dedup stays covered by the
+    # dedup_minhash_lsh flagship)
     # (join_full_outer also queues for r12, displaced by
     # win_pattern_skip_next_reluctant; joins stay covered by the
     # join_fuzzy_blocked flagship)
