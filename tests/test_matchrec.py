@@ -985,19 +985,175 @@ SELECT pid FROM mr_inline_grp MATCH_RECOGNIZE (
         ws.sql(base.format(p="STRT a+ (b+){2}"))
     with pytest.raises(MatchRecognizeError, match="reluctant quantifiers inside"):
         ws.sql(base.format(p="STRT a+ (b+? c+){2}"))
-    with pytest.raises(MatchRecognizeError, match="SUBSET combined"):
+    with pytest.raises(MatchRecognizeError, match="unbounded"):
+        ws.sql(base.format(p="STRT a+ (b+ c+){2,} d+"))
+    with pytest.raises(MatchRecognizeError, match="24 alternation"):
+        ws.sql(base.format(p="STRT a+ (b+ c+){1,9} (b2+ c2+){1,9} d+"))
+
+
+def test_inline_group_subset_and_all_rows(spark):
+    """SUBSET and ALL ROWS over inline repeated groups (r12 — both
+    were named limits of the exact-count tier): the union's members
+    expand through the clone map (COUNT sums all four clone runs,
+    LAST reads the final clone latest in pattern order), and under
+    ALL ROWS, CLASSIFIER() names the USER's variable — internal
+    clones remap to their base."""
+    ws = WaldenSession(spark)
+    # islands: a(d1) b(d2) c(d3) b(d4) c(d5) d(d6)
+    rows = [(83, d, float(v)) for d, v in enumerate([5, 3, 6, 6, 8, 8, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_inline_sub")
+    got = ws.sql(
+        """
+SELECT pid, n_t, last_t_day FROM mr_inline_sub MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(t.*) AS n_t, LAST(t.day) AS last_t_day
+  ONE ROW PER MATCH
+  SUBSET t = (b, c)
+  PATTERN (STRT a+ (b+ c+){2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), d AS d.v < PREV(d.v)
+)
+"""
+    ).collect()
+    assert [(r.n_t, r.last_t_day) for r in got] == [(4, 5)]
+    got = ws.sql(
+        """
+SELECT pid, day, cls, fin_b FROM mr_inline_sub MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, FINAL COUNT(b.*) AS fin_b
+  ALL ROWS PER MATCH
+  PATTERN (STRT a+ (b+ c+){2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), d AS d.v < PREV(d.v)
+) ORDER BY day
+"""
+    ).collect()
+    assert [r.cls for r in got] == ["STRT", "a", "b", "c", "b", "c", "d"]
+    # FINAL COUNT over a grouped variable sums every clone's run
+    assert {r.fin_b for r in got} == {2}
+
+
+def test_inline_group_single_repetition_degrades(spark):
+    """A {1} repetition produces no clones (ADVICE r11 #3): the
+    pattern degrades to the plain path, so SUBSET and ALL ROWS —
+    which the clone machinery used to spuriously reject — just
+    work."""
+    ws = WaldenSession(spark)
+    rows = [(84, d, float(v)) for d, v in enumerate([5, 3, 6, 6, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_inline_one")
+    got = ws.sql(
+        """
+SELECT pid, n_t FROM mr_inline_one MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(t.*) AS n_t
+  ONE ROW PER MATCH
+  SUBSET t = (b, c)
+  PATTERN (STRT a+ (b+ c+){1} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), d AS d.v < PREV(d.v)
+)
+"""
+    ).collect()
+    assert [r.n_t for r in got] == [2]
+
+
+def test_inline_group_ranged_prefers_most_repetitions(spark):
+    """Ranged mid-pattern group (r12): {1,2} expands to the
+    alternation ({2} | {1}) — at an anchor where both counts match
+    (the {1} chain is a strict prefix), the greedy preference keeps
+    the LONGER expansion; where only one count matches, that count
+    serves."""
+    ws = WaldenSession(spark)
+    # pid 1: b c b c d islands after a — both counts match, {2} wins
+    # pid 2: b c d islands after a — only {1} matches
+    rows = [(1, d, float(v)) for d, v in enumerate([5, 3, 6, 6, 8, 8, 2])]
+    rows += [(2, d, float(v)) for d, v in enumerate([5, 3, 6, 6, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_inline_rng")
+    got = ws.sql(
+        """
+SELECT pid, anchor_day, n_b, last_c_day, end_day
+FROM mr_inline_rng MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS anchor_day, COUNT(b.*) AS n_b,
+           LAST(c.day) AS last_c_day, LAST(d.day) AS end_day
+  ONE ROW PER MATCH
+  PATTERN (STRT a+ (b+ c+){1,2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), d AS d.v < PREV(d.v)
+) ORDER BY pid
+"""
+    ).collect()
+    assert [(r.pid, r.anchor_day, r.n_b, r.last_c_day, r.end_day) for r in got] == [
+        (1, 0, 2, 5, 6),
+        (2, 0, 1, 3, 4),
+    ]
+
+
+def test_inline_group_ranged_impossible_count_drops_out(spark):
+    """A single-step group with a ranged quantifier: the {2} variant
+    can never chain (one island) and silently drops from the range;
+    the {1} variant serves. Only a range where EVERY count is
+    impossible raises."""
+    ws = WaldenSession(spark)
+    rows = [(85, d, float(v)) for d, v in enumerate([5, 3, 6, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_inline_imp")
+    got = ws.sql(
+        """
+SELECT pid, n_b FROM mr_inline_imp MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(b.*) AS n_b
+  ONE ROW PER MATCH
+  PATTERN (STRT a+ (b+){1,2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         d AS d.v < PREV(d.v)
+)
+"""
+    ).collect()
+    assert [r.n_b for r in got] == [1]
+    with pytest.raises(MatchRecognizeError, match="single-step group"):
         ws.sql(
-            base.format(p="STRT a+ (b+ c+){2}").replace(
-                "ONE ROW PER MATCH",
-                "ONE ROW PER MATCH\n  SUBSET t = (b, c)",
-            )
+            """
+SELECT pid FROM mr_inline_imp MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(b.*) AS n_b
+  ONE ROW PER MATCH
+  PATTERN (STRT a+ (b+){2,3} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         d AS d.v < PREV(d.v)
+)
+"""
         )
-    with pytest.raises(MatchRecognizeError, match="internal clones"):
-        ws.sql(
-            base.format(p="STRT a+ (b+ c+){2}").replace(
-                "ONE ROW PER MATCH", "ALL ROWS PER MATCH"
-            )
-        )
+
+
+def test_inline_group_ranged_all_rows_classifier(spark):
+    """ALL ROWS × ranged group: the winning branch's rows expand with
+    clone classifiers remapped to the user's variables."""
+    ws = WaldenSession(spark)
+    rows = [(86, d, float(v)) for d, v in enumerate([5, 3, 6, 6, 8, 8, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_inline_rng_ar")
+    got = ws.sql(
+        """
+SELECT pid, day, cls FROM mr_inline_rng_ar MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls
+  ALL ROWS PER MATCH
+  PATTERN (STRT a+ (b+ c+){1,2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), d AS d.v < PREV(d.v)
+) ORDER BY day
+"""
+    ).collect()
+    assert [r.cls for r in got] == ["STRT", "a", "b", "c", "b", "c", "d"]
 
 
 def test_inline_group_skip_to_last_maps_to_final_clone(spark):

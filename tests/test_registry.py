@@ -80,6 +80,23 @@ def test_driver_window_emits_hashable_types(spark, sf_dir):
     assert not bad, f"driver-window queries emit nested-typed columns: {bad}"
 
 
+def test_load_all_is_idempotent_pure():
+    """VERDICT r11 #8: load_all() must not mutate/reorder the global
+    REGISTRY in place — a second call in one process (e.g. after a
+    partial import) must return the identical ordering, and the two
+    results must be independent dicts."""
+    from walden_spark import registry as regmod
+
+    first = load_all()
+    before = list(regmod.REGISTRY)
+    second = load_all()
+    after = list(regmod.REGISTRY)
+    assert list(first) == list(second)
+    assert before == after  # global untouched between calls
+    assert first is not second  # fresh dict, not the shared global
+    assert first is not regmod.REGISTRY and second is not regmod.REGISTRY
+
+
 def test_rotation_queue_cannot_drift():
     """VERDICT r06 #7 / r07 / r08 #2: the rotation guard is derived
     from the recorded CORRECTNESS files and round-boundary-aware; the

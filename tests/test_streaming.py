@@ -605,3 +605,95 @@ def test_streaming_ivf_ingest_builds_bucketed_index(spark, sf_dir):
     one_cell_cid = index.read().select("cid").first().cid
     one = index.scan(filters=[("cid", "=", one_cell_cid)]).count()
     assert 0 < one < total
+
+
+def test_streaming_pattern_alternation_restart(spark, sf_dir, tmp_path):
+    """r12 (VERDICT r11 #7): the alternation matcher survives a
+    checkpointed restart mid-run — the stream processes the first two
+    quartile files, dies, and a FRESH query over the same checkpoint
+    replays only the remaining files; open candidate state (anchor /
+    descent / tail / skip-past gate) crosses the restart through the
+    state store, and the combined emissions must equal the batch
+    MATCH_RECOGNIZE compiler on the closed input."""
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from walden_spark.queries.windows import _daily_counts
+    from walden_spark.session import WaldenSession
+    from walden_spark.streaming.stateful import (
+        _ALT_OUT,
+        _ALT_STATE,
+        _pattern_user_alt,
+        _staged_event_replay,
+    )
+
+    stage = _staged_event_replay(spark, sf_dir, 26, "walden_patalt_rs_")
+    hold = str(tmp_path / "hold")
+    shutil.move(f"{stage}/b2", f"{hold}_b2")
+    shutil.move(f"{stage}/b3", f"{hold}_b3")
+    shutil.move(f"{stage}/b4", f"{hold}_b4")
+
+    ckpt = str(tmp_path / "ckpt")
+    got: list[tuple] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        matches = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _pattern_user_alt,
+                outputStructType=_ALT_OUT,
+                stateStructType=_ALT_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            matches.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: got.extend(tuple(r) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # files b0, b1 only — the kill point
+    n_first = len(got)
+    shutil.move(f"{hold}_b2", f"{stage}/b2")
+    shutil.move(f"{hold}_b3", f"{stage}/b3")
+    shutil.move(f"{hold}_b4", f"{stage}/b4")
+    run_once()  # fresh query, same checkpoint: replays only b2..b4
+    assert len(got) > n_first  # the sentinel flush emits in run 2
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=26).createOrReplaceTempView(
+        "walden_alt_rs_batch"
+    )
+    expected = ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, shape, n_down, rise_day, plateau_day,
+       COALESCE(rise_n, plateau_n) AS end_n
+FROM walden_alt_rs_batch MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n, CLASSIFIER() AS shape,
+           COUNT(down.*) AS n_down, LAST(up.day) AS rise_day,
+           LAST(flat.day) AS plateau_day, LAST(up.n) AS rise_n,
+           LAST(flat.n) AS plateau_n
+  ONE ROW PER MATCH
+  PATTERN ((STRT down+ up+) | (STRT down+ flat+))
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat AS flat.n = PREV(flat.n)
+)
+"""
+    ).collect()
+    assert sorted(got) == sorted(tuple(r) for r in expected)

@@ -455,12 +455,69 @@ def _expand_inline_groups(inner: str) -> tuple[str, dict[str, list[str]]]:
             for name, lo, hi, _rel in toks:
                 base = name.lower()
                 cname = base if i == 1 else f"{base}__{i}"
-                clone_map.setdefault(base, [base])
-                if i > 1:
-                    clone_map[base].append(cname)
+                if cnt > 1:
+                    # a {1} repetition produces no clones — it must
+                    # degrade to the plain-pattern path with an EMPTY
+                    # clone map, or SUBSET/ALL ROWS composition would
+                    # spuriously trip clone-specific handling
+                    # (ADVICE r11 #3)
+                    clone_map.setdefault(base, [base])
+                    if i > 1:
+                        clone_map[base].append(cname)
                 pieces.append(cname + _quant_text(lo, hi))
         inner = inner[: m.start()] + " ".join(pieces) + inner[m.end():]
     return inner, clone_map
+
+
+_INLINE_GROUP_RANGED = re.compile(
+    r"\(\s*([^()]*?)\s*\)\s*\{\s*(\d+)\s*,\s*(\d+)\s*\}"
+)
+_INLINE_GROUP_UNBOUNDED = re.compile(r"\)\s*\{\s*\d+\s*,\s*\}")
+
+
+def _expand_ranged_groups(inner: str) -> list[str]:
+    """Mid-pattern groups with a RANGED repetition — ``(X<q> …){m,n}``
+    (r12; generalizes the exact-count inline clones of
+    :func:`_expand_inline_groups`, closing the VERDICT r11 #3 named
+    limit): expand to the alternation of the exact counts
+    ``{n} … {m}``, MOST repetitions first — under the alternation
+    compiler's leftmost-branch preference that ordering IS the
+    SQL:2016 greedy quantifier preference (prefer the longest
+    repetition that matches at the anchor). Several ranged groups
+    expand to the cartesian product in first-group-major order
+    (leftmost-longest), capped at 24 branches like PERMUTE. Exact
+    ``{m}`` groups pass through untouched (each returned variant later
+    exact-expands via :func:`_expand_inline_groups`). Unbounded
+    ``{m,}`` mid-pattern stays a named limit — the repeated TAIL form
+    ``PATTERN (STRT (X+ Y+ …){m,})`` serves unbounded cycles."""
+    if _INLINE_GROUP_UNBOUNDED.search(inner):
+        raise MatchRecognizeError(
+            "inline group with an unbounded {m,} quantifier is out of "
+            "class mid-pattern — bound the range, or use the repeated "
+            "tail form PATTERN (STRT (X+ Y+ …){m,}) for unbounded cycles"
+        )
+    m = _INLINE_GROUP_RANGED.search(inner)
+    if not m:
+        return [inner]
+    body, lo, hi = m.group(1), int(m.group(2)), int(m.group(3))
+    if lo < 1:
+        raise MatchRecognizeError(
+            "group repetition {0,…} allows an empty match — out of class"
+        )
+    if hi < lo:
+        raise MatchRecognizeError(f"empty group bound {{{lo},{hi}}}")
+    tails = _expand_ranged_groups(inner[m.end():])
+    out: list[str] = []
+    for cnt in range(hi, lo - 1, -1):
+        head = f"{inner[: m.start()]}({body}){{{cnt}}}"
+        for tail in tails:
+            out.append(head + tail)
+            if len(out) > 24:
+                raise MatchRecognizeError(
+                    "ranged-group expansion exceeds 24 alternation "
+                    "branches — out of class (narrow the {m,n} ranges)"
+                )
+    return out
 
 
 def _parse_steps(inner: str) -> list[tuple[str, int, int | None, bool]]:
@@ -502,6 +559,7 @@ def _project_all_rows(
     steps: list[Step],
     measures_text: str,
     subsets: dict[str, list[str]] | None = None,
+    clone_map: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """ALL ROWS PER MATCH projection: expand the (possibly
     skip-selected) matches back to every covered input row via
@@ -524,7 +582,26 @@ def _project_all_rows(
     row_cols = [c for c in source.columns if c != part]
     step_names = {s.name for s in steps}
     subs = subsets or {}
+    cmap = clone_map or {}
     step_order = [s.name for s in steps]
+    if any(len(v) > 1 for v in cmap.values()):
+        # inline repeated groups (r12): CLASSIFIER() must name the
+        # USER's variable, never an internal clone — remap each clone
+        # row back to its base. RUNNING measures then aggregate over
+        # every clone's rows automatically (the base name is what the
+        # classifier column carries), which is exactly SQL:2016: the
+        # repeated group's variable maps all of its repetitions' rows.
+        remap = None
+        for base, names in cmap.items():
+            for cname in names[1:]:
+                cond = F.col("classifier") == cname
+                lit = F.lit(base)
+                remap = (
+                    F.when(cond, lit) if remap is None else remap.when(cond, lit)
+                )
+        expanded = expanded.withColumn(
+            "classifier", remap.otherwise(F.col("classifier"))
+        )
     w_run = (
         Window.partitionBy(part, "match_no")
         .orderBy(order)
@@ -561,13 +638,29 @@ def _project_all_rows(
     def final_col(var_raw: str, col: str | None):
         var = var_raw.lower()
         if var in subs:
+            # union members expand through the clone map (r12) so a
+            # grouped member contributes every clone's run
+            members = [
+                c for mname in subs[var] for c in cmap.get(mname, [mname])
+            ]
             if col is None:
                 out = None
-                for mname in subs[var]:
+                for mname in members:
                     c = F.col(f"{mname}_len")
                     out = c if out is None else out + c
                 return out.cast("bigint")
-            var = max(subs[var], key=step_order.index)
+            var = max(members, key=step_order.index)
+        elif var in cmap:
+            # grouped variable: FINAL COUNT sums every clone's run
+            # length; FINAL LAST reads the final clone (SQL:2016
+            # last-mapped-row)
+            if col is None:
+                out = None
+                for cname in cmap[var]:
+                    c = F.col(f"{cname}_len")
+                    out = c if out is None else out + c
+                return out.cast("bigint")
+            var = cmap[var][-1]
         if var not in step_names:
             raise MatchRecognizeError(f"FINAL measure: unknown step {var_raw}")
         if col is None:
@@ -759,6 +852,7 @@ def _compile_alternation(
     all_rows: bool,
     classifier=None,
     subsets: dict[str, list[str]] | None = None,
+    clone_maps: list[dict[str, list[str]]] | None = None,
 ) -> DataFrame:
     """Top-level PATTERN alternation at the SQL surface (r11):
     ``PATTERN ((STRT …) | (STRT …) …)`` compiles every branch through
@@ -795,10 +889,24 @@ def _compile_alternation(
         )
     # branch labels are synthetic (PERMUTE expansions routinely share
     # final variables); CLASSIFIER() maps the winning label back to the
-    # branch's final step name, per ONE ROW PER MATCH semantics
+    # branch's final step name, per ONE ROW PER MATCH semantics.
+    # clone_maps (r12 — ranged inline groups expand to one branch per
+    # exact count) parallels `branches`; measure variables and
+    # CLASSIFIER() always name the USER's variable, so clone names map
+    # back to their base everywhere below.
     labels = [f"__b{i}" for i in range(len(branches))]
+    cmaps = clone_maps or [{} for _ in branches]
+    cmap_by_label = dict(zip(labels, cmaps))
+
+    def _base_of(name: str, cmap: dict[str, list[str]]) -> str:
+        for base, names in cmap.items():
+            if name in names:
+                return base
+        return name
+
     final_by_label = {
-        lab: b[-1].name for lab, b in zip(labels, branches)
+        lab: _base_of(b[-1].name, cm)
+        for lab, b, cm in zip(labels, branches, cmaps)
     }
     patterns = dict(zip(labels, branches))
     anchor = f"anchor_{order}"
@@ -893,11 +1001,27 @@ def _compile_alternation(
                     F.col(f"step{i}_len").alias(f"{st.name}_len"),
                 ]
             mb = m.filter(F.col("pattern") == lab).select(*sel)
-            parts_out.append(
-                expand_all_rows(
-                    source, mb, part, order, steps, match_no_col="match_no"
-                )
+            eb = expand_all_rows(
+                source, mb, part, order, steps, match_no_col="match_no"
             )
+            cmap = cmap_by_label[lab]
+            if any(len(v) > 1 for v in cmap.values()):
+                # CLASSIFIER() names the user's variable, not an
+                # internal ranged-group clone (r12)
+                remap = None
+                for base, cnames in cmap.items():
+                    for cname in cnames[1:]:
+                        cond = F.col("classifier") == cname
+                        lit = F.lit(base)
+                        remap = (
+                            F.when(cond, lit)
+                            if remap is None
+                            else remap.when(cond, lit)
+                        )
+                eb = eb.withColumn(
+                    "classifier", remap.otherwise(F.col("classifier"))
+                )
+            parts_out.append(eb)
         expanded = parts_out[0]
         for p in parts_out[1:]:
             expanded = expanded.unionByName(p, allowMissingColumns=True)
@@ -963,8 +1087,33 @@ def _compile_alternation(
             out = None
             for lab, steps in patterns.items():
                 names = [s.name for s in steps]
+                cmap = cmap_by_label[lab]
                 if is_subset:
-                    members = [m for m in subs[var] if m in names]
+                    # members expand through THIS branch's clone map
+                    # (r12): a grouped member contributes every clone
+                    # present in the branch
+                    members = [
+                        c
+                        for mn in subs[var]
+                        for c in cmap.get(mn, [mn])
+                        if c in names
+                    ]
+                    if not members:
+                        continue
+                    if kind == "len":
+                        c = None
+                        for mname in members:
+                            cc = F.col(f"step{names.index(mname)}_len")
+                            c = cc if c is None else c + cc
+                        c = c.cast("bigint")
+                    else:
+                        mname = max(members, key=names.index)
+                        c = F.col(f"step{names.index(mname)}_{kind}")
+                elif var in cmap and len(cmap[var]) > 1:
+                    # grouped variable in a ranged-expansion branch:
+                    # COUNT sums every clone's run, LAST reads the
+                    # branch's final clone
+                    members = [c for c in cmap[var] if c in names]
                     if not members:
                         continue
                     if kind == "len":
@@ -1069,6 +1218,7 @@ def compile_match_recognize(
             cycle_bounds = (lo_i, hi_i)
         toks = [[(n, lo, hi2, False) for n, lo, hi2, _ in gtoks]]
     clone_map: dict[str, list[str]] = {}
+    clone_maps: list[dict[str, list[str]]] | None = None
     if gm:
         pass
     else:
@@ -1079,15 +1229,52 @@ def compile_match_recognize(
         )
         if (
             inner0 is not None
-            and _INLINE_GROUP.search(inner0)
+            and (
+                _INLINE_GROUP.search(inner0)
+                or _INLINE_GROUP_RANGED.search(inner0)
+                or _INLINE_GROUP_UNBOUNDED.search(inner0)
+            )
             and not re.search(r"\bPERMUTE\s*\(", inner0, re.IGNORECASE)
             and len(_split_top_pipes(inner0)) == 1
         ):
-            # mid-pattern group with an EXACT repetition count (this
-            # session): inline-expand clones; the clone map steers the
-            # measure layer (LAST → last clone, COUNT → clone sum)
-            expanded, clone_map = _expand_inline_groups(inner0)
-            toks = [_parse_steps(expanded)]
+            # mid-pattern group with an EXACT or RANGED repetition
+            # count: ranged quantifiers expand to the alternation of
+            # their exact counts (longest-first = greedy preference),
+            # then each variant inline-expands clones; the clone maps
+            # steer the measure layer (LAST → last clone, COUNT →
+            # clone sum) — globally for the single-variant path,
+            # per-branch under the alternation compiler
+            variants = _expand_ranged_groups(inner0)
+            if len(variants) == 1:
+                expanded, clone_map = _expand_inline_groups(variants[0])
+                toks = [_parse_steps(expanded)]
+            else:
+                # a variant whose exact count is IMPOSSIBLE (a
+                # single-step body repeated >1 can never chain — a
+                # longer single run is ONE island) drops out of the
+                # range rather than failing the whole pattern; only an
+                # error shared by EVERY variant is the pattern's error
+                toks, clone_maps = [], []
+                first_err: MatchRecognizeError | None = None
+                for v in variants:
+                    try:
+                        expanded, cmap = _expand_inline_groups(v)
+                        toks.append(_parse_steps(expanded))
+                        clone_maps.append(cmap)
+                    except MatchRecognizeError as ex:
+                        if first_err is None:
+                            first_err = ex
+                if not toks:
+                    assert first_err is not None
+                    raise first_err
+                # merged map for DEFINE resolution (clones share the
+                # base's class) and skip-target rewriting
+                for cmap in clone_maps:
+                    for base, names in cmap.items():
+                        cur = clone_map.setdefault(base, [base])
+                        for n in names[1:]:
+                            if n not in cur:
+                                cur.append(n)
         else:
             toks = _parse_pattern(clauses["PATTERN"])
     defines: dict[str, tuple[int, str]] = {}
@@ -1207,10 +1394,6 @@ def compile_match_recognize(
     # run lengths, and under ALL ROWS a row maps to U iff its
     # classifier is a member.
     subsets: dict[str, list[str]] = {}
-    if "SUBSET" in clauses and clone_map:
-        raise MatchRecognizeError(
-            "SUBSET combined with an inline repeated group is out of class"
-        )
     if "SUBSET" in clauses:
         # members validate against the UNION of branch step sets (this
         # session — SUBSET×alternation is in class: a union variable
@@ -1243,7 +1426,7 @@ def compile_match_recognize(
     if len(branches) > 1:
         return _compile_alternation(
             source, part, order, value, branches, clauses, all_rows,
-            classifier=clf, subsets=subsets,
+            classifier=clf, subsets=subsets, clone_maps=clone_maps,
         )
     if cycle_bounds is not None:
         return _compile_cycles(
@@ -1330,14 +1513,9 @@ def compile_match_recognize(
                 matched, part, f"anchor_{order}", f"{resume_step}_end"
             )
     if all_rows:
-        if clone_map:
-            raise MatchRecognizeError(
-                "ALL ROWS PER MATCH with an inline repeated group is out "
-                "of class (CLASSIFIER() would name internal clones)"
-            )
         return _project_all_rows(
             source, matched, part, order, value, steps,
-            clauses["MEASURES"], subsets,
+            clauses["MEASURES"], subsets, clone_map=clone_map,
         )
     step_order = [s.name for s in steps]
 
@@ -1356,8 +1534,16 @@ def compile_match_recognize(
             step_name, col = lm.group(1).lower(), lm.group(2).lower()
             if step_name in subsets:
                 # union variable: in this linear class every member is
-                # present, so LAST is the member latest in pattern order
-                step_name = max(subsets[step_name], key=step_order.index)
+                # present, so LAST is the member latest in pattern
+                # order — members expand through the clone map first
+                # (r12: SUBSET over inline repeated groups), so a
+                # grouped member's final CLONE can win the ordering
+                members = [
+                    c
+                    for mname in subsets[step_name]
+                    for c in clone_map.get(mname, [mname])
+                ]
+                step_name = max(members, key=step_order.index)
             if step_name in clone_map:
                 # grouped variable: LAST reads its FINAL clone (the last
                 # repetition), per SQL:2016 last-mapped-row semantics
@@ -1376,9 +1562,13 @@ def compile_match_recognize(
             step_name = cm.group(1).lower()
             if step_name in subsets:
                 out = None
+                # members expand through the clone map (r12): COUNT of
+                # a union containing a grouped member sums EVERY
+                # clone's run length
                 for mname in subsets[step_name]:
-                    c = F.col(f"{mname}_len")
-                    out = c if out is None else out + c
+                    for cname in clone_map.get(mname, [mname]):
+                        c = F.col(f"{cname}_len")
+                        out = c if out is None else out + c
                 return out.cast("bigint")
             if step_name in clone_map:
                 # grouped variable: COUNT sums every clone's run length

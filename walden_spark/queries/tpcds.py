@@ -1493,36 +1493,49 @@ def _bucketed_tpcds_facts(spark: SparkSession):
 
     g = _gen(spark)
     src = f"tpcds_sf{SF}_seed42"
+    # Projections are part of the layout identity (columns= → the
+    # walden.ingest.cols TBLPROPERTY): widening one in code must
+    # rebuild the table, never silently reuse a narrower layout left
+    # by an earlier session (ADVICE r11 #1; same contract as
+    # tpch.py::_bucketed_facts).
+    ss_cols = ["ss_ticket_number", "ss_item_sk", "ss_quantity"]
+    sr_cols = [
+        "sr_customer_sk",
+        "sr_item_sk",
+        "sr_ticket_number",
+        "sr_returned_date_sk",
+        "sr_return_quantity",
+    ]
+    cs_cols = ["cs_customer_sk", "cs_item_sk", "cs_sold_date_sk", "cs_quantity"]
     ss = ensure_bucketed_table(
         spark,
         "walden_bkt_store_sales",
-        lambda: g.store_sales().select(
-            "ss_ticket_number", "ss_item_sk", "ss_quantity"
-        ),
+        lambda: g.store_sales().select(*ss_cols),
         ["ss_ticket_number"],
         n_buckets=8,
         sort_cols=["ss_ticket_number"],
         source=src,
+        columns=ss_cols,
     )
     sr = ensure_bucketed_table(
         spark,
         "walden_bkt_store_returns",
-        lambda: g.store_returns(),
+        lambda: g.store_returns().select(*sr_cols),
         ["sr_customer_sk", "sr_item_sk"],
         n_buckets=8,
         sort_cols=["sr_customer_sk", "sr_item_sk"],
         source=src,
+        columns=sr_cols,
     )
     cs = ensure_bucketed_table(
         spark,
         "walden_bkt_catalog_sales",
-        lambda: g.catalog_sales().select(
-            "cs_customer_sk", "cs_item_sk", "cs_sold_date_sk", "cs_quantity"
-        ),
+        lambda: g.catalog_sales().select(*cs_cols),
         ["cs_customer_sk", "cs_item_sk"],
         n_buckets=8,
         sort_cols=["cs_customer_sk", "cs_item_sk"],
         source=src,
+        columns=cs_cols,
     )
     return g, ss, sr, cs
 

@@ -1407,6 +1407,178 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_inline_group_ranged",
+    oracle=_ISLANDS_CTE.format(max_user=25).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, cand2 AS (
+  SELECT d0.user_id, d0.sp AS anchor_day, d0.av AS anchor_n,
+         u1.ln + u2.ln AS n_up,
+         CAST(d2.ed AS BIGINT) AS last_dip_day,
+         CAST(u3.ed AS BIGINT) AS end_day, u3.ev AS end_n
+  FROM isl d0
+  JOIN isl u1 ON u1.user_id = d0.user_id AND d0.dir = -1 AND u1.dir = 1
+             AND u1.sp = d0.ed
+  JOIN isl d1 ON d1.user_id = d0.user_id AND d1.dir = -1 AND d1.sp = u1.ed
+  JOIN isl u2 ON u2.user_id = d0.user_id AND u2.dir = 1 AND u2.sp = d1.ed
+  JOIN isl d2 ON d2.user_id = d0.user_id AND d2.dir = -1 AND d2.sp = u2.ed
+  JOIN isl u3 ON u3.user_id = d0.user_id AND u3.dir = 1 AND u3.sp = d2.ed
+), cand1 AS (
+  SELECT d0.user_id, d0.sp AS anchor_day, d0.av AS anchor_n,
+         u1.ln AS n_up,
+         CAST(d1.ed AS BIGINT) AS last_dip_day,
+         CAST(u2.ed AS BIGINT) AS end_day, u2.ev AS end_n
+  FROM isl d0
+  JOIN isl u1 ON u1.user_id = d0.user_id AND d0.dir = -1 AND u1.dir = 1
+             AND u1.sp = d0.ed
+  JOIN isl d1 ON d1.user_id = d0.user_id AND d1.dir = -1 AND d1.sp = u1.ed
+  JOIN isl u2 ON u2.user_id = d0.user_id AND u2.dir = 1 AND u2.sp = d1.ed
+), cand AS (
+  SELECT * FROM cand2
+  UNION ALL
+  SELECT c1.* FROM cand1 c1
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand2 c2 WHERE c2.user_id = c1.user_id
+      AND c2.anchor_day = c1.anchor_day)
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(n_up AS BIGINT) AS n_up, last_dip_day, end_day, end_n
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_inline_group_ranged(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-pattern group with a RANGED repetition (r12 — closes the
+    VERDICT r11 #3 named limit): ``PATTERN (STRT down+ (up+ dip+){1,2}
+    up2+)`` — a descent, one OR two rise-then-dip oscillations
+    (greedily preferring two), a final rise. The compiler expands the
+    range to the alternation of its exact counts, LONGEST first —
+    alternation's leftmost-branch preference then IS the SQL:2016
+    greedy quantifier preference (the {1} chain is a strict prefix of
+    the {2} chain, so both genuinely compete at the same anchor) —
+    with per-branch clone maps steering the measures: ``COUNT(up.*)``
+    sums that branch's clone runs, ``LAST(dip.day)`` reads the
+    branch's final clone. Default skip-past selection; the oracle
+    prefers the 6-way chain over the 4-way at a shared anchor, then
+    replays the greedy walk (RECURSIVE CTE). Fresh slice:
+    user_id < 25."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=25).createOrReplaceTempView(
+        "walden_mr_daily_igr"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_up, last_dip_day, end_day, end_n
+FROM walden_mr_daily_igr MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(up.*) AS n_up, LAST(dip.day) AS last_dip_day,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ (up+ dip+){1,2} up2+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         dip AS dip.n < PREV(dip.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
+    "win_pattern_sql_inline_group_subset",
+    oracle=_ISLANDS_CTE.format(max_user=23).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, cand AS (
+  SELECT d0.user_id, d0.sp AS anchor_day, d0.av AS anchor_n,
+         u1.ln + d1.ln + u2.ln + d2.ln AS n_osc,
+         CAST(d2.ed AS BIGINT) AS last_osc_day,
+         CAST(u3.ed AS BIGINT) AS end_day, u3.ev AS end_n
+  FROM isl d0
+  JOIN isl u1 ON u1.user_id = d0.user_id AND d0.dir = -1 AND u1.dir = 1
+             AND u1.sp = d0.ed
+  JOIN isl d1 ON d1.user_id = d0.user_id AND d1.dir = -1 AND d1.sp = u1.ed
+  JOIN isl u2 ON u2.user_id = d0.user_id AND u2.dir = 1 AND u2.sp = d1.ed
+  JOIN isl d2 ON d2.user_id = d0.user_id AND d2.dir = -1 AND d2.sp = u2.ed
+  JOIN isl u3 ON u3.user_id = d0.user_id AND u3.dir = 1 AND u3.sp = d2.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(n_osc AS BIGINT) AS n_osc, last_osc_day, end_day, end_n
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_inline_group_subset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SUBSET over an inline repeated group (r12 — closes the named
+    limit the exact-count tier left): ``SUBSET osc = (up, dip)`` with
+    ``PATTERN (STRT down+ (up+ dip+){2} up2+)`` — the union's members
+    expand through the clone map, so ``COUNT(osc.*)`` sums all FOUR
+    clone runs (both rises and both dips) and ``LAST(osc.day)``
+    resolves to the final clone latest in pattern order (the second
+    dip). Oracle: the 6-way adjacency chain with the member-run sum,
+    replayed through the greedy walk. Fresh slice: user_id < 23."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=23).createOrReplaceTempView(
+        "walden_mr_daily_igs"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_osc, last_osc_day, end_day, end_n
+FROM walden_mr_daily_igs MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(osc.*) AS n_osc, LAST(osc.day) AS last_osc_day,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  SUBSET osc = (up, dip)
+  PATTERN (STRT down+ (up+ dip+){2} up2+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         dip AS dip.n < PREV(dip.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_cycles_skip_next",
     oracle=_ISLANDS_CTE.format(max_user=37)
     + """

@@ -64,124 +64,83 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r11 ROTATION (VERDICT r10 next-round #1): the cumulative queue was
-# drained in r10 (268/268 driver-hash-verified at least once), so this
-# window is the 13 family-spanning flagships; the 4 queries ADDED in
-# r11 (window-joined immediately — they are the entire
-# never-driver-verified set, and the mid-round guard arm requires all
-# of them); the stalest name of each family the flagships+news leave
-# uncovered (events/scan/multimodal, keeping the every-family
-# property); and then the stalest-by-last-hash-verified re-witnesses —
-# all 9 remaining r03-vintage names and the r04 cohort in order
-# (the r04 anchors the r10 digest promotions displaced head this
-# queue per the r10 verdict; the rest of the r04 vintage follows in
-# r12). Staleness computed from the CORRECTNESS_r*.json history via
-# tools/rotation_queue.py.
+# r12 ROTATION (VERDICT r11 next-round #1): the r11 window landed
+# 50/50 full-green, so this window DRAINS the displaced staleness
+# queue — every remaining r03-vintage name (8) and the whole r04
+# cohort (30), exactly the set the r11 window's displacement comments
+# promised to r12 — plus the 3 queries ADDED in r12 (window-joined
+# immediately; they are the entire never-driver-verified set), the
+# stalest oracle-backed name of each category the drain+news leave
+# uncovered (events/filter/multimodal/projection/scan/unnest — the
+# every-family property), and the 3 stalest r05 names in the remaining
+# slots. Staleness computed from the CORRECTNESS_r*.json history via
+# tools/rotation_queue.py; after this round the stalest witness
+# anywhere in the registry is r05.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py +
 # tools/rotation_queue.py::window_guard_violations) uses it to stay
 # green at the round boundary, and as of r09 the boundary arm demands
 # FULL green (rows+schema+hash), not merely err-free.
-DRIVER_WINDOW_ROUND = 11
+DRIVER_WINDOW_ROUND = 12
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- flagship anchors: one per SURVEY family --
-    "tpch_q1",
-    "ddl_lifecycle",
-    "streaming_session_window",
-    "dedup_minhash_lsh",
-    "knn_lsh_bucketed",
-    "join_fuzzy_blocked",
-    "udf_pandas_scalar",
-    "win_ranking",
-    "proj_case_cast",
-    "topn_per_group",
-    "filter_predicates",
-    "posexplode_ordinality",
-    "setop_union_distinct",
-    # -- new in r11 (window-joined immediately; the entire
+    # -- new in r12 (window-joined immediately; the entire
     # never-driver-verified set) --
-    "win_pattern_sql_vshape",
-    "win_pattern_span_sum",
-    "win_pattern_all_rows",
-    "win_pattern_all_rows_final",
-    "win_pattern_all_rows_running",
-    "win_pattern_skip_past",
-    "win_pattern_skip_to_first",
-    "win_pattern_sql_alternation",
-    "win_pattern_sql_alt_all_rows",
-    "win_pattern_sql_subset",
-    "win_pattern_sql_permute",
-    "win_pattern_sql_cycles",
-    "win_pattern_sql_threshold",
-    "win_pattern_skip_next",
-    "win_pattern_reluctant_final",
-    "win_pattern_sql_alt_subset",
-    "win_pattern_sql_permute_mid",
-    "win_pattern_sql_alt_skip_next",
-    "win_pattern_sql_cycles_subset",
-    "win_pattern_skip_next_reluctant",
-    "win_pattern_sql_cycles_skip_next",
-    "win_pattern_sql_inline_group",
-    "streaming_pattern_skip_next",
-    "text_dsir_select",
-    "text_stratum_cap",
-    "events_type_pagerank",
-    "events_user_triangles",
-    "events_user_components",
-    "tpcds_q29_bucketed",
-    "tpch_q3_bucketed",
-    "tpch_q10_bucketed",
-    "streaming_anomaly_weekly",
-    # -- family coverage: stalest of events/scan/multimodal --
-    "events_gapfill",
-    "source_json_roundtrip",
-    "multimodal_frame_sample",
-    # -- re-witness: stalest remaining (last hash-verified r03) --
-    "agg_count_distinct",
-    # (dedup_embedding_lsh also queues for r12, displaced by
-    # events_user_components; dedup stays covered by the
-    # dedup_minhash_lsh flagship)
-    # (join_full_outer also queues for r12, displaced by
-    # win_pattern_skip_next_reluctant; joins stay covered by the
-    # join_fuzzy_blocked flagship)
-    # (topk_with_ties also queues for r12, displaced by
-    # win_pattern_sql_cycles_skip_next; topk stays covered by the
-    # topn_per_group flagship)
-    # (tpch_q16 also queues for r12, displaced by
-    # win_pattern_sql_inline_group; tpch stays covered by the tpch_q1
-    # flagship and the q3/q10 bucketed entries)
-    # (udf_python_udtf also queues for r12, displaced by
-    # streaming_pattern_skip_next; udf stays covered by the
-    # udf_pandas_scalar flagship)
-    # -- re-witness: stalest remaining (last hash-verified r04; the
-    # remainder of this vintage rotates in r12) --
-    # (agg_pivot also queues for r12, displaced by
-    # win_pattern_sql_alt_skip_next; agg stays covered by
-    # agg_count_distinct)
-    # (ann_ivf_pq also queues for r12, displaced by
-    # win_pattern_sql_cycles_subset; the ann/knn family stays covered
-    # by the knn_lsh_bucketed flagship and dedup_embedding_lsh)
-    # (agg_percentile_exact / ddl_branch_merge also queue for r12,
-    # displaced by tpch_q3_bucketed / tpch_q10_bucketed; ddl stays
-    # covered by the ddl_lifecycle flagship)
-    "fn_bitwise",
-    # (fn_string also queues for r12, displaced by
-    # win_pattern_sql_permute_mid; the fn family stays window-covered
-    # by fn_bitwise)
-    # (fn_variant / join_cross / join_right_outer / setop_union_all /
-    # setop_intersect_all / streaming_foreachbatch_upsert /
-    # sql_recursive_cte / setop_except / join_semi / join_left_outer —
-    # plus win_range_interval, tpch_q12, and setop_except_all from the
-    # r03 block above, and fn_struct / fn_url / agg_stats_formula /
-    # fn_math displaced by the session-3 additions
-    # win_pattern_skip_next / win_pattern_reluctant_final /
-    # text_dsir_select / events_user_triangles — all queue for r12;
-    # new names join immediately, and their families stay
-    # window-covered by the entries kept here)
-    # (text_span_dedup — the former stalest-text slot — also queues for
-    # r12, displaced by win_pattern_sql_alt_subset; the text family
-    # stays covered by text_dsir_select / text_stratum_cap)
+    "win_pattern_sql_inline_group_ranged",
+    "win_pattern_sql_inline_group_subset",
+    "streaming_pattern_alternation",
+    # -- re-witness: the full r03 vintage (stalest in the registry) --
+    "dedup_embedding_lsh",
+    "join_full_outer",
+    "setop_except_all",
+    "topk_with_ties",
+    "tpch_q12",
+    "tpch_q16",
+    "udf_python_udtf",
+    "win_range_interval",
+    # -- re-witness: the full r04 vintage --
+    "agg_percentile_exact",
+    "agg_pivot",
+    "agg_stats_formula",
+    "ann_ivf_pq",
+    "ddl_branch_merge",
+    "fn_math",
+    "fn_string",
+    "fn_struct",
+    "fn_url",
+    "fn_variant",
+    "join_cross",
+    "join_left_outer",
+    "join_right_outer",
+    "join_semi",
+    "setop_except",
+    "setop_intersect_all",
+    "setop_union_all",
+    "sql_recursive_cte",
+    "streaming_foreachbatch_upsert",
+    "streaming_stateful_totals",
+    "streaming_stream_stream_join",
+    "streaming_tumbling",
+    "text_span_dedup",
+    "tpcds_fx_channel_rollup",
+    "tpcds_fx_yoy_growth",
+    "tpch_q3",
+    "tpch_q6",
+    "win_agg_frames",
+    "win_groups_frame",
+    "win_value_functions",
+    # -- family coverage: stalest oracle-backed of the categories the
+    # drain leaves uncovered --
+    "events_scd2_history",
+    "sql_parameterized",
+    "multimodal_resize",
+    "proj_case_cast",
+    "source_partitioned_parquet",
+    "explode_words",
+    # -- re-witness: stalest remaining (last hash-verified r05) --
+    "agg_freq_sketch",
+    "agg_quantile_sketch",
+    "ddl_dml_cow",
 )
 
 
@@ -213,12 +172,15 @@ def load_all() -> dict[str, Query]:
     import walden_spark.streaming.stateful  # noqa: F401
     import walden_spark.streaming.sinks  # noqa: F401
 
-    # Reorder: DRIVER_WINDOW prefix first, then the rest in module order.
+    # Reorder: DRIVER_WINDOW prefix first, then the rest in module
+    # order. Idempotent-pure (VERDICT r11 #8): build and return a NEW
+    # ordered dict instead of mutating REGISTRY in place — a second
+    # load_all() in one process (e.g. after a partial import) must
+    # yield the identical order, and decorator registration order in
+    # the global stays untouched as the stable "module order" key.
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     if missing:
         raise RuntimeError(f"DRIVER_WINDOW names not registered: {missing}")
     ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
     ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
-    REGISTRY.clear()
-    REGISTRY.update(ordered)
-    return REGISTRY
+    return ordered

@@ -220,8 +220,48 @@ _PAT_OUT = (
     "bottom_day BIGINT, bottom_n BIGINT, end_day BIGINT, end_n BIGINT, "
     "depth BIGINT, rebound BIGINT"
 )
-_PHASE_NONE, _PHASE_DOWN, _PHASE_UP = 0, 1, 2
+_PHASE_NONE, _PHASE_DOWN, _PHASE_UP, _PHASE_FLAT = 0, 1, 2, 3
 _DAY0 = pd.Timestamp("2024-01-01")
+
+
+def _staged_event_replay(
+    spark: SparkSession, sf_dir: str, max_user: int, prefix: str
+) -> str:
+    """Shared replay harness of the streaming pattern matchers: stage
+    the (filtered) event table as four time-ordered quartile files
+    plus a per-user far-future sentinel file (b4) that closes the
+    final day and flushes open runs. With ``maxFilesPerTrigger=1`` the
+    files replay as five micro-batches, so day boundaries and pattern
+    runs genuinely SPAN batches. Returns the staging directory."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < max_user)
+        .select("event_id", "user_id", "ts")
+    )
+    stage = tempfile.mkdtemp(prefix=prefix)
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev_us
+        if bounds[i] is not None:
+            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
+        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "user_id",
+        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
+        .cast("long")
+        .alias("us"),
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+    return stage
 
 
 def _pattern_user(
@@ -368,35 +408,7 @@ def streaming_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     fires the moment its ascent is provably maximal. The oracle is the
     BATCH vshape SQL — on a closed input the incremental matcher must
     reproduce the batch compiler's output exactly."""
-    import tempfile
-
-    from walden_spark.tables import load_table
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 30)
-        .select("event_id", "user_id", "ts")
-    )
-    stage = tempfile.mkdtemp(prefix="walden_pat_stream_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "user_id",
-        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
-        .cast("long")
-        .alias("us"),
-    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
-
+    stage = _staged_event_replay(spark, sf_dir, 30, "walden_pat_stream_")
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts timestamp")
         .option("maxFilesPerTrigger", "1")
@@ -759,35 +771,7 @@ def streaming_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the batch suffix-anchor relation (win_pattern_skip_next's
     SQL) on the closed input — the stream must reproduce it exactly.
     Fresh slice: user_id < 25."""
-    import tempfile
-
-    from walden_spark.tables import load_table
-
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.col("user_id") < 25)
-        .select("event_id", "user_id", "ts")
-    )
-    stage = tempfile.mkdtemp(prefix="walden_patsn_stream_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "user_id",
-        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
-        .cast("long")
-        .alias("us"),
-    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
-
+    stage = _staged_event_replay(spark, sf_dir, 25, "walden_patsn_stream_")
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts timestamp")
         .option("maxFilesPerTrigger", "1")
@@ -801,6 +785,234 @@ def streaming_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pattern_user_skip_next,
             outputStructType=_PSN_OUT,
             stateStructType=_PSN_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(matches, "update")
+    return out.orderBy("user_id", "anchor_day")
+
+
+_ALT_STATE = (
+    "last_day BIGINT, last_n BIGINT, open_day BIGINT, open_count BIGINT, "
+    "phase INT, anchor_day BIGINT, anchor_n BIGINT, n_down BIGINT, "
+    "tail_day BIGINT, tail_n BIGINT, resume_after BIGINT"
+)
+_ALT_OUT = (
+    "user_id BIGINT, anchor_day BIGINT, anchor_n BIGINT, shape STRING, "
+    "n_down BIGINT, rise_day BIGINT, plateau_day BIGINT, end_n BIGINT"
+)
+
+
+def _pattern_user_alt(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Incremental ALTERNATION matcher (r12 — the streaming dual of
+    ``match_any`` + leftmost preference + skip-past selection, i.e. of
+    ``win_pattern_sql_alternation``): PATTERN ((STRT down+ up+) |
+    (STRT down+ flat+)), AFTER MATCH SKIP PAST LAST ROW. The branch
+    second steps carry DISTINCT transition classes, so anchors are
+    branch-disjoint and leftmost preference never has a tie to break —
+    a candidate's shape is simply whichever class follows its descent.
+    The skip-past greedy walk streams as an emission GATE: candidates
+    complete in anchor order (days arrive in order), and a completed
+    candidate emits iff its anchor lies strictly AFTER the last
+    EMITTED candidate's end (`resume_after`); a suppressed candidate
+    does not advance the gate — exactly
+    ``operators/pattern.select_skip_past``'s walk, including the
+    odd-position rule on boundary-sharing chains. Per-key state is
+    CONSTANT (last closed day, the open day, one candidate's anchor /
+    descent count / tail, the gate)."""
+    vals = (
+        state.get
+        if state.exists
+        else (None, None, None, None, _PHASE_NONE, None, None, None, None, None, None)
+    )
+    (last_day, last_n, open_day, open_n, phase,
+     anchor_day, anchor_n, n_down, tail_day, tail_n, resume_after) = vals
+    rows: list[tuple] = []
+
+    def complete(shape: str):
+        # candidate (down+ up+|flat+) just proved maximal: emit iff
+        # the skip-past gate admits its anchor
+        nonlocal resume_after
+        if resume_after is None or anchor_day > resume_after:
+            rise = tail_day if shape == "up" else None
+            plateau = tail_day if shape == "flat" else None
+            rows.append(
+                (key[0], anchor_day, anchor_n, shape, n_down,
+                 rise, plateau, tail_n)
+            )
+            resume_after = tail_day
+
+    def close_day(d, n):
+        nonlocal last_day, last_n, phase
+        nonlocal anchor_day, anchor_n, n_down, tail_day, tail_n
+        if last_day is not None:
+            if n < last_n:  # DOWN transition
+                if phase == _PHASE_UP:
+                    complete("up")
+                elif phase == _PHASE_FLAT:
+                    complete("flat")
+                if phase == _PHASE_DOWN:
+                    n_down += 1  # extend the descent
+                else:
+                    anchor_day, anchor_n = last_day, last_n
+                    n_down = 1
+                    phase = _PHASE_DOWN
+            elif n > last_n:  # UP transition
+                if phase == _PHASE_DOWN:
+                    phase = _PHASE_UP
+                    tail_day, tail_n = d, n
+                elif phase == _PHASE_UP:
+                    tail_day, tail_n = d, n  # extend the ascent
+                else:
+                    if phase == _PHASE_FLAT:
+                        complete("flat")  # plateau proved maximal
+                    phase = _PHASE_NONE  # ascent without a descent
+            else:  # FLAT transition
+                if phase == _PHASE_DOWN:
+                    phase = _PHASE_FLAT
+                    tail_day, tail_n = d, n
+                elif phase == _PHASE_FLAT:
+                    tail_day, tail_n = d, n  # extend the plateau
+                else:
+                    if phase == _PHASE_UP:
+                        complete("up")  # ascent proved maximal
+                    phase = _PHASE_NONE  # plateau without a descent
+        last_day, last_n = d, n
+
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    saw_sentinel = bool((batch["event_id"] < 0).any())
+    real = batch[batch["event_id"] >= 0]
+    if len(real):
+        days = (real["ts"].dt.normalize() - _DAY0).dt.days
+        for d in days:
+            d = int(d)
+            if open_day is None:
+                open_day, open_n = d, 1
+            elif d == open_day:
+                open_n += 1
+            else:
+                close_day(open_day, open_n)
+                open_day, open_n = d, 1
+    if saw_sentinel:
+        if open_day is not None:
+            close_day(open_day, open_n)
+        if phase == _PHASE_UP:
+            complete("up")
+        elif phase == _PHASE_FLAT:
+            complete("flat")
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (last_day, last_n, open_day, open_n, phase,
+             anchor_day, anchor_n, n_down, tail_day, tail_n, resume_after)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "anchor_day", "anchor_n", "shape", "n_down",
+            "rise_day", "plateau_day", "end_n",
+        ],
+    )
+
+
+@query(
+    "streaming_pattern_alternation",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 26 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+), mm AS (
+  SELECT d.user_id, d.sp AS anchor_day, d.av AS anchor_n,
+         u.ed AS end_day, 'up' AS shape, d.ln AS n_down,
+         CAST(u.ed AS BIGINT) AS rise_day,
+         CAST(NULL AS BIGINT) AS plateau_day,
+         u.ev AS end_n
+  FROM isl d
+  JOIN isl u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+            AND u.sp = d.ed
+  UNION ALL
+  SELECT d.user_id, d.sp, d.av, f.ed, 'flat', d.ln,
+         CAST(NULL AS BIGINT), CAST(f.ed AS BIGINT), f.ev
+  FROM isl d
+  JOIN isl f ON f.user_id = d.user_id AND d.dir = -1 AND f.dir = 0
+            AND f.sp = d.ed
+), s AS (
+  SELECT *, CASE WHEN anchor_day = LAG(end_day)
+                   OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 THEN 0 ELSE 1 END AS new_chain
+  FROM mm
+), c AS (
+  SELECT *, SUM(new_chain)
+              OVER (PARTITION BY user_id ORDER BY anchor_day) AS chain_id
+  FROM s
+), r AS (
+  SELECT *, ROW_NUMBER()
+              OVER (PARTITION BY user_id, chain_id ORDER BY anchor_day) AS pos
+  FROM c
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       shape, n_down, rise_day, plateau_day, end_n
+FROM r WHERE pos % 2 = 1
+ORDER BY user_id, anchor_day
+""",
+    category="streaming",
+)
+def streaming_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING MATCH_RECOGNIZE with pattern ALTERNATION (r12 —
+    VERDICT r11 #7, the third streaming pattern mode after V-shape and
+    SKIP TO NEXT ROW): ``PATTERN ((STRT down+ up+) | (STRT down+
+    flat+))`` with the default SKIP PAST LAST ROW selection, detected
+    incrementally with ``applyInPandasWithState``. Each descent is
+    classified by what follows it — a rebound or a plateau — the
+    moment that tail run proves maximal; the skip-past greedy walk
+    streams as a constant-size emission gate (see
+    :func:`_pattern_user_alt`). Same replay harness as the other
+    streaming matchers (quartile-staged files + sentinel flush, runs
+    spanning micro-batches). Oracle: the batch alternation SQL
+    (win_pattern_sql_alternation's oracle) on the closed input — the
+    stream must reproduce the batch compiler exactly. Fresh slice:
+    user_id < 26."""
+    stage = _staged_event_replay(spark, sf_dir, 26, "walden_patalt_stream_")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    matches = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_user_alt,
+            outputStructType=_ALT_OUT,
+            stateStructType=_ALT_STATE,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
