@@ -243,6 +243,17 @@ def main() -> None:
         "spread_pct": spread_pct,
         "calibration": calibration,
         "calibration_total": round(cal_total, 3),
+        # the denominator's OWN noise (r12 attribution sweep: cal_total
+        # spread 52% across five identical-code runs — the probes total
+        # ~1.3 s, so min-of-3 is jitter-bound). A per-query
+        # ratio_to_calibration delta smaller than this is denominator
+        # noise, not a query regression; BENCH_NOTES r12 has the full
+        # cross-process variance table and the signal rule.
+        "calibration_spread_pct": {
+            n: round(100.0 * (max(ts) - min(ts)) / min(ts), 1)
+            for n, ts in runs.items()
+            if n in CALIBRATION
+        },
         "ratio_to_calibration": ratios,
         "value_ratio": round(total / cal_total, 3),
         "notes": "value=sum of per-query min over 3 interleaved rounds "
@@ -251,7 +262,9 @@ def main() -> None:
         "bench.py, plans byte-stable across rounds) run interleaved "
         "with the sweep; compare ratio_to_calibration / value_ratio "
         "round-over-round — absolute seconds drift with the host, "
-        "ratios do not",
+        "ratios do not, but their resolution is bounded by "
+        "calibration_spread_pct (cross-process variance is ~2-5x the "
+        "in-process spread_pct; see BENCH_NOTES r12)",
     }
     # Full per-query payload: printed for humans AND persisted to a file
     # so no detail is lost if stdout is truncated.
