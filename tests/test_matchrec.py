@@ -777,12 +777,16 @@ SELECT pid FROM mr_perm_mid MATCH_RECOGNIZE (
 
 
 def test_multiple_permute_groups(spark):
-    """Several PERMUTE groups in one pattern (this session): each
-    expands independently and the branches are their cartesian product.
-    7 5 6 6 4 = D U F D → branch (d,u)(f,d2) matches anchored at 0;
-    CLASSIFIER names the winning branch's final step."""
+    """Several PERMUTE groups in one pattern: each expands
+    independently and the branches are their cartesian product. The
+    groups' class sets must be DISJOINT (r12) — with overlapping
+    classes some cartesian ordering places two same-class steps
+    adjacent, which the island compiler cannot serve Trino-exactly
+    (the adjacency named limit below) — so this uses four disjoint
+    threshold classes, two per group."""
     ws = WaldenSession(spark)
-    rows = [(41, d, float(v)) for d, v in enumerate([7, 5, 6, 6, 4])]
+    # classifier reads the CURRENT row's value: islands lo m1 m2 hi
+    rows = [(41, d, float(v)) for d, v in enumerate([5, 2, 4, 6, 9])]
     spark.createDataFrame(
         rows, "pid int, day long, v double"
     ).createOrReplaceTempView("mr_two_perm")
@@ -791,17 +795,33 @@ def test_multiple_permute_groups(spark):
 SELECT pid, cls, anchor_day, end_day FROM mr_two_perm MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
   MEASURES STRT.day AS anchor_day, CLASSIFIER() AS cls,
-           LAST(d2.day) AS end_day
+           LAST(hi.day) AS end_day
   ONE ROW PER MATCH
-  PATTERN (STRT PERMUTE(d+, u+) PERMUTE(f+, d2+))
-  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
-         f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
+  PATTERN (STRT PERMUTE(lo+, m1+) PERMUTE(m2+, hi+))
+  DEFINE lo AS lo.v < 3, m1 AS m1.v = 4,
+         m2 AS m2.v = 6, hi AS hi.v > 8
 ) ORDER BY pid
 """
     ).collect()
     assert [(r.pid, r.cls, r.anchor_day, r.end_day) for r in got] == [
-        (41, "d2", 0, 4)
+        (41, "hi", 0, 4)
     ]
+    # overlapping class sets across the groups: the colliding ordering
+    # raises the adjacency named limit rather than silently missing
+    # the standard's run-splitting matches
+    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
+        ws.sql(
+            """
+SELECT pid FROM mr_two_perm MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  PATTERN (STRT PERMUTE(d+, u+) PERMUTE(f+, d2+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
+         f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
+)
+"""
+        )
 
 
 def test_skip_next_with_alternation_leftmost_preference(spark):
@@ -981,14 +1001,102 @@ SELECT pid FROM mr_inline_grp MATCH_RECOGNIZE (
   PATTERN ({p})
   DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v), c AS c.v = PREV(c.v)
 )"""
-    with pytest.raises(MatchRecognizeError, match="single-step group"):
-        ws.sql(base.format(p="STRT a+ (b+){2}"))
     with pytest.raises(MatchRecognizeError, match="reluctant quantifiers inside"):
         ws.sql(base.format(p="STRT a+ (b+? c+){2}"))
     with pytest.raises(MatchRecognizeError, match="unbounded"):
         ws.sql(base.format(p="STRT a+ (b+ c+){2,} d+"))
     with pytest.raises(MatchRecognizeError, match="24 alternation"):
         ws.sql(base.format(p="STRT a+ (b+ c+){1,9} (b2+ c2+){1,9} d+"))
+
+
+def test_single_step_group_rewrites_to_quantifier(spark):
+    """Quantified groups over ONE step serve via quantifier arithmetic
+    (r12 — formerly the 'single-step group never matches' named
+    limit): (b+){2} ≡ b{2,} because same-class runs merge, so the
+    group is exactly a run-length bound on the plain step."""
+    ws = WaldenSession(spark)
+    # pid 1: ascent run of 3 transitions (3->4->6->9) — b{2,} matches
+    # pid 2: ascent run of 1 transition — no match
+    rows = [(1, d, float(v)) for d, v in enumerate([5, 3, 4, 6, 9, 2])]
+    rows += [(2, d, float(v)) for d, v in enumerate([5, 3, 6, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_ssg")
+    q = """
+SELECT pid, n_b, last_b FROM mr_ssg MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(b.*) AS n_b, LAST(b.day) AS last_b
+  ONE ROW PER MATCH
+  PATTERN (STRT a+ (b{p}){q} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         d AS d.v < PREV(d.v)
+)
+"""
+    got = ws.sql(q.replace("{p}", "+").replace("{q}", "{2}")).collect()
+    assert [(r.pid, r.n_b, r.last_b) for r in got] == [(1, 3, 4)]
+    # (b+){1,2} ≡ b{1,} ≡ b+ — both pids match
+    got = ws.sql(q.replace("{p}", "+").replace("{q}", "{1,2}")).collect()
+    assert sorted((r.pid, r.n_b) for r in got) == [(1, 3), (2, 1)]
+    # (b{2,3}){2} ≡ b{4,6} — run of 3 is too short now
+    got = ws.sql(q.replace("{p}", "{2,3}").replace("{q}", "{2}")).collect()
+    assert got == []
+    # non-contiguous length set has no single-step equivalent
+    with pytest.raises(MatchRecognizeError, match="non-contiguous"):
+        ws.sql(q.replace("{p}", "{3}").replace("{q}", "{1,2}"))
+    # the tail-cycle position rewrites too: (STRT (b+){2}) ≡ (STRT b{2,})
+    got = ws.sql(
+        """
+SELECT pid, n_b FROM mr_ssg MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(b.*) AS n_b
+  ONE ROW PER MATCH
+  PATTERN (STRT (b+){2})
+  DEFINE b AS b.v > PREV(b.v)
+)
+"""
+    ).collect()
+    assert [(r.pid, r.n_b) for r in got] == [(1, 3)]
+
+
+def test_adjacent_same_class_steps_raise(spark):
+    """Adjacent steps sharing a transition class raise the named limit
+    (r12): the island compiler cannot split a maximal run between two
+    steps the way the standard's row semantics would, and returning
+    the empty set there would be a WRONG answer, not a stricter one."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, float(v)) for d, v in enumerate([5, 3, 6, 7, 8, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_adj")
+    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
+        ws.sql(
+            """
+SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ up+ up2+)
+  DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
+         up2 AS up2.v > PREV(up2.v)
+)
+"""
+        )
+    # group clones report base names: (b+ c+ b2+){2} makes b2 and the
+    # second b clone adjacent when b2 shares b's class
+    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
+        ws.sql(
+            """
+SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  PATTERN (STRT a+ (b+ c+ b2+){2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), b2 AS b2.v > PREV(b2.v),
+         d AS d.v < PREV(d.v)
+)
+"""
+        )
 
 
 def test_inline_group_subset_and_all_rows(spark):
@@ -1095,42 +1203,30 @@ FROM mr_inline_rng MATCH_RECOGNIZE (
     ]
 
 
-def test_inline_group_ranged_impossible_count_drops_out(spark):
-    """A single-step group with a ranged quantifier: the {2} variant
-    can never chain (one island) and silently drops from the range;
-    the {1} variant serves. Only a range where EVERY count is
-    impossible raises."""
+def test_inline_group_ranged_single_step_uses_quantifier_arith(spark):
+    """A single-step group with a ranged quantifier serves through the
+    quantifier-arithmetic rewrite, never the clone expansion:
+    (b+){1,2} ≡ b{1,} ≡ b+ matches a 1-transition run; (b+){2,3} ≡
+    b{2,} correctly does NOT (the standard can't split one transition
+    into two non-empty copies either)."""
     ws = WaldenSession(spark)
     rows = [(85, d, float(v)) for d, v in enumerate([5, 3, 6, 2])]
     spark.createDataFrame(
         rows, "pid int, day long, v double"
     ).createOrReplaceTempView("mr_inline_imp")
-    got = ws.sql(
-        """
+    q = """
 SELECT pid, n_b FROM mr_inline_imp MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
   MEASURES COUNT(b.*) AS n_b
   ONE ROW PER MATCH
-  PATTERN (STRT a+ (b+){1,2} d+)
+  PATTERN (STRT a+ (b+){rng} d+)
   DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
          d AS d.v < PREV(d.v)
 )
 """
-    ).collect()
+    got = ws.sql(q.replace("{rng}", "{1,2}")).collect()
     assert [r.n_b for r in got] == [1]
-    with pytest.raises(MatchRecognizeError, match="single-step group"):
-        ws.sql(
-            """
-SELECT pid FROM mr_inline_imp MATCH_RECOGNIZE (
-  PARTITION BY pid ORDER BY day
-  MEASURES COUNT(b.*) AS n_b
-  ONE ROW PER MATCH
-  PATTERN (STRT a+ (b+){2,3} d+)
-  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
-         d AS d.v < PREV(d.v)
-)
-"""
-        )
+    assert ws.sql(q.replace("{rng}", "{2,3}")).collect() == []
 
 
 def test_inline_group_ranged_all_rows_classifier(spark):

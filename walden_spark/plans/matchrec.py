@@ -474,6 +474,58 @@ _INLINE_GROUP_RANGED = re.compile(
 )
 _INLINE_GROUP_UNBOUNDED = re.compile(r"\)\s*\{\s*\d+\s*,\s*\}")
 
+_SINGLE_STEP_GROUP = re.compile(
+    r"\(\s*([A-Za-z_]\w*\s*(?:\+\??|\{\s*\d+\s*(?:,\s*\d*)?\s*\}\??)?)\s*\)"
+    r"\s*\{\s*(\d+)\s*(?:,\s*(\d*))?\s*\}"
+)
+
+
+def _rewrite_single_step_groups(inner: str) -> str:
+    """Quantified groups over a SINGLE step rewrite to quantifier
+    arithmetic instead of clone expansion (r12): runs of one class
+    merge, so ``(b{p,q}){m,n}`` matches exactly the run lengths
+    ``∪_{k=m..n} [k·p, k·q]`` — when that union is one contiguous
+    interval the group IS the plain step ``b{m·p, n·q}`` (unbounded
+    whenever ``q`` or ``n`` is), which the compiler already serves
+    Trino-exactly (a maximal island within bounds ≡ greedy row
+    semantics, since leftover same-class transitions can never be
+    consumed by the differing next step). ``(b+){2}`` ≡ ``b{2,}``. A
+    non-contiguous union — e.g. ``(b{3}){1,2}`` = lengths {3, 6} — has
+    no single-step equivalent and raises the named limit; measures and
+    skip targets need no clone map (LAST/COUNT read the one step)."""
+    while m := _SINGLE_STEP_GROUP.search(inner):
+        toks = _parse_tokens(m.group(1))
+        (name, p, q, reluctant) = toks[0]
+        if reluctant:
+            raise MatchRecognizeError(
+                "reluctant quantifiers inside an inline group are out of "
+                "class"
+            )
+        gm_lo = int(m.group(2))
+        gm_hi = m.group(3)  # None → exact; '' → unbounded; digits → n
+        if gm_lo < 1:
+            raise MatchRecognizeError(
+                "group repetition {0,…} allows an empty match — out of class"
+            )
+        n = gm_lo if gm_hi is None else (None if gm_hi == "" else int(gm_hi))
+        if n is not None and n < gm_lo:
+            raise MatchRecognizeError(f"empty group bound {{{gm_lo},{n}}}")
+        if q is not None and n is not None:
+            # contiguity of ∪_k [k·p, k·q]: each count's interval must
+            # touch the next (k·q + 1 ≥ (k+1)·p)
+            for k in range(gm_lo, n):
+                if k * q + 1 < (k + 1) * p:
+                    raise MatchRecognizeError(
+                        f"({m.group(1)}){{{gm_lo},{n}}}: the achievable "
+                        f"run lengths are non-contiguous (gap after "
+                        f"{k}×[{p},{q}]) — no single-step equivalent "
+                        "exists; out of class"
+                    )
+        lo2 = gm_lo * p
+        hi2 = None if (q is None or n is None) else n * q
+        inner = inner[: m.start()] + name + _quant_text(lo2, hi2) + inner[m.end():]
+    return inner
+
 
 def _expand_ranged_groups(inner: str) -> list[str]:
     """Mid-pattern groups with a RANGED repetition — ``(X<q> …){m,n}``
@@ -1190,6 +1242,12 @@ def compile_match_recognize(
     # PATTERN (STRT (X+ Y+ …)<q>) — routes to the cycle compiler.
     cycle_bounds = None
     ptext = clauses["PATTERN"].strip()
+    if ptext.startswith("(") and ptext.endswith(")"):
+        # quantified SINGLE-step groups rewrite to plain quantifier
+        # arithmetic up front (r12) — (b+){2} ≡ b{2,} — so they serve
+        # through every downstream form (plain, tail-cycle, ranged,
+        # alternation) instead of tripping group machinery
+        ptext = "(" + _rewrite_single_step_groups(ptext[1:-1].strip()) + ")"
     gm = None
     if ptext.startswith("(") and ptext.endswith(")"):
         gm = _GROUP_CYCLE.match(ptext[1:-1].strip())
@@ -1249,24 +1307,16 @@ def compile_match_recognize(
                 expanded, clone_map = _expand_inline_groups(variants[0])
                 toks = [_parse_steps(expanded)]
             else:
-                # a variant whose exact count is IMPOSSIBLE (a
-                # single-step body repeated >1 can never chain — a
-                # longer single run is ONE island) drops out of the
-                # range rather than failing the whole pattern; only an
-                # error shared by EVERY variant is the pattern's error
+                # every count in the range must be expressible — a
+                # count-specific error (single-step bodies rewrote to
+                # plain quantifiers already) means the range as a whole
+                # is out of class; dropping the variant would silently
+                # serve a SUBSET of the standard's matches
                 toks, clone_maps = [], []
-                first_err: MatchRecognizeError | None = None
                 for v in variants:
-                    try:
-                        expanded, cmap = _expand_inline_groups(v)
-                        toks.append(_parse_steps(expanded))
-                        clone_maps.append(cmap)
-                    except MatchRecognizeError as ex:
-                        if first_err is None:
-                            first_err = ex
-                if not toks:
-                    assert first_err is not None
-                    raise first_err
+                    expanded, cmap = _expand_inline_groups(v)
+                    toks.append(_parse_steps(expanded))
+                    clone_maps.append(cmap)
                 # merged map for DEFINE resolution (clones share the
                 # base's class) and skip-target rewriting
                 for cmap in clone_maps:
@@ -1276,7 +1326,7 @@ def compile_match_recognize(
                             if n not in cur:
                                 cur.append(n)
         else:
-            toks = _parse_pattern(clauses["PATTERN"])
+            toks = _parse_pattern(ptext)
     defines: dict[str, tuple[int, str]] = {}
     const_defs: dict[str, tuple[str, float, str]] = {}
     for item in _split_top_commas(clauses["DEFINE"]):
@@ -1379,6 +1429,30 @@ def compile_match_recognize(
         if branch_toks[-1][3]:
             final_reluctant = True
         branches.append(steps)
+    # Adjacent steps with the SAME transition class are a WRONG-ANSWER
+    # hazard, not an empty-result nicety (r12): this compiler maps each
+    # step to a MAXIMAL island, and maximal runs cannot chain within
+    # one class — but the standard's row-by-row semantics would SPLIT
+    # the run between the two steps (e.g. DEFINE up/up2 both as
+    # v > PREV(v): Trino matches `up+ up2+` by splitting one ascent).
+    # Returning [] there is silently wrong, so it raises the named
+    # limit instead — the repo-wide "clean error, not wrong answer"
+    # contract. Applies to every compiled form (plain, alternation
+    # branches, PERMUTE orderings, expanded group clones, cycle
+    # bodies); clone pairs report their user-facing base names.
+    for steps_b in branches:
+        for sa, sb in zip(steps_b, steps_b[1:]):
+            if sa.dir == sb.dir:
+                na = sa.name.split("__")[0]
+                nb = sb.name.split("__")[0]
+                raise MatchRecognizeError(
+                    f"steps {na} and {nb} are adjacent with the same "
+                    "transition class — this compiler maps steps to "
+                    "maximal runs, which cannot chain within one class, "
+                    "while the standard would split the run between "
+                    "them; merge them into one quantified step (or give "
+                    "them distinct classes) — out of class"
+                )
     if final_reluctant and len(branches) > 1:
         raise MatchRecognizeError(
             "a reluctant FINAL step combined with alternation is out of "
