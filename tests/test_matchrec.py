@@ -1229,6 +1229,58 @@ SELECT pid, n_b FROM mr_inline_imp MATCH_RECOGNIZE (
     assert ws.sql(q.replace("{rng}", "{2,3}")).collect() == []
 
 
+def test_nested_inline_groups(spark):
+    """Nested quantified groups (r12): ((b+ c+){1,2}){1,2} expands
+    outer-count-major — at an anchor offering 3 oscillations the
+    greedy winner is outer=2 with inner counts (2,1), and COUNT/LAST
+    resolve across ALL flat-named clones in pattern order."""
+    ws = WaldenSession(spark)
+    # islands: a, then b c b c b c (3 oscillations), then d
+    rows = [(87, d, float(v)) for d, v in enumerate([5, 3, 6, 6, 8, 8, 9, 9, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_nested")
+    q = """
+SELECT pid, n_b, last_b, last_c, end_d FROM mr_nested MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(b.*) AS n_b, LAST(b.day) AS last_b,
+           LAST(c.day) AS last_c, LAST(d.day) AS end_d
+  ONE ROW PER MATCH
+  PATTERN (STRT a+ {g} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), d AS d.v < PREV(d.v)
+) ORDER BY pid
+"""
+    # nested exact ≡ the flat {3} expansion
+    flat = [tuple(r) for r in ws.sql(q.format(g="(b+ c+){3}")).collect()]
+    assert flat == [(87, 3, 6, 7, 8)]
+    assert [
+        tuple(r) for r in ws.sql(q.format(g="((b+ c+){3}){1}")).collect()
+    ] == flat
+    # nested ranged: greedy settles on outer=2, inner=(2,1) → 3 cycles
+    assert [
+        tuple(r) for r in ws.sql(q.format(g="((b+ c+){1,2}){1,2}")).collect()
+    ] == flat
+    # SUBSET resolves across every nesting level's clones
+    got = ws.sql(
+        """
+SELECT pid, n_t FROM mr_nested MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(t.*) AS n_t
+  ONE ROW PER MATCH
+  SUBSET t = (b, c)
+  PATTERN (STRT a+ ((b+ c+){2} b2+ c2+){1,2} d+)
+  DEFINE a AS a.v < PREV(a.v), b AS b.v > PREV(b.v),
+         c AS c.v = PREV(c.v), b2 AS b2.v > PREV(b2.v),
+         c2 AS c2.v = PREV(c2.v), d AS d.v < PREV(d.v)
+)
+"""
+    ).collect()
+    # winner: outer {1} (outer {2} needs 6 oscillations): b c b c b2 c2
+    # — t counts only b/c clones (4 transitions), not b2/c2
+    assert [r.n_t for r in got] == [4]
+
+
 def test_inline_group_ranged_all_rows_classifier(spark):
     """ALL ROWS × ranged group: the winning branch's rows expand with
     clone classifiers remapped to the user's variables."""

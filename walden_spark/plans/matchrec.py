@@ -416,57 +416,131 @@ def _quant_text(lo: int, hi: int | None) -> str:
     return f"{{{lo},{'' if hi is None else hi}}}"
 
 
-def _expand_inline_groups(inner: str) -> tuple[str, dict[str, list[str]]]:
-    """Mid-pattern groups with an EXACT repetition count —
-    ``(X<q> Y<q> …){m}`` anywhere that is not the repeated TAIL form
-    (which keeps its maximal-cycle-run semantics via match_cycles) —
-    expand by inlining ``m`` clones of the body, clone ``i ≥ 2``
-    renaming each variable ``X`` to ``X__i`` (same DEFINE class).
-    Returns the flattened pattern text and the clone map
-    ``base → [base, base__2, …]`` the measure layer uses: LAST(X.c)
-    resolves to the LAST clone, COUNT(X.*) sums every clone's run
-    length. Unbounded or ranged group quantifiers stay the tail-cycle
-    form or out of class; a single-step group repeated > once can
-    never match (maximal runs cannot chain the same class) and is
-    rejected up front."""
-    clone_map: dict[str, list[str]] = {}
-    while m := _INLINE_GROUP.search(inner):
-        body, cnt = m.group(1), int(m.group(2))
-        if cnt < 1:
-            raise MatchRecognizeError(
-                "group repetition {0} allows an empty match — out of class"
+def _clone_base(name: str) -> str:
+    """User-facing base of a (possibly clone-renamed) variable: strips
+    one trailing ``__<digits>`` clone suffix, leaving names that merely
+    CONTAIN double underscores untouched."""
+    return re.sub(r"__\d+$", "", name)
+
+
+_GROUP_QUANT = re.compile(r"\{\s*(\d+)\s*(?:,\s*(\d*))?\s*\}")
+_VAR_TOKEN = re.compile(r"[A-Za-z_]\w*")
+
+
+def _find_top_group(inner: str):
+    """First TOP-LEVEL quantified group of the pattern text: a
+    depth-0 ``( … )`` (body may itself contain nested groups) followed
+    by ``{m}`` / ``{m,n}`` / ``{m,}``. Returns
+    ``(start, end, body, lo, hi)`` — ``end`` one past the quantifier,
+    ``hi`` None for unbounded — or None when no such group exists."""
+    depth = 0
+    start = None
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                m = _GROUP_QUANT.match(inner, pos=_skip_ws(inner, i + 1))
+                if m:
+                    lo = int(m.group(1))
+                    hi_raw = m.group(2)  # None exact; '' unbounded
+                    hi = (
+                        lo
+                        if hi_raw is None
+                        else (None if hi_raw == "" else int(hi_raw))
+                    )
+                    return start, m.end(), inner[start + 1: i], lo, hi
+                start = None
+    return None
+
+
+def _skip_ws(s: str, i: int) -> int:
+    while i < len(s) and s[i].isspace():
+        i += 1
+    return i
+
+
+def _next_clone(base: str, cm: dict[str, list[str]]) -> str:
+    lst = cm.setdefault(base, [base])
+    cname = f"{base}__{len(lst) + 1}"
+    lst.append(cname)
+    return cname
+
+
+def _clone_body(body: str, cnt: int, cm: dict[str, list[str]]) -> str:
+    """Inline ``cnt`` copies of a group body (which may contain nested
+    groups). Copy 1 keeps every name; copies ``i ≥ 2`` rename each
+    variable token to the next free clone of its BASE — hierarchical
+    nesting therefore yields flat clone names (``b__3``, never
+    ``b__2__2``), and the clone map stays ``base → [base, clones…]``.
+    A ``{1}`` repetition registers nothing (ADVICE r11 #3)."""
+    if re.search(r"\+\?|\}\s*\?", body):
+        raise MatchRecognizeError(
+            "reluctant quantifiers inside an inline group are out of class"
+        )
+    if not _VAR_TOKEN.search(body):
+        raise MatchRecognizeError("empty inline group")
+    copies = [body]
+    for _ in range(2, cnt + 1):
+        if cnt > 1:
+            # register every copy-1 base up front so later copies
+            # allocate clone indices against it
+            for t in _VAR_TOKEN.findall(body):
+                cm.setdefault(_clone_base(t.lower()), [_clone_base(t.lower())])
+        copies.append(
+            _VAR_TOKEN.sub(
+                lambda m: _next_clone(_clone_base(m.group(0).lower()), cm),
+                body,
             )
-        toks = _parse_tokens(body)
-        if not toks:
-            raise MatchRecognizeError("empty inline group")
-        if len(toks) == 1 and cnt > 1:
-            raise MatchRecognizeError(
-                f"({body}){{{cnt}}}: repeating a single-step group never "
-                "matches — maximal runs cannot chain the same class "
-                "(a longer single run is ONE island)"
-            )
-        if any(t[3] for t in toks):
-            raise MatchRecognizeError(
-                "reluctant quantifiers inside an inline group are out of "
-                "class"
-            )
-        pieces = []
-        for i in range(1, cnt + 1):
-            for name, lo, hi, _rel in toks:
-                base = name.lower()
-                cname = base if i == 1 else f"{base}__{i}"
-                if cnt > 1:
-                    # a {1} repetition produces no clones — it must
-                    # degrade to the plain-pattern path with an EMPTY
-                    # clone map, or SUBSET/ALL ROWS composition would
-                    # spuriously trip clone-specific handling
-                    # (ADVICE r11 #3)
-                    clone_map.setdefault(base, [base])
-                    if i > 1:
-                        clone_map[base].append(cname)
-                pieces.append(cname + _quant_text(lo, hi))
-        inner = inner[: m.start()] + " ".join(pieces) + inner[m.end():]
-    return inner, clone_map
+        )
+    return " ".join(copies)
+
+
+def _expand_groups(
+    inner: str, cm: dict[str, list[str]]
+) -> list[tuple[str, dict[str, list[str]]]]:
+    """Quantified groups — exact ``{m}``, RANGED ``{m,n}``, and NESTED
+    compositions of both (r12) — expand into plain-pattern variant
+    texts with per-variant clone maps. Top-level groups expand first,
+    left to right; a ranged quantifier forks one variant per exact
+    count, MOST repetitions first, so under the alternation compiler's
+    leftmost-branch preference the ordering realizes SQL:2016 greedy
+    quantifier preference with earlier/outer constructs dominating.
+    Unbounded ``{m,}`` mid-pattern stays a named limit (the repeated
+    TAIL form serves unbounded cycles); expansion is capped at 24
+    variants like PERMUTE. Single-step groups never reach here — the
+    quantifier-arithmetic rewrite runs first."""
+    g = _find_top_group(inner)
+    if g is None:
+        return [(inner, cm)]
+    start, end, body, lo, hi = g
+    if lo < 1:
+        raise MatchRecognizeError(
+            "group repetition {0,…} allows an empty match — out of class"
+        )
+    if hi is None:
+        raise MatchRecognizeError(
+            "inline group with an unbounded {m,} quantifier is out of "
+            "class mid-pattern — bound the range, or use the repeated "
+            "tail form PATTERN (STRT (X+ Y+ …){m,}) for unbounded cycles"
+        )
+    if hi < lo:
+        raise MatchRecognizeError(f"empty group bound {{{lo},{hi}}}")
+    out: list[tuple[str, dict[str, list[str]]]] = []
+    for cnt in range(hi, lo - 1, -1):
+        cm2 = {k: list(v) for k, v in cm.items()}
+        text = inner[:start] + _clone_body(body, cnt, cm2) + inner[end:]
+        for variant in _expand_groups(text, cm2):
+            out.append(variant)
+            if len(out) > 24:
+                raise MatchRecognizeError(
+                    "group expansion exceeds 24 alternation branches — "
+                    "out of class (narrow the {m,n} ranges)"
+                )
+    return out
 
 
 _INLINE_GROUP_RANGED = re.compile(
@@ -712,7 +786,10 @@ def _project_all_rows(
                     c = F.col(f"{cname}_len")
                     out = c if out is None else out + c
                 return out.cast("bigint")
-            var = cmap[var][-1]
+            # pattern-order last, not allocation-order last: nested
+            # expansion allocates outer-copy clones before inner-copy
+            # ones, so the list order can differ from pattern order
+            var = max(cmap[var], key=step_order.index)
         if var not in step_names:
             raise MatchRecognizeError(f"FINAL measure: unknown step {var_raw}")
         if col is None:
@@ -1295,26 +1372,22 @@ def compile_match_recognize(
             and not re.search(r"\bPERMUTE\s*\(", inner0, re.IGNORECASE)
             and len(_split_top_pipes(inner0)) == 1
         ):
-            # mid-pattern group with an EXACT or RANGED repetition
-            # count: ranged quantifiers expand to the alternation of
-            # their exact counts (longest-first = greedy preference),
-            # then each variant inline-expands clones; the clone maps
-            # steer the measure layer (LAST → last clone, COUNT →
-            # clone sum) — globally for the single-variant path,
-            # per-branch under the alternation compiler
-            variants = _expand_ranged_groups(inner0)
-            if len(variants) == 1:
-                expanded, clone_map = _expand_inline_groups(variants[0])
+            # mid-pattern groups with EXACT or RANGED repetition
+            # counts, arbitrarily NESTED (r12): _expand_groups expands
+            # top-level-first into plain variant texts — ranged
+            # quantifiers fork one variant per exact count, longest
+            # first (= greedy preference under leftmost-branch
+            # selection) — with per-variant clone maps steering the
+            # measure layer (LAST → pattern-last clone, COUNT → clone
+            # sum); globally for the single-variant path, per-branch
+            # under the alternation compiler
+            expansions = _expand_groups(inner0, {})
+            if len(expansions) == 1:
+                expanded, clone_map = expansions[0]
                 toks = [_parse_steps(expanded)]
             else:
-                # every count in the range must be expressible — a
-                # count-specific error (single-step bodies rewrote to
-                # plain quantifiers already) means the range as a whole
-                # is out of class; dropping the variant would silently
-                # serve a SUBSET of the standard's matches
                 toks, clone_maps = [], []
-                for v in variants:
-                    expanded, cmap = _expand_inline_groups(v)
+                for expanded, cmap in expansions:
                     toks.append(_parse_steps(expanded))
                     clone_maps.append(cmap)
                 # merged map for DEFINE resolution (clones share the
@@ -1417,7 +1490,7 @@ def compile_match_recognize(
             lname = name.lower()
             key = lname
             if key not in defines and clone_map:
-                base = lname.split("__")[0]
+                base = _clone_base(lname)
                 if base in clone_map and base in defines:
                     key = base  # clones share the base's DEFINE class
             if key not in defines:
@@ -1443,8 +1516,8 @@ def compile_match_recognize(
     for steps_b in branches:
         for sa, sb in zip(steps_b, steps_b[1:]):
             if sa.dir == sb.dir:
-                na = sa.name.split("__")[0]
-                nb = sb.name.split("__")[0]
+                na = _clone_base(sa.name)
+                nb = _clone_base(sb.name)
                 raise MatchRecognizeError(
                     f"steps {na} and {nb} are adjacent with the same "
                     "transition class — this compiler maps steps to "
@@ -1539,9 +1612,10 @@ def compile_match_recognize(
                 )
             tgt = m.group(2).lower()
             if m.group(1).upper() == "LAST" and tgt in clone_map:
-                tgt = clone_map[tgt][-1]  # TO LAST of a grouped var =
-                # its final clone; TO FIRST keeps the first clone (the
-                # base name)
+                # TO LAST of a grouped var = its PATTERN-last clone
+                # (allocation order differs under nesting); TO FIRST
+                # keeps the first clone (the base name)
+                tgt = max(clone_map[tgt], key=names.index)
             j = names.index(tgt)
             if m.group(1).upper() == "FIRST":
                 if j == 0:
@@ -1619,9 +1693,11 @@ def compile_match_recognize(
                 ]
                 step_name = max(members, key=step_order.index)
             if step_name in clone_map:
-                # grouped variable: LAST reads its FINAL clone (the last
-                # repetition), per SQL:2016 last-mapped-row semantics
-                step_name = clone_map[step_name][-1]
+                # grouped variable: LAST reads its PATTERN-last clone
+                # (the final repetition), per SQL:2016 last-mapped-row
+                # semantics; pattern order, since nested expansion
+                # allocates clones out of positional order
+                step_name = max(clone_map[step_name], key=step_order.index)
             if step_name not in step_order:
                 raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
             if col == order.lower():

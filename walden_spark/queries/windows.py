@@ -1504,6 +1504,88 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_inline_group_nested",
+    oracle=_ISLANDS_CTE.format(max_user=21)
+    .replace("\nWITH daily", "\nWITH RECURSIVE daily", 1)
+    .replace("), isl AS (", "), isl AS MATERIALIZED (")
+    + """
+, cand AS (
+  SELECT d0.user_id, d0.sp AS anchor_day, d0.av AS anchor_n,
+         u1.ln + u2.ln + u3.ln + u4.ln AS n_up,
+         CAST(d4.ed AS BIGINT) AS last_dip_day,
+         CAST(u5.ed AS BIGINT) AS end_day, u5.ev AS end_n
+  FROM isl d0
+  JOIN isl u1 ON u1.user_id = d0.user_id AND d0.dir = -1 AND u1.dir = 1
+             AND u1.sp = d0.ed
+  JOIN isl d1 ON d1.user_id = d0.user_id AND d1.dir = -1 AND d1.sp = u1.ed
+  JOIN isl u2 ON u2.user_id = d0.user_id AND u2.dir = 1 AND u2.sp = d1.ed
+  JOIN isl d2 ON d2.user_id = d0.user_id AND d2.dir = -1 AND d2.sp = u2.ed
+  JOIN isl u3 ON u3.user_id = d0.user_id AND u3.dir = 1 AND u3.sp = d2.ed
+  JOIN isl d3 ON d3.user_id = d0.user_id AND d3.dir = -1 AND d3.sp = u3.ed
+  JOIN isl u4 ON u4.user_id = d0.user_id AND u4.dir = 1 AND u4.sp = d3.ed
+  JOIN isl d4 ON d4.user_id = d0.user_id AND d4.dir = -1 AND d4.sp = u4.ed
+  JOIN isl u5 ON u5.user_id = d0.user_id AND u5.dir = 1 AND u5.sp = d4.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, CAST(anchor_day AS BIGINT) AS anchor_day, anchor_n,
+       CAST(n_up AS BIGINT) AS n_up, last_dip_day, end_day, end_n
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_inline_group_nested(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """NESTED inline repeated groups (r12 — closes the 'nested groups'
+    named limit for exact/ranged counts): ``PATTERN (STRT down+
+    ((up+ dip+){2}){2} up2+)`` — the recursive expander unrolls
+    top-level-first into the 4-oscillation chain, with hierarchical
+    clone allocation kept FLAT (``up__4``, never ``up__2__2``) and
+    measures resolved in PATTERN order (nesting allocates outer-copy
+    clones before inner-copy ones, so allocation order ≠ position
+    order — the pattern-order rule is what keeps LAST(dip.day) on the
+    true final dip). ``COUNT(up.*)`` sums all four rises. Oracle: the
+    10-way adjacency chain (islands MATERIALIZED — DuckDB otherwise
+    re-derives the CTE per self-join reference) through the greedy
+    walk. Fresh slice: user_id < 21."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=21).createOrReplaceTempView(
+        "walden_mr_daily_ign"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_up, last_dip_day, end_day, end_n
+FROM walden_mr_daily_ign MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(up.*) AS n_up, LAST(dip.day) AS last_dip_day,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ ((up+ dip+){2}){2} up2+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         dip AS dip.n < PREV(dip.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_inline_group_subset",
     oracle=_ISLANDS_CTE.format(max_user=23).replace(
         "\nWITH daily", "\nWITH RECURSIVE daily", 1

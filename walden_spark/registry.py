@@ -88,6 +88,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # never-driver-verified set) --
     "win_pattern_sql_inline_group_ranged",
     "win_pattern_sql_inline_group_subset",
+    "win_pattern_sql_inline_group_nested",
     "streaming_pattern_alternation",
     # -- re-witness: the full r03 vintage (stalest in the registry) --
     "dedup_embedding_lsh",
@@ -137,10 +138,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "proj_case_cast",
     "source_partitioned_parquet",
     "explode_words",
-    # -- re-witness: stalest remaining (last hash-verified r05) --
+    # -- re-witness: stalest remaining (last hash-verified r05; ddl
+    # stays window-covered by ddl_branch_merge) --
     "agg_freq_sketch",
     "agg_quantile_sketch",
-    "ddl_dml_cow",
 )
 
 
