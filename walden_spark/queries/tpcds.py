@@ -57,6 +57,9 @@ FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
     "tpcds_q33_manufacturer": (16, 9384018605564),
     "tpcds_q36_margin_rank": (119, 62954861649235),
     "tpcds_q42": (40, 22723689329156),
+    "tpcds_q23_frequent_buyers": (10, 4765739843106),
+    "tpcds_q49_return_ratio_rank": (10, 5876676887602),
+    "tpcds_q54_revenue_bands": (52, 27000009626992),
     "tpcds_q59_growth": (59, 32309447008457),
     "tpcds_q65_low_revenue_items": (3, 1279422233707),
     "tpcds_q67_rollup_topn": (125, 70413371697667),
@@ -64,6 +67,7 @@ FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
     "tpcds_q74_loyalty_growth": (227, 123825346813115),
     "tpcds_q77_channel_rollup": (16, 6636731674916),
     "tpcds_q88_count_bands": (12, 8351302536644),
+    "tpcds_q93_net_after_returns": (26, 14906002097669),
     "tpcds_q97_channel_overlap": (1, 467191175594),
 }
 
@@ -1321,6 +1325,263 @@ def tpcds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("s_ck").isNotNull() & F.col("w_ck").isNotNull(), 1).otherwise(0)
         ).cast("bigint").alias("both_channels"),
+    )
+
+
+@_tpcds(
+    "tpcds_q23_frequent_buyers",
+    """
+WITH item_counts AS (
+  SELECT ss_item_sk AS ik, COUNT(*) AS n FROM store_sales GROUP BY ss_item_sk
+),
+freq_items AS (
+  SELECT ik FROM item_counts
+  WHERE n > 1.1 * (SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) FROM item_counts)
+),
+cust_spend AS (
+  SELECT ss_customer_sk AS ck,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS spend
+  FROM store_sales GROUP BY ss_customer_sk
+),
+best_cust AS (
+  SELECT ck FROM cust_spend
+  WHERE CAST(spend AS DOUBLE) >
+        1.3 * (SELECT CAST(SUM(spend) AS DOUBLE) / COUNT(*) FROM cust_spend)
+)
+SELECT d_year, channel, CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_sales
+FROM (
+  SELECT cs_sold_date_sk AS dk, 'catalog' AS channel,
+         CAST(cs_net_paid AS DECIMAL(14,2)) AS rev
+  FROM catalog_sales
+  JOIN freq_items ON ik = cs_item_sk
+  JOIN best_cust ON ck = cs_customer_sk
+  UNION ALL
+  SELECT ws_sold_date_sk, 'web', CAST(ws_net_paid AS DECIMAL(14,2))
+  FROM web_sales
+  JOIN freq_items ON ik = ws_item_sk
+  JOIN best_cust ON ck = ws_customer_sk
+) u JOIN date_dim ON d_date_sk = dk
+GROUP BY d_year, channel
+ORDER BY d_year, channel
+""",
+)
+def tpcds_q23_frequent_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q23 shape (r12): catalog+web revenue from the BEST store
+    customers buying FREQUENT store items — two derived semi-join
+    filters (items above 1.1x the mean ticket count; customers above
+    1.3x the mean store spend), both tiny after aggregation and
+    broadcast into the second-channel facts, then a channel union and
+    a year rollup. Scale shape: each fact is scanned once; the filters
+    reduce to key sets ≪ facts before any join."""
+    g = _gen(spark)
+    ic = g.store_sales().groupBy(F.col("ss_item_sk").alias("ik")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    avg_n = ic.agg((F.sum("n").cast("double") / F.count(F.lit(1))).alias("a"))
+    freq_items = ic.join(F.broadcast(avg_n)).filter(
+        F.col("n") > 1.1 * F.col("a")
+    ).select("ik")
+    cs = g.store_sales().groupBy(F.col("ss_customer_sk").alias("ck")).agg(
+        F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).alias("spend")
+    )
+    avg_s = cs.agg((F.sum("spend").cast("double") / F.count(F.lit(1))).alias("a"))
+    best_cust = cs.join(F.broadcast(avg_s)).filter(
+        F.col("spend").cast("double") > 1.3 * F.col("a")
+    ).select("ck")
+    cat = (
+        g.catalog_sales()
+        .join(F.broadcast(freq_items), F.col("ik") == F.col("cs_item_sk"))
+        .join(F.broadcast(best_cust), F.col("ck") == F.col("cs_customer_sk"))
+        .select(
+            F.col("cs_sold_date_sk").alias("dk"),
+            F.lit("catalog").alias("channel"),
+            F.col("cs_net_paid").cast("decimal(14,2)").alias("rev"),
+        )
+    )
+    web = (
+        g.web_sales()
+        .join(F.broadcast(freq_items), F.col("ik") == F.col("ws_item_sk"))
+        .join(F.broadcast(best_cust), F.col("ck") == F.col("ws_customer_sk"))
+        .select(
+            F.col("ws_sold_date_sk").alias("dk"),
+            F.lit("web").alias("channel"),
+            F.col("ws_net_paid").cast("decimal(14,2)").alias("rev"),
+        )
+    )
+    return (
+        cat.unionByName(web)
+        .join(F.broadcast(g.date_dim()), F.col("d_date_sk") == F.col("dk"))
+        .groupBy("d_year", "channel")
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+        )
+        .orderBy("d_year", "channel")
+    )
+
+
+@_tpcds(
+    "tpcds_q54_revenue_bands",
+    """
+WITH cust_rev AS (
+  SELECT ss_customer_sk AS ck,
+         CAST(SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS DOUBLE) AS rev
+  FROM store_sales GROUP BY ss_customer_sk
+)
+SELECT CAST(FLOOR(rev / 5000) AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM cust_rev
+GROUP BY 1 ORDER BY band
+""",
+)
+def tpcds_q54_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q54 shape (r12): customer revenue segmentation — total
+    store spend per customer, bucketed into $5000 bands, customers
+    counted per band. Two-level aggregation; the band arithmetic is
+    FLOOR over the same decimal-exact double on both engines (the
+    engine-invariant quantization rule). Scale shape: one fact shuffle
+    on customer, then a tiny band rollup."""
+    g = _gen(spark)
+    cust_rev = g.store_sales().groupBy(F.col("ss_customer_sk").alias("ck")).agg(
+        F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).cast("double").alias("rev")
+    )
+    return (
+        cust_rev.select(F.floor(F.col("rev") / 5000).cast("bigint").alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("band")
+    )
+
+
+@_tpcds(
+    "tpcds_q93_net_after_returns",
+    """
+WITH per_ticket AS (
+  SELECT ss_customer_sk AS ck,
+         CAST(ss_net_paid AS DECIMAL(14,2)) AS paid,
+         COALESCE(CAST(sr_return_amt AS DECIMAL(14,2)),
+                  CAST(0 AS DECIMAL(14,2))) AS ret
+  FROM store_sales
+  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+),
+per_cust AS (
+  SELECT ck, SUM(paid) AS gross, SUM(ret) AS returned
+  FROM per_ticket GROUP BY ck
+)
+SELECT ck AS customer_sk, CAST(gross AS DOUBLE) AS gross,
+       CAST(returned AS DOUBLE) AS returned,
+       CAST(gross - returned AS DOUBLE) AS net
+FROM per_cust
+WHERE CAST(returned AS DOUBLE) > 0.2 * CAST(gross AS DOUBLE)
+ORDER BY customer_sk
+""",
+)
+def tpcds_q93_net_after_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q93 shape (r12): net revenue after returns per customer
+    — a fact-fact LEFT join at the ticket grain (each ticket has at
+    most one return row by construction), NULL-coalesced return
+    amounts, then the heavy-returners filter (returned > 20% of
+    gross). Scale shape: the returns side is ~10% of tickets and joins
+    on the sales key; decimal-exact sums keep the filter boundary
+    engine-invariant."""
+    g = _gen(spark)
+    per_ticket = (
+        g.store_sales()
+        .join(
+            g.store_returns().select("sr_ticket_number", "sr_return_amt"),
+            F.col("sr_ticket_number") == F.col("ss_ticket_number"),
+            "left",
+        )
+        .select(
+            F.col("ss_customer_sk").alias("ck"),
+            F.col("ss_net_paid").cast("decimal(14,2)").alias("paid"),
+            F.coalesce(
+                F.col("sr_return_amt").cast("decimal(14,2)"),
+                F.lit(0).cast("decimal(14,2)"),
+            ).alias("ret"),
+        )
+    )
+    per_cust = per_ticket.groupBy("ck").agg(
+        F.sum("paid").alias("gross"), F.sum("ret").alias("returned")
+    )
+    return (
+        per_cust.filter(
+            F.col("returned").cast("double") > 0.2 * F.col("gross").cast("double")
+        )
+        .select(
+            F.col("ck").alias("customer_sk"),
+            F.col("gross").cast("double").alias("gross"),
+            F.col("returned").cast("double").alias("returned"),
+            (F.col("gross") - F.col("returned")).cast("double").alias("net"),
+        )
+        .orderBy("customer_sk")
+    )
+
+
+@_tpcds(
+    "tpcds_q49_return_ratio_rank",
+    """
+WITH per_item AS (
+  SELECT ss_item_sk AS ik,
+         CAST(SUM(ss_quantity) AS BIGINT) AS sold_qty,
+         CAST(COALESCE(SUM(sr_return_quantity), 0) AS BIGINT) AS ret_qty
+  FROM store_sales
+  LEFT JOIN store_returns ON sr_ticket_number = ss_ticket_number
+  GROUP BY ss_item_sk
+),
+ranked AS (
+  SELECT ik, sold_qty, ret_qty,
+         CAST(ret_qty AS DOUBLE) / sold_qty AS ratio,
+         ROW_NUMBER() OVER (ORDER BY CAST(ret_qty AS DOUBLE) / sold_qty DESC,
+                            ik) AS rnk
+  FROM per_item
+)
+SELECT ik AS item_sk, sold_qty, ret_qty,
+       FLOOR(ratio * 1000000) / 1000000 AS return_ratio,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 10
+ORDER BY rnk
+""",
+)
+def tpcds_q49_return_ratio_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q49 shape (r12): worst return ratios — per-item returned
+    vs sold quantity (integer sums, so the ratio divides the SAME two
+    BIGINTs on both engines), ROW_NUMBER with an item_sk tiebreak for
+    a total order, top 10. The window runs over the post-aggregation
+    item relation (|items|, tiny), never the facts; the emitted ratio
+    is floor-quantized per the engine-invariance rule."""
+    from pyspark.sql import Window
+
+    g = _gen(spark)
+    per_item = (
+        g.store_sales()
+        .join(
+            g.store_returns().select("sr_ticket_number", "sr_return_quantity"),
+            F.col("sr_ticket_number") == F.col("ss_ticket_number"),
+            "left",
+        )
+        .groupBy(F.col("ss_item_sk").alias("ik"))
+        .agg(
+            F.sum("ss_quantity").cast("bigint").alias("sold_qty"),
+            F.coalesce(F.sum("sr_return_quantity"), F.lit(0))
+            .cast("bigint")
+            .alias("ret_qty"),
+        )
+    )
+    ratio = F.col("ret_qty").cast("double") / F.col("sold_qty")
+    w = Window.orderBy(ratio.desc(), "ik")
+    return (
+        per_item.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            F.col("ik").alias("item_sk"),
+            "sold_qty",
+            "ret_qty",
+            (F.floor(ratio * 1000000) / 1000000).alias("return_ratio"),
+            "rnk",
+        )
+        .orderBy("rnk")
     )
 
 
