@@ -3389,3 +3389,104 @@ def test_slow_merge_outlives_repair_age_and_publishes(spark, vt, monkeypatch):
     assert merged.filter("id >= 9 and id < 100").count() == 0
     assert len(raids) >= 5, "repairer must actually have raced the merge"
     assert not any(raids), "no repair may fire on a heartbeated live claim"
+
+
+def test_add_column_metadata_only(spark, vt):
+    """r12 schema evolution DDL: ADD COLUMN is an O(manifest) commit —
+    old rows read the default (NULL when omitted), appends after it
+    carry the column physically, time travel below shows the old
+    schema, and scan() filters on the added column stay exact (they
+    defer below the layer instead of touching old footers)."""
+    v = vt.add_column("tag", "string")                                   # v1
+    assert v == 1
+    head = vt.read()
+    assert head.columns == ["id", "v", "tag"]
+    assert head.filter("tag IS NULL").count() == 10
+    assert vt.read(version=0).columns == ["id", "v"]
+    # post-add appends carry the column; pre-add rows stay NULL
+    vt.append(spark.createDataFrame([(100, 1.5, "new")], "id long, v double, tag string"))
+    got = {r.id: r.tag for r in vt.read().collect()}
+    assert got[100] == "new" and got[0] is None
+    # a non-NULL default backfills old rows only (Iceberg initial-default)
+    vt.add_column("src", "string", default="legacy")                     # v3
+    vt.append(
+        spark.createDataFrame(
+            [(200, 2.5, "new2", "fresh")], "id long, v double, tag string, src string"
+        )
+    )
+    by_id = {r.id: r.src for r in vt.read().collect()}
+    assert by_id[0] == "legacy" and by_id[100] == "legacy" and by_id[200] == "fresh"
+    # scan() on the added column equals read().filter(...)
+    got_scan = sorted(r.id for r in vt.scan([("src", "=", "fresh")]).collect())
+    assert got_scan == [200]
+    got_scan = sorted(r.id for r in vt.scan([("tag", "=", "new")]).collect())
+    assert got_scan == [100]
+    # mixed filter: pushed column + added column
+    got_scan = sorted(
+        r.id for r in vt.scan([("id", ">=", 100), ("src", "=", "legacy")]).collect()
+    )
+    assert got_scan == [100]
+    # validation: duplicate name / bad type fail the commit
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        vt.add_column("tag", "string")
+    with _pt.raises(Exception):
+        vt.add_column("bad", "no_such_type")
+
+
+def test_drop_column_and_readd(spark, vt):
+    """DROP COLUMN projects the column out from its layer upward; time
+    travel below still shows it; re-adding the same name is a FRESH
+    column — head filters never touch the old column's footer stats."""
+    vt.drop_column("v")                                                  # v1
+    assert vt.read().columns == ["id"]
+    assert vt.read(version=0).columns == ["id", "v"]
+    # re-add the same name with a different type and default
+    vt.add_column("v", "string", default="none")                         # v2
+    head = vt.read()
+    assert dict(head.dtypes)["v"] == "string"
+    assert head.filter("v = 'none'").count() == 10
+    # a head filter on the re-added column must NOT prune by the OLD
+    # double column's stats (old files have v in [0,9]; the filter
+    # value matches no old stat range yet every row qualifies)
+    got = vt.scan([("v", "=", "none")]).count()
+    assert got == 10
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        vt.drop_column("nope")
+
+
+def test_schema_ddl_sql_surface_and_guards(spark, vt):
+    """ALTER TABLE ADD/DROP COLUMN at the SQL surface, plus the
+    interplay guards: change feeds refuse ranges crossing the DDL and
+    keyed merges refuse divergent schema commits."""
+    from walden_spark.session import WaldenSession
+    from walden_spark.timetravel import MergeConflictError, VersionedTable
+
+    ws = WaldenSession(spark)
+    t = VersionedTable(spark, vt.path)
+    ws._versioned["evt"] = t
+    ws.sql("ALTER TABLE evt ADD COLUMN note STRING DEFAULT 'n/a'")
+    assert t.read().filter("note = 'n/a'").count() == 10
+    ws.sql("ALTER TABLE evt DROP COLUMN note")
+    assert "note" not in t.read().columns
+    # CDF: a range crossing the DDL refuses with the schema-change error
+    t2 = VersionedTable(spark, vt.path + "_cdf")
+    t2.enable_cdf()
+    t2.write(spark.createDataFrame([(1, 1.0)], "id long, v double"))     # v0
+    t2.add_column("tag", "string")                                       # v1
+    t2.append(spark.createDataFrame([(2, 2.0, "x")], "id long, v double, tag string"))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="schema change"):
+        t2.read_changes(0, 2)
+    # ...but a post-DDL range serves
+    assert t2.read_changes(1, 2).count() == 1
+    # keyed merge refuses divergent schema commits
+    t.create_branch("dev")
+    t.add_column("extra", "int", branch="dev")
+    t.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])
+    with _pt.raises(MergeConflictError):
+        t.merge_branch("dev", keys=["id"])

@@ -259,6 +259,78 @@ def ddl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ddl_schema_evolution_versioned",
+    oracle="""
+WITH v0 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation),
+metrics AS (
+  SELECT 0 AS version, COUNT(*) AS n_rows, 3 AS n_cols,
+         SUM(n_nationkey) AS key_sum, -1 AS flag_old FROM v0
+  UNION ALL
+  SELECT 1, COUNT(*), 4, SUM(n_nationkey), COUNT(*) FROM v0
+  UNION ALL
+  SELECT 2, COUNT(*) + 2, 4, SUM(n_nationkey) + 990 + 991,
+         COUNT(*) + 1 FROM v0
+  UNION ALL
+  SELECT 3, COUNT(*) + 2, 3, SUM(n_nationkey) + 990 + 991,
+         COUNT(*) + 1 FROM v0
+)
+SELECT CAST(version AS BIGINT) AS version, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_cols AS BIGINT) AS n_cols, CAST(key_sum AS BIGINT) AS key_sum,
+       CAST(flag_old AS BIGINT) AS flag_old
+FROM metrics ORDER BY version
+""",
+    category="ddl",
+)
+def ddl_schema_evolution_versioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution DDL on the VERSIONED table format (r12 —
+    the Iceberg add/drop-column capability the reference exposes
+    through Trino on Nessie tables): ``add_column`` with an initial
+    default backfills pre-existing rows metadata-only (O(manifest),
+    no rewrite), appends after it carry the column physically,
+    ``drop_column`` projects it out from its layer upward, and every
+    earlier version still reads under ITS OWN schema. The metrics
+    frame reads all four versions back (rows, column count, key sum,
+    default-backfill count) and the oracle replays the algebra from
+    the nation view."""
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="walden_evo_vt_") + "/nation_evo"
+    vt = VersionedTable(spark, path)
+    vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))  # v0
+    vt.add_column("flag", "string", default="old")                     # v1
+    vt.append(
+        spark.createDataFrame(
+            [(990, "zz", 4, "new"), (991, "yy", 4, "old")],
+            "n_nationkey int, n_name string, n_regionkey int, flag string",
+        )
+    )                                                                  # v2
+    vt.drop_column("n_name")                                           # v3
+
+    frames = []
+    for v in range(4):
+        df = vt.read(version=v)
+        flag_old = (
+            F.sum(F.when(F.col("flag") == "old", 1).otherwise(0)).cast("bigint")
+            if "flag" in df.columns
+            else F.lit(-1).cast("bigint")
+        )
+        frames.append(
+            df.agg(
+                F.lit(v).cast("bigint").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.lit(len(df.columns)).cast("bigint").alias("n_cols"),
+                F.sum("n_nationkey").cast("bigint").alias("key_sum"),
+                flag_old.alias("flag_old"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("version")
+
+
+@query(
     "ddl_schema_evolution",
     oracle="""
 SELECT id, v, CAST(tag AS VARCHAR) AS tag

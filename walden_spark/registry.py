@@ -66,16 +66,18 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 #
 # r12 ROTATION (VERDICT r11 next-round #1): the r11 window landed
 # 50/50 full-green, so this window DRAINS the displaced staleness
-# queue — every remaining r03-vintage name (8) and the whole r04
-# cohort (30), exactly the set the r11 window's displacement comments
-# promised to r12 — plus the 3 queries ADDED in r12 (window-joined
-# immediately; they are the entire never-driver-verified set), the
-# stalest oracle-backed name of each category the drain+news leave
-# uncovered (events/filter/multimodal/projection/scan/unnest — the
-# every-family property), and the 3 stalest r05 names in the remaining
-# slots. Staleness computed from the CORRECTNESS_r*.json history via
-# tools/rotation_queue.py; after this round the stalest witness
-# anywhere in the registry is r05.
+# queue — the full r03 vintage (8 names) and the r04 cohort minus
+# three (27 of 30; the r12-session-2 additions displaced
+# tpcds_fx_channel_rollup / tpcds_fx_yoy_growth / join_cross to r13) —
+# plus the 9 queries ADDED in r12 (window-joined immediately; they are
+# the entire never-driver-verified set: the three inline-group pattern
+# tiers, streaming alternation, versioned schema-evolution DDL, and
+# the four new TPC-DS digest queries) and the stalest oracle-backed
+# name of each category the drain+news leave uncovered
+# (events/filter/multimodal/projection/scan/unnest — the every-family
+# property). Staleness computed from the CORRECTNESS_r*.json history
+# via tools/rotation_queue.py; after this round the stalest witness
+# anywhere in the registry is r04 (the three displaced names).
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py +
@@ -90,6 +92,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_inline_group_subset",
     "win_pattern_sql_inline_group_nested",
     "streaming_pattern_alternation",
+    "ddl_schema_evolution_versioned",
+    "tpcds_q23_frequent_buyers",
+    "tpcds_q49_return_ratio_rank",
+    "tpcds_q54_revenue_bands",
+    "tpcds_q93_net_after_returns",
     # -- re-witness: the full r03 vintage (stalest in the registry) --
     "dedup_embedding_lsh",
     "join_full_outer",
@@ -110,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fn_struct",
     "fn_url",
     "fn_variant",
-    "join_cross",
     "join_left_outer",
     "join_right_outer",
     "join_semi",
@@ -123,8 +129,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "streaming_stream_stream_join",
     "streaming_tumbling",
     "text_span_dedup",
-    "tpcds_fx_channel_rollup",
-    "tpcds_fx_yoy_growth",
+    # (tpcds_fx_channel_rollup / tpcds_fx_yoy_growth — r04 vintage —
+    # and join_cross queue for r13, displaced by the five r12-session-2
+    # additions above; the tpcds family is window-covered by the four
+    # new digest queries, joins by left/right/semi/full_outer)
     "tpch_q3",
     "tpch_q6",
     "win_agg_frames",
@@ -138,10 +146,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "proj_case_cast",
     "source_partitioned_parquet",
     "explode_words",
-    # -- re-witness: stalest remaining (last hash-verified r05; ddl
-    # stays window-covered by ddl_branch_merge) --
-    "agg_freq_sketch",
-    "agg_quantile_sketch",
+    # (agg_freq_sketch / agg_quantile_sketch — the r05 extras — also
+    # queue for r13, displaced by ddl_schema_evolution_versioned and
+    # tpcds_q93; agg stays window-covered by the r04 drain block)
 )
 
 

@@ -208,6 +208,16 @@ class WaldenSession:
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$",
         _re.IGNORECASE,
     )
+    _DDL_ADD_COL_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(\w+)\s+"
+        r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"(?:\s+DEFAULT\s+(.+?))?\s*;?\s*$",
+        _re.IGNORECASE,
+    )
+    _DDL_DROP_COL_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
+        _re.IGNORECASE,
+    )
     _DML_MERGE_RE = _re.compile(
         r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
         r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
@@ -649,6 +659,28 @@ class WaldenSession:
             # its own names)
             name = m.group(1)
             v = self._versioned[name].rename_column(m.group(2), m.group(3))
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DDL_ADD_COL_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # Iceberg ALTER TABLE ... ADD COLUMN: metadata-only commit;
+            # old rows read the DEFAULT (NULL when omitted). The
+            # default literal is evaluated through Spark SQL so quoted
+            # strings / numerics / booleans parse the standard way.
+            name, col, dtype, default_sql = m.group(1), m.group(2), m.group(3), m.group(4)
+            default = None
+            if default_sql is not None:
+                default_row = self.spark.sql(
+                    f"SELECT CAST({default_sql} AS {dtype}) AS v"
+                ).collect()[0]
+                default = default_row.v
+            v = self._versioned[name].add_column(col, dtype, default=default)
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DDL_DROP_COL_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            name = m.group(1)
+            v = self._versioned[name].drop_column(m.group(2))
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._DML_MERGE_RE.match(query)

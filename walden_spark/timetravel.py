@@ -1530,9 +1530,30 @@ class VersionedTable:
         # accumulates the head->local name map that applies BELOW each
         # rename layer.
         name_map: dict[str, str] = {}
+        # HEAD names that do not exist below the current layer (added
+        # there, r12): filters naming them are withheld from lower
+        # layers — old footers know nothing of the column — and the
+        # exact head residual re-applies at the end. The mask is
+        # monotone downward, so a dropped-then-readded name can never
+        # leak a head filter onto the unrelated OLD column's stats.
+        masked: set[str] = set()
+        deferred = False
+
+        def visible(fs):
+            nonlocal deferred
+            if fs is None or not masked:
+                return fs
+            keep = []
+            for item in fs:
+                if self._filter_item_names(item) & masked:
+                    deferred = True
+                else:
+                    keep.append(item)
+            return keep
+
         layer_filters: list[list[tuple] | None] = []
         for layer in chain:
-            layer_filters.append(self._xlate_filters(filters, name_map))
+            layer_filters.append(self._xlate_filters(visible(filters), name_map))
             ren = layer.get("rename")
             if ren is not None:
                 # below this layer, anything resolving to `to` is `from`
@@ -1541,7 +1562,11 @@ class VersionedTable:
                     name_map[h] = ren["from"]
                 if not hit:
                     name_map[ren["to"]] = ren["from"]
-        base_filters = self._xlate_filters(filters, name_map)
+            addc = layer.get("add_column")
+            if addc is not None:
+                hit = [h for h, loc in name_map.items() if loc == addc["name"]]
+                masked.update(hit or [addc["name"]])
+        base_filters = self._xlate_filters(visible(filters), name_map)
         # position-delete layers anti-join on (file, row_index), so the
         # base and every appended layer must carry those hidden columns
         with_pos = keep_pos or any(l.get("position_delete") for l in chain)
@@ -1551,6 +1576,19 @@ class VersionedTable:
             ren = layer.get("rename")
             if ren is not None:
                 df = df.withColumnRenamed(ren["from"], ren["to"])
+                continue
+            addc = layer.get("add_column")
+            if addc is not None:
+                # rows below the layer read the column as the initial
+                # default (Iceberg semantics); appends above carry it
+                # physically
+                df = df.withColumn(
+                    addc["name"], F.lit(addc.get("default")).cast(addc["type"])
+                )
+                continue
+            dropc = layer.get("drop_column")
+            if dropc is not None:
+                df = df.drop(dropc["name"])
                 continue
             if layer.get("position_delete"):
                 # Iceberg v2 position-delete file: (file_path, row_index)
@@ -1599,9 +1637,29 @@ class VersionedTable:
                     self._read_snapshot(layer, lf, with_pos=with_pos),
                     allowMissingColumns=bool(layer.get("schema_evolved")),
                 )
+        if deferred and filters:
+            # some filter items were withheld below an add_column layer
+            # — re-apply the FULL head residual so the result equals
+            # read().filter(...) exactly (idempotent on rows the pushed
+            # filters already passed)
+            residual = _filters_to_column(filters)
+            if residual is not None:
+                df = df.filter(residual)
         if with_pos and not keep_pos:
             df = df.drop(self._POS_FILE, self._POS_IDX)
         return df
+
+    @staticmethod
+    def _filter_item_names(item) -> set[str]:
+        """Column names a single scan-filter item references,
+        descending into ``("or", left_list, right_list)`` nodes."""
+        if item and item[0] == "or":
+            out: set[str] = set()
+            for side in (item[1], item[2]):
+                for sub in side or ():
+                    out |= VersionedTable._filter_item_names(sub)
+            return out
+        return {item[0]}
 
     @staticmethod
     def _xlate_filters(
@@ -2127,8 +2185,14 @@ class VersionedTable:
         ``dir`` — parquet of table-schema rows + ``_change_type`` for
         everything data files can't express (deletes, rewrite diffs)."""
         op = manifest.get("operation", "")
-        if op in ("compact", "zorder", "rename_column"):
-            return {"dir": None, "appends": False}  # no logical change
+        if op in (
+            "compact", "zorder", "rename_column", "add_column", "drop_column"
+        ):
+            # compaction/clustering rewrite bytes, not rows; schema DDL
+            # changes the SHAPE of every row, which a row-level change
+            # feed cannot express — read_changes refuses ranges that
+            # cross one (same rule as renames)
+            return {"dir": None, "appends": False}
         by_v = {m["version"]: m for m in self._manifests()}
         pre = (
             self._dataframe_for(by_v[parent], by_v, filters=None)
@@ -2316,10 +2380,13 @@ class VersionedTable:
                 "(different branch lineage?)"
             )
         path = self._lineage(to_version, from_version, by_v)
-        if any(m.get("rename") for m in path):
+        if any(
+            m.get("rename") or m.get("add_column") or m.get("drop_column")
+            for m in path
+        ):
             raise ValueError(
-                "change range crosses a column rename; read changes up "
-                "to the rename and after it separately"
+                "change range crosses a schema change (rename/add/drop "
+                "column); read changes up to it and after it separately"
             )
         if any(m.get("operation") == "restore" and m.get("mor") for m in path):
             # a MoR restore changes content relative to the BRANCH head
@@ -2537,6 +2604,66 @@ class VersionedTable:
             operation="rename_column",
             branch=branch,
             _mor={"rename": {"from": old, "to": new}},
+        )
+
+    def add_column(
+        self,
+        name: str,
+        dtype: str,
+        default=None,
+        branch: str = "main",
+    ) -> int:
+        """ALTER TABLE ... ADD COLUMN (r12 — Iceberg schema-evolution
+        DDL, the most common evolution a lakehouse user performs): an
+        O(manifest) metadata-only commit, NO data rewrite. Rows below
+        the layer read the column as ``default`` (NULL by default —
+        Iceberg's initial-default semantics); appends committed after
+        it carry the column physically (append's schema check binds to
+        the post-add head). Time travel below the layer shows the old
+        schema. ``scan()`` filters naming the added column are NOT
+        pushed below the layer (old footers know nothing of it) — they
+        defer to an exact residual on the assembled head frame, so
+        results still equal ``read().filter(...)``."""
+        cur_cols = self.read(branch=branch).columns
+        if name in cur_cols:
+            raise ValueError(f"column {name!r} already exists")
+        # round-trip the type through Spark's parser so a bad DDL
+        # string fails the commit, not a later read
+        from pyspark.sql.types import _parse_datatype_string
+
+        dtype_norm = _parse_datatype_string(dtype).simpleString()
+        if default is not None and not isinstance(default, (int, float, str, bool)):
+            # manifests are JSON — Decimal/date/timestamp defaults ride
+            # as strings and cast back through the column type on read
+            default = str(default)
+        return self.write(
+            None,
+            operation="add_column",
+            branch=branch,
+            _mor={
+                "add_column": {
+                    "name": name,
+                    "type": dtype_norm,
+                    "default": default,
+                }
+            },
+        )
+
+    def drop_column(self, name: str, branch: str = "main") -> int:
+        """ALTER TABLE ... DROP COLUMN (r12): metadata-only commit —
+        data files keep the physical column, readers project it out
+        from this layer upward, and time travel below the layer still
+        shows it. Re-adding the same name later is a fresh column: the
+        add layer's downward filter mask keeps head filters from ever
+        touching the old column's footer stats."""
+        cur_cols = self.read(branch=branch).columns
+        if name not in cur_cols:
+            raise ValueError(f"no column {name!r} in {sorted(cur_cols)}")
+        return self.write(
+            None,
+            operation="drop_column",
+            branch=branch,
+            _mor={"drop_column": {"name": name}},
         )
 
     def restore(self, version: int, branch: str = "main") -> int:
@@ -3065,12 +3192,15 @@ class VersionedTable:
         full = [
             m
             for m in src_path + dst_path
-            if not m.get("mor") or m.get("rename")
+            if not m.get("mor")
+            or m.get("rename")
+            or m.get("add_column")
+            or m.get("drop_column")
         ]
         if full:
             ops = {m["version"]: m["operation"] for m in full}
             raise MergeConflictError(
-                "divergent full-rewrite or schema-rename commits cannot "
+                "divergent full-rewrite or schema-change commits cannot "
                 f"be key-merged: {ops}"
             )
         base_m = by_v[base_v]
