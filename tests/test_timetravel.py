@@ -3490,3 +3490,44 @@ def test_schema_ddl_sql_surface_and_guards(spark, vt):
     t.delete_keys(spark.createDataFrame([(0,)], "id long"), on=["id"])
     with _pt.raises(MergeConflictError):
         t.merge_branch("dev", keys=["id"])
+
+
+def test_widen_column_type_promotion(spark, vt):
+    """r12: ALTER COLUMN ... TYPE — Iceberg-safe promotions only.
+    Metadata-only: old files keep the narrow physical type and read
+    through a cast; appends after the widen carry the wide type;
+    time travel below shows the narrow schema; scan filters keep
+    pushing below the layer (ordering-preserving, so old footer stats
+    stay valid)."""
+    import pytest as _pt
+
+    t2 = VersionedTable(spark, vt.path + "_widen")
+    t2.write(
+        spark.createDataFrame([(i, float(i)) for i in range(10)], "id int, v float")
+    )                                                                    # v0
+    t2.widen_column("id", "bigint")                                      # v1
+    t2.widen_column("v", "double")                                       # v2
+    head = t2.read()
+    assert dict(head.dtypes) == {"id": "bigint", "v": "double"}
+    assert dict(t2.read(version=0).dtypes) == {"id": "int", "v": "float"}
+    t2.append(
+        spark.createDataFrame([(10_000_000_000, 1.5)], "id bigint, v double")
+    )                                                                    # v3
+    assert t2.read().count() == 11
+    # scan pushes the filter below the widen layer and stays exact
+    got = sorted(r.id for r in t2.scan([("id", ">=", 8)]).collect())
+    assert got == [8, 9, 10_000_000_000]
+    # unsafe promotions refuse
+    with _pt.raises(ValueError, match="widen"):
+        t2.widen_column("id", "int")  # narrowing
+    with _pt.raises(ValueError, match="widen"):
+        t2.widen_column("v", "string")  # cross-family
+    # SQL surface
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t3 = VersionedTable(spark, vt.path + "_widen_sql")
+    t3.write(spark.createDataFrame([(1, 2)], "a int, b int"))
+    ws._versioned["wt"] = t3
+    ws.sql("ALTER TABLE wt ALTER COLUMN a TYPE bigint")
+    assert dict(t3.read().dtypes)["a"] == "bigint"

@@ -218,6 +218,11 @@ class WaldenSession:
         r"^\s*ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*$",
         _re.IGNORECASE,
     )
+    _DDL_WIDEN_COL_RE = _re.compile(
+        r"^\s*ALTER\s+TABLE\s+(\w+)\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+"
+        r"([A-Za-z_]\w*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
+        _re.IGNORECASE,
+    )
     _DML_MERGE_RE = _re.compile(
         r"^\s*MERGE\s+INTO\s+(\w+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?"
         r"\s+USING\s+(\w+)(?:\s+(?:AS\s+)?(?!ON\b)(\w+))?"
@@ -681,6 +686,13 @@ class WaldenSession:
         if m and m.group(1) in self._versioned:
             name = m.group(1)
             v = self._versioned[name].drop_column(m.group(2))
+            self._refresh_versioned(name)
+            return self.spark.createDataFrame([(name, v)], "table string, version bigint")
+        m = self._DDL_WIDEN_COL_RE.match(query)
+        if m and m.group(1) in self._versioned:
+            # Iceberg ALTER COLUMN ... TYPE: safe type promotion only
+            name = m.group(1)
+            v = self._versioned[name].widen_column(m.group(2), m.group(3))
             self._refresh_versioned(name)
             return self.spark.createDataFrame([(name, v)], "table string, version bigint")
         m = self._DML_MERGE_RE.match(query)

@@ -385,6 +385,23 @@ def _filters_to_column(filters: Sequence[tuple]) -> Column | None:
     return out
 
 
+def _is_safe_widening(old_t, new_t) -> bool:
+    """Iceberg-style type promotion check: value- and order-preserving
+    widenings only (integral up-casts, float->double, decimal precision
+    growth at the same scale)."""
+    from pyspark.sql import types as T
+
+    ints = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if isinstance(old_t, ints) and isinstance(new_t, ints):
+        order = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+        return order[type(new_t)] > order[type(old_t)]
+    if isinstance(old_t, T.FloatType) and isinstance(new_t, T.DoubleType):
+        return True
+    if isinstance(old_t, T.DecimalType) and isinstance(new_t, T.DecimalType):
+        return new_t.scale == old_t.scale and new_t.precision > old_t.precision
+    return False
+
+
 class VersionedTable:
     """A path-rooted table whose every write is a retained snapshot."""
 
@@ -1590,6 +1607,14 @@ class VersionedTable:
             if dropc is not None:
                 df = df.drop(dropc["name"])
                 continue
+            widec = layer.get("widen_column")
+            if widec is not None:
+                # value/order-preserving promotion: rows below read
+                # through a cast, appends above are physically wide
+                df = df.withColumn(
+                    widec["name"], F.col(widec["name"]).cast(widec["to"])
+                )
+                continue
             if layer.get("position_delete"):
                 # Iceberg v2 position-delete file: (file_path, row_index)
                 # pairs pin EXACT physical rows; files appended above
@@ -2186,7 +2211,8 @@ class VersionedTable:
         everything data files can't express (deletes, rewrite diffs)."""
         op = manifest.get("operation", "")
         if op in (
-            "compact", "zorder", "rename_column", "add_column", "drop_column"
+            "compact", "zorder", "rename_column", "add_column",
+            "drop_column", "widen_column",
         ):
             # compaction/clustering rewrite bytes, not rows; schema DDL
             # changes the SHAPE of every row, which a row-level change
@@ -2381,7 +2407,10 @@ class VersionedTable:
             )
         path = self._lineage(to_version, from_version, by_v)
         if any(
-            m.get("rename") or m.get("add_column") or m.get("drop_column")
+            m.get("rename")
+            or m.get("add_column")
+            or m.get("drop_column")
+            or m.get("widen_column")
             for m in path
         ):
             raise ValueError(
@@ -2646,6 +2675,40 @@ class VersionedTable:
                     "type": dtype_norm,
                     "default": default,
                 }
+            },
+        )
+
+    def widen_column(self, name: str, dtype: str, branch: str = "main") -> int:
+        """ALTER TABLE ... ALTER COLUMN ... TYPE (r12 — Iceberg type
+        promotion): metadata-only commit casting the column to a WIDER
+        type at its layer; old files keep the narrow physical type.
+        Only Iceberg's safe promotions are accepted (integral widening,
+        float→double, decimal precision growth at the same scale) —
+        they preserve values AND ordering, so scan filters keep pushing
+        below the layer and old footer-stat pruning stays correct
+        (unlike add_column, no filter mask is needed). Appends after
+        the widen must carry the wide type (the append schema check
+        binds to the post-widen head)."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = {f.name: f.dataType for f in self.read(branch=branch).schema}
+        if name not in schema:
+            raise ValueError(f"no column {name!r} in {sorted(schema)}")
+        old_t = schema[name]
+        new_t = _parse_datatype_string(dtype)
+        if not _is_safe_widening(old_t, new_t):
+            raise ValueError(
+                f"cannot widen {name} from {old_t.simpleString()} to "
+                f"{new_t.simpleString()} — only value/order-preserving "
+                "promotions are in class (integral widening, "
+                "float→double, decimal precision growth at equal scale)"
+            )
+        return self.write(
+            None,
+            operation="widen_column",
+            branch=branch,
+            _mor={
+                "widen_column": {"name": name, "to": new_t.simpleString()}
             },
         )
 
@@ -3196,6 +3259,7 @@ class VersionedTable:
             or m.get("rename")
             or m.get("add_column")
             or m.get("drop_column")
+            or m.get("widen_column")
         ]
         if full:
             ops = {m["version"]: m["operation"] for m in full}
