@@ -575,8 +575,10 @@ def test_threshold_defines(ws):
     """Constant-comparison DEFINEs (threshold classes): pid 1 =
     5 3 2 4 6 6 1 with hi = v >= 4 / lo = v < 4 classifies rows into
     bands; PATTERN (STRT lo+ hi+) finds the dip-then-band-recovery at
-    anchor day 0 (rows 1-2 lo, rows 3-5 hi). Overlapping intervals and
-    mixed PREV/constant sets raise named limits."""
+    anchor day 0 (rows 1-2 lo, rows 3-5 hi). Overlapping intervals
+    raise the static named limit; a mixed PREV/constant set is SERVED
+    since r13 and instead trips the runtime disjointness guard on data
+    where a transition satisfies both predicates."""
     q = """
 SELECT pid, anchor_day, lo_end, hi_end, n_lo, n_hi
 FROM mr_input MATCH_RECOGNIZE (
@@ -592,8 +594,10 @@ FROM mr_input MATCH_RECOGNIZE (
             for r in rows] == [(1, 0, 2, 5, 2, 3)]
     with pytest.raises(MatchRecognizeError, match="overlap"):
         ws.sql(q.replace("hi AS hi.v >= 4", "hi AS hi.v >= 2"))
-    with pytest.raises(MatchRecognizeError, match="mixed|ALL"):
-        ws.sql(q.replace("hi AS hi.v >= 4", "hi AS hi.v > PREV(hi.v)"))
+    with pytest.raises(Exception, match="satisfies two DEFINE predicates"):
+        ws.sql(
+            q.replace("hi AS hi.v >= 4", "hi AS hi.v > PREV(hi.v)")
+        ).collect()
 
 
 def test_select_skip_past_general_greedy(spark):
@@ -1058,16 +1062,59 @@ SELECT pid, n_b FROM mr_ssg MATCH_RECOGNIZE (
     assert [(r.pid, r.n_b) for r in got] == [(1, 3)]
 
 
-def test_adjacent_same_class_steps_raise(spark):
-    """Adjacent steps sharing a transition class raise the named limit
-    (r12): the island compiler cannot split a maximal run between two
-    steps the way the standard's row semantics would, and returning
-    the empty set there would be a WRONG answer, not a stricter one."""
+def test_adjacent_same_class_pair_is_served(spark):
+    """A single adjacent same-class pair is SERVED (r13 — closes the
+    r12 named limit for the 2-step case): greedy preferment splits the
+    shared maximal run with the closed form c_A = min(hi_A, n − lo_B),
+    c_B = n − c_A, per Trino 468 (`up+ up2+` over one ascent → n−1/1)."""
+    ws = WaldenSession(spark)
+    # transitions: DOWN | UP UP UP | DOWN → up+ takes 2, up2+ takes 1
+    rows = [(1, d, float(v)) for d, v in enumerate([5, 3, 6, 7, 8, 2])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_adj")
+    got = ws.sql(
+        """
+SELECT pid, a0, up_end, up_v, n_up, up2_end, up2_v, n_up2
+FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, LAST(up.day) AS up_end, LAST(up.v) AS up_v,
+           COUNT(up.*) AS n_up, LAST(up2.day) AS up2_end,
+           LAST(up2.v) AS up2_v, COUNT(up2.*) AS n_up2
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ up+ up2+)
+  DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
+         up2 AS up2.v > PREV(up2.v)
+)
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 0, 3, 7.0, 2, 4, 8.0, 1)]
+    # bounded first step: up{1,1} caps c_A, up2 absorbs the rest
+    got = ws.sql(
+        """
+SELECT pid, n_up, n_up2, up_v FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(up.*) AS n_up, COUNT(up2.*) AS n_up2, LAST(up.v) AS up_v
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ up{1} up2+)
+  DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
+         up2 AS up2.v > PREV(up2.v)
+)
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 1, 2, 6.0)]
+
+
+def test_adjacent_same_class_deeper_compositions_raise(spark):
+    """The r12 named limit is retained for everything beyond a single
+    plain pair: clones, triples, ALL ROWS, and mid-island skip resume
+    have no single-island closed form."""
     ws = WaldenSession(spark)
     rows = [(1, d, float(v)) for d, v in enumerate([5, 3, 6, 7, 8, 2])]
     spark.createDataFrame(
         rows, "pid int, day long, v double"
     ).createOrReplaceTempView("mr_adj")
+    # same-class TRIPLE: two overlapping pairs
     with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
         ws.sql(
             """
@@ -1075,6 +1122,50 @@ SELECT pid FROM mr_adj MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
   MEASURES STRT.day AS a0
   ONE ROW PER MATCH
+  PATTERN (STRT up+ up2+ up3+)
+  DEFINE up AS up.v > PREV(up.v), up2 AS up2.v > PREV(up2.v),
+         up3 AS up3.v > PREV(up3.v)
+)
+"""
+        )
+    # ALL ROWS over a pair
+    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
+        ws.sql(
+            """
+SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls
+  ALL ROWS PER MATCH
+  PATTERN (STRT down+ up+ up2+)
+  DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
+         up2 AS up2.v > PREV(up2.v)
+)
+"""
+        )
+    # skip resume ON the pair's first step lands mid-island
+    with pytest.raises(MatchRecognizeError, match="MID-island"):
+        ws.sql(
+            """
+SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT down+ up+ up2+)
+  DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
+         up2 AS up2.v > PREV(up2.v)
+)
+"""
+        )
+    # SKIP TO NEXT ROW needs mid-island rescan anchors
+    with pytest.raises(MatchRecognizeError, match="mid-island rescan"):
+        ws.sql(
+            """
+SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
   PATTERN (STRT down+ up+ up2+)
   DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
          up2 AS up2.v > PREV(up2.v)
@@ -1330,3 +1421,74 @@ SELECT pid, anchor_day FROM mr_inline_skip MATCH_RECOGNIZE (
 """
     ).collect()
     assert [(r.pid, r.anchor_day) for r in got] == [(82, 0)]
+
+
+def test_mixed_define_direction_plus_threshold(spark):
+    """Mixed PREV + constant DEFINEs (r13 — closes the r12 named
+    limit): a direction class and a threshold class in one clause,
+    served when the predicates partition the transitions."""
+    ws = WaldenSession(spark)
+    rows = [(7, d, v) for d, v in enumerate([2, 3, 5, 0, 0, 4, 1])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_mixed")
+    got = ws.sql(
+        """
+SELECT pid, a0, peak_n, n_flr, flr_end FROM mr_mixed MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, LAST(up.n) AS peak_n, COUNT(flr.*) AS n_flr,
+           LAST(flr.day) AS flr_end
+  ONE ROW PER MATCH
+  PATTERN (STRT up+ flr+)
+  DEFINE up AS up.n > PREV(up.n), flr AS flr.n = 0
+)
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [(7, 0, 5, 2, 4)]
+
+
+def test_mixed_define_runtime_overlap_guard(spark):
+    """Direction-vs-threshold disjointness is undecidable statically,
+    so the classifier carries a runtime guard: data where a transition
+    satisfies two DEFINE predicates fails with a named error instead
+    of silently mis-classifying (clean error, not wrong answer)."""
+    ws = WaldenSession(spark)
+    # the 5 → 0 drop satisfies BOTH down (0 < 5) and z (n = 0)
+    rows = [(7, d, v) for d, v in enumerate([2, 5, 0, 3])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_mixed_bad")
+    with pytest.raises(Exception, match="satisfies two DEFINE predicates"):
+        ws.sql(
+            """
+SELECT pid, a0 FROM mr_mixed_bad MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  PATTERN (STRT down+ z+)
+  DEFINE down AS down.n < PREV(down.n), z AS z.n = 0
+)
+"""
+        ).collect()
+
+
+def test_mixed_define_static_threshold_overlap_raises(spark):
+    """Threshold-vs-threshold overlap inside a mixed set is still
+    caught statically, as in the all-constant path."""
+    ws = WaldenSession(spark)
+    rows = [(7, d, v) for d, v in enumerate([2, 5, 0, 3])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_mixed_static")
+    with pytest.raises(MatchRecognizeError, match="PARTITION the rows"):
+        ws.sql(
+            """
+SELECT pid, a0 FROM mr_mixed_static MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  ONE ROW PER MATCH
+  PATTERN (STRT up+ lo+ hi+)
+  DEFINE up AS up.n > PREV(up.n), lo AS lo.n <= 2, hi AS hi.n >= 2
+)
+"""
+        )

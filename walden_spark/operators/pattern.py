@@ -615,6 +615,134 @@ def match_reluctant_final(
     )
 
 
+def match_split_pair(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    steps: list[Step],
+    classifier=None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """Adjacent SAME-class step pair (r13 — closes the r12 named limit
+    for the 2-step case): ``PATTERN (… A{la,ha} B{lb,hb} …)`` where A
+    and B share one transition class (e.g. both ``v > PREV(v)``).
+
+    Maximal islands cannot chain within one class, but SQL:2016 greedy
+    preferment gives the split a CLOSED FORM over one island: A, being
+    leftmost, keeps the maximum the rest of the pattern allows —
+    ``c_A = min(ha, n − lb)`` transitions of the n-long island — and B
+    takes the remainder ``c_B = max(n − ha, lb)`` (Trino 468 splits
+    ``up+ up2+`` over one ascent exactly this way: n−1 / 1). The pair
+    therefore compiles as ONE merged synthetic step with bounds
+    ``{la+lb, ha+hb}`` (unbounded if either side is), and the per-step
+    columns are recovered afterwards:
+
+    * ``B_end``/``B_val`` = the merged island's end row (B is the tail),
+      ``B_len = c_B``;
+    * ``A_len = c_A``; ``A_end``/``A_val`` = the row ``c_A`` transitions
+      into the island, fetched with the same binned span join
+      :func:`match_reluctant_final` uses (equi on (partition, bin),
+      never a nested loop, touching only matched-span rows).
+
+    Exactly ONE adjacent same-class pair is in class; a same-class
+    TRIPLE (two overlapping pairs) or two separate pairs stay out —
+    their splits interact and have no single-island closed form.
+    Consistent with this compiler's island convention, bounded upper
+    quantifiers bound the RUN: the pair matches an island iff
+    ``la+lb ≤ n ≤ ha+hb``.
+
+    Output schema: identical to :func:`match_pattern` on the ORIGINAL
+    steps, so greedy skip selection and the measure layer compose
+    unchanged. Skip-resume caveat (enforced by the SQL compiler): a
+    resume point ON ``A_end`` lands mid-island, where the compiled
+    candidate set has no anchors — only boundary steps may be skip
+    targets.
+    """
+    pairs = [
+        i for i, (x, y) in enumerate(zip(steps, steps[1:])) if x.dir == y.dir
+    ]
+    if len(pairs) != 1:
+        raise ValueError(
+            "match_split_pair serves exactly one adjacent same-class "
+            f"pair; found {len(pairs)}"
+        )
+    i = pairs[0]
+    a, b = steps[i], steps[i + 1]
+    merged_max = (
+        a.max_len + b.max_len
+        if (a.max_len is not None and b.max_len is not None)
+        else None
+    )
+    pair_name = "__pair"
+    merged = Step(pair_name, a.dir, a.min_len + b.min_len, merged_max)
+    msteps = steps[:i] + [merged] + steps[i + 2 :]
+    m = match_pattern(
+        df, partition_col, order_col, value_col, msteps, classifier
+    )
+    n = F.col(f"{pair_name}_len")
+    if a.max_len is None:
+        c_b = F.lit(b.min_len).cast("bigint")
+    else:
+        c_b = F.greatest(n - F.lit(a.max_len), F.lit(b.min_len)).cast("bigint")
+    m = m.withColumn("__cb", c_b).withColumn(
+        "__ca", (n - F.col("__cb")).cast("bigint")
+    )
+    # A's last row: ``__ca`` transitions after the merged island's
+    # start row (= the previous step's end, or the match anchor when
+    # the pair leads the pattern) — binned span join + offset window,
+    # the _truncate_final_join mechanism.
+    anchor = f"anchor_{order_col}"
+    start = anchor if i == 0 else f"{steps[i - 1].name}_end"
+    pair_end = f"{pair_name}_end"
+    spans = m.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start) / bin_width),
+                F.floor(F.col(pair_end) / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    rows = df.select(
+        F.col(partition_col).alias("__p"),
+        F.col(order_col).alias("__o"),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") > F.col(start)) & (F.col("__o") <= F.col(pair_end))
+    )
+    wo = Window.partitionBy("__p", anchor).orderBy("__o")
+    joined = joined.withColumn("__off", F.row_number().over(wo).cast("bigint"))
+    joined = joined.filter(F.col("__off") == F.col("__ca"))
+    keep = [
+        F.col("__p").alias(partition_col),
+        F.col(anchor),
+        F.col("anchor_val"),
+        F.col("anchor_iseq"),
+    ]
+    for s in steps:
+        if s is a:
+            keep += [
+                F.col("__o").alias(f"{a.name}_end"),
+                F.col("__v").alias(f"{a.name}_val"),
+                F.col("__ca").alias(f"{a.name}_len"),
+            ]
+        elif s is b:
+            keep += [
+                F.col(pair_end).alias(f"{b.name}_end"),
+                F.col(f"{pair_name}_val").alias(f"{b.name}_val"),
+                F.col("__cb").alias(f"{b.name}_len"),
+            ]
+        else:
+            keep += [
+                F.col(f"{s.name}_end"),
+                F.col(f"{s.name}_val"),
+                F.col(f"{s.name}_len"),
+            ]
+    return joined.select(*keep)
+
+
 def _reluctant_final_guard(steps: list[Step]) -> None:
     if len(steps) < 2:
         raise ValueError(

@@ -90,6 +90,7 @@ from walden_spark.operators.pattern import (
     match_pattern,
     match_reluctant_final,
     match_skip_next,
+    match_split_pair,
     select_skip_past,
     select_skip_to,
 )
@@ -104,7 +105,9 @@ _LIMITS = (
     "with reluctant spellings (a reluctant FINAL step truncates to its "
     "lower bound; its class must differ from the first step's), "
     "((STRT …) | (STRT …)) alternation, "
-    "PERMUTE(≤4), and the repeated tail (STRT (X+ Y+ …)<q>); SUBSET "
+    "PERMUTE(≤4), the repeated tail (STRT (X+ Y+ …)<q>), and ONE "
+    "adjacent same-class pair in a plain pattern (greedy closed-form "
+    "split, one-row, boundary skips); SUBSET "
     "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
     "(row-pattern class) for the documented out-of-class surface"
 )
@@ -1433,13 +1436,109 @@ def compile_match_recognize(
             defines[name.lower()] = (_DIR_BY_OP[op], vcol)
         else:
             const_defs[name.lower()] = (op, float(m.group(4)), vcol)
-    if defines and const_defs:
-        raise MatchRecognizeError(
-            "DEFINEs must be ALL PREV comparisons (direction classes) or "
-            "ALL constant comparisons (threshold classes) — a mixed set "
-            "cannot partition the transitions"
-        )
     clf = None  # None → the default delta-sign classifier
+    if defines and const_defs:
+        # MIXED direction + threshold classes (r13, VERDICT r12 #6 —
+        # e.g. ``DOWN AS v < PREV(v), SPIKE AS v = 0``): each unique
+        # predicate becomes one transition class on the shared value
+        # column. Disjointness, which maximal-run semantics require:
+        # * direction-vs-direction — statically disjoint (<, >, = of
+        #   cur vs prev partition by construction);
+        # * threshold-vs-threshold — statically validated (pairwise
+        #   disjoint intervals, as in the all-constant path);
+        # * direction-vs-threshold — NOT statically decidable (v <
+        #   PREV(v) says nothing about v vs a constant), so the
+        #   classifier carries a RUNTIME guard: a transition
+        #   satisfying two predicates fails the query with a named
+        #   error instead of silently mis-classifying (the "clean
+        #   error, not wrong answer" contract, enforced on the data
+        #   actually scanned). Duplicate predicates across names (two
+        #   steps sharing a class) collapse to one class, mirroring
+        #   the all-PREV path.
+        value_cols = {v for _, v in defines.values()}
+        value_cols |= {v for _, _, v in const_defs.values()}
+        if len(value_cols) != 1:
+            raise MatchRecognizeError(
+                f"DEFINEs must share one value column, got {sorted(value_cols)}"
+            )
+        value = value_cols.pop()
+        keys: list[tuple] = []
+        name_key: dict[str, tuple] = {}
+        for n, (d, _v) in defines.items():
+            k = ("prev", d)
+            if k not in keys:
+                keys.append(k)
+            name_key[n] = k
+        for n, (op, kv, _v) in const_defs.items():
+            k = ("const", op, kv)
+            if k not in keys:
+                keys.append(k)
+            name_key[n] = k
+        const_keys = [k for k in keys if k[0] == "const"]
+        for i in range(len(const_keys)):
+            for j in range(i + 1, len(const_keys)):
+                if _intervals_overlap(
+                    _const_interval(const_keys[i][1], const_keys[i][2]),
+                    _const_interval(const_keys[j][1], const_keys[j][2]),
+                ):
+                    raise MatchRecognizeError(
+                        "mixed DEFINE: threshold predicates "
+                        f"{const_keys[i][1]} {const_keys[i][2]} and "
+                        f"{const_keys[j][1]} {const_keys[j][2]} overlap — "
+                        "classes must PARTITION the rows"
+                    )
+
+        def clf(cur, prev, _keys=tuple(keys)):
+            conds = []
+            for k in _keys:
+                if k[0] == "prev":
+                    d = k[1]
+                    conds.append(
+                        cur < prev
+                        if d == DOWN
+                        else (cur > prev if d == UP else cur == prev)
+                    )
+                else:
+                    op, kv = k[1], k[2]
+                    conds.append(
+                        {
+                            "<": cur < kv, "<=": cur <= kv,
+                            ">": cur > kv, ">=": cur >= kv, "=": cur == kv,
+                        }[op]
+                    )
+            cnt = None
+            for c in conds:
+                t = c.cast("int")
+                cnt = t if cnt is None else cnt + t
+            chain = None
+            for i, c in enumerate(conds):
+                lit = F.lit(i)
+                chain = F.when(c, lit) if chain is None else chain.when(c, lit)
+            overlap_err = F.raise_error(
+                F.concat(
+                    F.lit(
+                        "MATCH_RECOGNIZE mixed DEFINE classes overlap on "
+                        "this input: the transition to value "
+                    ),
+                    cur.cast("string"),
+                    F.lit(" from "),
+                    prev.cast("string"),
+                    F.lit(
+                        " satisfies two DEFINE predicates — classes must "
+                        "PARTITION the transitions, so this clause is out "
+                        "of class on this data (make the direction and "
+                        "threshold predicates mutually exclusive)"
+                    ),
+                )
+            ).cast("int")
+            return F.when(cnt >= 2, overlap_err).otherwise(
+                chain.otherwise(F.lit(-1))
+            )
+
+        defines = {
+            n: (keys.index(k), value) for n, k in name_key.items()
+        }
+        const_defs = {}
     if const_defs:
         # threshold classes (late r11): classes are disjoint intervals of
         # the value column, routed through the compiler's pluggable
@@ -1502,30 +1601,54 @@ def compile_match_recognize(
         if branch_toks[-1][3]:
             final_reluctant = True
         branches.append(steps)
-    # Adjacent steps with the SAME transition class are a WRONG-ANSWER
-    # hazard, not an empty-result nicety (r12): this compiler maps each
-    # step to a MAXIMAL island, and maximal runs cannot chain within
-    # one class — but the standard's row-by-row semantics would SPLIT
-    # the run between the two steps (e.g. DEFINE up/up2 both as
-    # v > PREV(v): Trino matches `up+ up2+` by splitting one ascent).
-    # Returning [] there is silently wrong, so it raises the named
-    # limit instead — the repo-wide "clean error, not wrong answer"
-    # contract. Applies to every compiled form (plain, alternation
-    # branches, PERMUTE orderings, expanded group clones, cycle
-    # bodies); clone pairs report their user-facing base names.
+    # Adjacent steps with the SAME transition class: maximal islands
+    # cannot chain within one class, but SQL:2016 greedy preferment
+    # splits ONE island between the two steps with a closed form (r13 —
+    # operators/pattern.match_split_pair; Trino matches `up+ up2+` by
+    # splitting one ascent n−1 / 1). Served class: a SINGLE adjacent
+    # pair in a plain single-branch pattern, ONE ROW PER MATCH,
+    # boundary skip modes (validated at the skip parse below).
+    # Everything deeper — a same-class TRIPLE, two separate pairs,
+    # pairs inside alternation branches / PERMUTE orderings / expanded
+    # group clones / cycle bodies, or ALL ROWS mode — keeps the r12
+    # named limit: returning [] there would be silently wrong (the
+    # repo-wide "clean error, not wrong answer" contract), and the
+    # splits interact with no single-island closed form. Clone pairs
+    # report their user-facing base names.
+    split_pair_idx: int | None = None
     for steps_b in branches:
-        for sa, sb in zip(steps_b, steps_b[1:]):
-            if sa.dir == sb.dir:
-                na = _clone_base(sa.name)
-                nb = _clone_base(sb.name)
-                raise MatchRecognizeError(
-                    f"steps {na} and {nb} are adjacent with the same "
-                    "transition class — this compiler maps steps to "
-                    "maximal runs, which cannot chain within one class, "
-                    "while the standard would split the run between "
-                    "them; merge them into one quantified step (or give "
-                    "them distinct classes) — out of class"
-                )
+        pair_idx = [
+            i
+            for i, (sa, sb) in enumerate(zip(steps_b, steps_b[1:]))
+            if sa.dir == sb.dir
+        ]
+        if not pair_idx:
+            continue
+        servable = (
+            len(pair_idx) == 1
+            and len(branches) == 1
+            and cycle_bounds is None
+            and not clone_map
+            and not all_rows
+            and not final_reluctant
+        )
+        if servable:
+            split_pair_idx = pair_idx[0]
+            continue
+        sa = steps_b[pair_idx[0]]
+        sb = steps_b[pair_idx[0] + 1]
+        na = _clone_base(sa.name)
+        nb = _clone_base(sb.name)
+        raise MatchRecognizeError(
+            f"steps {na} and {nb} are adjacent with the same "
+            "transition class — served only as a SINGLE pair in a "
+            "plain single-branch pattern under ONE ROW PER MATCH "
+            "(greedy closed-form split); inside alternation / PERMUTE "
+            "/ groups / cycles, with a second same-class adjacency, "
+            "or under ALL ROWS the splits have no single-island "
+            "closed form — merge the steps into one quantified step "
+            "(or give them distinct classes) — out of class"
+        )
     if final_reluctant and len(branches) > 1:
         raise MatchRecognizeError(
             "a reluctant FINAL step combined with alternation is out of "
@@ -1628,6 +1751,28 @@ def compile_match_recognize(
             else:
                 resume_step = steps[j].name
     # measures → columns of the match_pattern output
+    if split_pair_idx is not None:
+        # same-class pair constraints on the skip mode (r13): the
+        # split places A's end MID-island, where the compiled
+        # candidate set has no anchors — only boundary resume points
+        # compose. SKIP TO NEXT ROW's suffix-anchor expansion would
+        # likewise need mid-island anchors.
+        a_name = steps[split_pair_idx].name
+        if skip_next:
+            raise MatchRecognizeError(
+                "AFTER MATCH SKIP TO NEXT ROW with an adjacent "
+                "same-class pair needs mid-island rescan anchors the "
+                "compiled candidate set cannot contain — out of class"
+            )
+        if resume_step == a_name:
+            raise MatchRecognizeError(
+                f"AFTER MATCH resuming on {a_name}'s last row lands "
+                "MID-island (the greedy split ends the pair's first "
+                "step inside one maximal run), where the compiled "
+                "candidate set has no anchors — only boundary steps "
+                "may be skip targets with a same-class pair — out of "
+                "class"
+            )
     if skip_next:
         # the rescan-complete match set needs no selection: every
         # successful anchor IS a kept match under this mode; a
@@ -1644,6 +1789,13 @@ def compile_match_recognize(
         if final_reluctant:
             try:
                 matched = match_reluctant_final(
+                    source, part, order, value, steps, classifier=clf
+                )
+            except ValueError as ex:
+                raise MatchRecognizeError(str(ex)) from ex
+        elif split_pair_idx is not None:
+            try:
+                matched = match_split_pair(
                     source, part, order, value, steps, classifier=clf
                 )
             except ValueError as ex:

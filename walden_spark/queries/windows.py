@@ -2636,3 +2636,186 @@ FROM walden_mr_daily_v MATCH_RECOGNIZE (
 ORDER BY user_id, anchor_day
 """
     )
+
+
+@query(
+    "win_pattern_sql_same_class",
+    oracle=_ISLANDS_CTE.format(max_user=31)
+    + """
+, isl2 AS (
+  SELECT user_id, dir, grp, MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed, CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln, MAX(pos) AS mpos
+  FROM runs GROUP BY user_id, dir, grp
+)
+SELECT i.user_id AS user_id, CAST(i.sp AS BIGINT) AS anchor_day,
+       i.av AS anchor_n,
+       CAST(r.day AS BIGINT) AS up_day, r.n AS up_n,
+       CAST(i.ln - 1 AS BIGINT) AS n_up,
+       CAST(i.ed AS BIGINT) AS end_day, i.ev AS end_n
+FROM isl2 i
+JOIN runs r ON r.user_id = i.user_id AND r.dir = i.dir AND r.grp = i.grp
+           AND r.pos = i.mpos - 1
+WHERE i.dir = 1 AND i.ln >= 2
+ORDER BY i.user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_same_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent SAME-class steps (r13 — closes the r12 named limit for
+    the 2-step case, VERDICT r12 #2): ``PATTERN (STRT up+ up2+)`` with
+    both steps DEFINEd ``n > PREV(n)`` — Trino 468 matches by splitting
+    each maximal ascent greedily, up taking n−1 transitions and up2 its
+    minimum 1 (reference surface: Trino 468 via
+    /root/reference/tf/main.tf:82-114). Compiled by
+    :func:`walden_spark.operators.pattern.match_split_pair`: the pair
+    merges into one synthetic island step, then A's last row is
+    recovered with the binned span join at offset c_A = n − 1. Matches
+    are whole ascent islands, so the default SKIP PAST LAST ROW keeps
+    every candidate (islands are disjoint and separated by ≥1
+    other-class transition) — the oracle joins each ascent island
+    (ln ≥ 2) back to its second-to-last row. Fresh slice: user_id < 31."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=31).createOrReplaceTempView(
+        "walden_mr_daily_sc"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, up_day, up_n, n_up, end_day, end_n
+FROM walden_mr_daily_sc MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(up.day) AS up_day, LAST(up.n) AS up_n,
+           COUNT(up.*) AS n_up,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT up+ up2+)
+  DEFINE up AS up.n > PREV(up.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
+    "win_pattern_sql_mixed_define",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n
+  FROM events WHERE user_id < 39 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n = 0 THEN 2 WHEN n > prev_n THEN 1
+                 ELSE -1 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+), cand AS (
+  SELECT u.user_id AS user_id, CAST(u.sp AS BIGINT) AS anchor_day,
+         u.av AS anchor_n, CAST(u.ed AS BIGINT) AS peak_day,
+         u.ev AS peak_n, u.ln AS n_up,
+         CAST(f.ed AS BIGINT) AS quiet_end, f.ln AS n_quiet
+  FROM isl u
+  JOIN isl f ON f.user_id = u.user_id AND u.dir = 1 AND f.dir = 2
+            AND f.sp = u.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.quiet_end
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.quiet_end
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, anchor_day, anchor_n, peak_day, peak_n, n_up,
+       quiet_end, n_quiet
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_mixed_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed PREV + constant DEFINEs (r13, VERDICT r12 #6 — closes the
+    named limit): ``DEFINE up AS up.n > PREV(up.n), flr AS flr.n = 0``
+    mixes a direction class with a threshold class in one clause —
+    error-count ramps that go quiet: the daily error count rises, then
+    a run of zero-error days. Trino 468 accepts arbitrary DEFINE mixes
+    (reference surface via /root/reference/tf/main.tf:82-114); this
+    compiler serves the mix when the predicates PARTITION the
+    transitions — direction-vs-direction and threshold-vs-threshold
+    disjointness are validated statically, direction-vs-threshold by a
+    RUNTIME guard compiled into the classifier (a transition satisfying
+    two predicates fails with a named error instead of silently
+    mis-classifying). On nonnegative counts ``n > PREV(n)`` and
+    ``n = 0`` are provably disjoint, so the guard never fires here.
+    The oracle mirrors the two-class islands (class 1 = rise, class 2 =
+    zero) and replays the default SKIP PAST LAST ROW greedy walk with
+    the recursive-CTE chain trick (a 0→positive rise re-anchors ON the
+    previous match's last row and must drop). Fresh slice: user_id < 39."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    t = Tables(spark, sf_dir)
+    (
+        t.events.filter(F.col("user_id") < 39)
+        .groupBy(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "error", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("n")
+        )
+    ).createOrReplaceTempView("walden_mr_daily_mx")
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, peak_day, peak_n, n_up,
+       quiet_end, n_quiet
+FROM walden_mr_daily_mx MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(up.day) AS peak_day, LAST(up.n) AS peak_n,
+           COUNT(up.*) AS n_up,
+           LAST(flr.day) AS quiet_end, COUNT(flr.*) AS n_quiet
+  ONE ROW PER MATCH
+  PATTERN (STRT up+ flr+)
+  DEFINE up AS up.n > PREV(up.n), flr AS flr.n = 0
+)
+ORDER BY user_id, anchor_day
+"""
+    )

@@ -84,71 +84,71 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # tools/rotation_queue.py::window_guard_violations) uses it to stay
 # green at the round boundary, and as of r09 the boundary arm demands
 # FULL green (rows+schema+hash), not merely err-free.
-DRIVER_WINDOW_ROUND = 12
+DRIVER_WINDOW_ROUND = 13
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- new in r12 (window-joined immediately; the entire
-    # never-driver-verified set) --
-    "win_pattern_sql_inline_group_ranged",
-    "win_pattern_sql_inline_group_subset",
-    "win_pattern_sql_inline_group_nested",
-    "streaming_pattern_alternation",
-    "ddl_schema_evolution_versioned",
-    "tpcds_q23_frequent_buyers",
-    "tpcds_q49_return_ratio_rank",
-    "tpcds_q54_revenue_bands",
-    "tpcds_q93_net_after_returns",
-    # -- re-witness: the full r03 vintage (stalest in the registry) --
-    "dedup_embedding_lsh",
-    "join_full_outer",
-    "setop_except_all",
-    "topk_with_ties",
-    "tpch_q12",
-    "tpch_q16",
-    "udf_python_udtf",
-    "win_range_interval",
-    # -- re-witness: the full r04 vintage --
-    "agg_percentile_exact",
-    "agg_pivot",
-    "agg_stats_formula",
-    "ann_ivf_pq",
-    "ddl_branch_merge",
-    "fn_math",
-    "fn_string",
-    "fn_struct",
-    "fn_url",
-    "fn_variant",
-    "join_left_outer",
-    "join_right_outer",
-    "join_semi",
-    "setop_except",
-    "setop_intersect_all",
-    "setop_union_all",
-    "sql_recursive_cte",
-    "streaming_foreachbatch_upsert",
-    "streaming_stateful_totals",
-    "streaming_stream_stream_join",
-    "streaming_tumbling",
-    "text_span_dedup",
-    # (tpcds_fx_channel_rollup / tpcds_fx_yoy_growth — r04 vintage —
-    # and join_cross queue for r13, displaced by the five r12-session-2
-    # additions above; the tpcds family is window-covered by the four
-    # new digest queries, joins by left/right/semi/full_outer)
-    "tpch_q3",
-    "tpch_q6",
-    "win_agg_frames",
-    "win_groups_frame",
-    "win_value_functions",
-    # -- family coverage: stalest oracle-backed of the categories the
-    # drain leaves uncovered --
-    "events_scd2_history",
-    "sql_parameterized",
-    "multimodal_resize",
+    # -- new in r13 (window-joined immediately; the entire
+    # never-driver-verified set): the two MATCH_RECOGNIZE limits r12
+    # promoted to next-round work — adjacent same-class pair split and
+    # mixed PREV+constant DEFINEs --
+    "win_pattern_sql_same_class",
+    "win_pattern_sql_mixed_define",
+    # -- re-witness: the three r04-vintage names the r12 rotation
+    # displaced (the stalest anywhere in the registry) --
+    "join_cross",
+    "tpcds_fx_channel_rollup",
+    "tpcds_fx_yoy_growth",
+    # -- re-witness: the full r05 vintage (next-stalest cohort,
+    # incl. the agg_freq/quantile_sketch pair displaced from r12) --
+    "agg_quantile_sketch",
+    "win_groups_frame_partitioned",
+    "fn_array",
+    "fn_map",
+    "events_tumbling",
+    "events_sliding",
+    "events_session_windows",
+    "ddl_dml_cow",
+    "ddl_time_travel",
+    "ddl_mor_lifecycle",
+    "ddl_hidden_partition_scan",
+    "tpcds_fx_cross_channel",
+    "tpcds_fx_rollup_topn",
+    "tpcds_fx_margin_rank",
+    "udf_sql_function",
+    "udf_pandas_grouped_agg",
+    "udf_cogroup_pandas",
+    "udf_arrow_optimized",
+    "udf_pandas_iterator",
+    "udf_pandas_window_agg",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "join_asof_tolerance",
+    "join_asof_forward",
+    "agg_freq_sketch",
+    "knn_brute_force",
+    "text_token_counts",
+    "streaming_mor_ingest",
+    # -- family coverage: stalest oracle-backed of each category the
+    # drain leaves uncovered (proj_case_cast/posexplode_ordinality are
+    # their categories' only oracle-backed members) --
     "proj_case_cast",
-    "source_partitioned_parquet",
-    "explode_words",
-    # (agg_freq_sketch / agg_quantile_sketch — the r05 extras — also
-    # queue for r13, displaced by ddl_schema_evolution_versioned and
-    # tpcds_q93; agg stays window-covered by the r04 drain block)
+    "posexplode_ordinality",
+    "setop_intersect",
+    "multimodal_meta",
+    "filter_null_semantics",
+    "tpch_q18",
+    "source_binaryfile_ingest",
+    "sort_nulls_ordering",
+    # -- remaining slots: stalest r06-vintage names in registry order
+    # (the rest of the r06 cohort queues for r14) --
+    "agg_cube",
+    "agg_rollup",
+    "agg_hll_sketch",
+    "agg_linear_regression",
+    "agg_histogram",
+    "fn_string_distance",
+    "fn_timezone",
+    "events_retention_cohort",
 )
 
 
