@@ -685,3 +685,80 @@ def test_bucketed_contract_includes_projection(spark):
     assert calls == [["v"], ["v", "w"]]
     assert "w" in out.columns
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# Headline plan-regression gates (r13, VERDICT r12 #4): the bench's 22
+# headline plans were audited by hand each round but never FROZEN, so a
+# plan regression under Spark conf drift (a lost broadcast, a new
+# exchange) would surface only as noise-shrouded wall time. The
+# fingerprint is deliberately coarse — hash-exchange count, broadcast-
+# join count, sort-merge-join count, cartesian count — exactly the
+# shapes a regression changes, while leaving codegen/statistics detail
+# free to evolve. Verified identical at sf0.001 and sf0.1 before
+# freezing (static plans here don't depend on row counts; broadcast
+# sides are chosen structurally by the queries themselves).
+# ---------------------------------------------------------------------------
+HEADLINE_PLAN_FINGERPRINTS = {
+    "tpch_q1": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
+    "tpch_q3": {"hash_exch": 1, "bhj": 2, "smj": 0, "cartesian": 0},
+    "tpch_q5": {"hash_exch": 1, "bhj": 5, "smj": 0, "cartesian": 0},
+    "tpch_q6": {"hash_exch": 0, "bhj": 0, "smj": 0, "cartesian": 0},
+    "tpch_q8": {"hash_exch": 1, "bhj": 7, "smj": 0, "cartesian": 0},
+    "tpch_q10": {"hash_exch": 1, "bhj": 3, "smj": 0, "cartesian": 0},
+    "tpch_q13": {"hash_exch": 2, "bhj": 1, "smj": 0, "cartesian": 0},
+    "tpch_q18": {"hash_exch": 2, "bhj": 3, "smj": 0, "cartesian": 0},
+    "dedup_exact": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
+    "dedup_minhash_lsh": {"hash_exch": 1, "bhj": 3, "smj": 0, "cartesian": 0},
+    "dedup_simhash": {"hash_exch": 5, "bhj": 4, "smj": 0, "cartesian": 0},
+    "dedup_embedding_cosine": {"hash_exch": 1, "bhj": 2, "smj": 0, "cartesian": 0},
+    "knn_brute_force": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
+    "knn_lsh_bucketed": {"hash_exch": 1, "bhj": 1, "smj": 0, "cartesian": 0},
+    "text_quality_filter_per_source": {"hash_exch": 2, "bhj": 1, "smj": 0, "cartesian": 0},
+    "text_quality_score": {"hash_exch": 0, "bhj": 0, "smj": 0, "cartesian": 0},
+    "udf_pandas_scalar": {"hash_exch": 0, "bhj": 0, "smj": 0, "cartesian": 0},
+    "events_tumbling": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
+    "events_hypertable_rollup": {"hash_exch": 6, "bhj": 0, "smj": 0, "cartesian": 0},
+    "range_join_binned": {"hash_exch": 0, "bhj": 1, "smj": 0, "cartesian": 0},
+    "skew_salted_agg": {"hash_exch": 2, "bhj": 0, "smj": 0, "cartesian": 0},
+    "win_ranking": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
+}
+
+
+def _plan_fingerprint(plan: str) -> dict:
+    return {
+        "hash_exch": len(_hash_exchange_keys(plan)),
+        "bhj": plan.count(") BroadcastHashJoin"),
+        "smj": plan.count(") SortMergeJoin"),
+        "cartesian": plan.count("CartesianProduct"),
+    }
+
+
+def test_headline_bench_set_matches_bench_py():
+    """The frozen table must cover exactly the queries bench.py sweeps
+    — a headline added to bench.py without a frozen fingerprint (or
+    a stale entry for a removed one) fails here, keeping the gate and
+    the bench in lockstep."""
+    import bench
+
+    from walden_spark.registry import load_all
+
+    reg = load_all()
+    names = [n for n in bench.HEADLINE if n in reg]
+    for pref in bench.EXTRA_PREFIXES:
+        names += [n for n in sorted(reg) if n.startswith(pref) and n not in names]
+    assert sorted(names) == sorted(HEADLINE_PLAN_FINGERPRINTS)
+
+
+def test_headline_plan_fingerprints_frozen(spark, sf_dir, registry):
+    """Every headline query's physical plan must keep its frozen shape:
+    same hash-exchange count, same broadcast/sort-merge join counts,
+    zero cartesian products. A legitimate plan improvement updates the
+    table here WITH a BENCH_NOTES.md entry explaining the delta."""
+    bad = {}
+    for name, want in HEADLINE_PLAN_FINGERPRINTS.items():
+        plan = _plan(spark, registry[name].fn(spark, sf_dir))
+        got = _plan_fingerprint(plan)
+        if got != want:
+            bad[name] = (want, got)
+    assert not bad, f"headline plan regressions (want, got): {bad}"
