@@ -1128,11 +1128,12 @@ SELECT pid FROM mr_adj MATCH_RECOGNIZE (
 )
 """
         )
-    # ALL ROWS over a pair
-    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
-        ws.sql(
-            """
-SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+    # ALL ROWS over a pair: SERVED — the split emits exact per-step
+    # boundaries, so CLASSIFIER() maps the shared island's rows to
+    # up/up2 by the split point
+    got = ws.sql(
+        """
+SELECT pid, day, cls FROM mr_adj MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
   MEASURES CLASSIFIER() AS cls
   ALL ROWS PER MATCH
@@ -1140,8 +1141,12 @@ SELECT pid FROM mr_adj MATCH_RECOGNIZE (
   DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
          up2 AS up2.v > PREV(up2.v)
 )
+ORDER BY day
 """
-        )
+    ).collect()
+    assert [(r.day, r.cls) for r in got] == [
+        (0, "STRT"), (1, "down"), (2, "up"), (3, "up"), (4, "up2")
+    ]
     # skip resume ON the pair's first step lands mid-island
     with pytest.raises(MatchRecognizeError, match="MID-island"):
         ws.sql(

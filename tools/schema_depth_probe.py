@@ -63,11 +63,20 @@ def main() -> None:
                 walls.append(time.time() - s)
             assert n == N_ROWS
             w = min(walls)
+            # filtered scan: exercises the per-layer filter-mask
+            # translation (head-name filters withheld below add layers)
+            fwalls = []
+            for _ in range(3):
+                s = time.time()
+                nf = t.scan(filters=[("k", "<", 10)]).count()
+                fwalls.append(time.time() - s)
+            assert nf > 0
+            fw = min(fwalls)
             ncols = len(df.columns)
             ratio = f" ({w / prev_wall:.2f}x prev)" if prev_wall else ""
             print(
                 f"depth={depth:4d} cols={ncols:4d} ddl_commit_wall={ddl_wall:7.2f}s "
-                f"scan_wall={w:6.3f}s{ratio}"
+                f"scan_wall={w:6.3f}s filtered_scan_wall={fw:6.3f}s{ratio}"
             )
             prev_wall = w
     finally:

@@ -107,7 +107,7 @@ _LIMITS = (
     "((STRT …) | (STRT …)) alternation, "
     "PERMUTE(≤4), the repeated tail (STRT (X+ Y+ …)<q>), and ONE "
     "adjacent same-class pair in a plain pattern (greedy closed-form "
-    "split, one-row, boundary skips); SUBSET "
+    "split, one-row or all-rows, boundary skips); SUBSET "
     "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
     "(row-pattern class) for the documented out-of-class surface"
 )
@@ -1606,11 +1606,11 @@ def compile_match_recognize(
     # splits ONE island between the two steps with a closed form (r13 —
     # operators/pattern.match_split_pair; Trino matches `up+ up2+` by
     # splitting one ascent n−1 / 1). Served class: a SINGLE adjacent
-    # pair in a plain single-branch pattern, ONE ROW PER MATCH,
+    # pair in a plain single-branch pattern, one-row or all-rows,
     # boundary skip modes (validated at the skip parse below).
     # Everything deeper — a same-class TRIPLE, two separate pairs,
     # pairs inside alternation branches / PERMUTE orderings / expanded
-    # group clones / cycle bodies, or ALL ROWS mode — keeps the r12
+    # group clones / cycle bodies — keeps the r12
     # named limit: returning [] there would be silently wrong (the
     # repo-wide "clean error, not wrong answer" contract), and the
     # splits interact with no single-island closed form. Clone pairs
@@ -1629,9 +1629,13 @@ def compile_match_recognize(
             and len(branches) == 1
             and cycle_bounds is None
             and not clone_map
-            and not all_rows
             and not final_reluctant
         )
+        # ALL ROWS composes with the split for free (r13): the
+        # expansion and the FINAL/RUNNING measure layers read only the
+        # per-step _end/_val/_len columns, which the split emits with
+        # exact values — the classifier CASE then maps each row of the
+        # shared island to A or B by the split boundary.
         if servable:
             split_pair_idx = pair_idx[0]
             continue
@@ -1642,12 +1646,12 @@ def compile_match_recognize(
         raise MatchRecognizeError(
             f"steps {na} and {nb} are adjacent with the same "
             "transition class — served only as a SINGLE pair in a "
-            "plain single-branch pattern under ONE ROW PER MATCH "
-            "(greedy closed-form split); inside alternation / PERMUTE "
-            "/ groups / cycles, with a second same-class adjacency, "
-            "or under ALL ROWS the splits have no single-island "
-            "closed form — merge the steps into one quantified step "
-            "(or give them distinct classes) — out of class"
+            "plain single-branch pattern (greedy closed-form split, "
+            "one-row or all-rows); inside alternation / PERMUTE / "
+            "groups / cycles, or with a second same-class adjacency, "
+            "the splits interact and have no single-island closed "
+            "form — merge the steps into one quantified step (or "
+            "give them distinct classes) — out of class"
         )
     if final_reluctant and len(branches) > 1:
         raise MatchRecognizeError(

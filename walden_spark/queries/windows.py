@@ -2819,3 +2819,65 @@ FROM walden_mr_daily_mx MATCH_RECOGNIZE (
 ORDER BY user_id, anchor_day
 """
     )
+
+
+@query(
+    "win_pattern_sql_same_class_all_rows",
+    oracle=_ISLANDS_CTE.format(max_user=41)
+    + """
+, isl3 AS (
+  SELECT user_id, dir, grp, MIN(prev_day) AS sp, MAX(day) AS ed,
+         CAST(COUNT(*) AS BIGINT) AS ln, MAX(pos) AS mpos
+  FROM runs GROUP BY user_id, dir, grp
+), m AS (
+  SELECT i.user_id AS user_id, i.sp, i.ed, CAST(r.day AS BIGINT) AS up_end,
+         ROW_NUMBER() OVER (PARTITION BY i.user_id ORDER BY i.sp) AS match_no
+  FROM isl3 i
+  JOIN runs r ON r.user_id = i.user_id AND r.dir = i.dir AND r.grp = i.grp
+             AND r.pos = i.mpos - 1
+  WHERE i.dir = 1 AND i.ln >= 2
+)
+SELECT d.user_id AS user_id, CAST(m.match_no AS BIGINT) AS match_no,
+       d.day AS day, d.n AS n,
+       CASE WHEN d.day = m.sp THEN 'STRT'
+            WHEN d.day <= m.up_end THEN 'up' ELSE 'up2' END AS cls
+FROM daily d
+JOIN m ON d.user_id = m.user_id AND d.day BETWEEN m.sp AND m.ed
+ORDER BY d.user_id, m.match_no, d.day
+""",
+    category="window",
+)
+def win_pattern_sql_same_class_all_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL ROWS PER MATCH over an adjacent same-class pair (r13): the
+    split emits exact per-step boundaries, so the expansion's
+    CLASSIFIER() maps each row of the shared maximal ascent to up or
+    up2 by the greedy split point (up = all but the last transition,
+    up2 = the last), with MATCH_NUMBER() ranking matches by anchor —
+    Trino 468 row semantics for `up+ up2+`. Same pipeline as
+    win_pattern_sql_same_class plus
+    :func:`walden_spark.operators.pattern.expand_all_rows`'s binned
+    span join back to the input rows. The oracle replays the split on
+    the islands frame and joins each ascent's span back to the daily
+    rows. Fresh slice: user_id < 41."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=41).createOrReplaceTempView(
+        "walden_mr_daily_scar"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, day, n, cls
+FROM walden_mr_daily_scar MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no
+  ALL ROWS PER MATCH
+  PATTERN (STRT up+ up2+)
+  DEFINE up AS up.n > PREV(up.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, match_no, day
+"""
+    )

@@ -91,6 +91,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # promoted to next-round work — adjacent same-class pair split and
     # mixed PREV+constant DEFINEs --
     "win_pattern_sql_same_class",
+    "win_pattern_sql_same_class_all_rows",
     "win_pattern_sql_mixed_define",
     # -- re-witness: the three r04-vintage names the r12 rotation
     # displaced (the stalest anywhere in the registry) --
@@ -148,7 +149,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_histogram",
     "fn_string_distance",
     "fn_timezone",
-    "events_retention_cohort",
+    # (events_retention_cohort and the remaining r06 cohort queue for
+    # r14, displaced by win_pattern_sql_same_class_all_rows; events
+    # stays window-covered by tumbling/sliding/session_windows)
 )
 
 
