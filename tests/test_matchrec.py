@@ -118,8 +118,12 @@ def test_quantifier_bounds_reach_the_compiler(ws):
         (lambda q: q.replace("STRT d+ u+", "STRT d? u+"), "optional"),
         # alternation at the SQL surface
         (lambda q: q.replace("STRT d+ u+", "STRT d+ | u+"), "alternation"),
-        # grouping anywhere but the repeated tail
-        (lambda q: q.replace("STRT d+ u+", "STRT d+ (d u)+"), "grouped"),
+        # a variable repeated across a mid-pattern group boundary: the
+        # r13 mid-cycle route takes it, and the junction adjacency
+        # (prefix d+ against the group's leading d — same class) is the
+        # named limit that fires
+        (lambda q: q.replace("STRT d+ u+", "STRT d+ (d u)+"),
+         "same transition class"),
         # missing anchor
         (lambda q: q.replace("STRT d+ u+", "d+ u+"), "STRT anchor"),
         # both per-match row modes at once
@@ -1007,8 +1011,10 @@ SELECT pid FROM mr_inline_grp MATCH_RECOGNIZE (
 )"""
     with pytest.raises(MatchRecognizeError, match="reluctant quantifiers inside"):
         ws.sql(base.format(p="STRT a+ (b+? c+){2}"))
+    # a FLAT unbounded {m,} mid-pattern group is SERVED since r13
+    # (match_cycles_mid); NESTED unbounded keeps the named limit
     with pytest.raises(MatchRecognizeError, match="unbounded"):
-        ws.sql(base.format(p="STRT a+ (b+ c+){2,} d+"))
+        ws.sql(base.format(p="STRT a+ ((b+ c+){2}){1,} d+"))
     with pytest.raises(MatchRecognizeError, match="24 alternation"):
         ws.sql(base.format(p="STRT a+ (b+ c+){1,9} (b2+ c2+){1,9} d+"))
 
@@ -1497,3 +1503,92 @@ SELECT pid, a0 FROM mr_mixed_static MATCH_RECOGNIZE (
 )
 """
         )
+
+
+def test_mid_pattern_unbounded_group(spark):
+    """Unbounded {m,} repeated group MID-pattern (r13 — closes the
+    named limit): prefix chain + maximal cycle run + suffix chain,
+    composed over one shared islands frame."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, v) for d, v in enumerate([1, 2, 3, 1, 4, 2, 5, 5, 9])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_midcyc")
+    q = """
+SELECT pid, a0, rise_end, total_down, last_up_n, flat_end, span
+FROM mr_midcyc MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, LAST(rise.day) AS rise_end,
+           COUNT(down.*) AS total_down, LAST(up.n) AS last_up_n,
+           LAST(flat2.day) AS flat_end, COUNT(*) AS span
+  ONE ROW PER MATCH
+  PATTERN (STRT rise+ (down+ up+){2,} flat2+)
+  DEFINE rise AS rise.n > PREV(rise.n), down AS down.n < PREV(down.n),
+         up AS up.n > PREV(up.n), flat2 AS flat2.n = PREV(flat2.n)
+)
+"""
+    assert [tuple(r) for r in ws.sql(q).collect()] == [(1, 0, 2, 2, 5, 7, 8)]
+    # greedy min-cycles bound: {3,} finds nothing on two cycles
+    assert ws.sql(q.replace("{2,}", "{3,}")).collect() == []
+    # prefix-less form (group leads, plain suffix): run anchor is the
+    # match anchor, span excludes any prefix
+    got = ws.sql(
+        """
+SELECT pid, a0, span FROM mr_midcyc MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, COUNT(*) AS span
+  ONE ROW PER MATCH
+  PATTERN (STRT (down+ up+)+ flat2+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n),
+         flat2 AS flat2.n = PREV(flat2.n)
+)
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 2, 6)]
+
+
+def test_mid_pattern_unbounded_group_limits(spark):
+    """Named limits retained around the mid-pattern unbounded group."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, v) for d, v in enumerate([1, 2, 3, 1, 4, 2, 5, 5])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_midcyc_lim")
+    base = """
+SELECT pid, a0 FROM mr_midcyc_lim MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0
+  {extra}
+  ONE ROW PER MATCH
+  {after}
+  PATTERN {pattern}
+  DEFINE {defines}
+)
+"""
+    defs_std = ("rise AS rise.n > PREV(rise.n), down AS down.n < PREV(down.n), "
+                "up AS up.n > PREV(up.n), flat2 AS flat2.n = PREV(flat2.n)")
+    # suffix first class == cycle first class: backtracking would
+    # release trailing cycles — out of class
+    with pytest.raises(MatchRecognizeError, match="release trailing cycles"):
+        ws.sql(base.format(
+            extra="", after="",
+            pattern="(STRT rise+ (down2+ up+){1,} down+)",
+            defines=("rise AS rise.n > PREV(rise.n), "
+                     "down2 AS down2.n < PREV(down2.n), "
+                     "up AS up.n > PREV(up.n), down AS down.n < PREV(down.n)"),
+        ))
+    # a variable both inside and outside the group
+    with pytest.raises(MatchRecognizeError, match="inside and outside"):
+        ws.sql(base.format(
+            extra="", after="",
+            pattern="(STRT up+ (down+ up+){1,} flat2+)",
+            defines=("down AS down.n < PREV(down.n), "
+                     "up AS up.n > PREV(up.n), flat2 AS flat2.n = PREV(flat2.n)"),
+        ))
+    # ALL ROWS / SUBSET / non-default skip are named limits
+    with pytest.raises(MatchRecognizeError, match="repeated group"):
+        ws.sql(base.format(
+            extra="", after="AFTER MATCH SKIP TO LAST flat2",
+            pattern="(STRT rise+ (down+ up+){2,} flat2+)",
+            defines=defs_std,
+        ))

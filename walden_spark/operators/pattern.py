@@ -825,6 +825,7 @@ def match_cycles(
     min_cycles: int = 1,
     max_cycles: int | None = None,
     classifier=None,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """Repeated-group patterns — ``PATTERN (STRT (X1+ X2+ … Xk+)+)``
     (late r11): one row per MAXIMAL run of consecutive cycle matches.
@@ -874,7 +875,8 @@ def match_cycles(
         raise ValueError("min_cycles must be >= 1")
     k = len(cycle_steps)
     units = match_pattern(
-        df, partition_col, order_col, value_col, cycle_steps, classifier
+        df, partition_col, order_col, value_col, cycle_steps, classifier,
+        islands=islands,
     )
     wu = Window.partitionBy(partition_col).orderBy("anchor_iseq")
     runs = units.withColumn(
@@ -898,6 +900,116 @@ def match_cycles(
     out = out.filter(F.col("n_cycles") >= min_cycles)
     if max_cycles is not None:
         out = out.filter(F.col("n_cycles") <= max_cycles)
+    return out
+
+
+def match_cycles_mid(
+    df: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    prefix_steps: list[Step],
+    cycle_steps: list[Step],
+    suffix_steps: list[Step],
+    min_cycles: int = 1,
+    max_cycles: int | None = None,
+    classifier=None,
+) -> DataFrame:
+    """Unbounded repeated group MID-pattern (r13 — closes the
+    ``{m,}``-mid-pattern named limit): ``PATTERN (STRT P1+ … (X+ Y+
+    …){m,} S1+ …)`` — plain steps, then a maximal run of ≥ m cycles,
+    then plain steps. Pure composition over ONE shared islands frame:
+
+    * the prefix chain compiles with :func:`match_pattern`,
+    * cycle runs with :func:`match_cycles` (maximal consecutive units
+      via the islands trick one level up),
+    * the suffix chain with :func:`match_pattern`,
+
+    joined on row-adjacency — the run anchors ON the prefix's last row
+    (``run.anchor == prefix_last_end``) and the suffix anchors ON the
+    run's final row (``suffix.anchor == run.end``) — two equi joins on
+    (partition, order) over match-sized frames.
+
+    Validated constraints (each a ValueError naming the limit):
+
+    * the cycle's class sequence is UNBORDERED (match_cycles' rule);
+    * junction classes differ — prefix-last vs cycle-first and
+      cycle-last vs suffix-first are ordinary same-class adjacencies
+      (checked by the caller's linear pass) — AND the suffix's first
+      class must differ from the cycle's FIRST class: if they matched,
+      SQL:2016 backtracking would release the run's last cycle(s) to
+      the suffix, which the maximal-run construction cannot see.
+
+    Output: ``partition``, the full-match anchor (the prefix's — or
+    the run's when the prefix is empty), per prefix/suffix step
+    ``_end``/``_val``/``_len``, and the run columns ``n_cycles``,
+    ``end``/``end_val``, per cycle step ``_total_len`` /
+    ``_last_end`` / ``_last_val``. Matches may share boundary rows
+    with neighbors exactly like plain chains, so the usual greedy
+    skip selections apply downstream."""
+    if not cycle_steps:
+        raise ValueError("cycle needs at least one step")
+    if not prefix_steps and not suffix_steps:
+        raise ValueError(
+            "match_cycles_mid needs a prefix or suffix — use "
+            "match_cycles for the bare repeated tail"
+        )
+    if suffix_steps and suffix_steps[0].dir == cycle_steps[0].dir:
+        raise ValueError(
+            "the suffix's first class equals the repeated group's first "
+            "class — backtracking would release trailing cycles to the "
+            "suffix, which maximal-run compilation cannot express — out "
+            "of class"
+        )
+    isl = classify_islands(
+        df, partition_col, order_col, value_col, classifier
+    ).localCheckpoint(eager=True)
+    runs = match_cycles(
+        df, partition_col, order_col, value_col, cycle_steps,
+        min_cycles=min_cycles, max_cycles=max_cycles,
+        classifier=classifier, islands=isl,
+    )
+    anchor = f"anchor_{order_col}"
+    out = runs
+    if prefix_steps:
+        pre = match_pattern(
+            df, partition_col, order_col, value_col, prefix_steps,
+            classifier, islands=isl,
+        )
+        run_side = runs.select(
+            F.col(partition_col).alias("__rp"),
+            F.col(anchor).alias("__run_anchor"),
+            F.col("anchor_val").alias("__run_anchor_val"),
+            *[
+                F.col(c)
+                for c in runs.columns
+                if c not in (partition_col, anchor, "anchor_val", "anchor_iseq")
+            ],
+        )
+        out = pre.join(
+            run_side,
+            (F.col(partition_col) == F.col("__rp"))
+            & (F.col("__run_anchor") == F.col(f"{prefix_steps[-1].name}_end")),
+        ).drop("__rp", "__run_anchor", "__run_anchor_val")
+    if suffix_steps:
+        suf = match_pattern(
+            df, partition_col, order_col, value_col, suffix_steps,
+            classifier, islands=isl,
+        )
+        suf_side = suf.select(
+            F.col(partition_col).alias("__sp"),
+            F.col(anchor).alias("__suf_anchor"),
+            *[
+                F.col(c)
+                for c in suf.columns
+                if c not in (partition_col, anchor, "anchor_val", "anchor_iseq")
+            ],
+        )
+        out = out.join(
+            suf_side,
+            (F.col(partition_col) == F.col("__sp"))
+            & (F.col("__suf_anchor") == F.col("end")),
+        ).drop("__sp", "__suf_anchor")
     return out
 
 

@@ -88,6 +88,7 @@ from walden_spark.operators.pattern import (
     match_cycles,
     match_cycles_skip_next,
     match_pattern,
+    match_cycles_mid,
     match_reluctant_final,
     match_skip_next,
     match_split_pair,
@@ -105,7 +106,8 @@ _LIMITS = (
     "with reluctant spellings (a reluctant FINAL step truncates to its "
     "lower bound; its class must differ from the first step's), "
     "((STRT …) | (STRT …)) alternation, "
-    "PERMUTE(≤4), the repeated tail (STRT (X+ Y+ …)<q>), and ONE "
+    "PERMUTE(≤4), the repeated tail (STRT (X+ Y+ …)<q>), the "
+    "mid-pattern unbounded group (STRT P+ (X+ Y+){m,} S+), and ONE "
     "adjacent same-class pair in a plain pattern (greedy closed-form "
     "split, one-row or all-rows, boundary skips); SUBSET "
     "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
@@ -850,6 +852,15 @@ def _project_all_rows(
 _GROUP_CYCLE = re.compile(
     r"^STRT\s+\((.+)\)\s*(\+|\{\s*(\d+)\s*(,\s*(\d*))?\s*\})$", re.DOTALL
 )
+# unbounded repeated group MID-pattern: prefix steps, (cycle body) with
+# a {m,} or + quantifier, suffix steps (r13). The cycle body excludes
+# parens/pipes; the caller additionally rejects parens in prefix/suffix
+# (nested or multiple groups stay with their own routes/limits).
+_MID_CYCLE = re.compile(
+    r"^STRT\s+(.*?)\(\s*([^()|]+?)\s*\)\s*"
+    r"(\+(?!\?)|\{\s*(\d+)\s*,\s*\})\s*(.*)$",
+    re.DOTALL,
+)
 _MEASURE_COUNT_STAR = re.compile(r"^COUNT\s*\(\s*\*\s*\)$", re.IGNORECASE)
 
 
@@ -968,6 +979,124 @@ def _compile_cycles(
         mm = re.fullmatch(
             r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(), re.IGNORECASE | re.DOTALL
         )
+        if not mm:
+            raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+        out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
+    return matched.select(*out_cols)
+
+
+def _compile_cycles_mid(
+    source: DataFrame,
+    part: str,
+    order: str,
+    value: str,
+    prefix_steps: list[Step],
+    cycle_steps: list[Step],
+    suffix_steps: list[Step],
+    min_cycles: int,
+    clauses: dict[str, str],
+    all_rows: bool,
+    subsets: dict[str, list[str]],
+    classifier=None,
+) -> DataFrame:
+    """Unbounded repeated group MID-pattern ``PATTERN (STRT P1+ …
+    (X+ Y+ …){m,} S1+ …)`` (r13 — closes the named limit; the bounded
+    ``{m,n}`` mid-pattern keeps the clone-expansion route): compiled by
+    :func:`walden_spark.operators.pattern.match_cycles_mid` — prefix
+    chain + maximal cycle run + suffix chain joined on row adjacency
+    over one shared islands frame. Unlike the bare repeated tail,
+    these matches CAN share boundary rows with neighbors (the prefix
+    anchors on an island boundary), so the default greedy skip-past
+    selection runs. Measures: STRT.<col>, COUNT(*), and per step
+    LAST(X.<col>) / COUNT(X.*) — cycle steps resolve to their
+    last-cycle row / cross-cycle transition sum per SQL:2016."""
+    if all_rows:
+        raise MatchRecognizeError(
+            "ALL ROWS PER MATCH with a repeated group is out of class"
+        )
+    if subsets:
+        raise MatchRecognizeError(
+            "SUBSET with a mid-pattern repeated group is out of class "
+            "(measure the steps directly)"
+        )
+    names = [s.name for s in prefix_steps + cycle_steps + suffix_steps]
+    if len(set(names)) != len(names):
+        raise MatchRecognizeError(
+            "a pattern variable appears both inside and outside the "
+            "repeated group — out of class (give the occurrences "
+            "distinct names and duplicate the DEFINE)"
+        )
+    after = clauses.get("AFTER MATCH")
+    if after is not None and not re.fullmatch(
+        r"SKIP\s+PAST\s+LAST\s+ROW", after.strip(), re.IGNORECASE
+    ):
+        raise MatchRecognizeError(
+            f"AFTER MATCH {after!r} with a mid-pattern repeated group: "
+            "SKIP PAST LAST ROW (or omitting the clause) is the in-class "
+            "form"
+        )
+    try:
+        matched = match_cycles_mid(
+            source, part, order, value, prefix_steps, cycle_steps,
+            suffix_steps, min_cycles=min_cycles, classifier=classifier,
+        )
+    except ValueError as ex:
+        raise MatchRecognizeError(str(ex)) from ex
+    last_end = f"{suffix_steps[-1].name}_end" if suffix_steps else "end"
+    matched = select_skip_past(matched, part, f"anchor_{order}", last_end)
+    plain = {s.name for s in prefix_steps} | {s.name for s in suffix_steps}
+    cyc = {s.name for s in cycle_steps}
+    total_rows = F.lit(1)
+    for s in prefix_steps + suffix_steps:
+        total_rows = total_rows + F.col(f"{s.name}_len")
+    for s in cycle_steps:
+        total_rows = total_rows + F.col(f"{s.name}_total_len")
+
+    def measure_col(expr: str):
+        if _MEASURE_COUNT_STAR.match(expr):
+            return total_rows.cast("bigint")
+        if am := _MEASURE_ANCHOR.match(expr):
+            col = am.group(1).lower()
+            if col == order.lower():
+                return F.col(f"anchor_{order}")
+            if col == value.lower():
+                return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"STRT.{am.group(1)}: only the ORDER BY ({order}) or DEFINE "
+                f"value ({value}) column is available on the anchor"
+            )
+        if lm := _MEASURE_LAST.match(expr):
+            var, col = lm.group(1).lower(), lm.group(2).lower()
+            if var in cyc:
+                end_c, val_c = f"{var}_last_end", f"{var}_last_val"
+            elif var in plain:
+                end_c, val_c = f"{var}_end", f"{var}_val"
+            else:
+                raise MatchRecognizeError(f"LAST({lm.group(1)}.…): unknown step")
+            if col == order.lower():
+                return F.col(end_c)
+            if col == value.lower():
+                return F.col(val_c)
+            raise MatchRecognizeError(
+                f"LAST({lm.group(1)}.{lm.group(2)}): only the ORDER BY or "
+                "DEFINE value column is carried per step"
+            )
+        if cm := _MEASURE_COUNT.match(expr):
+            var = cm.group(1).lower()
+            if var in cyc:
+                return F.col(f"{var}_total_len")
+            if var in plain:
+                return F.col(f"{var}_len")
+            raise MatchRecognizeError(f"COUNT({cm.group(1)}.*): unknown step")
+        raise MatchRecognizeError(
+            f"measure {expr!r} is out of class under a repeated group "
+            "(STRT.<col> / LAST(X.<col>) / COUNT(X.*) / COUNT(*))"
+        )
+
+    out_cols = [F.col(part)]
+    for item in _split_top_commas(clauses["MEASURES"]):
+        mm = re.fullmatch(r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(),
+                          re.IGNORECASE | re.DOTALL)
         if not mm:
             raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
         out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
@@ -1357,6 +1486,7 @@ def compile_match_recognize(
         toks = [[(n, lo, hi2, False) for n, lo, hi2, _ in gtoks]]
     clone_map: dict[str, list[str]] = {}
     clone_maps: list[dict[str, list[str]]] | None = None
+    mid_cycle: tuple[int, int, int, int] | None = None
     if gm:
         pass
     else:
@@ -1365,7 +1495,48 @@ def compile_match_recognize(
             if ptext.startswith("(") and ptext.endswith(")")
             else None
         )
+        mcm = _MID_CYCLE.match(inner0) if inner0 is not None else None
         if (
+            mcm
+            and "(" not in mcm.group(1) + mcm.group(5)
+            and ")" not in mcm.group(1) + mcm.group(5)
+            and "|" not in inner0
+            and not re.search(r"\bPERMUTE\s*\(", inner0, re.IGNORECASE)
+        ):
+            # UNBOUNDED {m,} (or +) repeated group MID-pattern (r13 —
+            # closes the named limit; bounded {m,n} groups keep the
+            # clone-expansion route below): prefix chain + maximal
+            # cycle run + suffix chain, composed relationally by
+            # operators/pattern.match_cycles_mid over one shared
+            # islands frame. The linear token pass below checks the
+            # junction adjacencies (prefix-last vs cycle-first,
+            # cycle-last vs suffix-first) exactly like plain steps.
+            pre_txt, body, quant = mcm.group(1), mcm.group(2), mcm.group(3)
+            suf_txt = mcm.group(5)
+            mc_lo = int(mcm.group(4)) if mcm.group(4) is not None else 1
+            if mc_lo < 1:
+                raise MatchRecognizeError(
+                    "group repetition {0,…} allows an empty match — out "
+                    "of class"
+                )
+            pre_toks = _parse_tokens(pre_txt) if pre_txt.strip() else []
+            cyc_toks = _parse_tokens(body)
+            suf_toks = _parse_tokens(suf_txt) if suf_txt.strip() else []
+            if not cyc_toks:
+                raise MatchRecognizeError("empty repeated group")
+            if any(t[3] for t in pre_toks + cyc_toks + suf_toks):
+                raise MatchRecognizeError(
+                    "reluctant quantifiers around an unbounded repeated "
+                    "group are out of class"
+                )
+            if not pre_toks and not suf_toks:
+                raise MatchRecognizeError(
+                    "internal: bare repeated tail should take the cycle "
+                    "route"
+                )
+            mid_cycle = (len(pre_toks), len(cyc_toks), mc_lo, len(suf_toks))
+            toks = [pre_toks + cyc_toks + suf_toks]
+        elif (
             inner0 is not None
             and (
                 _INLINE_GROUP.search(inner0)
@@ -1628,6 +1799,7 @@ def compile_match_recognize(
             len(pair_idx) == 1
             and len(branches) == 1
             and cycle_bounds is None
+            and mid_cycle is None
             and not clone_map
             and not final_reluctant
         )
@@ -1706,6 +1878,14 @@ def compile_match_recognize(
         return _compile_cycles(
             source, part, order, value, branches[0], cycle_bounds,
             clauses, all_rows, subsets, classifier=clf,
+        )
+    if mid_cycle is not None:
+        n_pre, n_cyc, mc_lo, n_suf = mid_cycle
+        lin = branches[0]
+        return _compile_cycles_mid(
+            source, part, order, value,
+            lin[:n_pre], lin[n_pre:n_pre + n_cyc], lin[n_pre + n_cyc:],
+            mc_lo, clauses, all_rows, subsets, classifier=clf,
         )
     steps = branches[0]
     # AFTER MATCH: SKIP PAST LAST ROW (Trino's default, also what an

@@ -2881,3 +2881,97 @@ FROM walden_mr_daily_scar MATCH_RECOGNIZE (
 ORDER BY user_id, match_no, day
 """
     )
+
+
+@query(
+    "win_pattern_sql_cycles_mid",
+    oracle=_ISLANDS_CTE.format(max_user=49).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id AS user_id, d.iseq AS useq, d.sp AS a_day,
+         d.ln AS d_ln, u.ln AS u_ln, u.ed AS u_end, u.ev AS u_ev
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+), runs2 AS (
+  SELECT user_id, MIN(useq) AS first_iseq,
+         CAST(SUM(d_ln) AS BIGINT) AS n_down,
+         CAST(SUM(d_ln) + SUM(u_ln) AS BIGINT) AS cyc_trans,
+         CAST(MAX(u_end) AS BIGINT) AS end_day,
+         CAST(arg_max(u_ev, useq) AS BIGINT) AS end_n
+  FROM cruns GROUP BY user_id, grp HAVING COUNT(*) >= 2
+), cand AS (
+  SELECT r.user_id AS user_id, CAST(p.sp AS BIGINT) AS anchor_day,
+         p.av AS anchor_n, CAST(p.ed AS BIGINT) AS rise_end,
+         r.n_down, r.end_day, r.end_n,
+         CAST(1 + p.ln + r.cyc_trans AS BIGINT) AS span_rows
+  FROM runs2 r
+  JOIN isl2 p ON p.user_id = r.user_id AND p.dir = 1
+             AND p.iseq = r.first_iseq - 1
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, anchor_day, anchor_n, rise_end, n_down, end_day, end_n,
+       span_rows
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles_mid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded repeated group MID-pattern (r13 — closes the
+    ``{m,}``-mid-pattern named limit): ``PATTERN (STRT rise+
+    (down+ up+){2,})`` — an ascent, then a MAXIMAL run of at least two
+    descent-rebound cycles. Compiled by
+    :func:`walden_spark.operators.pattern.match_cycles_mid`: the prefix
+    chain, the cycle run (islands trick one level up), and the join on
+    row adjacency all share one classified islands frame. Unlike the
+    bare repeated tail, these matches can re-anchor ON a previous
+    match's final row (a rise starting at the run's last rebound row),
+    so the default SKIP PAST LAST ROW greedy walk runs — the oracle
+    replays it with the recursive-CTE chain trick over the same
+    island-level construction. Fresh slice: user_id < 49."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=49).createOrReplaceTempView(
+        "walden_mr_daily_mcy"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, rise_end, n_down, end_day, end_n,
+       span_rows
+FROM walden_mr_daily_mcy MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(rise.day) AS rise_end, COUNT(down.*) AS n_down,
+           LAST(up.day) AS end_day, LAST(up.n) AS end_n,
+           COUNT(*) AS span_rows
+  ONE ROW PER MATCH
+  PATTERN (STRT rise+ (down+ up+){2,})
+  DEFINE rise AS rise.n > PREV(rise.n), down AS down.n < PREV(down.n),
+         up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
