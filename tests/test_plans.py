@@ -754,7 +754,15 @@ def test_headline_plan_fingerprints_frozen(spark, sf_dir, registry):
     """Every headline query's physical plan must keep its frozen shape:
     same hash-exchange count, same broadcast/sort-merge join counts,
     zero cartesian products. A legitimate plan improvement updates the
-    table here WITH a BENCH_NOTES.md entry explaining the delta."""
+    table here WITH a BENCH_NOTES.md entry explaining the delta.
+
+    Cold-plan contract: earlier tests (the oracle sweep) leave frames
+    persisted, and Spark's cache substitutes InMemoryRelation into any
+    later plan whose subtree matches — changing exchange/join counts
+    without any code regression. The bench runs these queries in a
+    fresh session, so the frozen shapes are the UNCACHED plans; clear
+    the session cache before fingerprinting."""
+    spark.catalog.clearCache()
     bad = {}
     for name, want in HEADLINE_PLAN_FINGERPRINTS.items():
         plan = _plan(spark, registry[name].fn(spark, sf_dir))

@@ -1019,3 +1019,245 @@ def streaming_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     out = _run_to_memory(matches, "update")
     return out.orderBy("user_id", "anchor_day")
+
+
+# -- streaming MIXED-DEFINE pattern (r13): direction + threshold
+# classes incrementally — the streaming dual of the r13 batch closure
+# win_pattern_sql_mixed_define (PATTERN (STRT up+ flr+), up = errors
+# rose day-over-day, flr = zero-error day). Classes are provably
+# disjoint on counts (n = 0 excludes n > prev when prev >= 0), so the
+# batch compiler's runtime disjointness guard can never fire on this
+# input and the incremental classifier needs no guard of its own.
+_MX_STATE = (
+    "last_day BIGINT, last_n BIGINT, open_day BIGINT, open_n BIGINT, "
+    "phase INT, anchor_day BIGINT, anchor_n BIGINT, up_day BIGINT, "
+    "up_n BIGINT, up_cnt BIGINT, flr_end BIGINT, flr_cnt BIGINT, "
+    "last_emit BIGINT"
+)
+_MX_OUT = (
+    "user_id BIGINT, anchor_day BIGINT, anchor_n BIGINT, peak_day BIGINT, "
+    "peak_n BIGINT, n_up BIGINT, quiet_end BIGINT, n_quiet BIGINT"
+)
+_MX_NONE, _MX_UP, _MX_FLR = 0, 1, 2
+
+
+def _pattern_user_mixed(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Incremental mixed-define matcher: ``PATTERN (STRT up+ flr+)``
+    with ``up AS n > PREV(n)`` (direction class) and ``flr AS n = 0``
+    (threshold class) over per-day ERROR counts, default AFTER MATCH
+    SKIP PAST LAST ROW. Constant per-key state: the last closed day,
+    the day currently filling, the open ascent/quiet runs, and the
+    last emitted match end — the greedy skip-past walk runs
+    incrementally because candidates complete in anchor order (a
+    candidate anchored ON the previous match's final row, a 0→positive
+    rise, is checked against ``last_emit`` and dropped exactly as the
+    batch walk does). A match emits the moment its zero-run is
+    provably maximal (a non-zero day arrives, or the sentinel
+    flushes). Days with events but no errors close with n = 0 — the
+    threshold class's rows — which is why the matcher consumes ALL
+    events and counts only errors."""
+    vals = (
+        state.get
+        if state.exists
+        else (None,) * 4 + (_MX_NONE,) + (None,) * 8
+    )
+    (last_day, last_n, open_day, open_n, phase,
+     anchor_day, anchor_n, up_day, up_n, up_cnt,
+     flr_end, flr_cnt, last_emit) = vals
+    rows: list[tuple] = []
+
+    def maybe_emit():
+        nonlocal last_emit
+        if last_emit is None or anchor_day > last_emit:
+            rows.append(
+                (key[0], anchor_day, anchor_n, up_day, up_n, up_cnt,
+                 flr_end, flr_cnt)
+            )
+            last_emit = flr_end
+
+    def close_day(d, n):
+        nonlocal last_day, last_n, phase
+        nonlocal anchor_day, anchor_n, up_day, up_n, up_cnt, flr_end, flr_cnt
+        if last_day is not None:
+            is_flr = n == 0
+            is_up = (not is_flr) and n > last_n
+            if phase == _MX_FLR and not is_flr:
+                maybe_emit()  # quiet run just proved maximal
+                phase = _MX_NONE
+            if is_up:
+                if phase == _MX_UP:
+                    up_day, up_n, up_cnt = d, n, up_cnt + 1
+                else:
+                    anchor_day, anchor_n = last_day, last_n
+                    up_day, up_n, up_cnt = d, n, 1
+                    phase = _MX_UP
+            elif is_flr:
+                if phase == _MX_UP:
+                    flr_end, flr_cnt = d, 1
+                    phase = _MX_FLR
+                elif phase == _MX_FLR:
+                    flr_end, flr_cnt = d, flr_cnt + 1
+                # zeros with no open ascent cannot start a match
+            else:
+                phase = _MX_NONE
+        last_day, last_n = d, n
+
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    saw_sentinel = bool((batch["event_id"] < 0).any())
+    real = batch[batch["event_id"] >= 0]
+    if len(real):
+        days = (real["ts"].dt.normalize() - _DAY0).dt.days
+        errs = real["err"].to_numpy()
+        for d, e in zip(days, errs):
+            d = int(d)
+            if open_day is None:
+                open_day, open_n = d, int(e)
+            elif d == open_day:
+                open_n += int(e)
+            else:
+                close_day(open_day, open_n)
+                open_day, open_n = d, int(e)
+    if saw_sentinel:
+        if open_day is not None:
+            close_day(open_day, open_n)
+        if phase == _MX_FLR:
+            maybe_emit()  # stream end proves the quiet run maximal
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (last_day, last_n, open_day, open_n, phase,
+             anchor_day, anchor_n, up_day, up_n, up_cnt,
+             flr_end, flr_cnt, last_emit)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "anchor_day", "anchor_n", "peak_day", "peak_n",
+            "n_up", "quiet_end", "n_quiet",
+        ],
+    )
+
+
+@query(
+    "streaming_pattern_mixed_define",
+    oracle="""
+WITH RECURSIVE daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n
+  FROM events WHERE user_id < 34 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n = 0 THEN 2 WHEN n > prev_n THEN 1
+                 ELSE -1 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir,
+         MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln
+  FROM runs GROUP BY user_id, dir, grp
+), cand AS (
+  SELECT u.user_id AS user_id, CAST(u.sp AS BIGINT) AS anchor_day,
+         u.av AS anchor_n, CAST(u.ed AS BIGINT) AS peak_day,
+         u.ev AS peak_n, u.ln AS n_up,
+         CAST(f.ed AS BIGINT) AS quiet_end, f.ln AS n_quiet
+  FROM isl u
+  JOIN isl f ON f.user_id = u.user_id AND u.dir = 1 AND f.dir = 2
+            AND f.sp = u.ed
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.quiet_end
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.quiet_end
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, anchor_day, anchor_n, peak_day, peak_n, n_up,
+       quiet_end, n_quiet
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="streaming",
+)
+def streaming_pattern_mixed_define(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING mixed-define MATCH_RECOGNIZE (r13): the batch closure
+    win_pattern_sql_mixed_define — error-count ramps that go quiet,
+    one direction class + one threshold class — detected incrementally
+    with applyInPandasWithState. Same five-micro-batch staged replay
+    as the other pattern matchers (day boundaries and runs span
+    batches), constant per-key state including the greedy skip-past
+    walk's resume bound (a 0→positive re-anchor on the previous
+    match's final row is dropped exactly as the batch walk does). The
+    oracle is the batch two-class islands + recursive-walk SQL on the
+    closed input. Fresh slice: user_id < 34."""
+    import tempfile
+
+    from walden_spark.tables import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 34)
+        .select(
+            "event_id", "user_id", "ts",
+            (F.col("event_type") == "error").cast("int").alias("err"),
+        )
+    )
+    stage = tempfile.mkdtemp(prefix="walden_pat_mixed_")
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bounds = [None, *qs, None]
+    for i in range(4):
+        part = ev_us
+        if bounds[i] is not None:
+            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
+        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "user_id",
+        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
+        .cast("long")
+        .alias("us"),
+        F.lit(0).alias("err"),
+    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"), "err")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp, err int")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    matches = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_user_mixed,
+            outputStructType=_MX_OUT,
+            stateStructType=_MX_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(matches, "update")
+    return out.orderBy("user_id", "anchor_day")
