@@ -1592,3 +1592,45 @@ SELECT pid, a0 FROM mr_midcyc_lim MATCH_RECOGNIZE (
             pattern="(STRT rise+ (down+ up+){2,} flat2+)",
             defines=defs_std,
         ))
+
+
+def test_all_rows_over_repeated_group(spark):
+    """ALL ROWS PER MATCH over a repeated group (r13): each covered
+    row's transition class names its cycle step; FINAL measures ride
+    as match constants. Duplicate classes in the body stay a named
+    limit (ambiguous row→step map)."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, v) for d, v in enumerate([5, 3, 6, 2, 7, 7])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_arcyc")
+    got = ws.sql(
+        """
+SELECT pid, mno, day, cls, nd, lun FROM mr_arcyc MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
+           FINAL COUNT(down.*) AS nd, FINAL LAST(up.n) AS lun
+  ALL ROWS PER MATCH
+  PATTERN (STRT (down+ up+)+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY day
+"""
+    ).collect()
+    assert [(r.day, r.cls, r.mno, r.nd, r.lun) for r in got] == [
+        (0, "STRT", 1, 2, 7), (1, "down", 1, 2, 7), (2, "up", 1, 2, 7),
+        (3, "down", 1, 2, 7), (4, "up", 1, 2, 7),
+    ]
+    # RUNNING measures under a repeated group stay out of class
+    with pytest.raises(MatchRecognizeError, match="out of class under ALL"):
+        ws.sql(
+            """
+SELECT pid FROM mr_arcyc MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES COUNT(down.*) AS nd
+  ALL ROWS PER MATCH
+  PATTERN (STRT (down+ up+)+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+"""
+        )

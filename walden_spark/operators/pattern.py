@@ -903,6 +903,97 @@ def match_cycles(
     return out
 
 
+def expand_all_rows_cycles(
+    df: DataFrame,
+    matches: DataFrame,
+    partition_col: str,
+    order_col: str,
+    value_col: str,
+    cycle_steps: list[Step],
+    classifier=None,
+    bin_width: int = 32,
+) -> DataFrame:
+    """``ALL ROWS PER MATCH`` over a repeated group (r13 — closes the
+    named limit for the tail form): one output row per input row per
+    maximal cycle run, with
+
+    * ``match_no`` — MATCH_NUMBER(): 1-based rank of the run by anchor
+      within its partition,
+    * every match-level column of the :func:`match_cycles` frame (the
+      FINAL-semantics measures: per-step totals and last-cycle rows),
+    * ``classifier`` — ``'STRT'`` on the anchor row, else the cycle
+      step whose TRANSITION CLASS the row carries. A run's body is
+      n_cycles repetitions of the class sequence, so the row's own
+      class names its step — which requires the cycle's classes to be
+      pairwise DISTINCT (validated; an unbordered cycle may still
+      repeat a class, e.g. (1,2,1,3), and there the row→step map is
+      ambiguous — out of class).
+
+    Mechanism: the same binned span join as :func:`expand_all_rows`,
+    with the row-side frame carrying its transition class (one lag
+    window — the classify stage's first half, no island grouping
+    needed)."""
+    dirs = {s.dir: s.name for s in cycle_steps}
+    if len(dirs) != len(cycle_steps):
+        raise ValueError(
+            "ALL ROWS over a repeated group needs pairwise-distinct "
+            "step classes — a repeated class makes the row→step map "
+            "ambiguous — out of class"
+        )
+    anchor = f"anchor_{order_col}"
+    wm = Window.partitionBy(partition_col).orderBy(anchor)
+    m = matches.withColumn("match_no", F.row_number().over(wm).cast("bigint"))
+    spans = m.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(anchor) / bin_width),
+                F.floor(F.col("end") / bin_width),
+            )
+        ),
+    ).withColumnRenamed(partition_col, "__p")
+    row_cols = [c for c in df.columns if c != partition_col]
+    rows = (
+        df.select(
+            F.col(partition_col).alias("__p"),
+            F.col(order_col).alias("__o"),
+            *[F.col(c) for c in row_cols],
+        )
+        .withColumn("__bin", F.floor(F.col("__o") / bin_width))
+        .withColumn(
+            "__pv",
+            F.lag(value_col).over(
+                Window.partitionBy("__p").orderBy("__o")
+            ),
+        )
+    )
+    if classifier is None:
+        cls_code = (
+            F.when(F.col(value_col) < F.col("__pv"), F.lit(DOWN))
+            .when(F.col(value_col) > F.col("__pv"), F.lit(UP))
+            .otherwise(F.lit(FLAT))
+        )
+    else:
+        cls_code = classifier(F.col(value_col), F.col("__pv"))
+    rows = rows.withColumn("__cls", cls_code).drop("__pv")
+    joined = spans.join(rows, ["__p", "__bin"]).filter(
+        (F.col("__o") >= F.col(anchor)) & (F.col("__o") <= F.col("end"))
+    )
+    # 'STRT' on the anchor row, else the row's transition class names
+    # its cycle step (classes validated distinct above)
+    name_case = F.when(F.col("__o") == F.col(anchor), F.lit("STRT"))
+    for d, name in dirs.items():
+        name_case = name_case.when(F.col("__cls") == d, F.lit(name))
+    match_cols = [c for c in m.columns if c != partition_col]
+    return joined.select(
+        F.col("__p").alias(partition_col),
+        *[F.col(c) for c in match_cols if c != "match_no"],
+        F.col("match_no"),
+        *[F.col(c) for c in row_cols],
+        name_case.alias("classifier"),
+    )
+
+
 def match_cycles_mid(
     df: DataFrame,
     partition_col: str,

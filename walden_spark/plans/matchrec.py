@@ -84,6 +84,7 @@ from walden_spark.operators.pattern import (
     Step,
     classify_islands,
     expand_all_rows,
+    expand_all_rows_cycles,
     match_any,
     match_cycles,
     match_cycles_skip_next,
@@ -864,6 +865,96 @@ _MID_CYCLE = re.compile(
 _MEASURE_COUNT_STAR = re.compile(r"^COUNT\s*\(\s*\*\s*\)$", re.IGNORECASE)
 
 
+def _project_all_rows_cycles(
+    source: DataFrame,
+    matched: DataFrame,
+    part: str,
+    order: str,
+    value: str,
+    steps: list[Step],
+    measures_text: str,
+    classifier=None,
+) -> DataFrame:
+    """ALL ROWS PER MATCH projection over a repeated group (r13):
+    expand each maximal cycle run back to its covered rows via
+    :func:`walden_spark.operators.pattern.expand_all_rows_cycles`
+    (each row's transition class names its cycle step — distinct
+    classes validated there), then project ``partition, <measures>,
+    <input row columns>``. Measure class: CLASSIFIER(),
+    MATCH_NUMBER(), STRT.<col>, FINAL LAST(X.<col>) / FINAL
+    COUNT(X.*) (match constants from the run frame), and COUNT(*);
+    bare RUNNING measures stay out of class under a repeated group
+    (a step's rows interleave across cycles, so the prefix-window
+    build of the plain path does not transfer)."""
+    try:
+        expanded = expand_all_rows_cycles(
+            source, matched, part, order, value, steps, classifier
+        )
+    except ValueError as ex:
+        raise MatchRecognizeError(str(ex)) from ex
+    row_cols = [c for c in source.columns if c != part]
+    step_names = {s.name for s in steps}
+    total_rows = F.lit(1)
+    for s in steps:
+        total_rows = total_rows + F.col(f"{s.name}_total_len")
+
+    def measure_col(expr: str):
+        if _MEASURE_CLASSIFIER.match(expr):
+            return F.col("classifier")
+        if _MEASURE_MATCHNO.match(expr):
+            return F.col("match_no")
+        if _MEASURE_COUNT_STAR.match(expr):
+            return total_rows.cast("bigint")
+        if am := _MEASURE_ANCHOR.match(expr):
+            col = am.group(1).lower()
+            if col == order.lower():
+                return F.col(f"anchor_{order}")
+            if col == value.lower():
+                return F.col("anchor_val")
+            raise MatchRecognizeError(
+                f"STRT.{am.group(1)}: only the ORDER BY ({order}) or DEFINE "
+                f"value ({value}) column is available on the anchor"
+            )
+        if fl := _MEASURE_FINAL_LAST.match(expr):
+            var, col = fl.group(1).lower(), fl.group(2).lower()
+            if var not in step_names:
+                raise MatchRecognizeError(
+                    f"FINAL LAST({fl.group(1)}.…): unknown step"
+                )
+            if col == order.lower():
+                return F.col(f"{var}_last_end")
+            if col == value.lower():
+                return F.col(f"{var}_last_val")
+            raise MatchRecognizeError(
+                f"FINAL LAST({fl.group(1)}.{fl.group(2)}): only the ORDER "
+                "BY or DEFINE value column is carried per step"
+            )
+        if fc := _MEASURE_FINAL_COUNT.match(expr):
+            var = fc.group(1).lower()
+            if var not in step_names:
+                raise MatchRecognizeError(
+                    f"FINAL COUNT({fc.group(1)}.*): unknown step"
+                )
+            return F.col(f"{var}_total_len")
+        raise MatchRecognizeError(
+            f"measure {expr!r} is out of class under ALL ROWS with a "
+            "repeated group (CLASSIFIER() / MATCH_NUMBER() / STRT.<col> "
+            "/ FINAL LAST(X.<col>) / FINAL COUNT(X.*) / COUNT(*))"
+        )
+
+    out_cols = [F.col(part)]
+    for item in _split_top_commas(measures_text):
+        mm = re.fullmatch(
+            r"(.+?)\s+AS\s+([A-Za-z_]\w*)", item.strip(),
+            re.IGNORECASE | re.DOTALL
+        )
+        if not mm:
+            raise MatchRecognizeError(f"measure {item!r} needs an AS alias")
+        out_cols.append(measure_col(mm.group(1).strip()).alias(mm.group(2)))
+    out_cols += [F.col(c) for c in row_cols]
+    return expanded.select(*out_cols)
+
+
 def _compile_cycles(
     source: DataFrame,
     part: str,
@@ -885,11 +976,14 @@ def _compile_cycles(
     / omitted (every mode would yield the same relation). Measures:
     STRT.<col>, LAST(X.<col>) (the step's final row in the LAST
     cycle), COUNT(X.*) (the step's transitions summed across cycles),
-    and COUNT(*) (all rows of the match: 1 + total transitions)."""
-    if all_rows:
-        raise MatchRecognizeError(
-            "ALL ROWS PER MATCH with a repeated group is out of class"
-        )
+    and COUNT(*) (all rows of the match: 1 + total transitions).
+
+    ALL ROWS PER MATCH (r13): served for the default skip mode via
+    :func:`walden_spark.operators.pattern.expand_all_rows_cycles` —
+    each covered row's TRANSITION CLASS names its cycle step (the
+    cycle's classes must be pairwise distinct), with CLASSIFIER() /
+    MATCH_NUMBER() / STRT.<col> / FINAL LAST/COUNT / COUNT(*) measures;
+    RUNNING measures and the rescan mode stay out of class."""
     after = clauses.get("AFTER MATCH")
     skip_next = after is not None and re.fullmatch(
         r"SKIP\s+TO\s+NEXT\s+ROW", after.strip(), re.IGNORECASE
@@ -920,6 +1014,21 @@ def _compile_cycles(
             )
     except ValueError as ex:
         raise MatchRecognizeError(str(ex)) from ex
+    if all_rows:
+        if skip_next:
+            raise MatchRecognizeError(
+                "ALL ROWS PER MATCH with a repeated group under SKIP TO "
+                "NEXT ROW is out of class"
+            )
+        if subsets:
+            raise MatchRecognizeError(
+                "SUBSET under ALL ROWS with a repeated group is out of "
+                "class"
+            )
+        return _project_all_rows_cycles(
+            source, matched, part, order, value, steps,
+            clauses["MEASURES"], classifier=classifier,
+        )
     step_names = {s.name for s in steps}
     step_order = [s.name for s in steps]
     subs = subsets or {}

@@ -2975,3 +2975,80 @@ FROM walden_mr_daily_mcy MATCH_RECOGNIZE (
 ORDER BY user_id, anchor_day
 """
     )
+
+
+@query(
+    "win_pattern_sql_cycles_all_rows",
+    oracle=_ISLANDS_CTE.format(max_user=36)
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id AS user_id, d.iseq AS useq, d.sp AS a_day,
+         d.ln AS d_ln, u.ln AS u_ln, u.ed AS u_end, u.ev AS u_ev
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+), runs2 AS (
+  SELECT user_id, CAST(MIN(a_day) AS BIGINT) AS anchor_day,
+         CAST(MAX(u_end) AS BIGINT) AS end_day,
+         CAST(SUM(d_ln) AS BIGINT) AS n_down,
+         CAST(arg_max(u_ev, useq) AS BIGINT) AS last_up_n
+  FROM cruns GROUP BY user_id, grp
+), m AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 AS BIGINT) AS match_no
+  FROM runs2
+)
+SELECT d.user_id AS user_id, m.match_no, d.day AS day, d.n AS n,
+       CASE WHEN d.day = m.anchor_day THEN 'STRT'
+            WHEN r.dir = -1 THEN 'down' ELSE 'up' END AS cls,
+       m.n_down, m.last_up_n
+FROM daily d
+JOIN m ON d.user_id = m.user_id AND d.day BETWEEN m.anchor_day AND m.end_day
+LEFT JOIN dirs r ON r.user_id = d.user_id AND r.day = d.day
+ORDER BY d.user_id, m.match_no, d.day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles_all_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL ROWS PER MATCH over a repeated group (r13 — closes the
+    named limit for the tail form): ``PATTERN (STRT (down+ up+)+)``
+    with ALL ROWS emits every covered row of each maximal zigzag run;
+    each row's TRANSITION CLASS names its cycle step (the cycle's
+    classes must be pairwise distinct — validated), with
+    MATCH_NUMBER(), FINAL COUNT(down.*), and FINAL LAST(up.n) carried
+    as match constants
+    (:func:`walden_spark.operators.pattern.expand_all_rows_cycles` —
+    the binned span join plus one lag window on the row side). Runs
+    never overlap, so the default skip mode needs no walk; the oracle
+    joins each run's span back to the daily rows with the same
+    class-CASE. Fresh slice: user_id < 36."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=36).createOrReplaceTempView(
+        "walden_mr_daily_car"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, day, n, cls, n_down, last_up_n
+FROM walden_mr_daily_car MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no,
+           FINAL COUNT(down.*) AS n_down, FINAL LAST(up.n) AS last_up_n
+  ALL ROWS PER MATCH
+  PATTERN (STRT (down+ up+)+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, match_no, day
+"""
+    )

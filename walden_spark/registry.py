@@ -94,6 +94,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_same_class_all_rows",
     "win_pattern_sql_mixed_define",
     "win_pattern_sql_cycles_mid",
+    "win_pattern_sql_cycles_all_rows",
     "streaming_pattern_mixed_define",
     # -- re-witness: the three r04-vintage names the r12 rotation
     # displaced (the stalest anywhere in the registry) --
@@ -148,8 +149,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_rollup",
     "agg_hll_sketch",
     "agg_linear_regression",
-    "agg_histogram",
-    # (fn_string_distance, fn_timezone, events_retention_cohort and the remaining r06 cohort queue for
+    # (agg_histogram, fn_string_distance, fn_timezone, events_retention_cohort and the remaining r06 cohort queue for
     # r14, displaced by win_pattern_sql_same_class_all_rows; events
     # stays window-covered by tumbling/sliding/session_windows)
 )
