@@ -69,6 +69,12 @@ FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
     "tpcds_q88_count_bands": (12, 8351302536644),
     "tpcds_q93_net_after_returns": (26, 14906002097669),
     "tpcds_q97_channel_overlap": (1, 467191175594),
+    # r13 additions (pinned under local[8]/8 AND local[3]/17 — layout-
+    # independent by the digest's commutative construction)
+    "tpcds_q14_item_intersect_revenue": (8, 3845101856053),
+    "tpcds_q35_store_not_web": (33, 18353282251400),
+    "tpcds_q38_customer_intersect": (8, 4170841185605),
+    "tpcds_q51_crossover": (1, 656129583056),
 }
 
 
@@ -1839,4 +1845,229 @@ def tpcds_q29_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cs_quantity").cast("bigint").alias("repurchased_qty"),
         )
         .orderBy("i_item_id")
+    )
+
+
+@_tpcds(
+    "tpcds_q38_customer_intersect",
+    """
+WITH tri AS (
+  SELECT ss_customer_sk AS ck FROM store_sales
+  INTERSECT
+  SELECT ws_customer_sk FROM web_sales
+  INTERSECT
+  SELECT cs_customer_sk FROM catalog_sales
+)
+SELECT c_state, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM tri JOIN customer ON c_customer_sk = ck
+GROUP BY c_state ORDER BY c_state
+""",
+)
+def tpcds_q38_customer_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q38 shape (r13): customers active in ALL THREE channels
+    — a three-way INTERSECT of distinct customer keys, profiled by
+    state. Scale shape: each channel reduces to its distinct-customer
+    set (map-side partial distinct) before the set op; the INTERSECT
+    itself is a key-only shuffle, and the customer dim joins broadcast."""
+    g = _gen(spark)
+    tri = (
+        g.store_sales().select(F.col("ss_customer_sk").alias("ck")).distinct()
+        .intersect(
+            g.web_sales().select(F.col("ws_customer_sk").alias("ck")).distinct()
+        )
+        .intersect(
+            g.catalog_sales()
+            .select(F.col("cs_customer_sk").alias("ck"))
+            .distinct()
+        )
+    )
+    return (
+        tri.join(
+            g.customer(), F.col("c_customer_sk") == F.col("ck")
+        )
+        .groupBy("c_state")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("c_state")
+    )
+
+
+@_tpcds(
+    "tpcds_q14_item_intersect_revenue",
+    """
+WITH tri AS (
+  SELECT ss_item_sk AS ik FROM store_sales
+  INTERSECT
+  SELECT ws_item_sk FROM web_sales
+  INTERSECT
+  SELECT cs_item_sk FROM catalog_sales
+)
+SELECT i_category,
+       CAST(SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_sales
+FROM store_sales
+JOIN tri ON ik = ss_item_sk
+JOIN item ON i_item_sk = ss_item_sk
+GROUP BY i_category ORDER BY i_category
+""",
+)
+def tpcds_q14_item_intersect_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-DS Q14 shape (r13): store revenue by category restricted to
+    items sold in ALL THREE channels — the INTERSECT feeds a fact
+    filter (a semi-join in spirit; expressed as an equi join so both
+    engines aggregate the identical surviving fact rows). Decimal-exact
+    revenue emitted as DOUBLE per the determinism contract."""
+    g = _gen(spark)
+    tri = (
+        g.store_sales().select(F.col("ss_item_sk").alias("ik")).distinct()
+        .intersect(
+            g.web_sales().select(F.col("ws_item_sk").alias("ik")).distinct()
+        )
+        .intersect(
+            g.catalog_sales().select(F.col("cs_item_sk").alias("ik")).distinct()
+        )
+    )
+    return (
+        g.store_sales()
+        .join(tri, F.col("ik") == F.col("ss_item_sk"))
+        .join(g.item(), F.col("i_item_sk") == F.col("ss_item_sk"))
+        .groupBy("i_category")
+        .agg(
+            F.sum(F.col("ss_net_paid").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sales"),
+        )
+        .orderBy("i_category")
+    )
+
+
+@_tpcds(
+    "tpcds_q35_store_not_web",
+    """
+WITH sc AS (
+  SELECT DISTINCT ss_customer_sk AS ck
+  FROM store_sales JOIN date_dim ON d_date_sk = ss_sold_date_sk
+  WHERE d_qoy = 1
+), wc AS (
+  SELECT DISTINCT ws_customer_sk AS ck
+  FROM web_sales JOIN date_dim ON d_date_sk = ws_sold_date_sk
+  WHERE d_qoy = 1
+)
+SELECT c_state, c_birth_month, CAST(COUNT(*) AS BIGINT) AS n
+FROM sc
+JOIN customer ON c_customer_sk = sc.ck
+WHERE NOT EXISTS (SELECT 1 FROM wc WHERE wc.ck = sc.ck)
+GROUP BY c_state, c_birth_month
+ORDER BY c_state, c_birth_month
+""",
+)
+def tpcds_q35_store_not_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q35/Q69 shape (r13): customers who bought in-store
+    during Q1 but never on the web in the same period — a per-channel
+    date-pruned distinct, then an ANTI join, profiled by state and
+    birth month. Scale shape: the date dim broadcasts into both fact
+    scans; the anti join runs on the two distinct-customer sets (far
+    smaller than the facts)."""
+    g = _gen(spark)
+    dd = g.date_dim().filter(F.col("d_qoy") == 1).select("d_date_sk")
+    sc = (
+        g.store_sales()
+        .join(F.broadcast(dd), F.col("d_date_sk") == F.col("ss_sold_date_sk"))
+        .select(F.col("ss_customer_sk").alias("ck"))
+        .distinct()
+    )
+    wc = (
+        g.web_sales()
+        .join(F.broadcast(dd), F.col("d_date_sk") == F.col("ws_sold_date_sk"))
+        .select(F.col("ws_customer_sk").alias("wk"))
+        .distinct()
+    )
+    return (
+        sc.join(wc, F.col("ck") == F.col("wk"), "left_anti")
+        .join(g.customer(), F.col("c_customer_sk") == F.col("ck"))
+        .groupBy("c_state", "c_birth_month")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("c_state", "c_birth_month")
+    )
+
+
+@_tpcds(
+    "tpcds_q51_crossover",
+    """
+WITH s AS (
+  SELECT ss_item_sk AS ik, ss_sold_date_sk AS dk,
+         SUM(CAST(ss_net_paid AS DECIMAL(14,2))) AS rev
+  FROM store_sales WHERE ss_item_sk % 97 = 3 GROUP BY 1, 2
+), w AS (
+  SELECT ws_item_sk AS ik, ws_sold_date_sk AS dk,
+         SUM(CAST(ws_net_paid AS DECIMAL(14,2))) AS rev
+  FROM web_sales WHERE ws_item_sk % 97 = 3 GROUP BY 1, 2
+), d AS (
+  SELECT COALESCE(s.ik, w.ik) AS ik, COALESCE(s.dk, w.dk) AS dk,
+         COALESCE(s.rev, CAST(0 AS DECIMAL(14,2))) AS srev,
+         COALESCE(w.rev, CAST(0 AS DECIMAL(14,2))) AS wrev
+  FROM s FULL OUTER JOIN w ON s.ik = w.ik AND s.dk = w.dk
+), c AS (
+  SELECT ik, dk,
+         SUM(srev) OVER (PARTITION BY ik ORDER BY dk) AS cs,
+         SUM(wrev) OVER (PARTITION BY ik ORDER BY dk) AS cw
+  FROM d
+)
+SELECT ik AS item_sk, CAST(MIN(dk) AS BIGINT) AS first_cross
+FROM c WHERE cw > cs GROUP BY ik
+ORDER BY item_sk
+""",
+)
+def tpcds_q51_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q51 shape (r13): per-item cumulative store vs web
+    revenue by day — a full-outer date alignment of the two channels'
+    daily rollups, running decimal sums per item, and the first day
+    web cumulatively overtakes store. Scale shape: the facts reduce to
+    (item, day) grain before the full-outer join (both sides shuffle
+    once on the item key the windows then reuse); the crossover
+    comparison is decimal-exact so the boundary day is
+    engine-invariant. Item slice (sk % 97 = 3) keeps the aligned frame
+    proportional to the slice, mirroring Q51's item filter."""
+    from pyspark.sql import Window
+
+    g = _gen(spark)
+    s = (
+        g.store_sales()
+        .filter(F.col("ss_item_sk") % 97 == 3)
+        .groupBy(
+            F.col("ss_item_sk").alias("ik"), F.col("ss_sold_date_sk").alias("dk")
+        )
+        .agg(F.sum(F.col("ss_net_paid").cast("decimal(14,2)")).alias("srev"))
+    )
+    w = (
+        g.web_sales()
+        .filter(F.col("ws_item_sk") % 97 == 3)
+        .groupBy(
+            F.col("ws_item_sk").alias("ik"), F.col("ws_sold_date_sk").alias("dk")
+        )
+        .agg(F.sum(F.col("ws_net_paid").cast("decimal(14,2)")).alias("wrev"))
+    )
+    d = (
+        s.join(w, ["ik", "dk"], "full_outer")
+        .select(
+            "ik",
+            "dk",
+            F.coalesce(F.col("srev"), F.lit(0).cast("decimal(14,2)")).alias("srev"),
+            F.coalesce(F.col("wrev"), F.lit(0).cast("decimal(14,2)")).alias("wrev"),
+        )
+    )
+    win = Window.partitionBy("ik").orderBy("dk")
+    c = d.select(
+        "ik",
+        "dk",
+        F.sum("srev").over(win).alias("cs"),
+        F.sum("wrev").over(win).alias("cw"),
+    )
+    return (
+        c.filter(F.col("cw") > F.col("cs"))
+        .groupBy(F.col("ik").alias("item_sk"))
+        .agg(F.min("dk").cast("bigint").alias("first_cross"))
+        .orderBy("item_sk")
     )

@@ -96,6 +96,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_cycles_mid",
     "win_pattern_sql_cycles_all_rows",
     "streaming_pattern_mixed_define",
+    "tpcds_q38_customer_intersect",
+    "tpcds_q14_item_intersect_revenue",
+    "tpcds_q35_store_not_web",
+    "tpcds_q51_crossover",
     # -- re-witness: the three r04-vintage names the r12 rotation
     # displaced (the stalest anywhere in the registry) --
     "join_cross",
@@ -145,11 +149,8 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sort_nulls_ordering",
     # -- remaining slots: stalest r06-vintage names in registry order
     # (the rest of the r06 cohort queues for r14) --
-    "agg_cube",
-    "agg_rollup",
-    "agg_hll_sketch",
-    "agg_linear_regression",
-    # (agg_histogram, fn_string_distance, fn_timezone, events_retention_cohort and the remaining r06 cohort queue for
+    # (agg_cube, agg_rollup, agg_hll_sketch, agg_linear_regression,
+    # agg_histogram, fn_string_distance, fn_timezone, events_retention_cohort and the remaining r06 cohort queue for
     # r14, displaced by win_pattern_sql_same_class_all_rows; events
     # stays window-covered by tumbling/sliding/session_windows)
 )
