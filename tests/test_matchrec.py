@@ -1634,3 +1634,41 @@ SELECT pid FROM mr_arcyc MATCH_RECOGNIZE (
 )
 """
         )
+
+
+def test_all_rows_over_mid_pattern_group(spark):
+    """ALL ROWS over the mid-pattern unbounded group (r13): prefix and
+    suffix regions classify by step-end bounds, the run region by
+    transition class; FINAL measures mix plain (_len) and cycle
+    (_total_len) forms."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, v) for d, v in enumerate([1, 2, 3, 1, 4, 2, 5, 5, 9])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_midcyc_ar")
+    got = ws.sql(
+        """
+SELECT pid, mno, day, cls, n_rise, n_down, span
+FROM mr_midcyc_ar MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS mno,
+           FINAL COUNT(rise.*) AS n_rise, FINAL COUNT(down.*) AS n_down,
+           COUNT(*) AS span
+  ALL ROWS PER MATCH
+  PATTERN (STRT rise+ (down+ up+){2,} flat2+)
+  DEFINE rise AS rise.n > PREV(rise.n), down AS down.n < PREV(down.n),
+         up AS up.n > PREV(up.n), flat2 AS flat2.n = PREV(flat2.n)
+)
+ORDER BY day
+"""
+    ).collect()
+    assert [(r.day, r.cls, r.mno, r.n_rise, r.n_down, r.span) for r in got] == [
+        (0, "STRT", 1, 2, 2, 8),
+        (1, "rise", 1, 2, 2, 8),
+        (2, "rise", 1, 2, 2, 8),
+        (3, "down", 1, 2, 2, 8),
+        (4, "up", 1, 2, 2, 8),
+        (5, "down", 1, 2, 2, 8),
+        (6, "up", 1, 2, 2, 8),
+        (7, "flat2", 1, 2, 2, 8),
+    ]

@@ -912,6 +912,8 @@ def expand_all_rows_cycles(
     cycle_steps: list[Step],
     classifier=None,
     bin_width: int = 32,
+    prefix_steps: tuple = (),
+    suffix_steps: tuple = (),
 ) -> DataFrame:
     """``ALL ROWS PER MATCH`` over a repeated group (r13 — closes the
     named limit for the tail form): one output row per input row per
@@ -932,7 +934,15 @@ def expand_all_rows_cycles(
     Mechanism: the same binned span join as :func:`expand_all_rows`,
     with the row-side frame carrying its transition class (one lag
     window — the classify stage's first half, no island grouping
-    needed)."""
+    needed).
+
+    MID-pattern form (``prefix_steps`` / ``suffix_steps`` non-empty,
+    over a :func:`match_cycles_mid` frame): the plain regions classify
+    by their per-step ``_end`` boundaries exactly like
+    :func:`expand_all_rows`, the run region by transition class, in
+    CASE order prefix → run → suffix — so a plain step may legally
+    share a class with a cycle step (the region bound disambiguates,
+    only the RUN region resolves by class)."""
     dirs = {s.dir: s.name for s in cycle_steps}
     if len(dirs) != len(cycle_steps):
         raise ValueError(
@@ -941,6 +951,7 @@ def expand_all_rows_cycles(
             "ambiguous — out of class"
         )
     anchor = f"anchor_{order_col}"
+    last_end = f"{suffix_steps[-1].name}_end" if suffix_steps else "end"
     wm = Window.partitionBy(partition_col).orderBy(anchor)
     m = matches.withColumn("match_no", F.row_number().over(wm).cast("bigint"))
     spans = m.withColumn(
@@ -948,7 +959,7 @@ def expand_all_rows_cycles(
         F.explode(
             F.sequence(
                 F.floor(F.col(anchor) / bin_width),
-                F.floor(F.col("end") / bin_width),
+                F.floor(F.col(last_end) / bin_width),
             )
         ),
     ).withColumnRenamed(partition_col, "__p")
@@ -977,13 +988,24 @@ def expand_all_rows_cycles(
         cls_code = classifier(F.col(value_col), F.col("__pv"))
     rows = rows.withColumn("__cls", cls_code).drop("__pv")
     joined = spans.join(rows, ["__p", "__bin"]).filter(
-        (F.col("__o") >= F.col(anchor)) & (F.col("__o") <= F.col("end"))
+        (F.col("__o") >= F.col(anchor)) & (F.col("__o") <= F.col(last_end))
     )
-    # 'STRT' on the anchor row, else the row's transition class names
-    # its cycle step (classes validated distinct above)
+    # 'STRT' on the anchor row; prefix region by step-end bounds; the
+    # run region by the row's transition class (classes validated
+    # distinct above); suffix region by step-end bounds
     name_case = F.when(F.col("__o") == F.col(anchor), F.lit("STRT"))
+    for s in prefix_steps:
+        name_case = name_case.when(
+            F.col("__o") <= F.col(f"{s.name}_end"), F.lit(s.name)
+        )
     for d, name in dirs.items():
-        name_case = name_case.when(F.col("__cls") == d, F.lit(name))
+        name_case = name_case.when(
+            (F.col("__o") <= F.col("end")) & (F.col("__cls") == d), F.lit(name)
+        )
+    for s in suffix_steps:
+        name_case = name_case.when(
+            F.col("__o") <= F.col(f"{s.name}_end"), F.lit(s.name)
+        )
     match_cols = [c for c in m.columns if c != partition_col]
     return joined.select(
         F.col("__p").alias(partition_col),

@@ -874,6 +874,8 @@ def _project_all_rows_cycles(
     steps: list[Step],
     measures_text: str,
     classifier=None,
+    prefix_steps: tuple = (),
+    suffix_steps: tuple = (),
 ) -> DataFrame:
     """ALL ROWS PER MATCH projection over a repeated group (r13):
     expand each maximal cycle run back to its covered rows via
@@ -888,15 +890,19 @@ def _project_all_rows_cycles(
     build of the plain path does not transfer)."""
     try:
         expanded = expand_all_rows_cycles(
-            source, matched, part, order, value, steps, classifier
+            source, matched, part, order, value, steps, classifier,
+            prefix_steps=prefix_steps, suffix_steps=suffix_steps,
         )
     except ValueError as ex:
         raise MatchRecognizeError(str(ex)) from ex
     row_cols = [c for c in source.columns if c != part]
     step_names = {s.name for s in steps}
+    plain_names = {s.name for s in prefix_steps} | {s.name for s in suffix_steps}
     total_rows = F.lit(1)
     for s in steps:
         total_rows = total_rows + F.col(f"{s.name}_total_len")
+    for s in tuple(prefix_steps) + tuple(suffix_steps):
+        total_rows = total_rows + F.col(f"{s.name}_len")
 
     def measure_col(expr: str):
         if _MEASURE_CLASSIFIER.match(expr):
@@ -917,25 +923,31 @@ def _project_all_rows_cycles(
             )
         if fl := _MEASURE_FINAL_LAST.match(expr):
             var, col = fl.group(1).lower(), fl.group(2).lower()
-            if var not in step_names:
+            if var in step_names:
+                end_c, val_c = f"{var}_last_end", f"{var}_last_val"
+            elif var in plain_names:
+                end_c, val_c = f"{var}_end", f"{var}_val"
+            else:
                 raise MatchRecognizeError(
                     f"FINAL LAST({fl.group(1)}.…): unknown step"
                 )
             if col == order.lower():
-                return F.col(f"{var}_last_end")
+                return F.col(end_c)
             if col == value.lower():
-                return F.col(f"{var}_last_val")
+                return F.col(val_c)
             raise MatchRecognizeError(
                 f"FINAL LAST({fl.group(1)}.{fl.group(2)}): only the ORDER "
                 "BY or DEFINE value column is carried per step"
             )
         if fc := _MEASURE_FINAL_COUNT.match(expr):
             var = fc.group(1).lower()
-            if var not in step_names:
-                raise MatchRecognizeError(
-                    f"FINAL COUNT({fc.group(1)}.*): unknown step"
-                )
-            return F.col(f"{var}_total_len")
+            if var in step_names:
+                return F.col(f"{var}_total_len")
+            if var in plain_names:
+                return F.col(f"{var}_len")
+            raise MatchRecognizeError(
+                f"FINAL COUNT({fc.group(1)}.*): unknown step"
+            )
         raise MatchRecognizeError(
             f"measure {expr!r} is out of class under ALL ROWS with a "
             "repeated group (CLASSIFIER() / MATCH_NUMBER() / STRT.<col> "
@@ -1119,10 +1131,6 @@ def _compile_cycles_mid(
     selection runs. Measures: STRT.<col>, COUNT(*), and per step
     LAST(X.<col>) / COUNT(X.*) — cycle steps resolve to their
     last-cycle row / cross-cycle transition sum per SQL:2016."""
-    if all_rows:
-        raise MatchRecognizeError(
-            "ALL ROWS PER MATCH with a repeated group is out of class"
-        )
     if subsets:
         raise MatchRecognizeError(
             "SUBSET with a mid-pattern repeated group is out of class "
@@ -1153,6 +1161,16 @@ def _compile_cycles_mid(
         raise MatchRecognizeError(str(ex)) from ex
     last_end = f"{suffix_steps[-1].name}_end" if suffix_steps else "end"
     matched = select_skip_past(matched, part, f"anchor_{order}", last_end)
+    if all_rows:
+        # ALL ROWS over the mid-pattern form (r13): prefix/suffix
+        # regions classify by their step-end bounds, the run region by
+        # transition class — expand_all_rows_cycles' mid form
+        return _project_all_rows_cycles(
+            source, matched, part, order, value, cycle_steps,
+            clauses["MEASURES"], classifier=classifier,
+            prefix_steps=tuple(prefix_steps),
+            suffix_steps=tuple(suffix_steps),
+        )
     plain = {s.name for s in prefix_steps} | {s.name for s in suffix_steps}
     cyc = {s.name for s in cycle_steps}
     total_rows = F.lit(1)

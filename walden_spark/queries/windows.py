@@ -3052,3 +3052,103 @@ FROM walden_mr_daily_car MATCH_RECOGNIZE (
 ORDER BY user_id, match_no, day
 """
     )
+
+
+@query(
+    "win_pattern_sql_cycles_mid_all_rows",
+    oracle=_ISLANDS_CTE.format(max_user=26).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id AS user_id, d.iseq AS useq, d.sp AS a_day,
+         d.ln AS d_ln, u.ln AS u_ln, u.ed AS u_end, u.ev AS u_ev
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+), runs2 AS (
+  SELECT user_id, MIN(useq) AS first_iseq,
+         CAST(SUM(d_ln) AS BIGINT) AS n_down,
+         CAST(SUM(d_ln) + SUM(u_ln) AS BIGINT) AS cyc_trans,
+         CAST(MAX(u_end) AS BIGINT) AS end_day
+  FROM cruns GROUP BY user_id, grp HAVING COUNT(*) >= 2
+), cand AS (
+  SELECT r.user_id AS user_id, CAST(p.sp AS BIGINT) AS anchor_day,
+         CAST(p.ed AS BIGINT) AS rise_end,
+         CAST(p.ln AS BIGINT) AS n_rise, r.n_down, r.end_day,
+         CAST(1 + p.ln + r.cyc_trans AS BIGINT) AS span_rows
+  FROM runs2 r
+  JOIN isl2 p ON p.user_id = r.user_id AND p.dir = 1
+             AND p.iseq = r.first_iseq - 1
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+), m AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+                 AS BIGINT) AS match_no
+  FROM walk
+)
+SELECT d.user_id AS user_id, m.match_no, d.day AS day, d.n AS n,
+       CASE WHEN d.day = m.anchor_day THEN 'STRT'
+            WHEN d.day <= m.rise_end THEN 'rise'
+            WHEN r.dir = -1 THEN 'down' ELSE 'up' END AS cls,
+       m.n_rise, m.n_down, m.span_rows
+FROM daily d
+JOIN m ON d.user_id = m.user_id AND d.day BETWEEN m.anchor_day AND m.end_day
+LEFT JOIN dirs r ON r.user_id = d.user_id AND r.day = d.day
+ORDER BY d.user_id, m.match_no, d.day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles_mid_all_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ALL ROWS over a mid-pattern unbounded group (r13): ``PATTERN
+    (STRT rise+ (down+ up+){2,})`` with ALL ROWS — the prefix region
+    classifies by its step-end bound, the run region by each row's
+    transition class, per-step FINAL measures mix the plain (_len) and
+    cycle (_total_len) forms, and COUNT(*) spans prefix + run.
+    Selection first (these matches can re-anchor on a previous match's
+    final row), expansion second — the oracle replays the recursive
+    greedy walk, ranks the kept matches, and joins their spans back to
+    the daily rows with the same region/class CASE. Fresh slice:
+    user_id < 26."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=26).createOrReplaceTempView(
+        "walden_mr_daily_mcar"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, day, n, cls, n_rise, n_down, span_rows
+FROM walden_mr_daily_mcar MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no,
+           FINAL COUNT(rise.*) AS n_rise, FINAL COUNT(down.*) AS n_down,
+           COUNT(*) AS span_rows
+  ALL ROWS PER MATCH
+  PATTERN (STRT rise+ (down+ up+){2,})
+  DEFINE rise AS rise.n > PREV(rise.n), down AS down.n < PREV(down.n),
+         up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, match_no, day
+"""
+    )

@@ -95,6 +95,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_mixed_define",
     "win_pattern_sql_cycles_mid",
     "win_pattern_sql_cycles_all_rows",
+    "win_pattern_sql_cycles_mid_all_rows",
     "streaming_pattern_mixed_define",
     "tpcds_q38_customer_intersect",
     "tpcds_q14_item_intersect_revenue",
@@ -108,7 +109,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # -- re-witness: the full r05 vintage (next-stalest cohort,
     # incl. the agg_freq/quantile_sketch pair displaced from r12) --
     "agg_quantile_sketch",
-    "win_groups_frame_partitioned",
+    # (win_groups_frame_partitioned queues for r14, displaced by
+    # win_pattern_sql_cycles_mid_all_rows; the window family is
+    # amply covered by the seven r13 pattern queries)
     "fn_array",
     "fn_map",
     "events_tumbling",
