@@ -1621,19 +1621,24 @@ ORDER BY day
         (0, "STRT", 1, 2, 7), (1, "down", 1, 2, 7), (2, "up", 1, 2, 7),
         (3, "down", 1, 2, 7), (4, "up", 1, 2, 7),
     ]
-    # RUNNING measures under a repeated group stay out of class
-    with pytest.raises(MatchRecognizeError, match="out of class under ALL"):
-        ws.sql(
-            """
-SELECT pid FROM mr_arcyc MATCH_RECOGNIZE (
+    # bare (RUNNING) measures under a repeated group are SERVED (late
+    # r13): per-row prefix aggregates over classifier-mapped rows —
+    # order-based, so cross-cycle interleaving is irrelevant
+    got = ws.sql(
+        """
+SELECT pid, day, nd, lup FROM mr_arcyc MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
-  MEASURES COUNT(down.*) AS nd
+  MEASURES COUNT(down.*) AS nd, LAST(down.n) AS lup
   ALL ROWS PER MATCH
   PATTERN (STRT (down+ up+)+)
   DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
 )
+ORDER BY day
 """
-        )
+    ).collect()
+    assert [(r.day, r.nd, r.lup) for r in got] == [
+        (0, 0, None), (1, 1, 3), (2, 1, 3), (3, 2, 2), (4, 2, 2),
+    ]
 
 
 def test_all_rows_over_mid_pattern_group(spark):

@@ -884,10 +884,12 @@ def _project_all_rows_cycles(
     classes validated there), then project ``partition, <measures>,
     <input row columns>``. Measure class: CLASSIFIER(),
     MATCH_NUMBER(), STRT.<col>, FINAL LAST(X.<col>) / FINAL
-    COUNT(X.*) (match constants from the run frame), and COUNT(*);
-    bare RUNNING measures stay out of class under a repeated group
-    (a step's rows interleave across cycles, so the prefix-window
-    build of the plain path does not transfer)."""
+    COUNT(X.*) (match constants from the run frame), COUNT(*), and —
+    since late r13 — bare RUNNING LAST(X.<col>) / COUNT(X.*): the
+    SQL:2016 per-row prefix aggregate is order-based ("the last
+    X-mapped row at or before this row"), so the plain path's
+    classifier-filtered window transfers verbatim even though a cycle
+    step's rows interleave across repetitions."""
     try:
         expanded = expand_all_rows_cycles(
             source, matched, part, order, value, steps, classifier,
@@ -904,6 +906,38 @@ def _project_all_rows_cycles(
     for s in tuple(prefix_steps) + tuple(suffix_steps):
         total_rows = total_rows + F.col(f"{s.name}_len")
 
+    from pyspark.sql import Window
+
+    w_run = (
+        Window.partitionBy(part, "match_no")
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def running_col(var_raw: str, col: str | None):
+        var = var_raw.lower()
+        if var not in step_names and var not in plain_names:
+            raise MatchRecognizeError(
+                f"RUNNING measure: unknown step {var_raw}"
+            )
+        is_var = F.col("classifier") == var
+        if col is None:
+            return (
+                F.sum(F.when(is_var, F.lit(1)).otherwise(0))
+                .over(w_run)
+                .cast("bigint")
+            )
+        if col == order.lower():
+            src_c = F.col(order)
+        elif col == value.lower():
+            src_c = F.col(value)
+        else:
+            raise MatchRecognizeError(
+                f"LAST({var_raw}.{col}): only the ORDER BY or DEFINE value "
+                "column is carried per step"
+            )
+        return F.last(F.when(is_var, src_c), ignorenulls=True).over(w_run)
+
     def measure_col(expr: str):
         if _MEASURE_CLASSIFIER.match(expr):
             return F.col("classifier")
@@ -911,6 +945,10 @@ def _project_all_rows_cycles(
             return F.col("match_no")
         if _MEASURE_COUNT_STAR.match(expr):
             return total_rows.cast("bigint")
+        if rl := _MEASURE_LAST.match(expr):
+            return running_col(rl.group(1), rl.group(2).lower())
+        if rc := _MEASURE_COUNT.match(expr):
+            return running_col(rc.group(1), None)
         if am := _MEASURE_ANCHOR.match(expr):
             col = am.group(1).lower()
             if col == order.lower():
