@@ -1677,3 +1677,30 @@ ORDER BY day
         (6, "up", 1, 2, 2, 8),
         (7, "flat2", 1, 2, 2, 8),
     ]
+
+
+def test_disjoint_same_class_pairs_served(spark):
+    """Several DISJOINT same-class pairs (late r13): each consumes its
+    own maximal island in full, so the closed-form splits never
+    interact — an up-pair then a down-pair over one peak."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, v) for d, v in enumerate([1, 2, 3, 4, 3, 2, 1])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_pairs2")
+    got = ws.sql(
+        """
+SELECT pid, a0, n_u1, n_u2, n_d1, n_d2, u1_end, d1_end
+FROM mr_pairs2 MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, COUNT(u1.*) AS n_u1, COUNT(u2.*) AS n_u2,
+           COUNT(d1.*) AS n_d1, COUNT(d2.*) AS n_d2,
+           LAST(u1.day) AS u1_end, LAST(d1.day) AS d1_end
+  ONE ROW PER MATCH
+  PATTERN (STRT u1+ u2+ d1+ d2+)
+  DEFINE u1 AS u1.n > PREV(u1.n), u2 AS u2.n > PREV(u2.n),
+         d1 AS d1.n < PREV(d1.n), d2 AS d2.n < PREV(d2.n)
+)
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 0, 2, 1, 2, 1, 2, 5)]

@@ -624,123 +624,156 @@ def match_split_pair(
     classifier=None,
     bin_width: int = 32,
 ) -> DataFrame:
-    """Adjacent SAME-class step pair (r13 — closes the r12 named limit
-    for the 2-step case): ``PATTERN (… A{la,ha} B{lb,hb} …)`` where A
-    and B share one transition class (e.g. both ``v > PREV(v)``).
+    """Adjacent SAME-class step pairs (r13 — closes the r12 named limit
+    for the 2-step case; late r13 generalizes to several DISJOINT
+    pairs): ``PATTERN (… A{la,ha} B{lb,hb} …)`` where A and B share one
+    transition class (e.g. both ``v > PREV(v)``).
 
     Maximal islands cannot chain within one class, but SQL:2016 greedy
     preferment gives the split a CLOSED FORM over one island: A, being
     leftmost, keeps the maximum the rest of the pattern allows —
     ``c_A = min(ha, n − lb)`` transitions of the n-long island — and B
     takes the remainder ``c_B = max(n − ha, lb)`` (Trino 468 splits
-    ``up+ up2+`` over one ascent exactly this way: n−1 / 1). The pair
-    therefore compiles as ONE merged synthetic step with bounds
-    ``{la+lb, ha+hb}`` (unbounded if either side is), and the per-step
-    columns are recovered afterwards:
+    ``up+ up2+`` over one ascent exactly this way: n−1 / 1). Each pair
+    compiles as ONE merged synthetic step with bounds ``{la+lb,
+    ha+hb}`` (unbounded if either side is), and the per-step columns
+    are recovered afterwards:
 
     * ``B_end``/``B_val`` = the merged island's end row (B is the tail),
       ``B_len = c_B``;
     * ``A_len = c_A``; ``A_end``/``A_val`` = the row ``c_A`` transitions
       into the island, fetched with the same binned span join
       :func:`match_reluctant_final` uses (equi on (partition, bin),
-      never a nested loop, touching only matched-span rows).
+      never a nested loop, touching only matched-span rows) — one such
+      join per pair.
 
-    Exactly ONE adjacent same-class pair is in class; a same-class
-    TRIPLE (two overlapping pairs) or two separate pairs stay out —
-    their splits interact and have no single-island closed form.
+    DISJOINT pairs split independently — each consumes its own maximal
+    island in full, so the closed form applies per pair with no
+    interaction. A same-class TRIPLE (two OVERLAPPING pairs) stays out
+    of class: its splits share an island and have no closed form.
     Consistent with this compiler's island convention, bounded upper
-    quantifiers bound the RUN: the pair matches an island iff
+    quantifiers bound the RUN: a pair matches an island iff
     ``la+lb ≤ n ≤ ha+hb``.
 
     Output schema: identical to :func:`match_pattern` on the ORIGINAL
     steps, so greedy skip selection and the measure layer compose
     unchanged. Skip-resume caveat (enforced by the SQL compiler): a
-    resume point ON ``A_end`` lands mid-island, where the compiled
-    candidate set has no anchors — only boundary steps may be skip
-    targets.
+    resume point ON any pair's first-step end lands mid-island, where
+    the compiled candidate set has no anchors — only boundary steps
+    may be skip targets.
     """
     pairs = [
         i for i, (x, y) in enumerate(zip(steps, steps[1:])) if x.dir == y.dir
     ]
-    if len(pairs) != 1:
-        raise ValueError(
-            "match_split_pair serves exactly one adjacent same-class "
-            f"pair; found {len(pairs)}"
-        )
-    i = pairs[0]
-    a, b = steps[i], steps[i + 1]
-    merged_max = (
-        a.max_len + b.max_len
-        if (a.max_len is not None and b.max_len is not None)
-        else None
-    )
-    pair_name = "__pair"
-    merged = Step(pair_name, a.dir, a.min_len + b.min_len, merged_max)
-    msteps = steps[:i] + [merged] + steps[i + 2 :]
+    if not pairs:
+        raise ValueError("match_split_pair needs an adjacent same-class pair")
+    for p, q in zip(pairs, pairs[1:]):
+        if q == p + 1:
+            raise ValueError(
+                "three adjacent steps share a transition class (a "
+                "same-class TRIPLE): overlapping splits share one island "
+                "and have no closed form — out of class"
+            )
+    pair_set = set(pairs)
+    msteps: list[Step] = []
+    merged_name: dict[int, str] = {}   # original pair index -> synthetic name
+    merged_pos: dict[int, int] = {}    # original pair index -> msteps position
+    i = 0
+    while i < len(steps):
+        if i in pair_set:
+            a, b = steps[i], steps[i + 1]
+            merged_max = (
+                a.max_len + b.max_len
+                if (a.max_len is not None and b.max_len is not None)
+                else None
+            )
+            name = f"__pair{len(merged_name)}"
+            merged_name[i] = name
+            merged_pos[i] = len(msteps)
+            msteps.append(Step(name, a.dir, a.min_len + b.min_len, merged_max))
+            i += 2
+        else:
+            msteps.append(steps[i])
+            i += 1
     m = match_pattern(
         df, partition_col, order_col, value_col, msteps, classifier
     )
-    n = F.col(f"{pair_name}_len")
-    if a.max_len is None:
-        c_b = F.lit(b.min_len).cast("bigint")
-    else:
-        c_b = F.greatest(n - F.lit(a.max_len), F.lit(b.min_len)).cast("bigint")
-    m = m.withColumn("__cb", c_b).withColumn(
-        "__ca", (n - F.col("__cb")).cast("bigint")
-    )
-    # A's last row: ``__ca`` transitions after the merged island's
-    # start row (= the previous step's end, or the match anchor when
-    # the pair leads the pattern) — binned span join + offset window,
-    # the _truncate_final_join mechanism.
     anchor = f"anchor_{order_col}"
-    start = anchor if i == 0 else f"{steps[i - 1].name}_end"
-    pair_end = f"{pair_name}_end"
-    spans = m.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(start) / bin_width),
-                F.floor(F.col(pair_end) / bin_width),
-            )
-        ),
-    ).withColumnRenamed(partition_col, "__p")
     rows = df.select(
         F.col(partition_col).alias("__p"),
         F.col(order_col).alias("__o"),
         F.col(value_col).alias("__v"),
     ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
-    joined = spans.join(rows, ["__p", "__bin"]).filter(
-        (F.col("__o") > F.col(start)) & (F.col("__o") <= F.col(pair_end))
-    )
-    wo = Window.partitionBy("__p", anchor).orderBy("__o")
-    joined = joined.withColumn("__off", F.row_number().over(wo).cast("bigint"))
-    joined = joined.filter(F.col("__off") == F.col("__ca"))
+    for k, pi in enumerate(pairs):
+        a, b = steps[pi], steps[pi + 1]
+        pname = merged_name[pi]
+        n = F.col(f"{pname}_len")
+        if a.max_len is None:
+            c_b = F.lit(b.min_len).cast("bigint")
+        else:
+            c_b = F.greatest(
+                n - F.lit(a.max_len), F.lit(b.min_len)
+            ).cast("bigint")
+        m = m.withColumn(f"__cb{k}", c_b).withColumn(
+            f"__ca{k}", (n - F.col(f"__cb{k}")).cast("bigint")
+        )
+        j = merged_pos[pi]
+        start = anchor if j == 0 else f"{msteps[j - 1].name}_end"
+        pair_end = f"{pname}_end"
+        keep_cols = list(m.columns)
+        spans = m.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / bin_width),
+                    F.floor(F.col(pair_end) / bin_width),
+                )
+            ),
+        ).withColumnRenamed(partition_col, "__p")
+        joined = spans.join(rows, ["__p", "__bin"]).filter(
+            (F.col("__o") > F.col(start)) & (F.col("__o") <= F.col(pair_end))
+        )
+        wo = Window.partitionBy("__p", anchor).orderBy("__o")
+        joined = joined.withColumn(
+            "__off", F.row_number().over(wo).cast("bigint")
+        ).filter(F.col("__off") == F.col(f"__ca{k}"))
+        m = joined.select(
+            F.col("__p").alias(partition_col),
+            *[F.col(c) for c in keep_cols if c != partition_col],
+            F.col("__o").alias(f"__ao{k}"),
+            F.col("__v").alias(f"__av{k}"),
+        )
     keep = [
-        F.col("__p").alias(partition_col),
+        F.col(partition_col),
         F.col(anchor),
         F.col("anchor_val"),
         F.col("anchor_iseq"),
     ]
-    for s in steps:
-        if s is a:
+    by_index = {pi: k for k, pi in enumerate(pairs)}
+    i = 0
+    while i < len(steps):
+        if i in pair_set:
+            k = by_index[i]
+            a, b = steps[i], steps[i + 1]
+            pname = merged_name[i]
             keep += [
-                F.col("__o").alias(f"{a.name}_end"),
-                F.col("__v").alias(f"{a.name}_val"),
-                F.col("__ca").alias(f"{a.name}_len"),
+                F.col(f"__ao{k}").alias(f"{a.name}_end"),
+                F.col(f"__av{k}").alias(f"{a.name}_val"),
+                F.col(f"__ca{k}").alias(f"{a.name}_len"),
+                F.col(f"{pname}_end").alias(f"{b.name}_end"),
+                F.col(f"{pname}_val").alias(f"{b.name}_val"),
+                F.col(f"__cb{k}").alias(f"{b.name}_len"),
             ]
-        elif s is b:
-            keep += [
-                F.col(pair_end).alias(f"{b.name}_end"),
-                F.col(f"{pair_name}_val").alias(f"{b.name}_val"),
-                F.col("__cb").alias(f"{b.name}_len"),
-            ]
+            i += 2
         else:
+            s = steps[i]
             keep += [
                 F.col(f"{s.name}_end"),
                 F.col(f"{s.name}_val"),
                 F.col(f"{s.name}_len"),
             ]
-    return joined.select(*keep)
+            i += 1
+    return m.select(*keep)
 
 
 def _reluctant_final_guard(steps: list[Step]) -> None:

@@ -108,9 +108,9 @@ _LIMITS = (
     "lower bound; its class must differ from the first step's), "
     "((STRT …) | (STRT …)) alternation, "
     "PERMUTE(≤4), the repeated tail (STRT (X+ Y+ …)<q>), the "
-    "mid-pattern unbounded group (STRT P+ (X+ Y+){m,} S+), and ONE "
-    "adjacent same-class pair in a plain pattern (greedy closed-form "
-    "split, one-row or all-rows, boundary skips); SUBSET "
+    "mid-pattern unbounded group (STRT P+ (X+ Y+){m,} S+), and "
+    "DISJOINT adjacent same-class pairs in a plain pattern (greedy "
+    "closed-form split, one-row or all-rows, boundary skips); SUBSET "
     "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
     "(row-pattern class) for the documented out-of-class surface"
 )
@@ -1951,7 +1951,7 @@ def compile_match_recognize(
     # repo-wide "clean error, not wrong answer" contract), and the
     # splits interact with no single-island closed form. Clone pairs
     # report their user-facing base names.
-    split_pair_idx: int | None = None
+    split_pairs: list[int] | None = None
     for steps_b in branches:
         pair_idx = [
             i
@@ -1960,8 +1960,13 @@ def compile_match_recognize(
         ]
         if not pair_idx:
             continue
+        # late r13: SEVERAL pairs are served when DISJOINT — each
+        # consumes its own maximal island in full, so the closed-form
+        # splits never interact; only OVERLAPPING pairs (a same-class
+        # triple) have no closed form
+        overlapping = any(q == p + 1 for p, q in zip(pair_idx, pair_idx[1:]))
         servable = (
-            len(pair_idx) == 1
+            not overlapping
             and len(branches) == 1
             and cycle_bounds is None
             and mid_cycle is None
@@ -1974,7 +1979,7 @@ def compile_match_recognize(
         # exact values — the classifier CASE then maps each row of the
         # shared island to A or B by the split boundary.
         if servable:
-            split_pair_idx = pair_idx[0]
+            split_pairs = pair_idx
             continue
         sa = steps_b[pair_idx[0]]
         sb = steps_b[pair_idx[0] + 1]
@@ -1982,13 +1987,14 @@ def compile_match_recognize(
         nb = _clone_base(sb.name)
         raise MatchRecognizeError(
             f"steps {na} and {nb} are adjacent with the same "
-            "transition class — served only as a SINGLE pair in a "
+            "transition class — served only as DISJOINT pairs in a "
             "plain single-branch pattern (greedy closed-form split, "
             "one-row or all-rows); inside alternation / PERMUTE / "
-            "groups / cycles, or with a second same-class adjacency, "
-            "the splits interact and have no single-island closed "
-            "form — merge the steps into one quantified step (or "
-            "give them distinct classes) — out of class"
+            "groups / cycles, or when THREE adjacent steps share a "
+            "class (overlapping pairs), the splits interact and have "
+            "no single-island closed form — merge the steps into one "
+            "quantified step (or give them distinct classes) — out "
+            "of class"
         )
     if final_reluctant and len(branches) > 1:
         raise MatchRecognizeError(
@@ -2100,22 +2106,22 @@ def compile_match_recognize(
             else:
                 resume_step = steps[j].name
     # measures → columns of the match_pattern output
-    if split_pair_idx is not None:
+    if split_pairs is not None:
         # same-class pair constraints on the skip mode (r13): the
-        # split places A's end MID-island, where the compiled
-        # candidate set has no anchors — only boundary resume points
-        # compose. SKIP TO NEXT ROW's suffix-anchor expansion would
-        # likewise need mid-island anchors.
-        a_name = steps[split_pair_idx].name
+        # split places each pair's first-step end MID-island, where
+        # the compiled candidate set has no anchors — only boundary
+        # resume points compose. SKIP TO NEXT ROW's suffix-anchor
+        # expansion would likewise need mid-island anchors.
+        a_names = {steps[i].name for i in split_pairs}
         if skip_next:
             raise MatchRecognizeError(
                 "AFTER MATCH SKIP TO NEXT ROW with an adjacent "
                 "same-class pair needs mid-island rescan anchors the "
                 "compiled candidate set cannot contain — out of class"
             )
-        if resume_step == a_name:
+        if resume_step in a_names:
             raise MatchRecognizeError(
-                f"AFTER MATCH resuming on {a_name}'s last row lands "
+                f"AFTER MATCH resuming on {resume_step}'s last row lands "
                 "MID-island (the greedy split ends the pair's first "
                 "step inside one maximal run), where the compiled "
                 "candidate set has no anchors — only boundary steps "
@@ -2142,7 +2148,7 @@ def compile_match_recognize(
                 )
             except ValueError as ex:
                 raise MatchRecognizeError(str(ex)) from ex
-        elif split_pair_idx is not None:
+        elif split_pairs is not None:
             try:
                 matched = match_split_pair(
                     source, part, order, value, steps, classifier=clf
