@@ -1704,3 +1704,31 @@ FROM mr_pairs2 MATCH_RECOGNIZE (
 """
     ).collect()
     assert [tuple(r) for r in got] == [(1, 0, 2, 1, 2, 1, 2, 5)]
+
+
+def test_subset_over_mid_pattern_group(spark):
+    """SUBSET over the mid-pattern unbounded group (late r13): members
+    resolve statically over the linear order prefix → cycle → suffix;
+    COUNT sums plain lengths and cycle totals, LAST reads the latest
+    member's carried row."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, v) for d, v in enumerate([1, 2, 3, 1, 4, 2, 5, 5, 9])]
+    spark.createDataFrame(
+        rows, "pid int, day long, n long"
+    ).createOrReplaceTempView("mr_midcyc_sub")
+    got = ws.sql(
+        """
+SELECT pid, a0, n_riseup, last_g_day FROM mr_midcyc_sub MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, COUNT(g.*) AS n_riseup, LAST(g.day) AS last_g_day
+  ONE ROW PER MATCH
+  SUBSET g = (rise, up)
+  PATTERN (STRT rise+ (down+ up+){2,} flat2+)
+  DEFINE rise AS rise.n > PREV(rise.n), down AS down.n < PREV(down.n),
+         up AS up.n > PREV(up.n), flat2 AS flat2.n = PREV(flat2.n)
+)
+"""
+    ).collect()
+    # rise contributes 2 transitions, up 2 across cycles; the latest
+    # member in linear order is up — its last-cycle end row is day 6
+    assert [tuple(r) for r in got] == [(1, 0, 4, 6)]

@@ -1169,11 +1169,6 @@ def _compile_cycles_mid(
     selection runs. Measures: STRT.<col>, COUNT(*), and per step
     LAST(X.<col>) / COUNT(X.*) — cycle steps resolve to their
     last-cycle row / cross-cycle transition sum per SQL:2016."""
-    if subsets:
-        raise MatchRecognizeError(
-            "SUBSET with a mid-pattern repeated group is out of class "
-            "(measure the steps directly)"
-        )
     names = [s.name for s in prefix_steps + cycle_steps + suffix_steps]
     if len(set(names)) != len(names):
         raise MatchRecognizeError(
@@ -1200,6 +1195,11 @@ def _compile_cycles_mid(
     last_end = f"{suffix_steps[-1].name}_end" if suffix_steps else "end"
     matched = select_skip_past(matched, part, f"anchor_{order}", last_end)
     if all_rows:
+        if subsets:
+            raise MatchRecognizeError(
+                "SUBSET under ALL ROWS with a repeated group is out of "
+                "class"
+            )
         # ALL ROWS over the mid-pattern form (r13): prefix/suffix
         # regions classify by their step-end bounds, the run region by
         # transition class — expand_all_rows_cycles' mid form
@@ -1211,6 +1211,15 @@ def _compile_cycles_mid(
         )
     plain = {s.name for s in prefix_steps} | {s.name for s in suffix_steps}
     cyc = {s.name for s in cycle_steps}
+    # SUBSET over the mid form (late r13): members resolve statically
+    # over the LINEAR pattern order prefix → cycle steps → suffix —
+    # LAST(U.col) reads the member latest in that order (a cycle
+    # member's last row lies in the LAST cycle, where cycle order
+    # applies), COUNT(U.*) sums plain run lengths and cycle totals.
+    linear_order = [s.name for s in prefix_steps]
+    linear_order += [s.name for s in cycle_steps]
+    linear_order += [s.name for s in suffix_steps]
+    subs = subsets or {}
     total_rows = F.lit(1)
     for s in prefix_steps + suffix_steps:
         total_rows = total_rows + F.col(f"{s.name}_len")
@@ -1232,6 +1241,8 @@ def _compile_cycles_mid(
             )
         if lm := _MEASURE_LAST.match(expr):
             var, col = lm.group(1).lower(), lm.group(2).lower()
+            if var in subs:
+                var = max(subs[var], key=linear_order.index)
             if var in cyc:
                 end_c, val_c = f"{var}_last_end", f"{var}_last_val"
             elif var in plain:
@@ -1248,6 +1259,16 @@ def _compile_cycles_mid(
             )
         if cm := _MEASURE_COUNT.match(expr):
             var = cm.group(1).lower()
+            if var in subs:
+                out = None
+                for mname in subs[var]:
+                    c = (
+                        F.col(f"{mname}_total_len")
+                        if mname in cyc
+                        else F.col(f"{mname}_len")
+                    )
+                    out = c if out is None else out + c
+                return out.cast("bigint")
             if var in cyc:
                 return F.col(f"{var}_total_len")
             if var in plain:
