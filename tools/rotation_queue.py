@@ -48,6 +48,47 @@ def never_driver_verified(repo_root: str = REPO) -> tuple[list[str], list[str]]:
     return oracle_backed, rows_only
 
 
+def latest_full_green(repo_root: str = REPO) -> dict[str, int]:
+    """name → newest round with a FULL-green (rows+schema+hash) driver
+    witness, replayed from every CORRECTNESS_r*.json. Names with no
+    full-green witness ever are absent."""
+    latest: dict[str, int] = {}
+    for f in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        try:
+            data = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        for name, res in data.items():
+            if (
+                isinstance(res, dict)
+                and not res.get("err")
+                and res.get("rows_match") is True
+                and res.get("schema_match") is True
+                and res.get("hash_match") is True
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def stalest_witness(repo_root: str = REPO) -> tuple[int, list[str]]:
+    """(round, names) of the stalest full-green driver witness across
+    the registry — the DERIVED claim the round notes must quote
+    (VERDICT r13 "What's wrong" #1: the r13 notes hand-wrote "stalest
+    is r06" while win_groups_frame_partitioned's latest witness was
+    r05). Never-witnessed names count as round 0."""
+    sys.path.insert(0, repo_root)
+    from walden_spark.registry import load_all
+
+    latest = latest_full_green(repo_root)
+    reg = load_all()
+    by_round: dict[int, list[str]] = {}
+    for n in reg:
+        by_round.setdefault(latest.get(n, 0), []).append(n)
+    stalest = min(by_round)
+    return stalest, by_round[stalest]
+
+
 def window_guard_violations(
     window, window_round: int, repo_root: str = REPO
 ) -> list[str]:
@@ -90,6 +131,20 @@ def window_guard_violations(
                 f"{len(oracle_backed)} never-driver-verified oracle-backed "
                 "names; regenerate via python tools/rotation_queue.py"
             ]
+        # Drain-the-tail arm (VERDICT r13 #2): the names tied at the
+        # registry-wide stalest witness round must be in the freshly
+        # cut window (when they fit beside the never-verified set).
+        stale_round, stale_names = stalest_witness(repo_root)
+        if stale_round > 0:  # 0 = never-verified, already handled above
+            budget = len(window) - len(in_window)
+            must_hold = stale_names[:budget]
+            left_out = [n for n in must_hold if n not in window]
+            if left_out:
+                return [
+                    f"DRIVER_WINDOW (cut for r{window_round}) leaves the "
+                    f"stalest-witness tail (r{stale_round:02d}) undrained: "
+                    f"{left_out}"
+                ]
         return []
 
     # Boundary: this window's own results just landed. Full green only.

@@ -64,98 +64,85 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r12 ROTATION (VERDICT r11 next-round #1): the r11 window landed
-# 50/50 full-green, so this window DRAINS the displaced staleness
-# queue — the full r03 vintage (8 names) and the r04 cohort minus
-# three (27 of 30; the r12-session-2 additions displaced
-# tpcds_fx_channel_rollup / tpcds_fx_yoy_growth / join_cross to r13) —
-# plus the 9 queries ADDED in r12 (window-joined immediately; they are
-# the entire never-driver-verified set: the three inline-group pattern
-# tiers, streaming alternation, versioned schema-evolution DDL, and
-# the four new TPC-DS digest queries) and the stalest oracle-backed
-# name of each category the drain+news leave uncovered
-# (events/filter/multimodal/projection/scan/unnest — the every-family
-# property). Staleness computed from the CORRECTNESS_r*.json history
-# via tools/rotation_queue.py; after this round the stalest witness
-# anywhere in the registry is r04 (the three displaced names).
+# r14 ROTATION (VERDICT r13 next-round #2): the r13 window landed
+# 50/50 full-green, so this window drains the STALE-WITNESS TAIL —
+# computed by replaying every CORRECTNESS_r*.json for the latest
+# FULL-green (rows+schema+hash) witness per name: first
+# win_groups_frame_partitioned (r05 — the stalest name anywhere; the
+# r13 notes mis-stated the tail as r06, caught by VERDICT r13 "What's
+# wrong" #1, and tools/rotation_queue.py::stalest_witness now derives
+# the claim instead of a comment), then the FULL 32-name r06 cohort
+# (agg_cube..streaming_table_tail), then the stalest oracle-backed
+# member of each category the drain leaves uncovered (filter/join/
+# multimodal/projection/setop/sort/tpch/unnest — the every-family
+# property), then r07-vintage names in registry order. After this
+# round the stalest witness anywhere in the registry is r07. New r14
+# queries are window-joined immediately as they land, displacing the
+# newest r07 fillers.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py +
 # tools/rotation_queue.py::window_guard_violations) uses it to stay
 # green at the round boundary, and as of r09 the boundary arm demands
 # FULL green (rows+schema+hash), not merely err-free.
-DRIVER_WINDOW_ROUND = 13
+DRIVER_WINDOW_ROUND = 14
 DRIVER_WINDOW: tuple[str, ...] = (
-    # -- new in r13 (window-joined immediately; the entire
-    # never-driver-verified set): the two MATCH_RECOGNIZE limits r12
-    # promoted to next-round work — adjacent same-class pair split and
-    # mixed PREV+constant DEFINEs --
-    "win_pattern_sql_same_class",
-    "win_pattern_sql_same_class_all_rows",
-    "win_pattern_sql_mixed_define",
-    "win_pattern_sql_cycles_mid",
-    "win_pattern_sql_cycles_all_rows",
-    "win_pattern_sql_cycles_mid_all_rows",
-    "streaming_pattern_mixed_define",
-    "tpcds_q38_customer_intersect",
-    "tpcds_q14_item_intersect_revenue",
-    "tpcds_q35_store_not_web",
-    "tpcds_q51_crossover",
-    # -- re-witness: the three r04-vintage names the r12 rotation
-    # displaced (the stalest anywhere in the registry) --
-    "join_cross",
-    "tpcds_fx_channel_rollup",
-    "tpcds_fx_yoy_growth",
-    # -- re-witness: the full r05 vintage (next-stalest cohort,
-    # incl. the agg_freq/quantile_sketch pair displaced from r12) --
-    "agg_quantile_sketch",
-    # (win_groups_frame_partitioned queues for r14, displaced by
-    # win_pattern_sql_cycles_mid_all_rows; the window family is
-    # amply covered by the seven r13 pattern queries)
-    "fn_array",
-    "fn_map",
-    "events_tumbling",
-    "events_sliding",
-    "events_session_windows",
-    "ddl_dml_cow",
-    "ddl_time_travel",
-    "ddl_mor_lifecycle",
-    "ddl_hidden_partition_scan",
-    "tpcds_fx_cross_channel",
-    "tpcds_fx_rollup_topn",
-    "tpcds_fx_margin_rank",
-    "udf_sql_function",
-    "udf_pandas_grouped_agg",
-    "udf_cogroup_pandas",
-    "udf_arrow_optimized",
-    "udf_pandas_iterator",
-    "udf_pandas_window_agg",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "join_asof_tolerance",
-    "join_asof_forward",
-    "agg_freq_sketch",
-    "knn_brute_force",
-    "text_token_counts",
-    "streaming_mor_ingest",
-    # -- family coverage: stalest oracle-backed of each category the
-    # drain leaves uncovered (proj_case_cast/posexplode_ordinality are
-    # their categories' only oracle-backed members) --
+    # -- stalest witness anywhere (r05) --
+    "win_groups_frame_partitioned",
+    # -- the full r06 cohort, registry order --
+    "agg_cube",
+    "agg_rollup",
+    "agg_hll_sketch",
+    "agg_linear_regression",
+    "agg_histogram",
+    "fn_string_distance",
+    "fn_timezone",
+    "events_retention_cohort",
+    "events_path_regex",
+    "events_anomaly_zscore",
+    "ddl_schema_evolution",
+    "ddl_eq_delete_lifecycle",
+    "ddl_catalog_refs",
+    "ddl_pos_delete_lifecycle",
+    "ddl_branch_merge_threeway",
+    "ddl_change_feed",
+    "ddl_incremental_mv",
+    "ddl_restore_lifecycle",
+    "ddl_wap_publish",
+    "ddl_txn_publish",
+    "ddl_maintenance_lifecycle",
+    "source_xml_roundtrip",
+    "dedup_semantic_cluster",
+    "knn_lsh_multiprobe",
+    "text_lang_id",
+    "text_hash_split",
+    "text_pretrain_pipeline",
+    "text_tfidf_topk",
+    "streaming_dedup_watermark",
+    "streaming_mor_upsert",
+    "streaming_incremental_mv",
+    "streaming_table_tail",
+    # -- family coverage: stalest oracle-backed member of each
+    # category the drain leaves uncovered --
+    "distinct_pairs",
+    "join_anti_null_aware",
+    "multimodal_decode",
     "proj_case_cast",
-    "posexplode_ordinality",
-    "setop_intersect",
-    "multimodal_meta",
-    "filter_null_semantics",
-    "tpch_q18",
-    "source_binaryfile_ingest",
-    "sort_nulls_ordering",
-    # -- remaining slots: stalest r06-vintage names in registry order
-    # (the rest of the r06 cohort queues for r14) --
-    # (agg_cube, agg_rollup, agg_hll_sketch, agg_linear_regression,
-    # agg_histogram, fn_string_distance, fn_timezone, events_retention_cohort and the remaining r06 cohort queue for
-    # r14, displaced by win_pattern_sql_same_class_all_rows; events
-    # stays window-covered by tumbling/sliding/session_windows)
+    "setop_union_distinct",
+    "topk_offset",
+    "tpch_q5",
+    "explode_words",
+    # -- remaining slots: r07-vintage names in registry order (the
+    # rest of the r07 cohort queues for r15) --
+    "agg_percentile_approx",
+    "agg_stats_builtin",
+    "agg_map_entries",
+    "agg_min_max_by",
+    "agg_filter_clause",
+    "agg_bool_bit",
+    "agg_having",
+    "fn_array_zip",
+    "fn_conditional",
 )
 
 
