@@ -174,3 +174,124 @@ class TpchGen:
             write_parquet(
                 self.table(name), f"{out_dir}/{name}", max_records_per_file=max_records_per_file
             )
+
+
+# Distributions profiled from the driver fixtures at sf0.1
+# (TESTDATA.md): 31-word vocab, 10-100 words/doc, lang mix en 40% /
+# zh,es,fr,de 15% each, 20 uniform sources, ~0.3% exact-dup docs;
+# embeddings are unit-normalized uniform vectors (no cluster
+# structure — label-centroid norm ≈0.06 at sf0.1), dim 64, 10 labels;
+# events span 30 days, ~67 events/user, 5 uniform types,
+# exponential(mean 50) value, '{"k": N}' props.
+DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+DOC_LANGS = ["en"] * 8 + ["zh"] * 3 + ["es"] * 3 + ["fr"] * 3 + ["de"] * 3
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+EVENTS_EPOCH = "2024-01-01"
+
+
+class SyntheticGen:
+    """Generator catalog for the non-TPC-H fixture tables
+    (``documents`` / ``embeddings`` / ``events``, TESTDATA.md) at any
+    SF — the scale path for benching the LLM-pipeline operators beyond
+    the shipped sf0.1 fixtures.
+
+    Same scale posture as TpchGen: pure ``spark.range`` + column
+    expressions (every value derives from the row id via
+    ``xxhash64``), no driver-side data, no Python UDFs — document
+    text assembly, embedding normalization, and timestamp synthesis
+    all stay in whole-stage codegen, so generation parallelizes to
+    any cluster size.
+
+    Row counts are linear anchored at the sf0.1 fixtures: documents
+    50k·SF, embeddings 20k·SF (dim 64), events 1M·SF over 15k·SF
+    users.
+    """
+
+    def __init__(self, spark: SparkSession, sf: float = 0.01, seed: int = 42,
+                 splits: int | None = None, dim: int = 64):
+        self.spark = spark
+        self.sf = sf
+        self.seed = seed
+        self.dim = dim
+        self.splits = splits or spark.sparkContext.defaultParallelism
+
+    def _range(self, n: int, key: str) -> DataFrame:
+        return self.spark.range(0, n, numPartitions=self.splits).withColumnRenamed("id", key)
+
+    def documents(self) -> DataFrame:
+        n = max(1, int(50_000 * self.sf))
+        s = self.seed
+        k = F.col("doc_id")
+        # ~0.3% of docs are exact copies of their predecessor — the
+        # near-dup structure the dedup operators key on stays linear
+        # in SF instead of exploding into deep cliques.
+        base = F.when(
+            (k > 0) & (_h(s + 30, k) % 300 == 0), k - 1
+        ).otherwise(k)
+        vocab = F.array(*[F.lit(w) for w in DOC_VOCAB])
+        n_words = (_h(s + 31, base) % 91 + 10).cast("int")
+        words = F.transform(
+            F.sequence(F.lit(1), n_words),
+            lambda i: vocab[(_h(s + 32, base, i) % len(DOC_VOCAB)).cast("int")],
+        )
+        text = F.array_join(words, " ")
+        return self._range(n, "doc_id").select(
+            "doc_id",
+            text.alias("text"),
+            _pick(s + 33, k, DOC_LANGS).alias("lang"),
+            F.concat(F.lit("src"), _h(s + 34, k) % 20).alias("source"),
+            F.length(text).alias("n_chars"),
+        )
+
+    def embeddings(self) -> DataFrame:
+        n = max(1, int(20_000 * self.sf))
+        s = self.seed
+        k = F.col("vec_id")
+        raw = F.transform(
+            F.sequence(F.lit(0), F.lit(self.dim - 1)),
+            lambda d: F.lit(-1.0) + (_h(s + 40, k, d) % 1_000_000) / 500_000.0,
+        )
+        norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x))
+        return self._range(n, "vec_id").select(
+            "vec_id",
+            F.transform(raw, lambda x: (x / norm).cast("float")).alias("embedding"),
+            (_h(s + 41, k) % 10).cast("int").alias("label"),
+        )
+
+    def events(self) -> DataFrame:
+        n = max(1, int(1_000_000 * self.sf))
+        nusers = max(1, int(15_000 * self.sf))
+        s = self.seed
+        k = F.col("event_id")
+        epoch_us = F.unix_timestamp(F.lit(EVENTS_EPOCH).cast("timestamp")) * 1_000_000
+        span_us = 30 * 86_400 * 1_000_000  # 30 days at microsecond grain
+        # exponential(mean 50): -50·ln(U), U uniform in (0, 1]
+        u = (_h(s + 52, k) % 999_999 + 1) / 1_000_000.0
+        return self._range(n, "event_id").select(
+            "event_id",
+            F.timestamp_micros(
+                (epoch_us + _h(s + 50, k) % span_us).cast("long")
+            ).cast("timestamp_ntz").alias("ts"),
+            (_h(s + 51, k) % nusers).alias("user_id"),
+            _pick(s + 53, k, EVENT_TYPES).alias("event_type"),
+            F.round(-50.0 * F.log(u), 2).alias("value"),
+            F.concat(F.lit('{"k": '), _h(s + 54, k) % 100, F.lit("}")).alias("props"),
+        )
+
+    TABLES = ("documents", "embeddings", "events")
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.TABLES:
+            raise ValueError(f"unknown synthetic table {name!r}")
+        return getattr(self, name)()
+
+    def write(self, out_dir: str, tables=None, max_records_per_file: int | None = None) -> None:
+        for name in tables or self.TABLES:
+            write_parquet(
+                self.table(name), f"{out_dir}/{name}", max_records_per_file=max_records_per_file
+            )
