@@ -1168,13 +1168,14 @@ SELECT pid FROM mr_adj MATCH_RECOGNIZE (
 )
 """
         )
-    # SKIP TO NEXT ROW needs mid-island rescan anchors
-    with pytest.raises(MatchRecognizeError, match="mid-island rescan"):
-        ws.sql(
-            """
-SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+    # SKIP TO NEXT ROW over a pair: SERVED (r14 — the merged-pair
+    # pattern routes through match_skip_next; the only anchor here is
+    # day 0, every later row fails the leading down+)
+    got = ws.sql(
+        """
+SELECT pid, a0, n_up, n_up2 FROM mr_adj MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
-  MEASURES STRT.day AS a0
+  MEASURES STRT.day AS a0, COUNT(up.*) AS n_up, COUNT(up2.*) AS n_up2
   ONE ROW PER MATCH
   AFTER MATCH SKIP TO NEXT ROW
   PATTERN (STRT down+ up+ up2+)
@@ -1182,7 +1183,49 @@ SELECT pid FROM mr_adj MATCH_RECOGNIZE (
          up2 AS up2.v > PREV(up2.v)
 )
 """
-        )
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 0, 2, 1)]
+    # SKIP TO NEXT ROW with the pair LEADING the pattern: the rescan
+    # anchors mid-island — suffixes of the 3-transition ascent
+    # (days 1-4) with >= 2 transitions, each re-split greedily
+    got = ws.sql(
+        """
+SELECT pid, a0, n_up, up_end, n_up2, up2_end FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, COUNT(up.*) AS n_up, LAST(up.day) AS up_end,
+           COUNT(up2.*) AS n_up2, LAST(up2.day) AS up2_end
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT up+ up2+)
+  DEFINE up AS up.v > PREV(up.v), up2 AS up2.v > PREV(up2.v)
+)
+ORDER BY a0
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        (1, 1, 2, 3, 1, 4),
+        (1, 2, 1, 3, 1, 4),
+    ]
+    # ALL ROWS x SKIP TO NEXT ROW x pair: overlapping matches each
+    # emit their rows, classified by their own anchor's split point
+    got = ws.sql(
+        """
+SELECT pid, match_no, day, cls FROM mr_adj MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT up+ up2+)
+  DEFINE up AS up.v > PREV(up.v), up2 AS up2.v > PREV(up2.v)
+)
+ORDER BY match_no, day
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        (1, 1, 1, "STRT"), (1, 1, 2, "up"), (1, 1, 3, "up"),
+        (1, 1, 4, "up2"),
+        (1, 2, 2, "STRT"), (1, 2, 3, "up"), (1, 2, 4, "up2"),
+    ]
     # group clones report base names: (b+ c+ b2+){2} makes b2 and the
     # second b clone adjacent when b2 shares b's class
     with pytest.raises(MatchRecognizeError, match="adjacent with the same"):

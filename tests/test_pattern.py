@@ -409,6 +409,88 @@ def test_skip_next_matches_brute_rescan(spark, values, pattern):
     assert got == _brute_skip_next([float(v) for v in values], pattern)
 
 
+def _brute_split_skip_next(values, steps):
+    """Reference rescan for patterns holding adjacent SAME-class pairs
+    (r14): per anchor, a pair (A{la,ha} B{lb,hb}) consumes one maximal
+    run of length s with la+lb <= s <= ha+hb and splits it greedily —
+    A keeps c_A = min(ha, s - lb), B the remainder."""
+
+    def run_from(i, d):
+        j = i
+        while j + 1 < len(values):
+            delta = (values[j + 1] > values[j]) - (values[j + 1] < values[j])
+            if delta != d:
+                break
+            j += 1
+        return j - i
+
+    out = []
+    for a in range(len(values)):
+        pos, ok, ends = a, True, []
+        i = 0
+        while i < len(steps):
+            s = steps[i]
+            if i + 1 < len(steps) and steps[i + 1].dir == s.dir:
+                b = steps[i + 1]
+                r = run_from(pos, s.dir)
+                c_a = r - b.min_len if s.max_len is None else min(s.max_len, r - b.min_len)
+                c_b = r - c_a
+                if (
+                    c_a < s.min_len
+                    or c_b < b.min_len
+                    or (b.max_len is not None and c_b > b.max_len)
+                ):
+                    ok = False
+                    break
+                ends += [pos + c_a, pos + r]
+                pos += r
+                i += 2
+            else:
+                r = run_from(pos, s.dir)
+                if r < s.min_len or (s.max_len is not None and r > s.max_len):
+                    ok = False
+                    break
+                pos += r
+                ends.append(pos)
+                i += 1
+        if ok:
+            out.append((a, tuple(ends)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=14),
+    pattern=st.sampled_from(
+        [
+            [Step("a", UP), Step("b", UP)],                          # pair first
+            [Step("a", UP, 1, 2), Step("b", UP, 1, 3)],              # bounded pair
+            [Step("d", DOWN), Step("a", UP, 1, 2), Step("b", UP)],   # pair after a step
+            [Step("a", UP), Step("b", UP), Step("c", DOWN)],         # pair then tail
+            [Step("a", DOWN), Step("b", DOWN), Step("c", UP), Step("e", UP)],  # two pairs
+        ]
+    ),
+)
+def test_split_pair_skip_next_matches_brute_rescan(spark, values, pattern):
+    """r14 (VERDICT r13 #3): match_split_pair(skip_next=True) must
+    equal the per-row rescan on anchors and every step end — including
+    mid-island anchors when the pair leads the pattern."""
+    from walden_spark.operators.pattern import match_split_pair
+
+    df = _series(spark, values)
+    got = sorted(
+        (r["anchor_day"], tuple(r[f"{s.name}_end"] for s in pattern))
+        for r in match_split_pair(
+            df, "pid", "day", "v", pattern, skip_next=True
+        ).collect()
+    )
+    assert got == _brute_split_skip_next([float(v) for v in values], pattern)
+
+
 # ---- reluctant quantifier on the FINAL step (this session) ----
 
 

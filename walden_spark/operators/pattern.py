@@ -623,6 +623,7 @@ def match_split_pair(
     steps: list[Step],
     classifier=None,
     bin_width: int = 32,
+    skip_next: bool = False,
 ) -> DataFrame:
     """Adjacent SAME-class step pairs (r13 — closes the r12 named limit
     for the 2-step case; late r13 generalizes to several DISJOINT
@@ -661,6 +662,21 @@ def match_split_pair(
     resume point ON any pair's first-step end lands mid-island, where
     the compiled candidate set has no anchors — only boundary steps
     may be skip targets.
+
+    ``skip_next=True`` (r14 — closes the r13 named limit "same-class
+    pairs under SKIP TO NEXT ROW"): the merged pattern routes through
+    :func:`match_skip_next` instead of :func:`match_pattern`. The
+    rescan's per-row anchors compose with the split for free: for a
+    pattern-FIRST pair the suffix-anchor expansion enumerates every
+    in-bound suffix of the shared island — exactly the mid-island
+    anchors the rescan attempts — and each anchor's suffix ``s``
+    re-splits independently (``c_B = max(s − ha, lb)``, ``c_A = s −
+    c_B``), which the recovery below already computes per anchor row
+    because the merged ``_len`` column IS the suffix length under
+    skip-next. For non-first pairs, anchors live only in the first
+    step's islands (match_skip_next's completeness argument applies
+    verbatim to the merged pattern), and the recovery join is
+    per-match as before. No greedy selection runs in this mode.
     """
     pairs = [
         i for i, (x, y) in enumerate(zip(steps, steps[1:])) if x.dir == y.dir
@@ -695,9 +711,15 @@ def match_split_pair(
         else:
             msteps.append(steps[i])
             i += 1
-    m = match_pattern(
-        df, partition_col, order_col, value_col, msteps, classifier
-    )
+    if skip_next:
+        m = match_skip_next(
+            df, partition_col, order_col, value_col, msteps, classifier,
+            bin_width=bin_width,
+        )
+    else:
+        m = match_pattern(
+            df, partition_col, order_col, value_col, msteps, classifier
+        )
     anchor = f"anchor_{order_col}"
     rows = df.select(
         F.col(partition_col).alias("__p"),

@@ -1964,7 +1964,9 @@ def compile_match_recognize(
     # operators/pattern.match_split_pair; Trino matches `up+ up2+` by
     # splitting one ascent n−1 / 1). Served class: a SINGLE adjacent
     # pair in a plain single-branch pattern, one-row or all-rows,
-    # boundary skip modes (validated at the skip parse below).
+    # boundary skip modes or SKIP TO NEXT ROW (r14 — the rescan routes
+    # the merged pattern through match_skip_next; skip-resume targets
+    # validated at the skip parse below).
     # Everything deeper — a same-class TRIPLE, two separate pairs,
     # pairs inside alternation branches / PERMUTE orderings / expanded
     # group clones / cycle bodies — keeps the r12
@@ -2134,12 +2136,12 @@ def compile_match_recognize(
         # resume points compose. SKIP TO NEXT ROW's suffix-anchor
         # expansion would likewise need mid-island anchors.
         a_names = {steps[i].name for i in split_pairs}
-        if skip_next:
-            raise MatchRecognizeError(
-                "AFTER MATCH SKIP TO NEXT ROW with an adjacent "
-                "same-class pair needs mid-island rescan anchors the "
-                "compiled candidate set cannot contain — out of class"
-            )
+        # SKIP TO NEXT ROW composes (r14 — closes the r13 named limit):
+        # the merged-pair pattern routes through match_skip_next, whose
+        # suffix-anchor expansion enumerates exactly the mid-island
+        # anchors the rescan attempts for a pattern-first pair, and
+        # each anchor's suffix re-splits independently
+        # (match_split_pair(skip_next=True)).
         if resume_step in a_names:
             raise MatchRecognizeError(
                 f"AFTER MATCH resuming on {resume_step}'s last row lands "
@@ -2153,12 +2155,19 @@ def compile_match_recognize(
         # the rescan-complete match set needs no selection: every
         # successful anchor IS a kept match under this mode; a
         # reluctant FINAL step composes (truncate then suffix-expand —
-        # disjoint islands)
+        # disjoint islands); same-class pairs compose through the
+        # merged-step route (r14)
         try:
-            matched = match_skip_next(
-                source, part, order, value, steps, classifier=clf,
-                reluctant_final=final_reluctant,
-            )
+            if split_pairs is not None:
+                matched = match_split_pair(
+                    source, part, order, value, steps, classifier=clf,
+                    skip_next=True,
+                )
+            else:
+                matched = match_skip_next(
+                    source, part, order, value, steps, classifier=clf,
+                    reluctant_final=final_reluctant,
+                )
         except ValueError as ex:
             raise MatchRecognizeError(str(ex)) from ex
     else:

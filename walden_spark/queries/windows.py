@@ -2884,6 +2884,75 @@ ORDER BY user_id, match_no, day
 
 
 @query(
+    "win_pattern_sql_same_class_skip_next",
+    oracle=_ISLANDS_CTE.format(max_user=29)
+    + """
+, isl2 AS (
+  SELECT user_id, dir, grp, MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         MAX(pos) AS mpos,
+         CAST(arg_max(prev_day, pos) AS BIGINT) AS up_day,
+         CAST(arg_max(prev_n, pos) AS BIGINT) AS up_n
+  FROM runs GROUP BY user_id, dir, grp
+)
+SELECT r.user_id AS user_id,
+       CAST(r.prev_day AS BIGINT) AS anchor_day,
+       CAST(r.prev_n AS BIGINT) AS anchor_n,
+       i.up_day AS up_day, i.up_n AS up_n,
+       CAST(i.mpos - r.pos AS BIGINT) AS n_up,
+       CAST(i.ed AS BIGINT) AS end_day, i.ev AS end_n
+FROM runs r
+JOIN isl2 i ON i.user_id = r.user_id AND i.dir = r.dir AND i.grp = r.grp
+WHERE r.dir = 1 AND r.pos <= i.mpos - 1
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_same_class_skip_next(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same-class pair under AFTER MATCH SKIP TO NEXT ROW (r14 —
+    closes the r13 named limit, VERDICT r13 #3): ``PATTERN (STRT up+
+    up2+)`` with the rescan mode, so a match is attempted at EVERY
+    row — the anchors are exactly the rows of each maximal ascent
+    whose remaining suffix holds >= 2 transitions, and each anchor's
+    suffix re-splits greedily (up = all but the last transition, up2 =
+    the last), per Trino 468 rescan semantics (reference surface:
+    Trino 468 via /root/reference/tf/main.tf:82-114). Compiled by
+    :func:`walden_spark.operators.pattern.match_split_pair` with
+    ``skip_next=True``: the pair merges into one synthetic step,
+    match_skip_next's suffix-anchor expansion enumerates the
+    mid-island anchors, and the binned span join recovers up's end per
+    anchor. The oracle joins every non-final row of each ascent island
+    (the suffix anchors) to its island's tail columns. Fresh slice:
+    user_id < 29."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=29).createOrReplaceTempView(
+        "walden_mr_daily_scsn"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, up_day, up_n, n_up, end_day, end_n
+FROM walden_mr_daily_scsn MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(up.day) AS up_day, LAST(up.n) AS up_n,
+           COUNT(up.*) AS n_up,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT up+ up2+)
+  DEFINE up AS up.n > PREV(up.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_cycles_mid",
     oracle=_ISLANDS_CTE.format(max_user=49).replace(
         "\nWITH daily", "\nWITH RECURSIVE daily", 1

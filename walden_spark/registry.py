@@ -132,6 +132,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_offset",
     "tpch_q5",
     "explode_words",
+    # -- new in r14 (window-joined immediately; never driver-verified):
+    # same-class pair under SKIP TO NEXT ROW (closes the r13 named
+    # limit; displaced fn_conditional to r15 — function category stays
+    # covered by fn_string_distance/fn_timezone/fn_array_zip) --
+    "win_pattern_sql_same_class_skip_next",
     # -- remaining slots: r07-vintage names in registry order (the
     # rest of the r07 cohort queues for r15) --
     "agg_percentile_approx",
@@ -142,7 +147,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_bool_bit",
     "agg_having",
     "fn_array_zip",
-    "fn_conditional",
 )
 
 
