@@ -3536,3 +3536,88 @@ def test_widen_column_type_promotion(spark, vt):
     ws._versioned["wt"] = t3
     ws.sql("ALTER TABLE wt ALTER COLUMN a TYPE bigint")
     assert dict(t3.read().dtypes)["a"] == "bigint"
+
+
+def test_compact_manifests_flattens_schema_run(spark, vt):
+    """r14 (VERDICT r13 #4): compact_manifests collapses the head's
+    consecutive metadata-only schema layers into ONE schema_project
+    summary whose parent skips the run — reads equal the uncompacted
+    frame exactly, time travel below the run still replays the
+    original layers, filters keep pushing through the summary, and
+    appends/recompactions compose."""
+    for i in range(4):
+        vt.add_column(f"c{i}", "int", default=i)          # v1..v4
+    vt.widen_column("c1", "bigint")                       # v5
+    vt.rename_column("c2", "c2r")                         # v6
+    vt.drop_column("c3")                                  # v7
+    vt.add_column("s", "string", default="it's 'quoted'") # v8
+    pre = vt.read()
+    pre_cols, pre_types = pre.columns, dict(pre.dtypes)
+    pre_rows = sorted(tuple(r) for r in pre.collect())
+    v = vt.compact_manifests()                            # v9
+    assert v == 9
+    post = vt.read()
+    assert post.columns == pre_cols
+    assert dict(post.dtypes) == pre_types
+    assert sorted(tuple(r) for r in post.collect()) == pre_rows
+    # the summary's parent skips the run: head chain = summary -> base
+    by_v = {m["version"]: m for m in vt._manifests()}
+    assert by_v[9]["parent"] == 0
+    assert "schema_project" in by_v[9]
+    # time travel to mid-run versions replays the original layers
+    assert vt.read(version=4).columns == ["id", "v", "c0", "c1", "c2", "c3"]
+    assert vt.read(version=6).columns == ["id", "v", "c0", "c1", "c2r", "c3"]
+    # string default survived the SQL-literal quoting round-trip
+    assert post.select("s").distinct().collect()[0][0] == "it's 'quoted'"
+    # filters: base-backed columns push through the summary (renamed
+    # and widened included), added columns defer to the head residual
+    assert sorted(r.id for r in vt.scan([("id", "<", 3)]).collect()) == [0, 1, 2]
+    assert vt.scan([("c2r", "=", 2)]).count() == 10
+    assert vt.scan([("s", "=", "nope")]).count() == 0
+    # a single schema layer (or none) is a no-op
+    assert vt.compact_manifests() is None
+    # appends + further DDL after compaction; recompaction composes
+    vt.append(
+        spark.createDataFrame(
+            [(100, 1.0, 0, 1, 2, "x")],
+            "id long, v double, c0 int, c1 bigint, c2r int, s string",
+        )
+    )
+    vt.add_column("d0", "int", default=7)
+    vt.add_column("d1", "int")
+    v2 = vt.compact_manifests()
+    assert v2 is not None
+    got = {r.id: (r.d0, r.s) for r in vt.read().collect()}
+    assert got[0] == (7, "it's 'quoted'") and got[100] == (7, "x")
+    assert vt.read().count() == 11
+
+
+def test_compact_manifests_recompaction_composes_over_summary(spark, vt):
+    """A second compact_manifests whose run ENDS at a prior summary
+    re-bases through it: chained safe widenings collapse to one cast
+    and values/types equal the layer-by-layer replay."""
+    vt.add_column("w", "int", default=5)
+    vt.widen_column("w", "bigint")
+    assert vt.compact_manifests() is not None
+    # the new run sits directly on the old summary
+    vt.rename_column("w", "w2")
+    vt.add_column("z", "double", default=1.5)
+    assert vt.compact_manifests() is not None
+    by_v = {m["version"]: m for m in vt._manifests()}
+    head = vt.head()
+    assert by_v[head]["parent"] == 0  # re-rooted past BOTH runs
+    got = vt.read()
+    assert dict(got.dtypes)["w2"] == "bigint"
+    assert got.filter("w2 = 5 AND z = 1.5").count() == 10
+
+
+def test_maybe_compact_manifests_policy(spark, vt):
+    """Fires only past the layer budget; flat storms stay healthy."""
+    for i in range(3):
+        vt.add_column(f"p{i}", "int")
+    assert vt.maybe_compact_manifests(max_schema_layers=8) is None
+    for i in range(3, 10):
+        vt.add_column(f"p{i}", "int")
+    assert vt.maybe_compact_manifests(max_schema_layers=8) is not None
+    run, base_v = vt._schema_run("main")
+    assert len(run) == 1 and base_v == 0  # one summary layer on base

@@ -79,6 +79,40 @@ def main() -> None:
                 f"scan_wall={w:6.3f}s filtered_scan_wall={fw:6.3f}s{ratio}"
             )
             prev_wall = w
+        # r14 lane (VERDICT r13 #4): the same DDL storm with
+        # maybe_compact_manifests after each commit — the per-commit
+        # wall must stay FLAT in layer count (it may still track the
+        # assembled WIDTH, like the scans above)
+        print("# compacted lane: maybe_compact_manifests(max_schema_layers=8)")
+        path = os.path.join(base, "t_compacted")
+        t = VersionedTable(spark, path)
+        t.write(
+            spark.range(N_ROWS).selectExpr(
+                "id", "CAST(id % 97 AS INT) AS k", "CAST(id AS DOUBLE) AS v"
+            )
+        )
+        depth = DEPTHS[-1]
+        walls = []
+        for i in range(depth):
+            s = time.time()
+            if i % 10 == 9:
+                t.widen_column(f"c{i - 1}", "bigint")
+            else:
+                t.add_column(f"c{i}", "int", default=i)
+            t.maybe_compact_manifests(max_schema_layers=8)
+            walls.append(time.time() - s)
+        for lo in range(0, depth, 25):
+            seg = walls[lo : lo + 25]
+            print(
+                f"commits {lo:3d}-{lo + len(seg) - 1:3d}: "
+                f"avg_commit_wall={sum(seg) / len(seg):6.3f}s"
+            )
+        n = t.read().count()
+        assert n == N_ROWS
+        s = time.time()
+        t.read().count()
+        print(f"post-storm scan_wall={time.time() - s:6.3f}s "
+              f"cols={len(t.read().columns)}")
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

@@ -1370,3 +1370,65 @@ def ddl_mv_rollup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     spark.sql("DROP TABLE walden_mv_li_rollup")
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "ddl_manifest_compaction",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey,
+       CAST(7 AS BIGINT) AS zone, 'ref' AS origin
+FROM nation
+UNION ALL
+SELECT n_nationkey + 100, 'X_' || n_name, n_regionkey,
+       CAST(n_nationkey AS BIGINT) AS zone, 'new' AS origin
+FROM nation WHERE n_regionkey = 0
+ORDER BY n_nationkey
+""",
+    category="ddl",
+)
+def ddl_manifest_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest compaction maintenance op (r14, VERDICT r13 #4 — the
+    depth probe's one growth term): a versioned table takes a DDL
+    storm (ADD/WIDEN/RENAME/DROP COLUMN, all metadata-only layers),
+    then ``compact_manifests()`` collapses the run into ONE
+    schema_project summary whose parent skips it — the Iceberg
+    rewrite_manifests analog (the reference's tables live on
+    Nessie-versioned Iceberg manifests, tf/main.tf:93-98). The read
+    after compaction must equal the layer-by-layer replay, appends
+    land on the compacted head, and the oracle recomputes the final
+    frame from the fixture directly."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from walden_spark.timetravel import VersionedTable
+
+    t = Tables(spark, sf_dir)
+    loc = _tf.mkdtemp(prefix="walden_mc_")
+    try:
+        vt = VersionedTable(spark, f"{loc}/nation_evo")
+        vt.write(t.nation.select("n_nationkey", "n_name", "n_regionkey"))
+        vt.add_column("zone", "int", default=7)
+        vt.add_column("tmp", "int")
+        vt.widen_column("zone", "bigint")
+        vt.add_column("origin", "string", default="ref")
+        vt.drop_column("tmp")
+        v = vt.compact_manifests()
+        assert v is not None, "schema run must compact"
+        # the summary must have re-rooted the replay chain at the base
+        head_m = {m["version"]: m for m in vt._manifests()}[vt.head()]
+        assert head_m["parent"] == 0 and "schema_project" in head_m
+        vt.append(
+            t.nation.filter(F.col("n_regionkey") == 0).select(
+                (F.col("n_nationkey") + 100).alias("n_nationkey"),
+                F.concat(F.lit("X_"), F.col("n_name")).alias("n_name"),
+                "n_regionkey",
+                F.col("n_nationkey").cast("bigint").alias("zone"),
+                F.lit("new").alias("origin"),
+            )
+        )
+        out = vt.read().orderBy("n_nationkey")
+        rows = out.collect()
+        schema = out.schema
+    finally:
+        _sh.rmtree(loc, ignore_errors=True)
+    return spark.createDataFrame(rows, schema)

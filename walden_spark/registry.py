@@ -134,9 +134,11 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "explode_words",
     # -- new in r14 (window-joined immediately; never driver-verified):
     # same-class pair under SKIP TO NEXT ROW (closes the r13 named
-    # limit; displaced fn_conditional to r15 — function category stays
-    # covered by fn_string_distance/fn_timezone/fn_array_zip) --
+    # limit) and the manifest-compaction maintenance op; displaced
+    # fn_conditional/fn_array_zip to r15 — function category stays
+    # covered by fn_string_distance/fn_timezone --
     "win_pattern_sql_same_class_skip_next",
+    "ddl_manifest_compaction",
     # -- remaining slots: r07-vintage names in registry order (the
     # rest of the r07 cohort queues for r15) --
     "agg_percentile_approx",
@@ -146,7 +148,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "agg_filter_clause",
     "agg_bool_bit",
     "agg_having",
-    "fn_array_zip",
 )
 
 

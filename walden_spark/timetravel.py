@@ -385,6 +385,18 @@ def _filters_to_column(filters: Sequence[tuple]) -> Column | None:
     return out
 
 
+def _sql_literal(v) -> str:
+    """SQL literal for a JSON-manifest default (None/bool/int/float/
+    str — the types add_column admits); strings single-quote-escape."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _is_safe_widening(old_t, new_t) -> bool:
     """Iceberg-style type promotion check: value- and order-preserving
     widenings only (integral up-casts, float->double, decimal precision
@@ -1234,6 +1246,7 @@ class VersionedTable:
         n_files: int | None = None,
         _mor: dict | None = None,
         _meta: dict | None = None,
+        _parent_override: int | None = None,
     ) -> int:
         """Commit ``df`` as the next snapshot on ``branch``; returns its
         version. Optimistic protocol: data stages to a commit-unique
@@ -1285,7 +1298,11 @@ class VersionedTable:
         v = ms[-1]["version"] + 1 if ms else 0
         manifest = {
             "version": v,
-            "parent": parent,
+            # _parent_override lets a maintenance commit re-root its
+            # REPLAY chain at an ancestor (compact_manifests skips the
+            # collapsed schema run); the ref CAS below still moves from
+            # the true head, so branch serialization is unchanged
+            "parent": parent if _parent_override is None else _parent_override,
             "branch": branch,
             "timestamp": time.time(),
             "operation": operation,
@@ -1583,6 +1600,21 @@ class VersionedTable:
             if addc is not None:
                 hit = [h for h, loc in name_map.items() if loc == addc["name"]]
                 masked.update(hit or [addc["name"]])
+            sp = layer.get("schema_project")
+            if sp is not None:
+                # compacted schema run (compact_manifests): literal
+                # columns mask like add_column; base-backed columns
+                # name-map like rename (widening casts are value/
+                # order-preserving, so their filters keep pushing)
+                for c in sp["columns"]:
+                    hit = [h for h, loc in name_map.items() if loc == c["name"]]
+                    if c.get("from") is None:
+                        masked.update(hit or [c["name"]])
+                    else:
+                        for h in hit:
+                            name_map[h] = c["from"]
+                        if not hit:
+                            name_map[c["name"]] = c["from"]
         base_filters = self._xlate_filters(visible(filters), name_map)
         # position-delete layers anti-join on (file, row_index), so the
         # base and every appended layer must carry those hidden columns
@@ -1590,6 +1622,28 @@ class VersionedTable:
         df = self._read_snapshot(cur, base_filters, with_pos=with_pos)
         for layer, lf in zip(reversed(chain), reversed(layer_filters)):
             # oldest layer first
+            sp = layer.get("schema_project")
+            if sp is not None:
+                # compacted schema run: the NET rename/add/drop/widen
+                # transform applies as ONE projection instead of one
+                # plan node per collapsed DDL layer — the flat-commit
+                # guarantee compact_manifests provides. Built as SQL
+                # strings + one selectExpr so the py4j round-trip count
+                # is O(1) in column count, not O(width)
+                exprs = [
+                    f"CAST({_sql_literal(c.get('default'))} AS {c['type']}) "
+                    f"AS `{c['name']}`"
+                    if c.get("from") is None
+                    else f"CAST(`{c['from']}` AS {c['type']}) AS `{c['name']}`"
+                    for c in sp["columns"]
+                ]
+                exprs += [
+                    f"`{h}`"
+                    for h in (self._POS_FILE, self._POS_IDX)
+                    if h in df.columns
+                ]
+                df = df.selectExpr(*exprs)
+                continue
             ren = layer.get("rename")
             if ren is not None:
                 df = df.withColumnRenamed(ren["from"], ren["to"])
@@ -2212,7 +2266,7 @@ class VersionedTable:
         op = manifest.get("operation", "")
         if op in (
             "compact", "zorder", "rename_column", "add_column",
-            "drop_column", "widen_column",
+            "drop_column", "widen_column", "compact_manifests",
         ):
             # compaction/clustering rewrite bytes, not rows; schema DDL
             # changes the SHAPE of every row, which a row-level change
@@ -2894,6 +2948,123 @@ class VersionedTable:
         if layers <= max_layers and files <= max_files:
             return None
         return self.compact(branch=branch, **compact_kwargs)
+
+    _SCHEMA_LAYER_KINDS = (
+        "rename", "add_column", "drop_column", "widen_column", "schema_project"
+    )
+
+    def _schema_run(self, branch: str) -> tuple[list[dict], int | None]:
+        """(newest-first run of consecutive metadata-only SCHEMA layers
+        at the head, version below the run). Data-bearing layers
+        (appends, deletes, upserts) stop the run — they must keep
+        replaying individually."""
+        head = self.head(branch)
+        if head is None:
+            return [], None
+        by_v = {m["version"]: m for m in self._manifests()}
+        run: list[dict] = []
+        v: int | None = head
+        while v is not None and v in by_v:
+            m = by_v[v]
+            if not m.get("mor") or not any(
+                k in m for k in self._SCHEMA_LAYER_KINDS
+            ):
+                break
+            if m.get("data_dir") or m.get("extra_delete_dir"):
+                break  # defensive: schema layers are metadata-only today
+            run.append(m)
+            v = m.get("parent")
+        if v is None or v not in by_v:
+            return [], None
+        return run, v
+
+    def compact_manifests(self, branch: str = "main") -> int | None:
+        """Collapse the head's run of consecutive metadata-only schema
+        layers (add/drop/widen/rename — VERDICT r13 #4, the depth
+        probe's one growth term: each DDL commit re-plans the full
+        layer stack, so a straight-line DDL storm costs O(layers²))
+        into ONE ``schema_project`` summary layer whose parent skips
+        the run. Metadata-only — no data rewrite (that is
+        :meth:`compact`'s job) — so it is the manifest analog of
+        Iceberg's rewrite_manifests. History below stays readable:
+        the collapsed manifests remain on disk and time travel to any
+        mid-run version replays the original layers; retention is
+        still :meth:`expire_versions`' call. Returns the new version,
+        or None when the head has fewer than two schema layers."""
+        run, base_v = self._schema_run(branch)
+        if len(run) < 2:
+            return None
+        by_v = {m["version"]: m for m in self._manifests()}
+        base_schema = self._dataframe_for(by_v[base_v], by_v, None).schema
+        cols: list[dict] = [
+            {
+                "name": f.name,
+                "from": f.name,
+                "type": f.dataType.simpleString(),
+                "default": None,
+            }
+            for f in base_schema.fields
+        ]
+        for layer in reversed(run):  # oldest first
+            if (ren := layer.get("rename")) is not None:
+                for c in cols:
+                    if c["name"] == ren["from"]:
+                        c["name"] = ren["to"]
+                        break
+            elif (ac := layer.get("add_column")) is not None:
+                cols.append(
+                    {
+                        "name": ac["name"],
+                        "from": None,
+                        "type": ac["type"],
+                        "default": ac.get("default"),
+                    }
+                )
+            elif (dc := layer.get("drop_column")) is not None:
+                cols = [c for c in cols if c["name"] != dc["name"]]
+            elif (wc := layer.get("widen_column")) is not None:
+                for c in cols:
+                    if c["name"] == wc["name"]:
+                        c["type"] = wc["to"]
+                        break
+            elif (sp := layer.get("schema_project")) is not None:
+                # recompaction composes: the prior summary is the run's
+                # OLDEST layer, so `cols` currently IS its base frame —
+                # re-base each summary column through it (chained safe
+                # widenings collapse to one cast: each step preserves
+                # values and order, hence so does the direct cast)
+                prev = {c["name"]: c for c in cols}
+                cols = [
+                    dict(c2)
+                    if c2.get("from") is None
+                    else {
+                        "name": c2["name"],
+                        "from": prev[c2["from"]]["from"],
+                        "type": c2["type"],
+                        "default": None,
+                    }
+                    for c2 in sp["columns"]
+                ]
+        return self.write(
+            None,
+            operation="compact_manifests",
+            branch=branch,
+            _mor={"schema_project": {"columns": cols}},
+            _parent_override=base_v,
+        )
+
+    def maybe_compact_manifests(
+        self, branch: str = "main", max_schema_layers: int = 8
+    ) -> int | None:
+        """Policy wrapper (same shape as :meth:`maybe_compact`): fire
+        :meth:`compact_manifests` only when the head's consecutive
+        schema-layer run exceeds ``max_schema_layers``. Reads manifests
+        only, so a DDL pipeline can call it after every ALTER for a
+        flat per-commit wall at any depth."""
+        run, _ = self._schema_run(branch)
+        if len(run) <= max_schema_layers:
+            return None
+        return self.compact_manifests(branch=branch)
 
     def manifests(self) -> DataFrame:
         """Iceberg ``$manifests`` metadata-table analog, extended with
