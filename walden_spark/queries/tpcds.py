@@ -75,6 +75,8 @@ FROZEN_DIGESTS: dict[str, tuple[int, int]] = {
     "tpcds_q35_store_not_web": (33, 18353282251400),
     "tpcds_q38_customer_intersect": (8, 4170841185605),
     "tpcds_q51_crossover": (1, 656129583056),
+    # r14 addition (pinned under local[8]/8 AND local[3]/17)
+    "tpcds_q72_inventory": (100, 55368138509196),
 }
 
 
@@ -2070,4 +2072,88 @@ def tpcds_q51_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("ik").alias("item_sk"))
         .agg(F.min("dk").cast("bigint").alias("first_cross"))
         .orderBy("item_sk")
+    )
+
+
+@_tpcds(
+    "tpcds_q72_inventory",
+    """
+SELECT i_item_id, w_warehouse_name, d1.d_week_seq AS week_seq,
+       CAST(COUNT(*) AS BIGINT) AS n_low_stock
+FROM catalog_sales
+JOIN date_dim d1 ON cs_sold_date_sk = d1.d_date_sk
+JOIN date_dim d3 ON cs_ship_date_sk = d3.d_date_sk
+JOIN inventory ON cs_item_sk = inv_item_sk
+JOIN date_dim d2 ON inv_date_sk = d2.d_date_sk
+                AND d2.d_week_seq = d1.d_week_seq
+JOIN warehouse ON inv_warehouse_sk = w_warehouse_sk
+JOIN item ON cs_item_sk = i_item_sk
+WHERE inv_quantity_on_hand < cs_quantity
+  AND d3.d_date > d1.d_date + 5
+GROUP BY i_item_id, w_warehouse_name, d1.d_week_seq
+ORDER BY n_low_stock DESC, i_item_id, w_warehouse_name, week_seq
+LIMIT 100
+""",
+)
+def tpcds_q72_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS Q72 shape (r14, VERDICT r13 #6): the big-fact-to-big-fact
+    DATE-OFFSET join — catalog_sales x inventory on (item, week), three
+    date_dim roles (sold / inventory / ship), low-stock weeks where the
+    order shipped more than 5 days after the sale. Scale plan: both
+    facts derive a week_seq via BROADCAST date_dim joins, then meet in
+    ONE composite-key (item, week) shuffle — the only fact-sized
+    exchange; the on-hand < quantity and ship-lag predicates are
+    residuals, never join-explosion terms; item/warehouse dims
+    broadcast after the fact-fact join has already shrunk the row set.
+    At 100 TB this is the pre-bucketing candidate pair (bucket both
+    facts on item_sk, same count) — the equi-join form is what makes
+    that co-location possible."""
+    g = _gen(spark)
+    dd = g.date_dim()
+    d1 = dd.select(
+        F.col("d_date_sk").alias("d1_sk"),
+        F.col("d_week_seq").alias("week_seq"),
+        F.col("d_date").alias("d1_date"),
+    )
+    d3 = dd.select(
+        F.col("d_date_sk").alias("d3_sk"), F.col("d_date").alias("d3_date")
+    )
+    d2 = dd.select(
+        F.col("d_date_sk").alias("d2_sk"), F.col("d_week_seq").alias("inv_week")
+    )
+    cs = (
+        g.catalog_sales()
+        .join(F.broadcast(d1), F.col("cs_sold_date_sk") == F.col("d1_sk"))
+        .join(F.broadcast(d3), F.col("cs_ship_date_sk") == F.col("d3_sk"))
+        .filter(F.col("d3_date") > F.date_add(F.col("d1_date"), 5))
+        .select("cs_item_sk", "cs_quantity", "week_seq")
+    )
+    inv = (
+        g.inventory()
+        .join(F.broadcast(d2), F.col("inv_date_sk") == F.col("d2_sk"))
+        .select(
+            "inv_item_sk", "inv_warehouse_sk", "inv_quantity_on_hand", "inv_week"
+        )
+    )
+    return (
+        cs.join(
+            inv,
+            (F.col("cs_item_sk") == F.col("inv_item_sk"))
+            & (F.col("week_seq") == F.col("inv_week")),
+        )
+        .filter(F.col("inv_quantity_on_hand") < F.col("cs_quantity"))
+        .join(
+            F.broadcast(g.item().select("i_item_sk", "i_item_id")),
+            F.col("cs_item_sk") == F.col("i_item_sk"),
+        )
+        .join(
+            F.broadcast(g.warehouse().select("w_warehouse_sk", "w_warehouse_name")),
+            F.col("inv_warehouse_sk") == F.col("w_warehouse_sk"),
+        )
+        .groupBy("i_item_id", "w_warehouse_name", "week_seq")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_low_stock"))
+        .orderBy(
+            F.desc("n_low_stock"), "i_item_id", "w_warehouse_name", "week_seq"
+        )
+        .limit(100)
     )

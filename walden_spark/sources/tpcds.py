@@ -47,6 +47,7 @@ class TpcdsGen:
             F.month(d).cast("int").alias("d_moy"),
             F.dayofmonth(d).cast("int").alias("d_dom"),
             F.quarter(d).cast("int").alias("d_qoy"),
+            F.floor(k / 7).cast("int").alias("d_week_seq"),
         )
 
     def item(self) -> DataFrame:
@@ -135,9 +136,15 @@ class TpcdsGen:
         k = F.col("cs_order_number")
         qty = (_h(s + 58, k) % 100 + 1).cast("int")
         price = _uniform(s + 59, k, 0.5, 300.0)
+        sold = _h(s + 55, k) % N_DAYS
         return self._range(n, "cs_order_number").select(
             "cs_order_number",
-            (_h(s + 55, k) % N_DAYS).alias("cs_sold_date_sk"),
+            sold.alias("cs_sold_date_sk"),
+            # ship lag 1-30 days (r14, for the Q72 ship-after-sold
+            # predicate); clamped inside the date_dim domain
+            F.least(sold + (_h(s + 61, k) % 30 + 1), F.lit(N_DAYS - 1)).alias(
+                "cs_ship_date_sk"
+            ),
             (_h(s + 56, k) % nitem).alias("cs_item_sk"),
             (_h(s + 57, k) % ncust).alias("cs_customer_sk"),
             qty.alias("cs_quantity"),
@@ -168,9 +175,40 @@ class TpcdsGen:
             ).alias("sr_return_amt"),
         )
 
+    def warehouse(self) -> DataFrame:
+        """Small dim for the inventory snapshots (TPC-DS has 5 at
+        sf1; floor of 2 keeps the grouping interesting at test SFs)."""
+        n = max(2, int(5 * self.sf))
+        k = F.col("w_warehouse_sk")
+        return self._range(n, "w_warehouse_sk").select(
+            "w_warehouse_sk",
+            F.concat(F.lit("Warehouse_"), k).alias("w_warehouse_name"),
+            _pick(self.seed + 63, k, STATES).alias("w_state"),
+        )
+
+    def inventory(self) -> DataFrame:
+        """Weekly on-hand snapshot per (item, warehouse) — TPC-DS's
+        BIGGEST table at low SF, and the second big fact the Q72
+        date-offset join stresses. Pure index decomposition over one
+        ``spark.range`` (week-major), quantity hash-derived."""
+        nitem = max(1, int(18_000 * self.sf))
+        nwh = max(2, int(5 * self.sf))
+        n_weeks = N_DAYS // 7
+        s = self.seed
+        idx = F.col("inv_sk")
+        week = idx % n_weeks
+        rest = F.floor(idx / n_weeks)
+        return self._range(n_weeks * nitem * nwh, "inv_sk").select(
+            (week * 7).alias("inv_date_sk"),  # the week's first day
+            (rest % nitem).alias("inv_item_sk"),
+            F.floor(rest / nitem).alias("inv_warehouse_sk"),
+            (_h(s + 62, idx) % 1000).cast("int").alias("inv_quantity_on_hand"),
+        )
+
     TABLES = (
         "date_dim", "item", "store", "customer", "store_sales",
-        "store_returns", "web_sales", "catalog_sales",
+        "store_returns", "web_sales", "catalog_sales", "warehouse",
+        "inventory",
     )
 
     def table(self, name: str) -> DataFrame:
