@@ -1120,20 +1120,25 @@ def test_adjacent_same_class_deeper_compositions_raise(spark):
     spark.createDataFrame(
         rows, "pid int, day long, v double"
     ).createOrReplaceTempView("mr_adj")
-    # same-class TRIPLE: two overlapping pairs
-    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
-        ws.sql(
-            """
-SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+    # same-class TRIPLE: SERVED since r14 — the lexicographic greedy
+    # split over the one shared ascent (3 transitions over days 1-4)
+    # gives each later member its minimum: up/up2/up3 = 1/1/1
+    got = ws.sql(
+        """
+SELECT pid, a0, n1, e1, n2, e2, n3, e3 FROM mr_adj MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
-  MEASURES STRT.day AS a0
+  MEASURES STRT.day AS a0,
+           COUNT(up.*) AS n1, LAST(up.day) AS e1,
+           COUNT(up2.*) AS n2, LAST(up2.day) AS e2,
+           COUNT(up3.*) AS n3, LAST(up3.day) AS e3
   ONE ROW PER MATCH
   PATTERN (STRT up+ up2+ up3+)
   DEFINE up AS up.v > PREV(up.v), up2 AS up2.v > PREV(up2.v),
          up3 AS up3.v > PREV(up3.v)
 )
 """
-        )
+    ).collect()
+    assert [tuple(r) for r in got] == [(1, 1, 1, 2, 1, 3, 1, 4)]
     # ALL ROWS over a pair: SERVED — the split emits exact per-step
     # boundaries, so CLASSIFIER() maps the shared island's rows to
     # up/up2 by the split point

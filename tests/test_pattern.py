@@ -410,10 +410,11 @@ def test_skip_next_matches_brute_rescan(spark, values, pattern):
 
 
 def _brute_split_skip_next(values, steps):
-    """Reference rescan for patterns holding adjacent SAME-class pairs
-    (r14): per anchor, a pair (A{la,ha} B{lb,hb}) consumes one maximal
-    run of length s with la+lb <= s <= ha+hb and splits it greedily —
-    A keeps c_A = min(ha, s - lb), B the remainder."""
+    """Reference rescan for patterns holding adjacent SAME-class runs
+    (r14, any length): per anchor, a run of members (each {l_t,h_t})
+    consumes one maximal island of length s with Σl <= s <= Σh and
+    splits it lexicographically-greedily — c_t = min(h_t, rem - Σ
+    later lows), the last member taking the remainder."""
 
     def run_from(i, d):
         j = i
@@ -429,30 +430,42 @@ def _brute_split_skip_next(values, steps):
         pos, ok, ends = a, True, []
         i = 0
         while i < len(steps):
-            s = steps[i]
-            if i + 1 < len(steps) and steps[i + 1].dir == s.dir:
-                b = steps[i + 1]
-                r = run_from(pos, s.dir)
-                c_a = r - b.min_len if s.max_len is None else min(s.max_len, r - b.min_len)
-                c_b = r - c_a
-                if (
-                    c_a < s.min_len
-                    or c_b < b.min_len
-                    or (b.max_len is not None and c_b > b.max_len)
-                ):
-                    ok = False
-                    break
-                ends += [pos + c_a, pos + r]
-                pos += r
-                i += 2
-            else:
-                r = run_from(pos, s.dir)
+            g = 1
+            while i + g < len(steps) and steps[i + g].dir == steps[i].dir:
+                g += 1
+            members = steps[i : i + g]
+            r = run_from(pos, steps[i].dir)
+            if g == 1:
+                s = members[0]
                 if r < s.min_len or (s.max_len is not None and r > s.max_len):
                     ok = False
                     break
                 pos += r
                 ends.append(pos)
-                i += 1
+            else:
+                rem = r
+                cs = []
+                for t, s in enumerate(members):
+                    if t == g - 1:
+                        c = rem
+                    else:
+                        c = rem - sum(m.min_len for m in members[t + 1 :])
+                        if s.max_len is not None:
+                            c = min(s.max_len, c)
+                    cs.append(c)
+                    rem -= c
+                if any(
+                    c < s.min_len or (s.max_len is not None and c > s.max_len)
+                    for c, s in zip(cs, members)
+                ):
+                    ok = False
+                    break
+                off = pos
+                for c in cs:
+                    off += c
+                    ends.append(off)
+                pos += r
+            i += g
         if ok:
             out.append((a, tuple(ends)))
     return sorted(out)
@@ -472,6 +485,9 @@ def _brute_split_skip_next(values, steps):
             [Step("d", DOWN), Step("a", UP, 1, 2), Step("b", UP)],   # pair after a step
             [Step("a", UP), Step("b", UP), Step("c", DOWN)],         # pair then tail
             [Step("a", DOWN), Step("b", DOWN), Step("c", UP), Step("e", UP)],  # two pairs
+            [Step("a", UP), Step("b", UP), Step("c", UP)],           # triple (r14 run)
+            [Step("a", UP, 1, 2), Step("b", UP, 1, 1), Step("c", UP)],  # bounded triple
+            [Step("d", DOWN), Step("a", UP), Step("b", UP), Step("c", UP)],  # triple after step
         ]
     ),
 )
@@ -489,6 +505,45 @@ def test_split_pair_skip_next_matches_brute_rescan(spark, values, pattern):
         ).collect()
     )
     assert got == _brute_split_skip_next([float(v) for v in values], pattern)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=14),
+    pattern=st.sampled_from(
+        [
+            [Step("a", UP), Step("b", UP), Step("c", UP)],           # triple
+            [Step("a", UP, 1, 2), Step("b", UP, 1, 1), Step("c", UP)],
+            [Step("d", DOWN), Step("a", UP), Step("b", UP), Step("c", UP)],
+            [Step("a", DOWN), Step("b", DOWN), Step("c", UP), Step("e", UP)],
+        ]
+    ),
+)
+def test_split_run_skip_past_candidates_match_brute(spark, values, pattern):
+    """r14 (same-class runs of any length): the skip-past candidate set
+    is the rescan set restricted to maximal-island START anchors — the
+    same lexicographic split, anchored only where no same-class
+    transition enters the anchor row."""
+    from walden_spark.operators.pattern import match_split_pair
+
+    vals = [float(v) for v in values]
+    d0 = pattern[0].dir
+    exp = [
+        (a, ends)
+        for a, ends in _brute_split_skip_next(vals, pattern)
+        if a == 0
+        or ((vals[a] > vals[a - 1]) - (vals[a] < vals[a - 1])) != d0
+    ]
+    df = _series(spark, values)
+    got = sorted(
+        (r["anchor_day"], tuple(r[f"{s.name}_end"] for s in pattern))
+        for r in match_split_pair(df, "pid", "day", "v", pattern).collect()
+    )
+    assert got == exp
 
 
 # ---- reluctant quantifier on the FINAL step (this session) ----

@@ -625,89 +625,89 @@ def match_split_pair(
     bin_width: int = 32,
     skip_next: bool = False,
 ) -> DataFrame:
-    """Adjacent SAME-class step pairs (r13 — closes the r12 named limit
-    for the 2-step case; late r13 generalizes to several DISJOINT
-    pairs): ``PATTERN (… A{la,ha} B{lb,hb} …)`` where A and B share one
-    transition class (e.g. both ``v > PREV(v)``).
+    """Adjacent SAME-class step RUNS (r13 served pairs; r14 generalizes
+    to runs of ANY length, closing the same-class-TRIPLE named limit):
+    ``PATTERN (… A{l0,h0} B{l1,h1} C{l2,h2} …)`` where consecutive
+    steps share one transition class (e.g. all ``v > PREV(v)``).
 
     Maximal islands cannot chain within one class, but SQL:2016 greedy
-    preferment gives the split a CLOSED FORM over one island: A, being
-    leftmost, keeps the maximum the rest of the pattern allows —
-    ``c_A = min(ha, n − lb)`` transitions of the n-long island — and B
-    takes the remainder ``c_B = max(n − ha, lb)`` (Trino 468 splits
-    ``up+ up2+`` over one ascent exactly this way: n−1 / 1). Each pair
-    compiles as ONE merged synthetic step with bounds ``{la+lb,
-    ha+hb}`` (unbounded if either side is), and the per-step columns
-    are recovered afterwards:
+    preferment gives the split a CLOSED FORM over one island: it is
+    LEXICOGRAPHIC — each member, left to right, keeps the maximum the
+    rest of the run allows —
 
-    * ``B_end``/``B_val`` = the merged island's end row (B is the tail),
-      ``B_len = c_B``;
-    * ``A_len = c_A``; ``A_end``/``A_val`` = the row ``c_A`` transitions
-      into the island, fetched with the same binned span join
-      :func:`match_reluctant_final` uses (equi on (partition, bin),
-      never a nested loop, touching only matched-span rows) — one such
-      join per pair.
+        c_t = min(h_t, rem_t − Σ_{u>t} l_u),   rem_{t+1} = rem_t − c_t
 
-    DISJOINT pairs split independently — each consumes its own maximal
-    island in full, so the closed form applies per pair with no
-    interaction. A same-class TRIPLE (two OVERLAPPING pairs) stays out
-    of class: its splits share an island and have no closed form.
-    Consistent with this compiler's island convention, bounded upper
-    quantifiers bound the RUN: a pair matches an island iff
-    ``la+lb ≤ n ≤ ha+hb``.
+    (backtracking only ever shrinks an earlier member just enough for
+    later minimums, which is exactly this formula; the g = 2 case
+    reduces to the r13 pair form ``c_A = min(ha, n − lb)``, and Trino
+    468 splits ``up+ up2+ up3+`` over one ascent n−2/1/1 this way).
+    Each run compiles as ONE merged synthetic step with bounds
+    ``{Σl, Σh}`` (unbounded if any member is), and the per-step
+    columns are recovered afterwards: the run's LAST member ends on
+    the merged island end; each INNER boundary row (offset
+    ``Σ_{u≤t} c_u`` into the island) is fetched with the same binned
+    span join :func:`match_reluctant_final` uses (equi on (partition,
+    bin), never a nested loop, touching only matched-span rows) —
+    ``g−1`` such joins per run of g members.
+
+    DISJOINT runs split independently — each consumes its own maximal
+    island in full. Consistent with this compiler's island convention,
+    bounded upper quantifiers bound the RUN: a run matches an island
+    iff ``Σl ≤ n ≤ Σh``.
 
     Output schema: identical to :func:`match_pattern` on the ORIGINAL
     steps, so greedy skip selection and the measure layer compose
     unchanged. Skip-resume caveat (enforced by the SQL compiler): a
-    resume point ON any pair's first-step end lands mid-island, where
-    the compiled candidate set has no anchors — only boundary steps
-    may be skip targets.
+    resume point ON any non-final run member's end lands mid-island,
+    where the compiled candidate set has no anchors — only boundary
+    steps may be skip targets.
 
     ``skip_next=True`` (r14 — closes the r13 named limit "same-class
     pairs under SKIP TO NEXT ROW"): the merged pattern routes through
     :func:`match_skip_next` instead of :func:`match_pattern`. The
     rescan's per-row anchors compose with the split for free: for a
-    pattern-FIRST pair the suffix-anchor expansion enumerates every
+    pattern-FIRST run the suffix-anchor expansion enumerates every
     in-bound suffix of the shared island — exactly the mid-island
     anchors the rescan attempts — and each anchor's suffix ``s``
-    re-splits independently (``c_B = max(s − ha, lb)``, ``c_A = s −
-    c_B``), which the recovery below already computes per anchor row
-    because the merged ``_len`` column IS the suffix length under
-    skip-next. For non-first pairs, anchors live only in the first
-    step's islands (match_skip_next's completeness argument applies
-    verbatim to the merged pattern), and the recovery join is
+    re-splits independently, which the recovery below already computes
+    per anchor row because the merged ``_len`` column IS the suffix
+    length under skip-next. For non-first runs, anchors live only in
+    the first step's islands (match_skip_next's completeness argument
+    applies verbatim to the merged pattern), and the recovery join is
     per-match as before. No greedy selection runs in this mode.
     """
-    pairs = [
-        i for i, (x, y) in enumerate(zip(steps, steps[1:])) if x.dir == y.dir
-    ]
-    if not pairs:
-        raise ValueError("match_split_pair needs an adjacent same-class pair")
-    for p, q in zip(pairs, pairs[1:]):
-        if q == p + 1:
-            raise ValueError(
-                "three adjacent steps share a transition class (a "
-                "same-class TRIPLE): overlapping splits share one island "
-                "and have no closed form — out of class"
-            )
-    pair_set = set(pairs)
-    msteps: list[Step] = []
-    merged_name: dict[int, str] = {}   # original pair index -> synthetic name
-    merged_pos: dict[int, int] = {}    # original pair index -> msteps position
+    # maximal runs of consecutive same-class steps, length >= 2
+    groups: list[tuple[int, int]] = []  # (start index, member count)
     i = 0
     while i < len(steps):
-        if i in pair_set:
-            a, b = steps[i], steps[i + 1]
+        j = i
+        while j + 1 < len(steps) and steps[j + 1].dir == steps[i].dir:
+            j += 1
+        if j > i:
+            groups.append((i, j - i + 1))
+        i = j + 1
+    if not groups:
+        raise ValueError("match_split_pair needs an adjacent same-class run")
+    group_start = {g[0]: g[1] for g in groups}
+    msteps: list[Step] = []
+    merged_name: dict[int, str] = {}   # group start index -> synthetic name
+    merged_pos: dict[int, int] = {}    # group start index -> msteps position
+    i = 0
+    while i < len(steps):
+        if i in group_start:
+            members = steps[i : i + group_start[i]]
             merged_max = (
-                a.max_len + b.max_len
-                if (a.max_len is not None and b.max_len is not None)
+                sum(s.max_len for s in members)
+                if all(s.max_len is not None for s in members)
                 else None
             )
-            name = f"__pair{len(merged_name)}"
+            name = f"__run{len(merged_name)}"
             merged_name[i] = name
             merged_pos[i] = len(msteps)
-            msteps.append(Step(name, a.dir, a.min_len + b.min_len, merged_max))
-            i += 2
+            msteps.append(
+                Step(name, members[0].dir, sum(s.min_len for s in members), merged_max)
+            )
+            i += len(members)
         else:
             msteps.append(steps[i])
             i += 1
@@ -726,67 +726,83 @@ def match_split_pair(
         F.col(order_col).alias("__o"),
         F.col(value_col).alias("__v"),
     ).withColumn("__bin", F.floor(F.col("__o") / bin_width))
-    for k, pi in enumerate(pairs):
-        a, b = steps[pi], steps[pi + 1]
-        pname = merged_name[pi]
-        n = F.col(f"{pname}_len")
-        if a.max_len is None:
-            c_b = F.lit(b.min_len).cast("bigint")
-        else:
-            c_b = F.greatest(
-                n - F.lit(a.max_len), F.lit(b.min_len)
-            ).cast("bigint")
-        m = m.withColumn(f"__cb{k}", c_b).withColumn(
-            f"__ca{k}", (n - F.col(f"__cb{k}")).cast("bigint")
-        )
-        j = merged_pos[pi]
+    for k, (gi, g) in enumerate(groups):
+        members = steps[gi : gi + g]
+        gname = merged_name[gi]
+        n = F.col(f"{gname}_len")
+        # lexicographic greedy over the shared island: each member
+        # keeps the maximum the REST of the run allows —
+        # c_t = min(hi_t, rem_t − Σ lo_{u>t}), rem_{t+1} = rem_t − c_t
+        # (the g = 2 case reduces to the r13 pair closed form)
+        suffix_lo = [sum(s.min_len for s in members[t + 1 :]) for t in range(g)]
+        rem = n.cast("bigint")
+        cum = F.lit(0).cast("bigint")
+        for t, s in enumerate(members):
+            if t == g - 1:
+                c_t = rem
+            else:
+                c_t = (rem - F.lit(suffix_lo[t])).cast("bigint")
+                if s.max_len is not None:
+                    c_t = F.least(F.lit(s.max_len).cast("bigint"), c_t)
+            m = m.withColumn(f"__c{k}_{t}", c_t)
+            cum = (cum + F.col(f"__c{k}_{t}")).cast("bigint")
+            m = m.withColumn(f"__cum{k}_{t}", cum)
+            rem = (n - cum).cast("bigint")
+            cum = F.col(f"__cum{k}_{t}")
+        j = merged_pos[gi]
         start = anchor if j == 0 else f"{msteps[j - 1].name}_end"
-        pair_end = f"{pname}_end"
-        keep_cols = list(m.columns)
-        spans = m.withColumn(
-            "__bin",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(start) / bin_width),
-                    F.floor(F.col(pair_end) / bin_width),
-                )
-            ),
-        ).withColumnRenamed(partition_col, "__p")
-        joined = spans.join(rows, ["__p", "__bin"]).filter(
-            (F.col("__o") > F.col(start)) & (F.col("__o") <= F.col(pair_end))
-        )
-        wo = Window.partitionBy("__p", anchor).orderBy("__o")
-        joined = joined.withColumn(
-            "__off", F.row_number().over(wo).cast("bigint")
-        ).filter(F.col("__off") == F.col(f"__ca{k}"))
-        m = joined.select(
-            F.col("__p").alias(partition_col),
-            *[F.col(c) for c in keep_cols if c != partition_col],
-            F.col("__o").alias(f"__ao{k}"),
-            F.col("__v").alias(f"__av{k}"),
-        )
+        run_end = f"{gname}_end"
+        # one binned span join per INNER boundary (g−1 of them; the
+        # run's last member ends on the merged island end) — equi on
+        # (partition, bin), touching only matched-span rows
+        for t in range(g - 1):
+            keep_cols = list(m.columns)
+            spans = m.withColumn(
+                "__bin",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col(start) / bin_width),
+                        F.floor(F.col(run_end) / bin_width),
+                    )
+                ),
+            ).withColumnRenamed(partition_col, "__p")
+            joined = spans.join(rows, ["__p", "__bin"]).filter(
+                (F.col("__o") > F.col(start)) & (F.col("__o") <= F.col(run_end))
+            )
+            wo = Window.partitionBy("__p", anchor).orderBy("__o")
+            joined = joined.withColumn(
+                "__off", F.row_number().over(wo).cast("bigint")
+            ).filter(F.col("__off") == F.col(f"__cum{k}_{t}"))
+            m = joined.select(
+                F.col("__p").alias(partition_col),
+                *[F.col(c) for c in keep_cols if c != partition_col],
+                F.col("__o").alias(f"__bo{k}_{t}"),
+                F.col("__v").alias(f"__bv{k}_{t}"),
+            )
     keep = [
         F.col(partition_col),
         F.col(anchor),
         F.col("anchor_val"),
         F.col("anchor_iseq"),
     ]
-    by_index = {pi: k for k, pi in enumerate(pairs)}
+    by_index = {gi: k for k, (gi, _) in enumerate(groups)}
     i = 0
     while i < len(steps):
-        if i in pair_set:
+        if i in group_start:
+            g = group_start[i]
             k = by_index[i]
-            a, b = steps[i], steps[i + 1]
-            pname = merged_name[i]
-            keep += [
-                F.col(f"__ao{k}").alias(f"{a.name}_end"),
-                F.col(f"__av{k}").alias(f"{a.name}_val"),
-                F.col(f"__ca{k}").alias(f"{a.name}_len"),
-                F.col(f"{pname}_end").alias(f"{b.name}_end"),
-                F.col(f"{pname}_val").alias(f"{b.name}_val"),
-                F.col(f"__cb{k}").alias(f"{b.name}_len"),
-            ]
-            i += 2
+            gname = merged_name[i]
+            for t, s in enumerate(steps[i : i + g]):
+                if t == g - 1:
+                    end_c, val_c = F.col(f"{gname}_end"), F.col(f"{gname}_val")
+                else:
+                    end_c, val_c = F.col(f"__bo{k}_{t}"), F.col(f"__bv{k}_{t}")
+                keep += [
+                    end_c.alias(f"{s.name}_end"),
+                    val_c.alias(f"{s.name}_val"),
+                    F.col(f"__c{k}_{t}").alias(f"{s.name}_len"),
+                ]
+            i += g
         else:
             s = steps[i]
             keep += [

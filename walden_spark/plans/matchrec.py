@@ -1983,14 +1983,13 @@ def compile_match_recognize(
         ]
         if not pair_idx:
             continue
-        # late r13: SEVERAL pairs are served when DISJOINT — each
-        # consumes its own maximal island in full, so the closed-form
-        # splits never interact; only OVERLAPPING pairs (a same-class
-        # triple) have no closed form
-        overlapping = any(q == p + 1 for p, q in zip(pair_idx, pair_idx[1:]))
+        # late r13 served several DISJOINT pairs; r14 serves runs of
+        # ANY length (triples+): the single-island greedy split is
+        # LEXICOGRAPHIC — c_t = min(h_t, rem − Σ later lows) — so
+        # overlapping pairs (one shared island, several members) have
+        # a closed form after all (match_split_pair's run merge).
         servable = (
-            not overlapping
-            and len(branches) == 1
+            len(branches) == 1
             and cycle_bounds is None
             and mid_cycle is None
             and not clone_map
@@ -2000,7 +1999,7 @@ def compile_match_recognize(
         # expansion and the FINAL/RUNNING measure layers read only the
         # per-step _end/_val/_len columns, which the split emits with
         # exact values — the classifier CASE then maps each row of the
-        # shared island to A or B by the split boundary.
+        # shared island to its member by the split boundaries.
         if servable:
             split_pairs = pair_idx
             continue
@@ -2010,14 +2009,14 @@ def compile_match_recognize(
         nb = _clone_base(sb.name)
         raise MatchRecognizeError(
             f"steps {na} and {nb} are adjacent with the same "
-            "transition class — served only as DISJOINT pairs in a "
-            "plain single-branch pattern (greedy closed-form split, "
-            "one-row or all-rows); inside alternation / PERMUTE / "
-            "groups / cycles, or when THREE adjacent steps share a "
-            "class (overlapping pairs), the splits interact and have "
-            "no single-island closed form — merge the steps into one "
-            "quantified step (or give them distinct classes) — out "
-            "of class"
+            "transition class — served for same-class runs of any "
+            "length in a plain single-branch pattern (lexicographic "
+            "greedy closed-form split, one-row or all-rows, boundary "
+            "skips or SKIP TO NEXT ROW); inside alternation / PERMUTE "
+            "/ groups / cycles the splits interact with the branch or "
+            "repetition structure and have no single-island closed "
+            "form — merge the steps into one quantified step (or give "
+            "them distinct classes) — out of class"
         )
     if final_reluctant and len(branches) > 1:
         raise MatchRecognizeError(
@@ -2145,10 +2144,10 @@ def compile_match_recognize(
         if resume_step in a_names:
             raise MatchRecognizeError(
                 f"AFTER MATCH resuming on {resume_step}'s last row lands "
-                "MID-island (the greedy split ends the pair's first "
-                "step inside one maximal run), where the compiled "
+                "MID-island (the greedy split ends every non-final run "
+                "member inside one maximal run), where the compiled "
                 "candidate set has no anchors — only boundary steps "
-                "may be skip targets with a same-class pair — out of "
+                "may be skip targets with a same-class run — out of "
                 "class"
             )
     if skip_next:

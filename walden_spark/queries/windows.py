@@ -2953,6 +2953,79 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_same_class_triple",
+    oracle=_ISLANDS_CTE.format(max_user=28)
+    + """
+, isl2 AS (
+  SELECT user_id, dir, grp, MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed, CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln, MAX(pos) AS mpos
+  FROM runs GROUP BY user_id, dir, grp
+)
+SELECT i.user_id AS user_id,
+       CAST(i.sp AS BIGINT) AS anchor_day, i.av AS anchor_n,
+       CAST(i.ln - 2 AS BIGINT) AS n_up,
+       CAST(r1.prev_day AS BIGINT) AS up_end,
+       CAST(r1.prev_n AS BIGINT) AS up_n,
+       CAST(r2.prev_day AS BIGINT) AS up2_end,
+       CAST(r2.prev_n AS BIGINT) AS up2_n,
+       CAST(i.ed AS BIGINT) AS up3_end, i.ev AS up3_n
+FROM isl2 i
+JOIN runs r1 ON r1.user_id = i.user_id AND r1.dir = i.dir
+            AND r1.grp = i.grp AND r1.pos = i.mpos - 1
+JOIN runs r2 ON r2.user_id = i.user_id AND r2.dir = i.dir
+            AND r2.grp = i.grp AND r2.pos = i.mpos
+WHERE i.dir = 1 AND i.ln >= 3
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_same_class_triple(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same-class TRIPLE (r14 — closes the overlapping-pairs named
+    limit): ``PATTERN (STRT up+ up2+ up3+)`` with all three steps
+    DEFINEd ``n > PREV(n)``. The single-island greedy split is
+    LEXICOGRAPHIC — each member, left to right, keeps the maximum the
+    rest allows: over an ascent of n transitions Trino 468 assigns
+    n−2 / 1 / 1 (reference surface: Trino 468 via
+    /root/reference/tf/main.tf:82-114). Compiled by
+    :func:`walden_spark.operators.pattern.match_split_pair`'s r14 run
+    merge: the triple becomes one synthetic step with bounds {3,∞},
+    inner boundaries recovered by two binned span joins. Matches are
+    whole ascents, so SKIP PAST LAST ROW keeps every candidate; the
+    oracle joins each ascent island (ln >= 3) to its last two
+    transition rows. Fresh slice: user_id < 28."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=28).createOrReplaceTempView(
+        "walden_mr_daily_sct"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, n_up, up_end, up_n,
+       up2_end, up2_n, up3_end, up3_n
+FROM walden_mr_daily_sct MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           COUNT(up.*) AS n_up,
+           LAST(up.day) AS up_end, LAST(up.n) AS up_n,
+           LAST(up2.day) AS up2_end, LAST(up2.n) AS up2_n,
+           LAST(up3.day) AS up3_end, LAST(up3.n) AS up3_n
+  ONE ROW PER MATCH
+  PATTERN (STRT up+ up2+ up3+)
+  DEFINE up AS up.n > PREV(up.n), up2 AS up2.n > PREV(up2.n),
+         up3 AS up3.n > PREV(up3.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_cycles_mid",
     oracle=_ISLANDS_CTE.format(max_user=49).replace(
         "\nWITH daily", "\nWITH RECURSIVE daily", 1

@@ -134,20 +134,21 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "explode_words",
     # -- new in r14 (window-joined immediately; never driver-verified):
     # same-class pair under SKIP TO NEXT ROW (closes the r13 named
-    # limit) and the manifest-compaction maintenance op; displaced
-    # fn_conditional/fn_array_zip to r15 — function category stays
-    # covered by fn_string_distance/fn_timezone --
+    # limit), the same-class TRIPLE (lexicographic run split), and the
+    # manifest-compaction maintenance op; displaced fn_conditional/
+    # fn_array_zip/agg_having to r15 — function category stays covered
+    # by fn_string_distance/fn_timezone, aggregate by six other names --
     "win_pattern_sql_same_class_skip_next",
+    "win_pattern_sql_same_class_triple",
     "ddl_manifest_compaction",
+    "tpcds_q72_inventory",
     # -- remaining slots: r07-vintage names in registry order (the
     # rest of the r07 cohort queues for r15) --
     "agg_percentile_approx",
     "agg_stats_builtin",
     "agg_map_entries",
     "agg_min_max_by",
-    "agg_filter_clause",
     "agg_bool_bit",
-    "agg_having",
 )
 
 
