@@ -814,12 +814,13 @@ SELECT pid, cls, anchor_day, end_day FROM mr_two_perm MATCH_RECOGNIZE (
     assert [(r.pid, r.cls, r.anchor_day, r.end_day) for r in got] == [
         (41, "hi", 0, 4)
     ]
-    # overlapping class sets across the groups: the colliding ordering
-    # raises the adjacency named limit rather than silently missing
-    # the standard's run-splitting matches
-    with pytest.raises(MatchRecognizeError, match="adjacent with the same"):
-        ws.sql(
-            """
+    # overlapping class sets across the groups (r14 — the r12
+    # DISJOINT constraint dissolved): colliding cartesian orderings
+    # place two same-class steps adjacent, which the per-branch run
+    # split now serves. On this data no ordering completes (only two
+    # islands exist for four steps) — zero rows, not an error.
+    got = ws.sql(
+        """
 SELECT pid FROM mr_two_perm MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
   MEASURES STRT.day AS a0
@@ -829,7 +830,28 @@ SELECT pid FROM mr_two_perm MATCH_RECOGNIZE (
          f AS f.v = PREV(f.v), d2 AS d2.v < PREV(d2.v)
 )
 """
-        )
+    ).collect()
+    assert got == []
+    # a colliding ordering that DOES match: PERMUTE(u+, u2+) after a
+    # descent on 5 3 6 7 8 2 — the leftmost ordering (u+ u2+) splits
+    # the shared ascent 2/1
+    rows2 = [(42, d, float(v)) for d, v in enumerate([5, 3, 6, 7, 8, 2])]
+    spark.createDataFrame(
+        rows2, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_perm_sc")
+    got = ws.sql(
+        """
+SELECT pid, a0, n_u, n_u2 FROM mr_perm_sc MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES STRT.day AS a0, COUNT(u.*) AS n_u, COUNT(u2.*) AS n_u2
+  ONE ROW PER MATCH
+  PATTERN (STRT d+ PERMUTE(u+, u2+))
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v),
+         u2 AS u2.v > PREV(u2.v)
+)
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [(42, 0, 2, 1)]
 
 
 def test_skip_next_with_alternation_leftmost_preference(spark):
@@ -1158,21 +1180,33 @@ ORDER BY day
     assert [(r.day, r.cls) for r in got] == [
         (0, "STRT"), (1, "down"), (2, "up"), (3, "up"), (4, "up2")
     ]
-    # skip resume ON the pair's first step lands mid-island
-    with pytest.raises(MatchRecognizeError, match="MID-island"):
-        ws.sql(
-            """
-SELECT pid FROM mr_adj MATCH_RECOGNIZE (
+    # skip resume ON the pair's first step (mid-island) — SERVED since
+    # r14: the walk runs over the RESCAN-complete candidate set, so a
+    # resume row that itself anchors a suffix match re-anchors there.
+    # Ascent days 0-5 with up{1,2}: match 1 anchors day 0 (up ends day
+    # 2), resume ON day 2 anchors match 2 (up ends day 4).
+    rows = [(1, d, float(v)) for d, v in enumerate([1, 2, 3, 4, 5, 6])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_adj_sk")
+    got = ws.sql(
+        """
+SELECT pid, a0, up_end, up2_end, n_up, n_up2 FROM mr_adj_sk MATCH_RECOGNIZE (
   PARTITION BY pid ORDER BY day
-  MEASURES STRT.day AS a0
+  MEASURES STRT.day AS a0, LAST(up.day) AS up_end, LAST(up2.day) AS up2_end,
+           COUNT(up.*) AS n_up, COUNT(up2.*) AS n_up2
   ONE ROW PER MATCH
   AFTER MATCH SKIP TO LAST up
-  PATTERN (STRT down+ up+ up2+)
-  DEFINE down AS down.v < PREV(down.v), up AS up.v > PREV(up.v),
-         up2 AS up2.v > PREV(up2.v)
+  PATTERN (STRT up{1,2} up2+)
+  DEFINE up AS up.v > PREV(up.v), up2 AS up2.v > PREV(up2.v)
 )
+ORDER BY a0
 """
-        )
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        (1, 0, 2, 5, 2, 3),
+        (1, 2, 4, 5, 2, 1),
+    ]
     # SKIP TO NEXT ROW over a pair: SERVED (r14 — the merged-pair
     # pattern routes through match_skip_next; the only anchor here is
     # day 0, every later row fails the leading down+)
@@ -1780,3 +1814,37 @@ SELECT pid, a0, n_riseup, last_g_day FROM mr_midcyc_sub MATCH_RECOGNIZE (
     # rise contributes 2 transitions, up 2 across cycles; the latest
     # member in linear order is up — its last-cycle end row is day 6
     assert [tuple(r) for r in got] == [(1, 0, 4, 6)]
+
+
+def test_cycles_skip_next_all_rows(spark):
+    """Rescan-mode ALL ROWS over a repeated group (r14 — closes the
+    r13 named limit): 6 4 2 5 1 3 holds one maximal (down+ up+) run;
+    the rescan anchors at day 0 (full first descent), day 1 (descent
+    suffix), and day 3 (second cycle boundary); each overlapping match
+    expands over its own span with class-named steps and MATCH_NUMBER
+    ranked by anchor."""
+    ws = WaldenSession(spark)
+    rows = [(1, d, float(v)) for d, v in enumerate([6, 4, 2, 5, 1, 3])]
+    spark.createDataFrame(
+        rows, "pid int, day long, v double"
+    ).createOrReplaceTempView("mr_cyc_snar")
+    got = ws.sql(
+        """
+SELECT pid, match_no, day, cls FROM mr_cyc_snar MATCH_RECOGNIZE (
+  PARTITION BY pid ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT (d+ u+){1,})
+  DEFINE d AS d.v < PREV(d.v), u AS u.v > PREV(u.v)
+)
+ORDER BY match_no, day
+"""
+    ).collect()
+    assert [tuple(r) for r in got] == [
+        (1, 1, 0, "STRT"), (1, 1, 1, "d"), (1, 1, 2, "d"),
+        (1, 1, 3, "u"), (1, 1, 4, "d"), (1, 1, 5, "u"),
+        (1, 2, 1, "STRT"), (1, 2, 2, "d"), (1, 2, 3, "u"),
+        (1, 2, 4, "d"), (1, 2, 5, "u"),
+        (1, 3, 3, "STRT"), (1, 3, 4, "d"), (1, 3, 5, "u"),
+    ]

@@ -508,6 +508,51 @@ def test_split_pair_skip_next_matches_brute_rescan(spark, values, pattern):
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    values=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=14),
+    pattern=st.sampled_from(
+        [
+            [Step("a", UP, 1, 2), Step("b", UP)],
+            [Step("d", DOWN), Step("a", UP, 1, 2), Step("b", UP)],
+            [Step("a", UP, 1, 2), Step("b", UP, 1, 1), Step("c", UP)],
+        ]
+    ),
+)
+def test_split_run_skip_to_mid_island_matches_brute_walk(spark, values, pattern):
+    """r14 (skip resume ON a non-final run member): SKIP TO LAST <first
+    run member> over the rescan-complete candidate set must equal the
+    reference walk — keep candidates in anchor order whose anchor is
+    at-or-after the previous kept match's resume row (the member's
+    end, which lands MID-island)."""
+    from walden_spark.operators.pattern import match_split_pair, select_skip_to
+
+    vals = [float(v) for v in values]
+    # resume member = the first step of the first same-class run
+    ri = next(
+        i for i, (x, y) in enumerate(zip(pattern, pattern[1:])) if x.dir == y.dir
+    )
+    cands = _brute_split_skip_next(vals, pattern)
+    keep, bound = [], None
+    for a, ends in cands:
+        if bound is None or a >= bound:
+            keep.append((a, ends))
+            bound = ends[ri]
+    df = _series(spark, values)
+    matched = match_split_pair(df, "pid", "day", "v", pattern, skip_next=True)
+    got = sorted(
+        (r["anchor_day"], tuple(r[f"{s.name}_end"] for s in pattern))
+        for r in select_skip_to(
+            matched, "pid", "anchor_day", f"{pattern[ri].name}_end"
+        ).collect()
+    )
+    assert got == keep
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],

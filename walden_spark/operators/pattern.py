@@ -624,6 +624,7 @@ def match_split_pair(
     classifier=None,
     bin_width: int = 32,
     skip_next: bool = False,
+    islands: DataFrame | None = None,
 ) -> DataFrame:
     """Adjacent SAME-class step RUNS (r13 served pairs; r14 generalizes
     to runs of ANY length, closing the same-class-TRIPLE named limit):
@@ -714,11 +715,12 @@ def match_split_pair(
     if skip_next:
         m = match_skip_next(
             df, partition_col, order_col, value_col, msteps, classifier,
-            bin_width=bin_width,
+            bin_width=bin_width, islands=islands,
         )
     else:
         m = match_pattern(
-            df, partition_col, order_col, value_col, msteps, classifier
+            df, partition_col, order_col, value_col, msteps, classifier,
+            islands=islands,
         )
     anchor = f"anchor_{order_col}"
     rows = df.select(

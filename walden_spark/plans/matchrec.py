@@ -109,8 +109,9 @@ _LIMITS = (
     "((STRT …) | (STRT …)) alternation, "
     "PERMUTE(≤4), the repeated tail (STRT (X+ Y+ …)<q>), the "
     "mid-pattern unbounded group (STRT P+ (X+ Y+){m,} S+), and "
-    "DISJOINT adjacent same-class pairs in a plain pattern (greedy "
-    "closed-form split, one-row or all-rows, boundary skips); SUBSET "
+    "adjacent same-class RUNS of any length in plain or alternation/"
+    "PERMUTE-branch patterns (lexicographic greedy closed-form split, "
+    "one-row or all-rows, boundary or mid-island skips, rescan); SUBSET "
     "U = (A, B); DEFINE X AS X.<v> <|>|= PREV(X.<v>); see DEVIATIONS.md "
     "(row-pattern class) for the documented out-of-class surface"
 )
@@ -1065,11 +1066,13 @@ def _compile_cycles(
     except ValueError as ex:
         raise MatchRecognizeError(str(ex)) from ex
     if all_rows:
-        if skip_next:
-            raise MatchRecognizeError(
-                "ALL ROWS PER MATCH with a repeated group under SKIP TO "
-                "NEXT ROW is out of class"
-            )
+        # rescan-mode ALL ROWS (r14 — closes the r13 named limit): the
+        # rescan's anchors are distinct per partition, so the same
+        # anchor-ordered MATCH_NUMBER applies; each (possibly
+        # overlapping) match expands over its own anchor..end span,
+        # and match_cycles_skip_next's per-anchor SUFFIX totals ARE
+        # that match's FINAL measures — the projection composes
+        # without a rescan-specific arm.
         if subsets:
             raise MatchRecognizeError(
                 "SUBSET under ALL ROWS with a repeated group is out of "
@@ -1357,6 +1360,40 @@ def _compile_alternation(
     }
     patterns = dict(zip(labels, branches))
     anchor = f"anchor_{order}"
+
+    def _has_run(steps_b: list[Step]) -> bool:
+        return any(x.dir == y.dir for x, y in zip(steps_b, steps_b[1:]))
+
+    width = max(len(b) for b in branches)
+    ord_t = source.schema[order].dataType
+    val_t = source.schema[value].dataType
+
+    def _wrap(mb: DataFrame, lab: str, steps_b: list[Step]) -> DataFrame:
+        """Positional step{j}_* columns + branch label, padding short
+        branches with typed NULLs (the match_any wrapping, shared by
+        both skip arms)."""
+        cols = [
+            F.lit(lab).alias("pattern"),
+            F.col(part),
+            F.col(anchor),
+            F.col("anchor_val"),
+        ]
+        for j in range(width):
+            if j < len(steps_b):
+                s = steps_b[j].name
+                cols += [
+                    F.col(f"{s}_end").alias(f"step{j}_end"),
+                    F.col(f"{s}_val").alias(f"step{j}_val"),
+                    F.col(f"{s}_len").alias(f"step{j}_len"),
+                ]
+            else:
+                cols += [
+                    F.lit(None).cast(ord_t).alias(f"step{j}_end"),
+                    F.lit(None).cast(val_t).alias(f"step{j}_val"),
+                    F.lit(None).cast("bigint").alias(f"step{j}_len"),
+                ]
+        return mb.select(*cols)
+
     if skip_next:
         # SKIP TO NEXT ROW × alternation (this session): each branch's
         # rescan match set is its suffix-anchor expansion on ONE shared
@@ -1370,38 +1407,48 @@ def _compile_alternation(
         isl = classify_islands(
             source, part, order, value, classifier
         ).localCheckpoint(eager=True)
-        width = max(len(b) for b in branches)
-        ord_t = source.schema[order].dataType
-        val_t = source.schema[value].dataType
         parts_sn = []
         for lab, steps_b in patterns.items():
-            mb = match_skip_next(
-                source, part, order, value, steps_b,
-                classifier=classifier, islands=isl,
-            )
-            cols = [
-                F.lit(lab).alias("pattern"),
-                F.col(part),
-                F.col(anchor),
-                F.col("anchor_val"),
-            ]
-            for j in range(width):
-                if j < len(steps_b):
-                    s = steps_b[j].name
-                    cols += [
-                        F.col(f"{s}_end").alias(f"step{j}_end"),
-                        F.col(f"{s}_val").alias(f"step{j}_val"),
-                        F.col(f"{s}_len").alias(f"step{j}_len"),
-                    ]
-                else:
-                    cols += [
-                        F.lit(None).cast(ord_t).alias(f"step{j}_end"),
-                        F.lit(None).cast(val_t).alias(f"step{j}_val"),
-                        F.lit(None).cast("bigint").alias(f"step{j}_len"),
-                    ]
-            parts_sn.append(mb.select(*cols))
+            if _has_run(steps_b):
+                # r14: same-class runs inside a branch — the merged-run
+                # rescan on the shared islands frame
+                mb = match_split_pair(
+                    source, part, order, value, steps_b,
+                    classifier=classifier, skip_next=True, islands=isl,
+                )
+            else:
+                mb = match_skip_next(
+                    source, part, order, value, steps_b,
+                    classifier=classifier, islands=isl,
+                )
+            parts_sn.append(_wrap(mb, lab, steps_b))
         m = parts_sn[0]
         for p in parts_sn[1:]:
+            m = m.unionByName(p)
+    elif any(_has_run(b) for b in branches):
+        # r14: at least one branch holds a same-class run — compile
+        # each branch on ONE shared classification (split branches via
+        # the merged-run route, plain branches via match_pattern) and
+        # union the wrapped frames; leftmost preference + the greedy
+        # skip walk below are branch-agnostic
+        isl = classify_islands(
+            source, part, order, value, classifier
+        ).localCheckpoint(eager=True)
+        parts_mx = []
+        for lab, steps_b in patterns.items():
+            if _has_run(steps_b):
+                mb = match_split_pair(
+                    source, part, order, value, steps_b,
+                    classifier=classifier, islands=isl,
+                )
+            else:
+                mb = match_pattern(
+                    source, part, order, value, steps_b,
+                    classifier=classifier, islands=isl,
+                )
+            parts_mx.append(_wrap(mb, lab, steps_b))
+        m = parts_mx[0]
+        for p in parts_mx[1:]:
             m = m.unionByName(p)
     else:
         m = match_any(
@@ -1989,8 +2036,7 @@ def compile_match_recognize(
         # overlapping pairs (one shared island, several members) have
         # a closed form after all (match_split_pair's run merge).
         servable = (
-            len(branches) == 1
-            and cycle_bounds is None
+            cycle_bounds is None
             and mid_cycle is None
             and not clone_map
             and not final_reluctant
@@ -2001,7 +2047,13 @@ def compile_match_recognize(
         # exact values — the classifier CASE then maps each row of the
         # shared island to its member by the split boundaries.
         if servable:
-            split_pairs = pair_idx
+            if len(branches) == 1:
+                split_pairs = pair_idx
+            # multi-branch (r14): _compile_alternation routes branches
+            # holding same-class runs through match_split_pair on the
+            # shared islands frame — branches match independently, so
+            # the per-branch split composes with leftmost preference
+            # and the skip selection unchanged
             continue
         sa = steps_b[pair_idx[0]]
         sb = steps_b[pair_idx[0] + 1]
@@ -2128,6 +2180,7 @@ def compile_match_recognize(
             else:
                 resume_step = steps[j].name
     # measures → columns of the match_pattern output
+    resume_mid_island = False
     if split_pairs is not None:
         # same-class pair constraints on the skip mode (r13): the
         # split places each pair's first-step end MID-island, where
@@ -2141,15 +2194,16 @@ def compile_match_recognize(
         # anchors the rescan attempts for a pattern-first pair, and
         # each anchor's suffix re-splits independently
         # (match_split_pair(skip_next=True)).
-        if resume_step in a_names:
-            raise MatchRecognizeError(
-                f"AFTER MATCH resuming on {resume_step}'s last row lands "
-                "MID-island (the greedy split ends every non-final run "
-                "member inside one maximal run), where the compiled "
-                "candidate set has no anchors — only boundary steps "
-                "may be skip targets with a same-class run — out of "
-                "class"
-            )
+        # skip resume ON a non-final run member (r14 — closes the
+        # "skip resume ON a pair's first step" named limit): the
+        # resume row lands MID-island, where the maximal candidate
+        # set has no anchors — so the selection walks the
+        # RESCAN-complete candidate set instead (every per-row anchor
+        # from the skip_next route). The inclusive greedy walk over
+        # that set IS the rescan-with-resume: the first successful
+        # anchor at-or-after each resume point is kept, whether it
+        # sits on an island boundary or mid-island.
+        resume_mid_island = resume_step in a_names
     if skip_next:
         # the rescan-complete match set needs no selection: every
         # successful anchor IS a kept match under this mode; a
@@ -2179,8 +2233,12 @@ def compile_match_recognize(
                 raise MatchRecognizeError(str(ex)) from ex
         elif split_pairs is not None:
             try:
+                # mid-island resume needs the rescan-complete
+                # candidate set; boundary resumes keep the (smaller)
+                # maximal set — same walk either way
                 matched = match_split_pair(
-                    source, part, order, value, steps, classifier=clf
+                    source, part, order, value, steps, classifier=clf,
+                    skip_next=resume_mid_island,
                 )
             except ValueError as ex:
                 raise MatchRecognizeError(str(ex)) from ex

@@ -3026,6 +3026,283 @@ ORDER BY user_id, anchor_day
 
 
 @query(
+    "win_pattern_sql_same_class_skip_to_mid",
+    oracle=_ISLANDS_CTE.format(max_user=32).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, isl2 AS (
+  SELECT user_id, dir, grp, MAX(day) AS ed,
+         CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         MAX(pos) AS mpos
+  FROM runs GROUP BY user_id, dir, grp
+), cand AS (
+  SELECT r.user_id AS user_id,
+         CAST(r.prev_day AS BIGINT) AS anchor_day,
+         CAST(r.prev_n AS BIGINT) AS anchor_n,
+         CAST(r2.day AS BIGINT) AS up_end,
+         CAST(r2.n AS BIGINT) AS up_n,
+         CAST(LEAST(2, i.mpos - r.pos) AS BIGINT) AS n_up,
+         CAST(i.ed AS BIGINT) AS up2_end, i.ev AS up2_n,
+         CAST(i.mpos - r.pos + 1 - LEAST(2, i.mpos - r.pos) AS BIGINT)
+           AS n_up2
+  FROM runs r
+  JOIN isl2 i ON i.user_id = r.user_id AND i.dir = r.dir AND i.grp = r.grp
+  JOIN runs r2 ON r2.user_id = r.user_id AND r2.dir = r.dir
+              AND r2.grp = r.grp
+              AND r2.pos = r.pos + LEAST(2, i.mpos - r.pos) - 1
+  WHERE r.dir = 1 AND r.pos <= i.mpos - 1
+), walk AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day < c.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN cand n ON n.user_id = w.user_id AND n.anchor_day >= w.up_end
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand m WHERE m.user_id = w.user_id
+      AND m.anchor_day >= w.up_end
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, anchor_day, anchor_n, up_end, up_n, n_up,
+       up2_end, up2_n, n_up2
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_same_class_skip_to_mid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Skip resume ON a non-final run member (r14 — closes the r13
+    "skip resume ON a pair's first step" named limit): ``PATTERN (STRT
+    up{1,2} up2+)`` with ``AFTER MATCH SKIP TO LAST up`` — the resume
+    row is up's end, which the greedy split places MID-island, so the
+    selection walks the RESCAN-complete candidate set
+    (:func:`walden_spark.operators.pattern.match_split_pair` with
+    ``skip_next=True``): the first successful anchor at-or-after each
+    resume point is kept whether it sits on a boundary or mid-island —
+    Trino 468 rescan-with-resume semantics (reference surface:
+    /root/reference/tf/main.tf:82-114). A long ascent therefore chains
+    matches two transitions apart (up takes its max 2, resume on its
+    end re-anchors there). The oracle enumerates the suffix-anchor
+    candidates relationally and replays the inclusive walk with a
+    recursive CTE. Fresh slice: user_id < 32."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=32).createOrReplaceTempView(
+        "walden_mr_daily_skm"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, up_end, up_n, n_up,
+       up2_end, up2_n, n_up2
+FROM walden_mr_daily_skm MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(up.day) AS up_end, LAST(up.n) AS up_n,
+           COUNT(up.*) AS n_up,
+           LAST(up2.day) AS up2_end, LAST(up2.n) AS up2_n,
+           COUNT(up2.*) AS n_up2
+  ONE ROW PER MATCH
+  AFTER MATCH SKIP TO LAST up
+  PATTERN (STRT up{1,2} up2+)
+  DEFINE up AS up.n > PREV(up.n), up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
+    "win_pattern_sql_alt_same_class",
+    oracle=_ISLANDS_CTE.format(max_user=34).replace(
+        "\nWITH daily", "\nWITH RECURSIVE daily", 1
+    )
+    + """
+, isl2 AS (
+  SELECT user_id, dir, grp, MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed, CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln, MAX(pos) AS mpos,
+         CAST(arg_max(prev_day, pos) AS BIGINT) AS penult_day,
+         CAST(arg_max(prev_n, pos) AS BIGINT) AS penult_n
+  FROM runs GROUP BY user_id, dir, grp
+), cand AS (
+  SELECT u.user_id AS user_id, CAST(u.sp AS BIGINT) AS anchor_day,
+         u.av AS anchor_n, 'dn' AS cls,
+         CAST(u.ed AS BIGINT) AS up_end, u.ev AS up_n, u.ln AS n_up,
+         CAST(d.ed AS BIGINT) AS dn_end,
+         CAST(NULL AS BIGINT) AS up2_end,
+         CAST(d.ed AS BIGINT) AS end_day, 0 AS bidx
+  FROM isl2 u
+  JOIN isl2 d ON d.user_id = u.user_id AND u.dir = 1 AND d.dir = -1
+             AND d.sp = u.ed
+  UNION ALL
+  SELECT user_id, CAST(sp AS BIGINT), av, 'up2',
+         penult_day, penult_n, ln - 1,
+         CAST(NULL AS BIGINT), CAST(ed AS BIGINT),
+         CAST(ed AS BIGINT), 1
+  FROM isl2 WHERE dir = 1 AND ln >= 2
+), pref AS (
+  SELECT c.* FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cand c2 WHERE c2.user_id = c.user_id
+      AND c2.anchor_day = c.anchor_day AND c2.bidx < c.bidx)
+), walk AS (
+  SELECT p.* FROM pref p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pref p2 WHERE p2.user_id = p.user_id
+      AND p2.anchor_day < p.anchor_day)
+  UNION ALL
+  SELECT n.* FROM walk w
+  JOIN pref n ON n.user_id = w.user_id AND n.anchor_day > w.end_day
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pref m WHERE m.user_id = w.user_id
+      AND m.anchor_day > w.end_day
+      AND m.anchor_day < n.anchor_day)
+)
+SELECT user_id, anchor_day, anchor_n, cls, up_end, up_n, n_up,
+       dn_end, up2_end, end_day
+FROM walk
+ORDER BY user_id, anchor_day
+""",
+    category="window",
+)
+def win_pattern_sql_alt_same_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Same-class run INSIDE an alternation branch (r14 — shrinks the
+    "pairs under alternation" named limit to PERMUTE/groups/cycles):
+    ``PATTERN ((STRT up+ dn+) | (STRT up+ up2+))`` — both branches
+    anchor on ascent starts, so SQL:2016 leftmost preference decides
+    rows where both match (rise-then-fall wins; a terminal ascent with
+    no following descent falls to the split branch). The run branch
+    compiles through
+    :func:`walden_spark.operators.pattern.match_split_pair` on the
+    SAME shared islands frame the plain branch uses (one
+    classification shuffle), and the leftmost-preference +
+    skip-past walk layers are branch-agnostic. The oracle enumerates
+    both branches' candidates relationally, applies the per-anchor
+    preference, and replays the exclusive greedy walk with a
+    recursive CTE. Fresh slice: user_id < 34."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=34).createOrReplaceTempView(
+        "walden_mr_daily_alsc"
+    )
+    return ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, cls, up_end, up_n, n_up,
+       dn_end, up2_end, COALESCE(dn_end, up2_end) AS end_day
+FROM walden_mr_daily_alsc MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           CLASSIFIER() AS cls,
+           LAST(up.day) AS up_end, LAST(up.n) AS up_n,
+           COUNT(up.*) AS n_up,
+           LAST(dn.day) AS dn_end, LAST(up2.day) AS up2_end
+  ONE ROW PER MATCH
+  PATTERN ((STRT up+ dn+) | (STRT up+ up2+))
+  DEFINE up AS up.n > PREV(up.n), dn AS dn.n < PREV(dn.n),
+         up2 AS up2.n > PREV(up2.n)
+)
+ORDER BY user_id, anchor_day
+"""
+    )
+
+
+@query(
+    "win_pattern_sql_cycles_skip_next_all_rows",
+    oracle=_ISLANDS_CTE.format(max_user=38)
+    + """
+, isl2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY sp) AS iseq
+  FROM isl
+), units AS (
+  SELECT d.user_id, d.iseq AS useq, d.sp AS a_day, d.ed AS d_end,
+         u.ed AS u_end
+  FROM isl2 d
+  JOIN isl2 u ON u.user_id = d.user_id AND d.dir = -1 AND u.dir = 1
+             AND u.iseq = d.iseq + 1
+), cruns AS (
+  SELECT *, useq - 2 * ROW_NUMBER()
+              OVER (PARTITION BY user_id ORDER BY useq) AS grp
+  FROM units
+), suff AS (
+  SELECT user_id, a_day, d_end,
+         LAST_VALUE(u_end) OVER w AS e_day
+  FROM cruns
+  WINDOW w AS (PARTITION BY user_id, grp ORDER BY useq
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+), anchors AS (
+  SELECT s.user_id, dd.day AS anchor_day, s.e_day
+  FROM suff s JOIN daily dd
+    ON dd.user_id = s.user_id
+   AND dd.day >= s.a_day AND dd.day < s.d_end
+), numbered AS (
+  SELECT user_id, anchor_day, e_day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY anchor_day)
+           AS match_no
+  FROM anchors
+)
+SELECT a.user_id AS user_id, CAST(a.match_no AS BIGINT) AS match_no,
+       CAST(dd.day AS BIGINT) AS day, dd.n AS n,
+       CASE WHEN dd.day = a.anchor_day THEN 'STRT'
+            WHEN dr.dir = -1 THEN 'down' ELSE 'up' END AS cls
+FROM numbered a
+JOIN daily dd ON dd.user_id = a.user_id
+             AND dd.day >= a.anchor_day AND dd.day <= a.e_day
+LEFT JOIN dirs dr ON dr.user_id = dd.user_id AND dr.day = dd.day
+ORDER BY user_id, match_no, day
+""",
+    category="window",
+)
+def win_pattern_sql_cycles_skip_next_all_rows(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rescan-mode ALL ROWS over a repeated group (r14 — closes the
+    r13 named limit, the last skip×rows-mode composition for the tail
+    form): ``PATTERN (STRT (down+ up+)+)`` with ``AFTER MATCH SKIP TO
+    NEXT ROW`` and ``ALL ROWS PER MATCH``. The rescan's anchors
+    (cycle boundaries + first-descent suffixes, enumerated complete by
+    :func:`walden_spark.operators.pattern.match_cycles_skip_next`) are
+    distinct per partition, so the anchor-ordered MATCH_NUMBER and the
+    per-match span expansion of
+    :func:`walden_spark.operators.pattern.expand_all_rows_cycles`
+    compose without a rescan-specific arm — each overlapping match
+    emits its own covered rows, classified by transition class.
+    Oracle: the unit/run suffix construction joined back to the daily
+    rows per anchor span. Fresh slice: user_id < 38."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=38).createOrReplaceTempView(
+        "walden_mr_daily_csna"
+    )
+    return ws.sql(
+        """
+SELECT user_id, match_no, day, n, cls
+FROM walden_mr_daily_csna MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES CLASSIFIER() AS cls, MATCH_NUMBER() AS match_no
+  ALL ROWS PER MATCH
+  AFTER MATCH SKIP TO NEXT ROW
+  PATTERN (STRT (down+ up+)+)
+  DEFINE down AS down.n < PREV(down.n), up AS up.n > PREV(up.n)
+)
+ORDER BY user_id, match_no, day
+"""
+    )
+
+
+@query(
     "win_pattern_sql_cycles_mid",
     oracle=_ISLANDS_CTE.format(max_user=49).replace(
         "\nWITH daily", "\nWITH RECURSIVE daily", 1

@@ -140,15 +140,15 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # by fn_string_distance/fn_timezone, aggregate by six other names --
     "win_pattern_sql_same_class_skip_next",
     "win_pattern_sql_same_class_triple",
+    "win_pattern_sql_same_class_skip_to_mid",
+    "win_pattern_sql_alt_same_class",
+    "win_pattern_sql_cycles_skip_next_all_rows",
     "ddl_manifest_compaction",
     "tpcds_q72_inventory",
     # -- remaining slots: r07-vintage names in registry order (the
     # rest of the r07 cohort queues for r15) --
     "agg_percentile_approx",
     "agg_stats_builtin",
-    "agg_map_entries",
-    "agg_min_max_by",
-    "agg_bool_bit",
 )
 
 
