@@ -23,6 +23,8 @@ distribution drift is visible (generated sf0.1 should run within noise
 of the fixture sf0.1).
 
     python tools/sf1_full_sweep.py [--rebuild] [--reps N]
+    WALDEN_SWEEP_SF=10 python tools/sf1_full_sweep.py   # second decade:
+        sf1 -> sf10 (60M-row lineitem), exponents vs the sf1 lane
 """
 
 from __future__ import annotations
@@ -36,10 +38,18 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GEN_DIR = {"sf0.1_gen": "/tmp/walden_gen_sf0.1", "sf1_gen": "/tmp/walden_gen_sf1"}
 FIXTURE = "/root/testdata/sf0.1"
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPS = int(os.environ.get("WALDEN_SWEEP_REPS", "2"))
+# target scale (default 1.0); WALDEN_SWEEP_SF=10 extends the measured
+# curve a second decade (60M-row lineitem) — exponents then read
+# against the sf1 lane instead of sf0.1
+TARGET_SF = float(os.environ.get("WALDEN_SWEEP_SF", "1"))
+BASE_SF = TARGET_SF / 10.0
+GEN_DIR = {
+    f"sf{BASE_SF:g}_gen": f"/tmp/walden_gen_sf{BASE_SF:g}",
+    f"sf{TARGET_SF:g}_gen": f"/tmp/walden_gen_sf{TARGET_SF:g}",
+}
 
 
 def build(spark, sf: float, dst: str) -> None:
@@ -69,7 +79,7 @@ def main() -> None:
     spark = get_spark(
         app_name="walden_sf1_full_sweep", master=f"local[{CPUS}]", shuffle_partitions=CPUS
     )
-    for sf, dst in ((0.1, GEN_DIR["sf0.1_gen"]), (1.0, GEN_DIR["sf1_gen"])):
+    for sf, dst in zip((BASE_SF, TARGET_SF), GEN_DIR.values()):
         if "--rebuild" in sys.argv or not os.path.isdir(f"{dst}/lineitem.parquet"):
             t0 = time.perf_counter()
             build(spark, sf, dst)
@@ -93,31 +103,32 @@ def main() -> None:
                     runs.setdefault((name, lane), []).append(dt)
         print(f"# round {rnd} done", file=sys.stderr)
 
+    base_key, tgt_key = list(GEN_DIR)
     queries = {}
     for name in names:
-        t01 = min(runs[(name, "sf0.1_gen")])
-        t1 = min(runs[(name, "sf1_gen")])
+        t0 = min(runs[(name, base_key)])
+        t1 = min(runs[(name, tgt_key)])
         tfx = min(runs[(name, "fixture")])
         queries[name] = {
-            "sf0.1_gen": round(t01, 3),
-            "sf1_gen": round(t1, 3),
+            base_key: round(t0, 3),
+            tgt_key: round(t1, 3),
             "fixture_sf0.1": round(tfx, 3),
-            "ratio_10x": round(t1 / t01, 2),
-            "exponent": round(math.log10(t1 / t01), 3),
+            "ratio_10x": round(t1 / t0, 2),
+            "exponent": round(math.log10(t1 / t0), 3),
         }
-    total01 = sum(q["sf0.1_gen"] for q in queries.values())
-    total1 = sum(q["sf1_gen"] for q in queries.values())
+    total0 = sum(q[base_key] for q in queries.values())
+    total1 = sum(q[tgt_key] for q in queries.values())
     print(json.dumps({
-        "metric": "sf1_generated_headline_sweep",
+        "metric": f"sf{TARGET_SF:g}_generated_headline_sweep",
         "value": round(total1, 3),
         "unit": "sec",
-        "sf0.1_total": round(total01, 3),
-        "total_ratio_10x": round(total1 / total01, 2),
+        f"{base_key}_total": round(total0, 3),
+        "total_ratio_10x": round(total1 / total0, 2),
         "queries": queries,
-        "sf": 1.0,
+        "sf": TARGET_SF,
         "notes": f"min of {reps} interleaved rounds after 1 warm-up; data "
         "generated by TpchGen/SyntheticGen seed=42; exponent = "
-        "log10(t_sf1/t_sf0.1_gen), 1.0 = linear in 10x rows",
+        "log10(t_target/t_base), 1.0 = linear in 10x rows",
     }))
     spark.stop()
 
