@@ -697,3 +697,91 @@ FROM walden_alt_rs_batch MATCH_RECOGNIZE (
 """
     ).collect()
     assert sorted(got) == sorted(tuple(r) for r in expected)
+
+
+def test_streaming_pattern_same_class_restart(spark, sf_dir, tmp_path):
+    """r14: the same-class split matcher survives a checkpointed
+    restart mid-run — open-ascent state (anchor / length / penultimate
+    row) crosses the restart through the state store, and the combined
+    emissions must equal the batch MATCH_RECOGNIZE compiler's
+    match_split_pair route on the closed input."""
+    import shutil
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from walden_spark.queries.windows import _daily_counts
+    from walden_spark.session import WaldenSession
+    from walden_spark.streaming.stateful import (
+        _SPLIT_OUT,
+        _SPLIT_STATE,
+        _pattern_user_split,
+        _staged_event_replay,
+    )
+
+    stage = _staged_event_replay(spark, sf_dir, 22, "walden_patsc_rs_")
+    hold = str(tmp_path / "hold")
+    shutil.move(f"{stage}/b2", f"{hold}_b2")
+    shutil.move(f"{stage}/b3", f"{hold}_b3")
+    shutil.move(f"{stage}/b4", f"{hold}_b4")
+
+    ckpt = str(tmp_path / "ckpt")
+    got: list[tuple] = []
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+        )
+        matches = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _pattern_user_split,
+                outputStructType=_SPLIT_OUT,
+                stateStructType=_SPLIT_STATE,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            matches.writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: got.extend(tuple(r) for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # files b0, b1 only — the kill point
+    n_first = len(got)
+    shutil.move(f"{hold}_b2", f"{stage}/b2")
+    shutil.move(f"{hold}_b3", f"{stage}/b3")
+    shutil.move(f"{hold}_b4", f"{stage}/b4")
+    run_once()  # fresh query, same checkpoint: replays only b2..b4
+    assert len(got) > n_first  # the sentinel flush emits in run 2
+
+    ws = WaldenSession(spark)
+    _daily_counts(spark, sf_dir, max_user=22).createOrReplaceTempView(
+        "walden_sc_rs_batch"
+    )
+    expected = ws.sql(
+        """
+SELECT user_id, anchor_day, anchor_n, up_day, up_n, n_up, end_day, end_n
+FROM walden_sc_rs_batch MATCH_RECOGNIZE (
+  PARTITION BY user_id
+  ORDER BY day
+  MEASURES STRT.day AS anchor_day, STRT.n AS anchor_n,
+           LAST(up.day) AS up_day, LAST(up.n) AS up_n,
+           COUNT(up.*) AS n_up,
+           LAST(up2.day) AS end_day, LAST(up2.n) AS end_n
+  ONE ROW PER MATCH
+  PATTERN (STRT up+ up2+)
+  DEFINE up AS up.n > PREV(up.n), up2 AS up2.n > PREV(up2.n)
+)
+"""
+    ).collect()
+    assert sorted(got) == sorted(tuple(r) for r in expected)

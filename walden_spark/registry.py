@@ -143,12 +143,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "win_pattern_sql_same_class_skip_to_mid",
     "win_pattern_sql_alt_same_class",
     "win_pattern_sql_cycles_skip_next_all_rows",
+    "streaming_pattern_same_class",
     "ddl_manifest_compaction",
     "tpcds_q72_inventory",
     # -- remaining slots: r07-vintage names in registry order (the
     # rest of the r07 cohort queues for r15) --
     "agg_percentile_approx",
-    "agg_stats_builtin",
 )
 
 

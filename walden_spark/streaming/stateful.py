@@ -1261,3 +1261,163 @@ def streaming_pattern_mixed_define(spark: SparkSession, sf_dir: str) -> DataFram
     )
     out = _run_to_memory(matches, "update")
     return out.orderBy("user_id", "anchor_day")
+
+
+_SPLIT_STATE = (
+    "last_day BIGINT, last_n BIGINT, open_day BIGINT, open_count BIGINT, "
+    "asc_anchor_day BIGINT, asc_anchor_n BIGINT, asc_len BIGINT, "
+    "penult_day BIGINT, penult_n BIGINT"
+)
+_SPLIT_OUT = (
+    "user_id BIGINT, anchor_day BIGINT, anchor_n BIGINT, "
+    "up_day BIGINT, up_n BIGINT, n_up BIGINT, end_day BIGINT, end_n BIGINT"
+)
+
+
+def _pattern_user_split(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Incremental SAME-CLASS split matcher (r14 — the streaming dual
+    of ``match_split_pair``): ``PATTERN (STRT up+ up2+)`` with both
+    steps DEFINEd ``n > PREV(n)`` under the default SKIP PAST LAST
+    ROW. A maximal ascent of l >= 2 transitions is exactly one match,
+    split greedily l−1 / 1, and it emits the MOMENT the ascent proves
+    maximal (next transition not-up, or the sentinel flush). Per-key
+    state is CONSTANT: the last closed day, the day currently
+    filling, and the open ascent's (anchor, length, penultimate row)
+    — the penultimate row is up's end under the split, the run's last
+    row is up2's."""
+    vals = state.get if state.exists else (None,) * 4 + (None, None, 0, None, None)
+    (last_day, last_n, open_day, open_n,
+     asc_anchor_day, asc_anchor_n, asc_len, penult_day, penult_n) = vals
+    rows: list[tuple] = []
+
+    def flush_ascent():
+        nonlocal asc_len
+        if asc_len >= 2:
+            rows.append(
+                (key[0], asc_anchor_day, asc_anchor_n,
+                 penult_day, penult_n, asc_len - 1, last_day, last_n)
+            )
+        asc_len = 0
+
+    def close_day(d, n):
+        nonlocal last_day, last_n
+        nonlocal asc_anchor_day, asc_anchor_n, asc_len, penult_day, penult_n
+        if last_day is not None:
+            if n > last_n:  # UP transition extends / opens the ascent
+                if asc_len == 0:
+                    asc_anchor_day, asc_anchor_n = last_day, last_n
+                penult_day, penult_n = last_day, last_n
+                asc_len += 1
+            else:  # DOWN or FLAT breaks the run — ascent is maximal
+                flush_ascent()
+        last_day, last_n = d, n
+
+    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    saw_sentinel = bool((batch["event_id"] < 0).any())
+    real = batch[batch["event_id"] >= 0]
+    if len(real):
+        days = (real["ts"].dt.normalize() - _DAY0).dt.days
+        for d in days:
+            d = int(d)
+            if open_day is None:
+                open_day, open_n = d, 1
+            elif d == open_day:
+                open_n += 1
+            else:
+                close_day(open_day, open_n)
+                open_day, open_n = d, 1
+    if saw_sentinel:
+        if open_day is not None:
+            close_day(open_day, open_n)
+        flush_ascent()
+        if state.exists:
+            state.remove()
+    else:
+        state.update(
+            (last_day, last_n, open_day, open_n,
+             asc_anchor_day, asc_anchor_n, asc_len, penult_day, penult_n)
+        )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "user_id", "anchor_day", "anchor_n", "up_day", "up_n",
+            "n_up", "end_day", "end_n",
+        ],
+    )
+
+
+@query(
+    "streaming_pattern_same_class",
+    oracle="""
+WITH daily AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id < 22 GROUP BY 1, 2
+), seq AS (
+  SELECT user_id, day, n,
+         LAG(day) OVER w AS prev_day, LAG(n) OVER w AS prev_n,
+         ROW_NUMBER() OVER w AS pos
+  FROM daily
+  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+), dirs AS (
+  SELECT *, CASE WHEN n < prev_n THEN -1 WHEN n > prev_n THEN 1
+                 ELSE 0 END AS dir
+  FROM seq WHERE prev_n IS NOT NULL
+), runs AS (
+  SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY user_id, dir ORDER BY pos) AS grp
+  FROM dirs
+), isl AS (
+  SELECT user_id, dir, grp, MIN(prev_day) AS sp,
+         CAST(arg_min(prev_n, pos) AS BIGINT) AS av,
+         MAX(day) AS ed, CAST(arg_max(n, pos) AS BIGINT) AS ev,
+         CAST(COUNT(*) AS BIGINT) AS ln, MAX(pos) AS mpos
+  FROM runs GROUP BY user_id, dir, grp
+)
+SELECT i.user_id AS user_id, CAST(i.sp AS BIGINT) AS anchor_day,
+       i.av AS anchor_n,
+       CAST(r.prev_day AS BIGINT) AS up_day,
+       CAST(r.prev_n AS BIGINT) AS up_n,
+       CAST(i.ln - 1 AS BIGINT) AS n_up,
+       CAST(i.ed AS BIGINT) AS end_day, i.ev AS end_n
+FROM isl i
+JOIN runs r ON r.user_id = i.user_id AND r.dir = i.dir AND r.grp = i.grp
+           AND r.pos = i.mpos
+WHERE i.dir = 1 AND i.ln >= 2
+ORDER BY user_id, anchor_day
+""",
+    category="streaming",
+)
+def streaming_pattern_same_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING same-class split (r14 — the streaming dual of the r13
+    batch closure ``match_split_pair``): ``PATTERN (STRT up+ up2+)``
+    detected incrementally with applyInPandasWithState. Each maximal
+    ascent is one match split greedily l−1 / 1; it emits the moment
+    the run proves maximal, and per-key state is constant (open
+    ascent's anchor / length / penultimate row). Replay harness as the
+    other streaming matchers (quartile-staged files + sentinel flush,
+    runs genuinely spanning micro-batches); oracle = the batch islands
+    relation on the closed input, which the stream must reproduce
+    exactly. Fresh slice: user_id < 22."""
+    stage = _staged_event_replay(spark, sf_dir, 22, "walden_patsc_stream_")
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    matches = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _pattern_user_split,
+            outputStructType=_SPLIT_OUT,
+            stateStructType=_SPLIT_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = _run_to_memory(matches, "update")
+    return out.orderBy("user_id", "anchor_day")
