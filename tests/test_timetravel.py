@@ -3621,3 +3621,22 @@ def test_maybe_compact_manifests_policy(spark, vt):
     assert vt.maybe_compact_manifests(max_schema_layers=8) is not None
     run, base_v = vt._schema_run("main")
     assert len(run) == 1 and base_v == 0  # one summary layer on base
+
+
+def test_optimize_manifests_sql_surface(spark, vt):
+    """r14: OPTIMIZE t MANIFESTS maps to compact_manifests() — the
+    Iceberg rewrite_manifests analog at the SQL surface; a no-op when
+    fewer than two schema layers exist, returning the current head."""
+    from walden_spark.session import WaldenSession
+
+    ws = WaldenSession(spark)
+    ws.register_versioned("mt", vt.path)
+    r = ws.sql("OPTIMIZE mt MANIFESTS").collect()[0]
+    assert r.version == vt.current_version()  # no schema layers: no-op
+    for i in range(3):
+        vt.add_column(f"m{i}", "int", default=i)
+    pre = sorted(tuple(x) for x in vt.read().collect())
+    r = ws.sql("OPTIMIZE mt MANIFESTS").collect()[0]
+    head = {m["version"]: m for m in vt._manifests()}[r.version]
+    assert "schema_project" in head and head["parent"] == 0
+    assert sorted(tuple(x) for x in vt.read().collect()) == pre

@@ -248,7 +248,8 @@ class WaldenSession:
     )
     # Delta/Trino-style maintenance statements on versioned tables
     _MAINT_OPTIMIZE_RE = _re.compile(
-        r"^\s*OPTIMIZE\s+(\w+)(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\))?\s*;?\s*$",
+        r"^\s*OPTIMIZE\s+(\w+)"
+        r"(?:\s+ZORDER\s+BY\s*\(\s*([\w\s,]+?)\s*\)|\s+(MANIFESTS))?\s*;?\s*$",
         _re.IGNORECASE,
     )
     _MAINT_VACUUM_RE = _re.compile(
@@ -776,13 +777,19 @@ class WaldenSession:
         if m and m.group(1) in self._versioned:
             if self._txn is not None:
                 raise RuntimeError("maintenance statements cannot run inside a transaction")
-            # OPTIMIZE tbl [ZORDER BY (a, b)]: compaction, or the
-            # multi-dimensional clustering rewrite (Delta's surface)
+            # OPTIMIZE tbl [ZORDER BY (a, b) | MANIFESTS]: compaction,
+            # the multi-dimensional clustering rewrite (Delta's
+            # surface), or the metadata-only schema-layer collapse
+            # (Iceberg rewrite_manifests analog, r14)
             name = m.group(1)
             vt = self._versioned[name]
             if m.group(2):
                 cols = [c.strip() for c in m.group(2).split(",")]
                 v = vt.rewrite_zorder(cols)
+            elif m.group(3):
+                v = vt.compact_manifests()
+                if v is None:  # fewer than two schema layers: no-op
+                    v = vt.current_version()
             else:
                 v = vt.compact()
             self._refresh_versioned(name)
