@@ -132,12 +132,17 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "topk_offset",
     "tpch_q5",
     "explode_words",
-    # -- new in r14 (window-joined immediately; never driver-verified):
-    # same-class pair under SKIP TO NEXT ROW (closes the r13 named
-    # limit), the same-class TRIPLE (lexicographic run split), and the
-    # manifest-compaction maintenance op; displaced fn_conditional/
-    # fn_array_zip/agg_having to r15 — function category stays covered
-    # by fn_string_distance/fn_timezone, aggregate by six other names --
+    # -- new in r14 (window-joined immediately; the entire
+    # never-driver-verified set): five MATCH_RECOGNIZE closures
+    # (skip-next pairs, the lexicographic run split / triples,
+    # mid-island skip resume, runs under alternation, rescan ALL ROWS
+    # under cycles), the streaming split matcher, the
+    # manifest-compaction maintenance op, and the TPC-DS Q72 digest.
+    # Displaced to r15 (r07-vintage fillers, in displacement order):
+    # fn_conditional, fn_array_zip, agg_having, agg_filter_clause,
+    # agg_min_max_by, agg_map_entries, agg_bool_bit, agg_stats_builtin;
+    # agg_percentile_approx keeps the aggregate family covered,
+    # fn_string_distance/fn_timezone the function family --
     "win_pattern_sql_same_class_skip_next",
     "win_pattern_sql_same_class_triple",
     "win_pattern_sql_same_class_skip_to_mid",
