@@ -707,18 +707,29 @@ HEADLINE_PLAN_FINGERPRINTS = {
     "tpch_q8": {"hash_exch": 1, "bhj": 7, "smj": 0, "cartesian": 0},
     "tpch_q10": {"hash_exch": 1, "bhj": 3, "smj": 0, "cartesian": 0},
     "tpch_q13": {"hash_exch": 2, "bhj": 1, "smj": 0, "cartesian": 0},
-    "tpch_q18": {"hash_exch": 2, "bhj": 3, "smj": 0, "cartesian": 0},
+    # r14: single-fact-scan shape (group keys functionally determined by
+    # o_orderkey) — the HAVING subquery's aggregate IS the outer sum, so
+    # one lineitem aggregate + two broadcast joins replaces the
+    # semi-join + second fact scan + re-aggregate (BENCH_NOTES r14).
+    "tpch_q18": {"hash_exch": 1, "bhj": 2, "smj": 0, "cartesian": 0},
     "dedup_exact": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
     "dedup_minhash_lsh": {"hash_exch": 1, "bhj": 3, "smj": 0, "cartesian": 0},
     "dedup_simhash": {"hash_exch": 5, "bhj": 4, "smj": 0, "cartesian": 0},
     "dedup_embedding_cosine": {"hash_exch": 1, "bhj": 2, "smj": 0, "cartesian": 0},
     "knn_brute_force": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
     "knn_lsh_bucketed": {"hash_exch": 1, "bhj": 1, "smj": 0, "cartesian": 0},
-    "text_quality_filter_per_source": {"hash_exch": 2, "bhj": 1, "smj": 0, "cartesian": 0},
+    # r14: single-pass shape — the per-source median re-broadcasts to the
+    # partition's rows as a window aggregate over the same partition key,
+    # so the second scoring scan + broadcast threshold join vanish
+    # (BENCH_NOTES r14).
+    "text_quality_filter_per_source": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
     "text_quality_score": {"hash_exch": 0, "bhj": 0, "smj": 0, "cartesian": 0},
     "udf_pandas_scalar": {"hash_exch": 0, "bhj": 0, "smj": 0, "cartesian": 0},
     "events_tumbling": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},
-    "events_hypertable_rollup": {"hash_exch": 6, "bhj": 0, "smj": 0, "cartesian": 0},
+    # r14: the finest (15m) level is localCheckpointed once per
+    # invocation, so the three union branches stop re-deriving it from
+    # three copies of the raw scan — 6 exchanges -> 3 (BENCH_NOTES r14).
+    "events_hypertable_rollup": {"hash_exch": 3, "bhj": 0, "smj": 0, "cartesian": 0},
     "range_join_binned": {"hash_exch": 0, "bhj": 1, "smj": 0, "cartesian": 0},
     "skew_salted_agg": {"hash_exch": 2, "bhj": 0, "smj": 0, "cartesian": 0},
     "win_ranking": {"hash_exch": 1, "bhj": 0, "smj": 0, "cartesian": 0},

@@ -54,15 +54,36 @@ ROWS_PER_BAND = 4  # N_HASHES / N_BANDS
 JACCARD_THRESHOLD = 0.8
 
 
-def _shingles(col):
-    """Distinct word-3-gram shingles of a text column (array<string>)."""
-    w = F.split(col, " ")
-    n = F.size(w)
+def _shingles_from(words_col):
+    """Distinct word-3-gram shingles from an already-materialized words
+    array column. The words column MUST be its own projection (see
+    _with_shingles): expressions inlined into a higher-order-function lambda
+    are re-evaluated on every lambda call — there is no CSE inside HOF
+    bodies — so an inlined split(text) here would re-split the document
+    ~3x per shingle (O(words²) character work per doc; optimization
+    r14, guide §4.1)."""
+    n = F.size(words_col)
     return F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat_ws("_", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
+            lambda i: F.concat_ws(
+                "_",
+                F.element_at(words_col, i),
+                F.element_at(words_col, i + 1),
+                F.element_at(words_col, i + 2),
+            ),
         )
+    )
+
+
+def _with_shingles(df, text_col: str, out_col: str, *keep):
+    """Project ``keep`` + distinct word-3-gram shingles of ``text_col``,
+    splitting the text exactly once per row: the words array is
+    materialized as its own projection so the shingle lambda reads an
+    attribute (CollapseProject keeps the two projections separate
+    because the non-cheap split is referenced 4x)."""
+    return df.select(*keep, F.split(F.col(text_col), " ").alias("__w")).select(
+        *keep, _shingles_from(F.col("__w")).alias(out_col)
     )
 
 
@@ -141,7 +162,7 @@ def dedup_ngram_jaccard(
     tests/test_properties.py instead."""
     t = Tables(spark, sf_dir)
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles"))
+    sh = _with_shingles(docs, "text", "shingles", "doc_id")
     ex = sh.select("doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s"))
     if max_shingle_df is not None:
         df_counts = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -277,7 +298,7 @@ def dedup_minhash_lsh(
     # too (spills, never OOMs); LRU eviction reclaims it afterwards.
     from pyspark.storagelevel import StorageLevel
 
-    sh = docs.select("doc_id", _shingles(F.col("text")).alias("shingles")).persist(
+    sh = _with_shingles(docs, "text", "shingles", "doc_id").persist(
         StorageLevel.MEMORY_AND_DISK
     )
     hashed = sh.select("doc_id", F.transform("shingles", _md5int).alias("hs"))
@@ -376,6 +397,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = Tables(spark, sf_dir)
     docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
+    # Two-step transform→aggregate fold, kept after an r14 A/B: fusing
+    # ascii() into the aggregate lambda (skipping the char-code array)
+    # measured 24% SLOWER on the isolated map stage (0.689 s vs 0.557 s
+    # min-of-3 at sf0.1) — the interpreted fold evaluates its lambda
+    # body per step, so a heavier body loses more than the skipped
+    # array materialization saves.
     codes = F.transform(F.split("word", ""), lambda c: F.ascii(c))
     h = F.aggregate(codes, F.lit(0).cast("int"), lambda acc, c: (acc * 31 + c) % 16777216)
     # Hash BEFORE the groupBy: the interpreted char-fold runs map-side
@@ -671,7 +698,11 @@ COS_THRESHOLD = 0.45
 
 def _edot(x, y):
     """Sequential-fold dot product (same order as DuckDB list_reduce, so
-    doubles match the oracle bit-for-bit)."""
+    doubles match the oracle bit-for-bit). The r14 optimization pass
+    tried an expanded per-element sum — bit-identical but SLOWER end to
+    end (py4j construction + optimizer cost of ~2k-node trees dominates
+    the interpreted fold at these row counts) and over ~30 planes it
+    overflows the JVM's 64KB codegen method limit, so the fold stays."""
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
         F.lit(0.0),
@@ -776,6 +807,12 @@ def dedup_embedding_lsh(
         "vec_id", "embedding"
     )
 
+    # Nested-transform HOF form, kept after an r14 A/B (same verdict as
+    # similarity._bucket_expr): per-plane Python-literal weights looked
+    # cheaper — no per-row rebuild of the constant weight matrix — but
+    # the 30 expanded fold trees overflow Generate's 64KB codegen
+    # method (needing an extra projection workaround) and measured
+    # SLOWER end to end on the full query. Measurement wins.
     def bucket_for_table(tt):
         planes = F.transform(
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
@@ -1078,8 +1115,8 @@ def dedup_source_overlap(
     production/probe shape — signatures only, no exact columns (the
     corpus probe times it at 10x the fixture)."""
     t = Tables(spark, sf_dir)
-    docs = t.documents.filter(F.col("source").isin(*sources)).select(
-        "source", _shingles(F.col("text")).alias("sh")
+    docs = _with_shingles(
+        t.documents.filter(F.col("source").isin(*sources)), "text", "sh", "source"
     )
     exploded = docs.select("source", F.explode("sh").alias("s"))
     if include_exact:

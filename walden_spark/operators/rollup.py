@@ -38,6 +38,16 @@ def time_rollup(
         )
         .select(F.col("w.start").alias("bucket"), *keys, "n", "total")
     )
+    # Materialize the finest level once (optimization r14, guide §2.4):
+    # without this the three union branches each re-derive the 15m
+    # aggregate from the raw scan — exchange reuse cannot fire because
+    # each coarser level pushes an extra isnotnull(window(...)) filter
+    # into ITS copy of the base subtree, de-canonicalizing the three
+    # exchanges (verified in plans/r14/events_hypertable_rollup_before
+    # .txt: three Scan parquet nodes). localCheckpoint runs the raw
+    # scan exactly once per invocation (eager, never cached across
+    # runs) and the coarser levels re-aggregate the tiny bucket frame.
+    cur = cur.localCheckpoint()
     out = cur.withColumn("level", F.lit(RESOLUTIONS[0][1]))
     for res, label in RESOLUTIONS[1:]:
         # coarser level re-aggregates the PREVIOUS level: partial sums

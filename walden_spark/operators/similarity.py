@@ -33,6 +33,12 @@ N_QUERIES = 10  # vec_id < 10 are the probe vectors
 
 
 def _dot(x, y):
+    """Sequential-fold dot product (same order as DuckDB list_reduce,
+    so doubles match the oracle bit-for-bit). Kept as the fold rather
+    than an expanded 64-term expression: the r14 optimization pass
+    measured the expanded tree SLOWER end to end — ~2k-node Column
+    trees cost more in py4j construction + per-action optimizer walks
+    than the interpreted fold costs to evaluate at these row counts."""
     return F.aggregate(
         F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
         F.lit(0.0),
@@ -130,7 +136,18 @@ _PLANES_SQL = (
 
 
 def _bucket_expr(emb_col: str) -> F.Column:
-    """LSH bucket id: Σ_p (dot(emb, plane_p) > 0 ? 2^p : 0)."""
+    """LSH bucket id: Σ_p (dot(emb, plane_p) > 0 ? 2^p : 0).
+
+    Nested-transform HOF form, kept after an r14 A/B: rewriting the
+    plane weights as per-plane Python literals (16 expanded
+    when(aggregate(zip_with(emb, lit(ws)))) trees) looked cheaper —
+    no per-row rebuild of the constant weight matrix — and indeed won
+    a single-select microbench (0.132 s vs 0.142 s), but LOST on the
+    full knn_lsh_bucketed query (1.42 s vs 0.96 s min, interleaved
+    5-round A/B at sf0.1): the query plans the bucket subtree twice
+    (probe + candidate side), and 2×N_PLANES expanded fold trees cost
+    more in planning/codegen than the interpreted weight rebuild costs
+    to run. Details in OPTIMIZATION_r14.md; measurement wins."""
     plane_weights = F.transform(
         F.sequence(F.lit(0), F.lit(N_PLANES - 1)),
         lambda p: F.transform(

@@ -69,8 +69,16 @@ def skew_salted_agg(spark, sf_dir: str) -> DataFrame:
     hot-key shape). Decimal sums make the re-association exact, so the
     salted plan hash-matches the naive single-phase oracle."""
     t = Tables(spark, sf_dir)
+    # Project to the two referenced columns BEFORE salting: the default
+    # salt hashes every input column, which drags the full 11-column
+    # lineitem row through the scan (ReadSchema showed all columns) and
+    # hashes ~5x more bytes per row than the aggregation needs. Salting
+    # on (l_returnflag, l_extendedprice) spreads the hot key just as
+    # well (price is high-cardinality) and restores column pruning;
+    # phase-2 re-aggregation makes the result independent of the salt
+    # assignment (exact decimal sums), so output is bit-identical.
     out = salted_agg(
-        t.lineitem,
+        t.lineitem.select("l_returnflag", "l_extendedprice"),
         keys=["l_returnflag"],
         sum_cols={"total": F.col("l_extendedprice").cast("decimal(12,2)")},
         n_salts=16,

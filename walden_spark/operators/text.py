@@ -308,8 +308,12 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters). A doc with >30% duplicate 3-grams is flagged. Pure map
     work: per-row array ops, no shuffle at all."""
     t = Tables(spark, sf_dir)
-    docs = t.documents.repartition(spark.sparkContext.defaultParallelism)
-    w = F.split(F.col("text"), " ")
+    # Materialize the words array as its own projection (optimization
+    # r14, guide §4.1): inlining split(text) into the 3-gram transform
+    # lambda re-splits the document on every lambda call — no CSE
+    # exists inside higher-order-function bodies — i.e. O(words²)
+    # character work per doc. As an attribute, the split runs once.
+    w = F.col("__w")
     grams = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.concat_ws("_", F.element_at(w, i), F.element_at(w, i + 1), F.element_at(w, i + 2)),
@@ -318,7 +322,8 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(grams)).cast("long")
     dup_frac = F.lit(1.0) - n_distinct.cast("double") / F.nullif(n_grams, F.lit(0))
     return (
-        t.documents.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        t.documents.select("doc_id", F.split(F.col("text"), " ").alias("__w"))
+        .filter(F.size(w) >= 3)
         .select(
             "doc_id",
             n_grams.alias("n_grams"),
@@ -364,22 +369,30 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side semi-join — the corpus never shuffles at any scale. Emits
     (doc_id, overlapping-ngram count) for flagged docs only."""
     t = Tables(spark, sf_dir)
-    w = F.split("text", " ")
 
     def grams8(df):
         # Docs shorter than 8 words contribute no 8-grams. The guard
         # matters: sequence(1, 0) is DESCENDING [1, 0] on Spark and
         # element_at(w, 0) throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
-        return df.filter(F.size(w) >= 8).select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(w) - 7),
-                    lambda i: F.concat_ws(
-                        "_", *[F.element_at(w, i + j) for j in range(8)]
-                    ),
-                )
-            ).alias("s"),
+        # Words materialized as their own projection (optimization r14,
+        # guide §4.1): inlined split(text) would re-split the document
+        # on every lambda call — 8 element_at per 8-gram — since HOF
+        # lambda bodies get no CSE; as an attribute it splits once.
+        w = F.col("__w")
+        return (
+            df.select("doc_id", F.split("text", " ").alias("__w"))
+            .filter(F.size(w) >= 8)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 7),
+                        lambda i: F.concat_ws(
+                            "_", *[F.element_at(w, i + j) for j in range(8)]
+                        ),
+                    )
+                ).alias("s"),
+            )
         )
 
     bench = (
@@ -1416,8 +1429,10 @@ def text_quality_filter_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     the median needs a per-source ordered row_number — fine while
     sources are shard-sized, and the documented 100 TB path swaps the
     exact rank for approx_percentile (mergeable sketch, no per-source
-    sort) with an epsilon-rank guarantee. Keep-counting reuses the
-    scored frame with a tiny broadcast threshold join."""
+    sort) with an epsilon-rank guarantee. Keep-counting happens inside
+    the same windowed pass (the median is re-broadcast to the
+    partition's rows as a window aggregate), so documents are scored
+    exactly once."""
     t = Tables(spark, sf_dir)
     w = _words()
     n_words = F.size(w)
@@ -1437,17 +1452,28 @@ def text_quality_filter_per_source(spark: SparkSession, sf_dir: str) -> DataFram
     scored = t.documents.select("doc_id", "source", quality.alias("quality"))
     from pyspark.sql import Window
 
+    # Single-pass shape (optimization r14, guide §2.4): the old plan
+    # scored every document TWICE — once under the median window and
+    # once as the probe side of a broadcast threshold join — so the
+    # expensive per-word quality expression (split + stopword filter)
+    # ran over two full scans. The median is just the quality value at
+    # rank (n+1) DIV 2, so broadcast it to the partition's rows as a
+    # third window aggregate over the SAME partition key: one scan, one
+    # exchange, no join, bit-identical keep counts.
     win = Window.partitionBy("source").orderBy("quality", "doc_id")
-    ranked = scored.withColumn("rn", F.row_number().over(win)).withColumn(
-        "n_docs",
-        F.count(F.lit(1)).over(Window.partitionBy("source")).cast("bigint"),
+    win_all = Window.partitionBy("source")
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(win))
+        .withColumn("n_docs", F.count(F.lit(1)).over(win_all).cast("bigint"))
+        .withColumn(
+            "med_quality",
+            F.max(
+                F.when(F.col("rn") == F.expr("(n_docs + 1) DIV 2"), F.col("quality"))
+            ).over(win_all),
+        )
     )
-    med = ranked.filter(
-        F.col("rn") == F.expr("(n_docs + 1) DIV 2")
-    ).select("source", "n_docs", F.col("quality").alias("med_quality"))
     return (
-        scored.join(F.broadcast(med), "source")
-        .groupBy("source", "n_docs", "med_quality")
+        ranked.groupBy("source", "n_docs", "med_quality")
         .agg(
             F.count(F.when(F.col("quality") >= F.col("med_quality"), 1))
             .cast("bigint")

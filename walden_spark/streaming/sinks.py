@@ -498,19 +498,21 @@ def _minhash_ingest_run(
     from walden_spark.operators.dedup import (
         _md5int,
         _minhash_sig,
-        _shingles,
+        _with_shingles,
         JACCARD_THRESHOLD,
         N_BANDS,
         ROWS_PER_BAND,
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        sh = batch_df.select(
-            "doc_id", _shingles(F.col("text")).alias("shingles")
-        ).persist()
-        sig = sh.select(
-            "doc_id", _minhash_sig(F.transform("shingles", _md5int)).alias("sig")
-        )
+        sh = _with_shingles(batch_df, "text", "shingles", "doc_id").persist()
+        # Materialize the hashed-shingle array before the signature
+        # (optimization r14, same contract as _minhash_sig's docstring):
+        # inlining the md5 transform into _minhash_sig clones it into
+        # all N_HASHES affine branches — every shingle re-md5'd 32x per
+        # batch. As its own projection it hashes once.
+        hashed = sh.select("doc_id", F.transform("shingles", _md5int).alias("hs"))
+        sig = hashed.select("doc_id", _minhash_sig(F.col("hs")).alias("sig"))
         bands = sig.select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.lit(N_BANDS - 1))).alias("band"),
