@@ -857,8 +857,22 @@ def dedup_embedding_lsh(
         .select("a_id", "b_id")
         .distinct()
     )
-    ea = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    # Norms hoisted out of the verify fan-out (optimization r14, guide
+    # §1.2): the per-pair cosine re-ran each side's self-dot fold once
+    # per CANDIDATE PAIR (collisions ≫ corpus rows at any realistic
+    # duplicate density); sqrt(dot(x,x)) computed once per corpus row
+    # and divided as an attribute is the same ops in the same IEEE
+    # order — cos_sim stays bit-identical to the oracle.
+    ea = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("emb_a"),
+        F.sqrt(_edot(F.col("embedding"), F.col("embedding"))).alias("nrm_a"),
+    )
+    eb = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("emb_b"),
+        F.sqrt(_edot(F.col("embedding"), F.col("embedding"))).alias("nrm_b"),
+    )
     if arrow_verify:
         import numpy as np
         import pandas as pd
@@ -882,13 +896,13 @@ def dedup_embedding_lsh(
         return (
             cand.join(ea, "a_id")
             .join(eb, "b_id")
+            # only the columns the kernel reads cross the Python
+            # boundary (guide §4.1) — the hoisted norms are for the
+            # fold path below, numpy recomputes its own
+            .select("a_id", "b_id", "emb_a", "emb_b")
             .mapInPandas(verify, schema="a_id long, b_id long, cos_sim double")
         )
-    cos = (
-        _edot(F.col("emb_a"), F.col("emb_b"))
-        / F.sqrt(_edot(F.col("emb_a"), F.col("emb_a")))
-        / F.sqrt(_edot(F.col("emb_b"), F.col("emb_b")))
-    )
+    cos = _edot(F.col("emb_a"), F.col("emb_b")) / F.col("nrm_a") / F.col("nrm_b")
     return (
         cand.join(ea, "a_id")
         .join(eb, "b_id")
@@ -964,17 +978,27 @@ def dedup_semantic_cluster(
     over the cap, exactly the `max_bucket_size` discipline the LSH
     operators apply."""
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding").repartition(
-        spark.sparkContext.defaultParallelism
+    # Norms hoisted out of both fan-outs (optimization r14, guide §1.2):
+    # _ecos re-ran each vector's self-dot fold once per seed in the
+    # assignment stage (×k) and once per candidate pair in the
+    # within-cluster stage (×cluster size). sqrt(dot(x,x)) computed
+    # once per row and divided as an attribute is the same ops in the
+    # same IEEE order — cs stays bit-identical to the oracle — with
+    # one fold per pair instead of three.
+    e = (
+        t.embeddings.select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .withColumn("nrm", F.sqrt(_edot(F.col("embedding"), F.col("embedding"))))
     )
     seeds = (
         t.embeddings.filter(F.col("vec_id") < n_clusters)
         .select(
             F.col("vec_id").alias("seed_id"), F.col("embedding").alias("semb")
         )
+        .withColumn("snrm", F.sqrt(_edot(F.col("semb"), F.col("semb"))))
     )
     scored = e.crossJoin(F.broadcast(seeds)).withColumn(
-        "cs", _ecos(F.col("embedding"), F.col("semb"))
+        "cs", _edot(F.col("embedding"), F.col("semb")) / F.col("nrm") / F.col("snrm")
     )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cs").desc(), F.col("seed_id").asc()
@@ -982,18 +1006,24 @@ def dedup_semantic_cluster(
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster_id"), "embedding")
+        .select("vec_id", F.col("seed_id").alias("cluster_id"), "embedding", "nrm")
     )
     a = assigned.select(
-        "cluster_id", F.col("vec_id").alias("a_id"), F.col("embedding").alias("ea")
+        "cluster_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = assigned.select(
-        "cluster_id", F.col("vec_id").alias("b_id"), F.col("embedding").alias("eb")
+        "cluster_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cs", _ecos(F.col("ea"), F.col("eb")))
+        .withColumn("cs", _edot(F.col("ea"), F.col("eb")) / F.col("na") / F.col("nb"))
         .filter(F.col("cs") >= threshold)
     )
     return pairs.select(

@@ -272,11 +272,27 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells x 4 probes -> recall@10 = 0.92 at 1.8% scanned; x 8 probes
     -> 0.999 at 3.2% (SCALING.md)."""
     t = Tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding")
-    cent = e.filter(F.col("vec_id") % 100 == 7).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    # Norms hoisted out of the fan-out (optimization r14, guide §1.2
+    # "don't compute things you throw away"): _cos inside the
+    # vector×centroid cross join re-ran the vector's self-dot fold once
+    # PER CENTROID (~n/100 times per vector) and the centroid's once
+    # per pair. Computing sqrt(dot(x,x)) once per row on each side and
+    # dividing by the attributes is the same ops in the same IEEE order
+    # — cos_sim stays bit-identical to the oracle — but the dominant
+    # stage now folds once per pair instead of three times.
+    e = t.embeddings.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    pairs = e.crossJoin(F.broadcast(cent)).withColumn("cos_sim", _cos(F.col("embedding"), F.col("ce")))
+    cent = e.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnrm"),
+    )
+    pairs = e.crossJoin(F.broadcast(cent)).withColumn(
+        "cos_sim", _dot(F.col("embedding"), F.col("ce")) / F.col("nrm") / F.col("cnrm")
+    )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "cid")
     assigned = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return assigned.groupBy("cid").agg(

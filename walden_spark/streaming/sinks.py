@@ -698,8 +698,18 @@ def _ivf_ingest_run(
     from walden_spark.operators.similarity import _cos
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        pairs = batch_df.crossJoin(F.broadcast(cent)).withColumn(
-            "cos_sim", _cos(F.col("embedding"), F.col("ce"))
+        # Norms hoisted out of the vector×centroid fan-out (optimization
+        # r14, same rewrite as ann_ivf_probe): one self-dot fold per row
+        # per side instead of per pair; identical ops in identical IEEE
+        # order, so assignments are bit-identical.
+        from walden_spark.operators.similarity import _dot
+
+        b = batch_df.withColumn(
+            "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        )
+        c = cent.withColumn("cnrm", F.sqrt(_dot(F.col("ce"), F.col("ce"))))
+        pairs = b.crossJoin(F.broadcast(c)).withColumn(
+            "cos_sim", _dot(F.col("embedding"), F.col("ce")) / F.col("nrm") / F.col("cnrm")
         )
         w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "cid")
         assigned = (
