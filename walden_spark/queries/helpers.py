@@ -58,3 +58,35 @@ CHARGE_SQL = REV_SQL + " * (1 + CAST(l_tax AS DECIMAL(4,2)))"
 
 def sql_money(col: str) -> str:
     return f"CAST({col} AS DECIMAL(12,2))"
+
+
+def tiny_sorted(df, *cols):
+    """Total ORDER BY for a bounded-cardinality final frame without the
+    range-exchange sampling pass (optimization r14, guide §2.4).
+
+    A trailing ``.orderBy(...)`` plans Exchange rangepartitioning,
+    whose boundary sampling RE-EXECUTES the post-shuffle final stage of
+    the child (measured +1.6 s on agg_quantile_sketch's percentile
+    aggregate at sf0.1: the sampling job re-reads the shuffle files and
+    re-runs the final aggregate). For a frame that is already tiny —
+    grouped aggregates with bounded group counts — shuffling everything
+    to ONE partition and sorting there produces the identical total
+    order (sort keys in these queries are unique, so there are no ties
+    for partition boundaries to resolve differently) with no sampling
+    pass and no second execution.
+
+    ONLY for provably small final frames: a single-partition sort of a
+    large result would serialize it. Queries whose output grows with
+    the data keep their ``orderBy``.
+
+    Measured scope (r14 interleaved A/B, min-of-5, noop sink, sf0.1):
+    the win exists only when the re-executed final stage is itself
+    expensive — agg_quantile_sketch 0.93x (its final stage re-runs the
+    exact-percentile aggregate over the shuffled value maps). For six
+    other headline candidates (tpch_q1/q5/q8/q13, skew_salted_agg,
+    text_quality_filter_per_source) the sampled final stage is a
+    trivial re-read of tiny partial-agg shuffle data and the extra
+    strict exchange measured flat-to-worse (0.99-1.08x), so they keep
+    the plain ``orderBy`` (guide §1.2: measure, don't assume).
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
