@@ -630,9 +630,9 @@ def test_streaming_pattern_alternation_restart(spark, sf_dir, tmp_path):
 
     stage = _staged_event_replay(spark, sf_dir, 26, "walden_patalt_rs_")
     hold = str(tmp_path / "hold")
-    shutil.move(f"{stage}/b2", f"{hold}_b2")
-    shutil.move(f"{stage}/b3", f"{hold}_b3")
-    shutil.move(f"{stage}/b4", f"{hold}_b4")
+    shutil.move(f"{stage}/b=2", f"{hold}_b2")
+    shutil.move(f"{stage}/b=3", f"{hold}_b3")
+    shutil.move(f"{stage}/b=4", f"{hold}_b4")
 
     ckpt = str(tmp_path / "ckpt")
     got: list[tuple] = []
@@ -668,9 +668,9 @@ def test_streaming_pattern_alternation_restart(spark, sf_dir, tmp_path):
 
     run_once()  # files b0, b1 only — the kill point
     n_first = len(got)
-    shutil.move(f"{hold}_b2", f"{stage}/b2")
-    shutil.move(f"{hold}_b3", f"{stage}/b3")
-    shutil.move(f"{hold}_b4", f"{stage}/b4")
+    shutil.move(f"{hold}_b2", f"{stage}/b=2")
+    shutil.move(f"{hold}_b3", f"{stage}/b=3")
+    shutil.move(f"{hold}_b4", f"{stage}/b=4")
     run_once()  # fresh query, same checkpoint: replays only b2..b4
     assert len(got) > n_first  # the sentinel flush emits in run 2
 
@@ -720,9 +720,9 @@ def test_streaming_pattern_same_class_restart(spark, sf_dir, tmp_path):
 
     stage = _staged_event_replay(spark, sf_dir, 22, "walden_patsc_rs_")
     hold = str(tmp_path / "hold")
-    shutil.move(f"{stage}/b2", f"{hold}_b2")
-    shutil.move(f"{stage}/b3", f"{hold}_b3")
-    shutil.move(f"{stage}/b4", f"{hold}_b4")
+    shutil.move(f"{stage}/b=2", f"{hold}_b2")
+    shutil.move(f"{stage}/b=3", f"{hold}_b3")
+    shutil.move(f"{stage}/b=4", f"{hold}_b4")
 
     ckpt = str(tmp_path / "ckpt")
     got: list[tuple] = []
@@ -758,9 +758,9 @@ def test_streaming_pattern_same_class_restart(spark, sf_dir, tmp_path):
 
     run_once()  # files b0, b1 only — the kill point
     n_first = len(got)
-    shutil.move(f"{hold}_b2", f"{stage}/b2")
-    shutil.move(f"{hold}_b3", f"{stage}/b3")
-    shutil.move(f"{hold}_b4", f"{stage}/b4")
+    shutil.move(f"{hold}_b2", f"{stage}/b=2")
+    shutil.move(f"{hold}_b3", f"{stage}/b=3")
+    shutil.move(f"{hold}_b4", f"{stage}/b=4")
     run_once()  # fresh query, same checkpoint: replays only b2..b4
     assert len(got) > n_first  # the sentinel flush emits in run 2
 

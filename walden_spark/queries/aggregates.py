@@ -87,11 +87,23 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     count — deterministic for a fixed fixture + Spark version, and
     SQL-expressible for the oracle (VERDICT r01 'What's wrong' #4)."""
     t = Tables(spark, sf_dir)
+    # Mixing countDistinct with approx_count_distinct in one .agg() triggers
+    # Catalyst's distinct rewrite, which plans partial_approx_count_distinct
+    # keyed by (l_returnflag, l_partkey): a 2^14-register HLL buffer
+    # (rsd=0.01 -> 1,639 longs of mutable state) per DISTINCT PART KEY,
+    # shuffled as 1,641-column rows — ~4.5 s warm at sf0.1.
+    # Dedupe (l_returnflag, l_partkey) FIRST, then run BOTH aggregates over
+    # the support set in one pass: HLL insertion is idempotent per value, so
+    # the registers (and the estimate) are bit-identical to HLL over the full
+    # multiset, and COUNT(l_partkey) over the distinct pairs IS the exact
+    # COUNT(DISTINCT). One scan, no distinct-rewrite, HLL touches ~1/3 of
+    # the rows: 1.45 s vs 4.5 s for the naive mixed .agg() at sf0.1.
+    pairs = t.lineitem.select("l_returnflag", "l_partkey").distinct()
     return (
-        t.lineitem.groupBy("l_returnflag")
+        pairs.groupBy("l_returnflag")
         .agg(
+            F.count("l_partkey").alias("exact_parts"),
             F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.countDistinct("l_partkey").alias("exact_parts"),
         )
         .select(
             "l_returnflag",

@@ -71,21 +71,13 @@ def streaming_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     from walden_spark.tables import load_table
     from walden_spark.timetravel import VersionedTable
 
+    from walden_spark.streaming.stateful import _stage_replay_one_job
+
     ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
 
     # stage 4 contiguous time ranges so the file source replays them in
-    # order (mirrors streaming_stateful_timeout_sessions)
-    stage = tempfile.mkdtemp(prefix="walden_upsert_stream_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+    # order (mirrors streaming_stateful_timeout_sessions); one write job
+    stage = _stage_replay_one_job(spark, ev, None, "walden_upsert_stream_")
 
     vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_upsert_vt_") + "/totals")
 
@@ -147,19 +139,11 @@ def streaming_mor_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from walden_spark.tables import load_table
     from walden_spark.timetravel import VersionedTable
 
+    from walden_spark.streaming.stateful import _stage_replay_one_job
+
     ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
 
-    stage = tempfile.mkdtemp(prefix="walden_mor_stream_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+    stage = _stage_replay_one_job(spark, ev, None, "walden_mor_stream_")
 
     vt = VersionedTable(spark, tempfile.mkdtemp(prefix="walden_mor_vt_") + "/events_i")
 
@@ -464,20 +448,35 @@ GROUP BY b_id ORDER BY doc_id
 
 
 def _stage_id_ranges(spark, df: DataFrame, id_col: str, stage: str, which=range(4)) -> None:
-    """Stage quartile id-ranges of ``df`` as one parquet file each under
-    ``stage/b{i}`` — the replayable micro-batch fixture both streaming
-    state operators ingest. Bounds always come from the FULL frame so a
-    later call staging only b3 (the restart test) cuts identical
-    ranges."""
+    """Stage quartile id-ranges of ``df`` under ``stage/b=<i>`` — the
+    replayable micro-batch fixture both streaming state operators
+    ingest — in ONE write job (bucket column + ``partitionBy``) instead
+    of one filtered scan-and-write per range; ``os.utime`` then pins
+    strictly increasing mtimes so the file source replays b=0..b=3 in
+    the same order the sequential writes produced implicitly. Bounds
+    always come from the FULL frame so a later call staging only b3
+    (the restart test) cuts identical ranges — and lands with a later
+    mtime, preserving resume order."""
+    import os
+    import time as _time
+
     qs = df.approxQuantile(id_col, [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
+    which = list(which)
+    bucket = (
+        F.when(F.col(id_col) <= F.lit(int(qs[0])), 0)
+        .when(F.col(id_col) <= F.lit(int(qs[1])), 1)
+        .when(F.col(id_col) <= F.lit(int(qs[2])), 2)
+        .otherwise(3)
+    )
+    staged = df.withColumn("b", bucket).filter(F.col("b").isin(which))
+    staged.coalesce(1).write.mode("append").partitionBy("b").parquet(stage)
+    base = _time.time() - 600
     for i in which:
-        part = df
-        if bounds[i] is not None:
-            part = part.filter(F.col(id_col) > int(bounds[i]))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col(id_col) <= int(bounds[i + 1]))
-        part.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
+        d = os.path.join(stage, f"b={i}")
+        if not os.path.isdir(d):
+            spark.createDataFrame([], df.schema).repartition(1).write.parquet(d)
+        for name in os.listdir(d):
+            os.utime(os.path.join(d, name), (base + 60 * i,) * 2)
 
 
 def _minhash_ingest_run(
@@ -524,6 +523,11 @@ def _minhash_ingest_run(
                 ",", F.slice("sig", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND)
             ).alias("bucket"),
         )
+        # the batch's band rows feed the candidate join twice (new side
+        # + union into all_bands) AND the band-state append; persisting
+        # them stops the md5/minhash signature expressions re-running
+        # per consumer (same contract as the sh persist above)
+        bands = bands.persist()
         try:
             prior_bands: DataFrame | None = band_state.read()
             prior_sh: DataFrame | None = shingle_state.read()
@@ -558,6 +562,10 @@ def _minhash_ingest_run(
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_prior_dups"))
             .select(F.col("b_id").alias("doc_id"), "n_prior_dups")
         )
+        # hits is both emptiness-tested AND appended: persist so the
+        # candidate-join pipeline runs once per batch, not twice
+        # (measured ~1.2 s/batch of pure recompute at sf0.1, guide §1.2)
+        hits = hits.persist()
         for vt, frame in ((band_state, bands), (shingle_state, sh)):
             try:
                 vt.append(frame)
@@ -568,6 +576,8 @@ def _minhash_ingest_run(
                 flagged.append(hits)
             except FileNotFoundError:
                 flagged.write(hits, operation=f"batch_{batch_id}")
+        hits.unpersist()
+        bands.unpersist()
         sh.unpersist()
         if batch_id == maintain_at:
             # state maintenance DURING ingest (same cadence as the IVF

@@ -20,7 +20,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from walden_spark.registry import query
-from walden_spark.streaming.windows import _read_events_stream, _run_to_memory
+from walden_spark.streaming.windows import (
+    _read_events_stream,
+    _run_to_memory,
+    scaled_state_partitions,
+)
 
 _STATE_SCHEMA = "n BIGINT, total DOUBLE, last_ts TIMESTAMP"
 _OUTPUT_SCHEMA = "user_id BIGINT, n BIGINT, total DOUBLE"
@@ -140,33 +144,13 @@ def streaming_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> Dat
     still-open session before the stream ends; sentinel-opened sessions
     are never emitted, so the result equals batch sessionization of the
     real events (the oracle's lag/cumsum formulation)."""
-    import tempfile
-
     from walden_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
 
     # stage the stream: 4 contiguous time ranges + a sentinel file,
-    # written in order so the file source replays them as 5 batches
-    stage = tempfile.mkdtemp(prefix="walden_sess_stream_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "user_id",
-        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
-        .cast("long")
-        .alias("us"),
-    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+    # replayed in mtime order by the file source as 5 batches
+    stage = _stage_replay_one_job(spark, ev, "user_id", "walden_sess_stream_")
 
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts timestamp")
@@ -185,7 +169,9 @@ def streaming_stateful_timeout_sessions(spark: SparkSession, sf_dir: str) -> Dat
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    out = _run_to_memory(sessions, "update")
+    out = _run_to_memory(
+        sessions, "update", scaled_state_partitions(spark, stage)
+    )
     return out.select("user_id", "session_start", "n_events")
 
 
@@ -204,7 +190,11 @@ def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     complete totals — equal to the batch aggregation the oracle runs.
     (Cent-integer accumulation makes the double total exact.)"""
     ev = _read_events_stream(spark, sf_dir)
-    out = _run_to_memory(running_user_totals(ev), "update")
+    out = _run_to_memory(
+        running_user_totals(ev),
+        "update",
+        scaled_state_partitions(spark, f"{sf_dir}/events.parquet"),
+    )
     return out.select("user_id", "n", "total")
 
 
@@ -224,17 +214,89 @@ _PHASE_NONE, _PHASE_DOWN, _PHASE_UP, _PHASE_FLAT = 0, 1, 2, 3
 _DAY0 = pd.Timestamp("2024-01-01")
 
 
+def _stage_replay_one_job(
+    spark: SparkSession,
+    ev: DataFrame,
+    key_col: str | None,
+    prefix: str,
+    sentinel_extras: dict[str, Any] | None = None,
+) -> str:
+    """Stage ``ev`` as the four time-quartile files plus the per-key
+    far-future sentinel file in ONE Spark write job.
+
+    The previous per-file staging ran six jobs (approxQuantile + four
+    filtered single-file writes + the sentinel write), re-scanning the
+    input each time — the dominant cost of every streaming replay query
+    once state partitioning was right-sized (guide §1.2: remove passes
+    before tuning inside them). Here the SAME quartile bounds become a
+    bucket column, the sentinel frame is unioned in as bucket 4, and a
+    single ``partitionBy("b")`` write emits all five files at once.
+    File CONTENTS are byte-identical per bucket (same bounds, same
+    ``>lo``/``<=hi`` semantics), so every micro-batch sees exactly the
+    rows it saw before; ``os.utime`` then pins strictly increasing
+    mtimes b=0 < ... < b=4, deterministically reproducing the replay
+    order the sequential writes produced implicitly (the file source
+    orders pending files by modification time).
+    """
+    import tempfile
+    import time as _time
+
+    stage = tempfile.mkdtemp(prefix=prefix)
+    ev_us = ev.withColumn("us", F.unix_micros("ts"))
+    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
+    bucket = (
+        F.when(F.col("us") <= F.lit(int(qs[0])), 0)
+        .when(F.col("us") <= F.lit(int(qs[1])), 1)
+        .when(F.col("us") <= F.lit(int(qs[2])), 2)
+        .otherwise(3)
+    )
+    staged = ev_us.select(*ev.columns, bucket.alias("b"))
+    n_files = 4
+    if key_col is not None:  # key_col=None: plain 4-batch replay, no sentinel
+        n_files = 5
+        extras = dict(sentinel_extras or {})
+        sent_select = []
+        for c in ev.columns:
+            if c == "event_id":
+                sent_select.append(F.lit(-1).cast("long").alias("event_id"))
+            elif c == key_col:
+                sent_select.append(F.col(key_col))
+            elif c == "ts":
+                sent_select.append(
+                    F.timestamp_micros(
+                        (
+                            F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000)
+                        ).cast("long")
+                    ).alias("ts")
+                )
+            else:
+                sent_select.append(extras[c].alias(c))
+        sentinel = ev.groupBy(key_col).agg(F.max("ts").alias("mx")).select(*sent_select)
+        staged = staged.unionByName(sentinel.withColumn("b", F.lit(4)))
+    staged.coalesce(1).write.mode("overwrite").partitionBy("b").parquet(stage)
+    base = _time.time() - 600
+    import os as _os
+
+    for i in range(n_files):
+        d = _os.path.join(stage, f"b={i}")
+        if not _os.path.isdir(d):
+            # degenerate quartiles can leave a bucket empty; keep the
+            # empty micro-batch the per-file staging used to produce
+            spark.createDataFrame([], ev.schema).repartition(1).write.parquet(d)
+        for name in _os.listdir(d):
+            _os.utime(_os.path.join(d, name), (base + 60 * i,) * 2)
+    return stage
+
+
 def _staged_event_replay(
     spark: SparkSession, sf_dir: str, max_user: int, prefix: str
 ) -> str:
     """Shared replay harness of the streaming pattern matchers: stage
     the (filtered) event table as four time-ordered quartile files
-    plus a per-user far-future sentinel file (b4) that closes the
+    plus a per-user far-future sentinel file (b=4) that closes the
     final day and flushes open runs. With ``maxFilesPerTrigger=1`` the
     files replay as five micro-batches, so day boundaries and pattern
     runs genuinely SPAN batches. Returns the staging directory."""
-    import tempfile
-
     from walden_spark.tables import load_table
 
     ev = (
@@ -242,26 +304,7 @@ def _staged_event_replay(
         .filter(F.col("user_id") < max_user)
         .select("event_id", "user_id", "ts")
     )
-    stage = tempfile.mkdtemp(prefix=prefix)
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "user_id",
-        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
-        .cast("long")
-        .alias("us"),
-    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"))
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
-    return stage
+    return _stage_replay_one_job(spark, ev, "user_id", prefix)
 
 
 def _pattern_user(
@@ -426,7 +469,9 @@ def streaming_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_memory(matches, "update")
+    out = _run_to_memory(
+        matches, "update", scaled_state_partitions(spark, stage)
+    )
     return out.orderBy("user_id", "anchor_day")
 
 
@@ -554,30 +599,10 @@ def streaming_anomaly_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     not raw events; each micro-batch does constant work per event. At
     100 TB the same operator runs keyed by (type) with a sliding
     retention window on the state arrays instead of a sentinel."""
-    import tempfile
-
     from walden_spark.tables import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
-    stage = tempfile.mkdtemp(prefix="walden_anom_stream_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-    sentinel = ev.groupBy("event_type").agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "event_type",
-        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
-        .cast("long")
-        .alias("us"),
-    ).select("event_id", "event_type", F.timestamp_micros("us").alias("ts"))
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+    stage = _stage_replay_one_job(spark, ev, "event_type", "walden_anom_stream_")
 
     stream = (
         spark.readStream.schema("event_id long, event_type string, ts timestamp")
@@ -596,7 +621,9 @@ def streaming_anomaly_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_memory(scored, "update")
+    out = _run_to_memory(
+        scored, "update", scaled_state_partitions(spark, stage)
+    )
     return out.orderBy("event_type", "day")
 
 
@@ -789,7 +816,9 @@ def streaming_pattern_skip_next(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_memory(matches, "update")
+    out = _run_to_memory(
+        matches, "update", scaled_state_partitions(spark, stage)
+    )
     return out.orderBy("user_id", "anchor_day")
 
 
@@ -1017,7 +1046,9 @@ def streaming_pattern_alternation(spark: SparkSession, sf_dir: str) -> DataFrame
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_memory(matches, "update")
+    out = _run_to_memory(
+        matches, "update", scaled_state_partitions(spark, stage)
+    )
     return out.orderBy("user_id", "anchor_day")
 
 
@@ -1210,8 +1241,6 @@ def streaming_pattern_mixed_define(spark: SparkSession, sf_dir: str) -> DataFram
     match's final row is dropped exactly as the batch walk does). The
     oracle is the batch two-class islands + recursive-walk SQL on the
     closed input. Fresh slice: user_id < 34."""
-    import tempfile
-
     from walden_spark.tables import load_table
 
     ev = (
@@ -1222,26 +1251,10 @@ def streaming_pattern_mixed_define(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("event_type") == "error").cast("int").alias("err"),
         )
     )
-    stage = tempfile.mkdtemp(prefix="walden_pat_mixed_")
-    ev_us = ev.withColumn("us", F.unix_micros("ts"))
-    qs = ev_us.approxQuantile("us", [0.25, 0.5, 0.75], 0.0)
-    bounds = [None, *qs, None]
-    for i in range(4):
-        part = ev_us
-        if bounds[i] is not None:
-            part = part.filter(F.col("us") > F.lit(int(bounds[i])))
-        if bounds[i + 1] is not None:
-            part = part.filter(F.col("us") <= F.lit(int(bounds[i + 1])))
-        part.drop("us").coalesce(1).write.mode("overwrite").parquet(f"{stage}/b{i}")
-    sentinel = ev.groupBy("user_id").agg(F.max("ts").alias("mx")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        "user_id",
-        (F.unix_micros(F.col("mx")) + F.lit(3 * 3600 * 1000 * 1000))
-        .cast("long")
-        .alias("us"),
-        F.lit(0).alias("err"),
-    ).select("event_id", "user_id", F.timestamp_micros("us").alias("ts"), "err")
-    sentinel.coalesce(1).write.mode("overwrite").parquet(f"{stage}/b4")
+    stage = _stage_replay_one_job(
+        spark, ev, "user_id", "walden_pat_mixed_",
+        sentinel_extras={"err": F.lit(0)},
+    )
     stream = (
         spark.readStream.schema("event_id long, user_id long, ts timestamp, err int")
         .option("maxFilesPerTrigger", "1")
@@ -1259,7 +1272,9 @@ def streaming_pattern_mixed_define(spark: SparkSession, sf_dir: str) -> DataFram
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_memory(matches, "update")
+    out = _run_to_memory(
+        matches, "update", scaled_state_partitions(spark, stage)
+    )
     return out.orderBy("user_id", "anchor_day")
 
 
@@ -1419,5 +1434,7 @@ def streaming_pattern_same_class(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    out = _run_to_memory(matches, "update")
+    out = _run_to_memory(
+        matches, "update", scaled_state_partitions(spark, stage)
+    )
     return out.orderBy("user_id", "anchor_day")

@@ -15,7 +15,9 @@ by the watermark horizon (dropDuplicatesWithinWatermark).
 
 from __future__ import annotations
 
+import glob as _glob
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,6 +26,37 @@ from walden_spark.registry import query
 from walden_spark.tables import normalize_event_ts
 
 _counter = itertools.count()
+
+
+def scaled_state_partitions(spark: SparkSession, *paths: str) -> int:
+    """State-store partition count for a bounded-replay streaming query,
+    derived from the replayed input's on-disk size instead of the
+    session's batch-query ``spark.sql.shuffle.partitions``.
+
+    A streaming query pins its state partitioning at start; every
+    micro-batch then pays a fixed per-partition cost (state store open/
+    commit, one task, one Arrow round-trip for applyInPandasWithState).
+    With a bounded fixture the state is tiny, so partitions sized for
+    batch shuffles multiply that fixed cost for nothing: the stateful
+    sessionization replay measured 44 s at 32 partitions vs 17 s at
+    4-8 (5 micro-batches, sf0.1). Sizing by input bytes keeps the knob
+    scale-adaptive (guide §2.2: partitions sized by data, not core
+    count): at fixture scale it floors at 4; once the replayed input
+    reaches ``WALDEN_STREAM_STATE_TARGET_BYTES`` (default 32 MiB) per
+    partition it returns the session's configured shuffle parallelism
+    unchanged, so cluster deployments keep their cluster-sized state
+    layout. ``WALDEN_STREAM_STATE_PARTITIONS`` overrides outright.
+    """
+    override = os.environ.get("WALDEN_STREAM_STATE_PARTITIONS")
+    if override:
+        return max(1, int(override))
+    target = int(os.environ.get("WALDEN_STREAM_STATE_TARGET_BYTES", str(32 * 1024 * 1024)))
+    total = 0
+    for p in paths:
+        matches = _glob.glob(os.path.join(p, "**"), recursive=True) if os.path.isdir(p) else [p]
+        total += sum(os.path.getsize(m) for m in matches if os.path.isfile(m))
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(4, min(sess, -(-total // target)))
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -40,17 +73,46 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(stream)
 
 
-def _run_to_memory(agg: DataFrame, mode: str) -> DataFrame:
+def _run_to_memory(
+    agg: DataFrame, mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Execute a streaming query to completion against a memory sink and
-    return the materialized result."""
-    name = f"walden_stream_{next(_counter)}"
-    q = agg.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    return the materialized result.
+
+    ``state_partitions`` (from :func:`scaled_state_partitions`) pins
+    ``spark.sql.shuffle.partitions`` around ``start()`` — the moment a
+    streaming query freezes its state-store layout — and restores the
+    session value immediately after, so batch queries in the same
+    session are untouched. Per-key/stateful results are partitioning-
+    independent; only the (canonicalized-away) row order can differ.
+    """
     spark = agg.sparkSession
+    name = f"walden_stream_{next(_counter)}"
+    writer = agg.writeStream.outputMode(mode).format("memory").queryName(name)
+    prev = None
+    if state_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        if prev is not None:
+            # restored only after the bounded replay finished: the conf
+            # must stay pinned until the stream thread has snapshotted
+            # its session, and the replay runs synchronously here
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+
+
+def _sp(spark: SparkSession, sf_dir: str) -> int:
+    """scaled_state_partitions for the events-fixture replay streams."""
+    return scaled_state_partitions(spark, os.path.join(sf_dir, "events.parquet"))
 
 
 @query(
@@ -76,7 +138,7 @@ def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", _sp(spark, sf_dir))
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -115,7 +177,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", _sp(spark, sf_dir))
     return out.select(
         "user_id",
         F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -145,7 +207,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "event_type")
     )
-    out = _run_to_memory(dedup, "append")
+    out = _run_to_memory(dedup, "append", _sp(spark, sf_dir))
     return out.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
 
@@ -175,7 +237,7 @@ def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour", "15 minutes"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", _sp(spark, sf_dir))
     return out.select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n",
@@ -210,7 +272,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_known").isNotNull(), 1).otherwise(0)).alias("enriched"),
         F.count(F.lit(1)).alias("total"),
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", _sp(spark, sf_dir))
     return out.select("event_type", "enriched", "total")
 
 
@@ -255,6 +317,7 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(
         joined.select(F.col("a_user").alias("user_id"), "signup_event", "purchase_event"),
         "append",
+        _sp(spark, sf_dir),
     )
     return out
 
@@ -286,16 +349,21 @@ def streaming_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = f"walden_stream_{next(_counter)}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(_sp(spark, sf_dir)))
     try:
-        q.awaitTermination()  # AvailableNow self-terminates after the drain
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()  # AvailableNow self-terminates after the drain
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name).orderBy("event_type")
