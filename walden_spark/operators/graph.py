@@ -202,6 +202,11 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("vlabel").alias("nlabel"))
         )
+        # the changed flag rides the SAME join that builds the new
+        # labels (r14, guide §1.2): the old convergence probe re-joined
+        # new labels against old ones — a second shuffle join per
+        # round; the flag is a byte per row and the probe becomes a
+        # plain scan of the checkpointed frame
         new_labels = (
             labels.join(neigh, "u", "left")
             .select(
@@ -209,16 +214,12 @@ def connected_components(
                 F.least(
                     F.col("label"), F.coalesce("nlabel", "label")
                 ).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).count()
+        labels = new_labels.select("u", "label")
         if changed == 0:
             break
     return labels.select(

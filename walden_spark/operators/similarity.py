@@ -293,8 +293,20 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = e.crossJoin(F.broadcast(cent)).withColumn(
         "cos_sim", _dot(F.col("embedding"), F.col("ce")) / F.col("nrm") / F.col("cnrm")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "cid")
-    assigned = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    # Argmax as max_by instead of a row_number window (r14, guide §2.3
+    # "aggregate before you shuffle"): the window shuffled and sorted
+    # the FULL vector×centroid fan-out (n_vectors × n_cells rows) by
+    # vec_id; max_by partial-aggregates map-side, so each vector's fan-
+    # out collapses to one row before the exchange — the shuffle carries
+    # n_vectors rows, not n_vectors × n_cells. Identical pick: max of
+    # struct(cos_sim, -cid) == ORDER BY cos_sim DESC, cid ASC first row
+    # (struct comparison is lexicographic; NaN orders greatest in both
+    # forms; cid is unique so full ties cannot occur).
+    assigned = (
+        pairs.groupBy("vec_id")
+        .agg(F.expr("max_by(struct(cid, cos_sim), struct(cos_sim, -cid))").alias("b"))
+        .select(F.col("b.cid").alias("cid"), F.col("b.cos_sim").alias("cos_sim"))
+    )
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_members"),
         (F.floor(F.min("cos_sim") * 1000000.0) / 1000000.0).alias("min_cos"),

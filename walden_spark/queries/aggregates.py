@@ -134,6 +134,13 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches DuckDB quantile_cont's linear interpolation; percentile_disc
     handled via expr."""
     t = Tables(spark, sf_dir)
+    # r14 negative result (guide §1.2): rewriting the two scalar
+    # `percentile` calls as one array-percentage aggregate (the
+    # agg_quantile_sketch win) measured FLAT here — min 0.268 vs
+    # 0.272 s over 10 interleaved rounds at sf0.1 — because l_quantity
+    # has only 50 distinct values, so the duplicate value→count map the
+    # array form removes is a 50-entry dict, free at any scale. The
+    # rewrite only pays on high-cardinality domains (l_extendedprice).
     return t.lineitem.groupBy("l_returnflag").agg(
         F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
         F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),

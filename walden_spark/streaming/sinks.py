@@ -703,10 +703,6 @@ def _ivf_ingest_run(
     """One availableNow pass of the IVF ingest over unseen files in
     ``stage`` (see _minhash_ingest_run for the checkpoint/resume
     contract)."""
-    from pyspark.sql import Window
-
-    from walden_spark.operators.similarity import _cos
-
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         # Norms hoisted out of the vector×centroid fan-out (optimization
         # r14, same rewrite as ann_ivf_probe): one self-dot fold per row
@@ -721,11 +717,19 @@ def _ivf_ingest_run(
         pairs = b.crossJoin(F.broadcast(c)).withColumn(
             "cos_sim", _dot(F.col("embedding"), F.col("ce")) / F.col("nrm") / F.col("cnrm")
         )
-        w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), "cid")
+        # Argmax as max_by instead of a row_number window (r14, guide
+        # §2.3, same rewrite as ann_ivf_probe): the batch×centroid fan-
+        # out collapses map-side to one row per vector before the
+        # exchange instead of shuffling and sorting every pair. max of
+        # struct(cos_sim, -cid) == ORDER BY cos_sim DESC, cid ASC.
         assigned = (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cid", "embedding")
+            pairs.groupBy("vec_id")
+            .agg(
+                F.expr(
+                    "max_by(struct(cid, embedding), struct(cos_sim, -cid))"
+                ).alias("bst")
+            )
+            .select("vec_id", F.col("bst.cid").alias("cid"), F.col("bst.embedding").alias("embedding"))
         )
         try:
             index.append(assigned, partition_bucket=("cid", 8))

@@ -3811,8 +3811,16 @@ class IncrementalAggView:
         try:
             gone = merged.filter(F.col(self.count_col) == 0).select(*self.group_by)
             live = merged.filter(F.col(self.count_col) != 0)
-            has_gone = bool(gone.limit(1).count())
-            has_live = bool(live.limit(1).count())
+            # ONE existence probe job over the persisted touched-group
+            # delta instead of two limit(1).count() jobs (r14, guide
+            # §1.2 — each job launch costs more than the full scan of
+            # the cached O(touched groups) frame it probes)
+            probe = merged.agg(
+                F.max((F.col(self.count_col) == 0).cast("int")).alias("g"),
+                F.max((F.col(self.count_col) != 0).cast("int")).alias("l"),
+            ).first()
+            has_gone = bool(probe["g"])
+            has_live = bool(probe["l"])
             # ONE O(touched groups) commit: live groups upsert and
             # emptied groups retract under the SAME manifest claim,
             # with the source watermark stamped inside it — a crash
