@@ -380,16 +380,26 @@ LIMIT 20
     category="tpch",
 )
 def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Returned-item reporting: top-20 customers by lost revenue."""
+    """Returned-item reporting: top-20 customers by lost revenue.
+
+    Join order starts from LINEITEM (optimization r14, guide §3.1 —
+    same rewrite as tpch_q5): the old customer-first chain made
+    Catalyst broadcast the returned-lineitem FACT (~25% of lineitem,
+    plans/r14/tpch_q10_before.txt node 12) and stream the far smaller
+    one-quarter orders slice — backwards at any scale. Fact leftmost
+    keeps it the stream side; the quarter-filtered orders and customer
+    broadcast by size estimate (no forced hints, so past-threshold
+    sides degrade to shuffle joins instead of OOM)."""
     t = Tables(spark, sf_dir)
     return (
-        t.customer.join(
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
             t.orders.filter(
                 (F.col("o_orderdate") >= _TS("1996-01-01")) & (F.col("o_orderdate") < _TS("1996-04-01"))
             ),
-            F.col("c_custkey") == F.col("o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(t.lineitem.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(revenue()).alias("revenue"))
@@ -415,17 +425,27 @@ ORDER BY custdist DESC, c_count DESC
     category="tpch",
 )
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer order-count distribution: outer join + double aggregation."""
+    """Customer order-count distribution: outer join + double aggregation.
+
+    Aggregate-before-join (optimization r14, guide §2.3 "aggregate
+    before you shuffle" / §3.1): the outer-join-first form made
+    Catalyst broadcast the filtered ORDERS FACT (~80% of orders,
+    plans/r14/tpch_q13_before.txt node 2) under every customer row.
+    Counting orders per custkey FIRST shrinks the fact map-side to one
+    row per customer before any join; the count relation then
+    broadcasts legitimately (bounded by |customer|, not |orders|).
+    COUNT(o_orderkey) over the left join is 0 exactly when a customer
+    has no surviving order — identical to coalesce(n_ord, 0) here, so
+    the distribution is unchanged (oracle-checked r14)."""
     t = Tables(spark, sf_dir)
-    per_cust = (
-        t.customer.join(
-            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
-            F.col("c_custkey") == F.col("o_custkey"),
-            "left",
-        )
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+    counts = (
+        t.orders.filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n_ord"))
     )
+    per_cust = t.customer.join(
+        counts, F.col("c_custkey") == F.col("o_custkey"), "left"
+    ).select(F.coalesce(F.col("n_ord"), F.lit(0)).alias("c_count"))
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))

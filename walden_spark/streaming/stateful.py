@@ -111,7 +111,8 @@ def _sessionize_user(
             state.setTimeoutTimestamp(
                 max(last + _GAP, wm + pd.Timedelta(minutes=1)).to_pydatetime()
             )
-    yield pd.DataFrame(rows, columns=["user_id", "session_start", "n_events"])
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(rows, columns=["user_id", "session_start", "n_events"])
 
 
 @query(
@@ -386,13 +387,14 @@ def _pattern_user(
             (last_day, last_n, open_day, open_n, phase,
              anchor_day, anchor_n, bottom_day, bottom_n, up_day, up_n)
         )
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "anchor_day", "anchor_n", "bottom_day", "bottom_n",
-            "end_day", "end_n", "depth", "rebound",
-        ],
-    )
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "anchor_day", "anchor_n", "bottom_day", "bottom_n",
+                "end_day", "end_n", "depth", "rebound",
+            ],
+        )
 
 
 @query(
@@ -544,9 +546,10 @@ def _anomaly_type(
             state.remove()
     else:
         state.update((days, counts, open_day, open_count))
-    yield pd.DataFrame(
-        rows, columns=["event_type", "dow", "day", "n", "med", "mad"]
-    )
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(
+            rows, columns=["event_type", "dow", "day", "n", "med", "mad"]
+        )
 
 
 @query(
@@ -726,13 +729,14 @@ def _pattern_user_skip_next(
             (last_day, last_n, open_day, open_n, phase,
              desc_days, desc_ns, up_day, up_n)
         )
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "anchor_day", "anchor_n", "n_down",
-            "bottom_day", "bottom_n", "end_day", "end_n",
-        ],
-    )
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "anchor_day", "anchor_n", "n_down",
+                "bottom_day", "bottom_n", "end_day", "end_n",
+            ],
+        )
 
 
 @query(
@@ -939,13 +943,14 @@ def _pattern_user_alt(
             (last_day, last_n, open_day, open_n, phase,
              anchor_day, anchor_n, n_down, tail_day, tail_n, resume_after)
         )
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "anchor_day", "anchor_n", "shape", "n_down",
-            "rise_day", "plateau_day", "end_n",
-        ],
-    )
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "anchor_day", "anchor_n", "shape", "n_down",
+                "rise_day", "plateau_day", "end_n",
+            ],
+        )
 
 
 @query(
@@ -1163,13 +1168,14 @@ def _pattern_user_mixed(
              anchor_day, anchor_n, up_day, up_n, up_cnt,
              flr_end, flr_cnt, last_emit)
         )
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "anchor_day", "anchor_n", "peak_day", "peak_n",
-            "n_up", "quiet_end", "n_quiet",
-        ],
-    )
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "anchor_day", "anchor_n", "peak_day", "peak_n",
+                "n_up", "quiet_end", "n_quiet",
+            ],
+        )
 
 
 @query(
@@ -1354,13 +1360,14 @@ def _pattern_user_split(
             (last_day, last_n, open_day, open_n,
              asc_anchor_day, asc_anchor_n, asc_len, penult_day, penult_n)
         )
-    yield pd.DataFrame(
-        rows,
-        columns=[
-            "user_id", "anchor_day", "anchor_n", "up_day", "up_n",
-            "n_up", "end_day", "end_n",
-        ],
-    )
+    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "user_id", "anchor_day", "anchor_n", "up_day", "up_n",
+                "n_up", "end_day", "end_n",
+            ],
+        )
 
 
 @query(
