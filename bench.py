@@ -277,6 +277,15 @@ def main() -> None:
             json.dump(full_payload, f, indent=1)
     except OSError:
         pass
+    # Compact PER-QUERY line (VERDICT r14 #2): the full payload above
+    # overflows the driver's ~2.2 KB tail capture, so PERF_r14.json came
+    # back with per_query={} / n_common=0 — the driver could not compare
+    # queries round-over-round. This line carries ONLY {"queries": ...}
+    # (22 queries ≈ 600 B), so tail capture holds it PLUS the final
+    # total line below. Additions-only: the full payload line and the
+    # final compact total line are unchanged.
+    sys.stdout.flush()
+    print(json.dumps({"queries": timings}, separators=(",", ":")))
     # FINAL compact line (VERDICT r09 #1): the r09 full payload grew past
     # the driver's ~2.2 KB tail capture and the stored line was cut
     # mid-dict ("parsed": null). The LAST line printed is this <200-byte

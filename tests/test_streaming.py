@@ -66,6 +66,39 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got.get("10:00") == 2
 
 
+def test_scaled_state_partitions_sizing(spark, tmp_path, sf_dir, monkeypatch):
+    """scaled_state_partitions sizes via the Hadoop FileSystem API and
+    FAILS OPEN on unknowable inputs (VERDICT r14 #3): a tiny local
+    fixture floors at 4; a path on a store the session has no connector
+    for (or that does not exist) must return the session's shuffle
+    parallelism, never the floor — failing closed would silently pin a
+    cluster deployment's state store to 4 partitions."""
+    from walden_spark.streaming.windows import scaled_state_partitions
+
+    monkeypatch.delenv("WALDEN_STREAM_STATE_PARTITIONS", raising=False)
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # tiny local input → the floor
+    assert scaled_state_partitions(spark, f"{sf_dir}/events.parquet") == 4
+
+    # non-local scheme with no configured connector → fail OPEN
+    assert scaled_state_partitions(spark, "s3a://bucket/stream/input") == sess
+    # local but missing → fail OPEN (size unknowable, not zero)
+    assert scaled_state_partitions(spark, str(tmp_path / "nope")) == sess
+
+    # big-enough local input → scales with bytes, capped at session
+    big = str(tmp_path / "big.bin")
+    with open(big, "wb") as f:
+        f.truncate(100 * 1024 * 1024)  # sparse 100 MiB
+    monkeypatch.setenv("WALDEN_STREAM_STATE_TARGET_BYTES", str(16 * 1024 * 1024))
+    expect = min(sess, max(4, -(-100 * 1024 * 1024 // (16 * 1024 * 1024))))
+    assert scaled_state_partitions(spark, big) == expect
+
+    # explicit override wins
+    monkeypatch.setenv("WALDEN_STREAM_STATE_PARTITIONS", "6")
+    assert scaled_state_partitions(spark, big) == 6
+
+
 def test_foreach_batch_parquet_sink(spark, tmp_path, sf_dir):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")  # events.ts is ns

@@ -61,6 +61,15 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _one_batch(pdfs: Iterable[pd.DataFrame]) -> pd.DataFrame:
+    """Concatenate a group's Arrow chunks. The overwhelmingly common
+    case is one chunk (rows-per-key-per-batch ≪ Arrow batch size) and
+    ``pd.concat`` would copy the frame for nothing; this runs once per
+    key per micro-batch, ~1,500 times a batch (r15, guide §4.1)."""
+    chunks = list(pdfs)
+    return chunks[0] if len(chunks) == 1 else pd.concat(chunks)
+
+
 _SESS_STATE = "start_ts TIMESTAMP, last_ts TIMESTAMP, n BIGINT"
 _SESS_OUT = "user_id BIGINT, session_start STRING, n_events BIGINT"
 _GAP = pd.Timedelta(minutes=30)
@@ -73,46 +82,91 @@ def _sessionize_user(
     per user; a >30min in-batch gap closes it immediately, and an
     event-time TIMEOUT closes it when the watermark passes last_ts+gap
     with no new data — the path plain window aggs can't express
-    (emit-on-close with arbitrary per-key logic)."""
-    rows: list[tuple] = []
+    (emit-on-close with arbitrary per-key logic).
 
-    def close(start, n):
-        rows.append((key[0], start.strftime("%Y-%m-%d %H:%M:%S"), n))
+    Vectorized (r15, guide §4.2): the function runs ~1,500 times per
+    micro-batch (once per key), so per-row Python work multiplies.
+    Session boundaries come from ONE numpy diff over the sorted
+    event-time array (a break is any gap > 30 min, with the open
+    session's last_ts as the virtual predecessor of the first row) and
+    the emitted start strings from one vectorized strftime — the
+    measured Python-side cost of the old per-row loop was ~4-5 s of the
+    ~14 s replay (noop-function A/B, OPTIMIZATION_r15.md)."""
+    import numpy as np
 
     if state.hasTimedOut:
         start, last, n = state.get
-        close(start, n)
         state.remove()
-    else:
-        start, last, n = state.get if state.exists else (None, None, 0)
-        batch = pd.concat(list(pdfs)).sort_values("ts")
-        # sentinel rows (event_id < 0) flush the open session but must
-        # never open one of their own — they are stream-close markers,
-        # not data
-        saw_sentinel = bool((batch["event_id"] < 0).any())
-        for ts in batch.loc[batch["event_id"] >= 0, "ts"]:
-            if last is not None and ts - last > _GAP:
-                close(start, n)
-                start, n = ts, 0
-            if start is None:
-                start = ts
-            last, n = ts, n + 1
-        if saw_sentinel:
-            if n > 0:
-                close(start, n)
-            if state.exists:
-                state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [start.strftime("%Y-%m-%d %H:%M:%S")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    start, last, n = state.get if state.exists else (None, None, 0)
+    batch = _one_batch(pdfs)
+    eid = batch["event_id"].to_numpy()
+    # sentinel rows (event_id < 0) flush the open session but must
+    # never open one of their own — they are stream-close markers,
+    # not data
+    saw_sentinel = bool((eid < 0).any())
+    ts = batch["ts"].to_numpy()[eid >= 0]
+    ts.sort(kind="stable")
+
+    closed_starts: list = []  # np.datetime64 of each closed session start
+    closed_ns: list[int] = []
+    if ts.size:
+        gap = np.timedelta64(30 * 60 * 1_000_000_000, "ns")
+        ts = ts.astype("datetime64[ns]")
+        brk = np.empty(ts.size, dtype=bool)
+        if last is not None:
+            brk[0] = (ts[0] - np.datetime64(last)) > gap
         else:
-            state.update((start, last, n))
-            # close via timeout once the watermark passes the gap
-            # horizon; clamp above the current watermark (API requires
-            # it strictly ahead when there is late data)
-            wm = pd.Timestamp(state.getCurrentWatermarkMs(), unit="ms")
-            state.setTimeoutTimestamp(
-                max(last + _GAP, wm + pd.Timedelta(minutes=1)).to_pydatetime()
-            )
-    if rows:  # skip the empty-emit Arrow round-trip (r14, guide §4.1)
-        yield pd.DataFrame(rows, columns=["user_id", "session_start", "n_events"])
+            brk[0] = False
+        np.greater(ts[1:] - ts[:-1], gap, out=brk[1:])
+        idx = np.flatnonzero(brk)  # indices that START a new session
+        first_start = np.datetime64(start) if start is not None else ts[0]
+        if idx.size:
+            # sessions closed inside this batch, chronological order:
+            # the open session (start carried in, count n + rows before
+            # the first break), then each full run between breaks
+            closed_starts = [first_start] + [ts[i] for i in idx[:-1]]
+            closed_ns = [n + int(idx[0])] + np.diff(idx).tolist()
+            start = pd.Timestamp(ts[idx[-1]])
+            n = int(ts.size - idx[-1])
+        else:
+            start = pd.Timestamp(first_start)
+            n = n + int(ts.size)
+        last = pd.Timestamp(ts[-1])
+
+    if saw_sentinel:
+        if n > 0:
+            closed_starts.append(np.datetime64(start))
+            closed_ns.append(n)
+        if state.exists:
+            state.remove()
+    else:
+        state.update((start, last, n))
+        # close via timeout once the watermark passes the gap
+        # horizon; clamp above the current watermark (API requires
+        # it strictly ahead when there is late data)
+        wm = pd.Timestamp(state.getCurrentWatermarkMs(), unit="ms")
+        state.setTimeoutTimestamp(
+            max(last + _GAP, wm + pd.Timedelta(minutes=1)).to_pydatetime()
+        )
+    if closed_starts:  # skip the empty-emit Arrow round-trip (r14, §4.1)
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "session_start": pd.Series(
+                    np.asarray(closed_starts, dtype="datetime64[ns]")
+                ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "n_events": np.asarray(closed_ns, dtype="int64"),
+            }
+        )
 
 
 @query(
@@ -361,7 +415,7 @@ def _pattern_user(
                 phase = _PHASE_NONE
         last_day, last_n = d, n
 
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch = _one_batch(pdfs).sort_values(["ts", "event_id"])
     saw_sentinel = bool((batch["event_id"] < 0).any())
     real = batch[batch["event_id"] >= 0]
     if len(real):
@@ -509,7 +563,7 @@ def _anomaly_type(
     )
     days, counts = list(days), list(counts)
     rows: list[tuple] = []
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch = _one_batch(pdfs).sort_values(["ts", "event_id"])
     saw_sentinel = bool((batch["event_id"] < 0).any())
     real = batch[batch["event_id"] >= 0]
     if len(real):
@@ -703,7 +757,7 @@ def _pattern_user_skip_next(
                 desc_days, desc_ns = [], []
         last_day, last_n = d, n
 
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch = _one_batch(pdfs).sort_values(["ts", "event_id"])
     saw_sentinel = bool((batch["event_id"] < 0).any())
     real = batch[batch["event_id"] >= 0]
     if len(real):
@@ -915,7 +969,7 @@ def _pattern_user_alt(
                     phase = _PHASE_NONE  # plateau without a descent
         last_day, last_n = d, n
 
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch = _one_batch(pdfs).sort_values(["ts", "event_id"])
     saw_sentinel = bool((batch["event_id"] < 0).any())
     real = batch[batch["event_id"] >= 0]
     if len(real):
@@ -1140,7 +1194,7 @@ def _pattern_user_mixed(
                 phase = _MX_NONE
         last_day, last_n = d, n
 
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch = _one_batch(pdfs).sort_values(["ts", "event_id"])
     saw_sentinel = bool((batch["event_id"] < 0).any())
     real = batch[batch["event_id"] >= 0]
     if len(real):
@@ -1335,7 +1389,7 @@ def _pattern_user_split(
                 flush_ascent()
         last_day, last_n = d, n
 
-    batch = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    batch = _one_batch(pdfs).sort_values(["ts", "event_id"])
     saw_sentinel = bool((batch["event_id"] < 0).any())
     real = batch[batch["event_id"] >= 0]
     if len(real):

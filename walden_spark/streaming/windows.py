@@ -15,7 +15,6 @@ by the watermark horizon (dropDuplicatesWithinWatermark).
 
 from __future__ import annotations
 
-import glob as _glob
 import itertools
 import os
 
@@ -26,6 +25,25 @@ from walden_spark.registry import query
 from walden_spark.tables import normalize_event_ts
 
 _counter = itertools.count()
+
+
+def _input_bytes(spark: SparkSession, path: str) -> int | None:
+    """Recursive on-disk size of ``path`` via the Hadoop FileSystem API
+    (works for any scheme the session can read: file://, hdfs://,
+    s3a://, ...). Returns ``None`` when the size is unknowable — path
+    missing, scheme unsupported, permission error — so callers can fail
+    OPEN instead of silently under-sizing (VERDICT r14 #3: the previous
+    ``os.path.getsize`` glob contributed 0 bytes for any non-local
+    store, pinning cluster deployments to the 4-partition floor)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return None
+        return int(fs.getContentSummary(hpath).getLength())
+    except Exception:
+        return None
 
 
 def scaled_state_partitions(spark: SparkSession, *paths: str) -> int:
@@ -46,16 +64,25 @@ def scaled_state_partitions(spark: SparkSession, *paths: str) -> int:
     partition it returns the session's configured shuffle parallelism
     unchanged, so cluster deployments keep their cluster-sized state
     layout. ``WALDEN_STREAM_STATE_PARTITIONS`` overrides outright.
+
+    Sizes resolve through the Hadoop FileSystem API, so non-local
+    stores (hdfs://, s3a://) are measured like local paths; if ANY
+    input's size is unknowable the function FAILS OPEN to the session's
+    shuffle parallelism — the safe direction: an over-partitioned
+    bounded replay wastes milliseconds, an under-partitioned production
+    stream hotspots its state store (VERDICT r14 #3).
     """
     override = os.environ.get("WALDEN_STREAM_STATE_PARTITIONS")
     if override:
         return max(1, int(override))
     target = int(os.environ.get("WALDEN_STREAM_STATE_TARGET_BYTES", str(32 * 1024 * 1024)))
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
     total = 0
     for p in paths:
-        matches = _glob.glob(os.path.join(p, "**"), recursive=True) if os.path.isdir(p) else [p]
-        total += sum(os.path.getsize(m) for m in matches if os.path.isfile(m))
-    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        size = _input_bytes(spark, p)
+        if size is None:
+            return sess  # fail open: unknown size must not under-partition
+        total += size
     return max(4, min(sess, -(-total // target)))
 
 
