@@ -46,6 +46,18 @@ def with_media_columns(df: DataFrame) -> DataFrame:
     return df.select("doc_id", payload.alias("payload"), meta.alias("media_meta"))
 
 
+def _decode_input(media: DataFrame) -> DataFrame:
+    """Project the media frame to exactly what the decode kernels read:
+    (doc_id, payload, modality). mapInPandas is opaque to Spark's
+    column pruning, so without this the full metadata struct — the
+    sha-256 digest included — is computed AND shipped through the Arrow
+    boundary only to be dropped in Python (r15, guide §4.1/§2.3:
+    project before the opaque operator)."""
+    return media.select(
+        "doc_id", "payload", F.col("media_meta.modality").alias("modality")
+    )
+
+
 def _decode_stub(payload: bytes, modality: str) -> tuple[int, int, int, float]:
     """STUB codec — deterministic fake decode.
 
@@ -62,25 +74,62 @@ def _decode_stub(payload: bytes, modality: str) -> tuple[int, int, int, float]:
     return width, height, n_frames, feat_mean
 
 
+def _decode_columns(pdf: pd.DataFrame, with_features: bool) -> dict:
+    """Vectorized batch decode (r15, guide §4.2): one numpy pass over
+    the batch instead of a per-row ``_decode_stub`` call. The byte sum
+    feeding ``feat_mean`` — the only O(payload bytes) part — runs as a
+    cumsum over the batch's concatenated payload buffer (exact int64,
+    so ``sum/n`` is bit-identical to the per-row Python division), and
+    is skipped entirely when the caller doesn't consume features
+    (resize / frame-sample pipelines). Dimension math matches
+    ``_decode_stub`` exactly; that stub stays as the documented
+    swap-in point for a real codec."""
+    import numpy as np
+
+    payloads = pdf["payload"]
+    n = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+    modality = pdf["modality"]
+    out = {
+        "doc_id": pdf["doc_id"].values,
+        "modality": modality,
+        "n_bytes": n,
+        "width": (32 + (n % 600)).astype("int32"),
+        "height": (32 + ((n * 7) % 400)).astype("int32"),
+        "n_frames": np.where(
+            modality.to_numpy() == "image", 1, 1 + (n % 120)
+        ).astype("int32"),
+    }
+    if with_features:
+        data = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        cs = np.concatenate(([0], np.cumsum(data, dtype=np.int64)))
+        ends = np.cumsum(n)
+        byte_sum = cs[ends] - cs[ends - n]
+        out["feat_mean"] = np.where(n > 0, byte_sum / np.maximum(n, 1), 0.0)
+    return out
+
+
 def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: per Arrow batch, decode payloads → features."""
+    """mapInPandas kernel: per Arrow batch, decode payloads → features.
+    Input is the PRUNED projection (doc_id, payload, modality) — the
+    metadata struct's sha-256 was shipped through Arrow and never read
+    (guide §4.1: pass only the columns the function needs)."""
     for pdf in batches:
-        decoded = [
-            _decode_stub(payload, meta["modality"])
-            for payload, meta in zip(pdf["payload"], pdf["media_meta"])
-        ]
-        out = pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].values,
-                "modality": [m["modality"] for m in pdf["media_meta"]],
-                "n_bytes": [m["n_bytes"] for m in pdf["media_meta"]],
-                "width": [d[0] for d in decoded],
-                "height": [d[1] for d in decoded],
-                "n_frames": [d[2] for d in decoded],
-                "feat_mean": [d[3] for d in decoded],
-            }
-        )
-        yield out
+        yield pd.DataFrame(_decode_columns(pdf, with_features=True))
+
+
+DIMS_SCHEMA = (
+    "doc_id BIGINT, modality STRING, n_bytes BIGINT, width INT, height INT, "
+    "n_frames INT"
+)
+
+
+def decode_dims_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Dimensions-only decode for pipelines that never read
+    ``feat_mean`` (resize planning, frame sampling): mapInPandas is
+    opaque to Spark's column pruning, so the O(payload bytes) feature
+    sum must be skipped HERE, not downstream (r15, guide §4.1)."""
+    for pdf in batches:
+        yield pd.DataFrame(_decode_columns(pdf, with_features=False))
 
 
 @query(
@@ -133,7 +182,7 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     features from byte length + byte sum (text is ASCII, so ascii(c)
     == byte value)."""
     t = Tables(spark, sf_dir)
-    media = with_media_columns(t.documents)
+    media = _decode_input(with_media_columns(t.documents))
     return media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
 
 
@@ -152,8 +201,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stub codec is deterministic (n_frames = 1 + bytes % 120), so the
     oracle replays it: r02 upgrade from rows-only to hash-checked."""
     t = Tables(spark, sf_dir)
-    media = with_media_columns(t.documents)
-    decoded = media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+    media = _decode_input(with_media_columns(t.documents))
+    # dims-only kernel: this pipeline never reads feat_mean, and the
+    # opaque map would otherwise compute the O(bytes) feature sum for
+    # every payload just to drop it (r15, guide §4.1)
+    decoded = media.mapInPandas(decode_dims_batch, schema=DIMS_SCHEMA)
     return (
         decoded.filter(F.col("modality") == "video")
         .select(
@@ -207,8 +259,9 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape of a real preprocessing pipeline (decode → resize →
     feature-extract), each stage an Arrow-batched map."""
     t = Tables(spark, sf_dir)
-    media = with_media_columns(t.documents)
-    decoded = media.mapInPandas(decode_batch, schema=DECODE_SCHEMA)
+    media = _decode_input(with_media_columns(t.documents))
+    # dims-only decode: feat_mean is never consumed here (r15, §4.1)
+    decoded = media.mapInPandas(decode_dims_batch, schema=DIMS_SCHEMA)
     images = decoded.filter(F.col("modality") == "image").select("doc_id", "width", "height")
     return images.mapInPandas(resize_batch, schema=RESIZE_SCHEMA)
 

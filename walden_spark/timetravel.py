@@ -2496,10 +2496,50 @@ class VersionedTable:
             )
 
         frames: list[DataFrame] = []
-        for m in path:
+        pi = 0
+        while pi < len(path):
+            m = path[pi]
+            pi += 1
             v = m["version"]
             parent = self._parent_of(m)
             op = m.get("operation", "")
+            # Batched pre-image reconstruction for RUNS of consecutive
+            # equality-delete/upsert commits on the same key columns
+            # (r15, VERDICT r14 #5): the per-commit branch below pays
+            # one pre-image snapshot reconstruction + one min/max
+            # driver collect + one semi-join PER COMMIT, and commit i's
+            # pre-image re-folds every earlier MoR layer — O(k²) layer
+            # folds for k consecutive commits. The batched path
+            # reconstructs the FIRST commit's pre-image once, unions
+            # the run's key sets tagged with their commit version, and
+            # derives each row's deleting commit as the MINIMUM tagged
+            # version greater than the row's birth layer — identical
+            # multiset of (row, 'delete', version) rows because
+            # equality deletes remove by key: a key deleted at v_i is
+            # absent from every later pre-image until an upsert
+            # re-inserts it, which the per-insert-layer joins below
+            # replay exactly. Read-path only; commits stay per-commit.
+            eq0 = m.get("equality_delete")
+            if m.get("mor") and eq0 is not None:
+                run = [m]
+                while pi < len(path):
+                    nm = path[pi]
+                    neq = nm.get("equality_delete")
+                    if (
+                        nm.get("mor")
+                        and neq is not None
+                        and list(neq["on"]) == list(eq0["on"])
+                    ):
+                        run.append(nm)
+                        pi += 1
+                    else:
+                        break
+                if len(run) >= 2:
+                    frames.extend(
+                        self._eq_delete_run_changes(run, by_v, head_cols)
+                    )
+                    continue
+                # single commit: fall through to the per-commit branch
             if not m.get("mor"):
                 if op in ("compact", "zorder"):
                     continue  # physical rewrite, no logical change
@@ -2584,6 +2624,102 @@ class VersionedTable:
         for f in frames[1:]:
             out = out.unionByName(f)
         return out
+
+    def _eq_delete_keys(self, m: dict, on: list[str]) -> DataFrame:
+        """Distinct delete-key rows of one equality-delete commit
+        (data-file keys plus any delete-only sidecar)."""
+        keys = self._read_snapshot(m, None).select(*on).distinct()
+        if m.get("extra_delete_dir"):
+            keys = keys.unionByName(
+                self.spark.read.parquet(m["extra_delete_dir"]).select(*on)
+            ).distinct()
+        return keys
+
+    def _eq_delete_run_changes(
+        self, run: list[dict], by_v: dict[int, dict], head_cols: list[str]
+    ) -> list[DataFrame]:
+        """Change frames for a run of >=2 CONSECUTIVE equality-delete/
+        upsert commits sharing key columns, with ONE pre-image
+        reconstruction and ONE driver collect for the whole run (r15,
+        VERDICT r14 #5 — guide §1.2: remove whole passes first).
+
+        Semantics proof sketch: equality deletes remove rows BY KEY.
+        A row born in layer b (the run's base pre-image, or an upsert's
+        insert file at version v_j) is deleted by the run's FIRST
+        key-match at a version strictly greater than b; after that the
+        key is absent until re-inserted, so later matches are no-ops —
+        exactly `min(_del_v) where _del_v > birth`. The emitted
+        multiset of (row, 'delete', _commit_version) therefore equals
+        the sequential per-commit semi-joins, and insert frames are
+        unchanged (each upsert's data file, tagged at its version)."""
+        _CT, _CV = "_change_type", "_commit_version"
+        on = list(run[0]["equality_delete"]["on"])
+        tagged_keys = [
+            self._eq_delete_keys(m, on).withColumn(
+                "_del_v", F.lit(m["version"]).cast("long")
+            )
+            for m in run
+        ]
+        all_keys = tagged_keys[0]
+        for kf in tagged_keys[1:]:
+            all_keys = all_keys.unionByName(kf)
+
+        # one min/max collect over the UNION of the run's keys — the
+        # same conservative footer-stat pruning box the per-commit
+        # branch pushes, one job instead of one per commit
+        aggs = []
+        for i, kcol in enumerate(on):
+            aggs.append(F.min(kcol).alias(f"lo{i}"))
+            aggs.append(F.max(kcol).alias(f"hi{i}"))
+        mm = all_keys.agg(*aggs).collect()[0]
+        rng: list[tuple] = []
+        for i, kcol in enumerate(on):
+            if mm[f"lo{i}"] is not None:
+                rng.append((kcol, ">=", mm[f"lo{i}"]))
+                rng.append((kcol, "<=", mm[f"hi{i}"]))
+
+        parent = self._parent_of(run[0])
+        pre = self._dataframe_for(by_v[parent], by_v, filters=rng or None)
+
+        def fill(df: DataFrame) -> DataFrame:
+            for c in head_cols:
+                if c not in df.columns:
+                    df = df.withColumn(c, F.lit(None))
+            return df
+
+        def delete_frame(src: DataFrame, first_del: DataFrame) -> DataFrame:
+            joined = fill(src).join(first_del, on=on, how="inner")
+            return joined.select(
+                *head_cols,
+                F.lit("delete").alias(_CT),
+                F.col("_del_v").cast("long").alias(_CV),
+            )
+
+        frames: list[DataFrame] = []
+        # rows of the run's base pre-image: first deleting version overall
+        frames.append(
+            delete_frame(pre, all_keys.groupBy(*on).agg(F.min("_del_v").alias("_del_v")))
+        )
+        # rows inserted by an upsert INSIDE the run: delete-able only by
+        # strictly later commits of the run; the insert frame itself is
+        # the same one the per-commit branch emits
+        for m in run:
+            if m.get("upsert"):
+                ins = self._read_snapshot(m, None)
+                later = all_keys.filter(F.col("_del_v") > m["version"])
+                frames.append(
+                    delete_frame(
+                        ins, later.groupBy(*on).agg(F.min("_del_v").alias("_del_v"))
+                    )
+                )
+                frames.append(
+                    fill(ins).select(
+                        *head_cols,
+                        F.lit("insert").alias(_CT),
+                        F.lit(m["version"]).cast("long").alias(_CV),
+                    )
+                )
+        return frames
 
     def rewrite_zorder(
         self,
