@@ -109,9 +109,20 @@ def test_rotation_queue_cannot_drift():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from rotation_queue import window_guard_violations
 
-    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_ROUND
+    from walden_spark.registry import (
+        DRIVER_WINDOW,
+        DRIVER_WINDOW_BODY_CHANGED,
+        DRIVER_WINDOW_ROUND,
+    )
 
-    assert window_guard_violations(DRIVER_WINDOW, DRIVER_WINDOW_ROUND) == []
+    assert (
+        window_guard_violations(
+            DRIVER_WINDOW,
+            DRIVER_WINDOW_ROUND,
+            body_changed=DRIVER_WINDOW_BODY_CHANGED,
+        )
+        == []
+    )
 
 
 def test_rotation_guard_boundary_rejects_hash_mismatch(tmp_path):
@@ -156,7 +167,11 @@ def test_stalest_witness_is_derived_and_drained():
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
     from rotation_queue import stalest_witness
 
-    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_ROUND
+    from walden_spark.registry import (
+        DRIVER_WINDOW,
+        DRIVER_WINDOW_BODY_CHANGED,
+        DRIVER_WINDOW_ROUND,
+    )
 
     stale_round, stale_names = stalest_witness()
     newest = max(
@@ -165,13 +180,74 @@ def test_stalest_witness_is_derived_and_drained():
         if f.startswith("CORRECTNESS_r") and f.endswith(".json")
     )
     if DRIVER_WINDOW_ROUND > newest:
-        # Mid-round: the freshly cut window must be draining the tail.
-        budget = len(DRIVER_WINDOW)
-        left_out = [n for n in stale_names[:budget] if n not in DRIVER_WINDOW]
-        assert not left_out, (
-            f"window cut for r{DRIVER_WINDOW_ROUND} leaves the "
-            f"r{stale_round:02d} stale tail undrained: {left_out}"
+        # Mid-round: the freshly cut window must be draining the tail
+        # with whatever budget the body-changed-first policy leaves
+        # (VERDICT r14 #1): every free slot (not body-changed) is
+        # either a stale-tail name or its category's sole window
+        # representative — the drain cannot be starved by fresh
+        # favorites in already-covered families.
+        reg = load_all()
+        from collections import Counter
+
+        cat_counts = Counter(reg[n].category for n in DRIVER_WINDOW)
+        undrained = [
+            n
+            for n in stale_names
+            if n not in DRIVER_WINDOW and n not in DRIVER_WINDOW_BODY_CHANGED
+        ]
+        offenders = [
+            n
+            for n in DRIVER_WINDOW
+            if n not in DRIVER_WINDOW_BODY_CHANGED
+            and n not in stale_names
+            and cat_counts[reg[n].category] > 1
+        ]
+        assert not (undrained and offenders), (
+            f"window cut for r{DRIVER_WINDOW_ROUND} spends free slots on "
+            f"{offenders} while the r{stale_round:02d} stale tail queues: "
+            f"{undrained}"
         )
+
+
+def test_body_changed_policy_covered():
+    """VERDICT r14 #1: "body changed this round ⇒ in next round's
+    driver window, staleness second". Two assertions:
+
+    (a) every curated DRIVER_WINDOW_BODY_CHANGED name is in the window
+        (the curated list is the authority for what really changed);
+    (b) every def that CHANGED since the previous round's handover
+        commit (git+AST tripwire, tools/rotation_queue.py::
+        body_changed_queries) implicates at least one window query —
+        so no rewrite can ship without a driver-ground-truth witness
+        exercising it. The tripwire is deliberately over-approximate
+        (a changed def reachable-but-not-called still implicates), so
+        it demands a witness PER CHANGED DEF, not per implicated query
+        — 67 statically-implicated queries cannot all fit a 50-slot
+        window, but every changed def can and must be witnessed."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from rotation_queue import body_changed_queries
+
+    from walden_spark.registry import DRIVER_WINDOW, DRIVER_WINDOW_BODY_CHANGED
+
+    missing = [n for n in DRIVER_WINDOW_BODY_CHANGED if n not in DRIVER_WINDOW]
+    assert not missing, f"curated body-changed names not in window: {missing}"
+
+    derived = body_changed_queries()
+    unwitnessed: dict[str, list[str]] = {}
+    for qname, defs in derived.items():
+        if qname in DRIVER_WINDOW:
+            continue
+        for d in defs:
+            if not any(
+                d in derived.get(w, ()) for w in DRIVER_WINDOW
+            ):
+                unwitnessed.setdefault(d, []).append(qname)
+    assert not unwitnessed, (
+        f"changed defs with NO driver-window witness: {unwitnessed}"
+    )
 
 
 def test_entry_schema_stable(spark):

@@ -89,16 +89,191 @@ def stalest_witness(repo_root: str = REPO) -> tuple[int, list[str]]:
     return stalest, by_round[stalest]
 
 
+def _def_sources(src: str) -> dict[str, str]:
+    """name → source segment for every MODULE-LEVEL function and class
+    METHOD in ``src``. Defs nested inside functions are deliberately
+    excluded: their source is part of the enclosing def's segment (so
+    edits are still detected there), and their often-generic names
+    (``close``, ``fill``) would collide with library attribute calls
+    everywhere."""
+    import ast
+
+    out: dict[str, str] = {}
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return out
+    nodes = list(tree.body)
+    for n in tree.body:
+        if isinstance(n, ast.ClassDef):
+            nodes.extend(n.body)
+    for node in nodes:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+            out[node.name] = ast.get_source_segment(src, node) or ""
+    return out
+
+
+def round_boundary_ref(repo_root: str = REPO) -> str | None:
+    """The previous round's handover commit: the newest commit touching
+    any CORRECTNESS_r*.json (the driver lands those at round end)."""
+    import subprocess
+
+    res = subprocess.run(
+        ["git", "log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json"],
+        cwd=repo_root,
+        capture_output=True,
+        text=True,
+    )
+    ref = res.stdout.strip()
+    return ref or None
+
+
+def changed_def_names(repo_root: str = REPO, ref: str | None = None) -> set[str]:
+    """Function/method names whose SOURCE changed (or that were added/
+    removed) in walden_spark/ between ``ref`` (default: the previous
+    round's handover commit) and the working tree."""
+    import subprocess
+
+    ref = ref or round_boundary_ref(repo_root)
+    if ref is None:
+        return set()
+    res = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "walden_spark"],
+        cwd=repo_root,
+        capture_output=True,
+        text=True,
+    )
+    changed: set[tuple[str, str]] = set()
+    for f in res.stdout.split():
+        if not f.endswith(".py"):
+            continue
+        mod = f[:-3].replace("/", ".")
+        show = subprocess.run(
+            ["git", "show", f"{ref}:{f}"], cwd=repo_root, capture_output=True, text=True
+        )
+        old_defs = _def_sources(show.stdout if show.returncode == 0 else "")
+        fp = os.path.join(repo_root, f)
+        new_defs = _def_sources(open(fp).read() if os.path.exists(fp) else "")
+        for name, src in new_defs.items():
+            if old_defs.get(name) != src:
+                changed.add((mod, name))
+        changed |= {(mod, name) for name in set(old_defs) - set(new_defs)}
+    return changed
+
+
+def body_changed_queries(
+    repo_root: str = REPO, ref: str | None = None
+) -> dict[str, list[str]]:
+    """Registry queries whose EXECUTION may have changed since ``ref``:
+    the query fn's transitive reference closure (ast.Name ids +
+    ast.Attribute attrs, restricted to names that are defs somewhere in
+    walden_spark/) intersects :func:`changed_def_names`. Returns
+    {query: sorted list of changed defs that implicate it}.
+
+    Best-effort TRIPWIRE, deliberately over-approximate WITHIN a
+    module's import reach: a reference (ast.Name id / ast.Attribute
+    attr) resolves to a def of that name in the referencing module
+    itself or in any walden_spark module it imports — never further,
+    so one popular name cannot hub the whole package together (the
+    name-global version implicated 187 of 328 queries through
+    ``read_changes``). Module-level CONSTANT changes are invisible to
+    it. The curated ``registry.DRIVER_WINDOW_BODY_CHANGED`` is the
+    authority; the test asserts derived ⊆ curated ⊆ window (VERDICT
+    r14 #1: body changed this round ⇒ in next round's driver window,
+    staleness second)."""
+    import ast
+
+    sys.path.insert(0, repo_root)
+    from walden_spark.registry import load_all
+
+    reg = load_all()
+    changed = changed_def_names(repo_root, ref)
+    if not changed:
+        return {}
+
+    # Per-module: defs, their raw references, and imported pkg modules.
+    pkg = os.path.join(repo_root, "walden_spark")
+    defs_by_mod: dict[str, set[str]] = {}
+    raw_refs: dict[tuple[str, str], set[str]] = {}
+    imports_by_mod: dict[str, set[str]] = {}
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            fpath = os.path.join(dirpath, fname)
+            mod = os.path.relpath(fpath, repo_root)[:-3].replace(os.sep, ".")
+            try:
+                tree = ast.parse(open(fpath).read())
+            except SyntaxError:
+                continue
+            imps: set[str] = set()
+            for node in ast.walk(tree):
+                if isinstance(node, ast.Import):
+                    imps.update(
+                        a.name for a in node.names if a.name.startswith("walden_spark")
+                    )
+                elif isinstance(node, ast.ImportFrom) and node.module:
+                    m = ("." * node.level) + node.module
+                    if node.level:  # relative: resolve against this module
+                        base = mod.rsplit(".", node.level)[0]
+                        m = f"{base}.{node.module}"
+                    if m.startswith("walden_spark"):
+                        imps.add(m)
+                elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    defs_by_mod.setdefault(mod, set()).add(node.name)
+                    names: set[str] = set()
+                    for sub in ast.walk(node):
+                        if isinstance(sub, ast.Name):
+                            names.add(sub.id)
+                        elif isinstance(sub, ast.Attribute):
+                            names.add(sub.attr)
+                    raw_refs.setdefault((mod, node.name), set()).update(names)
+            imports_by_mod[mod] = imps
+
+    def resolve(mod: str, name: str) -> list[tuple[str, str]]:
+        return [
+            (tm, name)
+            for tm in (mod, *imports_by_mod.get(mod, ()))
+            if name in defs_by_mod.get(tm, ())
+        ]
+
+    def closure(start: tuple[str, str]) -> set[tuple[str, str]]:
+        seen = {start}
+        frontier = [start]
+        while frontier:
+            mod, name = frontier.pop()
+            for ref in raw_refs.get((mod, name), ()):
+                for nxt in resolve(mod, ref):
+                    if nxt not in seen:
+                        seen.add(nxt)
+                        frontier.append(nxt)
+        return seen
+
+    out: dict[str, list[str]] = {}
+    for qname, q in reg.items():
+        hits = closure((q.fn.__module__, q.fn.__name__)) & changed
+        if hits:
+            out[qname] = sorted(f"{m}.{n}" for m, n in hits)
+    return out
+
+
 def window_guard_violations(
-    window, window_round: int, repo_root: str = REPO
+    window, window_round: int, repo_root: str = REPO, body_changed=()
 ) -> list[str]:
     """Three-state rotation drift guard (VERDICT r06 #7 / r07 / r08 #2),
     keyed on ``window_round`` vs the newest CORRECTNESS_r*.json round.
     Returns a list of human-readable violations (empty = green):
 
-    * window round > newest file round (mid-round, window rotated): the
-      window must hold at least min(37, len(queue)) of the
-      never-driver-verified oracle-backed names — the r06 tripwire.
+    * window round > newest file round (mid-round, window rotated):
+      PRIORITY ORDER (VERDICT r14 #1 — body changed first, staleness
+      second): (1) every ``body_changed`` name must be in the window;
+      (2) the window must hold at least min(37, len(queue)) of the
+      never-driver-verified oracle-backed names — the r06 tripwire;
+      (3) every remaining FREE slot (not body-changed, not
+      never-verified) must either drain the stalest-witness tail or be
+      the window's SOLE representative of its registry category (a
+      family-coverage pick) — a free slot spent on a fresh name in an
+      already-covered family while stale names queue is drift.
     * window round == newest file round (handover boundary: the driver
       just landed THIS window's results): require the window FULLY
       green in its own round's file — ``rows_match and schema_match
@@ -123,6 +298,13 @@ def window_guard_violations(
             "python tools/rotation_queue.py"
         ]
     if window_round > newest:
+        missing_bc = [n for n in body_changed if n not in window]
+        if missing_bc:
+            return [
+                "body-changed queries missing from DRIVER_WINDOW "
+                f"(VERDICT r14 #1: body changed this round ⇒ in next "
+                f"round's window): {missing_bc}"
+            ]
         oracle_backed, _rows_only = never_driver_verified(repo_root)
         in_window = [n for n in oracle_backed if n in window]
         if len(in_window) < min(37, len(oracle_backed)):
@@ -131,19 +313,36 @@ def window_guard_violations(
                 f"{len(oracle_backed)} never-driver-verified oracle-backed "
                 "names; regenerate via python tools/rotation_queue.py"
             ]
-        # Drain-the-tail arm (VERDICT r13 #2): the names tied at the
-        # registry-wide stalest witness round must be in the freshly
-        # cut window (when they fit beside the never-verified set).
+        # Drain-the-tail arm (VERDICT r13 #2, reworked for the r15
+        # body-changed-first policy): with stale names still queued,
+        # every FREE window slot must either be a stale-tail name or
+        # the sole window representative of its category.
         stale_round, stale_names = stalest_witness(repo_root)
-        if stale_round > 0:  # 0 = never-verified, already handled above
-            budget = len(window) - len(in_window)
-            must_hold = stale_names[:budget]
-            left_out = [n for n in must_hold if n not in window]
-            if left_out:
+        undrained = [
+            n for n in stale_names if n not in window and n not in body_changed
+        ]
+        if stale_round > 0 and undrained:
+            sys.path.insert(0, repo_root)
+            from collections import Counter
+
+            from walden_spark.registry import load_all
+
+            reg = load_all()
+            cat_counts = Counter(reg[n].category for n in window if n in reg)
+            offenders = [
+                n
+                for n in window
+                if n not in body_changed
+                and n not in in_window
+                and n not in stale_names
+                and n in reg
+                and cat_counts[reg[n].category] > 1
+            ]
+            if offenders:
                 return [
-                    f"DRIVER_WINDOW (cut for r{window_round}) leaves the "
-                    f"stalest-witness tail (r{stale_round:02d}) undrained: "
-                    f"{left_out}"
+                    f"DRIVER_WINDOW (cut for r{window_round}) spends free "
+                    f"slots on {offenders} (already-covered families) while "
+                    f"the r{stale_round:02d} stale tail queues: {undrained}"
                 ]
         return []
 

@@ -64,96 +64,96 @@ def query(name: str, oracle: Optional[str] = None, category: str = "", tags: tup
 # representative of everything; remaining queries follow in module
 # order. tests/test_registry.py asserts the coverage property.
 #
-# r14 ROTATION (VERDICT r13 next-round #2): the r13 window landed
-# 50/50 full-green, so this window drains the STALE-WITNESS TAIL —
-# computed by replaying every CORRECTNESS_r*.json for the latest
-# FULL-green (rows+schema+hash) witness per name: first
-# win_groups_frame_partitioned (r05 — the stalest name anywhere; the
-# r13 notes mis-stated the tail as r06, caught by VERDICT r13 "What's
-# wrong" #1, and tools/rotation_queue.py::stalest_witness now derives
-# the claim instead of a comment), then the FULL 32-name r06 cohort
-# (agg_cube..streaming_table_tail), then the stalest oracle-backed
-# member of each category the drain leaves uncovered (filter/join/
-# multimodal/projection/setop/sort/tpch/unnest — the every-family
-# property), then r07-vintage names in registry order. After this
-# round the stalest witness anywhere in the registry is r07. New r14
-# queries are window-joined immediately as they land, displacing the
-# newest r07 fillers.
+# r15 ROTATION (VERDICT r14 next-round #1): window policy is now
+# BODY-CHANGED FIRST, STALENESS SECOND. Every query whose execution
+# was rewritten in r14/r15 without a driver witness on the new body is
+# front-loaded (DRIVER_WINDOW_BODY_CHANGED below — the curated
+# authority; tools/rotation_queue.py::body_changed_queries derives an
+# over-approximate tripwire from git+AST and the guard asserts every
+# changed def has at least one implicated window witness). The
+# remaining 9 slots are the stalest oracle-backed member of each
+# category the curated set leaves uncovered (the every-family
+# property); two of those (fn_array_zip, source_python_stream) also
+# drain the r07 stale tail, as do 7 of the curated names. The rest of
+# the r07 tail queues for r16.
 #
 # DRIVER_WINDOW_ROUND marks which round this window was cut FOR; the
 # rotation drift-guard (tests/test_registry.py +
 # tools/rotation_queue.py::window_guard_violations) uses it to stay
 # green at the round boundary, and as of r09 the boundary arm demands
 # FULL green (rows+schema+hash), not merely err-free.
-DRIVER_WINDOW_ROUND = 14
-DRIVER_WINDOW: tuple[str, ...] = (
-    # -- stalest witness anywhere (r05) --
-    "win_groups_frame_partitioned",
-    # -- the full r06 cohort, registry order --
-    "agg_cube",
-    "agg_rollup",
-    "agg_hll_sketch",
-    "agg_linear_regression",
-    "agg_histogram",
-    "fn_string_distance",
-    "fn_timezone",
-    "events_retention_cohort",
-    "events_path_regex",
-    "events_anomaly_zscore",
-    "ddl_schema_evolution",
-    "ddl_eq_delete_lifecycle",
-    "ddl_catalog_refs",
-    "ddl_pos_delete_lifecycle",
-    "ddl_branch_merge_threeway",
-    "ddl_change_feed",
-    "ddl_incremental_mv",
-    "ddl_restore_lifecycle",
-    "ddl_wap_publish",
-    "ddl_txn_publish",
-    "ddl_maintenance_lifecycle",
-    "source_xml_roundtrip",
-    "dedup_semantic_cluster",
-    "knn_lsh_multiprobe",
-    "text_lang_id",
-    "text_hash_split",
-    "text_pretrain_pipeline",
-    "text_tfidf_topk",
-    "streaming_dedup_watermark",
-    "streaming_mor_upsert",
-    "streaming_incremental_mv",
-    "streaming_table_tail",
-    # -- family coverage: stalest oracle-backed member of each
-    # category the drain leaves uncovered --
-    "distinct_pairs",
-    "join_anti_null_aware",
-    "multimodal_decode",
-    "proj_case_cast",
-    "setop_union_distinct",
-    "topk_offset",
-    "tpch_q5",
-    "explode_words",
-    # -- new in r14 (window-joined immediately; the entire
-    # never-driver-verified set): five MATCH_RECOGNIZE closures
-    # (skip-next pairs, the lexicographic run split / triples,
-    # mid-island skip resume, runs under alternation, rescan ALL ROWS
-    # under cycles), the streaming split matcher, the
-    # manifest-compaction maintenance op, and the TPC-DS Q72 digest.
-    # Displaced to r15 (r07-vintage fillers, in displacement order):
-    # fn_conditional, fn_array_zip, agg_having, agg_filter_clause,
-    # agg_min_max_by, agg_map_entries, agg_bool_bit, agg_stats_builtin;
-    # agg_percentile_approx keeps the aggregate family covered,
-    # fn_string_distance/fn_timezone the function family --
-    "win_pattern_sql_same_class_skip_next",
-    "win_pattern_sql_same_class_triple",
-    "win_pattern_sql_same_class_skip_to_mid",
-    "win_pattern_sql_alt_same_class",
-    "win_pattern_sql_cycles_skip_next_all_rows",
+DRIVER_WINDOW_ROUND = 15
+
+# Queries whose EXECUTION changed in r14/r15 with no driver witness on
+# the changed body (VERDICT r14 "what's wrong" #1). r14 rewrites:
+# fact-first q10/q13, single-scan q18, single-scan quantile sketch,
+# distinct-first approx_distinct, projected salting, one-pass text
+# quality filter, checkpointed rollup ladder, map-side IVF argmax,
+# norm-hoisted LSH/semantic cosine kernels, shingle projection
+# (ngram/minhash/source_overlap/repetition/decontaminate), fused
+# connected-components convergence probe, and the streaming family
+# (state right-sizing, one-job replay staging, empty-emit guards,
+# within-batch persists). r15 rewrites: vectorized sessionize +
+# single-chunk batch concat (all stateful matchers), Hadoop-FS state
+# sizing (all bounded replays), batched eq-delete-run CDF pre-images
+# (read_changes: ddl/streaming change-feed + incremental MVs), and the
+# pruned multimodal decode boundary.
+DRIVER_WINDOW_BODY_CHANGED: tuple[str, ...] = (
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q18",
+    "agg_quantile_sketch",
+    "agg_approx_distinct",
+    "skew_salted_agg",
+    "text_quality_filter_per_source",
+    "text_repetition",
+    "text_decontaminate",
+    "events_hypertable_rollup",
+    "events_user_components",
+    "ann_ivf_probe",
+    "dedup_embedding_lsh",
+    "dedup_cluster_components",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_source_overlap",
+    "streaming_stateful_timeout_sessions",
+    "streaming_pattern_vshape",
+    "streaming_pattern_skip_next",
+    "streaming_pattern_alternation",
+    "streaming_pattern_mixed_define",
     "streaming_pattern_same_class",
-    "ddl_manifest_compaction",
-    "tpcds_q72_inventory",
-    # -- remaining slots: r07-vintage names in registry order (the
-    # rest of the r07 cohort queues for r15) --
-    "agg_percentile_approx",
+    "streaming_anomaly_weekly",
+    "streaming_tumbling",
+    "streaming_session_window",
+    "streaming_sliding",
+    "streaming_dedup_watermark",
+    "streaming_stateful_totals",
+    "streaming_stream_stream_join",
+    "streaming_minhash_dedup",
+    "streaming_ivf_ingest",
+    "streaming_static_join",
+    "streaming_available_now",
+    "ddl_incremental_mv",
+    "ddl_change_feed",
+    "streaming_change_feed",
+    "streaming_incremental_mv",
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+)
+
+DRIVER_WINDOW: tuple[str, ...] = DRIVER_WINDOW_BODY_CHANGED + (
+    # -- family coverage: stalest oracle-backed member of each
+    # category the body-changed set leaves uncovered --
+    "sample_bernoulli",  # filter, r10
+    "fn_array_zip",  # function, r07 (drains the stale tail)
+    "join_asof",  # join, r08
+    "proj_case_cast",  # projection (sole member), r14
+    "source_python_stream",  # scan, r07 (drains the stale tail)
+    "setop_except",  # setop, r12
+    "topn_per_group",  # sort, r11
+    "posexplode_ordinality",  # unnest, r13
+    "win_exclude_current",  # window, r09
 )
 
 
